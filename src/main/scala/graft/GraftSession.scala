@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Defaults are chosen for the local[32] test harness but the same settings
+  * are what we would ship to a 1000-executor cluster (AQE on, skew-join
+  * handling on, broadcast threshold left to Spark's default, shuffle
+  * partitions sized explicitly rather than the 200 default).
+  */
+object GraftSession {
+
+  /** Configs every Graft session needs regardless of master. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+      // read as long nanos and normalize in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]"), shufflePartitions
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

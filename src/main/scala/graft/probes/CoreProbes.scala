@@ -1,0 +1,287 @@
+package graft.probes
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Probes for SURVEY.md §2.1 (scans), §2.2 (projection/filter), §2.6
+  * (sort/limit), §2.7 (set ops), §2.8 (scalar functions) and §2.11 (CRUD
+  * rewrite shapes). Each mirrors a reference operator; citations are on the
+  * individual probes.
+  */
+object CoreProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Probe] = Seq(
+
+    // S2 — batch backfill scan (reference main.py:41-49).
+    Probe(
+      "s2_batch_scan_count",
+      "SELECT count(*) AS cnt FROM lineitem"
+    ) { (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("cnt")) },
+
+    // S6/O3 — full scan with ORDER BY + OFFSET/LIMIT pagination
+    // (reference base.py:31-36, default skip=0 limit=100).
+    Probe(
+      "s6_pagination",
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 10"
+    ) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(10).limit(100)
+    },
+
+    // S7/F1/O4 — point lookup by PK (reference base.py:24-29).
+    Probe(
+      "s7_point_lookup",
+      "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part WHERE p_partkey = 42"
+    ) { (s, d) =>
+      t(s, d, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .filter(col("p_partkey") === 42).limit(1)
+    },
+
+    // S9 — append-sink semantics: base ∪ new rows (reference base.py:13-22).
+    Probe(
+      "s9_append_union",
+      "SELECT count(*) AS cnt FROM (SELECT o_orderkey FROM orders UNION ALL SELECT o_orderkey + 1000000000 AS o_orderkey FROM orders WHERE o_orderkey <= 50) t"
+    ) { (s, d) =>
+      val base = t(s, d, "orders").select("o_orderkey")
+      val appended = t(s, d, "orders").filter(col("o_orderkey") <= 50)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"))
+      base.unionAll(appended).agg(count(lit(1)).as("cnt"))
+    },
+
+    // P1 — column projection (reference repository.py:51-57).
+    Probe(
+      "p1_projection",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey"
+    ) { (s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // P4 — derived-column enrichment (reference main.py:72-76).
+    // (doubling keeps the value exactly representable, so round() is
+    // engine-agnostic — a 0.9 factor lands on half-cent ties where Spark's
+    // HALF_UP-on-decimal-string and DuckDB's binary rounding disagree)
+    Probe(
+      "p4_derived_column",
+      "SELECT o_orderkey, round(o_totalprice * 2, 2) AS discounted FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .withColumn("discounted", round(col("o_totalprice") * 2, 2))
+        .select("o_orderkey", "discounted").orderBy("o_orderkey")
+    },
+
+    // F1 — equality predicate on PK (reference base.py:26).
+    Probe(
+      "f1_point_filter",
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 7"
+    ) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") === 7)
+    },
+
+    // F2/O1 — FK filter + ORDER BY ordinal (reference repository.py:94-95).
+    Probe(
+      "f2_fk_filter",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber"
+    ) { (s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_orderkey") === 7).orderBy("l_linenumber")
+    },
+
+    // F3 — closed range on ordinal, bounds optional (repository.py:97-100).
+    Probe(
+      "f3_range_between",
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4 ORDER BY l_orderkey, l_linenumber"
+    ) { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_linenumber").between(2, 4))
+        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // F4 — set-membership predicate (reference main.py:48,55).
+    Probe(
+      "f4_in_set",
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','O') ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    // F5 — existence guard / isEmpty check (reference api.py:111-112).
+    Probe(
+      "f5_exists_guard",
+      "SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS present FROM orders WHERE o_orderkey = 42"
+    ) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") === 42)
+        .agg(count(lit(1)).as("c"))
+        .select(when(col("c") > 0, lit(1)).otherwise(lit(0)).as("present"))
+    },
+
+    // F6/C13 — null-safe guards (reference repository.py:23, pdf_parser.py:158).
+    Probe(
+      "f6_null_guard",
+      "SELECT event_id, coalesce(nullif(event_type, 'error'), 'none') AS et FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("et"))
+        .orderBy("event_id")
+    },
+
+    // O3 — top-k by score ([EXT], SURVEY §2.6 note).
+    Probe(
+      "o3_topk",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // O4 — first-row limit (reference base.py:26 `.first()`).
+    Probe(
+      "o4_limit1",
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey = 1 LIMIT 1"
+    ) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .filter(col("o_orderkey") === 1).limit(1)
+    },
+
+    // §2.7 — set operations (absent in reference; free in the engine).
+    Probe(
+      "set_union_distinct",
+      "SELECT count(*) AS cnt FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 250000) t"
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        .union(o.filter(col("o_totalprice") > 250000).select("o_orderkey"))
+        .distinct().agg(count(lit(1)).as("cnt"))
+    },
+
+    Probe(
+      "set_except",
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' EXCEPT SELECT o_orderkey FROM orders WHERE o_totalprice > 250000 ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        .except(o.filter(col("o_totalprice") > 250000).select("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    Probe(
+      "set_intersect",
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_orderkey FROM orders WHERE o_totalprice > 250000 ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        .intersect(o.filter(col("o_totalprice") > 250000).select("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // C1/C3 — object-store key construction + basename (minio.py:46, main.py:98).
+    Probe(
+      "c1_key_basename",
+      "SELECT o_orderkey, 'documents/' || o_custkey || '/charts/' || o_orderkey || '.png' AS obj_key, regexp_extract('documents/' || o_custkey || '/charts/' || o_orderkey || '.png', '([^/]+)$', 1) AS basename FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val key = format_string("documents/%d/charts/%d.png", col("o_custkey"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), key.as("obj_key"),
+          regexp_extract(key, "([^/]+)$", 1).as("basename"))
+        .orderBy("o_orderkey")
+    },
+
+    // C2 — lower() (reference main.py:48).
+    Probe(
+      "c2_lower",
+      "SELECT r_regionkey, lower(r_name) AS r_lower FROM region ORDER BY r_regionkey"
+    ) { (s, d) =>
+      t(s, d, "region").select(col("r_regionkey"), lower(col("r_name")).as("r_lower"))
+        .orderBy("r_regionkey")
+    },
+
+    // C4 — strftime-style formatting (reference main.py:75).
+    Probe(
+      "c4_date_format",
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"))
+        .orderBy("o_orderkey")
+    },
+
+    // C5/C6 — timestamp normalization + ISO render (reference demo.py:11-14).
+    Probe(
+      "c6_ts_epoch",
+      "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("event_id")
+    },
+
+    // C8 — JSON path extraction (schema.py JSON columns; demo.py:70,86,97).
+    Probe(
+      "c8_json_extract",
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id")
+    },
+
+    // C9 — struct construction + field access (pdf_parser.py:152-160).
+    Probe(
+      "c9_struct_roundtrip",
+      "SELECT o_orderkey, (struct_pack(k := o_orderkey, v := o_totalprice)).v AS unpacked FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+            .getField("v").as("unpacked"))
+        .orderBy("o_orderkey")
+    },
+
+    // C12 — type-dispatch conditional (pdf_parser.py:142,162 isinstance).
+    Probe(
+      "c12_case_when",
+      "SELECT event_id, CASE WHEN event_type = 'error' THEN 'E' WHEN event_type = 'purchase' THEN 'P' ELSE 'O' END AS cls FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "error", "E")
+            .when(col("event_type") === "purchase", "P")
+            .otherwise("O").as("cls"))
+        .orderBy("event_id")
+    },
+
+    // M1 — update-by-PK as copy-on-write rewrite expression (base.py:38-52);
+    // the storage-level atomic swap lives in graft.store.TableStore.
+    Probe(
+      "m1_update_rewrite",
+      "SELECT o_orderkey, CASE WHEN o_orderkey = 42 THEN 'URGENT-PATCHED' ELSE o_orderpriority END AS o_orderpriority FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") === 42, "URGENT-PATCHED")
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    // M2/J4 — cascade delete as left-anti rewrite (schema.py:43-44).
+    Probe(
+      "m2_delete_count",
+      "SELECT count(*) AS remaining FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"
+    ) { (s, d) =>
+      val deleted = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, d, "lineitem").join(deleted, Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("remaining"))
+    }
+  )
+
+  private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
+}

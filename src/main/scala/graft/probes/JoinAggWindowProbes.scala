@@ -1,0 +1,217 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Probes for SURVEY.md §2.3 (joins), §2.4 (aggregations) and §2.5
+  * (window/ordinal functions). `orders ⋈ lineitem` stands in for
+  * `documents ⋈ document_chunks` (FIXTURES.md role mapping).
+  */
+object JoinAggWindowProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Probe] = Seq(
+
+    // J1/O2 — 1:N join + ordered child nesting (repository.py:58-67). The
+    // child list is re-expressed as an ordered CSV so the hash compare is
+    // representation-stable across engines.
+    Probe(
+      "j1_nested_children",
+      "SELECT o_orderkey, count(*) AS n_chunks, string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_seq FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_chunks"),
+          array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("line_seq"))
+        .orderBy("o_orderkey")
+    },
+
+    // J2/F6/A1 — left-outer 1:N with null-safe aggregate (schema.py:44).
+    Probe(
+      "j2_left_outer_agg",
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS total_spent FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"
+    ) { (s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // J3 — cross-store join on a computed composite key (repository.py:142-167,
+    // key convention minio.py:46).
+    Probe(
+      "j3_computed_key_join",
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON ('c/' || o_custkey) = ('c/' || c_custkey) ORDER BY o_orderkey"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .withColumn("jk", format_string("c/%d", col("o_custkey")))
+        .join(t(s, d, "customer")
+          .withColumn("jk", format_string("c/%d", col("c_custkey"))), Seq("jk"))
+        .select("o_orderkey", "c_name").orderBy("o_orderkey")
+    },
+
+    // J4 — FK-cascade delete as left-anti (schema.py:43-44, base.py:54-66).
+    Probe(
+      "j4_anti_join",
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber"
+    ) { (s, d) =>
+      val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, d, "lineitem").join(f, Seq("l_orderkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J5 — existence semi-join guard (api.py:110-112).
+    Probe(
+      "j5_semi_join_count",
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)"
+    ) { (s, d) =>
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, d, "lineitem").join(big, Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // J6 — positional zip join (repository.py:313).
+    Probe(
+      "j6_zip_positional",
+      "WITH n AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn, n_name FROM nation), r AS (SELECT row_number() OVER (ORDER BY r_regionkey) AS rn, r_name FROM region) SELECT n.rn AS rn, n_name, r_name FROM n JOIN r ON n.rn = r.rn ORDER BY rn"
+    ) { (s, d) =>
+      val n = t(s, d, "nation").select(
+        row_number().over(Window.orderBy("n_nationkey")).cast("long").as("rn"),
+        col("n_name"))
+      val r = t(s, d, "region").select(
+        row_number().over(Window.orderBy("r_regionkey")).cast("long").as("rn"),
+        col("r_name"))
+      n.join(r, Seq("rn")).select("rn", "n_name", "r_name").orderBy("rn")
+    },
+
+    // A1 — denormalized child count (repository.py:22 total_chunks).
+    Probe(
+      "a1_count_children",
+      "SELECT l_orderkey, count(*) AS total_chunks FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"
+    ) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("total_chunks")).orderBy("l_orderkey")
+    },
+
+    // A2 — explode + group-into-buckets (pdf_parser.py:86-109 entity
+    // bucketing shape, over the documents token stream).
+    Probe(
+      "a2_explode_group",
+      "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct FROM tok GROUP BY lang ORDER BY lang"
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"))
+        .orderBy("lang")
+    },
+
+    // A3/C7/C11 — whitespace token count (pdf_parser.py:197).
+    Probe(
+      "a3_token_count",
+      "SELECT p_partkey, CAST(len(string_split(p_name, ' ')) AS BIGINT) AS token_cnt FROM part ORDER BY p_partkey"
+    ) { (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          size(split(col("p_name"), " ")).cast("long").as("token_cnt"))
+        .orderBy("p_partkey")
+    },
+
+    // A4 — summary counts by group (main.py:113-115).
+    Probe(
+      "a4_group_count",
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ) { (s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt")).orderBy("o_orderstatus")
+    },
+
+    // [EXT] exact distinct counts (SURVEY §2.4 note).
+    Probe(
+      "agg_count_distinct",
+      "SELECT count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps FROM lineitem"
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"))
+    },
+
+    // [EXT] HLL approximate distinct — engine-specific estimates differ by
+    // design, so this is a rows-only probe (no oracle).
+    Probe.unchecked("agg_approx_distinct") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("d_parts_approx"),
+          approx_count_distinct(col("l_suppkey")).as("d_supps_approx"))
+    },
+
+    // Flagship pricing-summary aggregate (TPC-H Q1 shape over the probe
+    // tables; exercises multi-key groupBy with partial aggregation).
+    Probe(
+      "agg_q1_pricing_summary",
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(avg(l_discount), 4) AS avg_disc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // W1 — ordinal assignment within parent, 0-based (repository.py:28-35).
+    // l_linenumber alone is not unique within an order in the synthetic
+    // data, so the window order carries (partkey, suppkey) tiebreakers to
+    // stay deterministic.
+    Probe(
+      "w1_ordinal",
+      "SELECT l_orderkey, l_linenumber, CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS BIGINT) AS chunk_index FROM lineitem ORDER BY l_orderkey, l_linenumber, chunk_index"
+    ) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (row_number().over(w) - 1).cast("long").as("chunk_index"))
+        .orderBy("l_orderkey", "l_linenumber", "chunk_index")
+    },
+
+    // W2 — per-type running counter (pdf_parser.py:137-138,162-163).
+    Probe(
+      "w2_type_counter",
+      "SELECT event_id, CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS BIGINT) AS type_idx FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("event_id"), row_number().over(w).cast("long").as("type_idx"))
+        .orderBy("event_id")
+    },
+
+    // [EXT] rank / lag / framed running sum (SURVEY §2.5 note).
+    Probe(
+      "w3_rank_lag_framesum",
+      "SELECT event_id, CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk, round(coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), -1), 2) AS prev_value, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run_sum FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      val byVal = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      val byId = Window.partitionBy("user_id").orderBy("event_id")
+      val framed = byId.rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"),
+          rank().over(byVal).cast("long").as("rnk"),
+          round(coalesce(lag(col("value"), 1).over(byId), lit(-1.0)), 2).as("prev_value"),
+          round(sum(col("value")).over(framed), 2).as("run_sum"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Dev-only harness replicating the driver's correctness gate.
+
+Runs graft.Verify output (parquet per query + oracle_sql.json) against the
+DuckDB oracle on the same testdata directory and reports per-query
+row-count / schema / value-hash matches. Not part of the engine — uses the
+driver-side python stack (duckdb/pyarrow) available in this container.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+            want_rel = con.sql(sql)
+            want = want_rel.fetchall()
+            want_cols = [d[0] for d in want_rel.description]
+        except Exception as e:
+            print(f"FAIL {name}: error {str(e)[:200]}")
+            n_fail += 1
+            continue
+        # driver compare sorts columns by name before hashing values
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        wi = [want_cols.index(c) for c in sorted(want_cols)]
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        w = [tuple(norm(r[i]) for i in wi) for r in want]
+        if g != w:
+            bad = next(i for i in range(len(g)) if g[i] != w[i])
+            print(f"FAIL {name}: first diff row {bad}: {g[bad]} != {w[bad]}")
+            n_fail += 1
+            continue
+        n_pass += 1
+        print(f"ok   {name} ({len(got)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracle)} oracled")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
