@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. No counterpart in the
+  * reference (its ingest happily re-processes duplicate files —
+  * SURVEY §2.10 delivery note); these are the north-star additions.
+  *
+  * Scale design: every operator is either per-row expression work (signature
+  * computation — linear, embarrassingly parallel) or an inverted-index /
+  * bucket join keyed so that the shuffle carries only (key, id) pairs, never
+  * document bodies. Candidate generation is always blocked (LSH band,
+  * SimHash band, or an application blocking key) so the pair space stays
+  * near-linear instead of quadratic — the property that matters at 100 TB.
+  */
+object Dedup {
+
+  /** Distinct n-token shingles of a token array (empty when too short). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        j => concat_ws(" ", slice(toks, j + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact dedup by content: one surviving (minimum) id per distinct key
+    * plus the duplicate count. `key` is typically the raw text or a
+    * normalized/hashed form of it.
+    */
+  def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("content_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  private val MinhashPrime = 1000000007L
+
+  /** MinHash signature (k permutations) over a shingle array. Each
+    * permutation is an affine rehash of the shingle's (mod-reduced) xxhash64;
+    * array_min over the rehashes is the classic min-wise estimator. Pure
+    * expression: one pass to hash shingles, k cheap passes for the minima.
+    * All intermediate products stay within long range (ANSI-mode safe).
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
+    val hs = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      when(size(hs) > 0,
+        array_min(transform(hs, h =>
+          pmod(h * (i * 2 + 1) + i * lit(2654435761L), lit(MinhashPrime)))))
+        .otherwise(lit(Long.MaxValue)))
+  }
+
+  /** LSH banding: (id, band, bandKey) rows — b bands of r signature slots,
+    * each band keyed by a hash of its slice. Docs sharing any band key are
+    * candidate near-duplicates.
+    */
+  def lshBands(df: DataFrame, id: Column, sig: Column,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandIdx = explode(sequence(lit(0), lit(bands - 1)))
+    df.select(id.as("doc_id"), sig.as("sig"))
+      .withColumn("band", bandIdx)
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"),
+          concat_ws(",", transform(slice(col("sig"),
+            col("band") * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))))
+          .as("band_key"))
+  }
+
+  /** Candidate pairs from LSH bands (id_a < id_b, distinct). The join is
+    * keyed on (band, band_key) so it shuffles only slim band rows.
+    */
+  def lshCandidatePairs(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val b = bandsDf.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified: generate candidates
+    * via banding, then join the shingle sets back and keep pairs with true
+    * Jaccard >= threshold. Verification cost is per-candidate, not per-pair.
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      shingles(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    val cands = lshCandidatePairs(lshBands(sigs, col("doc_id"), col("sig"), bands, k / bands))
+    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** 64-bit SimHash over a token array: majority vote per bit position of
+    * the tokens' xxhash64 values. Single expression tree, zero shuffle;
+    * token hashes are materialized once and reused by all 64 bit votes.
+    */
+  def simhash64(hashedTokens: Column): Column =
+    (0 until 64).map { j =>
+      val vote = aggregate(hashedTokens, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** SimHash near-duplicate pairs within a Hamming radius, using the
+    * pigeonhole principle over four 16-bit bands: any pair within Hamming
+    * distance <= 3·(bands-1)/bands shares at least one exact band, so the
+    * candidate join is an equi-join on (band, 16-bit chunk).
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 6): DataFrame = {
+    val sim = docs.select(col(idCol).as("doc_id"),
+      simhash64(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))
+        .as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
+        .as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via a blocked inverted
+    * index: explode distinct shingles, self-join on (block, shingle) to
+    * count intersections, derive Jaccard from per-doc shingle counts.
+    * The blocking column bounds the pair space; at corpus scale a coarse
+    * content prefix or LSH band plays that role.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("block"), col("s"), col("doc_id").as("id_a"))
+      .join(sh.select(col("block"), col("s"), col("doc_id").as("id_b")),
+        Seq("block", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine within a blocking key
+    * (label/cluster). For unblocked corpora, route through
+    * Similarity.signature-based bucketing first.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val v = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (linear scan, perfectly
+  * parallel, no shuffle — the query vector is broadcast). The scale path is
+  * random-hyperplane LSH bucketing: 16-bit signatures computed per row,
+  * candidates restricted to nearby buckets, exact re-rank on candidates
+  * only. All expression-level (`zip_with`/`aggregate` fold into
+  * WholeStageCodegen); no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — the same
+    * evaluation order DuckDB uses, so oracles match bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k nearest neighbours of one stored vector by cosine.
+    * The single-row query side is broadcast; the scan side never shuffles
+    * (TakeOrderedAndProject handles the global top-k).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component g(plane, dim) in
+    * [-1, 1), derived from xxhash64 so signatures are reproducible without
+    * shipping plane matrices.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(concat(lit(plane.toString), lit("_"), dim.cast("string"))),
+      lit(2001L)).cast("double") - 1000.0) / 1000.0
+
+  /** `nBits`-bit random-hyperplane signature of a vector: bit p is the sign
+    * of <v, g_p>. Cosine-similar vectors agree on most bits (SimHash for
+    * real vectors).
+    */
+  def rhpSignature(vec: Column, nBits: Int = 16): Column =
+    (0 until nBits).map { p =>
+      val proj = aggregate(zip_with(vec,
+        transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+        (x, g) => x * g), lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k via LSH bucketing: candidates are vectors whose
+    * signature is within `maxHamming` bits of the query signature (checked
+    * with bit_count(xor) after a broadcast of the single query signature),
+    * then exact cosine re-ranks the candidates. At cluster scale the
+    * signature comparison prunes the scan to a small candidate set; recall
+    * is tunable via nBits/maxHamming.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nBits: Int = 16,
+              maxHamming: Int = 6): DataFrame = {
+    val signed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", rhpSignature(col("v"), nBits))
+    val q = signed.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("sig").as("qsig"))
+    signed.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style coarse partitioning: assign each vector to the centroid-free
+    * cell given by the top bits of its signature. Used to co-locate probable
+    * neighbours (write-time `partitionBy(cell)`), turning ANN queries into
+    * partition-pruned scans at scale.
+    */
+  def ivfCell(vec: Column, cellBits: Int = 8): Column =
+    rhpSignature(vec, cellBits)
+}

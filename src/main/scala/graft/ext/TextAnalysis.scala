@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY §2 north-star additions; no counterpart in the reference, which
+  * delegates all text ML to spaCy — pdf_parser.py:86-109).
+  *
+  * Everything here is a pure Catalyst Column expression built from
+  * `org.apache.spark.sql.functions` higher-order functions: codegen-friendly,
+  * no UDFs, no shuffles — per-row cost only, which is what survives a 100 TB
+  * corpus (the expressions pipeline inside WholeStageCodegen and scale
+  * linearly with executor count).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (reference token semantics: pdf_parser.py:197). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count, as BIGINT for engine-portable comparisons. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap, deterministic
+    * stand-in for a real BPE vocabulary with similar scaling behavior.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Mean token length derived purely from char/token counts so that SQL
+    * oracles can reproduce it bit-for-bit: (chars - separators) / tokens.
+    */
+  def meanTokenLength(text: Column): Column = {
+    val n = size(tokens(text))
+    (length(text) - (n - 1)).cast("double") / n.cast("double")
+  }
+
+  /** Language marker profiles: high-frequency function words per language.
+    * Deliberately tiny — the operator contract is the scoring mechanism,
+    * not lexicon quality.
+    */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une")
+  )
+
+  /** Count of tokens belonging to a marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers))).cast("long")
+
+  /** CJK character count (for the zh charset heuristic). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("long")
+
+  /** N-gram/marker heuristic language ID. Deterministic argmax with a fixed
+    * tiebreak order (zh by charset ratio, then de > es > fr > en), so a SQL
+    * oracle can reproduce the decision exactly.
+    */
+  def langId(text: Column): Column = {
+    val cEn = markerCount(text, profiles("en"))
+    val cDe = markerCount(text, profiles("de"))
+    val cEs = markerCount(text, profiles("es"))
+    val cFr = markerCount(text, profiles("fr"))
+    when(cjkCount(text) * 10 >= length(text) * 3, "zh")
+      .when(cDe > cEn && cDe > cEs && cDe > cFr, "de")
+      .when(cEs > cEn && cEs > cFr, "es")
+      .when(cFr > cEn, "fr")
+      .otherwise("en")
+  }
+
+  /** Stopword ratio over the combined marker lexicon. */
+  def stopwordRatio(text: Column): Column =
+    markerCount(text, profiles.values.flatten.toSeq.distinct).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Punctuation/symbol character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: stopword presence, low punctuation
+    * noise, and reasonable mean token length. The exact weights are not the
+    * contract — determinism and SQL-expressibility are. Unrounded; callers
+    * round for presentation (at >= 9 decimals to dodge representational
+    * rounding ties across engines).
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), stopwordRatio(text) * 2.0) * 0.5 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      least(lit(1.0), meanTokenLength(text) / 8.0) * 0.2
+
+  /** Weights for the portable positional fingerprint: 131^k mod p. */
+  val FpMod: Long = 1000000007L
+  val fpWeights: Array[Long] = Array.iterate(1L, 8)(w => w * 131 % FpMod)
+
+  /** Order-sensitive document fingerprint that a SQL oracle can reproduce:
+    * sum_i (len(tok_i)+1) * 131^(i mod 8) mod p. Positional weighting with
+    * period 8 makes it sensitive to local reordering while keeping every
+    * term in exact integer range on both engines.
+    */
+  def fingerprint(text: Column): Column = {
+    val w = array(fpWeights.map(lit(_)): _*)
+    aggregate(
+      transform(tokens(text), (t, i) =>
+        (length(t) + 1).cast("long") * element_at(w, pmod(i, lit(8)).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x
+    ) % FpMod
+  }
+
+  /** Karp-Rabin rolling fingerprint: base-131 polynomial over xxhash64
+    * token hashes, reduced mod a 30-bit prime at every step so the
+    * arithmetic stays in long range under ANSI mode. Engine-internal
+    * (xxhash64 is not reproducible in SQL oracles), covered by ScalaTest.
+    */
+  val KrMod: Long = 1073741789L
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 131 + pmod(xxhash64(t), lit(KrMod)), lit(KrMod)))
+}

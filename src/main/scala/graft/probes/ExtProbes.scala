@@ -63,5 +63,146 @@ object ExtProbes {
     }
   )
 
-  def all: Seq[Probe] = streamingWindows
+  // ---------------------------------------------------------------------
+  // Text analysis (graft.ext.TextAnalysis)
+  // ---------------------------------------------------------------------
+
+  import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
+
+  /** SQL literal list of all language-marker tokens. */
+  private val markersSql: String =
+    TA.profiles.values.flatten.toSeq.distinct.sorted.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB CASE arm matching TextAnalysis.fpWeights (131^k mod p). */
+  private val fpCaseSql: String =
+    "CASE (i-1)%8 " + TA.fpWeights.zipWithIndex
+      .map { case (w, k) => s"WHEN $k THEN $w" }.mkString(" ") + " END"
+
+  val textAnalysis: Seq[Probe] = Seq(
+
+    Probe(
+      "text_token_stats",
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"))
+        .orderBy("doc_id")
+    },
+
+    Probe(
+      "text_bpe_token_count",
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    Probe(
+      "text_quality_score",
+      s"""WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents) SELECT doc_id, round(least(1.0, (len(list_filter(ts, x -> x IN ($markersSql))) * 1.0 / len(ts)) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(ts) - 1)) * 1.0 / len(ts)) / 8.0) * 0.2, 9) AS quality FROM q ORDER BY doc_id"""
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), round(TA.qualityScore(col("text")), 9).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    Probe(
+      "text_langid",
+      s"""WITH q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents), c AS (SELECT doc_id, lang, text, len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in'))) AS c_en, len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht'))) AS c_de, len(list_filter(ts, x -> x IN ('el','la','los','las','es','y'))) AS c_es, len(list_filter(ts, x -> x IN ('le','les','des','et','est','une'))) AS c_fr FROM q) SELECT doc_id, lang, CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10 >= length(text) * 3 THEN 'zh' WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' WHEN c_es > c_en AND c_es > c_fr THEN 'es' WHEN c_fr > c_en THEN 'fr' ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"""
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TA.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    Probe(
+      "text_fingerprint",
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), term AS (SELECT doc_id, (length(ts[i]) + 1) * ($fpCaseSql) AS v FROM tok, UNNEST(generate_series(1, len(ts))) AS g(i)) SELECT doc_id, CAST(sum(v) % ${TA.FpMod} AS BIGINT) AS fp FROM term GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Karp-Rabin rolling fingerprint: xxhash64-based, not
+    // SQL-oracle-reproducible; covered by ScalaTest.
+    Probe.unchecked("text_fingerprint_rolling") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.rollingFingerprint(col("text")).as("fp_kr"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Deduplication (graft.ext.Dedup)
+  // ---------------------------------------------------------------------
+
+  val dedup: Seq[Probe] = Seq(
+
+    Probe(
+      "dedup_exact",
+      "SELECT sha256(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY keep_id"
+    ) { (s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), sha2(col("text"), 256), col("doc_id"))
+        .orderBy("keep_id")
+    },
+
+    Probe(
+      "dedup_ngram_jaccard",
+      "WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jac FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "source", 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH candidates are a function of the engine's hash family —
+    // rows-only check; the exact-verify step bounds the output to true
+    // near-duplicates, and DedupSpec asserts recall against the exact pairs.
+    Probe.unchecked("dedup_minhash_lsh") { (s, d) =>
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    Probe.unchecked("dedup_simhash") { (s, d) =>
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    Probe(
+      "dedup_cosine_neardup",
+      "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      Dedup.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", 0.3)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Similarity search (graft.ext.Similarity)
+  // ---------------------------------------------------------------------
+
+  val similarity: Seq[Probe] = Seq(
+
+    Probe(
+      "sim_topk_bruteforce",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS cos FROM e WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+    ) { (s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    },
+
+    // LSH-bucketed ANN: candidate set depends on the engine's hash planes —
+    // rows-only; SimilaritySpec checks recall against brute force.
+    Probe.unchecked("sim_topk_lsh") { (s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }
+  )
+
+  def all: Seq[Probe] = streamingWindows ++ textAnalysis ++ dedup ++ similarity
 }
