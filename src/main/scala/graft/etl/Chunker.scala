@@ -1,0 +1,79 @@
+package graft.etl
+
+import graft.model.{DocElement, ParsedDoc, TextChunk}
+
+/** E2/E3 — tokenizer-aware, heading-aware chunking (reference
+  * pdf_parser.py:64,221: docling HybridChunker with
+  * tokenizer="BAAI/bge-small-en-v1.5"; declared config overlap=0,
+  * min=100, max=2000 tokens at pdf_parser.py:26-29).
+  *
+  * The HF wordpiece tokenizer is replaced by a whitespace token-count
+  * heuristic (SURVEY §7.5 divergence — the schema/ordering semantics are
+  * the contract, not tokenizer fidelity). Semantics kept from the
+  * reference:
+  *   - chunk ordinals are assigned in parse order, 0-based, *inside* the
+  *     per-document computation (repository.py:28 `enumerate`) — no
+  *     window function, no shuffle;
+  *   - `serialize` re-embeds the active heading path above the chunk text
+  *     ("enriched text", pdf_parser.py:190) and NER/token-count run on the
+  *     serialized form (pdf_parser.py:188-199).
+  *
+  * Chunk boundaries: a chunk closes when adding the next block would
+  * exceed maxTokens (provided it already holds >= minTokens), or when a
+  * heading of level <= the chunk's entry level arrives and the chunk holds
+  * >= minTokens — the "don't split mid-section unless forced" behavior of
+  * heading-aware chunkers.
+  */
+final case class ChunkerConfig(
+    minTokens: Int = 100,
+    maxTokens: Int = 2000,
+    overlap: Int = 0)
+
+object Chunker {
+
+  private def countTokens(s: String): Int =
+    if (s == null || s.isEmpty) 0 else s.split("\\s+").length
+
+  /** Pure per-document chunking; deterministic in element order. */
+  def chunk(doc: ParsedDoc, cfg: ChunkerConfig = ChunkerConfig()): Seq[TextChunk] = {
+    val headings = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val chunks = Seq.newBuilder[TextChunk]
+    val current = new StringBuilder
+    var currentTokens = 0
+    var idx = 0
+    var headingPathAtOpen: Seq[String] = Seq.empty
+
+    def headingPath: Seq[String] = headings.map(_._2).toSeq
+
+    def closeChunk(): Unit = if (currentTokens > 0) {
+      val text = current.toString.trim
+      val serialized =
+        if (headingPathAtOpen.isEmpty) text
+        else headingPathAtOpen.mkString("\n") + "\n" + text
+      chunks += TextChunk(idx, text, serialized, countTokens(serialized))
+      idx += 1
+      current.clear()
+      currentTokens = 0
+    }
+
+    doc.elements.foreach {
+      case DocElement("heading", level, _, text, _) =>
+        // section boundary: close a full-enough chunk before switching
+        if (currentTokens >= cfg.minTokens) closeChunk()
+        while (headings.nonEmpty && headings.last._1 >= level)
+          headings.remove(headings.length - 1)
+        headings += ((level, text))
+      case DocElement("text", _, _, text, _) if text != null && text.nonEmpty =>
+        val t = countTokens(text)
+        if (currentTokens > 0 && currentTokens + t > cfg.maxTokens &&
+          currentTokens >= cfg.minTokens) closeChunk()
+        if (currentTokens == 0) headingPathAtOpen = headingPath
+        if (current.nonEmpty) current.append("\n")
+        current.append(text)
+        currentTokens += t
+      case _ => // tables/pictures don't contribute chunk text
+    }
+    closeChunk()
+    chunks.result()
+  }
+}

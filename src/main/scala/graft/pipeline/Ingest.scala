@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.etl.{Chunker, ChunkerConfig, Images, Ner, Parse}
+import graft.model.{Entities, ParsedDoc, TextChunk}
+import graft.store.{ObjectStore, TableStore}
+
+/** §3.1 — the ingest dataflow: binary files → parse → chunk → NER →
+  * documents/chunks tables, then element iteration → PNG render → object
+  * store → chart rows. Batch (`ingest`) and Structured Streaming
+  * (`ingestStream`, replacing the reference's watchdog observer
+  * main.py:154-159 with the checkpointed file source — an at-least-once →
+  * exactly-once upgrade, SURVEY §7.4.5).
+  *
+  * Scale design: parse/chunk/NER/render are all per-document computations
+  * performed inside `mapPartitions`/`flatMap`, so the heavy path has ZERO
+  * shuffles — chunk ordinals and per-type chart counters are computed
+  * inside the per-document iteration exactly like the reference's
+  * `enumerate` (repository.py:28) and counters (pdf_parser.py:137-138).
+  * The only shuffle in the whole job is the tiny dense-id window over one
+  * row per *document* (not per chunk), and it disappears entirely under
+  * `idStrategy="hash"` — the configuration a 100 TB corpus would run
+  * (SURVEY §7.4.2 parity note).
+  */
+final case class ProcessingConfig(
+    chunker: ChunkerConfig = ChunkerConfig(),
+    imageScale: Double = 2.0, // pdf_parser.py:30
+    idStrategy: String = "dense") // "dense" = reference parity; "hash" = shuffle-free
+
+final case class IngestStats(documents: Long, chunks: Long, charts: Long)
+
+/** Chunk + NER payload computed per document (E7, pdf_parser.py:188-199).
+  * Top-level so Spark can derive product encoders.
+  */
+final case class ChunkData(chunkIndex: Int, text: String,
+                           tokenCount: Int, entities: Entities)
+final case class DocWithChunks(doc: ParsedDoc, chunks: Seq[ChunkData])
+
+final class IngestPipeline(
+    spark: SparkSession,
+    tables: TableStore,
+    objects: ObjectStore,
+    cfg: ProcessingConfig = ProcessingConfig()) extends Serializable {
+
+  import spark.implicits._
+
+  /** S2-style batch ingest of every file in a directory (main.py:41-49). */
+  def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
+      .load(inputDir)
+    ingestBinary(bin, now)
+  }
+
+  /** S1 — streaming ingest: new files appear as rows per micro-batch. */
+  def ingestStream(inputDir: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                   now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+  : StreamingQuery = {
+    val bin = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "false") // recursive=False (main.py:156)
+      .load(inputDir)
+    bin.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBinary(batch, now()); ()
+      }
+      .start()
+  }
+
+  /** Core of E8 (pdf_parser.py:201-253) over one batch of binary rows. */
+  def ingestBinary(bin: DataFrame, now: Timestamp): IngestStats = {
+    val chunkerCfg = cfg.chunker
+    val imageScale = cfg.imageScale
+
+    // E1 -> E2 -> E4/E7, all inside one per-document flatMap
+    val parsed = Parse.parseDocuments(bin)
+      .map { doc =>
+        val chunks = Chunker.chunk(doc, chunkerCfg).map { c: TextChunk =>
+          ChunkData(c.chunkIndex, c.serialized, c.tokenCount,
+            Ner.extract(c.serialized)) // NER on enriched text (pdf_parser.py:222)
+        }
+        DocWithChunks(doc, chunks)
+      }
+    parsed.persist()
+
+    try {
+      // ---- document ids (SERIAL replacement, SURVEY §7.4.2)
+      val baseDocId = if (cfg.idStrategy == "dense") tables.maxId("documents", "id") else 0L
+      val docIdCol =
+        if (cfg.idStrategy == "dense")
+          row_number().over(Window.orderBy(col("doc.path"))).cast("long") + baseDocId
+        else pmod(xxhash64(col("doc.path")), lit(Long.MaxValue))
+
+      val docsWithId = parsed.toDF()
+        .withColumn("id", docIdCol)
+      docsWithId.persist()
+
+      // ---- documents table (schema.py:26-44; metainfo shape main.py:72-76)
+      val nowLit = lit(now)
+      val docRows = docsWithId.select(
+        col("id"),
+        col("doc.filename").as("filename"),
+        size(col("chunks")).as("total_chunks"), // repository.py:22
+        to_json(struct(
+          col("doc.pageCount").as("page_count"),
+          col("doc.fileSize").as("file_size"),
+          date_format(nowLit, "yyyy-MM-dd HH:mm:ss").as("extraction_date")
+        )).as("metainfo"),
+        nowLit.as("created_at"),
+        nowLit.as("updated_at"))
+
+      // ---- document_chunks table (schema.py:11-24)
+      val baseChunkId = if (cfg.idStrategy == "dense") tables.maxId("document_chunks", "id") else 0L
+      val chunkIdCol =
+        if (cfg.idStrategy == "dense")
+          row_number().over(Window.orderBy(col("document_id"), col("chunk_index")))
+            .cast("long") + baseChunkId
+        else pmod(xxhash64(col("document_id"), col("chunk_index")), lit(Long.MaxValue))
+      val chunkRows = docsWithId
+        .select(col("id").as("document_id"), explode(col("chunks")).as("c"))
+        .select(
+          col("document_id"),
+          col("c.chunkIndex").as("chunk_index"),
+          col("c.text").as("text_content"),
+          to_json(col("c.entities")).as("entities"),
+          to_json(struct(col("c.tokenCount").as("token_count"))).as("chunk_metadata"),
+          nowLit.as("created_at"))
+        .withColumn("id", chunkIdCol)
+        .select("id", "document_id", "chunk_index", "text_content",
+          "entities", "chunk_metadata", "created_at")
+
+      // ---- chart payloads (E5/E6) — per-doc counters, zero shuffle
+      val chartPayloads = docsWithId
+        .select(col("id").as("document_id"), col("doc"))
+        .as[(Long, ParsedDoc)]
+        .flatMap { case (docId, doc) =>
+          Images.extractCharts(doc, imageScale).map(p =>
+            (docId, p.chartType, p.typeIndex, p.level, p.caption, p.png))
+        }
+        .toDF("document_id", "chart_type", "type_index", "level", "caption", "png")
+
+      val baseChartId = if (cfg.idStrategy == "dense") tables.maxId("chart_data", "id") else 0L
+      val chartIdCol =
+        if (cfg.idStrategy == "dense")
+          row_number().over(Window.orderBy(col("document_id"),
+            col("chart_type"), col("type_index"))).cast("long") + baseChartId
+        else pmod(xxhash64(col("document_id"), col("chart_type"),
+          col("type_index")), lit(Long.MaxValue))
+
+      val chartsWithId = chartPayloads
+        .withColumn("id", chartIdCol)
+        .withColumn("image_path",
+          format_string("documents/%d/charts/%d.png", col("document_id"), col("id")))
+      chartsWithId.persist()
+
+      // info JSON (pdf_parser.py:152-160,172-180)
+      val chartRows = chartsWithId.select(
+        col("id"), col("document_id"),
+        to_json(struct(
+          col("chart_type").as("type"),
+          col("type_index").as("index"),
+          col("image_path"),
+          struct(col("level"), col("caption")).as("metadata"))).as("info"),
+        col("image_path"),
+        nowLit.as("created_at"))
+
+      // ---- persist: rows first (S10), then blobs, then chart rows (S12) —
+      // blob-before-row ordering replicates the reference's failure mode
+      // (orphan blobs possible, dangling rows never — SURVEY §7.4.4).
+      tables.append("documents", docRows)
+      tables.append("document_chunks", chunkRows)
+      objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
+      tables.append("chart_data", chartRows)
+
+      IngestStats(
+        documents = docRows.count(),
+        chunks = chunkRows.count(),
+        charts = chartRows.count())
+    } finally {
+      parsed.unpersist()
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.probes
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.Ner
+import graft.pipeline.{IngestPipeline, ProcessingConfig}
+import graft.serve.DocumentStore
+import graft.store.{ObjectStore, TableStore}
+
+/** Probes driving the document-ETL pipeline (SURVEY §2.9/§2.12) through
+  * the driver surface. The ETL operators are not SQL-expressible (chunker/
+  * NER/render semantics live in Scala), so these are rows-only probes; the
+  * fine-grained semantics are pinned by ScalaTest (ChunkerSpec, NerSpec,
+  * IngestDocStoreSpec).
+  *
+  * Input documents are synthesized deterministically from the testdata
+  * `documents` table (text → binary payload), so the whole E1→E8 path runs
+  * distributed without touching external fixtures.
+  */
+object EtlProbes {
+
+  private val fixedNow = Timestamp.valueOf("2026-01-15 08:30:00")
+
+  val all: Seq[Probe] = Seq(
+
+    // E1→E2→E4→E7→S10→E5→S11→S12 end-to-end, then the §2.12 listing.
+    Probe.unchecked("etl_ingest_pipeline") { (s, d) =>
+      import s.implicits._
+      // binary payloads with a heading + table marker so every stage of the
+      // parse (headings, text blocks, table elements) is exercised
+      val bin = Tables.load(s, d, "documents").limit(50)
+        .select(
+          format_string("memory://doc_%d.pdf", col("doc_id")).as("path"),
+          encode(concat(
+            lit("Section heading:\n"), col("text"),
+            lit("\nTABLE: totals by source\n")), "utf-8").as("content"))
+      val root = java.nio.file.Files.createTempDirectory("graft-etl").toString
+      val tables = new TableStore(s, s"$root/tables")
+      val objects = new ObjectStore(s, s"$root/bucket")
+      new IngestPipeline(s, tables, objects, ProcessingConfig())
+        .ingestBinary(bin, fixedNow)
+      new DocumentStore(s, tables, objects).listDocuments(0, 100)
+        .select("filename", "total_chunks", "metainfo")
+        .orderBy("filename")
+    },
+
+    // E4/A2 — distributed NER bucketing over a deterministic entity-bearing
+    // text derived from the corpus.
+    Probe.unchecked("etl_ner_bucketing") { (s, d) =>
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("Report by TechCorp Inc with Dr. Ada Byron in London on 2024-02-13. "),
+            col("text")).as("t"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, Ner.extract(t)) })
+        .toDF("doc_id", "entities")
+        .select(col("doc_id"), to_json(col("entities")).as("entities"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.serve
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{ObjectStore, TableStore}
+
+/** §2.12 — the engine's public query surface, mirroring the reference's
+  * repository/REST layer as DataFrame-returning functions:
+  *
+  * | method                | reference                              |
+  * |-----------------------|----------------------------------------|
+  * | listDocuments         | GET /documents (api.py:87-104)         |
+  * | getDocument           | GET /documents/{id} (api.py:106-147)   |
+  * | getChunks             | GET /documents/{id}/chunks (api.py:149-172) |
+  * | getCharts             | GET /documents/{id}/charts (api.py:174-195) |
+  * | getChartWithImage     | GET /documents/{id}/charts/{chart_id} (api.py:197-215) |
+  * | updateDocumentMetainfo| update-by-PK (base.py:38-52)           |
+  * | deleteDocument        | cascade delete (base.py:54-66, schema.py:43-44) |
+  * | deleteChart           | row+blob delete (repository.py:169-187) |
+  *
+  * Serving-plan notes: the single-document queries filter on the parquet
+  * scan (predicate pushdown does the PK "index lookup"); the nested detail
+  * query re-nests children with sort_array(collect_list(struct(...))) —
+  * the app-side `sorted(...)` at repository.py:66 moved into the engine.
+  * The one-row document side broadcasts automatically.
+  */
+final class DocumentStore(
+    spark: SparkSession,
+    tables: TableStore,
+    objects: ObjectStore) {
+
+  def documents: DataFrame = tables.read("documents")
+  def chunks: DataFrame = tables.read("document_chunks")
+  def charts: DataFrame = tables.read("chart_data")
+
+  /** S6+P1 — paginated listing, defaults per base.py:31. */
+  def listDocuments(skip: Int = 0, limit: Int = 100): DataFrame =
+    documents
+      .select("id", "filename", "total_chunks", "metainfo", "created_at", "updated_at")
+      .orderBy("id").offset(skip).limit(limit)
+
+  /** S7+J1+J2+O2 — one document with ordered nested chunks and charts
+    * (repository.py:45-80).
+    */
+  def getDocument(id: Long): DataFrame = {
+    val doc = documents.filter(col("id") === id)
+    val nestedChunks = chunks.filter(col("document_id") === id)
+      .groupBy("document_id")
+      .agg(sort_array(collect_list(struct(
+        col("chunk_index"), col("text_content"), col("entities"),
+        col("chunk_metadata"), col("created_at")))).as("chunks"))
+    val nestedCharts = charts.filter(col("document_id") === id)
+      .groupBy("document_id")
+      .agg(collect_list(struct(
+        col("id").as("chart_id"), col("info"), col("image_path"),
+        col("created_at"))).as("charts"))
+    doc
+      .join(nestedChunks, col("id") === nestedChunks("document_id"), "left_outer")
+      .join(nestedCharts, col("id") === nestedCharts("document_id"), "left_outer")
+      .select(doc("id"), col("filename"), col("total_chunks"), col("metainfo"),
+        doc("created_at"), col("updated_at"),
+        coalesce(col("chunks"), array()).as("chunks"),
+        coalesce(col("charts"), array()).as("charts"))
+  }
+
+  /** F2+F3+O1+P2 — chunk range query, bounds individually optional
+    * (repository.py:86-105).
+    */
+  def getChunks(documentId: Long, startChunk: Option[Int] = None,
+                endChunk: Option[Int] = None): DataFrame = {
+    var df = chunks.filter(col("document_id") === documentId)
+    startChunk.foreach(s => df = df.filter(col("chunk_index") >= s))
+    endChunk.foreach(e => df = df.filter(col("chunk_index") <= e))
+    df.orderBy("chunk_index")
+      .select("chunk_index", "text_content", "entities", "chunk_metadata", "created_at")
+  }
+
+  /** S7+J2+P3+F5 — charts of one document (api.py:174-195). */
+  def getCharts(documentId: Long): DataFrame =
+    charts.filter(col("document_id") === documentId)
+      .orderBy("id")
+      .select("id", "info", "image_path", "created_at")
+
+  /** S7+J3+F5 — one chart row joined with its object-store blob by the
+    * composite key (repository.py:142-167); None when the chart is absent
+    * or owned by a different document (the 404 guard, api.py:205-209).
+    */
+  def getChartWithImage(documentId: Long, chartId: Long): Option[(Row, Array[Byte], String)] = {
+    val rows = charts.filter(col("id") === chartId).limit(1).collect()
+    rows.headOption
+      .filter(_.getAs[Long]("document_id") == documentId)
+      .flatMap { row =>
+        objects.get(objects.chartKey(documentId, chartId))
+          .map { case (bytes, contentType) => (row, bytes, contentType) }
+      }
+  }
+
+  /** M1 — patch metainfo by id; bumps updated_at (schema.py:33-37). */
+  def updateDocumentMetainfo(id: Long, metainfo: String, now: Timestamp): Unit =
+    tables.updateWhere("documents", col("id") === id,
+      Map("metainfo" -> lit(metainfo), "updated_at" -> lit(now)))
+
+  /** M2 — cascade delete (schema.py:43-44): chart blobs, chart rows,
+    * chunk rows, then the document row.
+    */
+  def deleteDocument(id: Long): Unit = {
+    val chartIds = charts.filter(col("document_id") === id)
+      .select("id").collect().map(_.getLong(0))
+    chartIds.foreach(cid => objects.delete(objects.chartKey(id, cid)))
+    tables.deleteWhere("chart_data", col("document_id") === id)
+    tables.deleteWhere("document_chunks", col("document_id") === id)
+    tables.deleteWhere("documents", col("id") === id)
+  }
+
+  /** M3 — delete one chart row + its blob (repository.py:169-187). */
+  def deleteChart(documentId: Long, chartId: Long): Boolean = {
+    val owned = charts.filter(col("id") === chartId &&
+      col("document_id") === documentId).limit(1).collect().nonEmpty
+    if (owned) {
+      objects.delete(objects.chartKey(documentId, chartId))
+      tables.deleteWhere("chart_data", col("id") === chartId)
+    }
+    owned
+  }
+}

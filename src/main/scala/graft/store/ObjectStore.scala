@@ -1,0 +1,83 @@
+package graft.store
+
+import java.io.{ByteArrayOutputStream, InputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object store for chart PNGs, keyed by the reference's path convention
+  * `documents/{document_id}/charts/{chart_id}.png` (minio.py:46,67,88).
+  * Backed by any Hadoop FileSystem — local paths in tests, `s3a://` in
+  * production (the Hadoop S3A connector replaces the MinIO SDK).
+  *
+  * Bulk writes go through `putAll` (executor-side foreachPartition) so
+  * image upload parallelizes with the rest of the job instead of
+  * serializing through the driver.
+  */
+final class ObjectStore(spark: SparkSession, bucketRoot: String) {
+
+  /** Composite cross-store key (minio.py:46). */
+  def chartKey(documentId: Long, chartId: Long): String =
+    s"documents/$documentId/charts/$chartId.png"
+
+  private def fullPath(key: String) = new Path(s"$bucketRoot/$key")
+
+  private def fs: FileSystem =
+    new Path(bucketRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S11 — single put (minio.py:38-59). Returns the key. */
+  def put(key: String, data: Array[Byte]): String = {
+    val out = fs.create(fullPath(key), true)
+    try out.write(data) finally out.close()
+    key
+  }
+
+  /** S8 — get bytes + content type (minio.py:61-80). */
+  def get(key: String): Option[(Array[Byte], String)] = {
+    val p = fullPath(key)
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in: InputStream = f.open(p)
+      try {
+        val buf = new ByteArrayOutputStream()
+        val tmp = new Array[Byte](64 * 1024)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        val ct = if (key.endsWith(".png")) "image/png" else "application/octet-stream"
+        Some((buf.toByteArray, ct))
+      } finally in.close()
+    }
+  }
+
+  /** M3 — delete one object (minio.py:82-96). */
+  def delete(key: String): Boolean = fs.delete(fullPath(key), false)
+
+  /** Distributed bulk put: df must carry (`key` string, `content` binary).
+    * Runs on executors; one FileSystem per partition (init-once, like the
+    * reference's per-process client — minio.py:17-28).
+    */
+  def putAll(df: DataFrame): Unit = {
+    val rootStr = bucketRoot
+    // Hadoop Configuration is not serializable; ship its entries as a map
+    // and rebuild per partition (init-once, like the reference's
+    // per-process client — minio.py:17-28).
+    val confMap: Map[String, String] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    df.select("key", "content").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val f = new Path(rootStr).getFileSystem(conf)
+        rows.foreach { r =>
+          val out = f.create(new Path(s"$rootStr/${r.getString(0)}"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed relational table store with CRUD semantics over immutable
+  * files (SURVEY §7.4.1). Reads/appends are plain Spark jobs; UPDATE and
+  * DELETE are copy-on-write rewrites committed with an atomic directory
+  * swap, replicating the reference's single-row mutations (base.py:38-66)
+  * under a single-writer contract (the reference, too, has exactly one
+  * writer — its lone watchdog handler, main.py:154-159).
+  *
+  * Scale note: the rewrite touches the whole table, which is correct but
+  * heavy; at cluster scale tables are partitioned (`partitionBy`) so the
+  * rewrite can be limited to affected partitions, and appends never rewrite.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def tablePath(table: String) = s"$root/$table"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
+
+  def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
+
+  /** S9 — append-only insert (base.py:13-22). */
+  def append(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(tablePath(table))
+
+  /** Replace a table's contents atomically: materialize to a temp dir
+    * next to the table, then swap via rename (close to atomic on HDFS-like
+    * filesystems; on object stores, swap the pointer in a manifest
+    * instead — same discipline, different primitive).
+    */
+  def overwriteAtomic(table: String, df: DataFrame): Unit = {
+    val dest = new Path(tablePath(table))
+    val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
+    val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(tmp.toString) // forces execution first
+    val f = fs
+    if (f.exists(dest) && !f.rename(dest, old))
+      throw new java.io.IOException(s"swap failed for $table")
+    if (!f.rename(tmp, dest)) {
+      f.rename(old, dest) // roll back
+      throw new java.io.IOException(s"swap failed for $table")
+    }
+    f.delete(old, true)
+  }
+
+  /** M1 — partial update by predicate (base.py:38-52): copy-on-write
+    * column rewrite. `assignments` are applied only where `cond` holds;
+    * pass an `updated_at` assignment to mirror the onupdate trigger
+    * (schema.py:33-37).
+    */
+  def updateWhere(table: String, cond: Column,
+                  assignments: Map[String, Column]): Unit = {
+    val updated = assignments.foldLeft(read(table)) { case (df, (name, value)) =>
+      df.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
+    overwriteAtomic(table, updated)
+  }
+
+  /** M2/J4 — delete by predicate as a keep-the-rest rewrite. */
+  def deleteWhere(table: String, cond: Column): Unit =
+    overwriteAtomic(table, read(table).filter(!cond))
+
+  /** Max value of an id column, or 0 on empty/missing table (the SERIAL
+    * replacement — SURVEY §7.4.2).
+    */
+  def maxId(table: String, idCol: String): Long =
+    if (!exists(table)) 0L
+    else read(table).agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class ExtSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---- TextAnalysis ---------------------------------------------------
+
+  test("langId recognizes marker-bearing sentences per profile") {
+    import spark.implicits._
+    val df = Seq(
+      ("der hund und die katze ist nicht da", "de"),
+      ("el gato y la casa es de los padres", "es"),
+      ("le chat et les maisons des amis est une", "fr"),
+      ("the cat and the dog is in a house of tools", "en"))
+      .toDF("text", "expected")
+    val got = df.select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation noise") {
+    import spark.implicits._
+    val df = Seq(
+      "the steady growth of the market is clear and the trend is stable",
+      "@@@ ## !!! ??? %% ^^ && ** (( ))")
+      .toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprints are order-sensitive, rolling fingerprint detects any reorder") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta", "beta alpha gamma delta").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.rollingFingerprint(col("text")).as("kr")).collect()
+    assert(fps(0).getLong(1) != fps(1).getLong(1)) // rolling differs
+    assert(fps(0).getLong(0) != fps(1).getLong(0)) // positional differs
+  }
+
+  // ---- Dedup ----------------------------------------------------------
+
+  test("minhash LSH finds the planted near-duplicates that exact jaccard confirms") {
+    // ground truth: global exact pairs at J >= 0.5 (single "block")
+    val exact = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 32, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-duplicates in testdata")
+    // exact-verification makes LSH precision 1.0; recall should be high
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("identical texts give identical minhash signatures and simhash 0 distance") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 0).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("hamming") == 0L)
+  }
+
+  test("exact groups collapse duplicate content to the minimum id") {
+    import spark.implicits._
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, sha2(col("text"), 256), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(g.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_cnt"))).toSeq
+      == Seq((2L, 2L), (9L, 1L)))
+  }
+
+  // ---- Similarity -----------------------------------------------------
+
+  test("cosine of a vector with itself is ~1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a").cast("array<double>"),
+      col("b").cast("array<double>")).as("c")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(embs, "vec_id", "embedding", 0L, 10,
+      nBits = 16, maxHamming = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    assert((brute intersect lsh).size >= 3,
+      s"ANN recall too low: ${(brute intersect lsh).size}/10")
+  }
+
+  test("brute-force top-k is ordered by descending similarity") {
+    val rows = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getDouble(1))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+}

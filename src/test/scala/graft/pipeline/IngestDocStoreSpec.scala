@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.etl.ChunkerConfig
+import graft.serve.DocumentStore
+import graft.store.{ObjectStore, TableStore}
+
+/** t1 smoke — the reference's executable demo scenario
+  * (repository.py:191-371) ported end-to-end: ingest two documents, read
+  * one back with nested ordered chunks + charts, run the chunk range
+  * query (expect exactly 2 chunks for 0..1 — repository.py:357-362),
+  * patch metainfo, then cascade-delete and verify zero orphans
+  * (repository.py:364-367).
+  */
+class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
+
+  private val now = Timestamp.valueOf("2026-01-15 08:30:00")
+
+  private def writeDoc(dir: String, name: String, body: String): Unit =
+    Files.write(Paths.get(dir, name), body.getBytes(StandardCharsets.UTF_8))
+
+  private def fixture(): (DocumentStore, TableStore, ObjectStore, IngestStats) = {
+    val inbox = tmpDir("inbox")
+    // three sections of ~12 tokens each; minTokens=10 forces a chunk per
+    // section -> 3 chunks, mirroring the reference fixture's 3 chunks
+    writeDoc(inbox, "lalalal1.pdf",
+      """Executive Summary:
+        |This report analyzes the performance of TechCorp Inc during the recent quarter overall.
+        |
+        |Market Analysis:
+        |The technology sector in Silicon Valley has shown strong growth again this year.
+        |TABLE: Quarterly revenue by segment
+        |
+        |Financial Results:
+        |Q4 2023 showed strong growth in revenue and profit margin across all units.
+        |FIGURE: Growth trend line
+        |""".stripMargin)
+    writeDoc(inbox, "other2.pdf",
+      "Notes:\nShort memo text only here.\n")
+    val root = tmpDir("store")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(chunker = ChunkerConfig(minTokens = 10, maxTokens = 2000)))
+    val stats = pipe.ingest(inbox, now)
+    (new DocumentStore(spark, tables, objects), tables, objects, stats)
+  }
+
+  test("end-to-end ingest -> nested read -> range query -> update -> cascade delete") {
+    val (store, tables, objects, stats) = fixture()
+    assert(stats.documents == 2)
+    assert(stats.charts == 2) // one table + one figure element
+
+    // listing (S6+P1) is ordered and paginated
+    val listed = store.listDocuments(0, 100).collect()
+    assert(listed.length == 2)
+    val doc1 = listed.find(_.getAs[String]("filename") == "lalalal1.pdf").get
+    val id1 = doc1.getAs[Long]("id")
+    assert(doc1.getAs[Int]("total_chunks") == 3) // A1 denormalized count
+
+    // nested detail (S7+J1+J2+O2): chunks sorted by ordinal, charts present
+    val detail = store.getDocument(id1).collect().head
+    val chunks = detail.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("chunks")
+    assert(chunks.map(_.getAs[Int]("chunk_index")) == Seq(0, 1, 2))
+    assert(chunks.head.getAs[String]("text_content").contains("This report analyzes"))
+    val entitiesJson = chunks.head.getAs[String]("entities")
+    assert(entitiesJson.contains("\"organizations\""))
+    val charts = detail.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("charts")
+    assert(charts.length == 2)
+
+    // chunk range query (F2+F3+O1): 0..1 -> exactly 2 (repository.py:357-362)
+    val ranged = store.getChunks(id1, Some(0), Some(1)).collect()
+    assert(ranged.length == 2)
+    assert(ranged.map(_.getAs[Int]("chunk_index")).toSeq == Seq(0, 1))
+
+    // open-ended bounds (each optional — repository.py:97-100)
+    assert(store.getChunks(id1, Some(1), None).count() == 2)
+    assert(store.getChunks(id1, None, Some(0)).count() == 1)
+
+    // cross-store chart read (J3): PNG bytes round-trip
+    val chartId = store.getCharts(id1).collect().head.getAs[Long]("id")
+    val img = store.getChartWithImage(id1, chartId)
+    assert(img.nonEmpty)
+    val (row, bytes, contentType) = img.get
+    assert(contentType == "image/png")
+    assert(bytes.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)))
+    assert(row.getAs[String]("image_path") == s"documents/$id1/charts/$chartId.png")
+
+    // ownership guard (F5, api.py:205-209): wrong document -> None
+    assert(store.getChartWithImage(id1 + 999, chartId).isEmpty)
+
+    // metainfo update (M1) bumps updated_at
+    val later = Timestamp.valueOf("2026-01-15 09:00:00")
+    store.updateDocumentMetainfo(id1, """{"department":"Finance"}""", later)
+    val updated = store.documents.filter(col("id") === id1).collect().head
+    assert(updated.getAs[String]("metainfo").contains("Finance"))
+    assert(updated.getAs[Timestamp]("updated_at") == later)
+
+    // cascade delete (M2/J4): zero orphan chunks/charts/blobs
+    store.deleteDocument(id1)
+    assert(store.documents.filter(col("id") === id1).count() == 0)
+    assert(store.chunks.filter(col("document_id") === id1).count() == 0)
+    assert(store.charts.filter(col("document_id") === id1).count() == 0)
+    assert(objects.get(objects.chartKey(id1, chartId)).isEmpty)
+    // the other document survives
+    assert(store.documents.count() == 1)
+  }
+
+  test("dense ids continue from the existing maximum across batches (SURVEY §7.4.2)") {
+    val (store, tables, objects, _) = fixture()
+    val maxBefore = tables.maxId("documents", "id")
+    val inbox2 = tmpDir("inbox2")
+    writeDoc(inbox2, "third3.pdf", "Heading:\nMore text content here.\n")
+    val pipe = new IngestPipeline(spark, tables, objects, ProcessingConfig())
+    pipe.ingest(inbox2, now)
+    val ids = store.documents.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.distinct.length == ids.length)
+    assert(ids.max == maxBefore + 1)
+  }
+
+  test("non-pdf files are filtered at the source (F4, main.py:48)") {
+    val inbox = tmpDir("inbox3")
+    writeDoc(inbox, "keep.pdf", "T:\nbody text\n")
+    writeDoc(inbox, "skip.txt", "ignored")
+    val root = tmpDir("store3")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val stats = new IngestPipeline(spark, tables, objects, ProcessingConfig())
+      .ingest(inbox, now)
+    assert(stats.documents == 1)
+  }
+}

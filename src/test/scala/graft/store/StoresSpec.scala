@@ -1,0 +1,59 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class StoresSpec extends AnyFunSuite with SharedSpark {
+
+  test("TableStore append / read / maxId round-trip") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    ts.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ts.append("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(ts.read("t").count() == 3)
+    assert(ts.maxId("t", "id") == 3L)
+    assert(ts.maxId("missing", "id") == 0L)
+  }
+
+  test("updateWhere rewrites only matching rows, atomically") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    ts.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ts.updateWhere("t", col("id") === 2L, Map("v" -> lit("patched")))
+    val rows = ts.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "patched")))
+  }
+
+  test("deleteWhere keeps the complement") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    ts.append("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ts.deleteWhere("t", col("id") >= 2L)
+    assert(ts.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("ObjectStore put/get/delete with the chart key convention (minio.py:46)") {
+    val os = new ObjectStore(spark, tmpDir("bucket"))
+    val key = os.chartKey(7L, 3L)
+    assert(key == "documents/7/charts/3.png")
+    val data = Array[Byte](1, 2, 3, 4)
+    os.put(key, data)
+    val got = os.get(key)
+    assert(got.exists(_._1.sameElements(data)))
+    assert(got.exists(_._2 == "image/png"))
+    assert(os.delete(key))
+    assert(os.get(key).isEmpty)
+  }
+
+  test("ObjectStore.putAll writes from executors") {
+    import spark.implicits._
+    val os = new ObjectStore(spark, tmpDir("bucket"))
+    val df = Seq(("k/1.png", Array[Byte](1)), ("k/2.png", Array[Byte](2, 2)))
+      .toDF("key", "content")
+    os.putAll(df)
+    assert(os.get("k/1.png").exists(_._1.sameElements(Array[Byte](1))))
+    assert(os.get("k/2.png").exists(_._1.length == 2))
+  }
+}
