@@ -64,6 +64,9 @@ final class IngestPipeline(
                    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
   : StreamingQuery = {
     val bin = spark.readStream.format("binaryFile")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("path", "string").add("modificationTime", "timestamp")
+        .add("length", "long").add("content", "binary"))
       .option("pathGlobFilter", "*.pdf")
       .option("recursiveFileLookup", "false") // recursive=False (main.py:156)
       .load(inputDir)

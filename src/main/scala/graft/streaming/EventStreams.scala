@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** [EXT] Structured Streaming operators over event streams (SURVEY §2.10:
+  * the reference is processing-time-only; event-time windows, watermarks
+  * and stateful sessionization are the north-star additions).
+  *
+  * Every transform here takes and returns DataFrames so the same logic
+  * runs in batch mode (the oracle-checked probes) and streaming mode (the
+  * specs): Spark's unified semantics guarantee the results agree.
+  */
+object EventStreams {
+
+  /** Schema of the driver's `events` table (TESTDATA.md), with ts already
+    * normalized to TimestampType.
+    */
+  val eventSchema: StructType = new StructType()
+    .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+    .add("event_type", "string").add("value", "double").add("props", "string")
+
+  /** S1-analog for events: a parquet directory as an unbounded stream. */
+  def fromDirectory(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Tumbling-window counts/sums with a watermark: rows later than
+    * `lateness` behind the max seen event time are dropped (late-data
+    * policy the reference lacks).
+    */
+  def tumblingCounts(events: DataFrame, window: String = "10 minutes",
+                     lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Sliding-window aggregate (every event lands in window/slide panes). */
+  def slidingCounts(events: DataFrame, window: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide).as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("win_start"), col("cnt"), col("total"))
+
+  /** Gap-based sessionization via the built-in session_window. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("cnt"), col("total"))
+
+  /** Per-user running profile maintained with explicit state — the
+    * mapGroupsWithState surface for semantics the built-in windows can't
+    * express (here: lifetime event count, running value sum, and the last
+    * seen timestamp per user, emitted on every update).
+    */
+  final case class UserProfile(userId: Long, events: Long, totalValue: Double,
+                               lastTs: Timestamp)
+
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, new Timestamp(0L)))
+          val updated = rows.foldLeft(prev) { case (p, (_, ts, v)) =>
+            UserProfile(userId, p.events + 1,
+              math.round((p.totalValue + v) * 100).toDouble / 100,
+              if (ts.after(p.lastTs)) ts else p.lastTs)
+          }
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Write helper: run a streaming transform into an in-memory table and
+    * block until all available data is processed (test/dev harness).
+    */
+  def runToMemory(df: DataFrame, queryName: String,
+                  outputMode: OutputMode = OutputMode.Update(),
+                  checkpoint: Option[String] = None): Unit = {
+    val w = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    val q = w.start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.store.{ObjectStore, TableStore}
+
+/** S1 — streaming ingest via the checkpointed file source: pre-existing
+  * files process on the first run (S2 backfill), new files on the next,
+  * and already-seen files are never reprocessed (the exactly-once upgrade
+  * over the reference's at-least-once watchdog, SURVEY §7.4.5).
+  */
+class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
+
+  private val now = Timestamp.valueOf("2026-01-15 08:30:00")
+
+  test("ingestStream processes backfill + new files exactly once") {
+    val inbox = tmpDir("stream-inbox")
+    val root = tmpDir("stream-store")
+    val checkpoint = s"$root/checkpoint"
+    Files.write(Paths.get(inbox, "first.pdf"),
+      "Intro:\nSome body text here.\n".getBytes(StandardCharsets.UTF_8))
+
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects, ProcessingConfig())
+
+    val q1 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q1.awaitTermination()
+    assert(tables.read("documents").count() == 1)
+
+    // second run with the same checkpoint: only the new file is processed
+    Files.write(Paths.get(inbox, "second.pdf"),
+      "Notes:\nAnother body of text.\n".getBytes(StandardCharsets.UTF_8))
+    val q2 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q2.awaitTermination()
+
+    val docs = tables.read("documents")
+    assert(docs.count() == 2)
+    // exactly-once: no duplicate filenames even though first.pdf still exists
+    assert(docs.select("filename").distinct().count() == 2)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Write one parquet "arrival" into the stream directory with a forced
+    * modification time so the file source processes arrivals in order.
+    */
+  private def arrive(dir: String, seq: Int,
+                     rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    val sub = s"$dir/batch$seq"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(sub)
+    val t = FileTime.fromMillis(1700000000000L + seq * 60000L)
+    Files.list(Paths.get(sub)).forEach(p => Files.setLastModifiedTime(p, t))
+    // move data files up so the source sees a flat directory
+    Files.list(Paths.get(sub))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .forEach { p =>
+        Files.move(p, Paths.get(dir, s"b$seq-${p.getFileName}"))
+        ()
+      }
+  }
+
+  test("watermark (persisted in the checkpoint) drops too-late events") {
+    val dir = tmpDir("stream-events")
+    val checkpoint = tmpDir("stream-ckpt")
+    val out = tmpDir("stream-out")
+
+    def run(): Unit = {
+      val q = EventStreams.tumblingCounts(
+        EventStreams.fromDirectory(spark, dir), "10 minutes", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append") // finalized windows only
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: the 10:00 window fills, then a far-future event pushes the
+    // watermark to 10:50 (persisted in the checkpoint), finalizing 10:00
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:04:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0, "{}")))
+    run()
+
+    // run 2 (same checkpoint): one event far behind the watermark plus one
+    // at 12:00 that finalizes everything up to 11:50 — if the late event
+    // leaked, a spurious second 10:00-window row would be re-emitted
+    arrive(dir, 2, Seq(
+      (4L, ts("2024-01-01 10:02:00"), 1L, "click", 99.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}")))
+    run()
+
+    val rows = spark.read.parquet(out)
+      .select("win_start", "cnt").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val w10 = rows.filter(_._1 == ts("2024-01-01 10:00:00"))
+    assert(w10 == Seq((ts("2024-01-01 10:00:00"), 2L)),
+      s"late event leaked into the closed window: $rows")
+    assert(rows.contains((ts("2024-01-01 11:00:00"), 1L)))
+  }
+
+  test("mapGroupsWithState user profiles converge to the batch aggregate") {
+    val dir = tmpDir("stream-profiles")
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.5, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 8L, "view", 4.0, "{}")))
+    arrive(dir, 2, Seq(
+      (4L, ts("2024-01-01 10:03:00"), 7L, "view", 1.0, "{}")))
+
+    val stream = EventStreams.fromDirectory(spark, dir, maxFilesPerTrigger = Some(1))
+    EventStreams.runToMemory(EventStreams.userProfiles(stream).toDF(), "profiles")
+
+    val last = spark.table("profiles")
+      .groupBy("userId").agg(max("events").as("events"), max("totalValue").as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last(7L) == ((3L, 5.0)))
+    assert(last(8L) == ((1L, 4.0)))
+  }
+
+  test("streaming and batch window semantics agree (unified API)") {
+    val dir = tmpDir("stream-agree")
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:01:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:14:00"), 1L, "a", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:16:00"), 2L, "b", 3.0, "{}")))
+    val stream = EventStreams.fromDirectory(spark, dir)
+    EventStreams.runToMemory(EventStreams.tumblingCounts(stream), "agree_s")
+    val batch = EventStreams.tumblingCounts(
+      spark.read.schema(EventStreams.eventSchema).parquet(dir))
+      .orderBy("win_start", "event_type").collect().toSeq
+    val streamed = spark.table("agree_s")
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+}
