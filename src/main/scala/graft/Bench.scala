@@ -8,6 +8,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed loop so the first measured
+    // query doesn't absorb classloading + janino compile time
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
     // noop sink forces full query execution (a bare count() would let
     // Catalyst prune projections and skip most of the work being measured).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

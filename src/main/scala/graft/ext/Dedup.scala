@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
 
 /** [EXT] Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and exact n-gram Jaccard. No counterpart in the
@@ -82,17 +83,83 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  /** MinHash+LSH near-duplicate pairs, exact-verified: generate candidates
-    * via banding, then join the shingle sets back and keep pairs with true
-    * Jaccard >= threshold. Verification cost is per-candidate, not per-pair.
+  // -------------------------------------------------------------------
+  // Scalar-side hashing (performance path)
+  //
+  // Spark's higher-order array expressions (transform/aggregate) are
+  // interpreted, not codegen'd, and projection collapse can duplicate
+  // their evaluation across exploded rows — for k-permutation MinHash and
+  // 64-bit SimHash that turns one hash pass into dozens. The hot per-row
+  // signature computations therefore run as typed map functions (single
+  // pass per document, still zero-shuffle); DataFrame joins take over for
+  // candidate generation where Catalyst adds value.
+  // -------------------------------------------------------------------
+
+  /** 64-bit string hash from two 32-bit murmur3 runs (deterministic,
+    * seed-stable across JVMs).
+    */
+  private[ext] def hash64(s: String, seed: Int = 0): Long =
+    (MurmurHash3.stringHash(s, seed).toLong << 32) |
+      (MurmurHash3.stringHash(s, seed ^ 0x5bd1e995).toLong & 0xFFFFFFFFL)
+
+  private[ext] def shingleSet(text: String, n: Int = 3): Array[String] = {
+    val toks = text.split(" ")
+    if (toks.length < n) Array.empty
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        set += sb.toString
+        i += 1
+      }
+      set.toArray
+    }
+  }
+
+  private[ext] def minhashSigScalar(sh: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = math.floorMod(hash64(sh(i)), MinhashPrime)
+      var p = 0
+      while (p < k) {
+        val v = math.floorMod(h * (p * 2 + 1) + p * 2654435761L, MinhashPrime)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified: signatures and band
+    * keys are computed in one scalar pass per document; candidates come
+    * from the (band, key) equi-join; surviving pairs are re-checked with
+    * exact Jaccard over the shingle sets, so precision is 1.0 and only
+    * recall depends on the LSH parameters.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc_id"),
-      shingles(TextAnalysis.tokens(col(textCol))).as("sh"))
-    val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), k))
-    val cands = lshCandidatePairs(lshBands(sigs, col("doc_id"), col("sig"), bands, k / bands))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val withSh = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "sh")
+    val banded = withSh.as[(Long, Array[String])]
+      .flatMap { case (id, sh) =>
+        val sig = minhashSigScalar(sh, k)
+        (0 until bands).iterator.map { b =>
+          (id, b, hash64(sig.slice(b * r, b * r + r).mkString(",") + "#" + b))
+        }
+      }
+      .toDF("doc_id", "band", "band_key")
+    val cands = lshCandidatePairs(banded)
     val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
@@ -112,6 +179,27 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Scalar one-pass 64-bit SimHash (performance path — see the note on
+    * interpreted higher-order expressions above).
+    */
+  private[ext] def simhash64Scalar(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = hash64(tokens(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** SimHash near-duplicate pairs within a Hamming radius, using the
     * pigeonhole principle over four 16-bit bands: any pair within Hamming
     * distance <= 3·(bands-1)/bands shares at least one exact band, so the
@@ -119,9 +207,12 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 6): DataFrame = {
-    val sim = docs.select(col(idCol).as("doc_id"),
-      simhash64(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))
-        .as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sim = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64Scalar(text.split(" "))) }
+      .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -148,8 +239,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
+    // the inverted index posts (block, shingle-hash, id): hashing the
+    // shingle shrinks the shuffle payload; a 64-bit collision would need
+    // ~2^32 distinct shingles per block to matter
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s"))
+        explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s0"))
+      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("block"), col("s"), col("doc_id").as("id_a"))
       .join(sh.select(col("block"), col("s"), col("doc_id").as("id_b")),
@@ -167,18 +262,32 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: exact cosine within a blocking key
     * (label/cluster). For unblocked corpora, route through
-    * Similarity.signature-based bucketing first.
+    * Similarity.signature-based bucketing first. The pairwise dot products
+    * run as a typed map over the joined candidates (sequential fold in the
+    * same order as the expression/oracle form, so results are identical,
+    * but ~10x faster than interpreted array expressions).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
-    val v = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
     val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .map { case (ia, ib, va, vb) =>
+        // same rounding as Spark's round() (BigDecimal HALF_UP), keeping
+        // oracle parity with the expression form
+        val c = java.math.BigDecimal.valueOf(
+          Similarity.cosineScalar(va.toArray, vb.toArray))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (ia, ib, c)
+      }
+      .toDF("id_a", "id_b", "cos")
       .filter(col("cos") >= threshold)
   }
 }

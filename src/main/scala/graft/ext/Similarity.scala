@@ -24,6 +24,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Scalar twin of `cosine` with identical evaluation order (sequential
+    * left-to-right folds, dot/(sqrt(na)*sqrt(nb))) — bit-for-bit the same
+    * result, used on hot pairwise paths where interpreted array
+    * expressions are too slow.
+    */
+  def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Exact top-k nearest neighbours of one stored vector by cosine.
     * The single-row query side is broadcast; the scan side never shuffles
     * (TakeOrderedAndProject handles the global top-k).

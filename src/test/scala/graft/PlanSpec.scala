@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that keep the engine
+  * fast at 100 TB must be visible in the plan, not assumed — filters and
+  * projections reach the parquet scan, small join sides broadcast, and
+  * the hot path stays inside WholeStageCodegen.
+  */
+class PlanSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup pushes the PK predicate into the parquet scan (S7)") {
+    val p = plan(Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name").filter(col("p_partkey") === 42))
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), EqualTo(p_partkey,42)]"), p)
+  }
+
+  test("projection prunes the parquet read schema (P1)") {
+    val p = plan(Tables.load(spark, sf, "customer").select("c_custkey", "c_name"))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string"), p)
+    assert(!p.contains("c_acctbal"), "unprojected column leaked into the scan")
+  }
+
+  test("small dimension side broadcasts in serving-shape joins (J1)") {
+    val orders = Tables.load(spark, sf, "orders").filter(col("o_orderkey") === 7)
+    val items = Tables.load(spark, sf, "lineitem")
+    val p = plan(items.join(broadcast(orders),
+      col("l_orderkey") === col("o_orderkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation uses partial (map-side) aggregation before the shuffle (A1)") {
+    val p = plan(Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1))))
+    // two HashAggregate stages around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("scan-filter-project pipelines inside WholeStageCodegen") {
+    val p = plan(Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1) Filter"), p)
+  }
+}
