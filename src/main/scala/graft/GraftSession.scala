@@ -11,9 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Configs every Graft session needs regardless of master. */
+  /** Configs every Graft session needs regardless of master. Also wires
+    * the engine's native expressions (graft.functions.GraftExtensions) so
+    * `graft_cosine(...)` is available to SQL and call_function users.
+    */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as long nanos and normalize in Tables.load.

@@ -98,11 +98,11 @@ object Dedup {
   /** 64-bit string hash from two 32-bit murmur3 runs (deterministic,
     * seed-stable across JVMs).
     */
-  private[ext] def hash64(s: String, seed: Int = 0): Long =
+  private[graft] def hash64(s: String, seed: Int = 0): Long =
     (MurmurHash3.stringHash(s, seed).toLong << 32) |
       (MurmurHash3.stringHash(s, seed ^ 0x5bd1e995).toLong & 0xFFFFFFFFL)
 
-  private[ext] def shingleSet(text: String, n: Int = 3): Array[String] = {
+  def shingleSet(text: String, n: Int = 3): Array[String] = {
     val toks = text.split(" ")
     if (toks.length < n) Array.empty
     else {
@@ -119,7 +119,7 @@ object Dedup {
     }
   }
 
-  private[ext] def minhashSigScalar(sh: Array[String], k: Int): Array[Long] = {
+  def minhashSig(sh: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
@@ -153,7 +153,7 @@ object Dedup {
       .toDF("doc_id", "sh")
     val banded = withSh.as[(Long, Array[String])]
       .flatMap { case (id, sh) =>
-        val sig = minhashSigScalar(sh, k)
+        val sig = minhashSig(sh, k)
         (0 until bands).iterator.map { b =>
           (id, b, hash64(sig.slice(b * r, b * r + r).mkString(",") + "#" + b))
         }

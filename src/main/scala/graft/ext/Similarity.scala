@@ -24,6 +24,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Codegen'd native cosine (graft.functions.CosineSimilarity) — the
+    * fast path for similarity scans. Identical evaluation order to
+    * `cosine`, so results are bit-for-bit the same; requires a session
+    * built by GraftSession (or spark.sql.extensions=GraftExtensions).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** Scalar twin of `cosine` with identical evaluation order (sequential
     * left-to-right folds, dot/(sqrt(na)*sqrt(nb))) — bit-for-bit the same
     * result, used on hot pairwise paths where interpreted array
@@ -50,7 +58,7 @@ object Similarity {
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        round(cosine(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
+        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -92,7 +100,7 @@ object Similarity {
     signed.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
-      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .select(col(idCol), round(cosineNative(col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

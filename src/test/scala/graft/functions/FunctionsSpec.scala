@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.ext.{Dedup, Similarity}
+
+class FunctionsSpec extends AnyFunSuite with SharedSpark {
+
+  test("graft_cosine is registered for SQL and matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)),
+      (Seq(0.5, -0.25, 8.0), Seq(1.5, 0.75, -2.0))).toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosineNative(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact
+    // SQL surface
+    df.createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").collect()
+    rows.zip(sql).foreach { case (r, s) => assert(r.getDouble(0) == s.getDouble(0)) }
+  }
+
+  test("graft_cosine participates in whole-stage codegen (no fallback)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val p = emb.select(Similarity.cosineNative(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p) // fused, not interpreted fallback
+  }
+
+  test("graft_cosine null semantics: null array -> null result") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(Similarity.cosineNative(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("MinHash aggregator distributes over union (partial aggregation is exact)") {
+    import spark.implicits._
+    val texts = Seq(
+      (1, "alpha beta gamma delta epsilon zeta"),
+      (1, "one two three four five six seven"),
+      (2, "alpha beta gamma delta epsilon zeta"))
+    val df = texts.toDF("grp", "text")
+    val grouped = df.groupBy("grp")
+      .agg(MinHashAgg.minhashUnion(col("text"), 16).as("sig"))
+      .orderBy("grp").collect()
+    // group 1 signature == elementwise min of its two docs' signatures
+    val sig1 = grouped(0).getAs[scala.collection.Seq[Long]]("sig")
+    val docA = Dedup.minhashSig(Dedup.shingleSet(texts(0)._2), 16)
+    val docB = Dedup.minhashSig(Dedup.shingleSet(texts(1)._2), 16)
+    assert(sig1.toSeq == docA.zip(docB).map { case (x, y) => math.min(x, y) }.toSeq)
+    // group 2 == its single doc's signature
+    assert(grouped(1).getAs[scala.collection.Seq[Long]]("sig").toSeq == docA.toSeq)
+  }
+
+  test("estimatedJaccard of identical signatures is 1.0") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      MinHashAgg.estimatedJaccard(col("a"), col("b")).as("same"),
+      MinHashAgg.estimatedJaccard(col("a"), col("c")).as("half")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.5)
+  }
+}
