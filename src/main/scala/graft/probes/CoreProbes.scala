@@ -223,6 +223,30 @@ object CoreProbes {
         .orderBy("event_id")
     },
 
+    // C5 — Jakarta-time rendering at the presentation edge (schema.py:8-9
+    // get_jakarta_time; storage stays UTC per SURVEY §7.5). Jakarta is a
+    // fixed UTC+7 zone, which the oracle reproduces with interval math.
+    Probe(
+      "c5_jakarta_render",
+      "SELECT event_id, strftime(CAST(ts AS TIMESTAMP) + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS jkt FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          date_format(from_utc_timestamp(col("ts"), "Asia/Jakarta"),
+            "yyyy-MM-dd HH:mm:ss").as("jkt"))
+        .orderBy("event_id")
+    },
+
+    // S3 — glob listing scan (file_sensor.py:24-26): binaryFile metadata
+    // over the testdata directory. Sizes are deterministic, paths are not —
+    // rows-only (basenames + lengths).
+    Probe.unchecked("s3_glob_listing") { (s, d) =>
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("basename"),
+          col("length"))
+        .orderBy("basename")
+    },
+
     // C8 — JSON path extraction (schema.py JSON columns; demo.py:70,86,97).
     Probe(
       "c8_json_extract",

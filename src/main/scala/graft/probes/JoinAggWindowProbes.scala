@@ -171,6 +171,56 @@ object JoinAggWindowProbes {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // [EXT] multi-level aggregation — rollup/cube/grouping sets (absent in
+    // the reference; free in the engine). DuckDB defaults to NULLS LAST,
+    // Spark to NULLS FIRST — the oracle pins NULLS FIRST explicitly.
+    Probe(
+      "agg_rollup",
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    Probe(
+      "agg_cube",
+      "SELECT o_orderstatus, o_orderpriority, CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, count(*) AS cnt FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    Probe(
+      "agg_grouping_sets",
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ) { (s, d) =>
+      val v = s"orders_gs_${System.identityHashCode(s)}"
+      t(s, d, "orders").createOrReplaceTempView(v)
+      s.sql(s"SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM $v " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")
+    },
+
+    // [EXT] equi-join with a range residual (the shape as-of/interval joins
+    // lower to; a pure range join would bucket the time axis first so the
+    // join stays an equi-join on the bucket — SURVEY §2.3 note).
+    Probe(
+      "j7_range_join",
+      "SELECT count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY"
+    ) { (s, d) =>
+      t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + interval 30 days"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // W1 — ordinal assignment within parent, 0-based (repository.py:28-35).
     // l_linenumber alone is not unique within an order in the synthetic
     // data, so the window order carries (partkey, suppkey) tiebreakers to
