@@ -31,9 +31,21 @@ import graft.store.{ObjectStore, TableStore}
 final case class ProcessingConfig(
     chunker: ChunkerConfig = ChunkerConfig(),
     imageScale: Double = 2.0, // pdf_parser.py:30
-    idStrategy: String = "dense") // "dense" = reference parity; "hash" = shuffle-free
+    idStrategy: String = "dense", // "dense" = reference parity; "hash" = shuffle-free
+    // number of hash buckets partitioning document_chunks by document_id
+    // (SURVEY §7.4.7); chunk reads prune to one bucket
+    chunkBuckets: Int = 16)
 
 final case class IngestStats(documents: Long, chunks: Long, charts: Long)
+
+object IngestPipeline {
+  /** Stable bucket assignment for chunk partitioning; foldable when the
+    * document id is a literal, so serving filters constant-fold into
+    * partition pruning.
+    */
+  def chunkBucket(documentId: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(documentId), lit(buckets.toLong))
+}
 
 /** Chunk + NER payload computed per document (E7, pdf_parser.py:188-199).
   * Top-level so Spark can derive product encoders.
@@ -140,6 +152,7 @@ final class IngestPipeline(
         .withColumn("id", chunkIdCol)
         .select("id", "document_id", "chunk_index", "text_content",
           "entities", "chunk_metadata", "created_at")
+        .withColumn("doc_bucket", IngestPipeline.chunkBucket(col("document_id"), cfg.chunkBuckets))
 
       // ---- chart payloads (E5/E6) — per-doc counters, zero shuffle
       val chartPayloads = docsWithId
@@ -180,7 +193,7 @@ final class IngestPipeline(
       // blob-before-row ordering replicates the reference's failure mode
       // (orphan blobs possible, dangling rows never — SURVEY §7.4.4).
       tables.append("documents", docRows)
-      tables.append("document_chunks", chunkRows)
+      tables.appendPartitioned("document_chunks", chunkRows, Seq("doc_bucket"))
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 

@@ -30,11 +30,20 @@ import graft.store.{ObjectStore, TableStore}
 final class DocumentStore(
     spark: SparkSession,
     tables: TableStore,
-    objects: ObjectStore) {
+    objects: ObjectStore,
+    chunkBuckets: Int = 16) {
 
   def documents: DataFrame = tables.read("documents")
   def chunks: DataFrame = tables.read("document_chunks")
   def charts: DataFrame = tables.read("chart_data")
+
+  /** Foldable bucket predicate: filtering on the partition column turns a
+    * per-document chunk read into a 1-of-N partition-pruned scan
+    * (SURVEY §7.4.7; must use the same bucket count as the ingest config).
+    */
+  private def inBucket(documentId: Long) =
+    col("doc_bucket") ===
+      graft.pipeline.IngestPipeline.chunkBucket(lit(documentId), chunkBuckets)
 
   /** S6+P1 — paginated listing, defaults per base.py:31. */
   def listDocuments(skip: Int = 0, limit: Int = 100): DataFrame =
@@ -47,7 +56,7 @@ final class DocumentStore(
     */
   def getDocument(id: Long): DataFrame = {
     val doc = documents.filter(col("id") === id)
-    val nestedChunks = chunks.filter(col("document_id") === id)
+    val nestedChunks = chunks.filter(inBucket(id) && col("document_id") === id)
       .groupBy("document_id")
       .agg(sort_array(collect_list(struct(
         col("chunk_index"), col("text_content"), col("entities"),
@@ -71,7 +80,7 @@ final class DocumentStore(
     */
   def getChunks(documentId: Long, startChunk: Option[Int] = None,
                 endChunk: Option[Int] = None): DataFrame = {
-    var df = chunks.filter(col("document_id") === documentId)
+    var df = chunks.filter(inBucket(documentId) && col("document_id") === documentId)
     startChunk.foreach(s => df = df.filter(col("chunk_index") >= s))
     endChunk.foreach(e => df = df.filter(col("chunk_index") <= e))
     df.orderBy("chunk_index")
@@ -111,7 +120,8 @@ final class DocumentStore(
       .select("id").collect().map(_.getLong(0))
     chartIds.foreach(cid => objects.delete(objects.chartKey(id, cid)))
     tables.deleteWhere("chart_data", col("document_id") === id)
-    tables.deleteWhere("document_chunks", col("document_id") === id)
+    tables.deleteWhere("document_chunks", col("document_id") === id,
+      partitionCols = Seq("doc_bucket"))
     tables.deleteWhere("documents", col("id") === id)
   }
 

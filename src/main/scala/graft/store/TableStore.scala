@@ -30,16 +30,28 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(tablePath(table))
 
+  /** Append with hive-style partitioning. At 100 TB, child tables are
+    * partitioned by a bounded hash bucket of the parent key (SURVEY
+    * §7.4.7) so point lookups become partition-pruned scans instead of
+    * full-table reads.
+    */
+  def appendPartitioned(table: String, df: DataFrame,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*)
+      .parquet(tablePath(table))
+
   /** Replace a table's contents atomically: materialize to a temp dir
     * next to the table, then swap via rename (close to atomic on HDFS-like
     * filesystems; on object stores, swap the pointer in a manifest
     * instead — same discipline, different primitive).
     */
-  def overwriteAtomic(table: String, df: DataFrame): Unit = {
+  def overwriteAtomic(table: String, df: DataFrame,
+                      partitionCols: Seq[String] = Nil): Unit = {
     val dest = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
     val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.toString) // forces execution first
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString) // forces execution first
     val f = fs
     if (f.exists(dest) && !f.rename(dest, old))
       throw new java.io.IOException(s"swap failed for $table")
@@ -56,16 +68,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * (schema.py:33-37).
     */
   def updateWhere(table: String, cond: Column,
-                  assignments: Map[String, Column]): Unit = {
+                  assignments: Map[String, Column],
+                  partitionCols: Seq[String] = Nil): Unit = {
     val updated = assignments.foldLeft(read(table)) { case (df, (name, value)) =>
       df.withColumn(name, when(cond, value).otherwise(col(name)))
     }
-    overwriteAtomic(table, updated)
+    overwriteAtomic(table, updated, partitionCols)
   }
 
   /** M2/J4 — delete by predicate as a keep-the-rest rewrite. */
-  def deleteWhere(table: String, cond: Column): Unit =
-    overwriteAtomic(table, read(table).filter(!cond))
+  def deleteWhere(table: String, cond: Column,
+                  partitionCols: Seq[String] = Nil): Unit =
+    overwriteAtomic(table, read(table).filter(!cond), partitionCols)
 
   /** Max value of an id column, or 0 on empty/missing table (the SERIAL
     * replacement — SURVEY §7.4.2).

@@ -113,6 +113,16 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.documents.count() == 1)
   }
 
+  test("chunk reads prune to one doc_bucket partition (SURVEY §7.4.7)") {
+    val (store, _, _, _) = fixture()
+    val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
+    val plan = store.getChunks(id1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(doc_bucket"), plan)
+    assert(plan.contains("(doc_bucket"), plan)
+    // and the data still comes back complete
+    assert(store.getChunks(id1).count() == 3)
+  }
+
   test("dense ids continue from the existing maximum across batches (SURVEY §7.4.2)") {
     val (store, tables, objects, _) = fixture()
     val maxBefore = tables.maxId("documents", "id")
