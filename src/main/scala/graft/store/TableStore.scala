@@ -36,9 +36,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * full-table reads.
     */
   def appendPartitioned(table: String, df: DataFrame,
-                        partitionCols: Seq[String]): Unit =
+                        partitionCols: Seq[String]): Unit = {
+    // clear an empty-table schema marker (see overwriteAtomic) so the
+    // layout stays uniformly partitioned
+    if (exists(table) && read(table).isEmpty) fs.delete(new Path(tablePath(table)), true)
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
+  }
 
   /** Replace a table's contents atomically: materialize to a temp dir
     * next to the table, then swap via rename (close to atomic on HDFS-like
@@ -50,7 +54,11 @@ final class TableStore(spark: SparkSession, root: String) {
     val dest = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
     val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
-    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    // an empty partitioned write produces no files at all (schema lost);
+    // fall back to one empty unpartitioned file, which preserves schema —
+    // appendPartitioned clears it before the next partitioned append
+    val effectiveParts = if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
+    df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     val f = fs
     if (f.exists(dest) && !f.rename(dest, old))

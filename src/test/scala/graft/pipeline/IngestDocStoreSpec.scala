@@ -123,6 +123,17 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.getChunks(id1).count() == 3)
   }
 
+  test("ChunkBucketPruning injects the bucket predicate for bare document_id filters") {
+    val (store, tables, _, _) = fixture()
+    val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
+    // no manual doc_bucket filter — the optimizer rule must add it
+    val bare = tables.read("document_chunks")
+      .filter(org.apache.spark.sql.functions.col("document_id") === id1)
+    val plan = bare.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(doc_bucket"), plan)
+    assert(bare.count() == 3) // and nothing is lost
+  }
+
   test("dense ids continue from the existing maximum across batches (SURVEY §7.4.2)") {
     val (store, tables, objects, _) = fixture()
     val maxBefore = tables.maxId("documents", "id")
