@@ -112,4 +112,38 @@ object Similarity {
     */
   def ivfCell(vec: Column, cellBits: Int = 8): Column =
     rhpSignature(vec, cellBits)
+
+  /** Materialize an embedding table partitioned by IVF cell. At corpus
+    * scale this is the index build: one pass, hive-partitioned output.
+    */
+  def ivfWrite(emb: DataFrame, idCol: String, vecCol: String, path: String,
+               cellBits: Int = 6): Unit =
+    emb.select(col(idCol), col(vecCol),
+        ivfCell(col(vecCol).cast("array<double>"), cellBits).as("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** ANN top-k over an IVF-partitioned table: probe only the cells within
+    * `maxHamming` signature bits of the query's cell. The cell list is
+    * tiny (2^cellBits), so the IN-filter constant-folds into partition
+    * pruning — the scan touches a fraction of the corpus.
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+              idCol: String, vecCol: String, queryVec: Array[Double],
+              k: Int, cellBits: Int = 6, maxHamming: Int = 2): DataFrame = {
+    import spark.implicits._
+    // consistent cell computation: evaluate the same Catalyst expression
+    // the writer used, on the query vector
+    val cellOfQuery = Seq(queryVec).toDF("v")
+      .select(ivfCell(col("v"), cellBits).as("c")).head().getLong(0)
+    val probeCells = (0L until (1L << cellBits))
+      .filter(c => java.lang.Long.bitCount(c ^ cellOfQuery) <= maxHamming)
+    val qdf = Seq(queryVec).toDF("qv")
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probeCells: _*))
+      .crossJoin(broadcast(qdf))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -70,18 +70,25 @@ final class IngestPipeline(
     ingestBinary(bin, now)
   }
 
-  /** S1 — streaming ingest: new files appear as rows per micro-batch. */
+  /** S1 — streaming ingest: new files appear as rows per micro-batch.
+    * `archiveDir` enables S14 semantics (file_sensor.py:36-58 move-to-
+    * processed) via the file source's cleanSource option.
+    */
   def ingestStream(inputDir: String, checkpointDir: String,
                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-                   now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+                   now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                   archiveDir: Option[String] = None)
   : StreamingQuery = {
-    val bin = spark.readStream.format("binaryFile")
+    val reader = spark.readStream.format("binaryFile")
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")
         .add("length", "long").add("content", "binary"))
       .option("pathGlobFilter", "*.pdf")
       .option("recursiveFileLookup", "false") // recursive=False (main.py:156)
-      .load(inputDir)
+    archiveDir.foreach { dir =>
+      reader.option("cleanSource", "archive").option("sourceArchiveDir", dir)
+    }
+    val bin = reader.load(inputDir)
     bin.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -36,7 +36,15 @@ object EtlProbes {
           encode(concat(
             lit("Section heading:\n"), col("text"),
             lit("\nTABLE: totals by source\n")), "utf-8").as("content"))
-      val root = java.nio.file.Files.createTempDirectory("graft-etl").toString
+      // fixed scratch location, wiped per run (repeated Verify runs would
+      // otherwise accumulate temp stores)
+      val root = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-etl-probe")
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        java.nio.file.Files.createDirectories(p)
+        p.toString
+      }
       val tables = new TableStore(s, s"$root/tables")
       val objects = new ObjectStore(s, s"$root/bucket")
       new IngestPipeline(s, tables, objects, ProcessingConfig())

@@ -101,6 +101,49 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
       s"ANN recall too low: ${(brute intersect lsh).size}/10")
   }
 
+  test("IVF index: partition-pruned probe achieves recall against brute force") {
+    val path = tmpDir("ivf") + "/emb"
+    Similarity.ivfWrite(embs, "vec_id", "embedding", path, cellBits = 6)
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val ivf = Similarity.ivfTopK(spark, path, "vec_id", "embedding", qv,
+      k = 10, cellBits = 6, maxHamming = 3)
+    // the scan must prune partitions (cell filter reaches PartitionFilters)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ivf_cell"), plan)
+    val got = ivf.collect().map(_.getLong(0)).toSet - 0L
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got intersect brute).size >= 3, s"IVF recall too low: ${(got intersect brute).size}/10")
+  }
+
+  test("salted join distributes a skewed key and preserves results") {
+    import spark.implicits._
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) 1L else 2L, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "k", saltBuckets = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("name").count().orderBy("name").collect().toSeq
+      == plain.groupBy("name").count().orderBy("name").collect().toSeq)
+  }
+
+  test("salted aggregation decomposes count/sum correctly") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i % 4 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val salted = graft.ops.Skew.saltedAggregate(df, col("k"), 8,
+      partial = Seq(count(lit(1)).as("c"), sum(col("v")).as("s")),
+      finalAgg = Seq(sum(col("c")).as("cnt"), round(sum(col("s")), 2).as("total")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("v")), 2).as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("brute-force top-k is ordered by descending similarity") {
     val rows = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getDouble(1))
