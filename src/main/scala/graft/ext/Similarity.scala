@@ -47,6 +47,18 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Shared exact re-rank tail: broadcast the single-row query vector,
+    * score with the native codegen cosine, global top-k via
+    * TakeOrderedAndProject (never a full sort).
+    */
+  private def rerankTopK(candidates: DataFrame, queryDf: DataFrame,
+                         idCol: String, vecCol: String, k: Int): DataFrame =
+    candidates.crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
   /** Exact top-k nearest neighbours of one stored vector by cosine.
     * The single-row query side is broadcast; the scan side never shuffles
     * (TakeOrderedAndProject handles the global top-k).
@@ -55,12 +67,7 @@ object Similarity {
                      queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("qv"))
-    emb.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col(idCol),
-        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+    rerankTopK(emb.filter(col(idCol) =!= queryId), q, idCol, vecCol, k)
   }
 
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
@@ -96,13 +103,12 @@ object Similarity {
     val signed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", rhpSignature(col("v"), nBits))
     val q = signed.filter(col(idCol) === queryId)
-      .select(col("v").as("qv"), col("sig").as("qsig"))
-    signed.filter(col(idCol) =!= queryId)
+      .select(col("v").as("qv0"), col("sig").as("qsig"))
+    val candidates = signed.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
-      .select(col(idCol), round(cosineNative(col("v"), col("qv")), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+      .select(col(idCol), col("v"))
+    rerankTopK(candidates, q.select(col("qv0").as("qv")), idCol, "v", k)
   }
 
   /** IVF-style coarse partitioning: assign each vector to the centroid-free
@@ -122,28 +128,38 @@ object Similarity {
         ivfCell(col(vecCol).cast("array<double>"), cellBits).as("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
+  /** All cell ids within `maxHamming` bit flips of `center` — generated
+    * by choosing flip positions (O(C(bits, <=h)) instead of scanning all
+    * 2^bits cells, which matters once cellBits grows past toy sizes).
+    */
+  private[ext] def cellsWithinHamming(center: Long, cellBits: Int,
+                                      maxHamming: Int): Seq[Long] = {
+    def choose(from: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (from until cellBits).flatMap(b =>
+        choose(b + 1, left - 1, acc ^ (1L << b)))
+    (0 to math.min(maxHamming, cellBits)).flatMap(h => choose(0, h, center)).distinct
+  }
+
   /** ANN top-k over an IVF-partitioned table: probe only the cells within
-    * `maxHamming` signature bits of the query's cell. The cell list is
-    * tiny (2^cellBits), so the IN-filter constant-folds into partition
-    * pruning — the scan touches a fraction of the corpus.
+    * `maxHamming` signature bits of the query's cell — the small IN-filter
+    * constant-folds into partition pruning, so the scan touches a fraction
+    * of the corpus. `excludeId` drops the query's own row when the query
+    * vector comes from the indexed corpus (matching the sibling APIs).
     */
   def ivfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
               idCol: String, vecCol: String, queryVec: Array[Double],
-              k: Int, cellBits: Int = 6, maxHamming: Int = 2): DataFrame = {
+              k: Int, cellBits: Int = 6, maxHamming: Int = 2,
+              excludeId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     // consistent cell computation: evaluate the same Catalyst expression
     // the writer used, on the query vector
     val cellOfQuery = Seq(queryVec).toDF("v")
       .select(ivfCell(col("v"), cellBits).as("c")).head().getLong(0)
-    val probeCells = (0L until (1L << cellBits))
-      .filter(c => java.lang.Long.bitCount(c ^ cellOfQuery) <= maxHamming)
-    val qdf = Seq(queryVec).toDF("qv")
-    spark.read.parquet(path)
+    val probeCells = cellsWithinHamming(cellOfQuery, cellBits, maxHamming)
+    val base = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probeCells: _*))
-      .crossJoin(broadcast(qdf))
-      .select(col(idCol),
-        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+    val candidates = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    rerankTopK(candidates, Seq(queryVec).toDF("qv"), idCol, vecCol, k)
   }
 }

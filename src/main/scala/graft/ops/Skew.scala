@@ -17,14 +17,15 @@ object Skew {
     * aggregates: count -> sum, avg -> sum/sum, ...).
     */
   def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
-                      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+                      partial: Seq[Column], finalAgg: Seq[Column],
+                      keyName: String = "key"): DataFrame =
     df.withColumn("_salt", pmod(spark_partition_id()
         + monotonically_increasing_id(), lit(saltBuckets)))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col("_key"))
       .agg(finalAgg.head, finalAgg.tail: _*)
-      .withColumnRenamed("_key", key.toString)
+      .withColumnRenamed("_key", keyName)
 
   /** Salted join of a skewed fact side against a dimension: the fact side
     * gets a random-ish salt in [0, n); the dimension is replicated n times

@@ -36,15 +36,9 @@ object EtlProbes {
           encode(concat(
             lit("Section heading:\n"), col("text"),
             lit("\nTABLE: totals by source\n")), "utf-8").as("content"))
-      // fixed scratch location, wiped per run (repeated Verify runs would
-      // otherwise accumulate temp stores)
-      val root = {
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-etl-probe")
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        java.nio.file.Files.createDirectories(p)
-        p.toString
-      }
+      // unique per-run scratch root: a fixed path would let concurrent
+      // probe runs delete each other's live stores mid-write
+      val root = java.nio.file.Files.createTempDirectory("graft-etl-probe").toString
       val tables = new TableStore(s, s"$root/tables")
       val objects = new ObjectStore(s, s"$root/bucket")
       new IngestPipeline(s, tables, objects, ProcessingConfig())

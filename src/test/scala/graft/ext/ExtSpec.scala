@@ -70,6 +70,22 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.length == 1 && pairs.head.getAs[Long]("hamming") == 0L)
   }
 
+  test("expression-form minhash signature + lsh bands stay consistent") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " ")).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 8))
+    val sigs = df.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L)) // identical text -> identical signature
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(df, col("doc_id"), col("sig"), bands = 4, rowsPerBand = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("exact groups collapse duplicate content to the minimum id") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
@@ -108,7 +124,7 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     val ivf = Similarity.ivfTopK(spark, path, "vec_id", "embedding", qv,
-      k = 10, cellBits = 6, maxHamming = 3)
+      k = 10, cellBits = 6, maxHamming = 3, excludeId = Some(0L))
     // the scan must prune partitions (cell filter reaches PartitionFilters)
     val plan = ivf.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [ivf_cell"), plan)
@@ -136,7 +152,8 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
       .toDF("k", "v")
     val salted = graft.ops.Skew.saltedAggregate(df, col("k"), 8,
       partial = Seq(count(lit(1)).as("c"), sum(col("v")).as("s")),
-      finalAgg = Seq(sum(col("c")).as("cnt"), round(sum(col("s")), 2).as("total")))
+      finalAgg = Seq(sum(col("c")).as("cnt"), round(sum(col("s")), 2).as("total")),
+      keyName = "k")
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val plain = df.groupBy("k")
       .agg(count(lit(1)).as("cnt"), round(sum(col("v")), 2).as("total"))
