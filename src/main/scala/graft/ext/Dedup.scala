@@ -239,17 +239,30 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // the inverted index posts (block, shingle-hash, id): hashing the
     // shingle shrinks the shuffle payload; a 64-bit collision would need
     // ~2^32 distinct shingles per block to matter
-    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(blockCol).as("block"),
         explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s0"))
       .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("block"), col("s"), col("doc_id").as("id_a"))
-      .join(sh.select(col("block"), col("s"), col("doc_id").as("id_b")),
-        Seq("block", "s"))
-      .filter(col("id_a") < col("id_b"))
+    // posting-list pair generation: one groupBy + a per-posting flatMap
+    // beats the two-sided self-join shuffle; sorting each (small) posting
+    // list keeps pair orientation id_a < id_b deterministic
+    val inter = sh.groupBy("block", "s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.distinct.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("id_a", "id_b")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")

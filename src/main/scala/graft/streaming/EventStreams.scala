@@ -91,6 +91,61 @@ object EventStreams {
       }
   }
 
+  /** One closed session emitted by the stateful sessionizer. */
+  final case class ClosedSession(userId: Long, startUs: Long, lastUs: Long,
+                                 events: Long, totalValue: Double)
+
+  final case class SessionState(startUs: Long, lastUs: Long,
+                                events: Long, totalValue: Double)
+
+  /** Custom-state sessionization with flatMapGroupsWithState +
+    * event-time timeout: a session closes (and is emitted exactly once)
+    * when the watermark passes its last event + gap. This is the surface
+    * for session semantics the built-in session_window can't express
+    * (e.g. emitting only on close, carrying running custom state).
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 5,
+                     lateness: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.events, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val us = ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.lastUs < gapUs =>
+                  cur = Some(SessionState(s.startUs, us, s.events + 1, s.totalValue + v))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.events, s.totalValue)
+                  cur = Some(SessionState(us, us, 1L, v))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Write helper: run a streaming transform into an in-memory table and
     * block until all available data is processed (test/dev harness).
     */

@@ -94,6 +94,42 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(last(8L) == ((1L, 4.0)))
   }
 
+  test("flatMapGroupsWithState emits a session exactly once when the watermark closes it") {
+    val dir = tmpDir("stream-sessions")
+    val checkpoint = tmpDir("sess-ckpt")
+    val out = tmpDir("sess-out")
+
+    def run(): Unit = {
+      val q = EventStreams.closedSessions(
+        EventStreams.fromDirectory(spark, dir), gapMinutes = 5, lateness = "1 minutes")
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: a two-event session for user 7 (10:00, 10:02)
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:02:00"), 7L, "view", 2.5, "{}")))
+    run()
+    // run 2: a far-future event advances the watermark past 10:02+gap,
+    // timing out and closing user 7's session
+    arrive(dir, 2, Seq(
+      (3L, ts("2024-01-01 12:00:00"), 8L, "view", 1.0, "{}")))
+    run()
+
+    val sessions = spark.read.parquet(out)
+      .orderBy("userId", "startUs").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("events"),
+        r.getAs[Double]("totalValue")))
+    assert(sessions.toSeq == Seq((7L, 2L, 4.0)),
+      s"expected exactly user 7's closed session, got ${sessions.toSeq}")
+  }
+
   test("streaming and batch window semantics agree (unified API)") {
     val dir = tmpDir("stream-agree")
     arrive(dir, 1, Seq(
