@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Normalized-exact dedup
+    * catches the trivial near-dups (case/punct variants) before any
+    * probabilistic machinery runs.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Whitespace tokenizer (reference token semantics: pdf_parser.py:197). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -126,6 +126,20 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // Composed corpus statistics per language: the everything-together
+    // aggregation shape a training-data curation job runs first.
+    Probe(
+      "text_corpus_stats",
+      s"""WITH q AS (SELECT lang, text, string_split(text, ' ') AS ts FROM documents) SELECT lang, count(*) AS n_docs, CAST(sum(len(ts)) AS BIGINT) AS n_tokens, round(avg(least(1.0, (len(list_filter(ts, x -> x IN ($markersSql))) * 1.0 / len(ts)) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(ts) - 1)) * 1.0 / len(ts)) / 8.0) * 0.2), 6) AS avg_quality FROM q GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TA.tokens(col("text")))).cast("long").as("n_tokens"),
+          round(avg(TA.qualityScore(col("text"))), 6).as("avg_quality"))
+        .orderBy("lang")
+    },
+
     // Karp-Rabin rolling fingerprint: xxhash64-based, not
     // SQL-oracle-reproducible; covered by ScalaTest.
     Probe.unchecked("text_fingerprint_rolling") { (s, d) =>
@@ -147,6 +161,15 @@ object ExtProbes {
     ) { (s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), sha2(col("text"), 256), col("doc_id"))
         .orderBy("keep_id")
+    },
+
+    Probe(
+      "dedup_exact_normalized",
+      "SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents) GROUP BY norm ORDER BY keep_id"
+    ) { (s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"),
+          TA.normalize(col("text")), col("doc_id"))
+        .select("keep_id", "dup_cnt").orderBy("keep_id")
     },
 
     Probe(
