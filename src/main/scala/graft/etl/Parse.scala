@@ -81,11 +81,14 @@ object Parse {
         flushPara()
         page += 1
       }
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(content).map("%02x".format(_)).mkString
       ParsedDoc(
         path = path,
         filename = path.split('/').last, // basename (main.py:98)
         pageCount = pages.length,
         fileSize = content.length.toLong,
+        contentSha = sha,
         elements = elements.result())
     }
   }

@@ -55,12 +55,16 @@ final case class DocElement(
     text: String,
     page: Int)
 
-/** Parse-stage IR: one converted document (pdf_parser.py:219 IR). */
+/** Parse-stage IR: one converted document (pdf_parser.py:219 IR).
+  * `contentSha` is the sha-256 hex of the raw bytes — the [EXT] dedup key
+  * (matches Spark's sha2(content, 256) output format).
+  */
 final case class ParsedDoc(
     path: String,
     filename: String,
     pageCount: Int,
     fileSize: Long,
+    contentSha: String,
     elements: Seq[DocElement])
 
 /** One chunk produced by the tokenizer-aware chunker (pdf_parser.py:221):

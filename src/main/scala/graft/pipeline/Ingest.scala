@@ -34,7 +34,11 @@ final case class ProcessingConfig(
     idStrategy: String = "dense", // "dense" = reference parity; "hash" = shuffle-free
     // number of hash buckets partitioning document_chunks by document_id
     // (SURVEY §7.4.7); chunk reads prune to one bucket
-    chunkBuckets: Int = 16)
+    chunkBuckets: Int = 16,
+    // [EXT] SURVEY §2.10: drop re-ingested content by sha-256 — the
+    // reference re-processes duplicate drops (no dedup key); opt-in here
+    // because it diverges from reference behavior
+    dedupByContent: Boolean = false)
 
 final case class IngestStats(documents: Long, chunks: Long, charts: Long)
 
@@ -103,8 +107,34 @@ final class IngestPipeline(
     val chunkerCfg = cfg.chunker
     val imageScale = cfg.imageScale
 
-    // E1 -> E2 -> E4/E7, all inside one per-document flatMap
-    val parsed = Parse.parseDocuments(bin)
+    // [EXT] content-hash dedup: drop batch rows whose sha-256 is already
+    // stored (in metainfo) or duplicated within the batch (keep first by
+    // path). Left-anti against the existing hashes keeps this a slim join.
+    val deduped =
+      if (!cfg.dedupByContent) bin
+      else {
+        val hashed = bin.withColumn("_sha", sha2(col("content"), 256))
+        val firstPerSha = Window.partitionBy(col("_sha")).orderBy(col("path"))
+        val inBatchFirst = hashed
+          .withColumn("_rn", row_number().over(firstPerSha))
+          .filter(col("_rn") === 1).drop("_rn")
+        val existing =
+          if (!tables.exists("documents")) inBatchFirst
+          else inBatchFirst.join(
+            tables.read("documents")
+              .select(get_json_object(col("metainfo"), "$.content_sha").as("_sha"))
+              .filter(col("_sha").isNotNull).distinct(),
+            Seq("_sha"), "left_anti")
+        existing
+      }
+
+    // E1 -> E2 -> E4/E7, all inside one per-document flatMap.
+    // localCheckpoint (eager) truncates the lineage: the downstream appends
+    // and stats must never re-evaluate the dedup anti-join against the
+    // documents table, which this very batch is about to append to — a lazy
+    // plan would re-read the table post-append and drop the batch's own
+    // rows from later stages.
+    val parsed = Parse.parseDocuments(deduped)
       .map { doc =>
         val chunks = Chunker.chunk(doc, chunkerCfg).map { c: TextChunk =>
           ChunkData(c.chunkIndex, c.serialized, c.tokenCount,
@@ -112,7 +142,7 @@ final class IngestPipeline(
         }
         DocWithChunks(doc, chunks)
       }
-    parsed.persist()
+      .localCheckpoint()
 
     try {
       // ---- document ids (SERIAL replacement, SURVEY §7.4.2)
@@ -135,7 +165,8 @@ final class IngestPipeline(
         to_json(struct(
           col("doc.pageCount").as("page_count"),
           col("doc.fileSize").as("file_size"),
-          date_format(nowLit, "yyyy-MM-dd HH:mm:ss").as("extraction_date")
+          date_format(nowLit, "yyyy-MM-dd HH:mm:ss").as("extraction_date"),
+          col("doc.contentSha").as("content_sha")
         )).as("metainfo"),
         nowLit.as("created_at"),
         nowLit.as("updated_at"))
@@ -209,7 +240,7 @@ final class IngestPipeline(
         chunks = chunkRows.count(),
         charts = chartRows.count())
     } finally {
-      parsed.unpersist()
+      parsed.unpersist() // drops the checkpointed blocks
     }
   }
 }

@@ -7,7 +7,7 @@ import graft.model.{DocElement, ParsedDoc}
 class ChunkerSpec extends AnyFunSuite {
 
   private def doc(elements: DocElement*): ParsedDoc =
-    ParsedDoc("/in/a.pdf", "a.pdf", 1, 100L, elements)
+    ParsedDoc("/in/a.pdf", "a.pdf", 1, 100L, "sha", elements)
 
   private def words(n: Int, tag: String = "w"): String =
     (1 to n).map(i => s"$tag$i").mkString(" ")

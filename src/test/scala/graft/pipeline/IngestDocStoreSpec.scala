@@ -146,6 +146,28 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(ids.max == maxBefore + 1)
   }
 
+  test("content-hash dedup drops re-ingested bytes under a new name ([EXT] §2.10)") {
+    val inbox = tmpDir("inbox-dedup")
+    writeDoc(inbox, "orig.pdf", "T:\nidentical body text here.\n")
+    val root = tmpDir("store-dedup")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(dedupByContent = true))
+    assert(pipe.ingest(inbox, now).documents == 1)
+    // same bytes, new filename, plus an in-batch duplicate pair
+    writeDoc(inbox, "copy.pdf", "T:\nidentical body text here.\n")
+    writeDoc(inbox, "fresh_a.pdf", "T:\nbrand new content A.\n")
+    writeDoc(inbox, "fresh_b.pdf", "T:\nbrand new content A.\n")
+    val stats2 = pipe.ingest(inbox, now)
+    // orig re-listed (dropped: already stored), copy dropped (same sha),
+    // fresh_a kept, fresh_b dropped (in-batch duplicate)
+    assert(stats2.documents == 1, s"got $stats2")
+    val names = tables.read("documents").select("filename")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("fresh_a.pdf", "orig.pdf"))
+  }
+
   test("non-pdf files are filtered at the source (F4, main.py:48)") {
     val inbox = tmpDir("inbox3")
     writeDoc(inbox, "keep.pdf", "T:\nbody text\n")
