@@ -19,15 +19,21 @@ import graft.model.{DocElement, ParsedDoc, TextChunk}
   *     serialized form (pdf_parser.py:188-199).
   *
   * Chunk boundaries: a chunk closes when adding the next block would
-  * exceed maxTokens (provided it already holds >= minTokens), or when a
-  * heading of level <= the chunk's entry level arrives and the chunk holds
-  * >= minTokens — the "don't split mid-section unless forced" behavior of
-  * heading-aware chunkers.
+  * exceed maxTokens (provided it already holds >= minTokens), or when ANY
+  * heading arrives while the chunk holds >= minTokens — headings are
+  * section boundaries regardless of level, matching HybridChunker's
+  * heading-aware splits.
+  *
+  * `overlap` is carried for config parity but not implemented — the
+  * reference declares overlap too and never wires it through
+  * (pdf_parser.py:27-29 vs :64, noted in SURVEY §6); only 0 is accepted.
   */
 final case class ChunkerConfig(
     minTokens: Int = 100,
     maxTokens: Int = 2000,
-    overlap: Int = 0)
+    overlap: Int = 0) {
+  require(overlap == 0, "chunk overlap is not implemented (reference parity)")
+}
 
 object Chunker {
 

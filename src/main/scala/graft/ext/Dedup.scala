@@ -103,7 +103,9 @@ object Dedup {
       (MurmurHash3.stringHash(s, seed ^ 0x5bd1e995).toLong & 0xFFFFFFFFL)
 
   def shingleSet(text: String, n: Int = 3): Array[String] = {
-    val toks = text.split(" ")
+    // limit -1 keeps trailing empty tokens, matching Spark's split()
+    // semantics so the scalar and expression paths tokenize identically
+    val toks = text.split(" ", -1)
     if (toks.length < n) Array.empty
     else {
       val set = new scala.collection.mutable.LinkedHashSet[String]
@@ -153,9 +155,15 @@ object Dedup {
       .toDF("doc_id", "sh")
     val banded = withSh.as[(Long, Array[String])]
       .flatMap { case (id, sh) =>
-        val sig = minhashSig(sh, k)
-        (0 until bands).iterator.map { b =>
-          (id, b, hash64(sig.slice(b * r, b * r + r).mkString(",") + "#" + b))
+        // shingle-less docs (< n tokens) must not band at all: they would
+        // all share the degenerate all-MaxValue signature and collide into
+        // one quadratic bucket; exact dedup handles identical short docs
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = minhashSig(sh, k)
+          (0 until bands).iterator.map { b =>
+            (id, b, hash64(sig.slice(b * r, b * r + r).mkString(",") + "#" + b))
+          }
         }
       }
       .toDF("doc_id", "band", "band_key")
@@ -206,12 +214,16 @@ object Dedup {
     * candidate join is an equi-join on (band, 16-bit chunk).
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 6): DataFrame = {
+                          maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 bands only guarantees recall for distance <= 3:
+    // a pair differing in 4+ bits can touch every band and never share one
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee (3)")
     val spark = docs.sparkSession
     import spark.implicits._
     val sim = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64Scalar(text.split(" "))) }
+      .map { case (id, text) => (id, simhash64Scalar(text.split(" ", -1))) }
       .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

@@ -22,7 +22,14 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine with the zero-vector convention cos(0, x) = 0: a NaN (0/0)
+    * would sort ABOVE every real similarity in descending top-k order,
+    * putting garbage rows first.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Codegen'd native cosine (graft.functions.CosineSimilarity) — the
     * fast path for similarity scans. Identical evaluation order to
@@ -44,7 +51,8 @@ object Similarity {
     while (i < n) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 // zero-vector convention, not NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Shared exact re-rank tail: broadcast the single-row query vector,

@@ -48,7 +48,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-vector convention cos(0, x) = 0 — NaN would sort above every
+    // real similarity in descending top-k order
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +64,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = $b.getDouble(i);
          |  dot += xi * yi; na += xi * xi; nb += yi * yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0
+         |  : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -66,6 +66,12 @@ final class IngestPipeline(
 
   import spark.implicits._
 
+  // single source of truth for the bucket count: the ChunkBucketPruning
+  // optimizer rule and DocumentStore read this conf, so a non-default
+  // ingest configuration stays consistent across the session (a MISMATCHED
+  // bucket count between writer and reader would silently filter out rows)
+  spark.conf.set("spark.graft.chunkBuckets", cfg.chunkBuckets.toString)
+
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
     val bin = spark.read.format("binaryFile")
@@ -144,6 +150,7 @@ final class IngestPipeline(
       }
       .localCheckpoint()
 
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // ---- document ids (SERIAL replacement, SURVEY §7.4.2)
       val baseDocId = if (cfg.idStrategy == "dense") tables.maxId("documents", "id") else 0L
@@ -155,6 +162,7 @@ final class IngestPipeline(
       val docsWithId = parsed.toDF()
         .withColumn("id", docIdCol)
       docsWithId.persist()
+      toUnpersist += docsWithId
 
       // ---- documents table (schema.py:26-44; metainfo shape main.py:72-76)
       val nowLit = lit(now)
@@ -215,6 +223,7 @@ final class IngestPipeline(
         .withColumn("image_path",
           format_string("documents/%d/charts/%d.png", col("document_id"), col("id")))
       chartsWithId.persist()
+      toUnpersist += chartsWithId
 
       // info JSON (pdf_parser.py:152-160,172-180)
       val chartRows = chartsWithId.select(
@@ -240,6 +249,10 @@ final class IngestPipeline(
         chunks = chunkRows.count(),
         charts = chartRows.count())
     } finally {
+      // release everything cached for this batch — a long-running stream
+      // calls ingestBinary every trigger and leaked blocks (especially
+      // chartsWithId's PNG payloads) would fill executor storage
+      toUnpersist.foreach(_.unpersist())
       parsed.unpersist() // drops the checkpointed blocks
     }
   }

@@ -30,8 +30,13 @@ import graft.store.{ObjectStore, TableStore}
 final class DocumentStore(
     spark: SparkSession,
     tables: TableStore,
-    objects: ObjectStore,
-    chunkBuckets: Int = 16) {
+    objects: ObjectStore) {
+
+  /** Bucket count must match the ingest configuration; both sides read
+    * `spark.graft.chunkBuckets` (set by IngestPipeline, default 16).
+    */
+  private def chunkBuckets: Int =
+    spark.conf.get("spark.graft.chunkBuckets", "16").toInt
 
   def documents: DataFrame = tables.read("documents")
   def chunks: DataFrame = tables.read("document_chunks")

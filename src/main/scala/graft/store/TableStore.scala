@@ -37,9 +37,18 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def appendPartitioned(table: String, df: DataFrame,
                         partitionCols: Seq[String]): Unit = {
+    // appending nothing is a no-op — and an empty partitioned write would
+    // create a file-less directory that poisons schema inference
+    if (df.isEmpty) return
     // clear an empty-table schema marker (see overwriteAtomic) so the
-    // layout stays uniformly partitioned
-    if (exists(table) && read(table).isEmpty) fs.delete(new Path(tablePath(table)), true)
+    // layout stays uniformly partitioned; an unreadable (file-less) dir
+    // counts as empty
+    if (exists(table)) {
+      val emptyOrBroken =
+        try read(table).isEmpty
+        catch { case _: Exception => true }
+      if (emptyOrBroken) fs.delete(new Path(tablePath(table)), true)
+    }
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
   }
@@ -84,10 +93,13 @@ final class TableStore(spark: SparkSession, root: String) {
     overwriteAtomic(table, updated, partitionCols)
   }
 
-  /** M2/J4 — delete by predicate as a keep-the-rest rewrite. */
+  /** M2/J4 — delete by predicate as a keep-the-rest rewrite. NULL-valued
+    * predicates keep the row (NOT NULL is NULL and would silently delete
+    * otherwise).
+    */
   def deleteWhere(table: String, cond: Column,
                   partitionCols: Seq[String] = Nil): Unit =
-    overwriteAtomic(table, read(table).filter(!cond), partitionCols)
+    overwriteAtomic(table, read(table).filter(!coalesce(cond, lit(false))), partitionCols)
 
   /** Max value of an id column, or 0 on empty/missing table (the SERIAL
     * replacement — SURVEY §7.4.2).

@@ -129,7 +129,11 @@ object EventStreams {
               val us = ts.getTime * 1000L
               cur match {
                 case Some(s) if us - s.lastUs < gapUs =>
-                  cur = Some(SessionState(s.startUs, us, s.events + 1, s.totalValue + v))
+                  // monotonic bounds: a late-but-within-watermark event
+                  // must not regress lastUs (it would cause spurious
+                  // session splits with wrong end times)
+                  cur = Some(SessionState(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.events + 1, s.totalValue + v))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.events, s.totalValue)
                   cur = Some(SessionState(us, us, 1L, v))
