@@ -31,6 +31,16 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("*(1) Project"), p) // fused, not interpreted fallback
   }
 
+  test("zero vectors score 0, never NaN, across all cosine implementations") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosineNative(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    assert(Similarity.cosineScalar(Array(0.0, 0.0), Array(1.0, 2.0)) == 0.0)
+  }
+
   test("graft_cosine null semantics: null array -> null result") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")

@@ -34,6 +34,27 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(ts.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    ts.append("t", Seq((Some(1L), "a"), (None, "orphan"), (Some(2L), "b"))
+      .toDF("id", "v"))
+    ts.deleteWhere("t", col("id") === 1L)
+    val rows = ts.read("t").select("v").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("b", "orphan")) // NULL-id row survives
+  }
+
+  test("empty partitioned append is a no-op and never poisons the table") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    val empty = Seq.empty[(Long, Int, String)].toDF("id", "bucket", "v")
+    ts.appendPartitioned("t", empty, Seq("bucket")) // first-ever: no-op
+    assert(!ts.exists("t"))
+    ts.appendPartitioned("t", Seq((1L, 0, "a")).toDF("id", "bucket", "v"), Seq("bucket"))
+    ts.appendPartitioned("t", empty, Seq("bucket")) // later empty: no-op
+    assert(ts.read("t").count() == 1)
+  }
+
   test("ObjectStore put/get/delete with the chart key convention (minio.py:46)") {
     val os = new ObjectStore(spark, tmpDir("bucket"))
     val key = os.chartKey(7L, 3L)
