@@ -285,6 +285,36 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list (id_a, id_b), labelling every member with the minimum
+    * reachable id as `cluster_rep` — the survivor a dedup pass keeps.
+    * Iterative min-label propagation; each round is one join + aggregate,
+    * and the lineage is truncated per round (localCheckpoint) so the loop
+    * scales to deep chains without plan blowup. Converges in O(component
+    * diameter) rounds — near-dup components are shallow in practice.
+    */
+  def duplicateClusters(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(edges.select(col("id_b").as("x"), col("id_a").as("y")))
+      .localCheckpoint()
+    var reps = sym.select(col("x").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(reps.select(col("id").as("y"), col("rep").as("nrep")), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("nrep")).as("min_nrep"))
+      val updated = reps.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"),
+          (col("min_nrep") < col("rep")).as("moved"))
+        .localCheckpoint()
+      changed = updated.filter(col("moved")).count()
+      reps = updated.drop("moved")
+    }
+    reps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking key
     * (label/cluster). For unblocked corpora, route through
     * Similarity.signature-based bucketing first. The pairwise dot products

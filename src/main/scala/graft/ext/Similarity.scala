@@ -119,6 +119,30 @@ object Similarity {
     rerankTopK(candidates, q.select(col("qv0").as("qv")), idCol, "v", k)
   }
 
+  /** k-NN similarity JOIN: the top-k neighbours of EVERY vector within a
+    * blocking key (label/LSH cell) — the batch workload of embedding
+    * curation, vs the single-query top-k above. Ranking happens on the
+    * rounded score with an id tiebreak so results are deterministic and
+    * oracle-reproducible. Pair space is bounded by the blocks; at corpus
+    * scale the blocking key is an LSH/IVF cell rather than a label.
+    */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+              blockCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("block"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineNative(col("va"), col("vb")), 6).as("cos"))
+    val byScore = Window.partitionBy("id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** IVF-style coarse partitioning: assign each vector to the centroid-free
     * cell given by the top bits of its signature. Used to co-locate probable
     * neighbours (write-time `partitionBy(cell)`), turning ANN queries into

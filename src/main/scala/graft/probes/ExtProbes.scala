@@ -224,8 +224,34 @@ object ExtProbes {
     Probe.unchecked("sim_topk_lsh") { (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)
+    },
+
+    // k-NN similarity JOIN (top-k for every vector, blocked by label).
+    Probe(
+      "sim_knn_join",
+      "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cos FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id) SELECT id_a, id_b, cos FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM p) t WHERE rn <= 3 ORDER BY id_a, cos DESC, id_b"
+    ) { (s, d) =>
+      Similarity.knnJoin(t(s, d, "embeddings"), "vec_id", "embedding", "label", 3)
+        .orderBy(col("id_a"), col("cos").desc, col("id_b"))
     }
   )
 
-  def all: Seq[Probe] = streamingWindows ++ textAnalysis ++ dedup ++ similarity
+  // ---------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // ---------------------------------------------------------------------
+
+  val clusters: Seq[Probe] = Seq(
+    Probe(
+      "dedup_duplicate_clusters",
+      "WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), edges AS (SELECT id_a, id_b FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.5), sym AS (SELECT id_a AS x, id_b AS y FROM edges UNION SELECT id_b, id_a FROM edges), reach(x, y) AS (SELECT x, y FROM sym UNION SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x) SELECT x AS doc_id, least(x, min(y)) AS cluster_rep FROM reach GROUP BY x ORDER BY doc_id"
+    ) { (s, d) =>
+      // global (unblocked) exact near-dup edges, then connected components
+      val edges = Dedup.ngramJaccardPairs(
+        t(s, d, "documents").withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.5)
+      Dedup.duplicateClusters(edges).orderBy("doc_id")
+    }
+  )
+
+  def all: Seq[Probe] =
+    streamingWindows ++ textAnalysis ++ dedup ++ clusters ++ similarity
 }

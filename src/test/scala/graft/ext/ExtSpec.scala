@@ -86,6 +86,34 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("duplicateClusters propagates the minimum id across chained components") {
+    import spark.implicits._
+    // chain 5-3-9 plus separate pair 7-8: reps {3,3,3} and {7,7}
+    val edges = Seq((5L, 3L), (9L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val reps = Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("knnJoin returns exactly k deterministic neighbours per vector") {
+    val knn = Similarity.knnJoin(embs, "vec_id", "embedding", "label", 3)
+    val counts = knn.groupBy("id_a").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(counts == Set(3L)) // every block has > 3 members at sf0.001
+    // top neighbour of vec 0 agrees with its brute-force ranking within label
+    val sameLabel = embs.filter(col("vec_id") === 0).select("label")
+      .collect().head.getInt(0)
+    val top = knn.filter(col("id_a") === 0).orderBy(col("cos").desc)
+      .collect().head.getLong(1)
+    val brute = Dedup.cosineNearDupPairs(
+      embs.filter(col("label") === sameLabel), "vec_id", "embedding", "label", -1.0)
+      .filter(col("id_a") === 0 || col("id_b") === 0)
+      .withColumn("other", when(col("id_a") === 0, col("id_b")).otherwise(col("id_a")))
+      .orderBy(col("cos").desc, col("other"))
+      .collect().head.getAs[Long]("other")
+    assert(top == brute)
+  }
+
   test("exact groups collapse duplicate content to the minimum id") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
