@@ -54,7 +54,14 @@ object Ner {
       val words = span.split("\\s+")
       // a title ("Dr.", "Ms.", ...) is part of the capitalized span itself
       val titled = personTitles.contains(words.head)
-      val core = if (titled) words.tail else words
+      val coreRaw = if (titled) words.tail else words
+      // strip sentence-final punctuation from the last word — but keep the
+      // dot of corporate suffixes ("Inc.") and titles
+      val core =
+        if (coreRaw.nonEmpty && coreRaw.last.endsWith(".") &&
+          !orgSuffixes.contains(coreRaw.last) && !personTitles.contains(coreRaw.last))
+          coreRaw.init :+ coreRaw.last.stripSuffix(".")
+        else coreRaw
       val coreSpan = core.mkString(" ")
       if (dates.exists(_.contains(span)) || words.length > 6 || core.isEmpty) {
         // skip spans inside dates, over-long runs (headline noise), bare titles
