@@ -241,6 +241,10 @@ final class IngestPipeline(
       // (orphan blobs possible, dangling rows never — SURVEY §7.4.4).
       tables.append("documents", docRows)
       tables.appendPartitioned("document_chunks", chunkRows, Seq("doc_bucket"))
+      // persist the bucketing convention WITH the table so any reader
+      // (other sessions included) derives the right bucket predicate
+      if (tables.exists("document_chunks"))
+        tables.setTableProp("document_chunks", "buckets", cfg.chunkBuckets.toString)
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 

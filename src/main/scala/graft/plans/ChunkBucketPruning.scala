@@ -23,8 +23,41 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 class ChunkBucketPruning(spark: SparkSession)
   extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def buckets: Long =
-    spark.conf.get("spark.graft.chunkBuckets", "16").toLong
+  // bucket count per table root, resolved from the `_graft_buckets`
+  // marker the ingest writes next to the data (conf is the fallback);
+  // cached — the convention is immutable per table
+  private val markerCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
+
+  private def markerBuckets(plan: LogicalPlan): Option[Long] =
+    plan.collectFirst {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.headOption.flatMap { root =>
+              markerCache.getOrElseUpdate(root.toString, {
+                try {
+                  val p = new org.apache.hadoop.fs.Path(root, "_graft_buckets")
+                  val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  if (!fs.exists(p)) None
+                  else {
+                    val in = fs.open(p)
+                    try {
+                      val buf = new Array[Byte](64)
+                      val n = in.read(buf)
+                      Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong)
+                    } finally in.close()
+                  }
+                } catch { case _: Exception => None }
+              })
+            }
+          case _ => None
+        }
+    }.flatten
+
+  private def buckets(child: LogicalPlan): Long =
+    markerBuckets(child).getOrElse(
+      spark.conf.get("spark.graft.chunkBuckets", "16").toLong)
 
   /** A document_id equality that constrains the WHOLE filter — i.e. it is
     * one of the top-level conjuncts. An equality nested under Not/Or must
@@ -47,7 +80,7 @@ class ChunkBucketPruning(spark: SparkSession)
         case Some(idLit) =>
           val bucketAttr = child.output.find(_.name == "doc_bucket").get
           val bucketOfId =
-            Pmod(new XxHash64(Seq(idLit)), Literal(buckets, LongType))
+            Pmod(new XxHash64(Seq(idLit)), Literal(buckets(child), LongType))
           val pred = EqualTo(bucketAttr,
             if (bucketAttr.dataType == IntegerType)
               Cast(bucketOfId, IntegerType)

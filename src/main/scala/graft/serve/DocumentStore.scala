@@ -32,11 +32,12 @@ final class DocumentStore(
     tables: TableStore,
     objects: ObjectStore) {
 
-  /** Bucket count must match the ingest configuration; both sides read
-    * `spark.graft.chunkBuckets` (set by IngestPipeline, default 16).
+  /** Bucket count travels with the table (`_graft_buckets` marker written
+    * at ingest); session conf is the fallback for marker-less tables.
     */
   private def chunkBuckets: Int =
-    spark.conf.get("spark.graft.chunkBuckets", "16").toInt
+    tables.getTableProp("document_chunks", "buckets").map(_.toInt)
+      .getOrElse(spark.conf.get("spark.graft.chunkBuckets", "16").toInt)
 
   def documents: DataFrame = tables.read("documents")
   def chunks: DataFrame = tables.read("document_chunks")

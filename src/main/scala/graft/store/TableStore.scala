@@ -67,6 +67,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // fall back to one empty unpartitioned file, which preserves schema —
     // appendPartitioned clears it before the next partitioned append
     val effectiveParts = if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
+    val props = allTableProps(table) // survive the swap
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     val f = fs
@@ -77,6 +78,7 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"swap failed for $table")
     }
     f.delete(old, true)
+    props.foreach { case (k, v) => setTableProp(table, k, v) }
   }
 
   /** M1 — partial update by predicate (base.py:38-52): copy-on-write
@@ -107,4 +109,41 @@ final class TableStore(spark: SparkSession, root: String) {
   def maxId(table: String, idCol: String): Long =
     if (!exists(table)) 0L
     else read(table).agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+
+  // -------------------------------------------------------------------
+  // Table properties: tiny `_graft_<key>` sidecar files inside the table
+  // directory (underscore-prefixed, so parquet readers ignore them).
+  // Used for layout metadata that must travel WITH the data — e.g. the
+  // chunk bucket count, where a reader assuming the wrong value would
+  // silently filter out rows.
+  // -------------------------------------------------------------------
+
+  private def propPath(table: String, key: String) =
+    new Path(tablePath(table) + s"/_graft_$key")
+
+  def setTableProp(table: String, key: String, value: String): Unit = {
+    val out = fs.create(propPath(table, key), true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def getTableProp(table: String, key: String): Option[String] = {
+    val p = propPath(table, key)
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def allTableProps(table: String): Seq[(String, String)] =
+    if (!exists(table)) Nil
+    else fs.listStatus(new Path(tablePath(table))).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_graft_"))
+      .flatMap(n => getTableProp(table, n.stripPrefix("_graft_"))
+        .map(v => n.stripPrefix("_graft_") -> v))
 }

@@ -123,6 +123,26 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.getChunks(id1).count() == 3)
   }
 
+  test("bucket convention travels with the table: non-default count still returns rows") {
+    val inbox = tmpDir("inbox-b8")
+    writeDoc(inbox, "doc.pdf", "H:\nsome body text content here.\n")
+    val root = tmpDir("store-b8")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(chunkBuckets = 8)).ingest(inbox, now)
+    // a "different session": conf deliberately reset to the default
+    spark.conf.set("spark.graft.chunkBuckets", "16")
+    val store = new DocumentStore(spark, tables, objects)
+    val id = store.documents.collect().head.getAs[Long]("id")
+    assert(store.getChunks(id).count() >= 1) // marker (8) wins over conf (16)
+    assert(tables.getTableProp("document_chunks", "buckets").contains("8"))
+    // marker survives a copy-on-write rewrite
+    tables.deleteWhere("document_chunks", col("document_id") === -1L,
+      partitionCols = Seq("doc_bucket"))
+    assert(tables.getTableProp("document_chunks", "buckets").contains("8"))
+  }
+
   test("ChunkBucketPruning injects the bucket predicate for bare document_id filters") {
     val (store, tables, _, _) = fixture()
     val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
