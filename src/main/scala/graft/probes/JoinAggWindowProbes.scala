@@ -248,6 +248,33 @@ object JoinAggWindowProbes {
         .orderBy("event_id")
     },
 
+    // [EXT] exact interpolated percentiles (corpus statistics).
+    Probe(
+      "agg_percentiles",
+      "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ) { (s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
+    // [EXT] first/last value over ordered frames.
+    Probe(
+      "w4_first_last_value",
+      "SELECT user_id, round(first_value(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_v, round(last_value(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_v, event_id FROM events ORDER BY event_id"
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("user_id"),
+          round(first(col("value")).over(w), 2).as("first_v"),
+          round(last(col("value")).over(w), 2).as("last_v"),
+          col("event_id"))
+        .orderBy("event_id")
+    },
+
     // [EXT] rank / lag / framed running sum (SURVEY §2.5 note).
     Probe(
       "w3_rank_lag_framesum",

@@ -91,6 +91,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: drop events whose key was already seen within the
+    * watermark horizon — the bounded-state form of exact dedup for
+    * unbounded streams ([EXT]; state is GC'd as the watermark advances).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes",
+                    keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One closed session emitted by the stateful sessionizer. */
   final case class ClosedSession(userId: Long, startUs: Long, lastUs: Long,
                                  events: Long, totalValue: Double)

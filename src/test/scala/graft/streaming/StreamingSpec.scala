@@ -130,6 +130,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"expected exactly user 7's closed session, got ${sessions.toSeq}")
   }
 
+  test("dropDuplicatesWithinWatermark removes replayed events") {
+    val dir = tmpDir("stream-dedup")
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "a", 2.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"))) // replay of id 1
+    val stream = EventStreams.dedupedEvents(
+      EventStreams.fromDirectory(spark, dir))
+      .select("event_id", "value")
+    EventStreams.runToMemory(stream, "dedup_ev",
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    val ids = spark.table("dedup_ev").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("streaming and batch window semantics agree (unified API)") {
     val dir = tmpDir("stream-agree")
     arrive(dir, 1, Seq(
