@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** [EXT] Multimodal columns: images/audio/video as opaque `binary` columns
   * with typed metadata (SURVEY north-star). The Spark-side plumbing —
   * schemas, partitioning-friendly batch shapes, mapPartitions decode with
-  * init-once codecs, per-row error isolation — is real and tested; the
+  * init-once codecs (the JVM analogue of PySpark's mapInPandas batch
+  * iteration), per-row error isolation — is real and tested; the
   * actual codec is a STUB (no image/audio libraries ship in this
   * environment) behind a deterministic container format, exactly like the
   * pluggable `Parse.DocParser` boundary.

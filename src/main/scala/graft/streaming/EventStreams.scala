@@ -91,6 +91,31 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: correlate each "trigger"
+    * event with the "response" events of the same user arriving within
+    * `horizon` afterwards. Both sides carry watermarks and the time-bound
+    * condition, so join state is GC'd as event time advances — the
+    * bounded-state form of event correlation on unbounded streams.
+    */
+  def correlate(events: DataFrame, triggerType: String, responseType: String,
+                horizon: String = "10 minutes",
+                lateness: String = "10 minutes"): DataFrame = {
+    val trig = events.filter(col("event_type") === triggerType)
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"))
+      .withWatermark("t_ts", lateness)
+    val resp = events.filter(col("event_type") === responseType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", lateness)
+    trig.join(resp,
+      col("t_user") === col("r_user") &&
+        col("r_ts") > col("t_ts") &&
+        col("r_ts") <= col("t_ts") + expr(s"interval $horizon"))
+      .select(col("t_user").as("user_id"), col("t_id"), col("r_id"),
+        col("r_value"))
+  }
+
   /** Streaming dedup: drop events whose key was already seen within the
     * watermark horizon — the bounded-state form of exact dedup for
     * unbounded streams ([EXT]; state is GC'd as the watermark advances).

@@ -130,6 +130,22 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"expected exactly user 7's closed session, got ${sessions.toSeq}")
   }
 
+  test("stream-stream interval join correlates responses within the horizon") {
+    val dir = tmpDir("stream-corr")
+    arrive(dir, 1, Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),     // trigger
+      (2L, ts("2024-01-01 10:04:00"), 7L, "purchase", 9.99, "{}"), // within 10m
+      (3L, ts("2024-01-01 10:20:00"), 7L, "purchase", 5.00, "{}"), // outside
+      (4L, ts("2024-01-01 10:03:00"), 8L, "purchase", 1.00, "{}"))) // other user
+    val ev = EventStreams.fromDirectory(spark, dir)
+    EventStreams.runToMemory(
+      EventStreams.correlate(ev, "view", "purchase"),
+      "corr", outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    val rows = spark.table("corr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((7L, 1L, 2L, 9.99)))
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     val dir = tmpDir("stream-dedup")
     arrive(dir, 1, Seq(
