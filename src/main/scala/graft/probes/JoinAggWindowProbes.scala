@@ -171,6 +171,38 @@ object JoinAggWindowProbes {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // [EXT] multi-way broadcast-chain join (supplier -> nation -> region):
+    // both dimensions broadcast, so the only scan that moves is supplier.
+    Probe(
+      "j8_multiway_join",
+      "SELECT r_name, n_name, count(*) AS n_sup, round(sum(s_acctbal), 2) AS total_bal FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"
+    ) { (s, d) =>
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_sup"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // [EXT] TPC-H Q3 shape: selective dimension filter driving a 3-way
+    // join into a top-k aggregation (the plan every ad-hoc analytics
+    // query wants: filter pushdown + broadcast + partial agg + TakeOrdered).
+    Probe(
+      "agg_q3_shipping_priority",
+      "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ) { (s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // [EXT] multi-level aggregation — rollup/cube/grouping sets (absent in
     // the reference; free in the engine). DuckDB defaults to NULLS LAST,
     // Spark to NULLS FIRST — the oracle pins NULLS FIRST explicitly.
