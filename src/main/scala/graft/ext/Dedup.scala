@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
 
 /** [EXT] Deduplication operators for training-data pipelines: exact,
-  * MinHash+LSH, SimHash, and exact n-gram Jaccard. No counterpart in the
-  * reference (its ingest happily re-processes duplicate files —
-  * SURVEY §2.10 delivery note); these are the north-star additions.
+  * MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", 1997), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002), and exact n-gram
+  * Jaccard. No counterpart in the reference (its ingest happily
+  * re-processes duplicate files — SURVEY §2.10 delivery note); these are
+  * the north-star additions.
   *
   * Scale design: every operator is either per-row expression work (signature
   * computation — linear, embarrassingly parallel) or an inverted-index /

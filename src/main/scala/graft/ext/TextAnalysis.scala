@@ -55,6 +55,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est", "une")
   )
 
+  /** Stopword removal over the combined marker lexicon — the standard
+    * text-cleaning transform before shingling/embedding.
+    */
+  def removeStopwords(text: Column): Column =
+    concat_ws(" ", filter(tokens(text),
+      t => !t.isInCollection(profiles.values.flatten.toSeq.distinct)))
+
   /** Count of tokens belonging to a marker set. */
   def markerCount(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers))).cast("long")

@@ -43,8 +43,15 @@ object EtlProbes {
       val objects = new ObjectStore(s, s"$root/bucket")
       new IngestPipeline(s, tables, objects, ProcessingConfig())
         .ingestBinary(bin, fixedNow)
-      new DocumentStore(s, tables, objects).listDocuments(0, 100)
-        .select("filename", "total_chunks", "metainfo")
+      val store = new DocumentStore(s, tables, objects)
+      // listing joined with per-doc chart counts + rendered PNG bytes so
+      // the probe output witnesses the whole E5/E6/S11 path too
+      val chartStats = store.charts.groupBy("document_id")
+        .agg(count(lit(1)).as("n_charts"))
+      store.listDocuments(0, 100)
+        .join(chartStats, col("id") === col("document_id"), "left_outer")
+        .select(col("filename"), col("total_chunks"), col("metainfo"),
+          coalesce(col("n_charts"), lit(0L)).as("n_charts"))
         .orderBy("filename")
     },
 

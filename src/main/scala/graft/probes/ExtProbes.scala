@@ -126,6 +126,15 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    Probe(
+      "text_remove_stopwords",
+      s"SELECT doc_id, array_to_string(list_filter(string_split(text, ' '), x -> NOT x IN ($markersSql)), ' ') AS cleaned FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TA.removeStopwords(col("text")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
     // Composed corpus statistics per language: the everything-together
     // aggregation shape a training-data curation job runs first.
     Probe(
