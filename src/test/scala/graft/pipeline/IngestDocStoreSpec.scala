@@ -154,6 +154,16 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(bare.count() == 3) // and nothing is lost
   }
 
+  test("SQL users get bucket pruning too (rule fires on raw SQL plans)") {
+    val (store, tables, _, _) = fixture()
+    val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
+    tables.read("document_chunks").createOrReplaceTempView("chunks_sql_view")
+    val df = spark.sql(s"SELECT chunk_index FROM chunks_sql_view WHERE document_id = ${id1}L")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(doc_bucket"), plan)
+    assert(df.count() == 3)
+  }
+
   test("dense ids continue from the existing maximum across batches (SURVEY §7.4.2)") {
     val (store, tables, objects, _) = fixture()
     val maxBefore = tables.maxId("documents", "id")
