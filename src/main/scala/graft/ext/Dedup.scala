@@ -329,12 +329,7 @@ object Dedup {
                          blockCol: String, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+    Similarity.blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = true)
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Seq[Double], Seq[Double])]
       .map { case (ia, ib, va, vb) =>

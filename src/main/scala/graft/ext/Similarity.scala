@@ -119,6 +119,24 @@ object Similarity {
     rerankTopK(candidates, q.select(col("qv0").as("qv")), idCol, "v", k)
   }
 
+  /** Blocked self-join candidate frame shared by the pairwise operators:
+    * (id_a, va, id_b, vb) within each block. `orderedPairs=true` yields
+    * each unordered pair once (id_a < id_b); false yields both directions
+    * (id_a != id_b). One place to fix pair generation (skew handling,
+    * degenerate-vector filtering) for every pairwise operator.
+    */
+  private[ext] def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                blockCol: String,
+                                orderedPairs: Boolean): DataFrame = {
+    val v = emb.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("block"))
+      .filter(if (orderedPairs) col("id_a") < col("id_b")
+              else col("id_a") =!= col("id_b"))
+  }
+
   /** k-NN similarity JOIN: the top-k neighbours of EVERY vector within a
     * blocking key (label/LSH cell) — the batch workload of embedding
     * curation, vs the single-query top-k above. Ranking happens on the
@@ -129,12 +147,7 @@ object Similarity {
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               blockCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = emb.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("block"))
-      .filter(col("id_a") =!= col("id_b"))
+    val pairs = blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = false)
       .select(col("id_a"), col("id_b"),
         round(cosineNative(col("va"), col("vb")), 6).as("cos"))
     val byScore = Window.partitionBy("id_a")

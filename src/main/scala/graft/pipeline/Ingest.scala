@@ -72,6 +72,16 @@ final class IngestPipeline(
   // bucket count between writer and reader would silently filter out rows)
   spark.conf.set("spark.graft.chunkBuckets", cfg.chunkBuckets.toString)
 
+  /** The bucket convention is WRITE-ONCE per table: once data exists, its
+    * `_graft_buckets` marker wins over a differing ProcessingConfig —
+    * re-bucketing appended data under a new modulus would mislabel every
+    * pre-existing row (a full-table rewrite, not an append, is how you
+    * change the convention).
+    */
+  private def effectiveChunkBuckets: Int =
+    tables.getTableProp("document_chunks", "buckets").map(_.toInt)
+      .getOrElse(cfg.chunkBuckets)
+
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
     val bin = spark.read.format("binaryFile")
@@ -198,7 +208,8 @@ final class IngestPipeline(
         .withColumn("id", chunkIdCol)
         .select("id", "document_id", "chunk_index", "text_content",
           "entities", "chunk_metadata", "created_at")
-        .withColumn("doc_bucket", IngestPipeline.chunkBucket(col("document_id"), cfg.chunkBuckets))
+        .withColumn("doc_bucket",
+          IngestPipeline.chunkBucket(col("document_id"), effectiveChunkBuckets))
 
       // ---- chart payloads (E5/E6) — per-doc counters, zero shuffle
       val chartPayloads = docsWithId
@@ -244,7 +255,7 @@ final class IngestPipeline(
       // persist the bucketing convention WITH the table so any reader
       // (other sessions included) derives the right bucket predicate
       if (tables.exists("document_chunks"))
-        tables.setTableProp("document_chunks", "buckets", cfg.chunkBuckets.toString)
+        tables.setTableProp("document_chunks", "buckets", effectiveChunkBuckets.toString)
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 

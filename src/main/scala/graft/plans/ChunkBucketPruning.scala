@@ -35,21 +35,18 @@ class ChunkBucketPruning(spark: SparkSession)
         rel.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.rootPaths.headOption.flatMap { root =>
-              markerCache.getOrElseUpdate(root.toString, {
-                try {
-                  val p = new org.apache.hadoop.fs.Path(root, "_graft_buckets")
-                  val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                  if (!fs.exists(p)) None
-                  else {
-                    val in = fs.open(p)
-                    try {
-                      val buf = new Array[Byte](64)
-                      val n = in.read(buf)
-                      Some(new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong)
-                    } finally in.close()
-                  }
-                } catch { case _: Exception => None }
-              })
+              // cache only present markers: the convention is immutable
+              // once written, but ABSENCE is not — a marker may appear
+              // after the first ingest into this path
+              markerCache.get(root.toString).getOrElse {
+                val found =
+                  try graft.store.Sidecar.read(
+                    new org.apache.hadoop.fs.Path(root, "_graft_buckets"),
+                    spark.sparkContext.hadoopConfiguration).map(_.toLong)
+                  catch { case _: Exception => None }
+                if (found.isDefined) markerCache.put(root.toString, found)
+                found
+              }
             }
           case _ => None
         }

@@ -126,19 +126,8 @@ final class TableStore(spark: SparkSession, root: String) {
     try out.write(value.getBytes("UTF-8")) finally out.close()
   }
 
-  def getTableProp(table: String, key: String): Option[String] = {
-    val p = propPath(table, key)
-    val f = fs
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(0, n), "UTF-8").trim)
-      } finally in.close()
-    }
-  }
+  def getTableProp(table: String, key: String): Option[String] =
+    Sidecar.read(propPath(table, key), spark.sparkContext.hadoopConfiguration)
 
   private def allTableProps(table: String): Seq[(String, String)] =
     if (!exists(table)) Nil

@@ -137,6 +137,17 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     val id = store.documents.collect().head.getAs[Long]("id")
     assert(store.getChunks(id).count() >= 1) // marker (8) wins over conf (16)
     assert(tables.getTableProp("document_chunks", "buckets").contains("8"))
+    // the marker is write-once: a later pipeline with a DIFFERENT bucket
+    // config must adopt the table's existing convention, not relabel it
+    val inbox2 = tmpDir("inbox-b8-more")
+    writeDoc(inbox2, "later.pdf", "H:\nmore text content arriving later.\n")
+    new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(chunkBuckets = 32)).ingest(inbox2, now)
+    assert(tables.getTableProp("document_chunks", "buckets").contains("8"))
+    spark.conf.set("spark.graft.chunkBuckets", "8") // restore for reads
+    val laterId = store.documents.filter(col("filename") === "later.pdf")
+      .collect().head.getAs[Long]("id")
+    assert(store.getChunks(laterId).count() >= 1) // written under bucket-8
     // marker survives a copy-on-write rewrite
     tables.deleteWhere("document_chunks", col("document_id") === -1L,
       partitionCols = Seq("doc_bucket"))
