@@ -110,6 +110,22 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(table)) 0L
     else read(table).agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
 
+  /** Compact a table's files: rewrite into ~`targetFiles` parquet files
+    * (per partition directory when `partitionCols` is set). Streaming
+    * ingest appends one-file-per-batch; without periodic compaction a
+    * long-running stream degrades every scan with file-listing and
+    * per-file open overhead. Uses the same atomic swap as the CRUD
+    * rewrites, so readers never see a half-compacted table.
+    */
+  def compact(table: String, targetFiles: Int = 1,
+              partitionCols: Seq[String] = Nil): Unit = {
+    val df = read(table)
+    val compacted =
+      if (partitionCols.isEmpty) df.coalesce(targetFiles)
+      else df.repartition(targetFiles, partitionCols.map(col): _*)
+    overwriteAtomic(table, compacted, partitionCols)
+  }
+
   // -------------------------------------------------------------------
   // Table properties: tiny `_graft_<key>` sidecar files inside the table
   // directory (underscore-prefixed, so parquet readers ignore them).

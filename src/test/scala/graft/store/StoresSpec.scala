@@ -55,6 +55,41 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(ts.read("t").count() == 1)
   }
 
+  test("compact merges small files without changing content") {
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = new TableStore(spark, root)
+    (1 to 5).foreach(i => ts.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    def files = new java.io.File(s"$root/t").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 5)
+    val before = ts.read("t").orderBy("id").collect().toSeq
+    ts.compact("t")
+    assert(files == 1)
+    assert(ts.read("t").orderBy("id").collect().toSeq == before)
+  }
+
+  test("schemaless JSON columns round-trip ad-hoc shapes (FIXTURES A.2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.get_json_object
+    val ts = new TableStore(spark, tmpDir("tables"))
+    // the reference demo stores entities with ad-hoc keys the NER never
+    // produces (markets/metrics/values — repository.py:235-260); the JSON
+    // string column must carry them unchanged
+    val adHoc = """{"markets":["AI","Cloud Computing"],"locations":["Silicon Valley"]}"""
+    val nerShaped = """{"persons":[],"organizations":["TechCorp"],"dates":["2024-02-13"],"locations":[],"misc":[{"text":"x","label":"MISC"}]}"""
+    ts.append("chunks", Seq((1L, adHoc), (2L, nerShaped)).toDF("id", "entities"))
+    val back = ts.read("chunks").orderBy("id")
+      .select(get_json_object(col("entities"), "$.markets[0]").as("m"),
+        get_json_object(col("entities"), "$.organizations[0]").as("o"),
+        col("entities"))
+      .collect()
+    assert(back(0).getString(0) == "AI")
+    assert(back(0).getString(2) == adHoc) // byte-identical round-trip
+    assert(back(1).getString(1) == "TechCorp")
+    assert(back(1).getString(2) == nerShaped)
+  }
+
   test("ObjectStore put/get/delete with the chart key convention (minio.py:46)") {
     val os = new ObjectStore(spark, tmpDir("bucket"))
     val key = os.chartKey(7L, 3L)
