@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // document parsing is CPU-bound per FILE, not per byte: the default
+      // 4MB open cost bins ~32 small PDFs into one 128MB read partition,
+      // capping parse parallelism; a 16MB cost quarters the bin size so
+      // small-file corpora fan out across executors
+      .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
