@@ -35,7 +35,9 @@ object Ner {
     "New York", "Silicon Valley", "London", "Jakarta", "Singapore", "Tokyo",
     "Paris", "Berlin", "California", "Europe", "Asia", "America")
 
-  private val capSeq = """(?:[A-Z][A-Za-z0-9&'.-]*)(?:\s+[A-Z][A-Za-z0-9&'.-]*)*""".r
+  // spans join on spaces/tabs only — a line break separates a heading from
+  // the following sentence, they must not merge into one entity span
+  private val capSeq = """(?:[A-Z][A-Za-z0-9&'.-]*)(?:[ \t]+[A-Z][A-Za-z0-9&'.-]*)*""".r
 
   /** Deterministic entity extraction over one text. */
   def extract(text: String): Entities = {
