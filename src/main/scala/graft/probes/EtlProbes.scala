@@ -23,6 +23,22 @@ object EtlProbes {
 
   private val fixedNow = Timestamp.valueOf("2026-01-15 08:30:00")
 
+  /** Per-run scratch dir, removed on JVM exit so repeated Verify/Bench
+    * runs don't accumulate under /tmp.
+    */
+  private def scratchDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-etl-probe")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   val all: Seq[Probe] = Seq(
 
     // E1→E2→E4→E7→S10→E5→S11→S12 end-to-end, then the §2.12 listing.
@@ -37,8 +53,9 @@ object EtlProbes {
             lit("Section heading:\n"), col("text"),
             lit("\nTABLE: totals by source\n")), "utf-8").as("content"))
       // unique per-run scratch root: a fixed path would let concurrent
-      // probe runs delete each other's live stores mid-write
-      val root = java.nio.file.Files.createTempDirectory("graft-etl-probe").toString
+      // probe runs delete each other's live stores mid-write. The returned
+      // DataFrame reads from it lazily, so cleanup is deferred to JVM exit.
+      val root = scratchDir()
       val tables = new TableStore(s, s"$root/tables")
       val objects = new ObjectStore(s, s"$root/bucket")
       new IngestPipeline(s, tables, objects, ProcessingConfig())

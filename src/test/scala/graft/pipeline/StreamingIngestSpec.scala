@@ -45,4 +45,49 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     // exactly-once: no duplicate filenames even though first.pdf still exists
     assert(docs.select("filename").distinct().count() == 2)
   }
+
+  test("archiveDir moves processed files out of the inbox (S14 parity)") {
+    val inbox = tmpDir("archive-inbox")
+    val archive = tmpDir("archive-dest")
+    val root = tmpDir("archive-store")
+    Files.write(Paths.get(inbox, "move-me.pdf"),
+      "Heading:\nArchived body text.\n".getBytes(StandardCharsets.UTF_8))
+
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects, ProcessingConfig())
+
+    // the source archives a batch's files only when a LATER batch commits
+    // while the query is alive, so this runs a continuous trigger and
+    // feeds a second file to push batch 0 past its commit point
+    val q = pipe.ingestStream(inbox, s"$root/checkpoint",
+      Trigger.ProcessingTime("500 milliseconds"), () => now,
+      archiveDir = Some(archive))
+    try {
+      def docCount(): Long =
+        if (tables.exists("documents")) tables.read("documents").count() else 0L
+      def waitFor(cond: () => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!cond() && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(cond(), what)
+      }
+      waitFor(() => docCount() == 1, "first file ingested")
+      Files.write(Paths.get(inbox, "later.pdf"),
+        "Next:\nSecond body text.\n".getBytes(StandardCharsets.UTF_8))
+      waitFor(() => docCount() == 2, "second file ingested")
+      def archived(): Boolean = {
+        def walk(d: java.io.File): Seq[java.io.File] = {
+          val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          kids ++ kids.filter(_.isDirectory).flatMap(walk)
+        }
+        walk(new java.io.File(archive))
+          .exists(x => x.isFile && x.getName == "move-me.pdf")
+      }
+      waitFor(() => archived(),
+        "processed file should land under the archive dir")
+      assert(!Files.exists(Paths.get(inbox, "move-me.pdf")),
+        "processed file should leave the inbox")
+    } finally q.stop()
+  }
 }
