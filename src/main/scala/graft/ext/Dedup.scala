@@ -247,10 +247,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via a blocked inverted
-    * index: explode distinct shingles, self-join on (block, shingle) to
-    * count intersections, derive Jaccard from per-doc shingle counts.
+    * index: explode distinct shingles, group postings per (block, shingle)
+    * to count intersections, derive Jaccard from per-doc shingle counts.
     * The blocking column bounds the pair space; at corpus scale a coarse
     * content prefix or LSH band plays that role.
+    *
+    * This is the low-skew fast path: every shared shingle contributes one
+    * posting-pair, which is optimal when no shingle is ubiquitous. For
+    * corpora with boilerplate (a shingle shared by a large fraction of
+    * documents → a quadratic posting list), use
+    * [[ngramJaccardPairsPrefix]], which provably skips those lists while
+    * returning the identical result.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
@@ -288,6 +295,83 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Prefix-filtered exact n-gram Jaccard (the All-Pairs/PPJoin principle
+    * — Bayardo et al., "Scaling up all pairs similarity search", WWW 2007;
+    * Xiao et al., "Efficient similarity joins for near duplicate
+    * detection", WWW 2008): under a global shingle order, a pair with
+    * Jaccard >= t must share a shingle within each side's first
+    * `n - ceil(t*n) + 1` shingles, so only those prefixes are indexed —
+    * with ascending-document-frequency order the ubiquitous boilerplate
+    * shingles (the quadratic posting lists) drop out of the index
+    * entirely. Candidates are then verified with the exact intersection,
+    * so the result is identical to [[ngramJaccardPairs]].
+    *
+    * Costs two extra shuffles (DF computation + per-doc ordering), so on
+    * low-skew corpora the naive index is faster; on boilerplate-heavy
+    * corpora — the realistic web-scale case — this path avoids the
+    * quadratic bucket that the naive index cannot.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(blockCol).as("block"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s0"))
+      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
+    // global shingle document frequency; joining sh back on the SAME key
+    // lets ReuseExchange share one (block, s) shuffle between the aggregate
+    // and the join's left side
+    val dfreq = sh.groupBy("block", "s").agg(count(lit(1)).as("dfreq"))
+    // per-doc postings with their DF, sorted ascending (dfreq, s): the
+    // canonical order for prefix selection, and (projected down to s) the
+    // doc's full shingle set for verification. Both consumers share the
+    // doc_id exchange.
+    val perDoc = sh.join(dfreq, Seq("block", "s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("s")))).as("ss"),
+        first(col("block")).as("block"))
+    // the final filter accepts ROUNDED jac >= t, so a pair a hair under t
+    // can still qualify; prune with a threshold relaxed by the rounding
+    // slack so such pairs are never lost to the prefix filter
+    val tPrune = threshold - 5e-5
+    val prefix = perDoc
+      .select(col("doc_id"), col("block"),
+        explode(slice(col("ss.s"), lit(1),
+          size(col("ss")) - ceil(size(col("ss")) * tPrune).cast("int") + 1))
+          .as("s"))
+    // posting-list pair generation: one groupBy + a per-posting flatMap
+    // beats the two-sided self-join shuffle; sorting each (small) posting
+    // list keeps pair orientation id_a < id_b deterministic
+    val cands = prefix.groupBy("block", "s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.distinct.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("id_a", "id_b").distinct()
+    // exact verification over candidates only: array_intersect is a native
+    // (non-lambda) expression, and the candidate set is near-linear thanks
+    // to the prefix filter; sets stay partitioned by doc_id from the
+    // aggregation, so only the slim candidate side reshuffles
+    val sets = perDoc.select(col("doc_id"), col("ss.s").as("arr"),
+      size(col("ss")).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("arr").as("arr_a"), col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("arr").as("arr_b"), col("n").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair list (id_a, id_b), labelling every member with the minimum
     * reachable id as `cluster_rep` — the survivor a dedup pass keeps.
@@ -296,7 +380,45 @@ object Dedup {
     * scales to deep chains without plan blowup. Converges in O(component
     * diameter) rounds — near-dup components are shallow in practice.
     */
-  def duplicateClusters(edges: DataFrame): DataFrame = {
+  def duplicateClusters(edges: DataFrame): DataFrame =
+    duplicateClusters(edges, localSolveMaxEdges = 500000)
+
+  /** As [[duplicateClusters(edges*]], with an adaptive cutover: an edge
+    * list no bigger than `localSolveMaxEdges` is solved with a driver-side
+    * union-find (one job instead of ~2 per propagation round — near-dup
+    * edge lists are tiny relative to the corpus because candidate
+    * generation is blocked). Larger inputs run the distributed loop;
+    * both paths produce the identical labelling (min reachable id).
+    */
+  def duplicateClusters(edges: DataFrame, localSolveMaxEdges: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val slim = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // limit+collect bounds driver memory: we never pull more than the
+    // cutover count, and fall through to the distributed path when the
+    // input exceeds it
+    val head = slim.limit(localSolveMaxEdges.toInt + 1)
+      .as[(Long, Long)].collect()
+    if (head.length <= localSolveMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = a // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      spark.createDataset(rows).toDF("doc_id", "cluster_rep")
+    } else distributedClusters(slim)
+  }
+
+  private def distributedClusters(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("id_a").as("x"), col("id_b").as("y"))
       .union(edges.select(col("id_b").as("x"), col("id_a").as("y")))
       .localCheckpoint()

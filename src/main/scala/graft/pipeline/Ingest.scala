@@ -259,10 +259,13 @@ final class IngestPipeline(
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 
+      // stats from the PERSISTED upstream frames: counting docRows/chunkRows
+      // would re-run the global row_number projections a second time
       IngestStats(
-        documents = docRows.count(),
-        chunks = chunkRows.count(),
-        charts = chartRows.count())
+        documents = docsWithId.count(),
+        chunks = docsWithId.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
+          .head().getLong(0),
+        charts = chartsWithId.count())
     } finally {
       // release everything cached for this batch — a long-running stream
       // calls ingestBinary every trigger and leaked blocks (especially

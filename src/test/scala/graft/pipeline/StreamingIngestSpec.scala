@@ -65,7 +65,9 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
       archiveDir = Some(archive))
     try {
       def docCount(): Long =
-        if (tables.exists("documents")) tables.read("documents").count() else 0L
+        // tolerate reading mid-append (dir created, no data files yet)
+        try { if (tables.exists("documents")) tables.read("documents").count() else 0L }
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       def waitFor(cond: () => Boolean, what: String): Unit = {
         val deadline = System.currentTimeMillis() + 60000
         while (!cond() && System.currentTimeMillis() < deadline)
