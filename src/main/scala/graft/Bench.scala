@@ -8,6 +8,9 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experimental conf overrides, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;..."
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     // JVM/codegen warmup outside the timed loop so the first measured
     // query doesn't absorb classloading + janino compile time; the warmup
     // shape exercises scan → join → agg → window → sort, the stages the
