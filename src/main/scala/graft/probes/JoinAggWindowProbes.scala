@@ -253,6 +253,26 @@ object JoinAggWindowProbes {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // [EXT] J8 — backward as-of join (ops.AsofJoin): each purchase picks up
+    // the user's most recent view at-or-before it. The oracle uses the
+    // identical union+window formulation (ANSI; deterministic even under
+    // timestamp ties), and timestamps compare as epoch micros.
+    Probe(
+      "j8_asof_join",
+      "WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type = 'purchase'), r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type = 'view'), u AS (SELECT user_id, ts, 1 AS tag, NULL::BIGINT AS ord, event_id AS lid, value AS lval, NULL::BIGINT AS rid, NULL::DOUBLE AS rval FROM l UNION ALL SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, value FROM r), c AS (SELECT user_id, ts, tag, lid, lval, last_value(rid IGNORE NULLS) OVER w AS arid, last_value(rval IGNORE NULLS) OVER w AS arval FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, ord NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT lid AS event_id, user_id, epoch_us(ts) AS ts_us, lval AS value, arid AS asof_event_id, arval AS asof_value FROM c WHERE tag = 1 ORDER BY event_id"
+    ) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "ts", "value", "event_type")
+      val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val r = ev.filter(col("event_type") === "view").drop("event_type")
+      graft.ops.AsofJoin.asofJoin(l, r, Seq("user_id"),
+          "ts", "ts", "event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    },
+
     // W1 — ordinal assignment within parent, 0-based (repository.py:28-35).
     // l_linenumber alone is not unique within an order in the synthetic
     // data, so the window order carries (partkey, suppkey) tiebreakers to
