@@ -42,6 +42,18 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("as-of join runs with a single shuffle regardless of time density (J8)") {
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "value", "event_type")
+    val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val r = ev.filter(col("event_type") === "view").drop("event_type")
+    val p = plan(graft.ops.AsofJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts", "event_id"))
+    // the union+window formulation shuffles once on the key — no range-join
+    // candidate explosion, no per-row re-scan of the right side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("scan-filter-project pipelines inside WholeStageCodegen") {
     val p = plan(Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity"))
