@@ -36,4 +36,33 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
       (12L, Some(102L), Some(3.0)),    // latest preceding
       (13L, None, None)))              // key with no right side
   }
+
+  test("asof join agrees with per-row brute force on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val leftRows = (0 until 60).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          ts(f"2024-01-01 00:00:${rnd.nextInt(50)}%02d"), rnd.nextInt(100).toDouble)
+      }
+      val rightRows = (100 until 160).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          ts(f"2024-01-01 00:00:${rnd.nextInt(50)}%02d"), rnd.nextInt(100).toDouble)
+      }
+      val left = leftRows.toDF("event_id", "user_id", "ts", "value")
+      val right = rightRows.toDF("event_id", "user_id", "ts", "value")
+      val got = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts", "event_id")
+        .select("event_id", "asof_event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val expected = leftRows.map { case (lid, k, lts, _) =>
+        val m = rightRows.filter { case (_, rk, rts, _) =>
+          rk == k && !rts.after(lts)
+        }
+        // latest ts wins; ties by greatest right ord (event_id)
+        lid -> m.sortBy { case (rid, _, rts, _) => (rts.getTime, rid) }
+          .lastOption.map(_._1)
+      }.toMap
+      assert(got == expected)
+    }
+  }
 }
