@@ -155,6 +155,18 @@ object JoinAggWindowProbes {
           approx_count_distinct(col("l_suppkey")).as("d_supps_approx"))
     },
 
+    // [EXT] approximate percentiles (Greenwald-Khanna sketch) — the
+    // mergeable-summary path corpus statistics run at 100 TB, where exact
+    // `percentile` would buffer every value per group. Sketch estimates
+    // are engine-specific, so rows-only; AsofJoinSpec-style exactness
+    // lives with the exact `agg_percentiles` oracle instead.
+    Probe.unchecked("agg_approx_percentile") { (s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+          .as("p50_p90_approx"))
+        .orderBy("o_orderstatus")
+    },
+
     // Flagship pricing-summary aggregate (TPC-H Q1 shape over the probe
     // tables; exercises multi-key groupBy with partial aggregation).
     Probe(
