@@ -135,6 +135,22 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] sequence packing (ops.Packing): documents concatenated in id
+    // order and chopped into 512-token training sequences; the oracle is
+    // the ANSI running-sum formulation of the same placement. The Spark
+    // side computes the prefix sum with the two-pass partition-offset
+    // scheme (no single-task global window).
+    Probe(
+      "text_pack_sequences",
+      "WITH tc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count FROM documents), c AS (SELECT doc_id, token_count, sum(token_count) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM tc) SELECT doc_id, token_count, token_start, token_start // 512 AS seq_start, token_start % 512 AS seq_offset, greatest(token_start // 512, (token_start + token_count - 1) // 512) AS seq_end FROM c ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ops.Packing.packSequences(
+          t(s, d, "documents").select(col("doc_id"),
+            TA.tokenCount(col("text")).as("tok")),
+          "doc_id", "tok", 512)
+        .orderBy("doc_id")
+    },
+
     // Composed corpus statistics per language: the everything-together
     // aggregation shape a training-data curation job runs first.
     Probe(
