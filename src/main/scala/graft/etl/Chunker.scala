@@ -56,7 +56,10 @@ object Chunker {
       val serialized =
         if (headingPathAtOpen.isEmpty) text
         else headingPathAtOpen.mkString("\n") + "\n" + text
-      chunks += TextChunk(idx, text, serialized, countTokens(serialized))
+      // token_count counts the RAW chunk text (pdf_parser.py:196-198 sets
+      // token_count = len(chunk.text.split())); `serialized` (heading-
+      // enriched) is what NER consumes, but it is NOT what gets counted
+      chunks += TextChunk(idx, text, serialized, countTokens(text))
       idx += 1
       current.clear()
       currentTokens = 0

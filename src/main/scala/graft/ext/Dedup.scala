@@ -149,6 +149,11 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 32, bands: Int = 8,
                           threshold: Double = 0.5): DataFrame = {
+    require(k > 0 && bands > 0 && bands <= k && k % bands == 0,
+      s"need 0 < bands <= k and k % bands == 0, got k=$k bands=$bands " +
+        "(bands > k would give every doc an identical empty band key — " +
+        "one quadratic candidate bucket; k % bands != 0 would silently " +
+        "ignore trailing signature slots)")
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands

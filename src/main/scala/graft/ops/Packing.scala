@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Sequence packing for pretraining-data assembly: documents are
@@ -13,58 +13,84 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the placement is a running token sum over a globally
   * sorted corpus. A naive `Window.orderBy(id)` (no partition key) funnels
-  * the corpus through ONE task; instead this runs the classic two-pass
-  * distributed prefix sum — range-partition + sort by id, collect one
-  * per-partition subtotal row to the driver (one long per partition),
-  * broadcast the cumulative base offsets back, and stream each partition
-  * with its base. One shuffle (the range partitioning), no single-task
-  * bottleneck, O(partitions) driver state.
+  * the corpus through ONE task; instead this runs a two-level distributed
+  * prefix sum over DETERMINISTIC equal-width id buckets:
+  *
+  *   1. bucket = (id - minId) / width  — pure arithmetic, no sampling, so
+  *      every job computes the identical assignment (a sampled
+  *      `repartitionByRange` + `TaskContext.getPartitionId` scheme is NOT
+  *      stable across the two passes once AQE re-plans or the range
+  *      sampler draws differently);
+  *   2. one tiny aggregate (`groupBy(bucket).sum(tok)`) collects ONE row
+  *      per bucket to the driver, which prefix-sums them into per-bucket
+  *      base offsets (O(buckets) driver state);
+  *   3. a window partitioned BY BUCKET (parallel, no single-task funnel)
+  *      adds the within-bucket running sum to the bucket's base.
+  *
+  * One shuffle (hash by bucket for the window) plus a map-side-combined
+  * aggregate that shares the scan. Equal-width buckets assume ids are
+  * roughly dense (true for sequence-assigned doc ids); a pathologically
+  * clustered id space only unbalances bucket sizes, never correctness.
   */
 object Packing {
 
   /** @param idCol       unique document id (packing order)
     * @param tokenCol    per-document token count
     * @param seqLen      tokens per packed training sequence (> 0)
+    * @param buckets     prefix-sum fan-out (0 = spark.sql.shuffle.partitions)
     * @return (doc_id, token_count, token_start, seq_start, seq_offset,
     *         seq_end); zero-token documents occupy no tokens and get
     *         seq_end = seq_start
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    seqLen: Long): DataFrame = {
+                    seqLen: Long, buckets: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = df.sparkSession
-    import spark.implicits._
-    val sorted = df
-      .select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("tok"))
-      .repartitionByRange(col("id"))
-      .sortWithinPartitions("id")
-      .as[(Long, Long)]
-    // pass 1: per-partition token subtotal (one row per partition)
-    val subtotals = sorted.mapPartitions { it =>
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator.single((TaskContext.getPartitionId(), s))
-    }.collect().toMap
-    val nParts = sorted.rdd.getNumPartitions
-    val bases = new Array[Long](nParts)
+    val nB =
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("tok"))
+
+    val bounds = base.agg(min("id"), max("id")).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: emit the full schema, zero rows
+      return base.select(col("id").as("doc_id"), col("tok").as("token_count"),
+        col("tok").as("token_start"), col("tok").as("seq_start"),
+        col("tok").as("seq_offset"), col("tok").as("seq_end"))
+    }
+    val minId = bounds.getLong(0)
+    val maxId = bounds.getLong(1)
+    // ceil(span/nB); (id - minId) / width stays in [0, nB] with pure long
+    // arithmetic — no multiply that could overflow on a wide id space
+    val width = math.max(1L, (maxId - minId) / nB + 1L)
+    // `div` (integer), NOT `/` (double division on longs loses exactness)
+    val bucketed = base.withColumn("bucket",
+      expr(s"(id - ${minId}L) div ${width}L"))
+
+    // one row per non-empty bucket; prefix-sum on the driver
+    val subtotals = bucketed.groupBy("bucket").agg(sum("tok").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     var acc = 0L
-    (0 until nParts).foreach { p => bases(p) = acc; acc += subtotals.getOrElse(p, 0L) }
-    val bc = spark.sparkContext.broadcast(bases)
-    // pass 2: stream each partition with its cumulative base offset
-    sorted.mapPartitions { it =>
-      var run = bc.value(TaskContext.getPartitionId())
-      it.map { case (id, tok) =>
-        val start = run
-        run += tok
-        (id, tok, start)
-      }
-    }.toDF("doc_id", "token_count", "token_start")
+    val bases: Map[Long, Long] = (0L to (maxId - minId) / width).map { b =>
+      val e = b -> acc
+      acc += subtotals.getOrElse(b, 0L)
+      e
+    }.toMap
+    val basesCol = typedLit(bases)
+
+    val w = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("token_start",
+        element_at(basesCol, col("bucket")) + sum("tok").over(w) - col("tok"))
       // integer `div`, not `/`: double division would lose exactness for
       // token offsets past 2^53 (and these are exact placements, not stats)
-      .select(col("doc_id"), col("token_count"), col("token_start"),
+      .select(col("id").as("doc_id"), col("tok").as("token_count"),
+        col("token_start"),
         expr(s"token_start div ${seqLen}L").as("seq_start"),
         pmod(col("token_start"), lit(seqLen)).as("seq_offset"),
         greatest(expr(s"token_start div ${seqLen}L"),
-          expr(s"(token_start + token_count - 1) div ${seqLen}L")).as("seq_end"))
+          expr(s"(token_start + tok - 1) div ${seqLen}L")).as("seq_end"))
   }
 }

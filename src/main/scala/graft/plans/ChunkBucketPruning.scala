@@ -24,10 +24,15 @@ class ChunkBucketPruning(spark: SparkSession)
   extends Rule[LogicalPlan] with PredicateHelper {
 
   // bucket count per table root, resolved from the `_graft_buckets`
-  // marker the ingest writes next to the data (conf is the fallback);
-  // cached — the convention is immutable per table
+  // marker the ingest writes next to the data (conf is the fallback).
+  // Present markers are cached with a TTL: the convention normally never
+  // changes, but a full-table re-bucket rewrites the marker, and a live
+  // session pruning with the stale count would silently filter out every
+  // row — the TTL bounds that exposure to seconds at the cost of one tiny
+  // sidecar read per table per TTL window.
+  private val markerTtlNanos = 30L * 1000 * 1000 * 1000
   private val markerCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[Long]]
+    scala.collection.concurrent.TrieMap.empty[String, (Option[Long], Long)]
 
   private def markerBuckets(plan: LogicalPlan): Option[Long] =
     plan.collectFirst {
@@ -35,18 +40,22 @@ class ChunkBucketPruning(spark: SparkSession)
         rel.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.rootPaths.headOption.flatMap { root =>
-              // cache only present markers: the convention is immutable
-              // once written, but ABSENCE is not — a marker may appear
-              // after the first ingest into this path
-              markerCache.get(root.toString).getOrElse {
-                val found =
-                  try graft.store.Sidecar.read(
-                    new org.apache.hadoop.fs.Path(root, "_graft_buckets"),
-                    spark.sparkContext.hadoopConfiguration).map(_.toLong)
-                  catch { case _: Exception => None }
-                if (found.isDefined) markerCache.put(root.toString, found)
-                found
-              }
+              // cache only present markers (with TTL): absence is never
+              // cached — a marker may appear after the first ingest into
+              // this path, and the pre-ingest miss is the cheap case
+              val now = System.nanoTime()
+              markerCache.get(root.toString)
+                .collect { case (v, at) if now - at < markerTtlNanos => v }
+                .getOrElse {
+                  val found =
+                    try graft.store.Sidecar.read(
+                      new org.apache.hadoop.fs.Path(root, "_graft_buckets"),
+                      spark.sparkContext.hadoopConfiguration).map(_.toLong)
+                    catch { case _: Exception => None }
+                  if (found.isDefined)
+                    markerCache.put(root.toString, (found, now))
+                  found
+                }
             }
           case _ => None
         }

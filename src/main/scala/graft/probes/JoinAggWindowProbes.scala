@@ -160,10 +160,14 @@ object JoinAggWindowProbes {
     // `percentile` would buffer every value per group. Sketch estimates
     // are engine-specific, so rows-only; AsofJoinSpec-style exactness
     // lives with the exact `agg_percentiles` oracle instead.
+    // Scalar columns only (no array output): the driver's rows-only
+    // compare sorts the result frame, which an array column breaks.
     Probe.unchecked("agg_approx_percentile") { (s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
-          .as("p50_p90_approx"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)")
+          .as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)")
+            .as("p90_approx"))
         .orderBy("o_orderstatus")
     },
 

@@ -44,10 +44,24 @@ final class TableStore(spark: SparkSession, root: String) {
     // layout stays uniformly partitioned; an unreadable (file-less) dir
     // counts as empty
     if (exists(table)) {
-      val emptyOrBroken =
-        try read(table).isEmpty
-        catch { case _: Exception => true }
-      if (emptyOrBroken) fs.delete(new Path(tablePath(table)), true)
+      val dir = new Path(tablePath(table))
+      // only ever delete a table that is VERIFIABLY empty: either the
+      // directory holds no data files at all, or it reads as zero rows
+      // (the empty-table schema marker). A read failure on a table that
+      // does have data files is a real error and must propagate — treating
+      // it as "empty" would destroy a healthy table on a transient fault.
+      val f = fs
+      def hasDataFiles: Boolean = {
+        val it = f.listFiles(dir, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val n = it.next().getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) found = true
+        }
+        found
+      }
+      if (!hasDataFiles) f.delete(dir, true)
+      else if (read(table).isEmpty) f.delete(dir, true)
     }
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(tablePath(table))

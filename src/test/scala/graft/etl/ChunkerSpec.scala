@@ -52,7 +52,9 @@ class ChunkerSpec extends AnyFunSuite {
       DocElement("text", 0, null, words(5), 1))
     val c = Chunker.chunk(d, cfg).head
     assert(c.serialized.startsWith("Report\nFinancials\n"))
-    assert(c.tokenCount == 7) // 2 heading tokens + 5 body tokens
+    // token_count counts the RAW chunk text (pdf_parser.py:196-198), not
+    // the heading-enriched serialization
+    assert(c.tokenCount == 5)
   }
 
   test("heading of same-or-higher level replaces the path entry") {

@@ -56,7 +56,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
       "Executive Summary\nMarket Analysis\nThe market in Silicon Valley expanded on 2024-02-13.")
     assert(chunks(2).serialized ==
       "Financial Results\nRevenue of TechCorp Inc grew strongly, said Dr. Ada Byron.")
-    assert(chunks.map(_.tokenCount) == Seq(10, 12, 12))
+    // raw-text token counts (pdf_parser.py:196-198) — headings serialize
+    // into `serialized` above but do NOT count
+    assert(chunks.map(_.tokenCount) == Seq(8, 8, 10))
   }
 
   test("fixture 1 golden entities: full 5-bucket NER output") {
