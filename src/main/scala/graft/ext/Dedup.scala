@@ -105,6 +105,33 @@ object Dedup {
     (MurmurHash3.stringHash(s, seed).toLong << 32) |
       (MurmurHash3.stringHash(s, seed ^ 0x5bd1e995).toLong & 0xFFFFFFFFL)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit token hash: the top 60 bits of md5, i.e. the first 15 hex
+    * characters of the digest. Engine-INDEPENDENT by construction — any
+    * system with md5 reproduces it (`CAST('0x' || substr(md5(t),1,15) AS
+    * BIGINT)` in DuckDB, `conv(substring(md5(t),1,15),16,10)` in Spark
+    * SQL), which matters for training-data lineage: content signatures
+    * computed here can be re-derived and audited outside the engine.
+    * Always non-negative (fits the sign bit headroom of a long).
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (b(i) & 0xFFL); i += 1 }
+    h >>> 4 // top 60 bits == first 15 hex chars
+  }
+
+  /** Column form of [[md5Hash60]] (codegen'd builtins only). */
+  def md5Hash60Col(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   def shingleSet(text: String, n: Int = 3): Array[String] = {
     // limit -1 keeps trailing empty tokens, matching Spark's split()
     // semantics so the scalar and expression paths tokenize identically
@@ -195,16 +222,19 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Scalar one-pass 64-bit SimHash (performance path — see the note on
-    * interpreted higher-order expressions above).
+  /** Scalar one-pass 60-bit SimHash (performance path — see the note on
+    * interpreted higher-order expressions above). Uses the md5-derived
+    * 60-bit token hash so the whole signature is reproducible outside the
+    * engine (see [[md5Hash60]]); 60 well-mixed bits lose nothing material
+    * versus 64 for near-duplicate detection.
     */
-  private[ext] def simhash64Scalar(tokens: Array[String]): Long = {
-    val votes = new Array[Int](64)
+  private[ext] def simhash60Scalar(tokens: Array[String]): Long = {
+    val votes = new Array[Int](60)
     var i = 0
     while (i < tokens.length) {
-      val h = hash64(tokens(i))
+      val h = md5Hash60(tokens(i))
       var j = 0
-      while (j < 64) {
+      while (j < 60) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -212,14 +242,14 @@ object Dedup {
     }
     var out = 0L
     var j = 0
-    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 
   /** SimHash near-duplicate pairs within a Hamming radius, using the
-    * pigeonhole principle over four 16-bit bands: any pair within Hamming
-    * distance <= 3·(bands-1)/bands shares at least one exact band, so the
-    * candidate join is an equi-join on (band, 16-bit chunk).
+    * pigeonhole principle over four 15-bit bands of the 60-bit signature:
+    * any pair within Hamming distance 3 shares at least one exact band, so
+    * the candidate join is an equi-join on (band, 15-bit chunk).
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
@@ -231,12 +261,12 @@ object Dedup {
     import spark.implicits._
     val sim = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64Scalar(text.split(" ", -1))) }
+      .map { case (id, text) => (id, simhash60Scalar(text.split(" ", -1))) }
       .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("chunk"))): _*))
         .as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
     val a = banded.select(col("band"), col("chunk"),

@@ -125,13 +125,17 @@ object TextAnalysis {
     ) % FpMod
   }
 
-  /** Karp-Rabin rolling fingerprint: base-131 polynomial over xxhash64
-    * token hashes, reduced mod a 30-bit prime at every step so the
-    * arithmetic stays in long range under ANSI mode. Engine-internal
-    * (xxhash64 is not reproducible in SQL oracles), covered by ScalaTest.
+  /** Karp-Rabin rolling fingerprint: base-131 polynomial over md5-derived
+    * 60-bit token hashes (Dedup.md5Hash60Col), reduced mod a 30-bit prime
+    * at every step so the arithmetic stays in long range under ANSI mode.
+    * The md5 hash makes the fingerprint reproducible OUTSIDE the engine
+    * (DuckDB: `list_reduce(list_prepend(0, list_transform(toks, t ->
+    * CAST('0x'||substr(md5(t),1,15) AS BIGINT) % p)), (a,b) ->
+    * (a*131+b) % p)`), so stored lineage signatures can be audited by any
+    * SQL system.
     */
   val KrMod: Long = 1073741789L
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 131 + pmod(xxhash64(t), lit(KrMod)), lit(KrMod)))
+      (acc, t) => pmod(acc * 131 + pmod(Dedup.md5Hash60Col(t), lit(KrMod)), lit(KrMod)))
 }

@@ -73,13 +73,24 @@ object EtlProbes {
     },
 
     // E4/A2 — distributed NER bucketing over a deterministic entity-bearing
-    // text derived from the corpus.
-    Probe.unchecked("etl_ner_bucketing") { (s, d) =>
+    // text derived from the corpus. The synthesized preamble varies the
+    // location and date with doc_id (the corpus body is lowercase and
+    // contributes no entities), so the oracle derives each row's expected
+    // 5-bucket JSON in closed form — a per-row, data-dependent check of
+    // the extraction rules and the bucketing shape.
+    Probe(
+      "etl_ner_bucketing",
+      """SELECT doc_id, '{"persons":["Ada Byron"],"organizations":["TechCorp Inc"],"dates":["2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '"],"locations":["' || ['London', 'Tokyo', 'Berlin'][CAST(doc_id % 3 AS INT) + 1] || '"],"misc":[{"text":"Report","label":"MISC"}]}' AS entities FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
       import s.implicits._
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          concat(lit("Report by TechCorp Inc with Dr. Ada Byron in London on 2024-02-13. "),
-            col("text")).as("t"))
+          concat(lit("Report by TechCorp Inc with Dr. Ada Byron in "),
+            element_at(array(lit("London"), lit("Tokyo"), lit("Berlin")),
+              pmod(col("doc_id"), lit(3)).cast("int") + 1),
+            lit(" on 2024-02-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit(". "), col("text")).as("t"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => (id, Ner.extract(t)) })
         .toDF("doc_id", "entities")

@@ -165,9 +165,13 @@ object ExtProbes {
         .orderBy("lang")
     },
 
-    // Karp-Rabin rolling fingerprint: xxhash64-based, not
-    // SQL-oracle-reproducible; covered by ScalaTest.
-    Probe.unchecked("text_fingerprint_rolling") { (s, d) =>
+    // Karp-Rabin rolling fingerprint over md5-derived 60-bit token hashes:
+    // the oracle folds the identical base-131 mod-prime recurrence, so the
+    // stored lineage signature is auditable by any SQL engine.
+    Probe(
+      "text_fingerprint_rolling",
+      "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 1073741789)), (a, b) -> (a * 131 + b) % 1073741789) AS fp_kr FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.rollingFingerprint(col("text")).as("fp_kr"))
         .orderBy("doc_id")
@@ -205,16 +209,29 @@ object ExtProbes {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash+LSH candidates are a function of the engine's hash family —
-    // rows-only check; the exact-verify step bounds the output to true
-    // near-duplicates, and DedupSpec asserts recall against the exact pairs.
-    Probe.unchecked("dedup_minhash_lsh") { (s, d) =>
+    // MinHash+LSH is exact-VERIFIED (candidates are re-checked with exact
+    // Jaccard), so its output is oracle-able as the exact all-pairs SQL:
+    // with 8 bands of 4 rows at threshold 0.5, a true pair at similarity s
+    // is missed with probability (1-s^4)^8 — the corpus's near-dups all
+    // sit at s >= 0.9 (miss odds ~2e-4), so LSH recall is 1.0 here and the
+    // exact pair set IS the expected output. DedupSpec asserts the recall
+    // relationship independently of this data.
+    Probe(
+      "dedup_minhash_lsh",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jac FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.5 ORDER BY id_a, id_b"
+    ) { (s, d) =>
       Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
         k = 32, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 
-    Probe.unchecked("dedup_simhash") { (s, d) =>
+    // SimHash pairs are a pure function of the md5-derived 60-bit token
+    // hash (Dedup.md5Hash60), which any SQL engine reproduces — the oracle
+    // recomputes signature, banding, and Hamming filter from scratch.
+    Probe(
+      "dedup_simhash",
+      "WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM documents), sh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 60)]) AS BIGINT) AS sim FROM th), banded AS (SELECT doc_id, sim, u.b, (sim >> (u.b*15)) & 32767 AS chunk FROM sh, UNNEST([0,1,2,3]) AS u(b)), pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
       Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)
         .orderBy("id_a", "id_b")
