@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deterministic corpus mixing: hash-based train/validation/test
+  * splits and per-group weighted downsampling, the assignment machinery a
+  * training-data pipeline uses to mix sources at target proportions.
+  *
+  * Everything is keyed on the md5-derived bucket of the document id (see
+  * Dedup.md5Hash60Col) rather than rand(): assignments are reproducible
+  * across runs, across engines (any SQL system re-derives them), and
+  * stable under re-partitioning — rand()-based splits silently reshuffle
+  * membership on every retry/replan, which is catastrophic for train/test
+  * hygiene. Pure per-row expression work: no shuffle, no state.
+  */
+object Mixing {
+
+  /** Deterministic bucket in [0, 10000): md5 of (salt ++ id). */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(Dedup.md5Hash60Col(concat(lit(salt), id.cast("string"))), lit(10000L))
+
+  /** Adds a `split` column assigning each row to the first split whose
+    * cumulative fraction covers its bucket. Fractions must sum to <= 1;
+    * any remainder falls into the last split.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1, got $splits")
+    val bucket = hashBucket(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), els) =>
+      when(bucket < math.round(hi * 10000).toInt, name).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-group deterministic downsample: keep a row when its bucket falls
+    * under the group's weight (fraction in [0,1]). Groups absent from
+    * `weights` use `defaultWeight`.
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weights: Map[String, Double], defaultWeight: Double,
+                     salt: String): DataFrame = {
+    val bucket = hashBucket(col(idCol), salt)
+    val threshold = weights.foldRight(
+      lit(math.round(defaultWeight * 10000).toInt): Column) {
+      case ((g, w), els) =>
+        when(col(groupCol) === g, math.round(w * 10000).toInt).otherwise(els)
+    }
+    df.filter(bucket < threshold)
+  }
+}

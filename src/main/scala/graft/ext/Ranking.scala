@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Lexical relevance scoring: Okapi BM25 (Robertson & Zaragoza,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond", 2009) of a
+  * literal query against a document corpus — the retrieval primitive for
+  * quality-weighted sampling and search-style corpus probes.
+  *
+  * Scale design: query terms are literals, so term statistics collapse to
+  * a single tiny aggregate row that is broadcast (one cross join of a
+  * 1-row frame — Spark plans it as BroadcastNestedLoopJoin over a single
+  * row, effectively free). The corpus sees one explode + filter (map-side,
+  * the filter drops every non-query token before any shuffle) and ONE
+  * aggregation keyed by doc id. Per-term scores are separate columns in a
+  * fixed expression order, so the floating-point sum is deterministic —
+  * an `agg(sum(score))` over an exploded frame would add doubles in
+  * shuffle-arrival order and break run-to-run reproducibility.
+  */
+object Ranking {
+
+  /** Top-k documents by BM25 score for `queryTerms`.
+    * @return (doc_id, score) — score rounded to 6 decimals, descending,
+    *         ties broken by doc_id
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ", -1).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // one row per (doc, query-term occurrence); everything else is
+    // filtered before the aggregate's shuffle
+    val hits = base.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+
+    def tfCol(t: String): Column =
+      sum(when(col("term") === t, 1L).otherwise(0L))
+
+    val perDoc = hits.groupBy("doc_id", "dl")
+      .agg(tfCol(terms.head).as(tfName(0)),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          tfCol(t).as(tfName(i + 1))
+        }: _*)
+
+    // corpus-level stats: N + avgdl from the full corpus, df per term from
+    // the hit frame — a single 1-row frame, cross-joined (broadcast)
+    val corpusStats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfStats = perDoc.agg(
+      sum(when(col(tfName(0)) > 0, 1L).otherwise(0L)).cast("double").as(dfName(0)),
+      terms.indices.tail.map { i =>
+        sum(when(col(tfName(i)) > 0, 1L).otherwise(0L)).cast("double").as(dfName(i))
+      }: _*)
+
+    val scored = perDoc.crossJoin(corpusStats).crossJoin(dfStats)
+    // fixed left-to-right term order keeps the double sum deterministic
+    val score = terms.indices.map { i =>
+      val tf = col(tfName(i)).cast("double")
+      val idf = log((col("n_docs") - col(dfName(i)) + 0.5) / (col(dfName(i)) + 0.5) + 1.0)
+      // operand order mirrors the oracle SQL exactly — double arithmetic
+      // must agree bit-for-bit before the final rounding
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+
+    scored.select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  private def tfName(i: Int) = s"tf_$i"
+  private def dfName(i: Int) = s"df_$i"
+}

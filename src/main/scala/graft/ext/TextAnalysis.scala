@@ -138,4 +138,22 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 131 + pmod(Dedup.md5Hash60Col(t), lit(KrMod)), lit(KrMod)))
+
+  // -------------------------------------------------------------------
+  // PII redaction (training-data hygiene): RE2-compatible patterns (no
+  // backtracking constructs), replaced globally in one codegen'd
+  // regexp_replace chain. SSN runs before the phone pattern so the two
+  // never race on the same span.
+  // -------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Replace emails / SSNs / phone numbers with typed placeholder tags. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        SsnRe, "[SSN]"),
+      PhoneRe, "[PHONE]")
 }

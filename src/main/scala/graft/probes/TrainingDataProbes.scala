@@ -1,0 +1,94 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Decontaminate, Mixing, Quality, Ranking, TextAnalysis => TA}
+
+/** [EXT] Round-2 training-data curation operators: repetition quality
+  * signals, benchmark decontamination, deterministic mixing/splits, PII
+  * redaction, and BM25 relevance — each with a full DuckDB oracle (the
+  * mixing and redaction operators are md5/regex-deterministic by design,
+  * precisely so an external system can re-derive the assignments).
+  */
+object TrainingDataProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Probe] = Seq(
+
+    // Gopher-style repetition signals (dup-token fraction, top-bigram
+    // mass): one scalar pass per document, zero shuffle.
+    Probe(
+      "text_repetition_stats",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), base AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM tok), bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)), bgc AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1) SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(1.0 - nd * 1.0 / n, 9) AS dup_token_frac, round(coalesce(maxc * 1.0 / total, 0.0), 9) AS top_bigram_frac FROM base LEFT JOIN bgc USING (doc_id) ORDER BY doc_id"
+    ) { (s, d) =>
+      Quality.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: docs sharing >= 1 distinct 3-gram with
+    // the benchmark subset (doc_id % 50 = 0 stands in for an eval set).
+    Probe(
+      "decon_ngram_overlap",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) SELECT doc_id, count(*) AS n_hits FROM sh JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Decontaminate.ngramOverlap(docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3, minOverlap = 1)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic hash split: 90/5/5 by md5 bucket of the salted id —
+    // the oracle re-derives every assignment from scratch.
+    Probe(
+      "mix_hash_split",
+      "SELECT doc_id, CASE WHEN CAST('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train' WHEN CAST('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      Mixing.hashSplit(t(s, d, "documents"), "doc_id", "graft",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // Per-language weighted downsample (en kept at 0.5, others at 0.25),
+    // deterministic under the same md5 bucket.
+    Probe(
+      "mix_weighted_sample",
+      "SELECT doc_id, lang FROM documents WHERE CAST('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END ORDER BY doc_id"
+    ) { (s, d) =>
+      Mixing.weightedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5), defaultWeight = 0.25, salt = "mix")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction over a synthesized doc-varying contact preamble (the
+    // corpus body itself is PII-free and must pass through untouched).
+    Probe(
+      "text_pii_redact",
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace('Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'), '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TA.redactPii(concat(lit("Contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(". "), col("text"))).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Okapi BM25 top-20 for a literal query; the oracle recomputes tf/df/
+    // avgdl and the exact scoring arithmetic (same operation order, so
+    // the doubles agree before rounding).
+    Probe(
+      "rank_bm25_topk",
+      "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), b2 AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM base), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2), hits AS (SELECT doc_id, dl, u.t AS term FROM b2, UNNEST(ts) AS u(t) WHERE u.t IN ('data', 'spark', 'join')), per_doc AS (SELECT doc_id, dl, CAST(sum(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS DOUBLE) AS tf0, CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS DOUBLE) AS tf1, CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2 FROM hits GROUP BY doc_id, dl), dfs AS (SELECT CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM per_doc) SELECT doc_id, round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score FROM per_doc, stats, dfs ORDER BY score DESC, doc_id LIMIT 20"
+    ) { (s, d) =>
+      Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("data", "spark", "join"), k1 = 1.2, b = 0.75, topK = 20)
+    }
+  )
+}

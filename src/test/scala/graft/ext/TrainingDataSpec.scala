@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class TrainingDataSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("repetitionStats: dup-token and top-bigram fractions") {
+    val df = Seq((1L, "a a b"), (2L, "x x x x"), (3L, "q")).toDF("doc_id", "text")
+    val got = Quality.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // "a a b": 3 tokens, 2 distinct -> dup 1/3; bigrams {a a, a b} -> top 1/2
+    assert(got(0) == ((1L, 3L, BigDecimal(1.0 / 3).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    // "x x x x": dup 3/4; bigram "x x" 3 of 3
+    assert(got(1) == ((2L, 4L, 0.75, 1.0)))
+    // single token: no bigram -> 0.0
+    assert(got(2) == ((3L, 1L, 0.0, 0.0)))
+  }
+
+  test("ngramOverlap counts distinct shared n-grams, broadcast side") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"
+      (2L, "totally different words here"),
+      (3L, "the quick brown the quick brown")) // repeated shingle counts once
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Decontaminate.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 2L), (3L, 1L)))
+  }
+
+  test("hashSplit covers every row, deterministically, near the fractions") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Mixing.hashSplit(df, "doc_id", "s", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 2000L)
+    assert(a("train") > 1700 && a("val") > 50 && a("test") > 50)
+    // same salt -> identical assignment; different salt -> different
+    val row7a = Mixing.hashSplit(df, "doc_id", "s", splits)
+      .filter(col("doc_id") === 7).head().getString(1)
+    val row7b = Mixing.hashSplit(df, "doc_id", "s", splits)
+      .filter(col("doc_id") === 7).head().getString(1)
+    assert(row7a == row7b)
+  }
+
+  test("weightedSample keeps deterministic per-group subsets") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Mixing.weightedSample(df, "doc_id", "lang",
+      Map("en" -> 0.8), defaultWeight = 0.1, salt = "w")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en kept at ~80% of 500, zh at ~10% of 500
+    assert(kept("en") > 350 && kept("en") < 450)
+    assert(kept.getOrElse("zh", 0L) < 100)
+    val k1 = Mixing.weightedSample(df, "doc_id", "lang", Map("en" -> 0.8), 0.1, "w")
+      .agg(sum("doc_id")).head().getLong(0)
+    val k2 = Mixing.weightedSample(df, "doc_id", "lang", Map("en" -> 0.8), 0.1, "w")
+      .agg(sum("doc_id")).head().getLong(0)
+    assert(k1 == k2)
+  }
+
+  test("bm25TopK matches a hand-computed score and ranks by term density") {
+    val docs = Seq(
+      (1L, "data data data pad pad pad pad pad"),
+      (2L, "data pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val got = Ranking.bm25TopK(docs, "doc_id", "text", Seq("data"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // only docs containing the term appear; higher tf ranks first
+    assert(got.map(_._1) == List(1L, 2L))
+    // hand computation: N=3, df=2, avgdl=8, dl=8 -> len norm = 1
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def s(tf: Double) = idf * tf * 2.2 / (tf + 1.2)
+    assert(math.abs(got(0)._2 - s(3.0)) < 1e-6)
+    assert(math.abs(got(1)._2 - s(1.0)) < 1e-6)
+  }
+
+  test("redactPii replaces emails, SSNs, and phone numbers only") {
+    val df = Seq(
+      (1L, "mail a.b-c_d@ex-ample.co.uk now"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 end"),
+      (3L, "clean text 1234 stays 12-34")).toDF("id", "t")
+    val got = df.select(TextAnalysis.redactPii(col("t"))).as[String]
+      .collect().toList
+    assert(got == List(
+      "mail [EMAIL] now",
+      "ssn [SSN] phone [PHONE] end",
+      "clean text 1234 stays 12-34"))
+  }
+}
