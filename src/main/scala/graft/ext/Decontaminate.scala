@@ -26,12 +26,21 @@ object Decontaminate {
                    idCol: String, textCol: String,
                    n: Int = 8, minOverlap: Int = 1): DataFrame = {
     require(n > 0 && minOverlap > 0, s"need n > 0, minOverlap > 0")
-    val toks = split(col(textCol), " ", -1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // scalar shingling + 64-bit n-gram hashes: one pass per document
+    // (higher-order expressions are interpreted), and the broadcast side
+    // ships 8-byte hashes instead of n-word strings
     val corpusGrams = corpus
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(Dedup.shingles(toks, n)).as("ngram"))
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.shingleSet(text, n).iterator.map(s => (id, Dedup.hash64(s)))
+      }
+      .toDF("doc_id", "ngram")
     val benchGrams = benchmark
-      .select(explode(Dedup.shingles(toks, n)).as("ngram"))
+      .select(col(textCol)).as[String]
+      .flatMap(t => Dedup.shingleSet(t, n).iterator.map(Dedup.hash64(_)))
+      .toDF("ngram")
       .distinct()
     // (doc_id, ngram) is already distinct per document — Dedup.shingles
     // dedups within the array — so the hit count needs no extra distinct

@@ -294,17 +294,31 @@ object Dedup {
     * [[ngramJaccardPairsPrefix]], which provably skips those lists while
     * returning the identical result.
     */
+  /** Inverted-index posts (doc_id, block, shingle-hash): shingling and
+    * hashing run as ONE scalar pass per document (flatMap) — the
+    * expression form (explode(shingles(...))) is interpreted and re-walks
+    * the token array per emitted row. Hashing the shingle shrinks the
+    * shuffle payload; a 64-bit collision would need ~2^32 distinct
+    * shingles per block to matter.
+    */
+  private def shingleHashPosts(docs: DataFrame, idCol: String,
+                               textCol: String, blockCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"),
+        col(blockCol).cast("string"), col(textCol))
+      .as[(Long, String, String)]
+      .flatMap { case (id, block, text) =>
+        shingleSet(text).iterator.map(s => (id, block, hash64(s)))
+      }
+      .toDF("doc_id", "block", "s")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the inverted index posts (block, shingle-hash, id): hashing the
-    // shingle shrinks the shuffle payload; a 64-bit collision would need
-    // ~2^32 distinct shingles per block to matter
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        col(blockCol).as("block"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s0"))
-      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
+    val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list pair generation: one groupBy + a per-posting flatMap
     // beats the two-sided self-join shuffle; sorting each (small) posting
@@ -350,10 +364,7 @@ object Dedup {
                               blockCol: String, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        col(blockCol).as("block"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)))).as("s0"))
-      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
+    val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
     // global shingle document frequency; joining sh back on the SAME key
     // lets ReuseExchange share one (block, s) shuffle between the aggregate
     // and the join's left side

@@ -260,11 +260,15 @@ final class IngestPipeline(
       tables.append("chart_data", chartRows)
 
       // stats from the PERSISTED upstream frames: counting docRows/chunkRows
-      // would re-run the global row_number projections a second time
+      // would re-run the global row_number projections a second time.
+      // doc + chunk counts come out of ONE aggregate job over the cached
+      // frame (two separate actions would pay job-submission latency twice)
+      val docStats = docsWithId
+        .agg(count(lit(1)), coalesce(sum(size(col("chunks"))), lit(0L)))
+        .head()
       IngestStats(
-        documents = docsWithId.count(),
-        chunks = docsWithId.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
-          .head().getLong(0),
+        documents = docStats.getLong(0),
+        chunks = docStats.getLong(1),
         charts = chartsWithId.count())
     } finally {
       // release everything cached for this batch — a long-running stream
