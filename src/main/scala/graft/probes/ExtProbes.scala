@@ -70,7 +70,7 @@ object ExtProbes {
   import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
 
   /** SQL literal list of all language-marker tokens. */
-  private val markersSql: String =
+  private[probes] val markersSql: String =
     TA.profiles.values.flatten.toSeq.distinct.sorted.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB CASE arm matching TextAnalysis.fpWeights (131^k mod p). */

@@ -80,6 +80,29 @@ object TrainingDataProbes {
         .orderBy("doc_id")
     },
 
+    // The composed curation pipeline — quality filter → normalized exact
+    // dedup (keep min id) → deterministic split — run END TO END as one
+    // declarative plan, the way a real curation job chains these stages.
+    // Each stage is individually oracled elsewhere; this probe pins the
+    // composition. The quality threshold sits on 9-dp-rounded scores whose
+    // cross-engine equality the text_quality_score oracle already proves,
+    // so membership at the boundary is deterministic.
+    Probe(
+      "curate_pipeline",
+      s"""WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents), scored AS (SELECT doc_id, text, round(least(1.0, (len(list_filter(ts, x -> x IN (${ExtProbes.markersSql}))) * 1.0 / len(ts)) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(ts) - 1)) * 1.0 / len(ts)) / 8.0) * 0.2, 9) AS qs FROM q), kept AS (SELECT doc_id, text FROM scored WHERE qs >= 0.47), norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS key FROM kept), dedup AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keep FROM norm) t WHERE doc_id = keep) SELECT doc_id, CASE WHEN CAST('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train' WHEN CAST('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500 THEN 'val' ELSE 'test' END AS split FROM dedup ORDER BY doc_id"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = t(s, d, "documents")
+        .filter(round(TA.qualityScore(col("text")), 9) >= 0.47)
+        .withColumn("keep",
+          min(col("doc_id")).over(Window.partitionBy(TA.normalize(col("text")))))
+        .filter(col("doc_id") === col("keep"))
+      Mixing.hashSplit(kept, "doc_id", "graft",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Okapi BM25 top-20 for a literal query; the oracle recomputes tf/df/
     // avgdl and the exact scoring arithmetic (same operation order, so
     // the doubles agree before rounding).

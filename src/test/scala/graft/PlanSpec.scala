@@ -60,4 +60,38 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
     assert(p.contains("*(1) Filter"), p)
   }
+
+  test("decontamination broadcasts the benchmark n-gram side") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ext.Decontaminate.ngramOverlap(
+      docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+      "doc_id", "text", n = 3))
+    // the corpus must NEVER shuffle on n-gram: the benchmark set joins as
+    // a broadcast (its own tiny distinct may exchange — that side is
+    // benchmark-sized); the corpus side's only exchange is the per-doc
+    // count, so no sort-merge join anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("bm25 term statistics join as broadcasts, not shuffles") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ext.Ranking.bm25TopK(docs, "doc_id", "text",
+      Seq("data", "spark"), topK = 10))
+    // 1-row stat frames cross-join via broadcast nested loop (free at one
+    // row); the corpus side sees exactly one aggregation exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("hash split and weighted sample stay shuffle-free") {
+    val docs = Tables.load(spark, sf, "documents")
+    val split = graft.ext.Mixing.hashSplit(docs, "doc_id", "s",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val sample = graft.ext.Mixing.weightedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), 0.25, "s")
+    assert(!plan(split).contains("Exchange"), plan(split))
+    assert(!plan(sample).contains("Exchange"), plan(sample))
+  }
 }
