@@ -183,12 +183,26 @@ object Dedup {
         "ignore trailing signature slots)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = k / bands
     val withSh = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
       .toDF("doc_id", "sh")
-    val banded = withSh.as[(Long, Array[String])]
+    val banded = minhashBandsOfShingles(withSh, k, bands)
+    val cands = lshCandidatePairs(banded)
+    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  private def minhashBandsOfShingles(withSh: DataFrame, k: Int,
+                                     bands: Int): DataFrame = {
+    val spark = withSh.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    withSh.as[(Long, Array[String])]
       .flatMap { case (id, sh) =>
         // shingle-less docs (< n tokens) must not band at all: they would
         // all share the degenerate all-MaxValue signature and collide into
@@ -202,13 +216,50 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "band_key")
-    val cands = lshCandidatePairs(banded)
-    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
-      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash LSH band rows (doc_id, band, band_key) for PERSISTING as an
+    * incremental-dedup index: compute once per ingested document, store
+    * next to the corpus, and check each new batch against it with
+    * [[minhashCandidatesAgainst]] — the standard pattern when a 100 TB
+    * corpus grows by appends and re-signing the whole history per batch
+    * is not an option.
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k > 0 && bands > 0 && bands <= k && k % bands == 0,
+      s"need 0 < bands <= k and k % bands == 0, got k=$k bands=$bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashBandsOfShingles(
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, shingleSet(text)) }
+        .toDF("doc_id", "sh"),
+      k, bands)
+  }
+
+  /** Near-duplicate CANDIDATES of a new batch against a stored band index
+    * (asymmetric LSH join): (new_id, indexed_id) pairs sharing at least
+    * one band key. The band computation must use the same (k, bands) as
+    * the stored index. Candidates are unverified — the caller re-checks
+    * with exact Jaccard (or accepts LSH precision) because the indexed
+    * side's text may live in cold storage.
+    *
+    * Scale shape: the new batch is small relative to the index, so its
+    * band rows broadcast; the stored index is scanned once, never
+    * shuffled.
+    */
+  def minhashCandidatesAgainst(newDocs: DataFrame, storedBands: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 32, bands: Int = 8): DataFrame = {
+    val newBands = minhashBands(newDocs, idCol, textCol, k, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+    storedBands
+      .select(col("doc_id").as("indexed_id"), col("band"), col("band_key"))
+      .join(broadcast(newBands), Seq("band", "band_key"))
+      .filter(col("new_id") =!= col("indexed_id"))
+      .select("new_id", "indexed_id").distinct()
   }
 
   /** 64-bit SimHash over a token array: majority vote per bit position of

@@ -98,18 +98,73 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Scalar twin of [[planeComponent]]: same xxhash64 (seed 42, UTF-8
+    * bytes) evaluated off-plan, so scalar and expression signatures agree
+    * bit for bit (RhpParity test pins this).
+    */
+  private[ext] def planeComponentScalar(plane: Int, dim: Int): Double = {
+    val b = (plane.toString + "_" + dim.toString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    (java.lang.Math.floorMod(h, 2001L).toDouble - 1000.0) / 1000.0
+  }
+
+  /** Scalar signature over precomputed planes (performance path: the
+    * expression form evaluates nBits interpreted higher-order dot products
+    * per row — one scalar pass with a cached plane matrix is what the
+    * full-corpus signing stage needs). Accumulation order matches the
+    * expression fold, so results are identical.
+    */
+  private[ext] def rhpSignatureScalar(v: Array[Double],
+                                      planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val g = planes(p)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * g(d); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Approximate top-k via LSH bucketing: candidates are vectors whose
     * signature is within `maxHamming` bits of the query signature (checked
     * with bit_count(xor) after a broadcast of the single query signature),
     * then exact cosine re-ranks the candidates. At cluster scale the
     * signature comparison prunes the scan to a small candidate set; recall
     * is tunable via nBits/maxHamming.
+    *
+    * Tuning note (measured on the probe corpus): RHP bit-agreement is
+    * 1 - θ/π, so WEAKLY similar neighbours (cos ~0.3 → ~62% agreement)
+    * sit close to the random-pair baseline (50%) and need a wide radius —
+    * 32 bits at radius 14 gives 9/10 recall while pruning ~70% of the
+    * corpus; radius bits/2 reaches 10/10 but admits half the corpus. For
+    * such low-contrast embedding spaces prefer the IVF path (ivfTopK),
+    * whose coarse quantizer prunes by partition instead.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nBits: Int = 16,
-              maxHamming: Int = 6): DataFrame = {
-    val signed = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", rhpSignature(col("v"), nBits))
+              queryId: Long, k: Int, nBits: Int = 32,
+              maxHamming: Int = 14): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val signed = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        // plane matrix cached once per partition (it only depends on the
+        // vector dimensionality); rebuilt if a wider vector appears
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (planes == null || planes(0).length < v.length)
+            planes = Array.tabulate(nBits, v.length)(planeComponentScalar)
+          (id, v, rhpSignatureScalar(v, planes))
+        }
+      }
+      .toDF(idCol, "v", "sig")
     val q = signed.filter(col(idCol) === queryId)
       .select(col("v").as("qv0"), col("sig").as("qsig"))
     val candidates = signed.filter(col(idCol) =!= queryId)

@@ -94,4 +94,42 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       "ssn [SSN] phone [PHONE] end",
       "clean text 1234 stays 12-34"))
   }
+
+  test("int8 quantization: codes in range, zero vectors safe, mse small") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(2.54))).toDF("vec_id", "v")
+    val v = col("v")
+    val got = df.select(col("vec_id"), Quantize.int8Scale(v).as("s"),
+        Quantize.int8Codes(v).as("q"), Quantize.int8Mse(v).as("mse"))
+      .orderBy("vec_id").collect()
+    // scale = 1.0/127; codes round(x*127): (64, -127, 32)
+    assert(got(0).getSeq[Int](2) == Seq(64, -127, 32))
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(got(1).getDouble(1) == 0.0)
+    assert(got(1).getSeq[Int](2) == Seq(0, 0, 0))
+    assert(got(1).getDouble(3) == 0.0)
+    // single element: exact reconstruction (q = 127 exactly)
+    assert(got(2).getSeq[Int](2) == Seq(127))
+    assert(got(2).getDouble(3) < 1e-24)
+    assert(got(0).getDouble(3) > 0 && got(0).getDouble(3) < 1e-4)
+  }
+
+  test("incremental minhash index finds a near-dup in a new batch") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBands(corpus, "doc_id", "text")
+    // a light edit of doc 10 plus an unrelated doc
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (101L, "completely unrelated fresh words appear in this document now"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashCandidatesAgainst(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((100L, 10L)), s"missing near-dup candidate: $hits")
+    assert(!hits.exists(_._1 == 101L), s"false candidate for unrelated doc: $hits")
+  }
 }
