@@ -30,6 +30,45 @@ object Quantize {
           round(x / s, 0).cast("long")))).cast("int"))
   }
 
+  /** One scalar pass computing (id, scale, q_sum, mse) per vector — the
+    * performance path. The expression forms above re-evaluate the scale
+    * subtree per element when interpreted (higher-order lambdas see no
+    * common-subexpression elimination), turning O(d) into O(d²) per row;
+    * this pass is O(d) and bit-identical: same max-fold, same
+    * BigDecimal(HALF_UP) rounding as Spark's round(), same element-order
+    * error fold (QuantizeParity in TrainingDataSpec pins it).
+    */
+  def quantizeStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var mx = 0.0
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+        val scale = mx / 127.0
+        var qSum = 0L
+        var sqErr = 0.0
+        i = 0
+        while (i < v.length) {
+          val q =
+            if (scale == 0.0) 0L
+            else math.max(-127L, math.min(127L,
+              java.math.BigDecimal.valueOf(v(i) / scale)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+          qSum += q
+          val e = v(i) - q.toDouble * scale
+          sqErr += e * e
+          i += 1
+        }
+        val mse = if (v.length > 0) sqErr / v.length else 0.0
+        (id, scale, qSum, mse)
+      })
+      .toDF(idCol, "scale", "q_sum", "mse")
+  }
+
   /** Mean squared reconstruction error of the quantization, folded in
     * element order (deterministic, oracle-reproducible).
     */

@@ -87,12 +87,9 @@ object TrainingDataProbes {
       "emb_quantize_int8",
       "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), s AS (SELECT vec_id, v, coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale FROM e), qd AS (SELECT vec_id, v, scale, list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0::BIGINT ELSE greatest(-127::BIGINT, least(127::BIGINT, CAST(round(x / scale) AS BIGINT))) END) AS q FROM s) SELECT vec_id, round(scale, 9) AS scale_r, CAST(list_sum(q) AS BIGINT) AS q_sum, round(CASE WHEN len(v) > 0 THEN list_reduce(list_prepend(0.0, [ (v[i] - CAST(q[i] AS DOUBLE) * scale) * (v[i] - CAST(q[i] AS DOUBLE) * scale) for i in range(1, len(v)+1) ]), (a, b) -> a + b) / len(v) ELSE 0.0 END, 9) AS mse FROM qd ORDER BY vec_id"
     ) { (s, d) =>
-      val v = col("embedding").cast("array<double>")
-      t(s, d, "embeddings").select(col("vec_id"),
-        round(Quantize.int8Scale(v), 9).as("scale_r"),
-        aggregate(Quantize.int8Codes(v), lit(0L),
-          (a, x) => a + x.cast("long")).as("q_sum"),
-        round(Quantize.int8Mse(v), 9).as("mse"))
+      Quantize.quantizeStats(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
+          col("q_sum"), round(col("mse"), 9).as("mse"))
         .orderBy("vec_id")
     },
 

@@ -132,4 +132,20 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(hits.contains((100L, 10L)), s"missing near-dup candidate: $hits")
     assert(!hits.exists(_._1 == 101L), s"false candidate for unrelated doc: $hits")
   }
+
+  test("quantizeStats scalar pass equals the expression forms exactly") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(100)
+    val v = col("embedding").cast("array<double>")
+    val viaExpr = emb.select(col("vec_id"), Quantize.int8Scale(v).as("scale"),
+        aggregate(Quantize.int8Codes(v), lit(0L),
+          (a, x) => a + x.cast("long")).as("q_sum"),
+        Quantize.int8Mse(v).as("mse"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val viaScalar = Quantize.quantizeStats(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaExpr == viaScalar)
+  }
 }
