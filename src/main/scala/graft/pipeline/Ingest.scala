@@ -38,7 +38,13 @@ final case class ProcessingConfig(
     // [EXT] SURVEY §2.10: drop re-ingested content by sha-256 — the
     // reference re-processes duplicate drops (no dedup key); opt-in here
     // because it diverges from reference behavior
-    dedupByContent: Boolean = false)
+    dedupByContent: Boolean = false,
+    // [EXT] incremental NEAR-dup detection: maintain a MinHash band index
+    // (`minhash_bands` table) across batches and flag each new batch's
+    // candidates against it into `near_dup_flags` — detection is
+    // non-destructive (rows still ingest; a curation pass decides), which
+    // is the reviewable behavior a production corpus wants
+    flagNearDups: Boolean = false)
 
 final case class IngestStats(documents: Long, chunks: Long, charts: Long)
 
@@ -246,6 +252,26 @@ final class IngestPipeline(
           struct(col("level"), col("caption")).as("metadata"))).as("info"),
         col("image_path"),
         nowLit.as("created_at"))
+
+      // ---- [EXT] incremental near-dup flags BEFORE this batch's bands
+      // join the index (a batch is never flagged against itself — within-
+      // batch duplicates are dedupByContent's job)
+      if (cfg.flagNearDups) {
+        val newDocsText = docsWithId.select(col("id"), col("doc.elements"))
+          .as[(Long, Seq[graft.model.DocElement])]
+          .map { case (id, els) =>
+            (id, els.filter(_.elemType == "text").map(_.text).mkString(" "))
+          }
+          .toDF("doc_id", "text")
+        if (tables.exists("minhash_bands")) {
+          val flags = graft.ext.Dedup.minhashCandidatesAgainst(
+            newDocsText, tables.read("minhash_bands"), "doc_id", "text")
+            .withColumn("created_at", nowLit)
+          tables.append("near_dup_flags", flags)
+        }
+        tables.append("minhash_bands",
+          graft.ext.Dedup.minhashBands(newDocsText, "doc_id", "text"))
+      }
 
       // ---- persist: rows first (S10), then blobs, then chart rows (S12) —
       // blob-before-row ordering replicates the reference's failure mode

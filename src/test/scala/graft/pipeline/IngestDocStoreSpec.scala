@@ -209,6 +209,38 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(names == Seq("fresh_a.pdf", "orig.pdf"))
   }
 
+  test("near-dup flagging maintains the minhash index across batches ([EXT])") {
+    val inbox = tmpDir("inbox-neardup")
+    writeDoc(inbox, "base.pdf",
+      "T:\nalpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu.\n")
+    val root = tmpDir("store-neardup")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(flagNearDups = true))
+    assert(pipe.ingest(inbox, now).documents == 1)
+    // batch 1 builds the index, flags nothing (no prior index)
+    assert(!tables.exists("near_dup_flags"))
+    assert(tables.read("minhash_bands").count() > 0)
+
+    val inbox2 = tmpDir("inbox-neardup2")
+    // light edit of base (near-dup) + an unrelated doc
+    writeDoc(inbox2, "edited.pdf",
+      "T:\nalpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu.\n")
+    writeDoc(inbox2, "fresh.pdf",
+      "T:\ncompletely different words appear in this memo about trains.\n")
+    assert(pipe.ingest(inbox2, now).documents == 2)
+    val flags = tables.read("near_dup_flags")
+      .select("new_id", "indexed_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idOf = tables.read("documents").select("filename", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flags.contains((idOf("edited.pdf"), idOf("base.pdf"))), s"$flags")
+    assert(!flags.exists(_._1 == idOf("fresh.pdf")), s"$flags")
+    // the index now covers both batches (3 docs x 8 bands)
+    assert(tables.read("minhash_bands").count() == 24)
+  }
+
   test("non-pdf files are filtered at the source (F4, main.py:48)") {
     val inbox = tmpDir("inbox3")
     writeDoc(inbox, "keep.pdf", "T:\nbody text\n")
