@@ -41,4 +41,33 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref)
   }
+
+  test("scale smoke: 2M docs pack with exact invariants and no driver blowup") {
+    import spark.implicits._
+    // deterministic token counts, ids shuffled across partitions
+    val n = 2000000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      pmod(col("id") * 2654435761L, lit(997L)).as("tok"))
+      .repartition(64)
+    val out = Packing.packSequences(docs, "doc_id", "tok", 4096)
+    // total tokens = closed-form sum; last doc ends exactly at the total
+    val expectTotal = docs.agg(sum("tok")).head().getLong(0)
+    val stats = out.agg(
+      count(lit(1)),
+      max(col("token_start") + col("token_count")),
+      sum(when(col("seq_offset") >= 4096 || col("seq_offset") < 0, 1L).otherwise(0L)),
+      sum(when(col("seq_end") < col("seq_start"), 1L).otherwise(0L))).head()
+    assert(stats.getLong(0) == n)
+    assert(stats.getLong(1) == expectTotal)
+    assert(stats.getLong(2) == 0L, "seq_offset out of range")
+    assert(stats.getLong(3) == 0L, "seq_end < seq_start")
+    // placements never overlap: among token-BEARING docs, token_start is
+    // unique (zero-token docs legitimately share their successor's start)
+    // and the first placement begins at 0
+    val bearing = out.filter(col("token_count") > 0)
+    val seams = bearing.agg(count(lit(1)), countDistinct("token_start"),
+      min("token_start")).head()
+    assert(seams.getLong(0) == seams.getLong(1), "overlapping placements")
+    assert(seams.getLong(2) == 0L)
+  }
 }
