@@ -252,22 +252,35 @@ object Dedup {
     */
   def minhashCandidatesAgainst(newDocs: DataFrame, storedBands: DataFrame,
                                idCol: String, textCol: String,
-                               k: Int = 32, bands: Int = 8): DataFrame = {
-    val newBands = minhashBands(newDocs, idCol, textCol, k, bands)
+                               k: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatesFromBands(
+      minhashBands(newDocs, idCol, textCol, k, bands), storedBands)
+
+  /** As [[minhashCandidatesAgainst]], with the new batch's band rows
+    * already computed (callers that also persist the bands — e.g. the
+    * ingest index maintenance — compute them once and reuse).
+    */
+  def minhashCandidatesFromBands(newBands: DataFrame,
+                                 storedBands: DataFrame): DataFrame = {
+    val nb = newBands
       .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
     storedBands
       .select(col("doc_id").as("indexed_id"), col("band"), col("band_key"))
-      .join(broadcast(newBands), Seq("band", "band_key"))
+      .join(broadcast(nb), Seq("band", "band_key"))
       .filter(col("new_id") =!= col("indexed_id"))
       .select("new_id", "indexed_id").distinct()
   }
 
-  /** 64-bit SimHash over a token array: majority vote per bit position of
-    * the tokens' xxhash64 values. Single expression tree, zero shuffle;
-    * token hashes are materialized once and reused by all 64 bit votes.
+  /** Expression-form 60-bit SimHash over already-hashed tokens (hash with
+    * [[md5Hash60Col]] so results agree with [[simhash60Scalar]] — the
+    * ExtSpec parity test pins this). Majority vote per bit position;
+    * single expression tree, zero shuffle; token hashes are materialized
+    * once and reused by all 60 bit votes. The scalar path is the hot-loop
+    * choice (higher-order expressions are interpreted); this form exists
+    * for SQL-level composition.
     */
-  def simhash64(hashedTokens: Column): Column =
-    (0 until 64).map { j =>
+  def simhash60(hashedTokens: Column): Column =
+    (0 until 60).map { j =>
       val vote = aggregate(hashedTokens, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))

@@ -61,18 +61,29 @@ object Packing {
     }
     val minId = bounds.getLong(0)
     val maxId = bounds.getLong(1)
-    // ceil(span/nB); (id - minId) / width stays in [0, nB] with pure long
-    // arithmetic — no multiply that could overflow on a wide id space
-    val width = math.max(1L, (maxId - minId) / nB + 1L)
-    // `div` (integer), NOT `/` (double division on longs loses exactness)
-    val bucketed = base.withColumn("bucket",
-      expr(s"(id - ${minId}L) div ${width}L"))
+    // span computed in BigInt: an id space mixing large negative and large
+    // positive values (64-bit hash ids) overflows long subtraction, which
+    // would silently collapse the bucketing
+    val span = BigInt(maxId) - BigInt(minId)
+    val width = ((span / nB) + 1).max(1)
+    val maxBucket = (span / width).toLong // <= nB, always a small long
+    // `div` (integer), NOT `/` (double division on longs loses exactness).
+    // The narrow-span fast path stays in long arithmetic; a span past
+    // 2^63 routes through DECIMAL(38,0), which is exact for any 64-bit id
+    val bucketed =
+      if (span <= Long.MaxValue)
+        base.withColumn("bucket",
+          expr(s"(id - ${minId}L) div ${width.toLong}L"))
+      else
+        base.withColumn("bucket",
+          expr(s"CAST((CAST(id AS DECIMAL(38,0)) - CAST('$minId' AS " +
+            s"DECIMAL(38,0))) div CAST('$width' AS DECIMAL(38,0)) AS BIGINT)"))
 
     // one row per non-empty bucket; prefix-sum on the driver
     val subtotals = bucketed.groupBy("bucket").agg(sum("tok").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     var acc = 0L
-    val bases: Map[Long, Long] = (0L to (maxId - minId) / width).map { b =>
+    val bases: Map[Long, Long] = (0L to maxBucket).map { b =>
       val e = b -> acc
       acc += subtotals.getOrElse(b, 0L)
       e

@@ -253,26 +253,6 @@ final class IngestPipeline(
         col("image_path"),
         nowLit.as("created_at"))
 
-      // ---- [EXT] incremental near-dup flags BEFORE this batch's bands
-      // join the index (a batch is never flagged against itself — within-
-      // batch duplicates are dedupByContent's job)
-      if (cfg.flagNearDups) {
-        val newDocsText = docsWithId.select(col("id"), col("doc.elements"))
-          .as[(Long, Seq[graft.model.DocElement])]
-          .map { case (id, els) =>
-            (id, els.filter(_.elemType == "text").map(_.text).mkString(" "))
-          }
-          .toDF("doc_id", "text")
-        if (tables.exists("minhash_bands")) {
-          val flags = graft.ext.Dedup.minhashCandidatesAgainst(
-            newDocsText, tables.read("minhash_bands"), "doc_id", "text")
-            .withColumn("created_at", nowLit)
-          tables.append("near_dup_flags", flags)
-        }
-        tables.append("minhash_bands",
-          graft.ext.Dedup.minhashBands(newDocsText, "doc_id", "text"))
-      }
-
       // ---- persist: rows first (S10), then blobs, then chart rows (S12) —
       // blob-before-row ordering replicates the reference's failure mode
       // (orphan blobs possible, dangling rows never — SURVEY §7.4.4).
@@ -284,6 +264,37 @@ final class IngestPipeline(
         tables.setTableProp("document_chunks", "buckets", effectiveChunkBuckets.toString)
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
+
+      // ---- [EXT] incremental near-dup flags. Candidates come from the
+      // PRE-BATCH index (a batch never flags against itself — within-batch
+      // duplicates are dedupByContent's job); the batch's own bands join
+      // the index last. Ordering matters for crash safety: the index is
+      // written only AFTER the documents rows, so a crash can at worst
+      // UNDER-flag (docs stored, bands missing) — never leave ghost band
+      // rows whose ids a later dense-id batch would reuse, which would
+      // both suppress genuine candidates (new_id = indexed_id) and point
+      // flags at the wrong documents.
+      if (cfg.flagNearDups) {
+        val newDocsText = docsWithId.select(col("id"), col("doc.elements"))
+          .as[(Long, Seq[graft.model.DocElement])]
+          .map { case (id, els) =>
+            (id, els.filter(_.elemType == "text").map(_.text).mkString(" "))
+          }
+          .toDF("doc_id", "text")
+        // computed ONCE, cached: both the candidate join and the index
+        // append consume it (lineage recompute would re-shingle and
+        // re-sign every document a second time)
+        val newBands = graft.ext.Dedup
+          .minhashBands(newDocsText, "doc_id", "text").persist()
+        toUnpersist += newBands
+        if (tables.exists("minhash_bands")) {
+          val flags = graft.ext.Dedup.minhashCandidatesFromBands(
+            newBands, tables.read("minhash_bands"))
+            .withColumn("created_at", nowLit)
+          tables.append("near_dup_flags", flags)
+        }
+        tables.append("minhash_bands", newBands)
+      }
 
       // stats from the PERSISTED upstream frames: counting docRows/chunkRows
       // would re-run the global row_number projections a second time.

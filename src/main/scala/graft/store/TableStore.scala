@@ -51,12 +51,20 @@ final class TableStore(spark: SparkSession, root: String) {
       // does have data files is a real error and must propagate — treating
       // it as "empty" would destroy a healthy table on a transient fault.
       val f = fs
+      // a file only counts as data if NO path component below the table
+      // root is hidden — a crashed write's `_temporary/.../part-*.parquet`
+      // must read as "no data" (the leaf name alone looks like data), or
+      // the table wedges permanently: read() throws on a dir whose only
+      // files are under _temporary, and nothing would ever clean it
+      val rootPath = f.makeQualified(dir).toUri.getPath
       def hasDataFiles: Boolean = {
         val it = f.listFiles(dir, true)
         var found = false
         while (!found && it.hasNext) {
-          val n = it.next().getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".")) found = true
+          val rel = it.next().getPath.toUri.getPath
+            .stripPrefix(rootPath).stripPrefix("/")
+          if (!rel.split("/").exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))) found = true
         }
         found
       }

@@ -148,4 +148,16 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
         ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(viaExpr == viaScalar)
   }
+
+  test("expression simhash60 equals the scalar path over md5-60 tokens") {
+    val texts = Seq((1L, "alpha beta gamma delta"), (2L, "one two"), (3L, "x"))
+    val viaExpr = texts.toDF("id", "t")
+      .select(col("id"), Dedup.simhash60(
+        transform(split(col("t"), " ", -1), Dedup.md5Hash60Col(_))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScalar = texts.map { case (id, t) =>
+      id -> Dedup.simhash60Scalar(t.split(" ", -1))
+    }.toMap
+    assert(viaExpr == viaScalar)
+  }
 }

@@ -70,4 +70,20 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(seams.getLong(0) == seams.getLong(1), "overlapping placements")
     assert(seams.getLong(2) == 0L)
   }
+
+  test("hash-id spans wider than 2^63 pack correctly (no long overflow)") {
+    import spark.implicits._
+    // ids at both extremes of the 64-bit space: maxId - minId overflows a
+    // long; the decimal bucket path must still place every doc
+    val docs = Seq(
+      (Long.MinValue + 3L, 5L), (-17L, 7L), (0L, 1L), (42L, 3L),
+      (Long.MaxValue - 2L, 9L)).toDF("doc_id", "tok")
+    val got = Packing.packSequences(docs, "doc_id", "tok", 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList
+    // ascending-id order -> running starts 0,5,12,13,16
+    assert(got == List(
+      (Long.MinValue + 3L, 0L), (-17L, 5L), (0L, 12L), (42L, 13L),
+      (Long.MaxValue - 2L, 16L)))
+  }
 }

@@ -112,4 +112,20 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(os.get("k/1.png").exists(_._1.sameElements(Array[Byte](1))))
     assert(os.get("k/2.png").exists(_._1.length == 2))
   }
+
+  test("appendPartitioned recovers a table wedged by a crashed write (_temporary only)") {
+    import spark.implicits._
+    val root = tmpDir("crashed")
+    val tables = new TableStore(spark, root)
+    // simulate a killed first write: only _temporary content exists —
+    // the leaf file NAME looks like data, but every path component under
+    // the table root is hidden
+    val tmp = java.nio.file.Paths.get(root, "t", "_temporary", "0", "task_1")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-00000-dead.parquet"),
+      Array[Byte](1, 2, 3))
+    // the broken dir must read as "no data" and be cleared, not wedge
+    tables.appendPartitioned("t", Seq((1L, "a")).toDF("id", "p"), Seq("p"))
+    assert(tables.read("t").count() == 1)
+  }
 }
