@@ -238,12 +238,17 @@ object CoreProbes {
     },
 
     // S3 — glob listing scan (file_sensor.py:24-26): binaryFile metadata
-    // over the testdata directory. Sizes are deterministic, paths are not —
-    // rows-only (basenames + lengths).
-    Probe.unchecked("s3_glob_listing") { (s, d) =>
+    // over the testdata directory. The glob's expected file set is the
+    // fixed ten-table layout, so the oracle is a literal VALUES list
+    // (absolute paths and byte sizes are host/sf-dependent and excluded);
+    // the probe also guards non-emptiness of each file via length > 0.
+    Probe(
+      "s3_glob_listing",
+      "SELECT basename FROM (VALUES ('customer.parquet'), ('documents.parquet'), ('embeddings.parquet'), ('events.parquet'), ('lineitem.parquet'), ('nation.parquet'), ('orders.parquet'), ('part.parquet'), ('region.parquet'), ('supplier.parquet')) t(basename) ORDER BY basename"
+    ) { (s, d) =>
       s.read.format("binaryFile").load(s"$d/*.parquet")
-        .select(element_at(split(col("path"), "/"), -1).as("basename"),
-          col("length"))
+        .filter(col("length") > 0)
+        .select(element_at(split(col("path"), "/"), -1).as("basename"))
         .orderBy("basename")
     },
 
