@@ -1,0 +1,75 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-consistency audit: the invariants the ingest pipeline maintains
+  * (FK integrity, dense chunk ordinals, denormalized counts, cross-store
+  * blob linkage, index/flag referential integrity), each checked as a
+  * distributed anti-join or aggregate — no driver-side iteration, so the
+  * audit runs at corpus scale as one Spark job per check.
+  *
+  * The reference has no consistency checker (its FKs live in Postgres);
+  * over immutable files the invariants are maintained by write ordering
+  * (SURVEY §7.4.4) and THIS audit is how an operator verifies them after
+  * a crash, a partial migration, or bucket-convention surgery.
+  */
+object Audit {
+
+  /** One row per check: (check, violations). All-zero = healthy. */
+  def check(spark: SparkSession, tables: TableStore,
+            objects: ObjectStore): DataFrame = {
+    import spark.implicits._
+
+    def cnt(df: => DataFrame): Long = df.count()
+    def ifTable(name: String)(body: DataFrame => Long): Long =
+      if (tables.exists(name)) body(tables.read(name)) else 0L
+
+    val docs = if (tables.exists("documents")) tables.read("documents")
+               else Seq.empty[(Long, String)].toDF("id", "filename")
+    val docIds = docs.select(col("id"))
+
+    val results = Seq.newBuilder[(String, Long)]
+
+    // FK integrity: every child row points at a stored document
+    results += "chunks_orphaned" -> ifTable("document_chunks")(ch =>
+      cnt(ch.join(docIds, ch("document_id") === docIds("id"), "left_anti")))
+    results += "charts_orphaned" -> ifTable("chart_data")(ch =>
+      cnt(ch.join(docIds, ch("document_id") === docIds("id"), "left_anti")))
+
+    // dense ordinals: chunk_index must be exactly 0..n-1 per document
+    results += "chunk_index_not_dense" -> ifTable("document_chunks")(ch =>
+      cnt(ch.groupBy("document_id")
+        .agg(count(lit(1)).as("n"), min("chunk_index").as("lo"),
+          max("chunk_index").as("hi"))
+        .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)))
+
+    // denormalized count drift (repository.py:22 parity)
+    results += "total_chunks_mismatch" -> ifTable("document_chunks") { ch =>
+      val actual = ch.groupBy(col("document_id")).agg(count(lit(1)).as("actual"))
+      cnt(docs.join(actual, docs("id") === actual("document_id"), "left_outer")
+        .filter(col("total_chunks") =!= coalesce(col("actual"), lit(0L))))
+    }
+
+    // cross-store linkage: every chart row's blob exists, every stored
+    // blob has a row (orphan blobs are the reference's documented
+    // crash-mode leftovers — SURVEY §7.4.4 — surfaced here for cleanup)
+    val keys = objects.listKeys()
+    results += "blobs_missing" -> ifTable("chart_data")(ch =>
+      cnt(ch.join(keys, ch("image_path") === keys("key"), "left_anti")))
+    results += "blobs_orphaned" -> ifTable("chart_data") { ch =>
+      cnt(keys.join(ch, keys("key") === ch("image_path"), "left_anti"))
+    }
+
+    // [EXT] near-dup index/flags reference stored documents only
+    results += "bands_dangling" -> ifTable("minhash_bands")(b =>
+      cnt(b.select(col("doc_id")).distinct()
+        .join(docIds, col("doc_id") === docIds("id"), "left_anti")))
+    results += "flags_dangling" -> ifTable("near_dup_flags")(f =>
+      cnt(f.select(col("new_id").as("doc_id")).distinct()
+        .union(f.select(col("indexed_id").as("doc_id")).distinct())
+        .join(docIds, col("doc_id") === docIds("id"), "left_anti")))
+
+    results.result().toDF("check", "violations")
+  }
+}

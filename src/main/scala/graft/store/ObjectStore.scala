@@ -26,6 +26,27 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
   private def fs: FileSystem =
     new Path(bucketRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** All stored object keys (relative to the bucket root) as a single
+    * `key` column. Uses the binaryFile source with only the path column
+    * projected, so no object CONTENT is read — listing scales with file
+    * count, not byte volume. Empty/missing bucket → empty frame.
+    */
+  def listKeys(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!fs.exists(new Path(bucketRoot)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType().add("key", "string"))
+    val rootUri = fs.makeQualified(new Path(bucketRoot)).toString
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(bucketRoot)
+      .select(col("path"))
+      .withColumn("key",
+        regexp_replace(col("path"), java.util.regex.Pattern.quote(rootUri + "/"), ""))
+      .select("key")
+  }
+
   /** S11 — single put (minio.py:38-59). Returns the key. */
   def put(key: String, data: Array[Byte]): String = {
     val out = fs.create(fullPath(key), true)

@@ -128,4 +128,40 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     tables.appendPartitioned("t", Seq((1L, "a")).toDF("id", "p"), Seq("p"))
     assert(tables.read("t").count() == 1)
   }
+
+  test("audit reports zero violations on a healthy ingest, flags corruption") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val inbox = tmpDir("inbox-audit")
+    Files.write(Paths.get(inbox, "doc.pdf"),
+      "T:\nsome body text with content.\nTABLE: numbers\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val root = tmpDir("store-audit")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new graft.store.ObjectStore(spark, s"$root/bucket")
+    val pipe = new graft.pipeline.IngestPipeline(spark, tables, objects,
+      graft.pipeline.ProcessingConfig(flagNearDups = true))
+    pipe.ingest(inbox, java.sql.Timestamp.valueOf("2026-01-15 08:30:00"))
+
+    val healthy = Audit.check(spark, tables, objects)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healthy.values.forall(_ == 0L), s"unexpected violations: $healthy")
+    assert(healthy.size == 8)
+
+    // corrupt: orphan chunk row + delete a stored blob + orphan blob
+    tables.appendPartitioned("document_chunks",
+      tables.read("document_chunks").limit(1)
+        .withColumn("document_id", lit(999999L))
+        .withColumn("id", lit(424242L)), Seq("doc_bucket"))
+    val key = tables.read("chart_data").select("image_path").head().getString(0)
+    objects.delete(key)
+    objects.put("documents/55/charts/55.png", Array[Byte](1))
+    val bad = Audit.check(spark, tables, objects)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad("chunks_orphaned") == 1L, s"$bad")
+    assert(bad("blobs_missing") == 1L, s"$bad")
+    assert(bad("blobs_orphaned") == 1L, s"$bad")
+    assert(bad("total_chunks_mismatch") == 0L, s"$bad") // orphan doc not in documents
+  }
 }
