@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Store-consistency audit: the invariants the ingest pipeline maintains
   * (FK integrity, dense chunk ordinals, denormalized counts, cross-store
-  * blob linkage, index/flag referential integrity), each checked as a
-  * distributed anti-join or aggregate — no driver-side iteration, so the
-  * audit runs at corpus scale as one Spark job per check.
+  * blob linkage, bucket-convention agreement, index/flag referential
+  * integrity), each checked as a distributed anti-join or aggregate — no
+  * driver-side iteration, so the audit runs at corpus scale as one Spark
+  * job per check.
   *
   * The reference has no consistency checker (its FKs live in Postgres);
   * over immutable files the invariants are maintained by write ordering
@@ -16,7 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  /** One row per check: (check, violations). All-zero = healthy. */
+  /** One row per check: (check, violations). All-zero = healthy. Missing
+    * tables audit as empty — checks are phrased so absence counts what it
+    * implies (e.g. blobs with no chart_data table at all are ALL orphans,
+    * the first-batch crash window).
+    */
   def check(spark: SparkSession, tables: TableStore,
             objects: ObjectStore): DataFrame = {
     import spark.implicits._
@@ -26,7 +31,8 @@ object Audit {
       if (tables.exists(name)) body(tables.read(name)) else 0L
 
     val docs = if (tables.exists("documents")) tables.read("documents")
-               else Seq.empty[(Long, String)].toDF("id", "filename")
+               else Seq.empty[(Long, String, Long)]
+                 .toDF("id", "filename", "total_chunks")
     val docIds = docs.select(col("id"))
 
     val results = Seq.newBuilder[(String, Long)]
@@ -37,37 +43,63 @@ object Audit {
     results += "charts_orphaned" -> ifTable("chart_data")(ch =>
       cnt(ch.join(docIds, ch("document_id") === docIds("id"), "left_anti")))
 
-    // dense ordinals: chunk_index must be exactly 0..n-1 per document
+    // dense ordinals: chunk_index must be exactly 0..n-1 per document —
+    // count/min/max alone would pass [0,1,1,3] (duplicate compensating a
+    // gap), so distinctness is part of the predicate
     results += "chunk_index_not_dense" -> ifTable("document_chunks")(ch =>
       cnt(ch.groupBy("document_id")
-        .agg(count(lit(1)).as("n"), min("chunk_index").as("lo"),
-          max("chunk_index").as("hi"))
-        .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)))
+        .agg(count(lit(1)).as("n"), countDistinct("chunk_index").as("nd"),
+          min("chunk_index").as("lo"), max("chunk_index").as("hi"))
+        .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1 ||
+          col("nd") =!= col("n"))))
 
-    // denormalized count drift (repository.py:22 parity)
-    results += "total_chunks_mismatch" -> ifTable("document_chunks") { ch =>
-      val actual = ch.groupBy(col("document_id")).agg(count(lit(1)).as("actual"))
+    // denormalized count drift (repository.py:22 parity). Null-safe
+    // compare: a NULL total_chunks is drift, not a pass; a missing chunks
+    // table means every nonzero total_chunks is drift
+    results += "total_chunks_mismatch" -> {
+      val actual =
+        if (tables.exists("document_chunks"))
+          tables.read("document_chunks")
+            .groupBy(col("document_id")).agg(count(lit(1)).as("actual"))
+        else Seq.empty[(Long, Long)].toDF("document_id", "actual")
       cnt(docs.join(actual, docs("id") === actual("document_id"), "left_outer")
-        .filter(col("total_chunks") =!= coalesce(col("actual"), lit(0L))))
+        .filter(!(col("total_chunks") <=> coalesce(col("actual"), lit(0L)))))
     }
 
     // cross-store linkage: every chart row's blob exists, every stored
     // blob has a row (orphan blobs are the reference's documented
-    // crash-mode leftovers — SURVEY §7.4.4 — surfaced here for cleanup)
+    // crash-mode leftovers — SURVEY §7.4.4 — surfaced here for cleanup;
+    // with no chart_data table at all, EVERY blob is an orphan)
     val keys = objects.listKeys()
     results += "blobs_missing" -> ifTable("chart_data")(ch =>
       cnt(ch.join(keys, ch("image_path") === keys("key"), "left_anti")))
-    results += "blobs_orphaned" -> ifTable("chart_data") { ch =>
-      cnt(keys.join(ch, keys("key") === ch("image_path"), "left_anti"))
+    results += "blobs_orphaned" -> {
+      if (tables.exists("chart_data")) {
+        val ch = tables.read("chart_data")
+        cnt(keys.join(ch, keys("key") === ch("image_path"), "left_anti"))
+      } else cnt(keys)
     }
 
-    // [EXT] near-dup index/flags reference stored documents only
+    // bucket convention: every chunk's doc_bucket must agree with the
+    // stored `_graft_buckets` marker — a partial re-bucket leaves rows
+    // that partition pruning (ChunkBucketPruning) would silently skip
+    results += "bucket_mismatch" -> ifTable("document_chunks") { ch =>
+      tables.getTableProp("document_chunks", "buckets").map(_.toLong) match {
+        case Some(b) =>
+          cnt(ch.filter(col("doc_bucket") =!=
+            graft.pipeline.IngestPipeline.chunkBucket(col("document_id"), b.toInt)))
+        case None => 0L
+      }
+    }
+
+    // [EXT] near-dup index/flags reference stored documents only (a doc
+    // dangling in both flag roles counts once — final distinct)
     results += "bands_dangling" -> ifTable("minhash_bands")(b =>
       cnt(b.select(col("doc_id")).distinct()
         .join(docIds, col("doc_id") === docIds("id"), "left_anti")))
     results += "flags_dangling" -> ifTable("near_dup_flags")(f =>
-      cnt(f.select(col("new_id").as("doc_id")).distinct()
-        .union(f.select(col("indexed_id").as("doc_id")).distinct())
+      cnt(f.select(col("new_id").as("doc_id"))
+        .union(f.select(col("indexed_id").as("doc_id"))).distinct()
         .join(docIds, col("doc_id") === docIds("id"), "left_anti")))
 
     results.result().toDF("check", "violations")

@@ -26,6 +26,17 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
   private def fs: FileSystem =
     new Path(bucketRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Object keys must have no hidden ('_'/'.'-prefixed) path segment:
+    * Spark's file index skips hidden paths, so such a blob would be
+    * stored-but-unlistable — invisible to the consistency audit. The
+    * chart key convention never produces one; rejecting them at put time
+    * keeps `listKeys` an exhaustive listing.
+    */
+  private def requireListableKey(key: String): Unit =
+    require(!key.split("/").exists(s => s.startsWith("_") || s.startsWith(".")),
+      s"object key '$key' has a hidden path segment — it would be stored " +
+        "but invisible to listKeys()/Audit")
+
   /** All stored object keys (relative to the bucket root) as a single
     * `key` column. Uses the binaryFile source with only the path column
     * projected, so no object CONTENT is read — listing scales with file
@@ -33,10 +44,9 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
     */
   def listKeys(): DataFrame = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     if (!fs.exists(new Path(bucketRoot)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new org.apache.spark.sql.types.StructType().add("key", "string"))
+      return Seq.empty[String].toDF("key")
     val rootUri = fs.makeQualified(new Path(bucketRoot)).toString
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -49,6 +59,7 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
 
   /** S11 — single put (minio.py:38-59). Returns the key. */
   def put(key: String, data: Array[Byte]): String = {
+    requireListableKey(key)
     val out = fs.create(fullPath(key), true)
     try out.write(data) finally out.close()
     key
@@ -96,7 +107,12 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
         confMap.foreach { case (k, v) => conf.set(k, v) }
         val f = new Path(rootStr).getFileSystem(conf)
         rows.foreach { r =>
-          val out = f.create(new Path(s"$rootStr/${r.getString(0)}"), true)
+          val key = r.getString(0)
+          require(!key.split("/").exists(s =>
+            s.startsWith("_") || s.startsWith(".")),
+            s"object key '$key' has a hidden path segment — it would be " +
+              "stored but invisible to listKeys()/Audit")
+          val out = f.create(new Path(s"$rootStr/$key"), true)
           try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
     }

@@ -147,7 +147,7 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     val healthy = Audit.check(spark, tables, objects)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(healthy.values.forall(_ == 0L), s"unexpected violations: $healthy")
-    assert(healthy.size == 8)
+    assert(healthy.size == 9)
 
     // corrupt: orphan chunk row + delete a stored blob + orphan blob
     tables.appendPartitioned("document_chunks",
@@ -163,5 +163,10 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(bad("blobs_missing") == 1L, s"$bad")
     assert(bad("blobs_orphaned") == 1L, s"$bad")
     assert(bad("total_chunks_mismatch") == 0L, s"$bad") // orphan doc not in documents
+    // hidden path segments are rejected at put time: they would be stored
+    // but invisible to listKeys()/the audit
+    intercept[IllegalArgumentException] {
+      objects.put("documents/1/charts/.hidden.png", Array[Byte](1))
+    }
   }
 }
