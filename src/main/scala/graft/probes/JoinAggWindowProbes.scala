@@ -138,6 +138,23 @@ object JoinAggWindowProbes {
     },
 
     // [EXT] exact distinct counts (SURVEY §2.4 note).
+    // [EXT] Misra-Gries heavy hitters (mergeable sketch Aggregator): the
+    // corpus vocabulary (31 distinct tokens) sits under the sketch
+    // capacity (64), where MG is provably exact — so the probe
+    // hash-checks against the exact groupBy SQL while the operator
+    // remains a bounded-memory sketch at any scale.
+    Probe(
+      "agg_topk_tokens",
+      "SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY t ORDER BY cnt DESC, token LIMIT 10"
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .agg(graft.functions.TopKAgg.topK(col("tok"), capacity = 64, k = 10).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1").as("token"), col("e._2").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     Probe(
       "agg_count_distinct",
       "SELECT count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps FROM lineitem"
