@@ -30,6 +30,9 @@ final class MisraGriesAggregator(capacity: Int, k: Int)
   override def zero: mutable.Map[String, Long] = mutable.Map.empty
 
   override def reduce(b: mutable.Map[String, Long], item: String): mutable.Map[String, Long] = {
+    // SQL aggregates ignore NULLs; a null map key would also kill buffer
+    // serialization (NULL_MAP_KEY)
+    if (item == null) return b
     b.get(item) match {
       case Some(c) => b.update(item, c + 1)
       case None if b.size < capacity => b.update(item, 1L)

@@ -137,7 +137,6 @@ object JoinAggWindowProbes {
         .agg(count(lit(1)).as("cnt")).orderBy("o_orderstatus")
     },
 
-    // [EXT] exact distinct counts (SURVEY §2.4 note).
     // [EXT] Misra-Gries heavy hitters (mergeable sketch Aggregator): the
     // corpus vocabulary (31 distinct tokens) sits under the sketch
     // capacity (64), where MG is provably exact — so the probe
@@ -155,6 +154,7 @@ object JoinAggWindowProbes {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // [EXT] exact distinct counts (SURVEY §2.4 note).
     Probe(
       "agg_count_distinct",
       "SELECT count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps FROM lineitem"

@@ -30,12 +30,17 @@ object Audit {
     def ifTable(name: String)(body: DataFrame => Long): Long =
       if (tables.exists(name)) body(tables.read(name)) else 0L
 
-    val docs = if (tables.exists("documents")) tables.read("documents")
-               else Seq.empty[(Long, String, Long)]
-                 .toDF("id", "filename", "total_chunks")
+    // shared inputs are cached for the audit's lifetime: documents feeds
+    // ~6 checks and the object listing feeds 2 — at corpus scale the
+    // object-store LIST alone dominates, and must not be paid twice
+    val docs = (if (tables.exists("documents")) tables.read("documents")
+                else Seq.empty[(Long, String, Long)]
+                  .toDF("id", "filename", "total_chunks")).cache()
     val docIds = docs.select(col("id"))
+    val keys = objects.listKeys().cache()
 
     val results = Seq.newBuilder[(String, Long)]
+    try {
 
     // FK integrity: every child row points at a stored document
     results += "chunks_orphaned" -> ifTable("document_chunks")(ch =>
@@ -70,7 +75,6 @@ object Audit {
     // blob has a row (orphan blobs are the reference's documented
     // crash-mode leftovers — SURVEY §7.4.4 — surfaced here for cleanup;
     // with no chart_data table at all, EVERY blob is an orphan)
-    val keys = objects.listKeys()
     results += "blobs_missing" -> ifTable("chart_data")(ch =>
       cnt(ch.join(keys, ch("image_path") === keys("key"), "left_anti")))
     results += "blobs_orphaned" -> {
@@ -86,11 +90,25 @@ object Audit {
     results += "bucket_mismatch" -> ifTable("document_chunks") { ch =>
       tables.getTableProp("document_chunks", "buckets").map(_.toLong) match {
         case Some(b) =>
-          cnt(ch.filter(col("doc_bucket") =!=
-            graft.pipeline.IngestPipeline.chunkBucket(col("document_id"), b.toInt)))
+          // null-safe: a NULL doc_bucket (__HIVE_DEFAULT_PARTITION__) is
+          // exactly a row pruning would skip — it must count as mismatch
+          cnt(ch.filter(!(col("doc_bucket") <=>
+            graft.pipeline.IngestPipeline.chunkBucket(col("document_id"), b.toInt))))
         case None => 0L
       }
     }
+
+    // primary-key uniqueness: the dense-id SERIAL replacement reads
+    // maxId before appending, so a crashed-and-retried or racing batch
+    // is precisely how duplicate ids arise — every other check passes
+    // on a duplicated id while serving joins silently fan out
+    def dupIds(df: DataFrame, idCol: String): Long =
+      df.agg((count(lit(1)) - countDistinct(col(idCol))).as("d"))
+        .head().getLong(0)
+    results += "document_ids_duplicated" -> ifTable("documents")(dupIds(_, "id"))
+    results += "chunk_ids_duplicated" ->
+      ifTable("document_chunks")(dupIds(_, "id"))
+    results += "chart_ids_duplicated" -> ifTable("chart_data")(dupIds(_, "id"))
 
     // [EXT] near-dup index/flags reference stored documents only (a doc
     // dangling in both flag roles counts once — final distinct)
@@ -103,5 +121,9 @@ object Audit {
         .join(docIds, col("doc_id") === docIds("id"), "left_anti")))
 
     results.result().toDF("check", "violations")
+    } finally {
+      docs.unpersist()
+      keys.unpersist()
+    }
   }
 }

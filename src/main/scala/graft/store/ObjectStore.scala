@@ -26,17 +26,6 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
   private def fs: FileSystem =
     new Path(bucketRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Object keys must have no hidden ('_'/'.'-prefixed) path segment:
-    * Spark's file index skips hidden paths, so such a blob would be
-    * stored-but-unlistable — invisible to the consistency audit. The
-    * chart key convention never produces one; rejecting them at put time
-    * keeps `listKeys` an exhaustive listing.
-    */
-  private def requireListableKey(key: String): Unit =
-    require(!key.split("/").exists(s => s.startsWith("_") || s.startsWith(".")),
-      s"object key '$key' has a hidden path segment — it would be stored " +
-        "but invisible to listKeys()/Audit")
-
   /** All stored object keys (relative to the bucket root) as a single
     * `key` column. Uses the binaryFile source with only the path column
     * projected, so no object CONTENT is read — listing scales with file
@@ -59,7 +48,7 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
 
   /** S11 — single put (minio.py:38-59). Returns the key. */
   def put(key: String, data: Array[Byte]): String = {
-    requireListableKey(key)
+    ObjectStore.requireListableKey(key)
     val out = fs.create(fullPath(key), true)
     try out.write(data) finally out.close()
     key
@@ -108,13 +97,25 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
         val f = new Path(rootStr).getFileSystem(conf)
         rows.foreach { r =>
           val key = r.getString(0)
-          require(!key.split("/").exists(s =>
-            s.startsWith("_") || s.startsWith(".")),
-            s"object key '$key' has a hidden path segment — it would be " +
-              "stored but invisible to listKeys()/Audit")
+          ObjectStore.requireListableKey(key)
           val out = f.create(new Path(s"$rootStr/$key"), true)
           try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
     }
   }
+}
+
+object ObjectStore {
+  /** Object keys must have no hidden ('_'/'.'-prefixed) path segment:
+    * Spark's file index skips hidden paths, so such a blob would be
+    * stored-but-unlistable — invisible to listKeys()/the consistency
+    * audit. The chart key convention never produces one; rejecting them
+    * at put time keeps `listKeys` an exhaustive listing. Lives on the
+    * companion so the executor-side putAll closure shares the SAME rule
+    * as driver-side put (two copies would drift).
+    */
+  private[store] def requireListableKey(key: String): Unit =
+    require(!key.split("/").exists(s => s.startsWith("_") || s.startsWith(".")),
+      s"object key '$key' has a hidden path segment — it would be stored " +
+        "but invisible to listKeys()/Audit")
 }
