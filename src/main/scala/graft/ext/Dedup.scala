@@ -482,6 +482,51 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Cross-document repeated n-gram SPANS (the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022 — doc-level MinHash misses boilerplate shared by
+    * otherwise-distinct documents): every maximal token span whose
+    * constituent n-grams each occur in at least `minDocFreq` distinct
+    * documents, as (doc_id, span_start, span_end) with end exclusive.
+    * Downstream curation cuts or down-weights the spans.
+    *
+    * Scale shape: the posting frame carries (gram-hash, doc, pos) — one
+    * slim row per token, never document bodies. Qualifying grams come
+    * from one hash aggregation; the postings semi-join back on the same
+    * key (ReuseExchange shares the shuffle); span assembly is the classic
+    * islands trick under a PER-DOCUMENT window (parallel, no global
+    * sort).
+    */
+  def repeatedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 50, minDocFreq: Int = 2): DataFrame = {
+    require(n > 0 && minDocFreq >= 2,
+      s"need n > 0 and minDocFreq >= 2, got n=$n minDocFreq=$minDocFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val posts = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        (0 to toks.length - n).iterator.map { p =>
+          (id, p, hash64(toks.slice(p, p + n).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "pos", "g")
+    val qualifying = posts.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("g")
+    val hits = posts.join(qualifying, "g").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + n).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_end"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair list (id_a, id_b), labelling every member with the minimum
     * reachable id as `cluster_rep` — the survivor a dedup pass keeps.

@@ -225,6 +225,19 @@ object ExtProbes {
         .orderBy("id_a", "id_b")
     },
 
+    // Substring-level dedup (Lee et al. 2022): maximal spans of 8-grams
+    // each shared by >= 2 documents — catches boilerplate that doc-level
+    // MinHash misses. The oracle rebuilds postings, document frequency,
+    // and the islands-based span merge from scratch.
+    Probe(
+      "dedup_repeated_spans",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), g AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(list_slice(ts, u.i, u.i + 7), ' ') AS gram FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)), q AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), h AS (SELECT doc_id, pos FROM g JOIN q USING (gram)), i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h) SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 8 AS BIGINT) AS span_end FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+    ) { (s, d) =>
+      Dedup.repeatedNgramSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8, minDocFreq = 2)
+        .orderBy("doc_id", "span_start")
+    },
+
     // SimHash pairs are a pure function of the md5-derived 60-bit token
     // hash (Dedup.md5Hash60), which any SQL engine reproduces — the oracle
     // recomputes signature, banding, and Hamming filter from scratch.

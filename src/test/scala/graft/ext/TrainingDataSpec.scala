@@ -160,4 +160,21 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     }.toMap
     assert(viaExpr == viaScalar)
   }
+
+  test("repeatedNgramSpans merges adjacent shared grams into maximal spans") {
+    // docs 1 and 2 share tokens 0..5 ("a b c d e f") and again 8..11
+    // ("x y z w"); with n=3 the shared 3-grams at positions 0..3 merge
+    // into span [0,6), and positions 8..9 merge into [8,12)
+    val docs = Seq(
+      (1L, "a b c d e f q1 q2 x y z w"),
+      (2L, "a b c d e f r1 r2 x y z w"),
+      (3L, "totally different words here nothing shared at all now ok fine"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      (1L, 0L, 6L), (1L, 8L, 12L),
+      (2L, 0L, 6L), (2L, 8L, 12L)))
+  }
 }
