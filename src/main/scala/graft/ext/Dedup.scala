@@ -491,11 +491,11 @@ object Dedup {
     * Downstream curation cuts or down-weights the spans.
     *
     * Scale shape: the posting frame carries (gram-hash, doc, pos) — one
-    * slim row per token, never document bodies. Qualifying grams come
-    * from one hash aggregation; the postings semi-join back on the same
-    * key (ReuseExchange shares the shuffle); span assembly is the classic
-    * islands trick under a PER-DOCUMENT window (parallel, no global
-    * sort).
+    * slim row per token, never document bodies. At the default threshold
+    * (shared by >= 2 docs) qualification is two streaming min/max window
+    * aggregates over a single shuffle on the gram key — no self-join, one
+    * pass over the corpus; span assembly is the classic islands trick
+    * under a PER-DOCUMENT window (parallel, no global sort).
     */
   def repeatedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 50, minDocFreq: Int = 2): DataFrame = {
@@ -513,11 +513,31 @@ object Dedup {
         }
       }
       .toDF("doc_id", "pos", "g")
-    val qualifying = posts.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocFreq)
-      .select("g")
-    val hits = posts.join(qualifying, "g").select("doc_id", "pos")
+    val hits =
+      if (minDocFreq == 2) {
+        // the common case needs only "shared by >= 2 distinct docs",
+        // which is min(doc_id) != max(doc_id) within the gram — two
+        // streaming window aggregates over ONE shuffle on g, no self-join,
+        // and the per-token flatMap runs exactly once (a join-based
+        // formulation re-evaluates the posting subtree on both sides;
+        // measured: AQE does NOT stage-share the two copies)
+        val wg = Window.partitionBy("g")
+        posts
+          .withColumn("mn", min("doc_id").over(wg))
+          .withColumn("mx", max("doc_id").over(wg))
+          .filter(col("mn") =!= col("mx"))
+          .select("doc_id", "pos")
+      } else {
+        // general threshold: document-frequency aggregate + semi-join
+        // back on the gram key (posting subtree evaluates twice — the
+        // price of an arbitrary threshold; persist `docs` upstream if
+        // the source scan is expensive)
+        val qualifying = posts.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDocFreq)
+          .select("g")
+        posts.join(qualifying, "g").select("doc_id", "pos")
+      }
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("grp", col("pos") - row_number().over(w))
