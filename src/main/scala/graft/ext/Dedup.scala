@@ -488,7 +488,9 @@ object Dedup {
     * otherwise-distinct documents): every maximal token span whose
     * constituent n-grams each occur in at least `minDocFreq` distinct
     * documents, as (doc_id, span_start, span_end) with end exclusive.
-    * Downstream curation cuts or down-weights the spans.
+    * Spans are DISJOINT per document (overlapping gram windows merge), so
+    * downstream curation can cut or down-weight them sequentially without
+    * double-removing overlap regions.
     *
     * Scale shape: the posting frame carries (gram-hash, doc, pos) — one
     * slim row per token, never document bodies. At the default threshold
@@ -504,12 +506,40 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // null guards mirror the SQL-side behavior (a NULL text tokenizes to
+    // nothing and contributes no grams), instead of crashing the flatMap
     val posts = docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
+        // rolling Karp-Rabin over per-token hashes: O(L) per document —
+        // hashing each n-token window from scratch would be O(n·L) with
+        // a fresh ~n-token string allocation per position. Wrapping
+        // 64-bit polynomial (odd base) needs no modulus; the gram hash
+        // is engine-internal (the oracle compares exact gram strings).
         val toks = text.split(" ", -1)
-        (0 to toks.length - n).iterator.map { p =>
-          (id, p, hash64(toks.slice(p, p + n).mkString(" ")))
+        val m = toks.length - n
+        if (m < 0) Iterator.empty
+        else {
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { th(i) = hash64(toks(i)); i += 1 }
+          val B = 1000003L
+          var bn = 1L // B^(n-1), wrapping
+          i = 0
+          while (i < n - 1) { bn *= B; i += 1 }
+          var h = 0L
+          i = 0
+          while (i < n) { h = h * B + th(i); i += 1 }
+          val out = new Array[(Long, Int, Long)](m + 1)
+          out(0) = (id, 0, h)
+          var p = 1
+          while (p <= m) {
+            h = (h - th(p - 1) * bn) * B + th(p + n - 1)
+            out(p) = (id, p, h)
+            p += 1
+          }
+          out.iterator
         }
       }
       .toDF("doc_id", "pos", "g")
@@ -538,9 +568,17 @@ object Dedup {
           .select("g")
         posts.join(qualifying, "g").select("doc_id", "pos")
       }
+    // islands with gap threshold n: two qualifying positions closer than
+    // n tokens produce OVERLAPPING gram windows, so they merge into one
+    // span — output intervals are disjoint, which is what a downstream
+    // cut pass needs (overlapping spans would double-remove the overlap)
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val brk = when(col("pos") - lag("pos", 1).over(w) >= n, 1L)
+      .otherwise(when(lag("pos", 1).over(w).isNull, 1L).otherwise(0L))
     hits
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("brk", brk)
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + n).cast("long").as("span_end"))

@@ -101,14 +101,22 @@ object Audit {
     // primary-key uniqueness: the dense-id SERIAL replacement reads
     // maxId before appending, so a crashed-and-retried or racing batch
     // is precisely how duplicate ids arise — every other check passes
-    // on a duplicated id while serving joins silently fan out
+    // on a duplicated id while serving joins silently fan out.
+    // count(id) ignores NULLs, so a null id (a different defect,
+    // reported below) never masquerades as a duplicate
     def dupIds(df: DataFrame, idCol: String): Long =
-      df.agg((count(lit(1)) - countDistinct(col(idCol))).as("d"))
+      df.agg((count(col(idCol)) - countDistinct(col(idCol))).as("d"))
         .head().getLong(0)
-    results += "document_ids_duplicated" -> ifTable("documents")(dupIds(_, "id"))
+    def nullIds(df: DataFrame, idCol: String): Long =
+      df.filter(col(idCol).isNull).count()
+    // documents goes through the CACHED frame (it feeds ~6 checks)
+    results += "document_ids_duplicated" -> dupIds(docs, "id")
     results += "chunk_ids_duplicated" ->
       ifTable("document_chunks")(dupIds(_, "id"))
     results += "chart_ids_duplicated" -> ifTable("chart_data")(dupIds(_, "id"))
+    results += "pk_ids_null" -> (nullIds(docs, "id") +
+      ifTable("document_chunks")(nullIds(_, "id")) +
+      ifTable("chart_data")(nullIds(_, "id")))
 
     // [EXT] near-dup index/flags reference stored documents only (a doc
     // dangling in both flag roles counts once — final distinct)

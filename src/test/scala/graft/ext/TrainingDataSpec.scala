@@ -177,4 +177,18 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       (1L, 0L, 6L), (1L, 8L, 12L),
       (2L, 0L, 6L), (2L, 8L, 12L)))
   }
+
+  test("repeatedNgramSpans merges OVERLAPPING windows into disjoint spans") {
+    // doc 1's qualifying positions are {0, 2} (position 1's gram "b c d"
+    // is shared with no one): windows [0,3) and [2,5) overlap, so the
+    // output is ONE span [0,5) — disjoint intervals are the contract a
+    // sequential cut pass relies on. NULL text must contribute nothing.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c"), (3L, "c d e"), (4L, null))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 3L)))
+  }
 }
