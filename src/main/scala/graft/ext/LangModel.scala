@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Statistical language-model quality signal: per-document average
+  * add-one-smoothed bigram log-probability scored against the corpus's
+  * OWN bigram statistics (self-perplexity) — the CCNet-style filter
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", 2020): fluent/boilerplate text scores high,
+  * token soup scores low, and the signal needs no external model.
+  *
+  * Scale shape: two count aggregations (unigrams, bigrams) over slim
+  * posting rows — vocabulary-keyed, so they shuffle vocabulary-sized
+  * frames, never documents; the score join is keyed the same way. The
+  * per-document sum folds the position-sorted log-prob list, so the
+  * double accumulation is deterministic and oracle-reproducible (a plain
+  * sum(lp) would add in shuffle-arrival order).
+  */
+object LangModel {
+
+  /** @return (doc_id, n_bigrams, avg_lp) — avg_lp rounded to 6 decimals
+    *         (ln differs by 1 ulp across engines); documents with fewer
+    *         than 2 tokens have no bigram and are absent
+    */
+  def bigramSelfLogProb(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+
+    val unigrams = base.flatMap { case (_, text) =>
+      text.split(" ", -1).iterator
+    }.toDF("w")
+    val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vdf = uni.agg(count(lit(1)).cast("double").as("vsz"))
+
+    val bigrams = base.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 until toks.length - 1).iterator.map { p =>
+        (id, p, toks(p), toks(p) + " " + toks(p + 1))
+      }
+    }.toDF("doc_id", "pos", "w1", "big")
+    val c2 = bigrams.groupBy("big").agg(count(lit(1)).as("cb"))
+
+    val scored = bigrams
+      .join(c2, "big")
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vdf))
+      .select(col("doc_id"), col("pos"),
+        log((col("cb") + 1.0) / (col("c1") + col("vsz"))).as("lp"))
+
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("lps"), lit(0.0),
+          (acc, s) => acc + s.getField("lp")) / col("n_bigrams"), 6)
+          .as("avg_lp"))
+  }
+}

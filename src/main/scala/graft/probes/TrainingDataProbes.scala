@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Decontaminate, Mixing, Quality, Quantize, Ranking, TextAnalysis => TA}
+import graft.ext.{Decontaminate, LangModel, Mixing, Quality, Quantize, Ranking, TextAnalysis => TA}
 
 /** [EXT] Round-2 training-data curation operators: repetition quality
   * signals, benchmark decontamination, deterministic mixing/splits, PII
@@ -77,6 +77,17 @@ object TrainingDataProbes {
             lit("@example.com or call 555-123-"),
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
             lit(". "), col("text"))).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet-style LM self-perplexity: add-one-smoothed bigram logprob
+    // against the corpus's own statistics; the oracle rebuilds the counts
+    // and folds the position-sorted logprob list identically.
+    Probe(
+      "text_lm_logprob",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), uni AS (SELECT u.t AS w, count(*) AS c1 FROM tok, UNNEST(ts) AS u(t) GROUP BY u.t), v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni), bg AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i + 1] AS big FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)), c2 AS (SELECT big, count(*) AS cb FROM bg GROUP BY big), scored AS (SELECT doc_id, pos, ln((c2.cb + 1.0) / (uni.c1 + v.vsz)) AS lp FROM bg JOIN c2 USING (big) JOIN uni ON bg.w1 = uni.w CROSS JOIN v), agg AS (SELECT doc_id, count(*) AS n_bigrams, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc_id) SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / n_bigrams, 6) AS avg_lp FROM agg ORDER BY doc_id"
+    ) { (s, d) =>
+      LangModel.bigramSelfLogProb(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 

@@ -191,4 +191,24 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(got == List((1L, 0L, 5L), (2L, 0L, 3L), (3L, 0L, 3L)))
   }
+
+  test("bigram LM self-logprob: frequent sequences outscore rare ones") {
+    // "a b" appears in 3 docs, "x y" once; doc 4 is pure token soup
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "a b"),
+      (4L, "q w e r t z")).toDF("doc_id", "text")
+    val got = LangModel.bigramSelfLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(_._1) == List(1L, 2L, 3L, 4L))
+    assert(got.map(_._2) == List(5L, 3L, 1L, 5L))
+    // the boilerplate docs outscore the token soup
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) > byId(4L) && byId(3L) > byId(4L))
+    // hand-check doc 3: one bigram "a b", C2=6 across docs 1-3,
+    // C1("a")=6, V=8 -> ln(7/14)
+    assert(math.abs(byId(3L) -
+      BigDecimal(math.log(7.0 / 14.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }

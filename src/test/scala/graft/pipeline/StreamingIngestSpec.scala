@@ -92,4 +92,36 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
         "processed file should leave the inbox")
     } finally q.stop()
   }
+
+  test("streaming ingest flags near-dups against earlier micro-batches") {
+    val inbox = tmpDir("stream-neardup-inbox")
+    val root = tmpDir("stream-neardup-store")
+    val checkpoint = s"$root/checkpoint"
+    Files.write(Paths.get(inbox, "base.pdf"),
+      "T:\nalpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu.\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(flagNearDups = true))
+
+    val q1 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q1.awaitTermination()
+    assert(!tables.exists("near_dup_flags")) // nothing earlier to flag against
+
+    // a later batch drops a light edit of base — the stored band index
+    // from batch 1 must flag it
+    Files.write(Paths.get(inbox, "edited.pdf"),
+      "T:\nalpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu.\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val q2 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q2.awaitTermination()
+
+    val idOf = tables.read("documents").select("filename", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flags = tables.read("near_dup_flags")
+      .select("new_id", "indexed_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((idOf("edited.pdf"), idOf("base.pdf"))), s"$flags")
+  }
 }
