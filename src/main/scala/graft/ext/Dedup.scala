@@ -485,12 +485,16 @@ object Dedup {
   /** Cross-document repeated n-gram SPANS (the substring-level dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", 2022 — doc-level MinHash misses boilerplate shared by
-    * otherwise-distinct documents): every maximal token span whose
-    * constituent n-grams each occur in at least `minDocFreq` distinct
-    * documents, as (doc_id, span_start, span_end) with end exclusive.
-    * Spans are DISJOINT per document (overlapping gram windows merge), so
-    * downstream curation can cut or down-weight them sequentially without
-    * double-removing overlap regions.
+    * otherwise-distinct documents): the UNION of all n-gram windows that
+    * occur in at least `minDocFreq` distinct documents, merged into
+    * DISJOINT (doc_id, span_start, span_end) intervals with end
+    * exclusive. A merged span may contain tokens whose own window did
+    * not qualify (two overlapping qualifying windows bridge them); what
+    * the contract guarantees is that every qualifying window is covered
+    * and intervals never overlap, so downstream curation can cut or
+    * down-weight them sequentially without double-removing any region.
+    * Rows with NULL id or text are excluded (corrupt input — the store
+    * Audit reports them).
     *
     * Scale shape: the posting frame carries (gram-hash, doc, pos) — one
     * slim row per token, never document bodies. At the default threshold

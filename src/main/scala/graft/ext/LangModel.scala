@@ -35,7 +35,10 @@ object LangModel {
       text.split(" ", -1).iterator
     }.toDF("w")
     val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
-    val vdf = uni.agg(count(lit(1)).cast("double").as("vsz"))
+    // vocabulary size collected once on the driver (a long, not a frame):
+    // a 1-row vdf cross join would re-evaluate the unigram aggregation a
+    // second time on the join side — AQE does not stage-share the copies
+    val vsz = uni.count().toDouble
 
     val bigrams = base.flatMap { case (id, text) =>
       val toks = text.split(" ", -1)
@@ -43,14 +46,18 @@ object LangModel {
         (id, p, toks(p), toks(p) + " " + toks(p + 1))
       }
     }.toDF("doc_id", "pos", "w1", "big")
-    val c2 = bigrams.groupBy("big").agg(count(lit(1)).as("cb"))
 
+    // bigram count via a window over the bigram key, not a self-join —
+    // one shuffle on `big` and the bigram flatMap evaluates ONCE (the
+    // groupBy+join formulation re-runs it on both sides). The unigram
+    // join is a genuine second input (last-token counts are not derivable
+    // from bigram rows), so one unigram scan remains.
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("big")
     val scored = bigrams
-      .join(c2, "big")
+      .withColumn("cb", count(lit(1)).over(wb))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
-      .crossJoin(broadcast(vdf))
       .select(col("doc_id"), col("pos"),
-        log((col("cb") + 1.0) / (col("c1") + col("vsz"))).as("lp"))
+        log((col("cb") + 1.0) / (col("c1") + vsz)).as("lp"))
 
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -231,7 +231,7 @@ object ExtProbes {
     // and the islands-based span merge from scratch.
     Probe(
       "dedup_repeated_spans",
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), g AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(list_slice(ts, u.i, u.i + 7), ' ') AS gram FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)), q AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), h AS (SELECT doc_id, pos FROM g JOIN q USING (gram)), i AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 8 THEN 1 ELSE 0 END AS brk FROM h), j AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM i) SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 8 AS BIGINT) AS span_end FROM j GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), g AS (SELECT doc_id, u.i - 1 AS pos, array_to_string(list_slice(ts, u.i, u.i + 7), ' ') AS gram FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)), q AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), h AS (SELECT doc_id, pos FROM g JOIN q USING (gram)), i AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 8 THEN 1 ELSE 0 END AS brk FROM h), j AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM i) SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 8 AS BIGINT) AS span_end FROM j GROUP BY doc_id, grp ORDER BY doc_id, span_start"
     ) { (s, d) =>
       Dedup.repeatedNgramSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, minDocFreq = 2)

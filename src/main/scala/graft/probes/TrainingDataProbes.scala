@@ -85,7 +85,7 @@ object TrainingDataProbes {
     // and folds the position-sorted logprob list identically.
     Probe(
       "text_lm_logprob",
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), uni AS (SELECT u.t AS w, count(*) AS c1 FROM tok, UNNEST(ts) AS u(t) GROUP BY u.t), v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni), bg AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i + 1] AS big FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)), c2 AS (SELECT big, count(*) AS cb FROM bg GROUP BY big), scored AS (SELECT doc_id, pos, ln((c2.cb + 1.0) / (uni.c1 + v.vsz)) AS lp FROM bg JOIN c2 USING (big) JOIN uni ON bg.w1 = uni.w CROSS JOIN v), agg AS (SELECT doc_id, count(*) AS n_bigrams, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc_id) SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / n_bigrams, 6) AS avg_lp FROM agg ORDER BY doc_id"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), uni AS (SELECT u.t AS w, count(*) AS c1 FROM tok, UNNEST(ts) AS u(t) GROUP BY u.t), v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni), bg AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i + 1] AS big FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)), c2 AS (SELECT big, count(*) AS cb FROM bg GROUP BY big), scored AS (SELECT doc_id, pos, ln((c2.cb + 1.0) / (uni.c1 + v.vsz)) AS lp FROM bg JOIN c2 USING (big) JOIN uni ON bg.w1 = uni.w CROSS JOIN v), agg AS (SELECT doc_id, count(*) AS n_bigrams, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc_id) SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / n_bigrams, 6) AS avg_lp FROM agg ORDER BY doc_id"
     ) { (s, d) =>
       LangModel.bigramSelfLogProb(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -114,9 +114,11 @@ object Audit {
     results += "chunk_ids_duplicated" ->
       ifTable("document_chunks")(dupIds(_, "id"))
     results += "chart_ids_duplicated" -> ifTable("chart_data")(dupIds(_, "id"))
-    results += "pk_ids_null" -> (nullIds(docs, "id") +
-      ifTable("document_chunks")(nullIds(_, "id")) +
-      ifTable("chart_data")(nullIds(_, "id")))
+    // per-table like the sibling duplicate checks — a nonzero count must
+    // name the table it was found in
+    results += "document_ids_null" -> nullIds(docs, "id")
+    results += "chunk_ids_null" -> ifTable("document_chunks")(nullIds(_, "id"))
+    results += "chart_ids_null" -> ifTable("chart_data")(nullIds(_, "id"))
 
     // [EXT] near-dup index/flags reference stored documents only (a doc
     // dangling in both flag roles counts once — final distinct)

@@ -147,7 +147,7 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     val healthy = Audit.check(spark, tables, objects)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(healthy.values.forall(_ == 0L), s"unexpected violations: $healthy")
-    assert(healthy.size == 13)
+    assert(healthy.size == 15)
 
     // corrupt: orphan chunk row + delete a stored blob + orphan blob
     tables.appendPartitioned("document_chunks",
