@@ -39,6 +39,17 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Unit-normalize a vector against a PRECOMPUTED norm column. Callers
+    * materialize the norm once per row (`withColumn("nrm", l2Norm(v))`)
+    * — inlining `l2Norm` in the lambda would re-evaluate the O(d) fold
+    * per element (interpreted higher-order expressions get no common-
+    * subexpression elimination → O(d²) per row). Zero vectors pass
+    * through unchanged (normalizing them is undefined); pre-normalized
+    * corpora turn cosine into a plain dot product downstream.
+    */
+  def l2Normalize(vec: Column, norm: Column): Column =
+    when(norm === 0.0, vec).otherwise(transform(vec, x => x / norm))
+
   /** Scalar twin of `cosine` with identical evaluation order (sequential
     * left-to-right folds, dot/(sqrt(na)*sqrt(nb))) — bit-for-bit the same
     * result, used on hot pairwise paths where interpreted array

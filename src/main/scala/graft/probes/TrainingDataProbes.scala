@@ -80,6 +80,24 @@ object TrainingDataProbes {
         .orderBy("doc_id")
     },
 
+    // L2 normalization (pre-normalized corpora turn cosine into a dot
+    // product): per-vector norm and first normalized component, with the
+    // norm materialized ONCE per row — the pattern that keeps the
+    // interpreted transform O(d) instead of O(d²).
+    Probe(
+      "emb_l2_normalize",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e) SELECT vec_id, round(nrm, 9) AS norm, round(CASE WHEN nrm = 0.0 THEN v[1] ELSE v[1] / nrm END, 9) AS u0 FROM n ORDER BY vec_id"
+    ) { (s, d) =>
+      import graft.ext.Similarity
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.l2Norm(col("v")))
+        .select(col("vec_id"), round(col("nrm"), 9).as("norm"),
+          round(element_at(Similarity.l2Normalize(col("v"), col("nrm")), 1), 9)
+            .as("u0"))
+        .orderBy("vec_id")
+    },
+
     // CCNet-style LM self-perplexity: add-one-smoothed bigram logprob
     // against the corpus's own statistics; the oracle rebuilds the counts
     // and folds the position-sorted logprob list identically.

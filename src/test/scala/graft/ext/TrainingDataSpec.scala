@@ -211,4 +211,13 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       BigDecimal(math.log(7.0 / 14.0)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("l2Normalize yields unit vectors, passes zero vectors through") {
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+    val got = df.withColumn("nrm", Similarity.l2Norm(col("v")))
+      .select(col("id"), Similarity.l2Normalize(col("v"), col("nrm")).as("u"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(got(1).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
 }
