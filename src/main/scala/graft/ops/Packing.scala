@@ -34,6 +34,33 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Context-window splitting: each document becomes strided token
+    * windows of at most `size` tokens (stride < size ⇒ overlapping
+    * windows, the standard long-document treatment when packing would
+    * split semantic units). One scalar pass per document, zero shuffle;
+    * the trailing partial window is kept (training pads it).
+    *
+    * @return (doc_id, win_idx, win_start, n_tokens, first_token)
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        Iterator.from(0).map(_ * stride).takeWhile(_ < toks.length)
+          .zipWithIndex.map { case (start, idx) =>
+            (id, idx, start, math.min(size, toks.length - start), toks(start))
+          }
+      }
+      .toDF("doc_id", "win_idx", "win_start", "n_tokens", "first_token")
+  }
+
   /** @param idCol       unique document id (packing order)
     * @param tokenCol    per-document token count
     * @param seqLen      tokens per packed training sequence (> 0)

@@ -80,6 +80,18 @@ object TrainingDataProbes {
         .orderBy("doc_id")
     },
 
+    // Context-window splitting (64-token windows, stride 48): the
+    // declarative long-document treatment before training; the oracle
+    // re-derives every window's start/length/first-token in closed form.
+    Probe(
+      "text_token_windows",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) SELECT doc_id, CAST((u.s - 1) // 48 AS INT) AS win_idx, CAST(u.s - 1 AS INT) AS win_start, CAST(least(64, len(ts) - u.s + 1) AS INT) AS n_tokens, ts[u.s] AS first_token FROM tok, UNNEST(generate_series(1, len(ts), 48)) AS u(s) ORDER BY doc_id, win_idx"
+    ) { (s, d) =>
+      graft.ops.Packing.tokenWindows(t(s, d, "documents"), "doc_id", "text",
+        size = 64, stride = 48)
+        .orderBy("doc_id", "win_idx")
+    },
+
     // L2 normalization (pre-normalized corpora turn cosine into a dot
     // product): per-vector norm and first normalized component, with the
     // norm materialized ONCE per row — the pattern that keeps the

@@ -86,4 +86,19 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       (Long.MinValue + 3L, 0L), (-17L, 5L), (0L, 12L), (42L, 13L),
       (Long.MaxValue - 2L, 16L)))
   }
+
+  test("tokenWindows: strided overlap, kept partial tail, null-safe") {
+    import spark.implicits._
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a"), (3L, null))
+      .toDF("doc_id", "text")
+    val got = Packing.tokenWindows(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "win_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toList
+    assert(got == List(
+      (1L, 0, 0, 4, "t0"), // [t0..t3]
+      (1L, 1, 3, 4, "t3"), // [t3..t6] overlaps by 1
+      (1L, 2, 6, 1, "t6"), // partial tail kept
+      (2L, 0, 0, 1, "a")))
+  }
 }
