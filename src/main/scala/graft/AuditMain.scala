@@ -14,13 +14,17 @@ object AuditMain {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: AuditMain <storeRoot>")
     val root = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = Audit.check(spark,
-      new TableStore(spark, s"$root/tables"),
+    val spark = GraftSession.localFromEnv()
+    val tables = new TableStore(spark, s"$root/tables")
+    // a wrong/nonexistent root would audit vacuously healthy forever —
+    // the gate must distinguish "healthy" from "looking at nothing"
+    if (!tables.exists("documents")) {
+      System.err.println(
+        s"[audit] no documents table under $root/tables — wrong store root?")
+      spark.stop()
+      sys.exit(2)
+    }
+    val results = Audit.check(spark, tables,
       new ObjectStore(spark, s"$root/bucket"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     results.foreach { case (check, v) => println(f"[audit] $check%-28s $v%d") }

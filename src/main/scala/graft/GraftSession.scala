@@ -32,6 +32,19 @@ object GraftSession {
       .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
+  /** The CLI mains' shared session: core count from SPARK_GRAFT_CPUS
+    * (default 4), WARN logging — one place to evolve the entrypoint
+    * session config instead of per-main copies.
+    */
+  def localFromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             shufflePartitions: Int = 32): SparkSession = {
     val spark = configure(

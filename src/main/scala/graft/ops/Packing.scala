@@ -37,8 +37,11 @@ object Packing {
   /** Context-window splitting: each document becomes strided token
     * windows of at most `size` tokens (stride < size ⇒ overlapping
     * windows, the standard long-document treatment when packing would
-    * split semantic units). One scalar pass per document, zero shuffle;
-    * the trailing partial window is kept (training pads it).
+    * split semantic units). One scalar pass per document, zero shuffle.
+    * A trailing partial window is kept (training pads it) — but emission
+    * stops once a window reaches the document end: a further stride-step
+    * window would contain ONLY tokens already covered by its predecessor,
+    * i.e. a duplicated training sample.
     *
     * @return (doc_id, win_idx, win_start, n_tokens, first_token)
     */
@@ -53,7 +56,9 @@ object Packing {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
-        Iterator.from(0).map(_ * stride).takeWhile(_ < toks.length)
+        // continue only while the PREVIOUS window fell short of the end
+        Iterator.from(0).map(_ * stride)
+          .takeWhile(s => s == 0 || s < toks.length - size + stride)
           .zipWithIndex.map { case (start, idx) =>
             (id, idx, start, math.min(size, toks.length - start), toks(start))
           }

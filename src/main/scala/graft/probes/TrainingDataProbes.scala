@@ -85,7 +85,7 @@ object TrainingDataProbes {
     // re-derives every window's start/length/first-token in closed form.
     Probe(
       "text_token_windows",
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) SELECT doc_id, CAST((u.s - 1) // 48 AS INT) AS win_idx, CAST(u.s - 1 AS INT) AS win_start, CAST(least(64, len(ts) - u.s + 1) AS INT) AS n_tokens, ts[u.s] AS first_token FROM tok, UNNEST(generate_series(1, len(ts), 48)) AS u(s) ORDER BY doc_id, win_idx"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) SELECT doc_id, CAST((u.s - 1) // 48 AS INT) AS win_idx, CAST(u.s - 1 AS INT) AS win_start, CAST(least(64, len(ts) - u.s + 1) AS INT) AS n_tokens, ts[u.s] AS first_token FROM tok, UNNEST(generate_series(1, greatest(1, len(ts) - 16), 48)) AS u(s) ORDER BY doc_id, win_idx"
     ) { (s, d) =>
       graft.ops.Packing.tokenWindows(t(s, d, "documents"), "doc_id", "text",
         size = 64, stride = 48)
@@ -104,8 +104,11 @@ object TrainingDataProbes {
       t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Similarity.l2Norm(col("v")))
+        // get() is 0-based and null-on-out-of-bounds — element_at would
+        // THROW on an empty vector under ANSI mode, where the oracle's
+        // v[1] yields NULL
         .select(col("vec_id"), round(col("nrm"), 9).as("norm"),
-          round(element_at(Similarity.l2Normalize(col("v"), col("nrm")), 1), 9)
+          round(get(Similarity.l2Normalize(col("v"), col("nrm")), lit(0)), 9)
             .as("u0"))
         .orderBy("vec_id")
     },

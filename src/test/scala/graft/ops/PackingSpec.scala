@@ -97,8 +97,8 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
         r.getString(4))).toList
     assert(got == List(
       (1L, 0, 0, 4, "t0"), // [t0..t3]
-      (1L, 1, 3, 4, "t3"), // [t3..t6] overlaps by 1
-      (1L, 2, 6, 1, "t6"), // partial tail kept
+      (1L, 1, 3, 4, "t3"), // [t3..t6] — reaches the end, so no further
+                           // window (start=6 would only re-copy t6)
       (2L, 0, 0, 1, "a")))
   }
 }
