@@ -7,8 +7,9 @@ import graft.store.{Audit, ObjectStore, TableStore}
 /** Operator entrypoint for the store-consistency audit:
   * `runMain graft.AuditMain <storeRoot>` (expects `<root>/tables` and
   * `<root>/bucket`, the layout IngestPipeline writes). Prints one line
-  * per check and exits nonzero when any invariant is violated, so it
-  * drops straight into a cron/CI health gate.
+  * per check. Exit codes: 0 = all invariants hold; 1 = at least one
+  * violated (data corruption — page); 2 = no documents table under the
+  * root (wrong/empty store path — a config error, different runbook).
   */
 object AuditMain {
   def main(args: Array[String]): Unit = {

@@ -87,7 +87,7 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       (Long.MaxValue - 2L, 16L)))
   }
 
-  test("tokenWindows: strided overlap, kept partial tail, null-safe") {
+  test("tokenWindows: strided overlap, end-stop rule, null-safe") {
     import spark.implicits._
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a"), (3L, null))
       .toDF("doc_id", "text")
@@ -100,5 +100,13 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       (1L, 1, 3, 4, "t3"), // [t3..t6] — reaches the end, so no further
                            // window (start=6 would only re-copy t6)
       (2L, 0, 0, 1, "a")))
+    // a PARTIAL tail that carries new tokens IS kept: 8 tokens, the
+    // second window [3..7) misses t7, so a third (partial) window opens
+    val got8 = Packing.tokenWindows(
+      Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 4, stride = 3)
+      .orderBy("win_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toList
+    assert(got8 == List((0, 0, 4), (1, 3, 4), (2, 6, 2)))
   }
 }
