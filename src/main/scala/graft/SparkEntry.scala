@@ -14,7 +14,8 @@ object SparkEntry {
   /** All probe groups, in SURVEY §2 order. */
   def probes: Seq[Probe] =
     CoreProbes.all ++ JoinAggWindowProbes.all ++ ExtProbes.all ++
-      EtlProbes.all ++ MultimodalProbes.all ++ TrainingDataProbes.all
+      EtlProbes.all ++ MultimodalProbes.all ++ TrainingDataProbes.all ++
+      ClusterMixProbes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The J1 "document detail" shape: parent joined to ordered nested

@@ -682,4 +682,28 @@ object Dedup {
       .toDF("id_a", "id_b", "cos")
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found by
+    * clustering the corpus first and comparing WITHIN clusters only — the
+    * scale path for embedding dedup, cutting the pair space from O(n²) to
+    * O(Σ n_c²). Clustering uses the deterministic k-means assignment
+    * (seeds = vectors of the k smallest ids, element-order distance folds,
+    * lowest-index tie-break), so the whole operator — cluster membership
+    * included — is re-derivable by an external engine.
+    *
+    * Recall caveat (same as any blocked dedup): a pair straddling two
+    * clusters is never compared. Raising k tightens clusters and prunes
+    * more pairs but drops more straddlers — SemDeDup accepts this
+    * trade-off by construction.
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos rounded to 4 dp
+    */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, threshold: Double): DataFrame = {
+    val centroids = Clustering.seedCentroids(emb, idCol, vecCol, k)
+    val assigned = Clustering.assign(emb, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster"))
+    cosineNearDupPairs(emb.join(assigned, idCol), idCol, vecCol,
+      "cluster", threshold)
+  }
 }

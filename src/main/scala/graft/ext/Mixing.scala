@@ -52,4 +52,46 @@ object Mixing {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Deterministic global shuffle for training-order assignment: adds
+    * `shuffle_pos`, the row's 0-based position in the corpus-wide order of
+    * `md5(salt ++ id)` — a reproducible permutation (same salt → same
+    * order on any engine; new salt → fresh epoch order) computed WITHOUT a
+    * single-task global sort: GlobalOrder buckets on the hash's first two
+    * hex chars (256 deterministic, uniform buckets) and ranks per bucket
+    * (ops.GlobalOrder.rankByHexKey). The id tie-break makes the position
+    * well-defined even under an md5 collision.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String): DataFrame =
+    graft.ops.GlobalOrder.rankByHexKey(df,
+      md5(concat(lit(salt), col(idCol).cast("string"))),
+      Seq(col(idCol)), "shuffle_pos")
+
+  /** Token-budget mixture sampling: within each group (source/domain),
+    * walk documents in deterministic md5-hash order and keep them while
+    * the group's RUNNING token total stays within `budgetTokens` — the
+    * standard way mixture weights expressed as token budgets ("x billion
+    * tokens of source S") are realised. Hash order makes the kept subset a
+    * uniform sample of the group, reproducible across runs and engines.
+    *
+    * One window per group (parallel across groups; a group is never
+    * funnelled through the driver). Documents with more tokens than the
+    * remaining budget are skipped only at the boundary — the first doc
+    * whose cumulative total crosses the budget is dropped along with
+    * everything after it in hash order (keep-while, not best-fit).
+    *
+    * @return input columns + (cum_tokens) for the kept rows
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokenCol: String, budgetTokens: Long,
+                        salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(groupCol).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
 }

@@ -56,4 +56,60 @@ object Quality {
       })
       .toDF("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
   }
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 shape, bounds
+    * configurable): token count window, mean-word-length window, maximum
+    * symbol-token fraction, minimum count of distinct stopwords present,
+    * maximum duplicate-token fraction.
+    */
+  final case class GopherRules(
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1, minStopwords: Int = 2,
+      maxDupFrac: Double = 0.55,
+      stopwords: Set[String] = Set("the", "a", "and", "of", "to", "in",
+        "is", "be", "that", "with"))
+
+  /** Gopher-style document filter: every rule signal plus the combined
+    * keep verdict, one scalar pass per document (zero shuffle — the
+    * map-side sweep shape). Fractions are rounded to 9 dp BEFORE the
+    * threshold comparison, so boundary membership is deterministic and
+    * re-derivable by an external engine (the curate_pipeline convention).
+    * Symbol detection is ASCII-alphanumeric (matches `[^A-Za-z0-9]`), and
+    * mean word length counts separator-free characters per token:
+    * (chars - (n-1)) / n.
+    *
+    * @return (doc_id, n_tokens, mean_wl, symbol_frac, n_stop, dup_frac, keep)
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   rules: GopherRules = GopherRules()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = rules
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val distinct = new scala.collection.mutable.HashSet[String]
+        toks.foreach(distinct += _)
+        var symbolToks = 0
+        toks.foreach { t =>
+          if (t.exists(c => !(c >= 'A' && c <= 'Z') &&
+            !(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9')))
+            symbolToks += 1
+        }
+        val nStop = distinct.count(r.stopwords.contains)
+        val meanWl = round9((text.length - (n - 1)).toDouble / n)
+        val symbolFrac = round9(symbolToks.toDouble / n)
+        val dupFrac = round9(1.0 - distinct.size.toDouble / n)
+        val keep = n >= r.minTokens && n <= r.maxTokens &&
+          meanWl >= r.minMeanWordLen && meanWl <= r.maxMeanWordLen &&
+          symbolFrac <= r.maxSymbolFrac && nStop >= r.minStopwords &&
+          dupFrac <= r.maxDupFrac
+        (id, n.toLong, meanWl, symbolFrac, nStop.toLong, dupFrac, keep)
+      })
+      .toDF("doc_id", "n_tokens", "mean_wl", "symbol_frac", "n_stop",
+        "dup_frac", "keep")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed global ordering primitives: assign every row its rank
+  * in a corpus-wide total order WITHOUT funnelling the corpus through one
+  * task (`Window.orderBy` with no partition key collapses to a single
+  * partition — the classic scale trap).
+  *
+  * Same two-level design as [[Packing.packSequences]], specialised to
+  * hex-string order keys (md5-style): the key's first two hex characters
+  * give 256 DETERMINISTIC buckets whose numeric order equals the key's
+  * lexicographic order (lowercase hex is order-preserving under the
+  * char-by-char comparison both Spark and any ANSI engine use), so
+  *
+  *   1. bucket assignment is pure per-row arithmetic — no sampling, no
+  *      `repartitionByRange`, identical on every evaluation;
+  *   2. one tiny aggregate (256 rows) collects per-bucket counts to the
+  *      driver, which prefix-sums them into per-bucket base ranks;
+  *   3. a window partitioned BY BUCKET (parallel) ranks within buckets and
+  *      adds the base.
+  *
+  * md5 keys are uniform, so the 256 buckets are balanced at any corpus
+  * size; one shuffle total (hash by bucket for the window).
+  */
+object GlobalOrder {
+
+  /** Adds `posName`: the 0-based rank of each row under the total order
+    * (keyCol, tieCols...). `keyCol` must be a lowercase-hex string with at
+    * least two characters (an md5/sha hex digest); `tieCols` break exact
+    * key collisions so the rank is well-defined row-by-row.
+    */
+  def rankByHexKey(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
+                   posName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKey = df.withColumn("_go_key", keyCol)
+      .withColumn("_go_bucket",
+        conv(substring(col("_go_key"), 1, 2), 16, 10).cast("int"))
+    // 256 rows to the driver; prefix-sum into per-bucket base ranks
+    val counts = withKey.groupBy("_go_bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val bases: Map[Int, Long] = (0 until 256).map { b =>
+      val e = b -> acc
+      acc += counts.getOrElse(b, 0L)
+      e
+    }.toMap
+    val basesCol = typedLit(bases)
+    val w = Window.partitionBy("_go_bucket")
+      .orderBy(col("_go_key") +: tieCols: _*)
+    withKey
+      .withColumn(posName,
+        element_at(basesCol, col("_go_bucket")) + row_number().over(w) - 1)
+      .drop("_go_key", "_go_bucket")
+  }
+}

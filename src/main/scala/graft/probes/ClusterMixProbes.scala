@@ -1,0 +1,135 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Clustering, Dedup, Mixing, Quality, TextAnalysis => TA}
+
+/** [EXT] Round-3 training-data operators: deterministic k-means and
+  * SemDeDup-style semantic dedup over the embedding corpus, reproducible
+  * corpus shuffling and token-budget mixing, the full Gopher-rule document
+  * filter, and the correlated above-average aggregation shape.
+  *
+  * Every probe follows the established determinism discipline: fixed
+  * seeds/salts, element-order double folds, rounded-before-compare
+  * thresholds — so each assignment is re-derivable by the DuckDB oracle.
+  */
+object ClusterMixProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared oracle SQL: deterministic k-means assignment over embeddings
+    * with seeds = vectors of the 8 smallest ids (dense ids 0..7). The
+    * distance fold is element-ordered, ties go to the lowest centroid id —
+    * exactly Clustering.assign's contract.
+    */
+  private val assignSql =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+      "d AS (SELECT e.vec_id, cent.cid, list_reduce(list_prepend(0.0, [ (e.v[i]-cent.cv[i])*(e.v[i]-cent.cv[i]) for i in range(1, len(e.v)+1) ]), (a, b) -> a + b) AS d2 FROM e CROSS JOIN cent), " +
+      "asg AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1)"
+
+  val all: Seq[Probe] = Seq(
+
+    // Deterministic nearest-centroid assignment (the building block of the
+    // SemDeDup / IVF scale paths): seeds are the 8 smallest-id vectors,
+    // distance folds are element-ordered, ties break to the lowest
+    // centroid index — the oracle re-derives every assignment.
+    Probe(
+      "emb_kmeans_assign",
+      s"WITH $assignSql SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d2, 9) AS dist2_r FROM asg ORDER BY vec_id"
+    ) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Clustering.assign(emb, "vec_id", "embedding",
+        Clustering.seedCentroids(emb, "vec_id", "embedding", 8))
+        .select(col("vec_id"), col("cluster"),
+          round(col("dist2"), 9).as("dist2_r"))
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup: cluster first, compare within clusters only — the O(n²)
+    // → O(Σ n_c²) pruning. The oracle recomputes cluster membership AND
+    // the within-cluster cosine pairs from scratch.
+    Probe(
+      "dedup_semantic",
+      s"WITH $assignSql SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      Dedup.semanticNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Per-label exact centroids: means accumulate in ascending-id order
+    // (ordered fold), so every component is bit-reproducible — the
+    // auditable-centroid path.
+    Probe(
+      "emb_label_centroid",
+      "WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), x AS (SELECT label, vec_id, g.i - 1 AS pos, v[g.i] AS val FROM e, UNNEST(generate_series(1, len(v))) AS g(i)), agg1 AS (SELECT label, pos, count(*) AS n_vecs, list(val ORDER BY vec_id) AS xs FROM x GROUP BY label, pos) SELECT label, CAST(pos AS INTEGER) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs, round(list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) / n_vecs, 9) AS mean_x FROM agg1 ORDER BY label, pos"
+    ) { (s, d) =>
+      Clustering.labelCentroidsExact(t(s, d, "embeddings"), "label",
+        "vec_id", "embedding")
+        .select(col("label"), col("pos"), col("n_vecs"),
+          round(col("mean_x"), 9).as("mean_x"))
+        .orderBy("label", "pos")
+    },
+
+    // Reproducible training-order shuffle: global permutation index from
+    // the md5 order, computed via 256 deterministic hash-prefix buckets
+    // (never a single-task global window) — the oracle is the plain
+    // single-window formulation of the same order.
+    Probe(
+      "mix_shuffle",
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      Mixing.deterministicShuffle(t(s, d, "documents"), "doc_id", "shuf")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture sampling: per source, keep documents in md5
+    // order while the running token total stays within an 800-token
+    // budget — mixture weights expressed as token budgets.
+    Probe(
+      "mix_token_budget",
+      "WITH tc AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), c AS (SELECT doc_id, source, sum(tok) OVER (PARTITION BY source ORDER BY md5('bud' || CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM tc) SELECT doc_id, source, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 800 ORDER BY doc_id"
+    ) { (s, d) =>
+      Mixing.tokenBudgetSample(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            TA.tokenCount(col("text")).as("tok")),
+          "doc_id", "source", "tok", budgetTokens = 800, salt = "bud")
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Full Gopher-rule document filter: every rule signal plus the
+    // combined verdict, thresholds compared on 9-dp-rounded fractions so
+    // boundary membership is engine-independent.
+    Probe(
+      "text_gopher_filter",
+      "WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents), b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, round((length(text) - (len(ts) - 1)) * 1.0 / len(ts), 9) AS mean_wl, round(len(list_filter(ts, x -> regexp_matches(x, '[^A-Za-z0-9]'))) * 1.0 / len(ts), 9) AS symbol_frac, CAST(len(list_filter(list_distinct(ts), x -> x IN ('the','a','and','of','to','in','is','be','that','with'))) AS BIGINT) AS n_stop, round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 9) AS dup_frac FROM q) SELECT doc_id, n_tokens, mean_wl, symbol_frac, n_stop, dup_frac, (n_tokens BETWEEN 30 AND 80 AND mean_wl >= 3.0 AND mean_wl <= 4.6 AND symbol_frac <= 0.1 AND n_stop >= 2 AND dup_frac <= 0.55) AS keep FROM b ORDER BY doc_id"
+    ) { (s, d) =>
+      Quality.gopherFilter(t(s, d, "documents"), "doc_id", "text",
+        Quality.GopherRules(minTokens = 30, maxTokens = 80,
+          minMeanWordLen = 3.0, maxMeanWordLen = 4.6))
+        .orderBy("doc_id")
+    },
+
+    // Correlated above-average aggregation (the scalar-subquery shape):
+    // parts larger than their brand's average size, per brand. The window
+    // formulation runs in ONE shuffle; integer sums keep the avg exact and
+    // the comparison engine-independent.
+    Probe(
+      "agg_correlated_above_avg",
+      "SELECT p_brand, count(*) AS n_above FROM (SELECT p_brand, p_size, avg(p_size) OVER (PARTITION BY p_brand) AS a FROM part) WHERE p_size > a GROUP BY p_brand ORDER BY p_brand"
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "part")
+        .withColumn("a", avg(col("p_size")).over(Window.partitionBy("p_brand")))
+        .filter(col("p_size") > col("a"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_above"))
+        .orderBy("p_brand")
+    }
+  )
+}

@@ -220,4 +220,44 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(got(0).getSeq[Double](1) == Seq(0.6, 0.8))
     assert(got(1).getSeq[Double](1) == Seq(0.0, 0.0))
   }
+
+  test("gopherFilter applies every rule and combines the verdict") {
+    val rules = Quality.GopherRules(minTokens = 3, maxTokens = 6,
+      minMeanWordLen = 2.0, maxMeanWordLen = 5.0, maxSymbolFrac = 0.25,
+      minStopwords = 1, maxDupFrac = 0.5)
+    val df = Seq(
+      (1L, "the cat sat on mat"),   // passes everything
+      (2L, "xx yy"),                // too few tokens, no stopword
+      (3L, "the the the the"),      // dup_frac 0.75 > 0.5
+      (4L, "the c@t s@t %% !!")     // symbol_frac 4/5 > 0.25
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherFilter(df, "doc_id", "text", rules)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val row1 = Quality.gopherFilter(df, "doc_id", "text", rules)
+      .filter(col("doc_id") === 1).head()
+    assert(row1.getLong(1) == 5L)                  // n_tokens
+    assert(row1.getDouble(2) == (18 - 4).toDouble / 5) // mean_wl
+    assert(row1.getDouble(3) == 0.0)               // symbol_frac
+    assert(row1.getLong(4) == 1L)                  // n_stop ("the")
+  }
+
+  test("tokenBudgetSample keeps a prefix of the hash order per group") {
+    val df = (0L until 100L).map(i => (i, if (i < 50) "a" else "b", 10L))
+      .toDF("doc_id", "source", "tok")
+    val kept = Mixing.tokenBudgetSample(df, "doc_id", "source", "tok",
+      budgetTokens = 200, salt = "t")
+    // 10 tokens/doc, 200 budget -> exactly 20 docs per group
+    val byGroup = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("a" -> 20L, "b" -> 20L))
+    // cum_tokens really is the running total within the group
+    assert(kept.groupBy("source").agg(max("cum_tokens")).collect()
+      .forall(_.getLong(1) == 200L))
+    // deterministic across runs
+    val k2 = Mixing.tokenBudgetSample(df, "doc_id", "source", "tok", 200, "t")
+      .agg(sum("doc_id")).head().getLong(0)
+    assert(kept.agg(sum("doc_id")).head().getLong(0) == k2)
+  }
 }
