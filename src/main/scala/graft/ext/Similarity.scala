@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Similarity search over embedding columns (`Array[Float]`).
@@ -268,6 +268,43 @@ object Similarity {
     val cellOfQuery = Seq(queryVec).toDF("v")
       .select(ivfCell(col("v"), cellBits).as("c")).head().getLong(0)
     val probeCells = cellsWithinHamming(cellOfQuery, cellBits, maxHamming)
+    val base = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probeCells: _*))
+    val candidates = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    rerankTopK(candidates, Seq(queryVec).toDF("qv"), idCol, vecCol, k)
+  }
+
+  /** IVF index with LEARNED centroids — the standard IVF-flat design
+    * (Lloyd-trained coarse quantizer), stronger than the hash-cell variant
+    * above when the embedding space is low-contrast (cells follow the
+    * data's density instead of fixed hyperplanes). Build = k-means, then
+    * one partitioned write; the returned centroid matrix IS the index
+    * metadata (k×d doubles — persist alongside the table).
+    */
+  def ivfKmeansWrite(emb: DataFrame, idCol: String, vecCol: String,
+                     path: String, k: Int,
+                     maxIters: Int = 5): Array[Array[Double]] = {
+    val (centroids, assigned) = Clustering.kmeans(emb, idCol, vecCol, k, maxIters)
+    emb.join(assigned.select(col(idCol), col("cluster").as("ivf_cell")), idCol)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    centroids
+  }
+
+  /** ANN top-k over a k-means IVF table: rank the centroids by distance to
+    * the query ON THE DRIVER (k×d flops — negligible), then scan only the
+    * `nProbe` nearest cells; the small IN-filter constant-folds into
+    * partition pruning. Exact cosine re-ranks the survivors. Recall is
+    * tuned by nProbe exactly as in FAISS-style IVF-flat.
+    */
+  def ivfKmeansTopK(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String, centroids: Array[Array[Double]],
+                    queryVec: Array[Double], k: Int, nProbe: Int = 2,
+                    excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (Clustering.dist2(queryVec, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2.toLong)
     val base = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probeCells: _*))
     val candidates = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
