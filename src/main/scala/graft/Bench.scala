@@ -26,7 +26,12 @@ object Bench {
     }
     // noop sink forces full query execution (a bare count() would let
     // Catalyst prune projections and skip most of the work being measured).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev iteration).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -44,11 +44,25 @@ object Clustering {
     acc
   }
 
+  /** Nearest centroid of `v`: strict `<` keeps the FIRST best centroid,
+    * so ties go to the lowest cluster index deterministically.
+    */
+  private[ext] def nearestCentroid(v: Array[Double],
+                                   cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0
+    var bestD = dist2(v, cs(0))
+    var c = 1
+    while (c < cs.length) {
+      val d = dist2(v, cs(c))
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    (best, bestD)
+  }
+
   /** Nearest-centroid assignment: one scalar pass over the corpus with the
     * centroid matrix broadcast — zero shuffle, perfectly parallel (the
-    * 100 TB path: k×d doubles per executor, n×k×d flops total). Strict
-    * `<` keeps the FIRST best centroid, so ties go to the lowest cluster
-    * index deterministically.
+    * 100 TB path: k×d doubles per executor, n×k×d flops total).
     *
     * @return (idCol, cluster, dist2)
     */
@@ -63,18 +77,31 @@ object Clustering {
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, v) =>
-          var best = 0
-          var bestD = dist2(v, cs(0))
-          var c = 1
-          while (c < cs.length) {
-            val d = dist2(v, cs(c))
-            if (d < bestD) { best = c; bestD = d }
-            c += 1
-          }
+          val (best, bestD) = nearestCentroid(v, cs)
           (id, best, bestD)
         }
       }
       .toDF(idCol, "cluster", "dist2")
+  }
+
+  /** As [[assign]], but CARRIES THE VECTOR through: (id, vector, cluster)
+    * in the same scalar pass — the shape the pairwise consumers
+    * (SemDeDup) need, avoiding a corpus-sized join to re-attach vectors
+    * to their cluster labels.
+    */
+  def assignWithVec(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cs)._1) }
+      }
+      .toDF(idCol, vecCol, "cluster")
   }
 
   /** Lloyd's k-means: deterministic seeds (k smallest ids), `maxIters`

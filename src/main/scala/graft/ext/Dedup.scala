@@ -665,23 +665,15 @@ object Dedup {
     * but ~10x faster than interpreted array expressions).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         blockCol: String, threshold: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+                         blockCol: String, threshold: Double): DataFrame =
+    // codegen'd native cosine (same evaluation order and zero-vector
+    // convention as the scalar twin, same rounding as BigDecimal HALF_UP —
+    // Spark's round() IS that): the whole pair-scoring stage stays inside
+    // WholeStageCodegen instead of a per-pair deserializing .map
     Similarity.blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = true)
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .as[(Long, Long, Seq[Double], Seq[Double])]
-      .map { case (ia, ib, va, vb) =>
-        // same rounding as Spark's round() (BigDecimal HALF_UP), keeping
-        // oracle parity with the expression form
-        val c = java.math.BigDecimal.valueOf(
-          Similarity.cosineScalar(va.toArray, vb.toArray))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-        (ia, ib, c)
-      }
-      .toDF("id_a", "id_b", "cos")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineNative(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-  }
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found by
     * clustering the corpus first and comparing WITHIN clusters only — the
@@ -701,9 +693,12 @@ object Dedup {
   def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                            k: Int, threshold: Double): DataFrame = {
     val centroids = Clustering.seedCentroids(emb, idCol, vecCol, k)
-    val assigned = Clustering.assign(emb, idCol, vecCol, centroids)
-      .select(col(idCol), col("cluster"))
-    cosineNearDupPairs(emb.join(assigned, idCol), idCol, vecCol,
-      "cluster", threshold)
+    // cluster label computed in the SAME scalar pass that carries the
+    // vector — no corpus-sized join to re-attach vectors to labels (the
+    // pair self-join evaluates its input subtree twice, so a join here
+    // would shuffle the corpus twice over)
+    cosineNearDupPairs(
+      Clustering.assignWithVec(emb, idCol, vecCol, centroids),
+      idCol, vecCol, "cluster", threshold)
   }
 }
