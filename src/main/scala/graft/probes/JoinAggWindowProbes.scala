@@ -236,6 +236,34 @@ object JoinAggWindowProbes {
         .limit(10)
     },
 
+    // [EXT] six-table star join (TPC-H Q5 shape): local-supplier revenue
+    // per nation within one region and year. The dimension chain
+    // (nation→region) is explicitly broadcast; the fact-side joins shuffle
+    // on their keys and AQE handles the rest — the canonical "prune with
+    // small dims, shuffle only facts" plan a 100 TB star query needs.
+    Probe(
+      "agg_q5_local_supplier",
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY n_name"
+    ) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
     // [EXT] multi-level aggregation — rollup/cube/grouping sets (absent in
     // the reference; free in the engine). DuckDB defaults to NULLS LAST,
     // Spark to NULLS FIRST — the oracle pins NULLS FIRST explicitly.
