@@ -27,6 +27,7 @@ object Clustering {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])]
       .toDF("id", "v").orderBy("id").limit(k)
       .as[(Long, Array[Double])].collect().map(_._2)
@@ -62,7 +63,8 @@ object Clustering {
 
   /** Nearest-centroid assignment: one scalar pass over the corpus with the
     * centroid matrix broadcast — zero shuffle, perfectly parallel (the
-    * 100 TB path: k×d doubles per executor, n×k×d flops total).
+    * 100 TB path: k×d doubles per executor, n×k×d flops total). Null
+    * ids/vectors are excluded (engine null-id convention).
     *
     * @return (idCol, cluster, dist2)
     */
@@ -73,6 +75,7 @@ object Clustering {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -96,6 +99,7 @@ object Clustering {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -121,6 +125,7 @@ object Clustering {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])].toDF(idCol, "v")
     var centroids = seedCentroids(emb, idCol, vecCol, k)
     var assigned: DataFrame = null
@@ -164,7 +169,8 @@ object Clustering {
     */
   def labelCentroidsExact(emb: DataFrame, labelCol: String, idCol: String,
                           vecCol: String): DataFrame =
-    emb.select(col(labelCol).as("label"), col(idCol).cast("long").as("id"),
+    emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), col(idCol).cast("long").as("id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"))

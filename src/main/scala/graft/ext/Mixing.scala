@@ -64,7 +64,9 @@ object Mixing {
     */
   def deterministicShuffle(df: DataFrame, idCol: String,
                            salt: String): DataFrame =
-    graft.ops.GlobalOrder.rankByHexKey(df,
+    // null ids excluded (engine null-id convention): a null id has no md5
+    // key, and NULLS FIRST/LAST ordering is engine-specific
+    graft.ops.GlobalOrder.rankByHexKey(df.filter(col(idCol).isNotNull),
       md5(concat(lit(salt), col(idCol).cast("string"))),
       Seq(col(idCol)), "shuffle_pos")
 
@@ -91,7 +93,10 @@ object Mixing {
     val key = md5(concat(lit(salt), col(idCol).cast("string")))
     val w = Window.partitionBy(groupCol).orderBy(key, col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+    // null ids/token counts excluded (engine null-id convention): a null
+    // token count would silently ride along at its predecessor's cum
+    df.filter(col(idCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }
 }

@@ -87,6 +87,7 @@ object Quality {
     import spark.implicits._
     val r = rules
     df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.split(" ", -1)

@@ -94,4 +94,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!plan(split).contains("Exchange"), plan(split))
     assert(!plan(sample).contains("Exchange"), plan(sample))
   }
+
+  test("star join broadcasts the dimension chain (Q5 shape)") {
+    val q5 = SparkEntry.queries("agg_q5_local_supplier")(spark, sf)
+    val p = plan(q5).split("== Initial Plan ==")(0)
+    // nation and region join as broadcasts; the region filter reaches
+    // its parquet scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    // the date range prunes the orders scan too
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("gopher filter and scalar quality passes stay shuffle-free") {
+    val docs = Tables.load(spark, sf, "documents")
+    val g = graft.ext.Quality.gopherFilter(docs, "doc_id", "text")
+    assert(!plan(g).contains("Exchange"), plan(g))
+  }
 }

@@ -30,6 +30,16 @@ class ClusteringSpec extends AnyFunSuite with SharedSpark {
     assert(got.getInt(1) == 0) // equidistant -> first centroid
   }
 
+  test("assign excludes null ids and null vectors (engine convention)") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), Array(1.0)),
+      (null.asInstanceOf[java.lang.Long], Array(2.0)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[Array[Double]])
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.assign(df, "vec_id", "embedding", Array(Array(0.0)))
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("seedCentroids returns the k smallest ids' vectors in id order") {
     val seeds = Clustering.seedCentroids(corners, "vec_id", "embedding", 2)
     assert(seeds.length == 2)

@@ -32,6 +32,19 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("_go_bucket"))
   }
 
+  test("rankByHexKey scale smoke: 2M rows rank without a global window") {
+    val df = spark.range(2000000L).toDF("id")
+    val ranked = GlobalOrder.rankByHexKey(df,
+      md5(col("id").cast("string")), Seq(col("id")), "pos")
+    val stats = ranked.agg(min("pos"), max("pos"), count(lit(1))).head()
+    assert(stats.getLong(0) == 0L && stats.getLong(1) == 1999999L)
+    assert(stats.getLong(2) == 2000000L)
+    // positions are dense: sum of 0..n-1 pins the permutation without a
+    // 2M-row countDistinct
+    val s = ranked.agg(sum("pos")).head().getLong(0)
+    assert(s == 1999999L * 2000000L / 2)
+  }
+
   test("deterministicShuffle: same salt same order, new salt new order") {
     import graft.ext.Mixing
     val df = (0L until 300L).toDF("doc_id")
