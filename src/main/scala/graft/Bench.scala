@@ -29,6 +29,8 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(names => (names -- SparkEntry.queries.keySet)
+      .foreach(n => System.err.println(s"[bench] unknown query name: $n")))
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

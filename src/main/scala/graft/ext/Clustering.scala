@@ -128,19 +128,24 @@ object Clustering {
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])].toDF(idCol, "v")
     var centroids = seedCentroids(emb, idCol, vecCol, k)
-    var assigned: DataFrame = null
     var iter = 0
     while (iter < maxIters) {
-      assigned = assign(vecs, idCol, "v", centroids)
-      val sums = assigned.join(vecs, idCol)
+      // cluster labels ride along with the vectors in one scalar pass —
+      // an assign-then-join would shuffle the corpus twice per iteration
+      val sums = assignWithVec(vecs, idCol, "v", centroids)
         .select(col("cluster"), col("v"))
         .as[(Int, Array[Double])]
         .groupByKey(_._1)
         .mapValues { case (_, v) => (v, 1L) }
         .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
-          val s = new Array[Double](a._1.length)
+          // ragged-vector safety: sum into the longer array (missing
+          // trailing dims contribute 0) instead of indexing past the
+          // shorter one — consistent with dist2's tolerance
+          val (long, short) =
+            if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
+          val s = long.clone()
           var i = 0
-          while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+          while (i < short.length) { s(i) += short(i); i += 1 }
           (s, a._2 + b._2)
         }
         .collect()

@@ -94,8 +94,12 @@ object Mixing {
     val w = Window.partitionBy(groupCol).orderBy(key, col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     // null ids/token counts excluded (engine null-id convention): a null
-    // token count would silently ride along at its predecessor's cum
-    df.filter(col(idCol).isNotNull && col(tokenCol).isNotNull)
+    // token count would silently ride along at its predecessor's cum.
+    // Negative counts excluded too — keep-while semantics require a
+    // MONOTONE running sum (a negative count could dip a later document
+    // back under budget, so the kept set would no longer be a prefix)
+    df.filter(col(idCol).isNotNull && col(tokenCol).isNotNull &&
+        col(tokenCol) >= 0)
       .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }

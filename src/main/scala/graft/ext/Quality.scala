@@ -101,7 +101,10 @@ object Quality {
             symbolToks += 1
         }
         val nStop = distinct.count(r.stopwords.contains)
-        val meanWl = round9((text.length - (n - 1)).toDouble / n)
+        // code points, not UTF-16 units: SQL length() counts code points,
+        // so astral characters must count once for cross-engine parity
+        val chars = text.codePointCount(0, text.length)
+        val meanWl = round9((chars - (n - 1)).toDouble / n)
         val symbolFrac = round9(symbolToks.toDouble / n)
         val dupFrac = round9(1.0 - distinct.size.toDouble / n)
         val keep = n >= r.minTokens && n <= r.maxTokens &&

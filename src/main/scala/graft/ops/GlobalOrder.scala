@@ -30,6 +30,13 @@ object GlobalOrder {
     * (keyCol, tieCols...). `keyCol` must be a lowercase-hex string with at
     * least two characters (an md5/sha hex digest); `tieCols` break exact
     * key collisions so the rank is well-defined row-by-row.
+    *
+    * Precondition (same as Packing.packSequences): `df` must evaluate
+    * DETERMINISTICALLY — the input is scanned twice (once for the bucket
+    * counts, once for the ranking), and the per-bucket bases computed
+    * from the first scan are only valid if the second sees the same rows.
+    * Frames containing `sample()`/`rand()` or reading mutable sources
+    * must be persisted/checkpointed by the caller first.
     */
   def rankByHexKey(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
                    posName: String): DataFrame = {

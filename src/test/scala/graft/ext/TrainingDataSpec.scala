@@ -243,6 +243,15 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(row1.getLong(4) == 1L)                  // n_stop ("the")
   }
 
+  test("gopherFilter counts code points, not UTF-16 units") {
+    // the emoji is one code point but two UTF-16 units; SQL length()
+    // counts code points, so mean_wl must too
+    val df = Seq((1L, "ab 😀")).toDF("doc_id", "text")
+    val row = Quality.gopherFilter(df, "doc_id", "text").head()
+    assert(row.getLong(1) == 2L)          // "ab", emoji
+    assert(row.getDouble(2) == 1.5)       // (4 code points - 1 sep) / 2
+  }
+
   test("tokenBudgetSample keeps a prefix of the hash order per group") {
     val df = (0L until 100L).map(i => (i, if (i < 50) "a" else "b", 10L))
       .toDF("doc_id", "source", "tok")
