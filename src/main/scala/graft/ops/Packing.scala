@@ -66,6 +66,26 @@ object Packing {
       .toDF("doc_id", "win_idx", "win_start", "n_tokens", "first_token")
   }
 
+  /** Materialize a packed corpus as training shards: every document's
+    * placement goes to the shard of its STARTING sequence
+    * (shard = seq_start div seqsPerShard), hive-partitioned so a trainer
+    * streams shard directories independently (and a resume can re-read
+    * one shard without touching the rest). A boundary-straddling document
+    * lives in its starting shard; the trainer reads one shard ahead for
+    * the tail, the standard contract for packed shards.
+    *
+    * @return number of shards written
+    */
+  def writeShards(df: DataFrame, idCol: String, tokenCol: String,
+                  seqLen: Long, seqsPerShard: Long, path: String): Long = {
+    require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
+    val packed = packSequences(df, idCol, tokenCol, seqLen)
+      .withColumn("shard", expr(s"seq_start div ${seqsPerShard}L"))
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path).select("shard").distinct().count()
+  }
+
   /** @param idCol       unique document id (packing order)
     * @param tokenCol    per-document token count
     * @param seqLen      tokens per packed training sequence (> 0)

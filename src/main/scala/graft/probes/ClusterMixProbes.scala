@@ -116,6 +116,31 @@ object ClusterMixProbes {
         .orderBy("doc_id")
     },
 
+    // Composed training-shard prep: deterministic epoch shuffle, then
+    // sequence packing in SHUFFLED order (pack ids = the dense 0..n-1
+    // shuffle positions, the ideal input for Packing's equal-width
+    // buckets) — the end-to-end "make epoch shards" pipeline as one plan.
+    Probe(
+      "pack_shuffled_corpus",
+      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count, row_number() OVER (ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents), c AS (SELECT doc_id, pos, token_count, sum(token_count) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM s) SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_count, token_start, token_start // 512 AS seq_start FROM c ORDER BY doc_id"
+    ) { (s, d) =>
+      val shuffled = Mixing.deterministicShuffle(
+        t(s, d, "documents").select(col("doc_id"),
+          TA.tokenCount(col("text")).as("tok")),
+        "doc_id", "ep0")
+      // packSequences names its id column "doc_id": here that id IS the
+      // shuffle position, so rename and join the real doc_id back on
+      val packed = graft.ops.Packing
+        .packSequences(shuffled, "shuffle_pos", "tok", 512)
+        .select(col("doc_id").as("pos"), col("token_count"),
+          col("token_start"), col("seq_start"))
+      packed
+        .join(shuffled.select(col("doc_id"), col("shuffle_pos").as("pos")), "pos")
+        .select(col("doc_id"), col("pos"), col("token_count"),
+          col("token_start"), col("seq_start"))
+        .orderBy("doc_id")
+    },
+
     // Correlated above-average aggregation (the scalar-subquery shape):
     // parts larger than their brand's average size, per brand. The window
     // formulation runs in ONE shuffle; integer sums keep the avg exact and

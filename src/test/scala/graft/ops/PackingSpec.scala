@@ -109,4 +109,24 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toList
     assert(got8 == List((0, 0, 4), (1, 3, 4), (2, 6, 2)))
   }
+
+  test("writeShards partitions placements by starting sequence") {
+    import spark.implicits._
+    // 10 docs x 100 tokens, seqLen 100 -> one sequence per doc;
+    // 2 seqs/shard -> shards 0..4, 2 docs each
+    val df = (0L until 10L).map((_, 100L)).toList.toDF("doc_id", "tok")
+    val path = tmpDir("shards") + "/packed"
+    val nShards = Packing.writeShards(df, "doc_id", "tok",
+      seqLen = 100L, seqsPerShard = 2L, path = path)
+    assert(nShards == 5L)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10L)
+    val perShard = back.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perShard == Map(0 -> 2L, 1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L))
+    // hive layout on disk: shard=N directories
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 to 4).map(i => s"shard=$i"))
+  }
 }
