@@ -34,7 +34,10 @@ object LangModel {
     val unigrams = base.flatMap { case (_, text) =>
       text.split(" ", -1).iterator
     }.toDF("w")
-    val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
+    // the vocabulary frame is consumed twice (size count + score join);
+    // persist it so the unigram aggregation runs once — vocabulary-sized
+    // cache, intentional (session-lifetime, LRU-evicted)
+    val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1")).persist()
     // vocabulary size collected once on the driver (a long, not a frame):
     // a 1-row vdf cross join would re-evaluate the unigram aggregation a
     // second time on the join side — AQE does not stage-share the copies

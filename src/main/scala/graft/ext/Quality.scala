@@ -57,6 +57,59 @@ object Quality {
       .toDF("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
   }
 
+  /** Unsigned UTF-8 byte order — the collation both Spark's UTF8String
+    * and SQL engines' binary collation sort strings by. Java's
+    * String.compareTo orders by UTF-16 code UNIT, which disagrees for
+    * supplementary-plane characters, so entropy folds ordered with it
+    * would sum in a different order than a SQL oracle.
+    */
+  private val utf8ByteOrder: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var cmp = 0
+    val n = math.min(x.length, y.length)
+    while (cmp == 0 && i < n) {
+      cmp = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (cmp != 0) cmp else x.length - y.length
+  }
+
+  /** Per-document unigram (token) entropy in nats — the information-
+    * density quality signal (token soup and boilerplate sit at the two
+    * extremes). One scalar pass, zero shuffle; the per-term contributions
+    * -p·ln(p) accumulate in UTF-8-byte token order, so the double sum is
+    * reproducible by any engine folding `ORDER BY token` under binary
+    * collation.
+    *
+    * @return (doc_id, n_tokens, n_distinct, entropy) — entropy rounded
+    *         to 6 dp (ln differs by 1 ulp across engines)
+    */
+  def unigramEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val counts = new scala.collection.mutable.HashMap[String, Long]
+        toks.foreach(t => counts.updateWith(t)(o => Some(o.getOrElse(0L) + 1L)))
+        val ordered = counts.toArray.sortBy(_._1)(utf8ByteOrder)
+        var h = 0.0
+        ordered.foreach { case (_, c) =>
+          val p = c.toDouble / n
+          h += -(p * math.log(p))
+        }
+        (id, n.toLong, counts.size.toLong,
+          java.math.BigDecimal.valueOf(h)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      })
+      .toDF("doc_id", "n_tokens", "n_distinct", "entropy")
+  }
+
   /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 shape, bounds
     * configurable): token count window, mean-word-length window, maximum
     * symbol-token fraction, minimum count of distinct stopwords present,

@@ -103,6 +103,17 @@ object ClusterMixProbes {
         .orderBy("doc_id")
     },
 
+    // Unigram entropy (information density): per-term -p·ln(p)
+    // contributions fold in binary-collation token order on both engines,
+    // so the double sum matches bit-for-bit before the 6-dp round.
+    Probe(
+      "text_unigram_entropy",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tok), c AS (SELECT doc_id, u.t AS tokn, count(*) AS c FROM tok, UNNEST(ts) AS u(t) GROUP BY 1, 2), e AS (SELECT c.doc_id, min(n.n) AS n, count(*) AS nd, list(-((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n)) ORDER BY c.tokn) AS lps FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id) SELECT doc_id, n AS n_tokens, CAST(nd AS BIGINT) AS n_distinct, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b), 6) AS entropy FROM e ORDER BY doc_id"
+    ) { (s, d) =>
+      Quality.unigramEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Full Gopher-rule document filter: every rule signal plus the
     // combined verdict, thresholds compared on 9-dp-rounded fractions so
     // boundary membership is engine-independent.

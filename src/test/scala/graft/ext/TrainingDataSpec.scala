@@ -243,6 +243,22 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(row1.getLong(4) == 1L)                  // n_stop ("the")
   }
 
+  test("unigramEntropy matches hand-computed values") {
+    val df = Seq(
+      (1L, "a a a a"),     // one token type -> H = 0
+      (2L, "a b a b"),     // two at p=0.5 -> H = ln 2
+      (3L, "a b c d")      // uniform over 4 -> H = ln 4
+    ).toDF("doc_id", "text")
+    val got = Quality.unigramEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 4L, 1L, 0.0)))
+    assert(got(1) == ((2L, 4L, 2L, r6(math.log(2)))))
+    assert(got(2) == ((3L, 4L, 4L, r6(math.log(4)))))
+  }
+
   test("gopherFilter counts code points, not UTF-16 units") {
     // the emoji is one code point but two UTF-16 units; SQL length()
     // counts code points, so mean_wl must too
