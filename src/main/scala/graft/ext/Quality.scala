@@ -32,6 +32,7 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.split(" ", -1)

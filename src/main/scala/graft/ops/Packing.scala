@@ -81,6 +81,13 @@ object Packing {
     require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
     val packed = packSequences(df, idCol, tokenCol, seqLen)
       .withColumn("shard", expr(s"seq_start div ${seqsPerShard}L"))
+    // empty corpus: a partitioned write would emit no data files at all
+    // (unreadable directory, schema lost) — write one empty unpartitioned
+    // file instead, preserving the schema, and report zero shards
+    if (packed.isEmpty) {
+      packed.write.mode("overwrite").parquet(path)
+      return 0L
+    }
     packed.write.mode("overwrite").partitionBy("shard").parquet(path)
     val spark = df.sparkSession
     spark.read.parquet(path).select("shard").distinct().count()

@@ -26,7 +26,7 @@ object ClusterMixProbes {
     * exactly Clustering.assign's contract.
     */
   private val assignSql =
-    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
       "cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
       "d AS (SELECT e.vec_id, cent.cid, list_reduce(list_prepend(0.0, [ (e.v[i]-cent.cv[i])*(e.v[i]-cent.cv[i]) for i in range(1, len(e.v)+1) ]), (a, b) -> a + b) AS d2 FROM e CROSS JOIN cent), " +
       "asg AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1)"
@@ -66,7 +66,7 @@ object ClusterMixProbes {
     // auditable-centroid path.
     Probe(
       "emb_label_centroid",
-      "WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), x AS (SELECT label, vec_id, g.i - 1 AS pos, v[g.i] AS val FROM e, UNNEST(generate_series(1, len(v))) AS g(i)), agg1 AS (SELECT label, pos, count(*) AS n_vecs, list(val ORDER BY vec_id) AS xs FROM x GROUP BY label, pos) SELECT label, CAST(pos AS INTEGER) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs, round(list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) / n_vecs, 9) AS mean_x FROM agg1 ORDER BY label, pos"
+      "WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), x AS (SELECT label, vec_id, g.i - 1 AS pos, v[g.i] AS val FROM e, UNNEST(generate_series(1, len(v))) AS g(i)), agg1 AS (SELECT label, pos, count(*) AS n_vecs, list(val ORDER BY vec_id) AS xs FROM x GROUP BY label, pos) SELECT label, CAST(pos AS INTEGER) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs, round(list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) / n_vecs, 9) AS mean_x FROM agg1 ORDER BY label, pos"
     ) { (s, d) =>
       Clustering.labelCentroidsExact(t(s, d, "embeddings"), "label",
         "vec_id", "embedding")
@@ -81,7 +81,7 @@ object ClusterMixProbes {
     // single-window formulation of the same order.
     Probe(
       "mix_shuffle",
-      "SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS shuffle_pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id"
     ) { (s, d) =>
       Mixing.deterministicShuffle(t(s, d, "documents"), "doc_id", "shuf")
         .select(col("doc_id"), col("shuffle_pos"))
@@ -93,7 +93,7 @@ object ClusterMixProbes {
     // budget — mixture weights expressed as token budgets.
     Probe(
       "mix_token_budget",
-      "WITH tc AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), c AS (SELECT doc_id, source, sum(tok) OVER (PARTITION BY source ORDER BY md5('bud' || CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM tc) SELECT doc_id, source, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 800 ORDER BY doc_id"
+      "WITH tc AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, source, sum(tok) OVER (PARTITION BY source ORDER BY md5('bud' || CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM tc) SELECT doc_id, source, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens <= 800 ORDER BY doc_id"
     ) { (s, d) =>
       Mixing.tokenBudgetSample(
           t(s, d, "documents").select(col("doc_id"), col("source"),
@@ -119,7 +119,7 @@ object ClusterMixProbes {
     // boundary membership is engine-independent.
     Probe(
       "text_gopher_filter",
-      "WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents), b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, round((length(text) - (len(ts) - 1)) * 1.0 / len(ts), 9) AS mean_wl, round(len(list_filter(ts, x -> regexp_matches(x, '[^A-Za-z0-9]'))) * 1.0 / len(ts), 9) AS symbol_frac, CAST(len(list_filter(list_distinct(ts), x -> x IN ('the','a','and','of','to','in','is','be','that','with'))) AS BIGINT) AS n_stop, round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 9) AS dup_frac FROM q) SELECT doc_id, n_tokens, mean_wl, symbol_frac, n_stop, dup_frac, (n_tokens BETWEEN 30 AND 80 AND mean_wl >= 3.0 AND mean_wl <= 4.6 AND symbol_frac <= 0.1 AND n_stop >= 2 AND dup_frac <= 0.55) AS keep FROM b ORDER BY doc_id"
+      "WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, round((length(text) - (len(ts) - 1)) * 1.0 / len(ts), 9) AS mean_wl, round(len(list_filter(ts, x -> regexp_matches(x, '[^A-Za-z0-9]'))) * 1.0 / len(ts), 9) AS symbol_frac, CAST(len(list_filter(list_distinct(ts), x -> x IN ('the','a','and','of','to','in','is','be','that','with'))) AS BIGINT) AS n_stop, round(1.0 - len(list_distinct(ts)) * 1.0 / len(ts), 9) AS dup_frac FROM q) SELECT doc_id, n_tokens, mean_wl, symbol_frac, n_stop, dup_frac, (n_tokens BETWEEN 30 AND 80 AND mean_wl >= 3.0 AND mean_wl <= 4.6 AND symbol_frac <= 0.1 AND n_stop >= 2 AND dup_frac <= 0.55) AS keep FROM b ORDER BY doc_id"
     ) { (s, d) =>
       Quality.gopherFilter(t(s, d, "documents"), "doc_id", "text",
         Quality.GopherRules(minTokens = 30, maxTokens = 80,
@@ -133,12 +133,17 @@ object ClusterMixProbes {
     // buckets) — the end-to-end "make epoch shards" pipeline as one plan.
     Probe(
       "pack_shuffled_corpus",
-      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count, row_number() OVER (ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents), c AS (SELECT doc_id, pos, token_count, sum(token_count) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM s) SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_count, token_start, token_start // 512 AS seq_start FROM c ORDER BY doc_id"
+      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count, row_number() OVER (ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, pos, token_count, sum(token_count) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM s) SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_count, token_start, token_start // 512 AS seq_start FROM c ORDER BY doc_id"
     ) { (s, d) =>
+      // persisted: the ranking is consumed ~5 times (GlobalOrder's count
+      // collect, packSequences' bounds+subtotal collects, both join
+      // sides) — one materialization also pins GlobalOrder's documented
+      // deterministic-input precondition by construction
       val shuffled = Mixing.deterministicShuffle(
-        t(s, d, "documents").select(col("doc_id"),
-          TA.tokenCount(col("text")).as("tok")),
-        "doc_id", "ep0")
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("tok")),
+        "doc_id", "ep0").persist()
       // packSequences names its id column "doc_id": here that id IS the
       // shuffle position, so rename and join the real doc_id back on
       val packed = graft.ops.Packing

@@ -23,7 +23,7 @@ object TrainingDataProbes {
     // mass): one scalar pass per document, zero shuffle.
     Probe(
       "text_repetition_stats",
-      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), base AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM tok), bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)), bgc AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1) SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(1.0 - nd * 1.0 / n, 9) AS dup_token_frac, round(coalesce(maxc * 1.0 / total, 0.0), 9) AS top_bigram_frac FROM base LEFT JOIN bgc USING (doc_id) ORDER BY doc_id"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), base AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM tok), bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)), bgc AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1) SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(1.0 - nd * 1.0 / n, 9) AS dup_token_frac, round(coalesce(maxc * 1.0 / total, 0.0), 9) AS top_bigram_frac FROM base LEFT JOIN bgc USING (doc_id) ORDER BY doc_id"
     ) { (s, d) =>
       Quality.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -128,5 +128,11 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     val dirs = new java.io.File(path).listFiles().map(_.getName)
       .filter(_.startsWith("shard=")).sorted
     assert(dirs.toSeq == (0 to 4).map(i => s"shard=$i"))
+    // empty corpus: zero shards, schema-preserving readable output
+    val emptyPath = tmpDir("shards-empty") + "/packed"
+    val n0 = Packing.writeShards(df.filter(col("doc_id") < 0), "doc_id",
+      "tok", 100L, 2L, emptyPath)
+    assert(n0 == 0L)
+    assert(spark.read.parquet(emptyPath).count() == 0L)
   }
 }
