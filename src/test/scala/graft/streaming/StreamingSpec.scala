@@ -176,4 +176,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .orderBy("win_start", "event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("curation operators (gopher filter + split) unify across batch and stream") {
+    import spark.implicits._
+    import graft.ext.{Mixing, Quality}
+    val dir = tmpDir("stream-curate") + "/docs"
+    val docs = Seq(
+      (1L, "the cat sat on a mat and a dog sat too"),
+      (2L, "xx yy"),
+      (3L, "the the the the the the"),
+      (4L, "a steady stream of the finest words in the set"),
+      (5L, "zz")).toDF("doc_id", "text")
+    docs.write.parquet(dir)
+    val rules = Quality.GopherRules(minTokens = 3, maxTokens = 50,
+      minMeanWordLen = 2.0, maxMeanWordLen = 8.0, maxSymbolFrac = 0.25,
+      minStopwords = 1, maxDupFrac = 0.5)
+    val splits = Seq("train" -> 0.8, "val" -> 0.2)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Mixing.hashSplit(
+        Quality.gopherFilter(df, "doc_id", "text", rules)
+          .filter(col("keep")), "doc_id", "cur", splits)
+        .select("doc_id", "split")
+    // the SAME operator chain, once over readStream, once over read
+    EventStreams.runToMemory(
+      curate(spark.readStream.schema(docs.schema).parquet(dir)),
+      "curate_s", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("curate_s").orderBy("doc_id").collect().toSeq
+    val batch = curate(spark.read.schema(docs.schema).parquet(dir))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.map(_.getLong(0)).toSet
+      .subsetOf(Set(1L, 3L, 4L))) // 2 and 5 fail minTokens
+  }
 }
