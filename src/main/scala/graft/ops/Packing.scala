@@ -93,6 +93,53 @@ object Packing {
     spark.read.parquet(path).select("shard").distinct().count()
   }
 
+  /** Assemble the ACTUAL per-sequence token streams from a packed corpus:
+    * every training sequence's text, built by slicing each document's
+    * tokens into the sequences it straddles and concatenating slices in
+    * corpus order — the step that turns placements into shard content.
+    *
+    * Scale shape: one corpus join (tokens ⋈ placements — both keyed by
+    * id), then each document explodes into at most (tok/seqLen + 2) span
+    * rows, and one shuffle groups spans by sequence. Memory per group is
+    * one sequence (seqLen tokens), never a partition. Zero-token
+    * documents contribute nothing.
+    *
+    * @return (seq_id, n_docs, n_tokens, seq_md5) — n_tokens == seqLen for
+    *         every sequence except the last; seq_md5 fingerprints the
+    *         space-joined token stream (md5 hex, engine-portable)
+    */
+  def sequenceTexts(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val toks = df
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .filter(col("id").isNotNull && col(textCol).isNotNull)
+      .withColumn("ts", split(col(textCol), " "))
+      .select(col("id"), col("ts"), size(col("ts")).cast("long").as("tok"))
+    val placed = packSequences(toks.select(col("id"), col("tok")),
+      "id", "tok", seqLen)
+    placed.join(toks, placed("doc_id") === toks("id"))
+      .filter(col("tok") > 0)
+      .select(col("ts"), col("tok"), col("token_start"),
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      // local slice bounds of this doc's tokens inside sequence seq_id
+      .withColumn("lo",
+        greatest(col("seq_id") * seqLen - col("token_start"), lit(0L)))
+      .withColumn("hi",
+        least((col("seq_id") + 1) * seqLen - col("token_start"), col("tok")))
+      .withColumn("piece", slice(col("ts"), (col("lo") + 1).cast("int"),
+        (col("hi") - col("lo")).cast("int")))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hi") - col("lo")).as("n_tokens"),
+        // pieces ordered by the contributing doc's global offset, so the
+        // concatenation is the corpus-order token stream
+        sort_array(collect_list(struct(col("token_start"), col("piece"))))
+          .as("ps"))
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(" ", flatten(col("ps.piece")))).as("seq_md5"))
+  }
+
   /** @param idCol       unique document id (packing order)
     * @param tokenCol    per-document token count
     * @param seqLen      tokens per packed training sequence (> 0)

@@ -157,6 +157,20 @@ object ClusterMixProbes {
         .orderBy("doc_id")
     },
 
+    // Sequence-text assembly: the ACTUAL token stream of every packed
+    // 512-token training sequence, fingerprinted with md5 — the oracle
+    // rebuilds each sequence by slicing and concatenating document tokens
+    // in corpus order. Every sequence but the last must carry exactly
+    // 512 tokens.
+    Probe(
+      "text_pack_assemble",
+      "WITH tc AS (SELECT doc_id, string_split(text, ' ') AS ts, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, ts, tok, CAST(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS strt FROM tc), sp AS (SELECT g.g AS seq_id, ts, strt, tok, greatest(g.g * 512 - strt, 0) AS lo, least((g.g + 1) * 512 - strt, tok) AS hi FROM c, UNNEST(generate_series(strt // 512, (strt + tok - 1) // 512)) AS g(g) WHERE tok > 0), pieces AS (SELECT seq_id, strt, hi - lo AS n, array_to_string(ts[lo+1:hi], ' ') AS piece FROM sp), agg AS (SELECT seq_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens, string_agg(piece, ' ' ORDER BY strt) AS txt FROM pieces GROUP BY seq_id) SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, md5(txt) AS seq_md5 FROM agg ORDER BY seq_id"
+    ) { (s, d) =>
+      graft.ops.Packing.sequenceTexts(t(s, d, "documents"), "doc_id", "text",
+        seqLen = 512)
+        .orderBy("seq_id")
+    },
+
     // Correlated above-average aggregation (the scalar-subquery shape):
     // parts larger than their brand's average size, per brand. The window
     // formulation runs in ONE shuffle; integer sums keep the avg exact and

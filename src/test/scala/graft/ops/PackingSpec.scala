@@ -110,6 +110,23 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(got8 == List((0, 0, 4), (1, 3, 4), (2, 6, 2)))
   }
 
+  test("sequenceTexts reassembles the exact straddled token streams") {
+    import spark.implicits._
+    // doc 1: t0..t4 (5 tokens), doc 2: u0..u2 (3), doc 3: v0 (1); seqLen 4
+    // seq 0 = t0 t1 t2 t3 | seq 1 = t4 u0 u1 u2 | seq 2 = v0
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4"), (2L, "u0 u1 u2"), (3L, "v0"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Packing.sequenceTexts(df, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 4L, h("t0 t1 t2 t3")),
+      (1L, 2L, 4L, h("t4 u0 u1 u2")),
+      (2L, 1L, 1L, h("v0"))))
+  }
+
   test("writeShards partitions placements by starting sequence") {
     import spark.implicits._
     // 10 docs x 100 tokens, seqLen 100 -> one sequence per doc;
