@@ -669,10 +669,13 @@ object Dedup {
     // codegen'd native cosine (same evaluation order and zero-vector
     // convention as the scalar twin, same rounding as BigDecimal HALF_UP —
     // Spark's round() IS that): the whole pair-scoring stage stays inside
-    // WholeStageCodegen instead of a per-pair deserializing .map
+    // WholeStageCodegen instead of a per-pair deserializing .map. On a
+    // vanilla SparkSession (no GraftExtensions) cosineAuto falls back to
+    // the expression form — slower, identical values
     Similarity.blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = true)
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosineNative(col("va"), col("vb")), 4).as("cos"))
+        round(Similarity.cosineAuto(emb.sparkSession,
+          col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found by
@@ -700,5 +703,45 @@ object Dedup {
     cosineNearDupPairs(
       Clustering.assignWithVec(emb, idCol, vecCol, centroids),
       idCol, vecCol, "cluster", threshold)
+  }
+
+  /** Canonical-document selection, the step AFTER clustering: given the
+    * corpus and a duplicate-cluster labelling (`doc_id`, `cluster_rep` —
+    * [[duplicateClusters]] output, which only covers documents that
+    * appear in an edge), mark one canonical survivor per cluster: the
+    * highest `scoreCol` (quality, length, recency...), ties broken by
+    * lowest id. Documents absent from `clusters` are their own cluster
+    * and therefore canonical. Filtering `is_canonical` yields the
+    * deduplicated corpus with the BEST copy kept, vs exactGroups'
+    * min-id survivor.
+    *
+    * Scale shape: the cluster frame holds only duplicate members —
+    * orders of magnitude smaller than the corpus under any realistic dup
+    * rate — so it broadcast-joins; the selection window partitions by
+    * cluster_rep (clusters are small by construction, so no single
+    * window partition ever sees more than one cluster's members).
+    *
+    * @return input columns + (cluster_rep, is_canonical)
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
+                    scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!docs.columns.contains("cluster_rep") &&
+        !docs.columns.contains("is_canonical"),
+      "keepCanonical adds cluster_rep/is_canonical; rename existing columns")
+    // temp name: never clobber a caller column
+    val taken = docs.columns.toSet
+    val cid = Iterator.iterate("_kc_id")(_ + "_").dropWhile(taken).next()
+    val cl = broadcast(clusters.select(col("doc_id").cast("long").as(cid),
+      col("cluster_rep").cast("long").as("cluster_rep")))
+    // null ids excluded (engine null-id convention)
+    val base = docs.filter(col(idCol).isNotNull)
+    val joined = base
+      .join(cl, base(idCol).cast("long") === cl(cid), "left_outer").drop(cid)
+      .withColumn("cluster_rep",
+        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(scoreCol.desc, col(idCol))
+    joined.withColumn("is_canonical", row_number().over(w) === 1)
   }
 }

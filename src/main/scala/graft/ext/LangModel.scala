@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  // previous call's persisted vocabulary frame (see bigramSelfLogProb)
-  private var lastVocabCache: Option[DataFrame] = None
-
   /** @return (doc_id, n_bigrams, avg_lp) — avg_lp rounded to 6 decimals
     *         (ln differs by 1 ulp across engines); documents with fewer
     *         than 2 tokens have no bigram and are absent
@@ -38,15 +35,13 @@ object LangModel {
       text.split(" ", -1).iterator
     }.toDF("w")
     // the vocabulary frame is consumed twice (size count + score join);
-    // persist it so the unigram aggregation runs once. A fresh frame per
-    // call can never be a cross-call cache hit, so the PREVIOUS call's
-    // cache is released here — bounding the footprint at one
-    // vocabulary-sized frame per session
-    val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1")).persist()
-    LangModel.synchronized {
-      lastVocabCache.foreach(_.unpersist())
-      lastVocabCache = Some(uni)
-    }
+    // an eager localCheckpoint runs the unigram aggregation exactly once
+    // and its blocks are scoped to THIS call's frame — reclaimed by the
+    // context cleaner once the returned plan is garbage-collected, so
+    // concurrent calls and lazy re-execution of a previously returned
+    // frame stay independent (no session-global mutable cache)
+    val uni = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     // vocabulary size collected once on the driver (a long, not a frame):
     // a 1-row vdf cross join would re-evaluate the unigram aggregation a
     // second time on the join side — AQE does not stage-share the copies

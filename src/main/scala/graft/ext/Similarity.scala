@@ -39,6 +39,17 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** The fastest cosine available in `spark`: the codegen'd native
+    * function when a GraftSession/GraftExtensions session registered it,
+    * the expression form otherwise. Same evaluation order either way, so
+    * results are bit-for-bit identical — only throughput differs. Hot
+    * pairwise paths call this so a vanilla SparkSession still resolves.
+    */
+  def cosineAuto(spark: org.apache.spark.sql.SparkSession,
+                 a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) cosineNative(a, b)
+    else cosine(a, b)
+
   /** Unit-normalize a vector against a PRECOMPUTED norm column. Callers
     * materialize the norm once per row (`withColumn("nrm", l2Norm(v))`)
     * — inlining `l2Norm` in the lambda would re-evaluate the O(d) fold
@@ -74,7 +85,8 @@ object Similarity {
                          idCol: String, vecCol: String, k: Int): DataFrame =
     candidates.crossJoin(broadcast(queryDf))
       .select(col(idCol),
-        round(cosineNative(col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
+        round(cosineAuto(candidates.sparkSession,
+          col(vecCol).cast("array<double>"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -215,7 +227,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val pairs = blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = false)
       .select(col("id_a"), col("id_b"),
-        round(cosineNative(col("va"), col("vb")), 6).as("cos"))
+        round(cosineAuto(emb.sparkSession, col("va"), col("vb")), 6).as("cos"))
     val byScore = Window.partitionBy("id_a")
       .orderBy(col("cos").desc, col("id_b"))
     pairs.withColumn("rn", row_number().over(byScore))

@@ -41,12 +41,25 @@ object GlobalOrder {
   def rankByHexKey(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
                    posName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withKey = df.withColumn("_go_key", keyCol)
-      .withColumn("_go_bucket",
-        conv(substring(col("_go_key"), 1, 2), 16, 10).cast("int"))
+    // temp columns must not clobber caller columns of the same name
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+    val kc = fresh("_go_key")
+    val bc = fresh("_go_bucket")
+    val withKey = df.withColumn(kc, keyCol)
+      .withColumn(bc,
+        when(col(kc).rlike("^[0-9a-f]{2}"),
+          conv(substring(col(kc), 1, 2), 16, 10).cast("int")))
     // 256 rows to the driver; prefix-sum into per-bucket base ranks
-    val counts = withKey.groupBy("_go_bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = withKey.groupBy(bc).count()
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"rankByHexKey: ${r.getLong(1)} row(s) have a null or " +
+            "non-lowercase-hex order key; keys must be >=2 lowercase hex " +
+            "chars (an md5/sha digest)")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
     var acc = 0L
     val bases: Map[Int, Long] = (0 until 256).map { b =>
       val e = b -> acc
@@ -54,11 +67,10 @@ object GlobalOrder {
       e
     }.toMap
     val basesCol = typedLit(bases)
-    val w = Window.partitionBy("_go_bucket")
-      .orderBy(col("_go_key") +: tieCols: _*)
+    val w = Window.partitionBy(bc).orderBy(col(kc) +: tieCols: _*)
     withKey
       .withColumn(posName,
-        element_at(basesCol, col("_go_bucket")) + row_number().over(w) - 1)
-      .drop("_go_key", "_go_bucket")
+        element_at(basesCol, col(bc)) + row_number().over(w) - 1)
+      .drop(kc, bc)
   }
 }

@@ -133,7 +133,7 @@ object ClusterMixProbes {
     // buckets) — the end-to-end "make epoch shards" pipeline as one plan.
     Probe(
       "pack_shuffled_corpus",
-      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count, row_number() OVER (ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, pos, token_count, sum(token_count) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM s) SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_count, token_start, token_start // 512 AS seq_start FROM c ORDER BY doc_id"
+      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count, row_number() OVER (ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, pos, token_count, sum(token_count) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM s) SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_count, CAST(token_start AS BIGINT) AS token_start, CAST(token_start // 512 AS BIGINT) AS seq_start FROM c ORDER BY doc_id"
     ) { (s, d) =>
       // persisted: the ranking is consumed ~5 times (GlobalOrder's count
       // collect, packSequences' bounds+subtotal collects, both join

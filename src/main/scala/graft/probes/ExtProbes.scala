@@ -142,7 +142,7 @@ object ExtProbes {
     // scheme (no single-task global window).
     Probe(
       "text_pack_sequences",
-      "WITH tc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count FROM documents), c AS (SELECT doc_id, token_count, sum(token_count) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM tc) SELECT doc_id, token_count, token_start, token_start // 512 AS seq_start, token_start % 512 AS seq_offset, greatest(token_start // 512, (token_start + token_count - 1) // 512) AS seq_end FROM c ORDER BY doc_id"
+      "WITH tc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count FROM documents), c AS (SELECT doc_id, token_count, sum(token_count) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count AS token_start FROM tc) SELECT doc_id, token_count, CAST(token_start AS BIGINT) AS token_start, CAST(token_start // 512 AS BIGINT) AS seq_start, CAST(token_start % 512 AS BIGINT) AS seq_offset, CAST(greatest(token_start // 512, (token_start + token_count - 1) // 512) AS BIGINT) AS seq_end FROM c ORDER BY doc_id"
     ) { (s, d) =>
       graft.ops.Packing.packSequences(
           t(s, d, "documents").select(col("doc_id"),
