@@ -8,7 +8,16 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.localFromEnv()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev iteration;
+    // the driver never sets it). oracle_sql.json always carries the full
+    // map so a filtered dump still compares cleanly per-query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(names => (names -- SparkEntry.queries.keySet)
+      .foreach(n => System.err.println(s"[verify] unknown query name: $n")))
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -103,4 +103,88 @@ object Mixing {
       .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }
+
+  /** Temperature-scaled mixture weights (Conneau & Lample 2019, mC4): the
+    * sampling weight of group g is n_g^alpha / Σ_h n_h^alpha — alpha < 1
+    * flattens the distribution (upsampling low-resource groups), alpha = 1
+    * is natural proportions. This is the planning step that turns corpus
+    * token counts into per-source sampling rates; feed the weights into
+    * [[weightedSample]] or [[tokenBudgetSample]] budgets.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus
+    * (group → token total); everything after operates on the group-count
+    * frame (tens of rows), folded on the driver in ascending group order
+    * so the double sum is deterministic and engine-reproducible (a
+    * distributed agg(sum) over doubles adds in arrival order).
+    *
+    * @return (group, n_tokens, p, w): natural share p = n_g/N and
+    *         temperature weight w, both rounded to 6 dp
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, tokenCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // java.math.BigDecimal.valueOf = shortest-repr HALF_UP, the exact
+    // semantics of Spark's and DuckDB's round() on doubles
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // alpha = 0.5 routes through sqrt (IEEE correctly rounded on every
+    // engine); general pow is libm-dependent and may differ 1 ulp across
+    // engines — oracle comparisons should prefer 0.5 or round coarser
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val totals = df
+      .filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(groupCol).agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .orderBy(groupCol)
+      .as[(String, Long)].collect()
+    val grand = totals.map(_._2).sum.toDouble
+    val denom = totals.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + powA(n.toDouble)
+    }
+    val rows = totals.map { case (g, n) =>
+      (g, n, r6(n / grand), r6(powA(n.toDouble) / denom))
+    }.toSeq
+    spark.createDataset(rows).toDF(groupCol, "n_tokens", "p", "w")
+  }
+
+  /** EXACT per-stratum holdout split: within each stratum, rows are
+    * ranked in md5(salt ++ id) order and the first round(frac·n_s) go to
+    * `headName`, the rest to `tailName`. [[hashSplit]] is per-row
+    * Bernoulli — each stratum's head count wobbles binomially, which at
+    * evaluation scale (a 1k-document benchmark stratum) is a real skew;
+    * this variant realises the exact count in every stratum while keeping
+    * membership deterministic and engine-reproducible.
+    *
+    * Scale shape: the per-stratum rank runs on
+    * [[graft.ops.GlobalOrder.rankByHexKeyWithin]] — 256-way parallel
+    * within every stratum, no driver state — plus one tiny per-stratum
+    * count aggregate that broadcast-joins back.
+    *
+    * @return input columns + (stratum_pos, split)
+    */
+  def exactStratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+                           salt: String, frac: Double,
+                           headName: String = "holdout",
+                           tailName: String = "train"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val taken = df.columns.toSet
+    val nc = Iterator.iterate("_ss_n")(_ + "_").dropWhile(taken).next()
+    // null ids/strata excluded (engine null-id convention; a null stratum
+    // has no well-defined quota)
+    val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+    val ranked = graft.ops.GlobalOrder.rankByHexKeyWithin(
+      base, Seq(strataCol),
+      md5(concat(lit(salt), col(idCol).cast("string"))),
+      Seq(col(idCol)), "stratum_pos")
+    val sizes = base.groupBy(strataCol).agg(count(lit(1)).as(nc))
+    ranked.join(broadcast(sizes), Seq(strataCol))
+      .withColumn("split",
+        when(col("stratum_pos") <
+            round(lit(frac) * col(nc)).cast("long"), headName)
+          .otherwise(tailName))
+      .drop(nc)
+  }
 }

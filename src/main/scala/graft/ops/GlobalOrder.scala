@@ -73,4 +73,64 @@ object GlobalOrder {
         element_at(basesCol, col(bc)) + row_number().over(w) - 1)
       .drop(kc, bc)
   }
+
+  /** Grouped twin of [[rankByHexKey]]: `posName` is the row's 0-based rank
+    * WITHIN its `groupCols` group under the (keyCol, tieCols...) order —
+    * with neither a per-group single-task funnel (`Window.partitionBy
+    * (group).orderBy(key)` funnels each group through ONE task, the scale
+    * trap when one stratum dominates the corpus) nor driver state (group
+    * cardinality is unbounded, so the driver-side prefix sum of the
+    * ungrouped variant does not transfer).
+    *
+    * Fully distributed two-level scheme: per-(group, bucket) counts are a
+    * tiny aggregate (≤256 rows per group); the per-group prefix sum over
+    * those counts is a window over ≤256 rows per partition; the bases
+    * broadcast-join back; the final window partitions by (group, bucket) —
+    * 256-way parallel within every group.
+    *
+    * Same determinism precondition as [[rankByHexKey]]: the input is
+    * scanned twice and must evaluate identically both times. Rows with a
+    * null/non-hex key or a null group fail with a clear message (a null
+    * group would silently vanish at the base join — null keys never
+    * equi-join).
+    */
+  def rankByHexKeyWithin(df: DataFrame, groupCols: Seq[String],
+                         keyCol: Column, tieCols: Seq[Column],
+                         posName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "rankByHexKeyWithin needs >=1 group column")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+    val kc = fresh("_go_key")
+    val bc = fresh("_go_bucket")
+    val baseC = fresh("_go_base")
+    val withKey = df.withColumn(kc, keyCol)
+      .withColumn(bc,
+        when(col(kc).rlike("^[0-9a-f]{2}"),
+          conv(substring(col(kc), 1, 2), 16, 10).cast("int")))
+    // tiny frame: one row per (group, bucket); checkpointed because it is
+    // consumed twice (validity check + base join) and re-aggregating the
+    // corpus twice would double the heavy pass
+    val counts = withKey.groupBy(groupCols.map(col) :+ col(bc): _*).count()
+      .localCheckpoint()
+    val invalid = counts.filter(col(bc).isNull ||
+      groupCols.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
+    require(invalid.isEmpty,
+      "rankByHexKeyWithin: rows with a null group or a null/non-lowercase-" +
+        "hex order key present; keys must be >=2 lowercase hex chars and " +
+        "groups non-null")
+    val wBase = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bc))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn(baseC, coalesce(sum("count").over(wBase), lit(0L)))
+      .drop("count")
+    val wRank = Window.partitionBy(groupCols.map(col) :+ col(bc): _*)
+      .orderBy(col(kc) +: tieCols: _*)
+    withKey
+      .join(broadcast(bases), groupCols :+ bc)
+      .withColumn(posName, col(baseC) + row_number().over(wRank) - 1)
+      // the using-join moved its keys first; restore the caller's layout
+      .select(df.columns.map(col).toIndexedSeq :+ col(posName): _*)
+  }
 }

@@ -210,4 +210,39 @@ object Packing {
         greatest(expr(s"token_start div ${seqLen}L"),
           expr(s"(token_start + tok - 1) div ${seqLen}L")).as("seq_end"))
   }
+
+  /** Length-bucketed batch assignment, the inference/eval counterpart of
+    * sequence packing: documents are grouped into length buckets
+    * (bucket = tokens div bucketWidth) so every batch pads at most
+    * bucketWidth-1 tokens per document, then each bucket is chopped into
+    * fixed-size batches in deterministic md5(salt ++ id) order — a
+    * reproducible within-bucket shuffle, so batches are unbiased samples
+    * of their bucket rather than id-correlated runs.
+    *
+    * Scale shape: bucket assignment is per-row arithmetic; the
+    * within-bucket rank runs on [[GlobalOrder.rankByHexKeyWithin]] —
+    * a web corpus concentrates in a handful of length buckets, and the
+    * 256-way hash sub-bucketing keeps those dominant buckets ranking at
+    * full parallelism instead of one task per bucket.
+    *
+    * @return input columns + (bucket, bucket_pos, batch_idx, slot)
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, tokenCol: String,
+                    bucketWidth: Long, batchSize: Long,
+                    salt: String): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
+    // null ids/token counts excluded (engine null-id convention);
+    // negative counts have no length bucket
+    val base = df
+      .filter(col(idCol).isNotNull && col(tokenCol).isNotNull &&
+        col(tokenCol) >= 0)
+      .withColumn("bucket",
+        expr(s"cast($tokenCol as bigint) div ${bucketWidth}L"))
+    GlobalOrder.rankByHexKeyWithin(base, Seq("bucket"),
+        md5(concat(lit(salt), col(idCol).cast("string"))),
+        Seq(col(idCol)), "bucket_pos")
+      .withColumn("batch_idx", expr(s"bucket_pos div ${batchSize}L"))
+      .withColumn("slot", pmod(col("bucket_pos"), lit(batchSize)))
+  }
 }

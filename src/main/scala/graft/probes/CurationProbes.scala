@@ -1,0 +1,84 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Mixing, TextAnalysis => TA}
+
+/** [EXT] Round-4 curation operators: canonical-survivor selection after
+  * dedup clustering, temperature-scaled mixture weights, exact stratified
+  * splitting, and length-bucketed batch assignment.
+  *
+  * Same determinism discipline as every probe pack: fixed salts, driver
+  * folds in ascending key order, BIGINT casts on every integer-derived
+  * column (DuckDB widens sums to HUGEINT), and a total ORDER BY on both
+  * sides.
+  */
+object CurationProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Probe] = Seq(
+
+    // Dedup keep-best: source-blocked n-gram Jaccard edges → connected
+    // components → ONE canonical survivor per cluster (longest text, ties
+    // to lowest id). The oracle re-derives the clusters with a recursive
+    // CTE and replays the same selection window.
+    Probe(
+      "dedup_keep_canonical",
+      "WITH RECURSIVE tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), edges AS (SELECT id_a, id_b FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.5), sym AS (SELECT id_a AS x, id_b AS y FROM edges UNION SELECT id_b, id_a FROM edges), reach(x, y) AS (SELECT x, y FROM sym UNION SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x), cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_rep FROM reach GROUP BY x), j AS (SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep, d.n_chars FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id WHERE d.doc_id IS NOT NULL) SELECT doc_id, cluster_rep, n_chars, (row_number() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) = 1) AS is_canonical FROM j ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      Dedup.keepCanonical(docs, Dedup.duplicateClusters(edges),
+          "doc_id", col("n_chars"))
+        .select("doc_id", "cluster_rep", "n_chars", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    // Temperature-scaled mixture weights (alpha = 0.5 routes through
+    // IEEE-exact sqrt on both engines; the denominator folds in ascending
+    // source order on both sides, so the double sum is bit-identical).
+    Probe(
+      "mix_temperature_weights",
+      "WITH g AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY source), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS grand, list_reduce(list_prepend(0.0, list(sqrt(n_tokens) ORDER BY source)), (a, b) -> a + b) AS denom FROM g) SELECT g.source, g.n_tokens, round(g.n_tokens * 1.0 / t.grand, 6) AS p, round(sqrt(g.n_tokens) / t.denom, 6) AS w FROM g, t ORDER BY source"
+    ) { (s, d) =>
+      Mixing.temperatureWeights(
+          t(s, d, "documents")
+            .select(col("source"), TA.tokenCount(col("text")).as("tok")),
+          "source", "tok", alpha = 0.5)
+        .orderBy("source")
+    },
+
+    // Exact per-stratum holdout split: within each source, the first
+    // round(0.2·n) documents in md5-hash order are held out — exact
+    // quota per stratum, vs hashSplit's binomial wobble.
+    Probe(
+      "mix_stratified_split",
+      "WITH s AS (SELECT doc_id, source, md5('st4' || CAST(doc_id AS VARCHAR)) AS k FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1 AS BIGINT) AS stratum_pos, count(*) OVER (PARTITION BY source) AS n FROM s) SELECT doc_id, source, stratum_pos, CASE WHEN stratum_pos < CAST(round(0.2 * n) AS BIGINT) THEN 'holdout' ELSE 'train' END AS split FROM r ORDER BY doc_id"
+    ) { (s, d) =>
+      Mixing.exactStratifiedSplit(
+          t(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source", "st4", 0.2)
+        .select("doc_id", "source", "stratum_pos", "split")
+        .orderBy("doc_id")
+    },
+
+    // Length-bucketed batch assignment: bucket by tokens div 16, chop each
+    // bucket into batches of 8 in deterministic md5 order.
+    Probe(
+      "pack_length_buckets",
+      "WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, md5('lb' || CAST(doc_id AS VARCHAR)) AS k FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket, k FROM s), r AS (SELECT doc_id, n_tokens, bucket, CAST(row_number() OVER (PARTITION BY bucket ORDER BY k, doc_id) - 1 AS BIGINT) AS bucket_pos FROM b) SELECT doc_id, n_tokens, bucket, bucket_pos, bucket_pos // 8 AS batch_idx, bucket_pos % 8 AS slot FROM r ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ops.Packing.lengthBuckets(
+          t(s, d, "documents")
+            .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", bucketWidth = 16L, batchSize = 8L, salt = "lb")
+        .select("doc_id", "n_tokens", "bucket", "bucket_pos",
+          "batch_idx", "slot")
+        .orderBy("doc_id")
+    }
+  )
+}

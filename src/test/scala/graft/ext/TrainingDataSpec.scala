@@ -285,4 +285,69 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       .agg(sum("doc_id")).head().getLong(0)
     assert(kept.agg(sum("doc_id")).head().getLong(0) == k2)
   }
+
+  test("temperatureWeights: alpha=1 is natural, alpha<1 flattens") {
+    import spark.implicits._
+    // 90/10 token split between two sources
+    val df = Seq(("big", 900L), ("big", 8100L), ("small", 1000L))
+      .toDF("source", "tok")
+    val nat = Mixing.temperatureWeights(df, "source", "tok", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(nat("big")._1 == 9000L && nat("small")._1 == 1000L)
+    assert(nat("big")._2 == 0.9 && nat("small")._2 == 0.1)
+    // natural: w == p
+    assert(nat("big")._3 == 0.9 && nat("small")._3 == 0.1)
+    val cool = Mixing.temperatureWeights(df, "source", "tok", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // sqrt flattening: 3:1 instead of 9:1
+    assert(cool("big") == 0.75 && cool("small") == 0.25)
+    // weights always sum to ~1
+    assert(math.abs(cool.values.sum - 1.0) < 1e-9)
+  }
+
+  test("exactStratifiedSplit realises the exact quota in every stratum") {
+    import spark.implicits._
+    // deliberately unbalanced strata: 100, 37, 3 rows
+    val df = ((0L until 100L).map((_, "a")) ++ (100L until 137L).map((_, "b"))
+      ++ (137L until 140L).map((_, "c"))).toDF("doc_id", "source")
+    val split = Mixing.exactStratifiedSplit(df, "doc_id", "source", "s", 0.2)
+    val head = split.filter(col("split") === "holdout")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round(0.2 * n): 20, round(7.4)=7, round(0.6)=1
+    assert(head == Map("a" -> 20L, "b" -> 7L, "c" -> 1L))
+    // total coverage, no overlap
+    assert(split.count() == 140L)
+    // deterministic: same salt -> identical membership
+    val again = Mixing.exactStratifiedSplit(df, "doc_id", "source", "s", 0.2)
+    assert(split.exceptAll(again).isEmpty)
+    // frac=0 and frac=1 degenerate cleanly
+    assert(Mixing.exactStratifiedSplit(df, "doc_id", "source", "s", 0.0)
+      .filter(col("split") === "holdout").count() == 0L)
+    assert(Mixing.exactStratifiedSplit(df, "doc_id", "source", "s", 1.0)
+      .filter(col("split") === "train").count() == 0L)
+  }
+
+  test("keepCanonical keeps the best-scored doc per cluster") {
+    import spark.implicits._
+    // docs 1..6; cluster {1,2,3} (rep 1), {4,5} (rep 4); 6 unclustered
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 5.0),
+      (5L, 1.0), (6L, 7.0)).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val got = Dedup.keepCanonical(docs, clusters, "doc_id", col("score"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .toList
+    assert(got == List(
+      (1L, 1L, false), (2L, 1L, true),  // score tie 2 vs 3 -> lowest id
+      (3L, 1L, false), (4L, 4L, true),
+      (5L, 4L, false), (6L, 6L, true))) // unclustered = own canonical
+    // exactly one canonical per cluster
+    val perCluster = Dedup.keepCanonical(docs, clusters, "doc_id",
+        col("score")).filter(col("is_canonical"))
+      .groupBy("cluster_rep").count().collect().map(_.getLong(1)).toSet
+    assert(perCluster == Set(1L))
+  }
 }

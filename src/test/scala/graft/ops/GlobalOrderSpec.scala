@@ -45,6 +45,63 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(s == 1999999L * 2000000L / 2)
   }
 
+  test("rankByHexKeyWithin equals the per-group single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val key = md5(concat(lit("s"), col("id").cast("string")))
+    val got = GlobalOrder.rankByHexKeyWithin(df, Seq("grp"), key,
+      Seq(col("id")), "pos")
+    val want = df.withColumn("pos",
+      row_number().over(Window.partitionBy("grp").orderBy(key, col("id"))) - 1)
+    assert(got.select("id", "grp", "pos")
+      .exceptAll(want.select("id", "grp", "pos")).isEmpty)
+    // each group is a dense 0..n-1 permutation
+    val perGroup = got.groupBy("grp").agg(min("pos"), max("pos"),
+      count(lit(1))).collect()
+    perGroup.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1)
+    }
+  }
+
+  test("rankByHexKeyWithin windows by (group, bucket), not by group alone") {
+    val df = (0L until 2000L).map(i => (i, "only")).toDF("id", "grp")
+    val ranked = GlobalOrder.rankByHexKeyWithin(df, Seq("grp"),
+      md5(col("id").cast("string")), Seq(col("id")), "pos")
+    val plan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("_go_bucket"))
+  }
+
+  test("rankByHexKeyWithin rejects null groups and non-hex keys clearly") {
+    val nullGrp = Seq((1L, "a"), (2L, null)).toDF("id", "grp")
+    val e1 = intercept[IllegalArgumentException] {
+      GlobalOrder.rankByHexKeyWithin(nullGrp, Seq("grp"),
+        md5(col("id").cast("string")), Seq(col("id")), "pos").count()
+    }
+    assert(e1.getMessage.contains("null group"))
+    val badKey = Seq((1L, "a")).toDF("id", "grp")
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalOrder.rankByHexKeyWithin(badKey, Seq("grp"),
+        lit("ZZ"), Seq(col("id")), "pos").count()
+    }
+    assert(e2.getMessage.contains("hex"))
+  }
+
+  test("rankByHexKey fails clearly on null keys; temp names never clobber") {
+    val df = Seq((1L, "aa"), (2L, null)).toDF("id", "_go_key")
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.rankByHexKey(df, col("_go_key"), Seq(col("id")), "pos")
+    }
+    assert(e.getMessage.contains("null or non-lowercase-hex"))
+    // a caller column named like the temp survives the ranking untouched
+    val ok = Seq((1L, "aa"), (2L, "bb")).toDF("id", "_go_key")
+    val ranked = GlobalOrder.rankByHexKey(ok, col("_go_key"),
+      Seq(col("id")), "pos")
+    assert(ranked.columns.toSeq == Seq("id", "_go_key", "pos"))
+    assert(ranked.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("aa", "bb"))
+  }
+
   test("deterministicShuffle: same salt same order, new salt new order") {
     import graft.ext.Mixing
     val df = (0L until 300L).toDF("doc_id")

@@ -152,4 +152,37 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(n0 == 0L)
     assert(spark.read.parquet(emptyPath).count() == 0L)
   }
+
+  test("lengthBuckets: bucket arithmetic, full batches, determinism") {
+    import spark.implicits._
+    // 400 docs, token counts 0..99 -> buckets 0..9 (width 10), 40 docs
+    // per bucket -> batches of 8, 5 full batches per bucket
+    val df = (0L until 400L).map(i => (i, i % 100L)).toDF("doc_id", "tok")
+    val got = Packing.lengthBuckets(df, "doc_id", "tok",
+      bucketWidth = 10L, batchSize = 8L, salt = "s1")
+    val rows = got.collect()
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val (tok, bucket, pos, batch, slot) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bucket == tok / 10)
+      assert(batch == pos / 8 && slot == pos % 8)
+    }
+    // every (bucket, batch) is exactly full here (40 = 5 x 8)
+    val sizes = got.groupBy("bucket", "batch_idx").count()
+      .collect().map(_.getLong(2)).toSet
+    assert(sizes == Set(8L))
+    // deterministic across evaluations; new salt reorders within buckets
+    val again = Packing.lengthBuckets(df, "doc_id", "tok", 10L, 8L, "s1")
+    assert(got.exceptAll(again).isEmpty)
+    val other = Packing.lengthBuckets(df, "doc_id", "tok", 10L, 8L, "s2")
+      .select("doc_id", "bucket_pos")
+    assert(!other.exceptAll(got.select("doc_id", "bucket_pos")).isEmpty)
+    // null-safe: null ids/token counts and negatives are excluded
+    val dirty = Seq((Some(1L), Some(5L)), (None, Some(5L)),
+      (Some(2L), None), (Some(3L), Some(-1L)))
+      .toDF("doc_id", "tok")
+    assert(Packing.lengthBuckets(dirty, "doc_id", "tok", 10L, 8L, "s")
+      .count() == 1L)
+  }
 }

@@ -9,6 +9,7 @@ driver-side python stack (duckdb/pyarrow) available in this container.
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -30,8 +31,12 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # a SPARK_GRAFT_ONLY-filtered Verify dump omits most query dirs
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -65,7 +70,8 @@ def main(sf_dir, out_dir):
         n_pass += 1
         print(f"ok   {name} ({len(got)} rows)")
     print(f"\n{n_pass} passed, {n_fail} failed, "
-          f"{len(oracle)} oracled")
+          f"{len(oracle)} oracled"
+          + (f" ({n_skip} not in this dump)" if n_skip else ""))
     return 1 if n_fail else 0
 
 
