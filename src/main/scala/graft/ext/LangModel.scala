@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   * from Web Crawl Data", 2020): fluent/boilerplate text scores high,
   * token soup scores low, and the signal needs no external model.
   *
-  * Scale shape: two count aggregations (unigrams, bigrams) over slim
-  * posting rows — vocabulary-keyed, so they shuffle vocabulary-sized
-  * frames, never documents; the score join is keyed the same way. The
-  * per-document sum folds the position-sorted log-prob list, so the
-  * double accumulation is deterministic and oracle-reproducible (a plain
-  * sum(lp) would add in shuffle-arrival order).
+  * Scale shape, adaptively (same cutover idea as
+  * Dedup.duplicateClusters' local union-find):
+  *
+  *  - The count model is always built vocabulary-keyed: two
+  *    map-side-combined aggregations (unigrams, bigrams) whose shuffled
+  *    frames are MODEL-sized, never corpus-sized.
+  *  - When the model fits an executor (entries ≤ `broadcastMaxEntries`),
+  *    both tables broadcast and scoring is ONE corpus scan with zero
+  *    further shuffle — the per-doc fold runs left-to-right in position
+  *    order, the same order as the sorted-list fold below and the oracle.
+  *  - Otherwise (open-vocabulary web corpora) scoring stays fully
+  *    distributed: bigram counts via a window over the bigram key, the
+  *    unigram join vocabulary-keyed, and the per-document sum folds the
+  *    position-sorted log-prob list — deterministic double accumulation
+  *    either way, so both paths are bit-identical and oracle-reproducible.
   */
 object LangModel {
 
@@ -24,7 +33,17 @@ object LangModel {
     *         than 2 tokens have no bigram and are absent
     */
   def bigramSelfLogProb(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String): DataFrame =
+    bigramSelfLogProb(docs, idCol, textCol, broadcastMaxEntries = 2000000L)
+
+  /** As [[bigramSelfLogProb(docs*]], with an explicit cutover: a count
+    * model (unigram + distinct-bigram entries) at most
+    * `broadcastMaxEntries` broadcasts and scores in one shuffle-free
+    * corpus pass; a larger model runs the distributed window/join path.
+    * Identical results on both paths.
+    */
+  def bigramSelfLogProb(docs: DataFrame, idCol: String, textCol: String,
+                        broadcastMaxEntries: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long"), col(textCol))
@@ -46,6 +65,17 @@ object LangModel {
     // a 1-row vdf cross join would re-evaluate the unigram aggregation a
     // second time on the join side — AQE does not stage-share the copies
     val vsz = uni.count().toDouble
+
+    if (vsz <= broadcastMaxEntries) {
+      // distinct-bigram counts: map-side combined, model-sized output
+      val bigCounts = base.flatMap { case (_, text) =>
+        val toks = text.split(" ", -1)
+        (0 until toks.length - 1).iterator.map(p => toks(p) + " " + toks(p + 1))
+      }.toDF("big").groupBy("big").agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      if (vsz + bigCounts.count() <= broadcastMaxEntries)
+        return scoreBroadcast(spark, base, uni, bigCounts, vsz)
+    }
 
     val bigrams = base.flatMap { case (id, text) =>
       val toks = text.split(" ", -1)
@@ -73,5 +103,38 @@ object LangModel {
         round(aggregate(col("lps"), lit(0.0),
           (acc, s) => acc + s.getField("lp")) / col("n_bigrams"), 6)
           .as("avg_lp"))
+  }
+
+  /** Broadcast-model scoring: one corpus scan, zero shuffle. The per-doc
+    * fold is left-to-right in position order and the arithmetic mirrors
+    * the expression path op-for-op (cb+1.0, c1+vsz, Math.log — the same
+    * IEEE ops Catalyst emits), so results are bit-identical.
+    */
+  private def scoreBroadcast(spark: org.apache.spark.sql.SparkSession,
+                             base: org.apache.spark.sql.Dataset[(Long, String)],
+                             uni: DataFrame, bigCounts: DataFrame,
+                             vsz: Double): DataFrame = {
+    import spark.implicits._
+    val c1 = spark.sparkContext.broadcast(
+      uni.as[(String, Long)].collect().toMap)
+    val cb = spark.sparkContext.broadcast(
+      bigCounts.as[(String, Long)].collect().toMap)
+    base.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 2) Iterator.empty
+      else {
+        var sum = 0.0
+        var p = 0
+        while (p < toks.length - 1) {
+          val big = toks(p) + " " + toks(p + 1)
+          sum += math.log((cb.value(big) + 1.0) / (c1.value(toks(p)) + vsz))
+          p += 1
+        }
+        val n = toks.length - 1
+        val avg = java.math.BigDecimal.valueOf(sum / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        Iterator.single((id, n.toLong, avg))
+      }
+    }.toDF("doc_id", "n_bigrams", "avg_lp")
   }
 }

@@ -86,6 +86,16 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** Codegen'd native language ID (graft.functions.LangIdExpr) — the fast
+    * path for corpus-wide language partitioning: one fused scan instead of
+    * the when-chain's four interpreted array filters plus a regexp pass.
+    * Identical integer decision table; requires a GraftSession (or
+    * spark.sql.extensions=GraftExtensions). NULL text yields NULL here vs
+    * the when-chain's 'en' fallthrough.
+    */
+  def langIdNative(text: Column): Column =
+    call_function("graft_langid", text)
+
   /** Stopword ratio over the combined marker lexicon. */
   def stopwordRatio(text: Column): Column =
     markerCount(text, profiles.values.flatten.toSeq.distinct).cast("double") /

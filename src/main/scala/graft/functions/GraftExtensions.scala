@@ -20,5 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_langid"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_langid expects 1 argument, got ${children.length}")
+        LangIdExpr(children.head)
+      }))
   }
 }

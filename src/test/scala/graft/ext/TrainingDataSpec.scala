@@ -286,6 +286,16 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(kept.agg(sum("doc_id")).head().getLong(0) == k2)
   }
 
+  test("LM logprob: broadcast and distributed paths are bit-identical") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = LangModel.bigramSelfLogProb(docs, "doc_id", "text")
+    // broadcastMaxEntries = 0 forces the window/join path
+    val dist = LangModel.bigramSelfLogProb(docs, "doc_id", "text", 0L)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(dist).isEmpty && dist.exceptAll(fast).isEmpty)
+  }
+
   test("temperatureWeights: alpha=1 is natural, alpha<1 flattens") {
     import spark.implicits._
     // 90/10 token split between two sources

@@ -47,6 +47,41 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(df.select(Similarity.cosineNative(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("graft_langid matches the when-chain on every decision branch") {
+    import spark.implicits._
+    import graft.ext.{TextAnalysis => TA}
+    val docs = Seq(
+      "the cat is in the hat and a dog",          // en
+      "der hund ist nicht das problem und",       // de
+      "el perro la casa los gatos es y",          // es
+      "le chat les chiens des et est une",        // fr
+      "一二三四五",           // zh by charset ratio
+      "mixed 一 text der die las le les des", // latin-dominated
+      "",                                         // empty -> en
+      "zz qq ww",                                 // no markers -> en
+      "a😀b the of and"                 // astral char, code points
+    ).toDF("text")
+    val rows = docs.select(
+      TA.langIdNative(col("text")).as("native"),
+      TA.langId(col("text")).as("chain")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+    assert(rows.map(_.getString(0)).take(5).toSeq ==
+      Seq("en", "de", "es", "fr", "zh"))
+    // SQL surface (ConvertToLocalRelation folds the local frame, so the
+    // codegen check below runs on a parquet scan instead)
+    docs.createOrReplaceTempView("langdocs")
+    val sql = spark.sql("SELECT graft_langid(text) AS l FROM langdocs")
+    assert(sql.collect().map(_.getString(0)).toSeq ==
+      rows.map(_.getString(0)).toSeq)
+    // codegen participation on a real scan (no interpreted fallback)
+    val scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TA.langIdNative(col("text")))
+    assert(scan.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // null text -> null (expression semantics; the when-chain gives 'en')
+    val nulls = Seq(Option.empty[String]).toDF("text")
+    assert(nulls.select(TA.langIdNative(col("text"))).head().isNullAt(0))
+  }
+
   test("MinHash aggregator distributes over union (partial aggregation is exact)") {
     import spark.implicits._
     val texts = Seq(
