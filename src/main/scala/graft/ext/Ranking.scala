@@ -76,4 +76,45 @@ object Ranking {
 
   private def tfName(i: Int) = s"tf_$i"
   private def dfName(i: Int) = s"df_$i"
+
+  /** Top-k TF-IDF terms per document (smoothed sklearn-style idf:
+    * ln((N+1)/(df+1)) + 1, always positive) — the per-document keyword
+    * signature used for topic labelling and cheap relevance features.
+    *
+    * Scale shape: one explode + map-side-combined (doc, term) count; the
+    * document-frequency table derives from THAT frame (never a second
+    * corpus scan) and is vocabulary-sized, so it broadcast-joins; the
+    * top-k window partitions by document. N is one driver scalar.
+    * Ranking uses the ROUNDED score (6 dp) with a term tie-break, so
+    * rankings are reproducible across engines (ln differs by 1 ulp).
+    *
+    * @return (doc_id, term, tf, df, score) — top `k` per doc by
+    *         (score desc, term asc)
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol))
+      .filter(col("doc_id").isNotNull && col(textCol).isNotNull)
+    // one driver scalar: corpus size for the idf numerator
+    val n = base.count()
+    // checkpointed: consumed twice (df aggregation + score join) — a lazy
+    // plan would re-explode and re-shuffle the corpus on both sides
+    val tf = base
+      .select(col("doc_id"), explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // df from the tf frame: rows are distinct (doc, term) already
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") *
+          (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
 }

@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Embedding-corpus statistics: the covariance matrix (the PCA /
+  * whitening building block) and a principal-component projection.
+  *
+  * Scale design: a covariance over n vectors of dimension d is a single
+  * corpus pass producing d(d+1)/2 partial products — never an n×n
+  * object. Two paths, same contract as Clustering.labelCentroidsExact vs
+  * a plain avg:
+  *
+  *  - [[covarianceExact]]: per-(i,j) ordered folds (ascending id), bit-
+  *    reproducible across runs and engines — the auditable path. Memory
+  *    per group is the corpus column pair (n doubles), so it is for
+  *    corpus SAMPLES (the standard PCA practice: fit on a sample,
+  *    project everything), not the full 100 TB corpus.
+  *  - [[covarianceFast]]: one-pass partial aggregation (d² accumulator
+  *    per partition, map-side combined) — linear scan, constant memory,
+  *    the full-corpus path; float addition order varies with
+  *    partitioning, so results agree with exact to ~1e-9 relative, not
+  *    bitwise.
+  *
+  * The eigen-solve itself is driver-side: a d×d matrix is KB-sized at
+  * embedding dimensions; distributing it would be pure overhead.
+  */
+object Stats {
+
+  private def base(emb: DataFrame, idCol: String,
+                   vecCol: String): Dataset[(Long, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+  }
+
+  /** Upper-triangle covariance, bit-reproducible: products fold in
+    * ascending id order per (i, j) cell.
+    *
+    * @return (i, j, n, cov) for 0 <= i <= j < d, cov rounded to 9 dp
+    */
+  def covarianceExact(emb: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val b = base(emb, idCol, vecCol)
+    val pairs = b.flatMap { case (id, v) =>
+      for { i <- v.indices.iterator; j <- i until v.length }
+        yield (id, i, j, v(i) * v(j))
+    }.toDF("id", "i", "j", "xy")
+      .groupBy("i", "j")
+      .agg(sort_array(collect_list(struct(col("id"), col("xy")))).as("xs"))
+      .select(col("i"), col("j"), size(col("xs")).cast("long").as("n"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, e) => acc + e.getField("xy")).as("sxy"))
+    val means = b.flatMap { case (id, v) =>
+      v.indices.iterator.map(i => (id, i, v(i)))
+    }.toDF("id", "i", "x")
+      .groupBy("i")
+      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"))
+      .select(col("i"), aggregate(col("xs"), lit(0.0),
+        (acc, e) => acc + e.getField("x")).as("sx"))
+    // means frame is d rows — broadcast both sides of the tiny join
+    pairs
+      .join(broadcast(means.select(col("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"), col("n"),
+        round(col("sxy") / col("n") -
+          (col("sxi") / col("n")) * (col("sxj") / col("n")), 9).as("cov"))
+  }
+
+  /** One-pass covariance: each partition folds a d²+d+1 accumulator
+    * (pair sums, column sums, count), partials merge associatively —
+    * the map-side-combined full-corpus path. Not bit-deterministic
+    * (double addition order follows partitioning).
+    *
+    * @return (i, j, n, cov) for 0 <= i <= j < d (unrounded)
+    */
+  def covarianceFast(emb: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val parts = base(emb, idCol, vecCol).mapPartitions { it =>
+      var acc: Acc = null
+      it.foreach { case (_, v) =>
+        if (acc == null) acc = Acc.empty(v.length)
+        acc.add(v)
+      }
+      if (acc == null) Iterator.empty else Iterator.single(acc)
+    }.collect()
+    if (parts.isEmpty)
+      return spark.createDataset(Seq.empty[(Int, Int, Long, Double)])
+        .toDF("i", "j", "n", "cov")
+    val total = parts.reduce(_.merge(_))
+    val d = total.d
+    val rows = for { i <- 0 until d; j <- i until d } yield {
+      val cov = total.sxy(i * d + j) / total.n -
+        (total.sx(i) / total.n) * (total.sx(j) / total.n)
+      (i, j, total.n, cov)
+    }
+    spark.createDataset(rows).toDF("i", "j", "n", "cov")
+  }
+
+  /** Mergeable covariance accumulator (d² pair sums + d column sums). */
+  private[ext] final case class Acc(d: Int, var n: Long,
+                                    sx: Array[Double], sxy: Array[Double]) {
+    def add(v: Seq[Double]): Unit = {
+      require(v.length == d, s"dimension mismatch: ${v.length} vs $d")
+      val a = v.toArray
+      var i = 0
+      while (i < d) {
+        sx(i) += a(i)
+        var j = i
+        while (j < d) { sxy(i * d + j) += a(i) * a(j); j += 1 }
+        i += 1
+      }
+      n += 1
+    }
+    def merge(o: Acc): Acc = {
+      require(o.d == d, s"dimension mismatch: ${o.d} vs $d")
+      var k = 0
+      while (k < d) { sx(k) += o.sx(k); k += 1 }
+      k = 0
+      while (k < d * d) { sxy(k) += o.sxy(k); k += 1 }
+      n += o.n
+      this
+    }
+  }
+  private[ext] object Acc {
+    def empty(d: Int): Acc =
+      Acc(d, 0L, new Array[Double](d), new Array[Double](d * d))
+  }
+
+  /** Top principal component of the corpus: deterministic power iteration
+    * on the driver over the EXACT covariance (KB-sized at embedding
+    * dims), started from e_0 and sign-fixed so the first nonzero
+    * coordinate is positive — reproducible across runs.
+    */
+  def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
+                            iterations: Int = 50): Array[Double] = {
+    val cells = covarianceExact(emb, idCol, vecCol)
+      .select("i", "j", "cov").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(cells.nonEmpty, "empty corpus has no principal component")
+    val d = cells.map(_._2).max + 1
+    val m = new Array[Double](d * d)
+    cells.foreach { case (i, j, c) => m(i * d + j) = c; m(j * d + i) = c }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var it = 0
+    while (it < iterations) {
+      val nv = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += m(i * d + j) * v(j); j += 1 }
+        nv(i) = s
+        i += 1
+      }
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (norm == 0.0) v else nv.map(_ / norm)
+      it += 1
+    }
+    val firstNz = v.indexWhere(_ != 0.0)
+    if (firstNz >= 0 && v(firstNz) < 0) v.map(-_) else v
+  }
+
+  /** Project every vector onto the top principal component (centered):
+    * the 1-D PCA score, computed as one broadcast-vector expression pass.
+    *
+    * @return input + (pca1)
+    */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 iterations: Int = 50): DataFrame = {
+    val pc = topPrincipalComponent(emb, idCol, vecCol, iterations)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = pc.length
+    // column means via one tiny ordered aggregation (d rows)
+    val mean = base(emb, idCol, vecCol).flatMap { case (id, v) =>
+      v.indices.iterator.map(i => (id, i, v(i)))
+    }.toDF("id", "i", "x")
+      .groupBy("i")
+      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"))
+      .select(col("i"), (aggregate(col("xs"), lit(0.0),
+        (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("m"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    require(mean.length == d, s"dimension mismatch: ${mean.length} vs $d")
+    val pcLit = typedLit(pc.toSeq)
+    val meanLit = typedLit(mean.toSeq)
+    emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .withColumn("pca1",
+        aggregate(
+          zip_with(
+            zip_with(col(vecCol).cast("array<double>"), meanLit,
+              (x, m) => x - m),
+            pcLit, (c, p) => c * p),
+          lit(0.0), (acc, v) => acc + v))
+  }
+}

@@ -238,7 +238,7 @@ object Packing {
       .filter(col(idCol).isNotNull && col(tokenCol).isNotNull &&
         col(tokenCol) >= 0)
       .withColumn("bucket",
-        expr(s"cast($tokenCol as bigint) div ${bucketWidth}L"))
+        expr(s"cast(`$tokenCol` as bigint) div ${bucketWidth}L"))
     GlobalOrder.rankByHexKeyWithin(base, Seq("bucket"),
         md5(concat(lit(salt), col(idCol).cast("string"))),
         Seq(col(idCol)), "bucket_pos")

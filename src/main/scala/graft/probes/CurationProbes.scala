@@ -79,6 +79,30 @@ object CurationProbes {
         .select("doc_id", "n_tokens", "bucket", "bucket_pos",
           "batch_idx", "slot")
         .orderBy("doc_id")
+    },
+
+    // Embedding covariance matrix (the PCA/whitening building block):
+    // upper-triangle cells, products folded in ascending vec_id order on
+    // both engines so every double sum is bit-identical.
+    Probe(
+      "emb_covariance",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), p AS (SELECT u.i AS i, w.j AS j, count(*) AS cnt, list_reduce(list_prepend(0.0, list(e.v[u.i] * e.v[w.j] ORDER BY e.vec_id)), (a, b) -> a + b) AS sxy FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i), UNNEST(generate_series(1, len(e.v))) AS w(j) WHERE w.j >= u.i GROUP BY 1, 2), m AS (SELECT u.i AS i, count(*) AS cnt, list_reduce(list_prepend(0.0, list(e.v[u.i] ORDER BY e.vec_id)), (a, b) -> a + b) AS sx FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i) GROUP BY 1) SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j, CAST(p.cnt AS BIGINT) AS n, round(p.sxy / p.cnt - (mi.sx / mi.cnt) * (mj.sx / mj.cnt), 9) AS cov FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j ORDER BY i, j"
+    ) { (s, d) =>
+      graft.ext.Stats.covarianceExact(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("i", "j")
+    },
+
+    // Per-document TF-IDF keyword signature: top-5 terms by the smoothed
+    // sklearn idf, ranked on the 6-dp-rounded score (ln differs 1 ulp
+    // across engines) with a term tie-break.
+    Probe(
+      "rank_tfidf_topterms",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), nn AS (SELECT count(*) AS n FROM tok), tf AS (SELECT doc_id, u.t AS term, CAST(count(*) AS BIGINT) AS tf FROM tok, UNNEST(ts) AS u(t) GROUP BY 1, 2), dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, round(tf.tf * (ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score FROM tf CROSS JOIN nn JOIN dfq ON tf.term = dfq.term) SELECT doc_id, term, tf, df, score FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc) t WHERE rn <= 5 ORDER BY doc_id, score DESC, term"
+    ) { (s, d) =>
+      graft.ext.Ranking.tfidfTopTerms(t(s, d, "documents"),
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
     }
   )
 }

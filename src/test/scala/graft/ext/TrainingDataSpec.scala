@@ -286,6 +286,27 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(kept.agg(sum("doc_id")).head().getLong(0) == k2)
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones, k bounds per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry date")).toDF("doc_id", "text")
+    val top = Ranking.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val rows = top.orderBy(col("doc_id"), col("score").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    // doc 1: apple (tf=2, df=1) beats common (tf=3, df=3) and banana
+    assert(rows.take(2).map(_._2) == List("apple", "common"))
+    // every doc contributes at most k rows
+    val perDoc = top.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(perDoc.forall(_ <= 2))
+    // df really is the document frequency, not a row count
+    val dfMap = top.select("term", "df").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap.get("common").contains(3L))
+    assert(dfMap.get("apple").contains(1L))
+  }
+
   test("LM logprob: broadcast and distributed paths are bit-identical") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
