@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Symmetric int8 embedding quantization: per-vector scale =
@@ -83,4 +83,68 @@ object Quantize {
     })
     when(size(vec) > 0, sqErr / size(vec).cast("double")).otherwise(lit(0.0))
   }
+
+  /** Product-quantization assignment (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): dimensions split into `m`
+    * equal subspaces; each subvector maps to its nearest per-subspace
+    * centroid. A vector compresses to m small codes (8 bytes at m=8,
+    * k=256 — a 32× cut on a 64-dim float vector), and ANN distances
+    * become per-subspace table lookups.
+    *
+    * Codebooks are DETERMINISTIC (subvectors of the k smallest ids, the
+    * Clustering.seedCentroids rule) with element-ordered distance folds
+    * and lowest-index tie-breaks, so an external engine re-derives every
+    * code — the same auditability contract as emb_kmeans_assign.
+    *
+    * Scale shape: the codebook is m×k×(d/m) = k×d doubles broadcast; the
+    * assignment is ONE scalar pass over the corpus, zero shuffle, n·k·d
+    * flops total.
+    *
+    * @return (idCol, subspace, code, dist2) — one row per (vector,
+    *         subspace), dist2 the squared L2 to the chosen centroid
+    */
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, s"need positive m/k, got $m/$k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seeds = Clustering.seedCentroids(emb, idCol, vecCol, k)
+    require(seeds.nonEmpty, "empty corpus has no codebook")
+    val d = seeds.head.length
+    require(d % m == 0, s"dimension $d not divisible into $m subspaces")
+    val sd = d / m
+    val cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * sd, (s + 1) * sd)))
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val mm = cs.length
+        val ssd = cs(0)(0).length
+        it.flatMap { case (id, v) =>
+          (0 until mm).iterator.map { s =>
+            val sv = v.slice(s * ssd, (s + 1) * ssd)
+            val (best, bd) = Clustering.nearestCentroid(sv, cs(s))
+            (id, s, best, bd)
+          }
+        }
+      }
+      .toDF(idCol, "subspace", "code", "dist2")
+  }
+
+  /** PQ codes in compact form: one row per vector, codes ordered by
+    * subspace — the stored index payload.
+    *
+    * @return (idCol, codes array<int>)
+    */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int): DataFrame =
+    pqAssign(emb, idCol, vecCol, m, k)
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
+        .as("sc"))
+      .select(col(idCol),
+        transform(col("sc"), e => e.getField("code")).as("codes"))
 }

@@ -103,6 +103,21 @@ object CurationProbes {
       graft.ext.Ranking.tfidfTopTerms(t(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // Product-quantization codes (m=4 subspaces of 16 dims, k=4 codebook
+    // entries = subvectors of vec_ids 0..3): the oracle re-derives every
+    // code with element-ordered distance folds and the lowest-index
+    // tie-break — the same auditability contract as emb_kmeans_assign.
+    Probe(
+      "emb_pq_assign",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), sub AS (SELECT vec_id, u.s AS s, list_slice(v, u.s * 16 + 1, u.s * 16 + 16) AS sv FROM e, UNNEST([0, 1, 2, 3]) AS u(s)), cent AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4), dd AS (SELECT sub.vec_id, sub.s, cent.cid, list_reduce(list_prepend(0.0, [ (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i]) for i in range(1, len(sub.sv) + 1) ]), (a, b) -> a + b) AS d2 FROM sub JOIN cent ON sub.s = cent.s), asg AS (SELECT vec_id, s, cid, d2, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM dd) SELECT vec_id, CAST(s AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code, round(d2, 9) AS dist2_r FROM asg WHERE rn = 1 ORDER BY vec_id, subspace"
+    ) { (s, d) =>
+      graft.ext.Quantize.pqAssign(t(s, d, "embeddings"),
+          "vec_id", "embedding", m = 4, k = 4)
+        .select(col("vec_id"), col("subspace"), col("code"),
+          round(col("dist2"), 9).as("dist2_r"))
+        .orderBy("vec_id", "subspace")
     }
   )
 }

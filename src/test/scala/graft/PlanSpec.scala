@@ -111,4 +111,32 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     val g = graft.ext.Quality.gopherFilter(docs, "doc_id", "text")
     assert(!plan(g).contains("Exchange"), plan(g))
   }
+
+  test("keepCanonical broadcasts the cluster frame, never the corpus") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_rep")
+    val p = plan(graft.ext.Dedup.keepCanonical(docs, clusters,
+      "doc_id", col("n_chars")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tfidf joins the vocab-sized df table as a broadcast") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ext.Ranking.tfidfTopTerms(docs, "doc_id", "text", 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("PQ assignment and langid are single-pass, shuffle-free scans") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.ext.Quantize.pqAssign(emb, "vec_id", "embedding", 4, 4))
+    assert(!p.contains("Exchange"), p)
+    val docs = Tables.load(spark, sf, "documents")
+    val p2 = plan(docs.select(
+      graft.ext.TextAnalysis.langIdNative(col("text"))))
+    assert(!p2.contains("Exchange"), p2)
+    assert(p2.contains("*(1)"), p2) // fused into WholeStageCodegen
+  }
 }

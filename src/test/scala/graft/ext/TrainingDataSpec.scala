@@ -95,6 +95,35 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       "clean text 1234 stays 12-34"))
   }
 
+  test("pqAssign picks the argmin subvector centroid; pqCodes are ordered") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codebooks (ids 0, 1).
+    // id 2 matches seed 0 in subspace 0 and seed 1 in subspace 1; id 3
+    // is equidistant in subspace 0 -> tie breaks to code 0.
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(4.0, 4.0, 20.0, 20.0)),
+      (2L, Seq(1.0, 1.0, 19.0, 19.0)),
+      (3L, Seq(2.0, 2.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val asg = Quantize.pqAssign(emb, "vec_id", "embedding", m = 2, k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(asg((2L, 0)) == 0 && asg((2L, 1)) == 1)
+    assert(asg((3L, 0)) == 0) // tie -> lowest index
+    assert(asg((3L, 1)) == 0) // (0,0) is nearer to seed0's (10,10)? no:
+    // dist to seed0 (10,10) = 200, seed1 (20,20) = 800 -> code 0
+    // seeds code their own subvectors
+    assert(asg((0L, 0)) == 0 && asg((0L, 1)) == 0)
+    assert(asg((1L, 0)) == 1 && asg((1L, 1)) == 1)
+    val codes = Quantize.pqCodes(emb, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Int]]("codes").toList).toList
+    assert(codes == List(List(0, 0), List(1, 1), List(0, 1), List(0, 0)))
+    // dimension must divide into m
+    intercept[IllegalArgumentException] {
+      Quantize.pqAssign(emb, "vec_id", "embedding", m = 3, k = 2)
+    }
+  }
+
   test("int8 quantization: codes in range, zero vectors safe, mse small") {
     val df = Seq(
       (1L, Seq(0.5, -1.0, 0.25)),

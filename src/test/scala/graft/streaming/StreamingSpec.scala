@@ -208,4 +208,23 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.nonEmpty && streamed.map(_.getLong(0)).toSet
       .subsetOf(Set(1L, 3L, 4L))) // 2 and 5 fail minTokens
   }
+
+  test("native codegen expressions (graft_langid) stream unchanged") {
+    import spark.implicits._
+    import graft.ext.{TextAnalysis => TA}
+    val dir = tmpDir("stream-langid") + "/docs"
+    Seq((1L, "the cat is in a hat"), (2L, "der hund ist nicht das und"),
+      (3L, "le chat les chiens des et"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def tag(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TA.langIdNative(col("text")).as("lang"))
+    EventStreams.runToMemory(
+      tag(spark.readStream.schema(schema).parquet(dir)),
+      "langid_s", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("langid_s").orderBy("doc_id").collect().toSeq
+    val batch = tag(spark.read.parquet(dir)).orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getString(1)) == Seq("en", "de", "fr"))
+  }
 }
