@@ -36,39 +36,69 @@ object Stats {
       .as[(Long, Seq[Double])]
   }
 
-  /** Upper-triangle covariance, bit-reproducible: products fold in
-    * ascending id order per (i, j) cell.
+  /** Upper-triangle covariance, bit-reproducible via a TWO-LEVEL
+    * deterministic fold (the packSequences scheme): ids bucket by
+    * `id div bucketWidth` (order-preserving arithmetic, no sampling),
+    * each bucket's d²+d sums accumulate in ascending id order inside one
+    * partition, and the driver folds bucket partials in ascending bucket
+    * order. One corpus shuffle of n ROWS (never the n·d²/2 exploded
+    * cells a per-cell groupBy would move); driver state is
+    * buckets × d(d+1)/2 doubles.
+    *
+    * An external engine reproduces every bit with the same nested fold:
+    * inner `list_reduce(list(x_i*x_j ORDER BY id))` per (cell, bucket),
+    * outer `list_reduce(list(partial ORDER BY bucket))`.
     *
     * @return (i, j, n, cov) for 0 <= i <= j < d, cov rounded to 9 dp
     */
-  def covarianceExact(emb: DataFrame, idCol: String,
-                      vecCol: String): DataFrame = {
+  def covarianceExact(emb: DataFrame, idCol: String, vecCol: String,
+                      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val spark = emb.sparkSession
     import spark.implicits._
-    val b = base(emb, idCol, vecCol)
-    val pairs = b.flatMap { case (id, v) =>
-      for { i <- v.indices.iterator; j <- i until v.length }
-        yield (id, i, j, v(i) * v(j))
-    }.toDF("id", "i", "j", "xy")
-      .groupBy("i", "j")
-      .agg(sort_array(collect_list(struct(col("id"), col("xy")))).as("xs"))
-      .select(col("i"), col("j"), size(col("xs")).cast("long").as("n"),
-        aggregate(col("xs"), lit(0.0),
-          (acc, e) => acc + e.getField("xy")).as("sxy"))
-    val means = b.flatMap { case (id, v) =>
-      v.indices.iterator.map(i => (id, i, v(i)))
-    }.toDF("id", "i", "x")
-      .groupBy("i")
-      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"))
-      .select(col("i"), aggregate(col("xs"), lit(0.0),
-        (acc, e) => acc + e.getField("x")).as("sx"))
-    // means frame is d rows — broadcast both sides of the tiny join
-    pairs
-      .join(broadcast(means.select(col("i"), col("sx").as("sxi"))), "i")
-      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sxj"))), "j")
-      .select(col("i"), col("j"), col("n"),
-        round(col("sxy") / col("n") -
-          (col("sxi") / col("n")) * (col("sxj") / col("n")), 9).as("cov"))
+    val withB = base(emb, idCol, vecCol).toDF("id", "v")
+      .withColumn("b", expr(s"id div ${bucketWidth}L"))
+      .repartition(col("b")).sortWithinPartitions("b", "id")
+      .as[(Long, Seq[Double], Long)]
+    val partials = withB.mapPartitions { it =>
+      // a hash partition holds whole buckets; rows arrive (b, id)-sorted,
+      // so per-bucket accumulation IS the ascending-id fold
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Acc)]
+      var curB = 0L
+      var acc: Acc = null
+      it.foreach { case (_, v, bk) =>
+        if (acc == null || bk != curB) {
+          if (acc != null) out += ((curB, acc))
+          acc = Acc.empty(v.length)
+          curB = bk
+        }
+        acc.add(v)
+      }
+      if (acc != null) out += ((curB, acc))
+      out.iterator
+    }.collect().sortBy(_._1)
+    if (partials.isEmpty)
+      return spark.createDataset(Seq.empty[(Int, Int, Long, Double)])
+        .toDF("i", "j", "n", "cov")
+    val d = partials.head._2.d
+    // outer fold: bucket partials in ascending bucket order
+    val sxy = new Array[Double](d * d)
+    val sx = new Array[Double](d)
+    var n = 0L
+    partials.foreach { case (_, a) =>
+      require(a.d == d, s"dimension mismatch: ${a.d} vs $d")
+      var k = 0
+      while (k < d) { sx(k) += a.sx(k); k += 1 }
+      k = 0
+      while (k < d * d) { sxy(k) += a.sxy(k); k += 1 }
+      n += a.n
+    }
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = for { i <- 0 until d; j <- i until d } yield
+      (i, j, n, r9(sxy(i * d + j) / n - (sx(i) / n) * (sx(j) / n)))
+    spark.createDataset(rows).toDF("i", "j", "n", "cov")
   }
 
   /** One-pass covariance: each partition folds a d²+d+1 accumulator

@@ -82,11 +82,14 @@ object CurationProbes {
     },
 
     // Embedding covariance matrix (the PCA/whitening building block):
-    // upper-triangle cells, products folded in ascending vec_id order on
-    // both engines so every double sum is bit-identical.
+    // upper-triangle cells via the engine's TWO-LEVEL deterministic fold
+    // (inner: ascending vec_id within an id-bucket; outer: ascending
+    // bucket) — the oracle replays the same nested list_reduce, so every
+    // double sum is bit-identical. (// is floor division in DuckDB vs
+    // Spark's truncating div — equal on the non-negative fixture ids.)
     Probe(
       "emb_covariance",
-      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), p AS (SELECT u.i AS i, w.j AS j, count(*) AS cnt, list_reduce(list_prepend(0.0, list(e.v[u.i] * e.v[w.j] ORDER BY e.vec_id)), (a, b) -> a + b) AS sxy FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i), UNNEST(generate_series(1, len(e.v))) AS w(j) WHERE w.j >= u.i GROUP BY 1, 2), m AS (SELECT u.i AS i, count(*) AS cnt, list_reduce(list_prepend(0.0, list(e.v[u.i] ORDER BY e.vec_id)), (a, b) -> a + b) AS sx FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i) GROUP BY 1) SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j, CAST(p.cnt AS BIGINT) AS n, round(p.sxy / p.cnt - (mi.sx / mi.cnt) * (mj.sx / mj.cnt), 9) AS cov FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j ORDER BY i, j"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), cell AS (SELECT vec_id, vec_id // 1024 AS b, u.i AS i, w.j AS j, e.v[u.i] * e.v[w.j] AS xy FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i), UNNEST(generate_series(1, len(e.v))) AS w(j) WHERE w.j >= u.i), pb AS (SELECT i, j, b, count(*) AS cnt, list_reduce(list_prepend(0.0, list(xy ORDER BY vec_id)), (a, c) -> a + c) AS part FROM cell GROUP BY 1, 2, 3), tot AS (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS n, list_reduce(list_prepend(0.0, list(part ORDER BY b)), (a, c) -> a + c) AS sxy FROM pb GROUP BY 1, 2), mcell AS (SELECT vec_id, vec_id // 1024 AS b, u.i AS i, e.v[u.i] AS x FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i)), mpb AS (SELECT i, b, list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, c) -> a + c) AS part FROM mcell GROUP BY 1, 2), m AS (SELECT i, list_reduce(list_prepend(0.0, list(part ORDER BY b)), (a, c) -> a + c) AS sx FROM mpb GROUP BY 1) SELECT CAST(tot.i - 1 AS INTEGER) AS i, CAST(tot.j - 1 AS INTEGER) AS j, tot.n, round(tot.sxy / tot.n - (mi.sx / tot.n) * (mj.sx / tot.n), 9) AS cov FROM tot JOIN m mi ON mi.i = tot.i JOIN m mj ON mj.i = tot.j ORDER BY i, j"
     ) { (s, d) =>
       graft.ext.Stats.covarianceExact(t(s, d, "embeddings"),
           "vec_id", "embedding")
