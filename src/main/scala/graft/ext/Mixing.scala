@@ -175,12 +175,12 @@ object Mixing {
     // null ids/strata excluded (engine null-id convention; a null stratum
     // has no well-defined quota)
     val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
-    val ranked = graft.ops.GlobalOrder.rankByHexKeyWithin(
-      base, Seq(strataCol),
-      md5(concat(lit(salt), col(idCol).cast("string"))),
-      Seq(col(idCol)), "stratum_pos")
-    val sizes = base.groupBy(strataCol).agg(count(lit(1)).as(nc))
-    ranked.join(broadcast(sizes), Seq(strataCol))
+    // the rank emits the group size from its own count frame — no third
+    // corpus scan for the quota
+    graft.ops.GlobalOrder.rankByHexKeyWithin(
+        base, Seq(strataCol),
+        md5(concat(lit(salt), col(idCol).cast("string"))),
+        Seq(col(idCol)), "stratum_pos", Some(nc))
       .withColumn("split",
         when(col("stratum_pos") <
             round(lit(frac) * col(nc)).cast("long"), headName)

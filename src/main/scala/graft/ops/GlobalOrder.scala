@@ -96,7 +96,19 @@ object GlobalOrder {
     */
   def rankByHexKeyWithin(df: DataFrame, groupCols: Seq[String],
                          keyCol: Column, tieCols: Seq[Column],
-                         posName: String): DataFrame = {
+                         posName: String): DataFrame =
+    rankByHexKeyWithin(df, groupCols, keyCol, tieCols, posName, None)
+
+  /** As [[rankByHexKeyWithin(df*]]; when `sizeName` is set, the output
+    * also carries each row's GROUP SIZE under that name — derived from
+    * the same per-(group, bucket) count frame the ranking already
+    * aggregates, so callers needing quotas (stratified splits) skip a
+    * third corpus scan.
+    */
+  def rankByHexKeyWithin(df: DataFrame, groupCols: Seq[String],
+                         keyCol: Column, tieCols: Seq[Column],
+                         posName: String,
+                         sizeName: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "rankByHexKeyWithin needs >=1 group column")
     val taken = df.columns.toSet
@@ -122,8 +134,10 @@ object GlobalOrder {
         "groups non-null")
     val wBase = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bc))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.partitionBy(groupCols.map(col): _*)
     val bases = counts
       .withColumn(baseC, coalesce(sum("count").over(wBase), lit(0L)))
+      .withColumns(sizeName.map(_ -> sum("count").over(wTotal)).toMap)
       .drop("count")
     val wRank = Window.partitionBy(groupCols.map(col) :+ col(bc): _*)
       .orderBy(col(kc) +: tieCols: _*)
@@ -131,6 +145,7 @@ object GlobalOrder {
       .join(broadcast(bases), groupCols :+ bc)
       .withColumn(posName, col(baseC) + row_number().over(wRank) - 1)
       // the using-join moved its keys first; restore the caller's layout
-      .select(df.columns.map(col).toIndexedSeq :+ col(posName): _*)
+      .select(df.columns.map(col).toIndexedSeq ++
+        (col(posName) +: sizeName.map(col).toSeq): _*)
   }
 }
