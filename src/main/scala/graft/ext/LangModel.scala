@@ -66,16 +66,23 @@ object LangModel {
     // second time on the join side — AQE does not stage-share the copies
     val vsz = uni.count().toDouble
 
-    if (vsz <= broadcastMaxEntries) {
-      // distinct-bigram counts: map-side combined, model-sized output
-      val bigCounts = base.flatMap { case (_, text) =>
-        val toks = text.split(" ", -1)
-        (0 until toks.length - 1).iterator.map(p => toks(p) + " " + toks(p + 1))
-      }.toDF("big").groupBy("big").agg(count(lit(1)).as("cb"))
-        .localCheckpoint()
-      if (vsz + bigCounts.count() <= broadcastMaxEntries)
-        return scoreBroadcast(spark, base, uni, bigCounts, vsz)
-    }
+    val materializedCounts: Option[DataFrame] =
+      if (vsz > broadcastMaxEntries) None
+      else {
+        // distinct-bigram counts: map-side combined, model-sized output
+        val bigCounts = base.flatMap { case (_, text) =>
+          val toks = text.split(" ", -1)
+          (0 until toks.length - 1).iterator
+            .map(p => toks(p) + " " + toks(p + 1))
+        }.toDF("big").groupBy("big").agg(count(lit(1)).as("cb"))
+          .localCheckpoint()
+        if (vsz + bigCounts.count() <= broadcastMaxEntries)
+          return scoreBroadcast(spark, base, uni, bigCounts, vsz)
+        // model too big to broadcast but ALREADY materialized — the
+        // distributed path below joins the checkpointed counts instead
+        // of throwing the finished aggregation away and re-deriving it
+        Some(bigCounts)
+      }
 
     val bigrams = base.flatMap { case (id, text) =>
       val toks = text.split(" ", -1)
@@ -84,14 +91,21 @@ object LangModel {
       }
     }.toDF("doc_id", "pos", "w1", "big")
 
-    // bigram count via a window over the bigram key, not a self-join —
-    // one shuffle on `big` and the bigram flatMap evaluates ONCE (the
-    // groupBy+join formulation re-runs it on both sides). The unigram
-    // join is a genuine second input (last-token counts are not derivable
-    // from bigram rows), so one unigram scan remains.
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("big")
-    val scored = bigrams
-      .withColumn("cb", count(lit(1)).over(wb))
+    // bigram count: when a checkpointed count frame exists (cutover
+    // fallthrough) it joins — one shuffle of the bigram rows, no
+    // recompute; otherwise a window over the bigram key — also one
+    // shuffle, and the bigram flatMap evaluates ONCE (a non-checkpointed
+    // groupBy+join formulation would re-run it on both sides). The
+    // unigram join is a genuine second input (last-token counts are not
+    // derivable from bigram rows), so one unigram scan remains. Both
+    // forms produce identical counts, so results are bit-identical.
+    val withCb = materializedCounts match {
+      case Some(cb) => bigrams.join(cb, "big")
+      case None =>
+        val wb = org.apache.spark.sql.expressions.Window.partitionBy("big")
+        bigrams.withColumn("cb", count(lit(1)).over(wb))
+    }
+    val scored = withCb
       .join(uni.withColumnRenamed("w", "w1"), "w1")
       .select(col("doc_id"), col("pos"),
         log((col("cb") + 1.0) / (col("c1") + vsz)).as("lp"))

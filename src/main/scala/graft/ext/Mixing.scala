@@ -170,6 +170,10 @@ object Mixing {
                            headName: String = "holdout",
                            tailName: String = "train"): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val clobbered = Seq("stratum_pos", "split").filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"exactStratifiedSplit adds ${clobbered.mkString("/")}; " +
+        "rename existing columns")
     val taken = df.columns.toSet
     val nc = Iterator.iterate("_ss_n")(_ + "_").dropWhile(taken).next()
     // null ids/strata excluded (engine null-id convention; a null stratum

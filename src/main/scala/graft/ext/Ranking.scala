@@ -92,7 +92,16 @@ object Ranking {
     *         (score desc, term asc)
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    tfidfTopTerms(docs, idCol, textCol, k, broadcastMaxTerms = 2000000L)
+
+  /** As [[tfidfTopTerms(docs*]], with an explicit cutover: a df table at
+    * most `broadcastMaxTerms` rows broadcasts; an open-vocabulary corpus
+    * beyond it joins shuffled (the tf frame is checkpointed either way,
+    * so nothing recomputes). Identical results on both paths.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, broadcastMaxTerms: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -106,9 +115,12 @@ object Ranking {
       .select(col("doc_id"), explode(split(col(textCol), " ", -1)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    // df from the tf frame: rows are distinct (doc, term) already
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    // df from the tf frame: rows are distinct (doc, term) already;
+    // checkpointed so the cardinality probe costs a local count, not a
+    // re-aggregation
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+    val dfJoin = if (df.count() <= broadcastMaxTerms) broadcast(df) else df
+    val scored = tf.join(dfJoin, "term")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") *
           (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("score"))

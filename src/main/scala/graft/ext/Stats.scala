@@ -53,6 +53,31 @@ object Stats {
     */
   def covarianceExact(emb: DataFrame, idCol: String, vecCol: String,
                       bucketWidth: Long = 1024L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    exactMoments(emb, idCol, vecCol, bucketWidth) match {
+      case None =>
+        spark.createDataset(Seq.empty[(Int, Int, Long, Double)])
+          .toDF("i", "j", "n", "cov")
+      case Some(total) =>
+        val d = total.d
+        def r9(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        val rows = for { i <- 0 until d; j <- i until d } yield
+          (i, j, total.n, r9(total.sxy(i * d + j) / total.n -
+            (total.sx(i) / total.n) * (total.sx(j) / total.n)))
+        spark.createDataset(rows).toDF("i", "j", "n", "cov")
+    }
+  }
+
+  /** The deterministic moment sums behind [[covarianceExact]] — also the
+    * single corpus pass [[topPrincipalComponent]] and [[pcaProject]]
+    * reuse (means = sx/n come for free; recomputing them separately
+    * would cost a second scan). None on an empty corpus.
+    */
+  private def exactMoments(emb: DataFrame, idCol: String, vecCol: String,
+                           bucketWidth: Long): Option[Acc] = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -77,28 +102,11 @@ object Stats {
       if (acc != null) out += ((curB, acc))
       out.iterator
     }.collect().sortBy(_._1)
-    if (partials.isEmpty)
-      return spark.createDataset(Seq.empty[(Int, Int, Long, Double)])
-        .toDF("i", "j", "n", "cov")
-    val d = partials.head._2.d
+    if (partials.isEmpty) return None
     // outer fold: bucket partials in ascending bucket order
-    val sxy = new Array[Double](d * d)
-    val sx = new Array[Double](d)
-    var n = 0L
-    partials.foreach { case (_, a) =>
-      require(a.d == d, s"dimension mismatch: ${a.d} vs $d")
-      var k = 0
-      while (k < d) { sx(k) += a.sx(k); k += 1 }
-      k = 0
-      while (k < d * d) { sxy(k) += a.sxy(k); k += 1 }
-      n += a.n
-    }
-    def r9(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    val rows = for { i <- 0 until d; j <- i until d } yield
-      (i, j, n, r9(sxy(i * d + j) / n - (sx(i) / n) * (sx(j) / n)))
-    spark.createDataset(rows).toDF("i", "j", "n", "cov")
+    val total = Acc.empty(partials.head._2.d)
+    partials.foreach { case (_, a) => total.merge(a) }
+    Some(total)
   }
 
   /** One-pass covariance: each partition folds a d²+d+1 accumulator
@@ -165,21 +173,32 @@ object Stats {
 
   /** Top principal component of the corpus: deterministic power iteration
     * on the driver over the EXACT covariance (KB-sized at embedding
-    * dims), started from e_0 and sign-fixed so the first nonzero
-    * coordinate is positive — reproducible across runs.
+    * dims), sign-fixed so the first nonzero coordinate is positive —
+    * reproducible across runs. The start vector is the all-ones
+    * direction; if an iterate lands in the matrix's null space (e.g. a
+    * top eigenvector exactly orthogonal to the start), the iteration
+    * restarts from successive basis vectors rather than silently
+    * returning the stuck start.
     */
   def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
                             iterations: Int = 50): Array[Double] = {
-    val cells = covarianceExact(emb, idCol, vecCol)
-      .select("i", "j", "cov").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    require(cells.nonEmpty, "empty corpus has no principal component")
-    val d = cells.map(_._2).max + 1
+    val total = exactMoments(emb, idCol, vecCol, 1024L)
+      .getOrElse(throw new IllegalArgumentException(
+        "empty corpus has no principal component"))
+    val d = total.d
     val m = new Array[Double](d * d)
-    cells.foreach { case (i, j, c) => m(i * d + j) = c; m(j * d + i) = c }
-    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
-    var it = 0
-    while (it < iterations) {
+    for { i <- 0 until d; j <- i until d } {
+      val c = total.sxy(i * d + j) / total.n -
+        (total.sx(i) / total.n) * (total.sx(j) / total.n)
+      m(i * d + j) = c
+      m(j * d + i) = c
+    }
+    powerIterate(m, d, iterations)
+  }
+
+  private def powerIterate(m: Array[Double], d: Int,
+                           iterations: Int): Array[Double] = {
+    def step(v: Array[Double]): Array[Double] = {
       val nv = new Array[Double](d)
       var i = 0
       while (i < d) {
@@ -189,35 +208,54 @@ object Stats {
         nv(i) = s
         i += 1
       }
-      val norm = math.sqrt(nv.map(x => x * x).sum)
-      v = if (norm == 0.0) v else nv.map(_ / norm)
-      it += 1
+      nv
     }
-    val firstNz = v.indexWhere(_ != 0.0)
-    if (firstNz >= 0 && v(firstNz) < 0) v.map(-_) else v
+    // deterministic starts: all-ones first, then each basis vector — a
+    // start orthogonal to the top eigenspace (or in the null space)
+    // falls through to the next instead of converging to garbage
+    val starts = Iterator.single(Array.fill(d)(1.0 / math.sqrt(d))) ++
+      Iterator.tabulate(d)(k => Array.tabulate(d)(i => if (i == k) 1.0 else 0.0))
+    for (start <- starts) {
+      var v = start
+      var ok = true
+      var it = 0
+      while (it < iterations && ok) {
+        val nv = step(v)
+        val norm = math.sqrt(nv.map(x => x * x).sum)
+        if (norm == 0.0) ok = false else v = nv.map(_ / norm)
+        it += 1
+      }
+      if (ok) {
+        val firstNz = v.indexWhere(_ != 0.0)
+        return if (firstNz >= 0 && v(firstNz) < 0) v.map(-_) else v
+      }
+    }
+    // zero matrix: every direction is (vacuously) principal
+    Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
   }
 
   /** Project every vector onto the top principal component (centered):
     * the 1-D PCA score, computed as one broadcast-vector expression pass.
+    * The moment sums are computed ONCE — means fall out of the same
+    * corpus pass that feeds the eigen-solve.
     *
     * @return input + (pca1)
     */
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
                  iterations: Int = 50): DataFrame = {
-    val pc = topPrincipalComponent(emb, idCol, vecCol, iterations)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val d = pc.length
-    // column means via one tiny ordered aggregation (d rows)
-    val mean = base(emb, idCol, vecCol).flatMap { case (id, v) =>
-      v.indices.iterator.map(i => (id, i, v(i)))
-    }.toDF("id", "i", "x")
-      .groupBy("i")
-      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"))
-      .select(col("i"), (aggregate(col("xs"), lit(0.0),
-        (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("m"))
-      .orderBy("i").collect().map(_.getDouble(1))
-    require(mean.length == d, s"dimension mismatch: ${mean.length} vs $d")
+    val total = exactMoments(emb, idCol, vecCol, 1024L)
+      .getOrElse(throw new IllegalArgumentException(
+        "empty corpus has no principal component"))
+    val d = total.d
+    val m = new Array[Double](d * d)
+    for { i <- 0 until d; j <- i until d } {
+      val c = total.sxy(i * d + j) / total.n -
+        (total.sx(i) / total.n) * (total.sx(j) / total.n)
+      m(i * d + j) = c
+      m(j * d + i) = c
+    }
+    val pc = powerIterate(m, d, iterations)
+    val mean = Array.tabulate(d)(i => total.sx(i) / total.n)
     val pcLit = typedLit(pc.toSeq)
     val meanLit = typedLit(mean.toSeq)
     emb.filter(col(idCol).isNotNull && col(vecCol).isNotNull)

@@ -85,7 +85,9 @@ object GlobalOrder {
     * Fully distributed two-level scheme: per-(group, bucket) counts are a
     * tiny aggregate (≤256 rows per group); the per-group prefix sum over
     * those counts is a window over ≤256 rows per partition; the bases
-    * broadcast-join back; the final window partitions by (group, bucket) —
+    * join back (broadcast while executor-sized — ≤ 2M rows — a plain
+    * shuffled join beyond, so group cardinality never bounds the
+    * operator); the final window partitions by (group, bucket) —
     * 256-way parallel within every group.
     *
     * Same determinism precondition as [[rankByHexKey]]: the input is
@@ -141,11 +143,20 @@ object GlobalOrder {
       .drop("count")
     val wRank = Window.partitionBy(groupCols.map(col) :+ col(bc): _*)
       .orderBy(col(kc) +: tieCols: _*)
+    // bases is groups × ≤256 rows: broadcast while that is executor-sized,
+    // fall back to a shuffled join for very-high-cardinality groupings
+    // (the counts frame is checkpointed, so the cardinality probe is a
+    // cheap local count, and the join input is never recomputed)
+    val basesJoin =
+      if (counts.count() <= BroadcastMaxBaseRows) broadcast(bases) else bases
     withKey
-      .join(broadcast(bases), groupCols :+ bc)
+      .join(basesJoin, groupCols :+ bc)
       .withColumn(posName, col(baseC) + row_number().over(wRank) - 1)
       // the using-join moved its keys first; restore the caller's layout
       .select(df.columns.map(col).toIndexedSeq ++
         (col(posName) +: sizeName.map(col).toSeq): _*)
   }
+
+  // ~128 MB of (group, bucket, base) rows at worst — the broadcast bound
+  private val BroadcastMaxBaseRows = 2000000L
 }

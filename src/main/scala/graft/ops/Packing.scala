@@ -232,6 +232,10 @@ object Packing {
                     salt: String): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0,
       s"need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
+    val clobbered = Seq("bucket", "bucket_pos", "batch_idx", "slot")
+      .filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"lengthBuckets adds ${clobbered.mkString("/")}; rename existing columns")
     // null ids/token counts excluded (engine null-id convention);
     // negative counts have no length bucket
     val base = df

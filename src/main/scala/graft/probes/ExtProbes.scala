@@ -110,9 +110,13 @@ object ExtProbes {
 
     Probe(
       "text_langid",
-      s"""WITH q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents), c AS (SELECT doc_id, lang, text, len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in'))) AS c_en, len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht'))) AS c_de, len(list_filter(ts, x -> x IN ('el','la','los','las','es','y'))) AS c_es, len(list_filter(ts, x -> x IN ('le','les','des','et','est','une'))) AS c_fr FROM q) SELECT doc_id, lang, CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10 >= length(text) * 3 THEN 'zh' WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' WHEN c_es > c_en AND c_es > c_fr THEN 'es' WHEN c_fr > c_en THEN 'fr' ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"""
+      s"""WITH q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), c AS (SELECT doc_id, lang, text, len(list_filter(ts, x -> x IN ('the','a','of','and','to','is','in'))) AS c_en, len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht'))) AS c_de, len(list_filter(ts, x -> x IN ('el','la','los','las','es','y'))) AS c_es, len(list_filter(ts, x -> x IN ('le','les','des','et','est','une'))) AS c_fr FROM q) SELECT doc_id, lang, CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10 >= length(text) * 3 THEN 'zh' WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' WHEN c_es > c_en AND c_es > c_fr THEN 'es' WHEN c_fr > c_en THEN 'fr' ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"""
     ) { (s, d) =>
+      // null filter mirrored in the oracle WHERE: graft_langid yields
+      // NULL on null text where the oracle CASE would fall through to
+      // 'en' — excluding nulls keeps the contract engine-independent
       t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"), col("lang"),
           TA.langIdNative(col("text")).as("lang_pred"))
         .orderBy("doc_id")

@@ -55,6 +55,26 @@ class StatsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("topPrincipalComponent survives a zero-variance leading dimension") {
+    // dim 0 constant: covariance row 0 is all zeros; an e_0-started
+    // iteration would stall there — the all-ones start must find (0, 1)
+    val emb = Seq(-2.0, -1.0, 1.0, 2.0).zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq(5.0, t)) }
+      .toDF("vec_id", "embedding")
+    val pc = Stats.topPrincipalComponent(emb, "vec_id", "embedding")
+    assert(math.abs(pc(0)) < 1e-12 && math.abs(pc(1) - 1.0) < 1e-12, pc.toSeq)
+  }
+
+  test("zero-variance corpus falls back to a deterministic unit vector") {
+    val emb = (0L until 4L).map((_, Seq(3.0, 7.0))).toDF("vec_id", "embedding")
+    val pc = Stats.topPrincipalComponent(emb, "vec_id", "embedding")
+    assert(pc.toSeq == Seq(1.0, 0.0))
+    // projections of identical vectors are all zero (centered)
+    val scores = Stats.pcaProject(emb, "vec_id", "embedding")
+      .collect().map(_.getAs[Double]("pca1"))
+    assert(scores.forall(s => math.abs(s) < 1e-12))
+  }
+
   test("pcaProject scores are the centered dot products with the top PC") {
     val dir = Seq(0.6, 0.8)
     // offset mean (10, 20): projection must center first

@@ -57,7 +57,8 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
       "le chat les chiens des et est une",        // fr
       "一二三四五",           // zh by charset ratio
       "mixed 一 text der die las le les des", // latin-dominated
-      "",                                         // empty -> en
+      "",                            // empty -> zh (vacuous 0 >= 0 charset
+                                     // ratio; the oracle CASE mirrors it)
       "zz qq ww",                                 // no markers -> en
       "a😀b the of and"                 // astral char, code points
     ).toDF("text")

@@ -32,9 +32,11 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # only a SPARK_GRAFT_ONLY-filtered dev run may skip missing dirs; in a
+    # full run a missing dir means the query CRASHED during Verify
+    filtered = bool(os.environ.get("SPARK_GRAFT_ONLY"))
     for name, sql in sorted(oracle.items()):
-        # a SPARK_GRAFT_ONLY-filtered Verify dump omits most query dirs
-        if not os.path.isdir(f"{out_dir}/{name}"):
+        if filtered and not os.path.isdir(f"{out_dir}/{name}"):
             n_skip += 1
             continue
         try:

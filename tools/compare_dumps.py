@@ -21,8 +21,12 @@ def main(a, b):
         if not (os.path.isdir(f"{a}/{name}") and os.path.isdir(f"{b}/{name}")):
             n_skip += 1
             continue
-        ra = con.sql(f"SELECT * FROM '{a}/{name}/*.parquet'").fetchall()
-        rb = con.sql(f"SELECT * FROM '{b}/{name}/*.parquet'").fetchall()
+        def norm(rows):
+            # repr is round-trippable for doubles (bit-level compare) and
+            # collapses NaN to a comparable token (NaN != NaN otherwise)
+            return [tuple(repr(v) for v in r) for r in rows]
+        ra = norm(con.sql(f"SELECT * FROM '{a}/{name}/*.parquet'").fetchall())
+        rb = norm(con.sql(f"SELECT * FROM '{b}/{name}/*.parquet'").fetchall())
         if ra == rb:
             n_same += 1
         else:
