@@ -17,6 +17,15 @@ object Verify {
       .foreach(n => System.err.println(s"[verify] unknown query name: $n")))
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    // the filter fact travels WITH the dump (dev tooling reads it), so a
+    // checker in a fresh shell never mistakes a filtered dump for a full
+    // run with crashed queries — written only for filtered runs
+    if (only.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/dumped_queries.json"))
+    else
+      Files.writeString(Paths.get(s"$outDir/dumped_queries.json"),
+        selected.keys.toSeq.sorted
+          .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

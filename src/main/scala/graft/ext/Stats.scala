@@ -61,14 +61,30 @@ object Stats {
           .toDF("i", "j", "n", "cov")
       case Some(total) =>
         val d = total.d
+        val m = covMatrix(total)
         def r9(x: Double): Double =
           java.math.BigDecimal.valueOf(x)
             .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
         val rows = for { i <- 0 until d; j <- i until d } yield
-          (i, j, total.n, r9(total.sxy(i * d + j) / total.n -
-            (total.sx(i) / total.n) * (total.sx(j) / total.n)))
+          (i, j, total.n, r9(m(i * d + j)))
         spark.createDataset(rows).toDF("i", "j", "n", "cov")
     }
+  }
+
+  /** The ONE definition of moments → covariance: cov_ij = E[x_i x_j] -
+    * E[x_i]E[x_j], evaluated as sxy/n - (sx_i/n)(sx_j/n) in that operand
+    * order (the order the oracles mirror). Full symmetric d×d, unrounded.
+    */
+  private def covMatrix(total: Acc): Array[Double] = {
+    val d = total.d
+    val m = new Array[Double](d * d)
+    for { i <- 0 until d; j <- i until d } {
+      val c = total.sxy(i * d + j) / total.n -
+        (total.sx(i) / total.n) * (total.sx(j) / total.n)
+      m(i * d + j) = c
+      m(j * d + i) = c
+    }
+    m
   }
 
   /** The deterministic moment sums behind [[covarianceExact]] — also the
@@ -133,11 +149,9 @@ object Stats {
         .toDF("i", "j", "n", "cov")
     val total = parts.reduce(_.merge(_))
     val d = total.d
-    val rows = for { i <- 0 until d; j <- i until d } yield {
-      val cov = total.sxy(i * d + j) / total.n -
-        (total.sx(i) / total.n) * (total.sx(j) / total.n)
-      (i, j, total.n, cov)
-    }
+    val m = covMatrix(total)
+    val rows = for { i <- 0 until d; j <- i until d } yield
+      (i, j, total.n, m(i * d + j))
     spark.createDataset(rows).toDF("i", "j", "n", "cov")
   }
 
@@ -172,28 +186,26 @@ object Stats {
   }
 
   /** Top principal component of the corpus: deterministic power iteration
-    * on the driver over the EXACT covariance (KB-sized at embedding
-    * dims), sign-fixed so the first nonzero coordinate is positive —
-    * reproducible across runs. The start vector is the all-ones
-    * direction; if an iterate lands in the matrix's null space (e.g. a
-    * top eigenvector exactly orthogonal to the start), the iteration
-    * restarts from successive basis vectors rather than silently
-    * returning the stuck start.
+    * on the driver over the unrounded exact moment sums (the same values
+    * [[covarianceExact]] rounds to 9 dp for its published cells;
+    * KB-sized at embedding dims). Sign-fixed so the first nonzero
+    * coordinate is positive — reproducible across runs.
+    *
+    * Robustness: a single fixed start fails whenever it coincides with a
+    * non-top eigenvector (in exact arithmetic the missing component
+    * never appears — e.g. perfectly anti-correlated dims whose top PC is
+    * orthogonal to all-ones). So EVERY deterministic start (all-ones and
+    * each basis vector) is iterated, and the candidate with the largest
+    * Rayleigh quotient vᵀMv wins; at least one basis vector overlaps the
+    * top eigenvector, so the winner spans the top eigenspace. d+1 runs
+    * of O(d² · iterations) driver flops — microseconds at embedding dims.
     */
   def topPrincipalComponent(emb: DataFrame, idCol: String, vecCol: String,
                             iterations: Int = 50): Array[Double] = {
     val total = exactMoments(emb, idCol, vecCol, 1024L)
       .getOrElse(throw new IllegalArgumentException(
         "empty corpus has no principal component"))
-    val d = total.d
-    val m = new Array[Double](d * d)
-    for { i <- 0 until d; j <- i until d } {
-      val c = total.sxy(i * d + j) / total.n -
-        (total.sx(i) / total.n) * (total.sx(j) / total.n)
-      m(i * d + j) = c
-      m(j * d + i) = c
-    }
-    powerIterate(m, d, iterations)
+    powerIterate(covMatrix(total), total.d, iterations)
   }
 
   private def powerIterate(m: Array[Double], d: Int,
@@ -210,11 +222,13 @@ object Stats {
       }
       nv
     }
-    // deterministic starts: all-ones first, then each basis vector — a
-    // start orthogonal to the top eigenspace (or in the null space)
-    // falls through to the next instead of converging to garbage
+    // deterministic starts: all-ones, then each basis vector; the best
+    // Rayleigh quotient across converged candidates wins (a start stuck
+    // on a lesser eigenvector simply loses the comparison)
     val starts = Iterator.single(Array.fill(d)(1.0 / math.sqrt(d))) ++
       Iterator.tabulate(d)(k => Array.tabulate(d)(i => if (i == k) 1.0 else 0.0))
+    var best: Array[Double] = null
+    var bestLambda = Double.NegativeInfinity
     for (start <- starts) {
       var v = start
       var ok = true
@@ -226,12 +240,18 @@ object Stats {
         it += 1
       }
       if (ok) {
-        val firstNz = v.indexWhere(_ != 0.0)
-        return if (firstNz >= 0 && v(firstNz) < 0) v.map(-_) else v
+        val mv = step(v)
+        var lambda = 0.0
+        var i = 0
+        while (i < d) { lambda += v(i) * mv(i); i += 1 }
+        if (lambda > bestLambda) { bestLambda = lambda; best = v }
       }
     }
-    // zero matrix: every direction is (vacuously) principal
-    Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    if (best == null)
+      // zero matrix: every direction is (vacuously) principal
+      return Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    val firstNz = best.indexWhere(_ != 0.0)
+    if (firstNz >= 0 && best(firstNz) < 0) best.map(-_) else best
   }
 
   /** Project every vector onto the top principal component (centered):
@@ -247,14 +267,7 @@ object Stats {
       .getOrElse(throw new IllegalArgumentException(
         "empty corpus has no principal component"))
     val d = total.d
-    val m = new Array[Double](d * d)
-    for { i <- 0 until d; j <- i until d } {
-      val c = total.sxy(i * d + j) / total.n -
-        (total.sx(i) / total.n) * (total.sx(j) / total.n)
-      m(i * d + j) = c
-      m(j * d + i) = c
-    }
-    val pc = powerIterate(m, d, iterations)
+    val pc = powerIterate(covMatrix(total), d, iterations)
     val mean = Array.tabulate(d)(i => total.sx(i) / total.n)
     val pcLit = typedLit(pc.toSeq)
     val meanLit = typedLit(mean.toSeq)

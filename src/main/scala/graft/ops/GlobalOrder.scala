@@ -41,6 +41,8 @@ object GlobalOrder {
   def rankByHexKey(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
                    posName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(posName),
+      s"rankByHexKey adds '$posName'; rename the existing column")
     // temp columns must not clobber caller columns of the same name
     val taken = df.columns.toSet
     def fresh(base: String): String =
@@ -109,10 +111,15 @@ object GlobalOrder {
     */
   def rankByHexKeyWithin(df: DataFrame, groupCols: Seq[String],
                          keyCol: Column, tieCols: Seq[Column],
-                         posName: String,
-                         sizeName: Option[String]): DataFrame = {
+                         posName: String, sizeName: Option[String],
+                         broadcastMaxBaseRows: Long = BroadcastMaxBaseRows)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "rankByHexKeyWithin needs >=1 group column")
+    val clobbered = (posName +: sizeName.toSeq).filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"rankByHexKeyWithin adds ${clobbered.mkString("/")}; " +
+        "rename the existing column(s)")
     val taken = df.columns.toSet
     def fresh(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
@@ -148,7 +155,7 @@ object GlobalOrder {
     // (the counts frame is checkpointed, so the cardinality probe is a
     // cheap local count, and the join input is never recomputed)
     val basesJoin =
-      if (counts.count() <= BroadcastMaxBaseRows) broadcast(bases) else bases
+      if (counts.count() <= broadcastMaxBaseRows) broadcast(bases) else bases
     withKey
       .join(basesJoin, groupCols :+ bc)
       .withColumn(posName, col(baseC) + row_number().over(wRank) - 1)

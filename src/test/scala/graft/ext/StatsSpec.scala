@@ -65,6 +65,18 @@ class StatsSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(pc(0)) < 1e-12 && math.abs(pc(1) - 1.0) < 1e-12, pc.toSeq)
   }
 
+  test("topPrincipalComponent: top PC orthogonal to the all-ones start") {
+    // cov [[5,-3],[-3,5]]: the all-ones direction is the LESSER
+    // eigenvector (lambda 2); the true top PC is (1,-1)/sqrt(2)
+    // (lambda 8) — the Rayleigh-quotient selection must find it
+    val emb = Seq((0L, Seq(1.0, -3.0)), (1L, Seq(3.0, -1.0)),
+      (2L, Seq(-1.0, 3.0)), (3L, Seq(-3.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val pc = Stats.topPrincipalComponent(emb, "vec_id", "embedding")
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(pc(0) - r) < 1e-9 && math.abs(pc(1) + r) < 1e-9, pc.toSeq)
+  }
+
   test("zero-variance corpus falls back to a deterministic unit vector") {
     val emb = (0L until 4L).map((_, Seq(3.0, 7.0))).toDF("vec_id", "embedding")
     val pc = Stats.topPrincipalComponent(emb, "vec_id", "embedding")

@@ -340,10 +340,39 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fast = LangModel.bigramSelfLogProb(docs, "doc_id", "text")
-    // broadcastMaxEntries = 0 forces the window/join path
+    // broadcastMaxEntries = 0 forces the window path
     val dist = LangModel.bigramSelfLogProb(docs, "doc_id", "text", 0L)
     assert(fast.count() > 0)
     assert(fast.exceptAll(dist).isEmpty && dist.exceptAll(fast).isEmpty)
+  }
+
+  test("LM logprob cutover fallthrough (checkpointed-counts join) agrees") {
+    import spark.implicits._
+    // vocab {a,b,c} = 3 entries; distinct bigrams = 4. maxEntries = 5
+    // lands BETWEEN them: vocab fits, vocab+bigrams does not -> the
+    // materialized-counts JOIN branch (neither broadcast nor window)
+    val docs = Seq((1L, "a b a b c"), (2L, "b c b a")).toDF("doc_id", "text")
+    val joinPath = LangModel.bigramSelfLogProb(docs, "doc_id", "text", 5L)
+    val bcastPath = LangModel.bigramSelfLogProb(docs, "doc_id", "text")
+    val windowPath = LangModel.bigramSelfLogProb(docs, "doc_id", "text", 0L)
+    assert(joinPath.count() == 2)
+    assert(joinPath.exceptAll(bcastPath).isEmpty &&
+      bcastPath.exceptAll(joinPath).isEmpty)
+    assert(joinPath.exceptAll(windowPath).isEmpty &&
+      windowPath.exceptAll(joinPath).isEmpty)
+  }
+
+  test("tfidf shuffled-join cutover returns identical results") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry date")).toDF("doc_id", "text")
+    val bcast = Ranking.tfidfTopTerms(docs, "doc_id", "text", 2)
+    // broadcastMaxTerms = 0 forces the shuffled df join
+    val shuffled = Ranking.tfidfTopTerms(docs, "doc_id", "text", 2, 0L)
+    assert(bcast.exceptAll(shuffled).isEmpty &&
+      shuffled.exceptAll(bcast).isEmpty)
   }
 
   test("temperatureWeights: alpha=1 is natural, alpha<1 flattens") {

@@ -72,6 +72,18 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("_go_bucket"))
   }
 
+  test("rankByHexKeyWithin shuffled-join cutover ranks identically") {
+    val df = (0L until 1000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val key = md5(col("id").cast("string"))
+    val bcast = GlobalOrder.rankByHexKeyWithin(df, Seq("grp"), key,
+      Seq(col("id")), "pos")
+    // broadcastMaxBaseRows = 0 forces the shuffled bases join
+    val shuffled = GlobalOrder.rankByHexKeyWithin(df, Seq("grp"), key,
+      Seq(col("id")), "pos", None, broadcastMaxBaseRows = 0L)
+    assert(bcast.exceptAll(shuffled).isEmpty &&
+      shuffled.exceptAll(bcast).isEmpty)
+  }
+
   test("rankByHexKeyWithin rejects null groups and non-hex keys clearly") {
     val nullGrp = Seq((1L, "a"), (2L, null)).toDF("id", "grp")
     val e1 = intercept[IllegalArgumentException] {

@@ -32,11 +32,13 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
-    # only a SPARK_GRAFT_ONLY-filtered dev run may skip missing dirs; in a
-    # full run a missing dir means the query CRASHED during Verify
-    filtered = bool(os.environ.get("SPARK_GRAFT_ONLY"))
+    # a SPARK_GRAFT_ONLY-filtered Verify writes dumped_queries.json; the
+    # filter fact travels with the dump, so only queries the dump declares
+    # are checked — in a full dump a missing dir means the query CRASHED
+    marker = f"{out_dir}/dumped_queries.json"
+    dumped = set(json.load(open(marker))) if os.path.exists(marker) else None
     for name, sql in sorted(oracle.items()):
-        if filtered and not os.path.isdir(f"{out_dir}/{name}"):
+        if dumped is not None and name not in dumped:
             n_skip += 1
             continue
         try:
