@@ -150,6 +150,44 @@ object Mixing {
     spark.createDataset(rows).toDF(groupCol, "n_tokens", "p", "w")
   }
 
+  /** Quantile-bucketed curriculum assignment: each row's bucket is the
+    * number of exact corpus quantile thresholds strictly below its score
+    * — the standard construction for difficulty/quality curricula and
+    * perplexity-stratified mixtures (bucket 0 = bottom band).
+    *
+    * Scale shape: the thresholds are ONE tiny driver row (Spark's exact
+    * `percentile` aggregates per-distinct-value counts, never sorting
+    * rows globally) and the assignment is a pure per-row expression —
+    * no `ntile` window, which would funnel the corpus through a single
+    * task for the global order. Thresholds are rounded to 6 dp and
+    * scores to 9 dp before comparison, so band membership is
+    * engine-reproducible (interpolated quantiles can differ in the last
+    * ulps across engines). A null score yields a null bucket.
+    *
+    * @return input + (bucketName) in 0..nBuckets-1
+    */
+  def quantileBuckets(df: DataFrame, scoreCol: Column, nBuckets: Int,
+                      bucketName: String): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    require(!df.columns.contains(bucketName),
+      s"quantileBuckets adds '$bucketName'; rename the existing column")
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sc = round(scoreCol, 9)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thRow = df.select(
+      call_function("percentile", sc, typedLit(probs)).as("t")).head()
+    require(!thRow.isNullAt(0),
+      "empty or all-null score corpus has no quantiles")
+    val ths = thRow.getSeq[Double](0).map(r6)
+    val bucket = ths.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(sc > t, 1).otherwise(0)
+    }
+    df.withColumn(bucketName,
+      when(sc.isNull, lit(null)).otherwise(bucket).cast("int"))
+  }
+
   /** EXACT per-stratum holdout split: within each stratum, rows are
     * ranked in md5(salt ++ id) order and the first round(frac·n_s) go to
     * `headName`, the rest to `tailName`. [[hashSplit]] is per-row

@@ -362,6 +362,20 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       windowPath.exceptAll(joinPath).isEmpty)
   }
 
+  test("quantileBuckets: equal bands, null scores pass through as null") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => (i.toLong, Some(i.toDouble))) :+ (9L, None)
+    val scored = df.toDF("doc_id", "score")
+    val got = Mixing.quantileBuckets(scored, col("score"), 4, "qb")
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(2)) -1 else r.getInt(2)).toList
+    // thresholds 2.75 / 4.5 / 6.25 -> two docs per band; null -> null
+    assert(got == List(0, 0, 1, 1, 2, 2, 3, 3, -1))
+    intercept[IllegalArgumentException] {
+      Mixing.quantileBuckets(scored, col("score"), 1, "qb")
+    }
+  }
+
   test("tfidf shuffled-join cutover returns identical results") {
     import spark.implicits._
     val docs = Seq(
