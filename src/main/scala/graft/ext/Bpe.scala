@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Byte-pair-encoding tokenizer TRAINING (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the step that turns a curated corpus into a subword vocabulary, run
+  * the way production BPE trainers actually run at scale:
+  *
+  *  1. ONE distributed aggregation reduces the corpus to its word-count
+  *     table (model-sized: the vocabulary, not the corpus);
+  *  2. the merge-learning loop runs on the DRIVER over that table —
+  *     each iteration touches vocab-many short symbol sequences, so
+  *     distributing it would shuffle more than it computes;
+  *  3. encoding with the learned merges is a broadcast + scalar pass,
+  *     embarrassingly parallel over the corpus.
+  *
+  * Determinism: merge selection breaks count ties lexicographically on
+  * the (left, right) pair, so the learned merge list is a pure function
+  * of the word-count table — reproducible across runs, partitionings,
+  * and engines.
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from the corpus (character-level
+    * within whitespace words). Stops early when no adjacent pair occurs
+    * twice or more. @return merges in application order
+    */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(col(textCol))
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    learnFromVocab(vocab, numMerges)
+  }
+
+  /** The driver-side merge loop, exposed for testing: `vocab` is the
+    * (word, count) table; symbols start as single characters.
+    */
+  private[ext] def learnFromVocab(vocab: Array[(String, Long)],
+                                  numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      // a merge must pay for itself: pairs seen once stay unmerged
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        // deterministic: max count, ties to the lexicographically first pair
+        val best = candidates.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def applyMerge(syms: Vector[String],
+                         merge: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == merge._1 &&
+          syms(i + 1) == merge._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Encode one word with the learned merges (applied in order, each
+    * scanning left-to-right — the standard BPE application rule).
+    */
+  private[ext] def encodeWord(word: String,
+                              merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { m => syms = applyMerge(syms, m) }
+    syms
+  }
+
+  /** Per-document subword count under the learned merges: the real
+    * token-budget measure once a tokenizer exists (vs the whitespace /
+    * regex approximations in TextAnalysis). Broadcast merges + one
+    * scalar pass, zero shuffle.
+    *
+    * @return (idCol, n_words, n_subwords)
+    */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ms = bc.value
+        val words = text.split(" ", -1).filter(_.nonEmpty)
+        var subs = 0L
+        words.foreach { w => subs += encodeWord(w, ms).length }
+        (id, words.length.toLong, subs)
+      }
+      .toDF(idCol, "n_words", "n_subwords")
+  }
+}
