@@ -70,7 +70,19 @@ object Bpe {
         val best = candidates.toSeq
           .minBy { case ((l, r), c) => (-c, l, r) }._1
         merges += best
-        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
+        // only words containing the pair change — skip the rest (on a
+        // Zipfian vocab most words lack any given pair, so this keeps
+        // the loop near the size of the affected postings, the same
+        // pruning reference BPE trainers apply)
+        words = words.map { case (syms, c) =>
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == best._1 && syms(i + 1) == best._2
+            i += 1
+          }
+          if (has) (applyMerge(syms, best), c) else (syms, c)
+        }
         m += 1
       }
     }
@@ -119,12 +131,19 @@ object Bpe {
     docs.select(col(idCol).cast("long"), col(textCol))
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .mapPartitions { it =>
         val ms = bc.value
-        val words = text.split(" ", -1).filter(_.nonEmpty)
-        var subs = 0L
-        words.foreach { w => subs += encodeWord(w, ms).length }
-        (id, words.length.toLong, subs)
+        // word repetition is Zipfian: memoize per partition so encode
+        // work scales with the partition's DISTINCT words, not tokens
+        val cache = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1).filter(_.nonEmpty)
+          var subs = 0L
+          words.foreach { w =>
+            subs += cache.getOrElseUpdate(w, encodeWord(w, ms).length.toLong)
+          }
+          (id, words.length.toLong, subs)
+        }
       }
       .toDF(idCol, "n_words", "n_subwords")
   }

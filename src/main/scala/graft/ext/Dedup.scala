@@ -726,8 +726,8 @@ object Dedup {
   def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
                     scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(!docs.columns.contains("cluster_rep") &&
-        !docs.columns.contains("is_canonical"),
+    require(!docs.columns.exists(c => c.equalsIgnoreCase("cluster_rep") ||
+        c.equalsIgnoreCase("is_canonical")),
       "keepCanonical adds cluster_rep/is_canonical; rename existing columns")
     // temp name: never clobber a caller column
     val taken = docs.columns.toSet

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  // shortest-repr HALF_UP — the exact semantics of Spark's and DuckDB's
+  // round() on doubles (the parity-critical definition; keep ONE copy)
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  // Spark resolves column names case-insensitively by default, so the
+  // clobber guards must too
+  private def hasColumn(df: org.apache.spark.sql.DataFrame,
+                        name: String): Boolean =
+    df.columns.exists(_.equalsIgnoreCase(name))
+
   /** Deterministic bucket in [0, 10000): md5 of (salt ++ id). */
   def hashBucket(id: Column, salt: String): Column =
     pmod(Dedup.md5Hash60Col(concat(lit(salt), id.cast("string"))), lit(10000L))
@@ -125,11 +137,6 @@ object Mixing {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     val spark = df.sparkSession
     import spark.implicits._
-    // java.math.BigDecimal.valueOf = shortest-repr HALF_UP, the exact
-    // semantics of Spark's and DuckDB's round() on doubles
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     // alpha = 0.5 routes through sqrt (IEEE correctly rounded on every
     // engine); general pow is libm-dependent and may differ 1 ulp across
     // engines — oracle comparisons should prefer 0.5 or round coarser
@@ -169,11 +176,8 @@ object Mixing {
   def quantileBuckets(df: DataFrame, scoreCol: Column, nBuckets: Int,
                       bucketName: String): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
-    require(!df.columns.contains(bucketName),
+    require(!hasColumn(df, bucketName),
       s"quantileBuckets adds '$bucketName'; rename the existing column")
-    def r6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val sc = round(scoreCol, 9)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val thRow = df.select(
@@ -208,7 +212,7 @@ object Mixing {
                            headName: String = "holdout",
                            tailName: String = "train"): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
-    val clobbered = Seq("stratum_pos", "split").filter(df.columns.contains)
+    val clobbered = Seq("stratum_pos", "split").filter(hasColumn(df, _))
     require(clobbered.isEmpty,
       s"exactStratifiedSplit adds ${clobbered.mkString("/")}; " +
         "rename existing columns")

@@ -41,7 +41,7 @@ object GlobalOrder {
   def rankByHexKey(df: DataFrame, keyCol: Column, tieCols: Seq[Column],
                    posName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(!df.columns.contains(posName),
+    require(!df.columns.exists(_.equalsIgnoreCase(posName)),
       s"rankByHexKey adds '$posName'; rename the existing column")
     // temp columns must not clobber caller columns of the same name
     val taken = df.columns.toSet
@@ -116,7 +116,8 @@ object GlobalOrder {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "rankByHexKeyWithin needs >=1 group column")
-    val clobbered = (posName +: sizeName.toSeq).filter(df.columns.contains)
+    val clobbered = (posName +: sizeName.toSeq)
+      .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
     require(clobbered.isEmpty,
       s"rankByHexKeyWithin adds ${clobbered.mkString("/")}; " +
         "rename the existing column(s)")

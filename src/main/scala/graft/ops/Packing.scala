@@ -233,7 +233,7 @@ object Packing {
     require(bucketWidth > 0 && batchSize > 0,
       s"need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
     val clobbered = Seq("bucket", "bucket_pos", "batch_idx", "slot")
-      .filter(df.columns.contains)
+      .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
     require(clobbered.isEmpty,
       s"lengthBuckets adds ${clobbered.mkString("/")}; rename existing columns")
     // null ids/token counts excluded (engine null-id convention);
