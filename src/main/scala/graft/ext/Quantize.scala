@@ -103,18 +103,26 @@ object Quantize {
     * @return (idCol, subspace, code, dist2) — one row per (vector,
     *         subspace), dist2 the squared L2 to the chosen centroid
     */
-  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-               m: Int, k: Int): DataFrame = {
+  /** The deterministic PQ codebook: per-subspace centroids sliced from
+    * the k smallest-id vectors. `codebook(s)(c)` is subspace s's centroid
+    * c — k×d doubles total, the broadcast payload of every PQ operation.
+    */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                 m: Int, k: Int): Array[Array[Array[Double]]] = {
     require(m > 0 && k > 0, s"need positive m/k, got $m/$k")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val seeds = Clustering.seedCentroids(emb, idCol, vecCol, k)
     require(seeds.nonEmpty, "empty corpus has no codebook")
     val d = seeds.head.length
     require(d % m == 0, s"dimension $d not divisible into $m subspaces")
     val sd = d / m
-    val cents: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => seeds.map(_.slice(s * sd, (s + 1) * sd)))
+    Array.tabulate(m)(s => seeds.map(_.slice(s * sd, (s + 1) * sd)))
+  }
+
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = pqCodebook(emb, idCol, vecCol, m, k)
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -147,4 +155,70 @@ object Quantize {
         .as("sc"))
       .select(col(idCol),
         transform(col("sc"), e => e.getField("code")).as("codes"))
+
+  /** PQ asymmetric-distance top-k (ADC — Jégou et al. §IV): the query
+    * stays unquantized; every stored vector's distance is approximated by
+    * summing, per subspace, the PRECOMPUTED distance from the query's
+    * subvector to the stored code's centroid. The scan reads m small ints
+    * per row and does m table lookups — no float vectors move, which is
+    * the entire point of a PQ index at corpus scale. The m×k lookup
+    * table is driver-computed (k×d flops) and broadcast; the global
+    * top-k is TakeOrderedAndProject, never a full sort.
+    *
+    * @param codes    a [[pqCodes]] frame (the stored index)
+    * @param codebook the [[pqCodebook]] the codes were built with
+    * @param query    the unquantized query vector (length d)
+    * @return (idCol, adc) — topK rows ascending by approximate distance,
+    *         ties broken by id
+    */
+  def pqTopKFromCodes(codes: DataFrame, idCol: String,
+                      codebook: Array[Array[Array[Double]]],
+                      query: Array[Double], topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val m = codebook.length
+    val sd = codebook(0)(0).length
+    require(query.length == m * sd,
+      s"query dim ${query.length} != codebook dim ${m * sd}")
+    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val qs = query.slice(s * sd, (s + 1) * sd)
+      codebook(s).map(c => Clustering.dist2(qs, c))
+    }
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(table)
+    codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, cs) =>
+        val t = bc.value
+        var adc = 0.0
+        var s = 0
+        while (s < t.length) { adc += t(s)(cs(s)); s += 1 }
+        (id, adc)
+      }
+      .toDF(idCol, "adc")
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Convenience ADC search against a raw embedding frame: builds the
+    * codebook and codes, then scores every OTHER vector against the
+    * stored vector `queryId`. Production callers persist [[pqCodes]]
+    * once and use [[pqTopKFromCodes]] per query.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+             queryId: Long, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqCodebook(emb, idCol, vecCol, m, k)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    // codes come from the FULL corpus (same deterministic codebook as
+    // cb); the query row is dropped AFTER coding — filtering first would
+    // shift the k-smallest-id seeds and desync index and lookup table
+    pqTopKFromCodes(
+      pqCodes(emb, idCol, vecCol, m, k)
+        .filter(col(idCol).cast("long") =!= queryId),
+      idCol, cb, q, topK)
+  }
 }

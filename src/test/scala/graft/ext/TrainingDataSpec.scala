@@ -124,6 +124,33 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("pqTopK ADC ranks same-codebook-cell vectors first") {
+    import spark.implicits._
+    // two clear clusters (seeds 0 and 1); 2, 4 sit in seed 0's cells,
+    // 3, 5 in seed 1's. Query 4 (coded like seed 0) must rank the
+    // cell-mates 0 and 2 above 1, 3, 5 — their ADC is the query-to-
+    // centroid distance, identical for every vector in the cell.
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(4.0, 4.0, 20.0, 20.0)),
+      (2L, Seq(0.2, 0.0, 10.0, 10.1)),
+      (3L, Seq(4.1, 4.0, 20.2, 20.0)),
+      (4L, Seq(0.1, 0.1, 10.1, 10.0)),
+      (5L, Seq(3.9, 4.0, 19.9, 20.0))).toDF("vec_id", "embedding")
+    val top = Quantize.pqTopK(emb, "vec_id", "embedding", m = 2, k = 2,
+      queryId = 4L, topK = 5)
+    val rows = top.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 5)
+    // ascending adc, non-negative
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.forall(_._2 >= 0.0))
+    // cell-mates first (ids 0 and 2 share the query's codes -> equal,
+    // minimal adc; tie broken by id)
+    assert(rows.take(2).map(_._1).toSeq == Seq(0L, 2L))
+    assert(rows(0)._2 == rows(1)._2)
+    assert(rows.drop(2).map(_._1).toSet == Set(1L, 3L, 5L))
+  }
+
   test("int8 quantization: codes in range, zero vectors safe, mse small") {
     val df = Seq(
       (1L, Seq(0.5, -1.0, 0.25)),
