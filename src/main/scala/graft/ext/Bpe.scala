@@ -147,4 +147,52 @@ object Bpe {
       }
       .toDF(idCol, "n_words", "n_subwords")
   }
+
+  /** Learn the top-`vocabSize` token vocabulary (by corpus frequency,
+    * ties to the lexicographically smallest token — a total, reproducible
+    * order) in one aggregation. The result is driver-sized by
+    * construction: use it with [[oovStats]] for tokenizer-coverage QA.
+    */
+  def learnVocab(docs: DataFrame, textCol: String,
+                 vocabSize: Int): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol))
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ", -1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t"))
+      .limit(vocabSize)
+      .select("t").as[String].collect().toSeq
+  }
+
+  /** Per-document out-of-vocabulary stats against a fixed vocabulary —
+    * the tokenizer/vocab coverage signal (a corpus whose OOV rate jumps
+    * is drifting away from what the tokenizer was trained on). Broadcast
+    * vocabulary set + ONE zero-shuffle scalar pass; nothing scales with
+    * corpus size except the embarrassingly parallel scan.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_frac) — oov_frac 9 dp
+    */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          var oov = 0L
+          toks.foreach(t => if (!v.contains(t)) oov += 1)
+          (id, toks.length.toLong, oov,
+            java.math.BigDecimal.valueOf(oov.toDouble / toks.length)
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_oov", "oov_frac")
+  }
 }

@@ -744,4 +744,42 @@ object Dedup {
       .orderBy(scoreCol.desc, col(idCol))
     joined.withColumn("is_canonical", row_number().over(w) === 1)
   }
+
+  /** Bloom-prefiltered subtraction: `df` minus the rows whose `keyCol`
+    * appears in `exclude` — the incremental-ingest primitive ("drop the
+    * documents already processed in previous epochs") at corpus scale.
+    *
+    * The result is EXACTLY the left-anti join (the Bloom filter is only a
+    * pruning device, never a correctness device): rows whose key the
+    * filter rules out are kept immediately with no shuffle, and only the
+    * "maybe present" rows — true matches plus the fpp fraction — are
+    * verified by the exact anti-join. At a realistic exclusion rate the
+    * shuffle therefore carries a small multiple of the true-match rows
+    * instead of the whole corpus, which is the difference between an
+    * anti-join of 100 TB and an anti-join of its already-seen slice.
+    * Null keys are dropped (engine null-id convention; they never
+    * equi-join anyway).
+    *
+    * @param fpp false-positive probability of the prefilter — tune DOWN
+    *            for bigger corpora (more bits, fewer rows re-verified)
+    */
+  def bloomSubtract(df: DataFrame, keyCol: String, exclude: DataFrame,
+                    excludeKeyCol: String, fpp: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.filter(col(keyCol).isNotNull)
+    val exKeys = exclude.select(col(excludeKeyCol).cast("long").as("_ex_key"))
+      .filter(col("_ex_key").isNotNull)
+    val nEx = exKeys.count()
+    if (nEx == 0L) return base
+    val bloom = exKeys.stat.bloomFilter("_ex_key", nEx, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    val key = col(keyCol).cast("long")
+    // definitely-absent rows short-circuit past the join entirely
+    val definite = base.filter(!mightContain(key))
+    val maybe = base.filter(mightContain(key))
+      .join(exKeys, key === col("_ex_key"), "left_anti")
+    definite.unionByName(maybe)
+  }
 }

@@ -1,0 +1,116 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Bpe, Dedup, Importance}
+
+/** [EXT] Round-4 data-selection operators: DSIR importance resampling
+  * (hashed unigram log-likelihood-ratio scoring + deterministic top-k
+  * selection) and its relatives.
+  *
+  * Determinism discipline as everywhere: md5-derived hashed buckets,
+  * ascending-bucket double folds, 6-dp rounds before any ordering — every
+  * weight is re-derived from scratch by the DuckDB oracle, model included.
+  */
+object SelectionProbes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared oracle CTEs: learn the target (source='src0') vs raw hashed
+    * unigram models with add-1 smoothing over 256 md5 buckets, then score
+    * every raw document by the ascending-bucket-ordered fold of
+    * count × log-ratio — exactly Importance.dsirLogWeights' contract.
+    */
+  private val dsirSql =
+    "base AS (SELECT doc_id, string_split(text, ' ') AS ts, coalesce(source = 'src0', false) AS tgt FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, tgt, CAST('0x' || substring(md5('dsir' || u.t), 1, 15) AS BIGINT) % 256 AS b FROM base, UNNEST(ts) AS u(t)), " +
+      "dist AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc, sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc FROM tok GROUP BY b), " +
+      "tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM dist), " +
+      "lr AS (SELECT b, ln((tc + 1.0) / (tt + 256)) - ln((rc + 1.0) / (rt + 256)) AS lr FROM dist CROSS JOIN tot), " +
+      "dc AS (SELECT doc_id, b, count(*) AS c FROM tok WHERE NOT tgt GROUP BY doc_id, b), " +
+      "w AS (SELECT dc.doc_id, sum(dc.c) AS n, list(dc.c * lr.lr ORDER BY dc.b) AS lps FROM dc JOIN lr USING (b) GROUP BY dc.doc_id), " +
+      "dw AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b), 6) AS log_weight FROM w)"
+
+  val all: Seq[Probe] = Seq(
+
+    // DSIR importance weights: the oracle re-learns both hashed unigram
+    // models from scratch and re-derives every log weight.
+    Probe(
+      "mix_dsir_weights",
+      s"WITH $dsirSql SELECT doc_id, n_tokens, log_weight FROM dw ORDER BY doc_id"
+    ) { (s, d) =>
+      Importance.dsirLogWeights(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", col("source") === "src0")
+        .orderBy("doc_id")
+    },
+
+    // DSIR deterministic selection: top-20 raw documents by rounded
+    // weight, ties to the lowest doc id (the declared reproducible-rank
+    // divergence from DSIR's Gumbel sampling).
+    Probe(
+      "mix_dsir_select",
+      s"WITH $dsirSql SELECT doc_id, n_tokens, log_weight FROM dw ORDER BY log_weight DESC, doc_id LIMIT 20"
+    ) { (s, d) =>
+      Importance.dsirSelect(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", col("source") === "src0", k = 20)
+    },
+
+    // Hashed linear classifier inference: closed-form synthetic weights
+    // w[b] = (b·2654435761 mod 1999)/999 − 1 over 256 md5 buckets, bias
+    // 0.05 — the oracle recomputes every bucket weight, the position-order
+    // weight fold, and the thresholded sigmoid from scratch.
+    Probe(
+      "text_classifier_score",
+      "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "sc AS (SELECT doc_id, len(ts) AS n, round(0.05 + list_reduce(list_prepend(0.0, list_transform(ts, t -> CAST((CAST('0x' || substring(md5('lin' || t), 1, 15) AS BIGINT) % 256) * 2654435761 % 1999 AS DOUBLE) / 999.0 - 1.0)), (a, b) -> a + b) / len(ts), 6) AS score FROM base), " +
+        "p AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, score, round(1.0 / (1.0 + exp(-score)), 6) AS prob FROM sc) " +
+        "SELECT doc_id, n_tokens, score, prob, prob >= 0.5 AS keep FROM p ORDER BY doc_id"
+    ) { (s, d) =>
+      Importance.linearScore(
+        t(s, d, "documents"), "doc_id", "text",
+        weights = Array.tabulate(256)(b =>
+          (b * 2654435761L % 1999) / 999.0 - 1.0),
+        bias = 0.05)
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered subtraction: result must be EXACTLY the anti-join
+    // (the Bloom filter only prunes), so the oracle is the plain NOT
+    // EXISTS — any false-positive mishandling would change the row set.
+    Probe(
+      "dedup_bloom_subtract",
+      "SELECT d.doc_id, d.source FROM documents d WHERE d.doc_id IS NOT NULL AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.source = 'src1' AND e.doc_id = d.doc_id) ORDER BY d.doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.bloomSubtract(
+        docs.select("doc_id", "source"), "doc_id",
+        docs.filter(col("source") === "src1"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage: top-25 corpus vocabulary (count desc, token
+    // asc — a total order), then per-document OOV stats. The oracle
+    // re-learns the vocabulary and re-counts coverage from scratch.
+    Probe(
+      "text_oov_rate",
+      "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "allt AS (SELECT u.t FROM (SELECT string_split(text, ' ') AS ts FROM documents WHERE text IS NOT NULL) q, UNNEST(q.ts) AS u(t)), " +
+        "v AS (SELECT t FROM (SELECT t, count(*) AS c FROM allt GROUP BY t) ORDER BY c DESC, t LIMIT 25), " +
+        "d AS (SELECT b.doc_id, u.t FROM base b, UNNEST(b.ts) AS u(t)), " +
+        "o AS (SELECT d.doc_id, count(*) AS n, sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS oov FROM d LEFT JOIN v ON d.t = v.t GROUP BY d.doc_id) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS n_oov, round(oov * 1.0 / n, 9) AS oov_frac FROM o ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Bpe.oovStats(docs, "doc_id", "text",
+        Bpe.learnVocab(docs, "text", vocabSize = 25))
+        .orderBy("doc_id")
+    }
+  )
+}
