@@ -151,4 +151,52 @@ object LangModel {
       }
     }.toDF("doc_id", "n_bigrams", "avg_lp")
   }
+
+  /** Per-group KL divergence KL(p_group ‖ p_corpus) of token unigram
+    * distributions — the corpus-balance diagnostic ("how far has this
+    * source/shard/epoch drifted from the overall mix"). Zero divergence
+    * means the group looks like the corpus; spikes flag domain drift or
+    * a contaminated shard.
+    *
+    * Scale shape: ONE corpus-sized aggregation (group × token counts,
+    * map-side combined); every later frame — corpus token counts, group
+    * totals, the grand total — re-aggregates that vocabulary-bounded
+    * frame, so nothing downstream scales with corpus size. p_group > 0
+    * implies p_corpus > 0 by construction, so the log is always finite.
+    *
+    * Determinism: per-group contributions p_g·ln(p_g/p_c) fold in binary
+    * token order (sort_array on a (token, contrib) struct), so the double
+    * sum is reproducible by any engine folding ORDER BY token; rounded to
+    * 6 dp (ln differs by 1 ulp across engines).
+    *
+    * @return (groupCol, n_tokens, n_terms, kl)
+    */
+  def groupKlDivergence(docs: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val tc = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("_kl_grp"),
+        explode(split(col(textCol), " ", -1)).as("_kl_t"))
+      .groupBy("_kl_grp", "_kl_t").agg(count(lit(1)).as("_kl_c"))
+    val corpus = tc.groupBy("_kl_t").agg(sum("_kl_c").as("_kl_cc"))
+    val grand = tc.agg(sum("_kl_c").as("_kl_cn"))
+    val pg = col("_kl_c").cast("double") / col("_kl_gn")
+    val pc = col("_kl_cc").cast("double") / col("_kl_cn")
+    tc.join(corpus, "_kl_t")
+      .crossJoin(broadcast(grand))
+      .withColumn("_kl_gn",
+        sum("_kl_c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("_kl_grp")))
+      .withColumn("_kl_contrib", pg * log(pg / pc))
+      .groupBy("_kl_grp")
+      .agg(max("_kl_gn").as("_kl_gn2"),
+        count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("_kl_t"), col("_kl_contrib"))))
+          .as("_kl_lps"))
+      .select(col("_kl_grp").as(groupCol),
+        col("_kl_gn2").as("n_tokens"),
+        col("n_terms"),
+        round(aggregate(col("_kl_lps"), lit(0.0),
+          (acc, x) => acc + x.getField("_kl_contrib")), 6).as("kl"))
+  }
 }

@@ -233,4 +233,27 @@ object Mixing {
           .otherwise(tailName))
       .drop(nc)
   }
+
+  /** Per-group document cap (the "at most N pages per domain" rule of web
+    * corpora): keep each group's first `cap` documents in deterministic
+    * md5-hash order — a reproducible uniform-without-replacement sample,
+    * same salt → same survivors on every run and engine.
+    *
+    * Scale shape: delegates to [[graft.ops.GlobalOrder.rankByHexKeyWithin]],
+    * which ranks inside 256 hash-prefix buckets per group instead of one
+    * global window partition per group — a skewed group (one domain with
+    * 10^9 pages) never lands on a single task.
+    *
+    * @return input columns + (cap_pos): the kept rows with their in-group
+    *         hash position (0-based)
+    */
+  def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
+                  cap: Long, salt: String): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val base = df.filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+    graft.ops.GlobalOrder.rankByHexKeyWithin(base, Seq(groupCol),
+        md5(concat(lit(salt), col(idCol).cast("string"))),
+        Seq(col(idCol)), "cap_pos")
+      .filter(col("cap_pos") < cap)
+  }
 }

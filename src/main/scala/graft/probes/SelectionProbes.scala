@@ -111,6 +111,41 @@ object SelectionProbes {
       Bpe.oovStats(docs, "doc_id", "text",
         Bpe.learnVocab(docs, "text", vocabSize = 25))
         .orderBy("doc_id")
+    },
+
+    // Per-source KL divergence against the corpus unigram mix: the
+    // oracle recomputes both distributions and folds the contributions
+    // in binary token order — exactly groupKlDivergence's contract.
+    Probe(
+      "text_source_kl",
+      "WITH base AS (SELECT source, string_split(text, ' ') AS ts FROM documents WHERE source IS NOT NULL AND text IS NOT NULL), " +
+        "tok AS (SELECT source, u.t FROM base, UNNEST(ts) AS u(t)), " +
+        "tc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "cc AS (SELECT t, sum(c) AS cc FROM tc GROUP BY t), " +
+        "gn AS (SELECT source, sum(c) AS gn FROM tc GROUP BY source), " +
+        "cn AS (SELECT sum(c) AS cn FROM tc), " +
+        "term AS (SELECT tc.source, tc.t, (CAST(tc.c AS DOUBLE) / gn.gn) * ln((CAST(tc.c AS DOUBLE) / gn.gn) / (CAST(cc.cc AS DOUBLE) / cn.cn)) AS contrib FROM tc JOIN cc USING (t) JOIN gn USING (source) CROSS JOIN cn), " +
+        "k AS (SELECT source, count(*) AS n_terms, list(contrib ORDER BY t) AS lps FROM term GROUP BY source) " +
+        "SELECT k.source, CAST(gn.gn AS BIGINT) AS n_tokens, CAST(k.n_terms AS BIGINT) AS n_terms, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b), 6) AS kl FROM k JOIN gn USING (source) ORDER BY source"
+    ) { (s, d) =>
+      graft.ext.LangModel.groupKlDivergence(
+        t(s, d, "documents"), "source", "text")
+        .orderBy("source")
+    },
+
+    // Per-group cap: at most 50 documents per source, kept in
+    // deterministic md5 order — the oracle replays the ranking as one
+    // window (the engine side ranks inside 256 hash-prefix buckets, so
+    // a skewed group never serializes onto one task).
+    Probe(
+      "mix_source_cap",
+      "WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS cap_pos FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL) " +
+        "SELECT doc_id, source, CAST(cap_pos AS BIGINT) AS cap_pos FROM r WHERE cap_pos < 50 ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Mixing.perGroupCap(
+        t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", cap = 50L, salt = "cap")
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Round-4 selection operators: DSIR importance resampling, hashed linear
+  * classifier inference, Bloom-prefiltered subtraction, vocabulary
+  * coverage, per-group KL divergence, per-group caps.
+  */
+class SelectionSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "physics atoms energy quantum", "target"),
+    (2L, "physics energy fields quantum", "target"),
+    (3L, "cats dogs pets animals", "raw"),
+    (4L, "physics quantum energy atoms", "raw"),
+    (5L, "dogs cats animals pets", "raw")
+  ).toDF("doc_id", "text", "kind")
+
+  test("dsir: target-like raw documents outweigh off-domain ones") {
+    val w = Importance.dsirLogWeights(corpus, "doc_id", "text",
+      col("kind") === "target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // only raw docs are scored
+    assert(w.keySet == Set(3L, 4L, 5L))
+    // doc 4 shares every token with the target; docs 3/5 share none
+    assert(w(4L) > w(3L) && w(4L) > w(5L))
+    // identical bags of words -> identical weights (order-independent fold)
+    assert(w(3L) == w(5L))
+  }
+
+  test("dsir: scoreLogWeights reuses a learned model across frames") {
+    val model = Importance.learnDsir(corpus, "text", col("kind") === "target")
+    val fresh = Seq((10L, "quantum energy"), (11L, "pets pets"))
+      .toDF("doc_id", "text")
+    val w = Importance.scoreLogWeights(fresh, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(10L) > 0.0 && w(11L) < 0.0)
+  }
+
+  test("dsirSelect returns k highest-weight raw docs, ties to low id") {
+    val top = Importance.dsirSelect(corpus, "doc_id", "text",
+      col("kind") === "target", k = 1).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("linearScore: zero-shuffle plan, sigmoid bounds, keep threshold") {
+    val weights = Array.tabulate(16)(b => if (b % 2 == 0) 1.0 else -1.0)
+    val scored = Importance.linearScore(corpus, "doc_id", "text",
+      weights, bias = 0.0, salt = "t")
+    // model inference must be a map-only pass: no Exchange in the plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+    val rows = scored.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val prob = r.getDouble(3)
+      assert(prob > 0.0 && prob < 1.0)
+      assert(r.getBoolean(4) == (prob >= 0.5))
+    }
+  }
+
+  test("bloomSubtract equals the exact anti-join even at fpp 0.5") {
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val exclude = (1L to 200L by 3).map(Tuple1(_)).toDF("k")
+    // fpp 0.5 forces plenty of false positives through the maybe branch
+    val got = Dedup.bloomSubtract(df, "id", exclude, "k", fpp = 0.5)
+      .select("id").as[Long].collect().sorted
+    val want = df.join(exclude, col("id") === col("k"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("bloomSubtract: empty exclude returns the non-null-key input") {
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("id", "payload")
+    val got = Dedup.bloomSubtract(df, "id",
+      spark.emptyDataFrame.withColumn("k", lit(null).cast("long")), "k")
+    assert(got.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("oovStats: full vocabulary covers everything, missing tokens count") {
+    val docs = Seq((1L, "a b c"), (2L, "a z z")).toDF("doc_id", "text")
+    val vocabAll = Bpe.learnVocab(docs, "text", vocabSize = 100)
+    assert(Bpe.oovStats(docs, "doc_id", "text", vocabAll)
+      .agg(sum("n_oov")).as[Long].head() == 0L)
+    val got = Bpe.oovStats(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList
+    assert(got == List((1L, 1L), (2L, 2L)))
+  }
+
+  test("learnVocab breaks frequency ties by token order") {
+    val docs = Seq((1L, "b a b a c")).toDF("doc_id", "text")
+    assert(Bpe.learnVocab(docs, "text", 2) == Seq("a", "b"))
+  }
+
+  test("groupKlDivergence: identical groups diverge zero, skew positive") {
+    val even = Seq(("g1", "x y"), ("g2", "x y")).toDF("src", "text")
+    val kl0 = LangModel.groupKlDivergence(even, "src", "text")
+      .select("kl").as[Double].collect()
+    assert(kl0.forall(_ == 0.0))
+    val skew = Seq(("g1", "x x x x"), ("g2", "y y y y")).toDF("src", "text")
+    val kl = LangModel.groupKlDivergence(skew, "src", "text")
+      .select("kl").as[Double].collect()
+    assert(kl.forall(_ > 0.0))
+  }
+
+  test("perGroupCap keeps at most cap per group, deterministically") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "s")
+    val sizes = a.groupBy("grp").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ == 10L))
+    val b = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "s")
+    assert(a.select("id").as[Long].collect().sorted
+      .sameElements(b.select("id").as[Long].collect().sorted))
+    // a different salt selects a different (but equally sized) subset
+    val c = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "other")
+    assert(!a.select("id").as[Long].collect().sorted
+      .sameElements(c.select("id").as[Long].collect().sorted))
+  }
+}
