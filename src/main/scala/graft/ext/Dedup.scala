@@ -782,4 +782,54 @@ object Dedup {
       .join(exKeys, key === col("_ex_key"), "left_anti")
     definite.unionByName(maybe)
   }
+
+  /** C4-style repeated-block REWRITE (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", 2020, §2.2 — C4 deduplicates three-sentence spans
+    * corpus-wide): partition every document's token stream into
+    * consecutive `blockTokens`-token blocks, keep only the globally FIRST
+    * occurrence of each distinct block (earliest (doc_id, block index)),
+    * and reassemble each document from its surviving blocks. Unlike the
+    * pair-finding operators this one rewrites the corpus — boilerplate
+    * shared across documents survives exactly once.
+    *
+    * Scale shape: one scalar blocking pass (zero shuffle), then ONE
+    * shuffle keyed on the block's md5 — every window partition holds one
+    * block-content group (duplicate count, typically tiny), so no task
+    * ever sees more than one boilerplate family — and one per-document
+    * reassembly aggregation. Shuffle payload is the block text; at
+    * extreme scale project the window input down to (hash, doc, idx) and
+    * re-join the kept block text from the blocking pass.
+    *
+    * @return (doc_id, n_blocks, n_kept, text_clean) — text_clean is ""
+    *         when every block of the document already appeared earlier
+    */
+  def dropRepeatedBlocks(docs: DataFrame, idCol: String, textCol: String,
+                         blockTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocks = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(blockTokens).zipWithIndex
+          .map { case (ts, i) => (id, i.toLong, ts.mkString(" ")) }
+      }
+      .toDF("doc_id", "blk_idx", "blk")
+    val w = Window.partitionBy(md5(col("blk")))
+      .orderBy(col("doc_id"), col("blk_idx"))
+    val flagged = blocks
+      .withColumn("_first", row_number().over(w) === 1)
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_first"), 1L).otherwise(0L)).as("n_kept"),
+        // surviving blocks re-concatenate in document order
+        array_join(transform(
+          sort_array(collect_list(when(col("_first"),
+            struct(col("blk_idx"), col("blk"))))),
+          x => x.getField("blk")), " ").as("text_clean"))
+  }
 }

@@ -146,6 +146,37 @@ object SelectionProbes {
         t(s, d, "documents").select("doc_id", "source"),
         "doc_id", "source", cap = 50L, salt = "cap")
         .orderBy("doc_id")
+    },
+
+    // C4-style repeated-block rewrite: 10-token blocks, first occurrence
+    // (doc_id, block idx) survives corpus-wide, documents reassemble from
+    // surviving blocks. The oracle replays blocking, the global
+    // first-occurrence window, and the ordered reassembly.
+    Probe(
+      "dedup_block_rewrite",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "blk AS (SELECT doc_id, CAST(g.i AS BIGINT) AS blk_idx, array_to_string(ts[(CAST(g.i AS INTEGER) * 10 + 1):(CAST(g.i AS INTEGER) * 10 + 10)], ' ') AS blk FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 10.0) AS BIGINT) - 1)) AS g(i)), " +
+        "k AS (SELECT doc_id, blk_idx, blk, (row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, blk_idx) = 1) AS keep FROM blk) " +
+        "SELECT doc_id, count(*) AS n_blocks, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, coalesce(string_agg(blk, ' ' ORDER BY blk_idx) FILTER (WHERE keep), '') AS text_clean FROM k GROUP BY doc_id ORDER BY doc_id"
+    ) { (s, d) =>
+      Dedup.dropRepeatedBlocks(t(s, d, "documents"), "doc_id", "text",
+        blockTokens = 10)
+        .orderBy("doc_id")
+    },
+
+    // Z-order (Morton) layout key: pure bit arithmetic, re-derived by the
+    // oracle with the same shift/mask comprehension — 10 bits per
+    // dimension over pmod-reduced join keys.
+    Probe(
+      "layout_zorder_key",
+      "SELECT l_orderkey, l_linenumber, CAST(list_sum([(((l_orderkey % 1024) >> j) & 1) << (2 * j) for j in range(0, 10)]) + list_sum([(((l_partkey % 1024) >> j) & 1) << (2 * j + 1) for j in range(0, 10)]) AS BIGINT) AS zkey FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zorderKey2(
+            pmod(col("l_orderkey"), lit(1024L)),
+            pmod(col("l_partkey"), lit(1024L)), bits = 10).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }

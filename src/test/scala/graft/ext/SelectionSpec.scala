@@ -109,6 +109,42 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
     assert(kl.forall(_ > 0.0))
   }
 
+  test("dropRepeatedBlocks keeps first occurrence corpus-wide, rewrites text") {
+    val docs = Seq(
+      (1L, "a b c d"),   // both blocks first
+      (2L, "a b c d"),   // full duplicate -> empty rewrite
+      (3L, "a b x y")    // "a b" seen in doc 1, "x y" survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedBlocks(docs, "doc_id", "text", blockTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+    assert(got == List(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "x y")))
+  }
+
+  test("zorderKey2: known interleave, column/scalar parity, clustered write") {
+    import graft.ops.Layout
+    // a=3 (bits 0,1), b=5 (bits 0,2): 1 + 4 + 2 + 32 = 39
+    assert(Layout.zorderKey2Scalar(3L, 5L, 3) == 39L)
+    val df = spark.range(64).select(
+      (col("id") % 8).as("a"), floor(col("id") / 8).cast("long").as("b"))
+    val pairs = df.select(col("a"), col("b"),
+      Layout.zorderKey2(col("a"), col("b"), 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (a, b, z) =>
+      assert(z == Layout.zorderKey2Scalar(a, b, 3))
+    }
+    // the 3-bit key is a bijection on the 8x8 grid
+    assert(pairs.map(_._3).distinct.length == 64)
+    val out = tmpDir("zorder")
+    Layout.writeZClustered(df, out, col("a"), col("b"), bits = 3, numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 64 && back.columns.toSet == Set("a", "b"))
+  }
+
   test("perGroupCap keeps at most cap per group, deterministically") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val a = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "s")
