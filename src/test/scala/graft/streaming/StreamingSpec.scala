@@ -209,6 +209,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .subsetOf(Set(1L, 3L, 4L))) // 2 and 5 fail minTokens
   }
 
+  test("broadcast-model scoring (DSIR + classifier) streams unchanged") {
+    import spark.implicits._
+    import graft.ext.Importance
+    val dir = tmpDir("stream-score") + "/docs"
+    val docs = Seq(
+      (1L, "physics atoms energy quantum"),
+      (2L, "cats dogs pets animals"),
+      (3L, "physics quantum pets energy")).toDF("doc_id", "text")
+    docs.write.parquet(dir)
+    // model learned once on the batch side, then applied identically to
+    // the stream — the learn-on-pilot / score-every-shard deployment shape
+    val model = Importance.learnDsir(docs, "text", col("doc_id") === 1L)
+    val weights = Array.tabulate(32)(b => (b % 5) / 2.0 - 1.0)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Importance.scoreLogWeights(df, "doc_id", "text", model)
+        .join(Importance.linearScore(df, "doc_id", "text", weights,
+          bias = 0.1, salt = "s").select(col("doc_id"), col("prob")), "doc_id")
+    EventStreams.runToMemory(
+      score(spark.readStream.schema(docs.schema).parquet(dir)),
+      "score_s", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = spark.table("score_s").orderBy("doc_id").collect().toSeq
+    val batch = score(spark.read.schema(docs.schema).parquet(dir))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("native codegen expressions (graft_langid) stream unchanged") {
     import spark.implicits._
     import graft.ext.{TextAnalysis => TA}
