@@ -164,6 +164,35 @@ object SelectionProbes {
         .orderBy("doc_id")
     },
 
+    // Corpus snapshot diff: the "new" snapshot is derived from documents
+    // deterministically (every 11th id removed, every 7th changed, every
+    // 13th re-added under a shifted id), so both engines rebuild the same
+    // two snapshots and must agree on every id's status.
+    Probe(
+      "etl_snapshot_diff",
+      "WITH old AS (SELECT doc_id, text, source FROM documents WHERE doc_id IS NOT NULL), " +
+        "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, source FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 != 0 UNION ALL SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 = 0), " +
+        "oh AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(2)), coalesce(source, chr(2)))) AS h FROM old), " +
+        "nh AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(2)), coalesce(source, chr(2)))) AS h FROM new), " +
+        "j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id, oh.h AS ho, nh.h AS hn FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id) " +
+        "SELECT doc_id, CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed' WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status FROM j ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val newSnap = docs
+        .filter(col("doc_id").isNotNull && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+        .unionByName(docs
+          .filter(col("doc_id").isNotNull && col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("source")))
+      graft.ops.Diff.snapshotDiff(docs, newSnap, "doc_id",
+        Seq("text", "source"))
+        .orderBy("doc_id")
+    },
+
     // Z-order (Morton) layout key: pure bit arithmetic, re-derived by the
     // oracle with the same shift/mask comprehension — 10 bits per
     // dimension over pmod-reduced join keys.

@@ -145,6 +145,19 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() == 64 && back.columns.toSet == Set("a", "b"))
   }
 
+  test("snapshotDiff classifies ids; null and empty content differ") {
+    import graft.ops.Diff
+    val old = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
+      (3L, Some("c"), "s"), (4L, None, "s")).toDF("id", "t", "src")
+    val nw = Seq((2L, Some("b"), "s"), (3L, Some("C"), "s"),
+      (4L, Some(""), "s"), (5L, Some("e"), "s")).toDF("id", "t", "src")
+    val got = Diff.snapshotDiff(old, nw, "id", Seq("t", "src"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toList
+    // id 4: null -> "" must register as changed, not unchanged
+    assert(got == List((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "changed"), (5L, "added")))
+  }
+
   test("perGroupCap keeps at most cap per group, deterministically") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val a = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "s")
