@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Embedding-corpus statistics: the covariance matrix (the PCA /
@@ -279,5 +279,42 @@ object Stats {
               (x, m) => x - m),
             pcLit, (c, p) => c * p),
           lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** Fixed-bin histogram of a numeric column — the corpus-distribution
+    * diagnostic (document lengths, quality scores, token counts) that
+    * every curation decision starts from. Bin -1 is underflow (< lo),
+    * bin `nBins` overflow (>= hi); interior bin edges are emitted, empty
+    * bins included, so the result plots directly.
+    *
+    * Scale shape: ONE aggregation whose map-side partials are already
+    * ≤ nBins+2 rows — the corpus collapses before the shuffle; the dense
+    * bin frame then broadcast-joins. Nothing downstream scales with
+    * input size.
+    *
+    * @return (bin, bin_lo, bin_hi, cnt) — edges null on the two
+    *         open-ended bins
+    */
+  def histogram(df: DataFrame, valueCol: Column, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val spark = df.sparkSession
+    val w = (hi - lo) / nBins
+    val bin = when(valueCol < lo, -1)
+      .when(valueCol >= hi, nBins)
+      .otherwise(floor((valueCol.cast("double") - lo) / w).cast("int"))
+    val counts = df.filter(valueCol.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val bins = spark.range(-1L, nBins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    bins.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        when(col("bin").between(0, nBins - 1),
+          lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        when(col("bin").between(0, nBins - 1),
+          lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 }

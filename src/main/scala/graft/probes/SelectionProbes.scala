@@ -193,6 +193,21 @@ object SelectionProbes {
         .orderBy("doc_id")
     },
 
+    // Fixed-bin length histogram with explicit under/overflow bins and
+    // dense (empty-bin-including) output — bin arithmetic and edges are
+    // recomputed identically by the oracle.
+    Probe(
+      "stats_length_histogram",
+      "WITH b AS (SELECT CASE WHEN n_chars < 0.0 THEN -1 WHEN n_chars >= 500.0 THEN 10 ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / ((500.0 - 0.0) / 10)) AS INTEGER) END AS bin FROM documents WHERE n_chars IS NOT NULL), " +
+        "c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin), " +
+        "bins AS (SELECT CAST(g.i AS INTEGER) AS bin FROM UNNEST(generate_series(-1, 10)) AS g(i)) " +
+        "SELECT bins.bin, CASE WHEN bins.bin BETWEEN 0 AND 9 THEN 0.0 + bins.bin * ((500.0 - 0.0) / 10) END AS bin_lo, CASE WHEN bins.bin BETWEEN 0 AND 9 THEN 0.0 + (bins.bin + 1) * ((500.0 - 0.0) / 10) END AS bin_hi, coalesce(c.cnt, 0) AS cnt FROM bins LEFT JOIN c USING (bin) ORDER BY bin"
+    ) { (s, d) =>
+      graft.ext.Stats.histogram(t(s, d, "documents"), col("n_chars"),
+        lo = 0.0, hi = 500.0, nBins = 10)
+        .orderBy("bin")
+    },
+
     // Z-order (Morton) layout key: pure bit arithmetic, re-derived by the
     // oracle with the same shift/mask comprehension — 10 bits per
     // dimension over pmod-reduced join keys.

@@ -145,6 +145,22 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() == 64 && back.columns.toSet == Set("a", "b"))
   }
 
+  test("histogram: under/overflow bins, empty bins present, edges correct") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 25.0, 100.0, 42.0).toDF("x")
+    val got = Stats.histogram(df, col("x"), lo = 0.0, hi = 50.0, nBins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getLong(3))).toList
+    assert(got == List(
+      (-1, None, 1L),          // -5
+      (0, Some(0.0), 3L),      // 0, 1, 9.9
+      (1, Some(10.0), 0L),     // empty bin still present
+      (2, Some(20.0), 1L),     // 25
+      (3, Some(30.0), 0L),
+      (4, Some(40.0), 1L),     // 42
+      (5, None, 1L)))          // 100 overflow
+  }
+
   test("snapshotDiff classifies ids; null and empty content differ") {
     import graft.ops.Diff
     val old = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
