@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** [EXT] Repetition-based quality signals in the style of the Gopher /
   * MassiveText filtering rules (Rae et al., "Scaling Language Models:
@@ -169,5 +169,41 @@ object Quality {
       })
       .toDF("doc_id", "n_tokens", "mean_wl", "symbol_frac", "n_stop",
         "dup_frac", "keep")
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * n-gram shingles that appear in no other document — the inverse of
+    * boilerplate mass (WIMBD-style corpus analysis; templated/near-dup
+    * documents score near 0, original text near 1). Complements the
+    * pair-finding dedups with a per-document signal that needs no
+    * threshold.
+    *
+    * Scale shape: one scalar shingling pass per document, then TWO
+    * shingle-keyed aggregations (document frequency, then the per-doc
+    * rollup) — shuffle volume is O(distinct postings), identical to the
+    * dedup index family; the 60-bit md5 shingle key keeps the shuffle
+    * payload fixed-width. Documents with fewer than n tokens have no
+    * shingle and are absent.
+    *
+    * @return (doc_id, n_shingles, n_novel, novelty) — novelty 9 dp
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val posts = df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.shingleSet(text, n).iterator.map(s => (id, Dedup.md5Hash60(s)))
+      }
+      .toDF("doc_id", "h")
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    posts.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 9))
   }
 }

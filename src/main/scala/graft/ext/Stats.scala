@@ -317,4 +317,41 @@ object Stats {
           lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Z-score standardization of an INTEGRAL feature column (lengths,
+    * token counts, ordinal scores) — the normalization step before
+    * thresholding or combining quality features. Bit-reproducible by
+    * construction: the moment sums are exact integer arithmetic (no
+    * float fold-order sensitivity), and mean/std derive from them with a
+    * fixed IEEE formula — so any engine computing the same sums produces
+    * the same z to the 6-dp round. Long sums bound the domain: |value|
+    * must stay below ~3e9·√(1/rows) of overflow, i.e. value² · rows <
+    * 2^63 — lengths and counts, not raw ids.
+    *
+    * Scale shape: ONE aggregation to a single row, broadcast back over
+    * the corpus as an expression pass; rows with a null value keep a
+    * null z. Sample std (n−1); z is null when n < 2 or std = 0.
+    *
+    * @return input columns + z (rounded to 6 dp)
+    */
+  def zscore(df: DataFrame, valueCol: Column): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase("z")),
+      "zscore adds a 'z' column; rename the existing one")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+    val (nC, sC, qC) = (fresh("_zs_n"), fresh("_zs_s"), fresh("_zs_q"))
+    val v = valueCol.cast("long")
+    val stats = df.filter(valueCol.isNotNull)
+      .agg(count(lit(1)).as(nC), sum(v).as(sC), sum(v * v).as(qC))
+    val mean = col(sC).cast("double") / col(nC)
+    val sd = sqrt((col(qC).cast("double") -
+      col(sC).cast("double") * col(sC).cast("double") / col(nC)) /
+      (col(nC) - lit(1L)))
+    df.crossJoin(broadcast(stats))
+      .withColumn("z",
+        when(col(nC) >= 2L && sd > 0.0 && valueCol.isNotNull,
+          round((v - mean) / sd, 6)))
+      .drop(nC, sC, qC)
+  }
 }

@@ -193,6 +193,37 @@ object SelectionProbes {
         .orderBy("doc_id")
     },
 
+    // Per-document n-gram novelty: distinct-shingle document frequency
+    // over 60-bit md5 shingle keys, novelty = fraction with df == 1.
+    // The oracle recomputes shingling, hashing, and both aggregations.
+    Probe(
+      "text_ngram_novelty",
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15) AS BIGINT) AS h FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), " +
+        "dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h), " +
+        "agg AS (SELECT sh.doc_id, count(*) AS n_shingles, sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_novel FROM sh JOIN dfreq USING (h) GROUP BY sh.doc_id) " +
+        "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(n_novel AS BIGINT) AS n_novel, round(n_novel * 1.0 / n_shingles, 9) AS novelty FROM agg ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Quality.ngramNovelty(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Exact z-score standardization: integer moment sums (order-free),
+    // one fixed IEEE mean/std formula on both engines.
+    Probe(
+      "stats_zscore",
+      "WITH s AS (SELECT count(*) AS n, sum(n_chars) AS s, sum(n_chars * n_chars) AS q FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL), " +
+        "z AS (SELECT doc_id, n_chars, CAST(s.s AS DOUBLE) / s.n AS mean, sqrt((CAST(s.q AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / (s.n - 1)) AS sd FROM documents CROSS JOIN s WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL) " +
+        "SELECT doc_id, n_chars, round((n_chars - mean) / sd, 6) AS z FROM z ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Stats.zscore(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+          .select("doc_id", "n_chars"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Fixed-bin length histogram with explicit under/overflow bins and
     // dense (empty-bin-including) output — bin arithmetic and edges are
     // recomputed identically by the oracle.

@@ -161,6 +161,31 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
       (5, None, 1L)))          // 100 overflow
   }
 
+  test("ngramNovelty: shared shingles score low, originals high") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles {abc bcd cde}
+      (2L, "a b c x y"),   // shares "a b c" with doc 1
+      (3L, "p q")          // too short: absent
+    ).toDF("doc_id", "text")
+    val got = Quality.ngramNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc 1: 3 shingles, 2 novel; doc 2: 3 shingles, 2 novel
+    assert(got == List((1L, 3L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("zscore: exact integer moments, null value keeps null z") {
+    val df = Seq(Some(10L), Some(20L), Some(30L), None).toDF("v")
+    val got = Stats.zscore(df, col("v")).orderBy("v").collect()
+    // sd of {10,20,30} = 10; z = -1, 0, 1
+    val zs = got.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+    assert(zs.toList == List(-1.0, 0.0, 1.0))
+    assert(got.count(_.isNullAt(1)) == 1)
+    // degenerate: constant column -> sd 0 -> all z null
+    val const = Seq(5L, 5L).toDF("v")
+    assert(Stats.zscore(const, col("v")).collect().forall(_.isNullAt(1)))
+  }
+
   test("snapshotDiff classifies ids; null and empty content differ") {
     import graft.ops.Diff
     val old = Seq((1L, Some("a"), "s"), (2L, Some("b"), "s"),
