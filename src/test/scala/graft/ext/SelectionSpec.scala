@@ -199,6 +199,57 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
       (3L, "changed"), (4L, "changed"), (5L, "added")))
   }
 
+  test("property: block rewrite keeps exactly one copy of every distinct block") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(3))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val B = 3
+    val got = Dedup.dropRepeatedBlocks(docs, "doc_id", "text", blockTokens = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // corpus-wide: kept blocks are exactly the distinct blocks
+    val allBlocks = docs.collect().flatMap(r =>
+      r.getString(1).split(" ", -1).grouped(B).map(_.mkString(" ")))
+    assert(got.map(_._3).sum == allBlocks.distinct.length)
+    assert(got.map(_._2).sum == allBlocks.length)
+    // per doc: text_clean is the in-order concat of a subset of its blocks,
+    // and no kept block appears twice anywhere
+    val keptAll = scala.collection.mutable.ArrayBuffer.empty[String]
+    got.foreach { case (id, _, nKept, clean) =>
+      val blocks = docs.filter(col("doc_id") === id).collect()(0)
+        .getString(1).split(" ", -1).grouped(B).map(_.mkString(" ")).toSeq
+      val cleanBlocks =
+        if (clean.isEmpty) Seq.empty
+        else {
+          // reconstruct the kept blocks by walking the doc's own blocks
+          var rest = clean
+          blocks.filter { b =>
+            val hit = rest == b || rest.startsWith(b + " ")
+            if (hit) rest = rest.stripPrefix(b).stripPrefix(" ")
+            hit
+          }
+        }
+      assert(cleanBlocks.length == nKept, s"doc $id: $clean vs $blocks")
+      keptAll ++= cleanBlocks
+    }
+    assert(keptAll.distinct.length == keptAll.length)
+  }
+
+  test("property: zorder key is a bijection and nests by quadrant") {
+    import graft.ops.Layout
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(1 << 10).toLong,
+      rnd.nextInt(1 << 10).toLong)).distinct
+    val keys = pts.map { case (a, b) => Layout.zorderKey2Scalar(a, b, 10) }
+    assert(keys.distinct.length == pts.length)
+    pts.zip(keys).foreach { case ((a, b), z) =>
+      // top two key bits are the high bits of b and a: quadrant nesting
+      assert(((z >> 19) & 1L) == ((b >> 9) & 1L))
+      assert(((z >> 18) & 1L) == ((a >> 9) & 1L))
+    }
+  }
+
   test("perGroupCap keeps at most cap per group, deterministically") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val a = Mixing.perGroupCap(df, "id", "grp", cap = 10L, salt = "s")
