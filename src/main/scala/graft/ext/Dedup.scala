@@ -730,8 +730,7 @@ object Dedup {
         c.equalsIgnoreCase("is_canonical")),
       "keepCanonical adds cluster_rep/is_canonical; rename existing columns")
     // temp name: never clobber a caller column
-    val taken = docs.columns.toSet
-    val cid = Iterator.iterate("_kc_id")(_ + "_").dropWhile(taken).next()
+    val cid = graft.ops.Cols.fresh(docs, "_kc_id")
     val cl = broadcast(clusters.select(col("doc_id").cast("long").as(cid),
       col("cluster_rep").cast("long").as("cluster_rep")))
     // null ids excluded (engine null-id convention)
@@ -765,10 +764,25 @@ object Dedup {
     */
   def bloomSubtract(df: DataFrame, keyCol: String, exclude: DataFrame,
                     excludeKeyCol: String, fpp: Double = 0.01): DataFrame = {
+    // integral keys only: a silent cast('long') on e.g. string keys would
+    // null both join sides and keep every already-seen row — the exact
+    // opposite of the documented anti-join contract
+    def requireIntegral(d: DataFrame, c: String): Unit = {
+      val dt = d.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long")
+          .contains(dt.typeName),
+        s"bloomSubtract needs an integral key; $c is ${dt.typeName}")
+    }
+    requireIntegral(df, keyCol)
+    requireIntegral(exclude, excludeKeyCol)
     val spark = df.sparkSession
     val base = df.filter(col(keyCol).isNotNull)
+    // localCheckpoint: the exclusion keys feed three consumers (count,
+    // bloom build, anti-join) — materialize the slim key column once
+    // instead of rescanning the exclusion corpus three times
     val exKeys = exclude.select(col(excludeKeyCol).cast("long").as("_ex_key"))
       .filter(col("_ex_key").isNotNull)
+      .localCheckpoint()
     val nEx = exKeys.count()
     if (nEx == 0L) return base
     val bloom = exKeys.stat.bloomFilter("_ex_key", nEx, fpp)

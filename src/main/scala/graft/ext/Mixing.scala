@@ -216,8 +216,7 @@ object Mixing {
     require(clobbered.isEmpty,
       s"exactStratifiedSplit adds ${clobbered.mkString("/")}; " +
         "rename existing columns")
-    val taken = df.columns.toSet
-    val nc = Iterator.iterate("_ss_n")(_ + "_").dropWhile(taken).next()
+    val nc = graft.ops.Cols.fresh(df, "_ss_n")
     // null ids/strata excluded (engine null-id convention; a null stratum
     // has no well-defined quota)
     val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)

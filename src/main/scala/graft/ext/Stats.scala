@@ -301,9 +301,14 @@ object Stats {
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val spark = df.sparkSession
     val w = (hi - lo) / nBins
+    // least() clamp: when w is inexact, (v - lo)/w can reach nBins for a
+    // v strictly below hi (e.g. lo=0, hi=1, nBins=3, v=1-1ulp) — such a
+    // value must land in the top interior bin, not overflow
     val bin = when(valueCol < lo, -1)
       .when(valueCol >= hi, nBins)
-      .otherwise(floor((valueCol.cast("double") - lo) / w).cast("int"))
+      .otherwise(least(
+        floor((valueCol.cast("double") - lo) / w).cast("int"),
+        lit(nBins - 1)))
     val counts = df.filter(valueCol.isNotNull)
       .select(bin.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
@@ -337,10 +342,9 @@ object Stats {
   def zscore(df: DataFrame, valueCol: Column): DataFrame = {
     require(!df.columns.exists(_.equalsIgnoreCase("z")),
       "zscore adds a 'z' column; rename the existing one")
-    val taken = df.columns.toSet
-    def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
-    val (nC, sC, qC) = (fresh("_zs_n"), fresh("_zs_s"), fresh("_zs_q"))
+    import graft.ops.Cols
+    val (nC, sC, qC) = (Cols.fresh(df, "_zs_n"), Cols.fresh(df, "_zs_s"),
+      Cols.fresh(df, "_zs_q"))
     val v = valueCol.cast("long")
     val stats = df.filter(valueCol.isNotNull)
       .agg(count(lit(1)).as(nC), sum(v).as(sC), sum(v * v).as(qC))

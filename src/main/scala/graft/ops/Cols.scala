@@ -1,0 +1,20 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Internal column-name hygiene shared by operators that add temp or
+  * output columns to caller frames.
+  */
+private[graft] object Cols {
+
+  /** A column name derived from `base` that collides with nothing in
+    * `df` (case-insensitively — Spark resolution is case-insensitive by
+    * default, so a same-name-different-case "fresh" column would still
+    * clobber).
+    */
+  def fresh(df: DataFrame, base: String): String = {
+    val taken = df.columns.map(_.toLowerCase).toSet
+    Iterator.iterate(base)(_ + "_")
+      .dropWhile(n => taken(n.toLowerCase)).next()
+  }
+}

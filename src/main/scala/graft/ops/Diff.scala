@@ -34,10 +34,12 @@ object Diff {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "hashCols must be non-empty")
+    // filter AFTER the cast: an id that fails cast('long') must drop like
+    // a null id, not ride into the join as a never-matching null key
     def keyed(df: DataFrame, h: String, id: String): DataFrame =
-      df.filter(col(idCol).isNotNull)
-        .select(col(idCol).cast("long").as(id),
+      df.select(col(idCol).cast("long").as(id),
           rowFingerprint(hashCols.map(col)).as(h))
+        .filter(col(id).isNotNull)
     val oh = keyed(oldDf, "_d_ho", "_d_ido")
     val nh = keyed(newDf, "_d_hn", "_d_idn")
     oh.join(nh, col("_d_ido") === col("_d_idn"), "full_outer")

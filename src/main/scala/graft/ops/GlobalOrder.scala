@@ -44,11 +44,8 @@ object GlobalOrder {
     require(!df.columns.exists(_.equalsIgnoreCase(posName)),
       s"rankByHexKey adds '$posName'; rename the existing column")
     // temp columns must not clobber caller columns of the same name
-    val taken = df.columns.toSet
-    def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
-    val kc = fresh("_go_key")
-    val bc = fresh("_go_bucket")
+    val kc = Cols.fresh(df, "_go_key")
+    val bc = Cols.fresh(df, "_go_bucket")
     val withKey = df.withColumn(kc, keyCol)
       .withColumn(bc,
         when(col(kc).rlike("^[0-9a-f]{2}"),
@@ -121,12 +118,9 @@ object GlobalOrder {
     require(clobbered.isEmpty,
       s"rankByHexKeyWithin adds ${clobbered.mkString("/")}; " +
         "rename the existing column(s)")
-    val taken = df.columns.toSet
-    def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
-    val kc = fresh("_go_key")
-    val bc = fresh("_go_bucket")
-    val baseC = fresh("_go_base")
+    val kc = Cols.fresh(df, "_go_key")
+    val bc = Cols.fresh(df, "_go_bucket")
+    val baseC = Cols.fresh(df, "_go_base")
     val withKey = df.withColumn(kc, keyCol)
       .withColumn(bc,
         when(col(kc).rlike("^[0-9a-f]{2}"),

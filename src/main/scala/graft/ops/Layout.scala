@@ -55,15 +55,16 @@ object Layout {
     */
   def writeZClustered(df: DataFrame, path: String, a: Column, b: Column,
                       bits: Int = 16, numFiles: Int = 200): DataFrame = {
-    val taken = df.columns.toSet
-    val zc = Iterator.iterate("_z_key")(_ + "_").dropWhile(taken).next()
+    val zc = Cols.fresh(df, "_z_key")
     // the key is dropped ABOVE the sort, so files carry only caller
     // columns while rows still land in Z-curve order
-    val keyed = df.withColumn(zc, zorderKey2(a, b, bits))
+    df.withColumn(zc, zorderKey2(a, b, bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)
-    keyed.write.mode("overwrite").parquet(path)
-    keyed
+      .write.mode("overwrite").parquet(path)
+    // hand back the materialized files, not the pre-write plan — a
+    // consumer of the return value must not replay the shuffle+sort
+    df.sparkSession.read.parquet(path)
   }
 }

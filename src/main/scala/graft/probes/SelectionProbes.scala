@@ -229,7 +229,7 @@ object SelectionProbes {
     // recomputed identically by the oracle.
     Probe(
       "stats_length_histogram",
-      "WITH b AS (SELECT CASE WHEN n_chars < 0.0 THEN -1 WHEN n_chars >= 500.0 THEN 10 ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / ((500.0 - 0.0) / 10)) AS INTEGER) END AS bin FROM documents WHERE n_chars IS NOT NULL), " +
+      "WITH b AS (SELECT CASE WHEN n_chars < 0.0 THEN -1 WHEN n_chars >= 500.0 THEN 10 ELSE least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / ((500.0 - 0.0) / 10)) AS INTEGER), 9) END AS bin FROM documents WHERE n_chars IS NOT NULL), " +
         "c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin), " +
         "bins AS (SELECT CAST(g.i AS INTEGER) AS bin FROM UNNEST(generate_series(-1, 10)) AS g(i)) " +
         "SELECT bins.bin, CASE WHEN bins.bin BETWEEN 0 AND 9 THEN 0.0 + bins.bin * ((500.0 - 0.0) / 10) END AS bin_lo, CASE WHEN bins.bin BETWEEN 0 AND 9 THEN 0.0 + (bins.bin + 1) * ((500.0 - 0.0) / 10) END AS bin_hi, coalesce(c.cnt, 0) AS cnt FROM bins LEFT JOIN c USING (bin) ORDER BY bin"
