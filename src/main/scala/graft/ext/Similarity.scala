@@ -102,11 +102,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
-    * [-1, 1), derived from xxhash64 so signatures are reproducible without
-    * shipping plane matrices.
+    * [-1, 1), derived from the engine-wide 60-bit md5 convention
+    * (Dedup.md5Hash60Col) so signatures are reproducible without shipping
+    * plane matrices AND re-derivable by any engine with md5 — the same
+    * auditability contract as the fingerprint/SimHash family (an external
+    * SQL system can replay the full LSH pipeline, planes included).
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(concat(lit(plane.toString), lit("_"), dim.cast("string"))),
+    (pmod(Dedup.md5Hash60Col(
+      concat(lit(plane.toString), lit("_"), dim.cast("string"))),
       lit(2001L)).cast("double") - 1000.0) / 1000.0
 
   /** `nBits`-bit random-hyperplane signature of a vector: bit p is the sign
@@ -121,17 +125,14 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Scalar twin of [[planeComponent]]: same xxhash64 (seed 42, UTF-8
-    * bytes) evaluated off-plan, so scalar and expression signatures agree
-    * bit for bit (RhpParity test pins this).
+  /** Scalar twin of [[planeComponent]]: same 60-bit md5 evaluated
+    * off-plan, so scalar and expression signatures agree bit for bit
+    * (RhpParity test pins this).
     */
-  private[ext] def planeComponentScalar(plane: Int, dim: Int): Double = {
-    val b = (plane.toString + "_" + dim.toString)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-    (java.lang.Math.floorMod(h, 2001L).toDouble - 1000.0) / 1000.0
-  }
+  private[ext] def planeComponentScalar(plane: Int, dim: Int): Double =
+    (java.lang.Math.floorMod(
+      Dedup.md5Hash60(plane.toString + "_" + dim.toString), 2001L)
+      .toDouble - 1000.0) / 1000.0
 
   /** Scalar signature over precomputed planes (performance path: the
     * expression form evaluates nBits interpreted higher-order dot products
