@@ -33,13 +33,26 @@ object Bench {
       .foreach(n => System.err.println(s"[bench] unknown query name: $n")))
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // periodic full GC outside the timer: lets the ContextCleaner drop
+      // dead broadcast/checkpoint blocks before they stack up into
+      // mid-suite pauses (a 125-query single-JVM run otherwise GCs at
+      // arbitrary points INSIDE some unlucky query's timing window)
+      sinceGc += 1
+      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // inter-query hygiene, outside the timer: queries that persist or
+      // localCheckpoint intermediates would otherwise accumulate block-
+      // manager state across 100+ queries and tax later queries with GC
+      // pauses (observed as multi-second outliers on mid-alphabet joins)
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
