@@ -239,6 +239,26 @@ object SelectionProbes {
         .orderBy("bin")
     },
 
+    // PQ asymmetric-distance search (ADC), fully oracled: the oracle
+    // re-derives the smallest-id codebook, every per-subspace code
+    // assignment, the query's m×k lookup table, and the subspace-ordered
+    // ADC fold — the complete index + search pipeline from scratch.
+    Probe(
+      "sim_pq_adc",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL), " +
+        "sub AS (SELECT vec_id, u.s AS s, list_slice(v, u.s * 16 + 1, u.s * 16 + 16) AS sv FROM e, UNNEST([0, 1, 2, 3]) AS u(s)), " +
+        "cent AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4), " +
+        "dd AS (SELECT sub.vec_id, sub.s, cent.cid, list_reduce(list_prepend(0.0, [ (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i]) for i in range(1, len(sub.sv) + 1) ]), (a, b) -> a + b) AS d2 FROM sub JOIN cent ON sub.s = cent.s), " +
+        "asg AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM dd) WHERE rn = 1), " +
+        "tab AS (SELECT dd.s, dd.cid, dd.d2 AS qd FROM dd WHERE dd.vec_id = 0), " +
+        "adc AS (SELECT asg.vec_id, list_reduce(list_prepend(0.0, list(tab.qd ORDER BY asg.s)), (a, b) -> a + b) AS adc FROM asg JOIN tab ON asg.s = tab.s AND asg.cid = tab.cid WHERE asg.vec_id <> 0 GROUP BY asg.vec_id) " +
+        "SELECT vec_id, round(adc, 9) AS adc_r FROM adc ORDER BY adc, vec_id LIMIT 10"
+    ) { (s, d) =>
+      graft.ext.Quantize.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 4, queryId = 0L, topK = 10)
+        .select(col("vec_id"), round(col("adc"), 9).as("adc_r"))
+    },
+
     // Z-order (Morton) layout key: pure bit arithmetic, re-derived by the
     // oracle with the same shift/mask comprehension — 10 bits per
     // dimension over pmod-reduced join keys.
