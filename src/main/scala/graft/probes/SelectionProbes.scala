@@ -239,6 +239,34 @@ object SelectionProbes {
         .orderBy("bin")
     },
 
+    // Hash-cell IVF ANN over a REAL partitioned index: the engine writes
+    // the 6-bit-cell-partitioned parquet index and answers via partition
+    // pruning (isin of the Hamming-2 probe cells); the oracle re-derives
+    // cells from the md5 hyperplanes and applies the equivalent Hamming
+    // filter directly — identical candidate set, identical re-rank.
+    Probe(
+      "sim_topk_ivf",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "g AS (SELECT p.p AS p, d.d AS d, (CAST('0x' || substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS g FROM UNNEST(generate_series(0, 5)) AS p(p), UNNEST(generate_series(0, 63)) AS d(d)), " +
+        "proj AS (SELECT e.vec_id, g.p, list_reduce(list_prepend(0.0, list(e.v[g.d + 1] * g.g ORDER BY g.d)), (a, b) -> a + b) AS dot FROM e CROSS JOIN g GROUP BY e.vec_id, g.p), " +
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS cell FROM proj GROUP BY vec_id), " +
+        "q AS (SELECT s.cell AS qcell, e.v AS qv FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id = 0), " +
+        "cand AS (SELECT e.vec_id, e.v FROM e JOIN sig ON e.vec_id = sig.vec_id CROSS JOIN q WHERE e.vec_id <> 0 AND bit_count(xor(sig.cell, q.qcell)) <= 2) " +
+        "SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 6) AS cos FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-probe").toString
+      graft.ext.Similarity.ivfWrite(emb, "vec_id", "embedding",
+        s"$root/ivf", cellBits = 6)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .as[Seq[Double]].head().toArray
+      graft.ext.Similarity.ivfTopK(s, s"$root/ivf", "vec_id", "embedding",
+        qv, k = 10, cellBits = 6, maxHamming = 2, excludeId = Some(0L))
+    },
+
     // PQ asymmetric-distance search (ADC), fully oracled: the oracle
     // re-derives the smallest-id codebook, every per-subspace code
     // assignment, the query's m×k lookup table, and the subspace-ordered
