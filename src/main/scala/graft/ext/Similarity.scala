@@ -250,6 +250,11 @@ object Similarity {
                cellBits: Int = 6): Unit =
     emb.select(col(idCol), col(vecCol),
         ivfCell(col(vecCol).cast("array<double>"), cellBits).as("ivf_cell"))
+      // co-locate each cell before the partitioned write: without this,
+      // every task writes a sliver of every cell (tasks × cells small
+      // files — the classic small-files trap as parallelism grows); with
+      // it, file count tracks cell count regardless of cluster width
+      .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
   /** All cell ids within `maxHamming` bit flips of `center` — generated

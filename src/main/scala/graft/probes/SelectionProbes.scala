@@ -256,8 +256,19 @@ object SelectionProbes {
     ) { (s, d) =>
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivf-probe").toString
+      val rootPath = java.nio.file.Files
+        .createTempDirectory("graft-ivf-probe")
+      // scratch index removed on JVM exit (EtlProbes convention) so
+      // repeated Verify/Bench runs don't accumulate under /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(rootPath.toFile)
+      }))
+      val root = rootPath.toString
       graft.ext.Similarity.ivfWrite(emb, "vec_id", "embedding",
         s"$root/ivf", cellBits = 6)
       val qv = emb.filter(col("vec_id") === 0L)
