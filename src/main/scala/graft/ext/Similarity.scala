@@ -102,7 +102,8 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
-    * [-1, 1), derived from the engine-wide 60-bit md5 convention
+    * [-1, 1] (pmod yields 0..2000, so both endpoints are reachable),
+    * derived from the engine-wide 60-bit md5 convention
     * (Dedup.md5Hash60Col) so signatures are reproducible without shipping
     * plane matrices AND re-derivable by any engine with md5 — the same
     * auditability contract as the fingerprint/SimHash family (an external
@@ -304,6 +305,9 @@ object Similarity {
                      maxIters: Int = 5): Array[Array[Double]] = {
     val (centroids, assigned) = Clustering.kmeans(emb, idCol, vecCol, k, maxIters)
     emb.join(assigned.select(col(idCol), col("cluster").as("ivf_cell")), idCol)
+      // same small-files guard as ivfWrite: file count tracks cell count,
+      // not tasks x cells
+      .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     centroids
   }

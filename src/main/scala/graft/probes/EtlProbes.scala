@@ -23,21 +23,7 @@ object EtlProbes {
 
   private val fixedNow = Timestamp.valueOf("2026-01-15 08:30:00")
 
-  /** Per-run scratch dir, removed on JVM exit so repeated Verify/Bench
-    * runs don't accumulate under /tmp.
-    */
-  private def scratchDir(): String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-etl-probe")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private def scratchDir(): String = Probe.scratchDir("graft-etl-probe")
 
   val all: Seq[Probe] = Seq(
 

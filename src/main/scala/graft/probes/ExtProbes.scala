@@ -287,10 +287,7 @@ object ExtProbes {
     // this probe was rows-only.)
     Probe(
       "sim_topk_lsh",
-      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-        "g AS (SELECT p.p AS p, d.d AS d, (CAST('0x' || substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS g FROM UNNEST(generate_series(0, 31)) AS p(p), UNNEST(generate_series(0, 63)) AS d(d)), " +
-        "proj AS (SELECT e.vec_id, g.p, list_reduce(list_prepend(0.0, list(e.v[g.d + 1] * g.g ORDER BY g.d)), (a, b) -> a + b) AS dot FROM e CROSS JOIN g GROUP BY e.vec_id, g.p), " +
-        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig FROM proj GROUP BY vec_id), " +
+      s"WITH ${Probe.rhpSigSql(32, "sig")}, " +
         "q AS (SELECT s.sig AS qsig, e.v AS qv FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id = 0), " +
         "cand AS (SELECT e.vec_id, e.v FROM e JOIN sig ON e.vec_id = sig.vec_id CROSS JOIN q WHERE e.vec_id <> 0 AND bit_count(xor(sig.sig, q.qsig)) <= 14) " +
         "SELECT cand.vec_id, round(list_cosine_similarity(cand.v, q.qv), 6) AS cos FROM cand CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10"

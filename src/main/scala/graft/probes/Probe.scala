@@ -23,4 +23,34 @@ object Probe {
     Probe(name, fn, Some(oracle))
   def unchecked(name: String)(fn: (SparkSession, String) => DataFrame): Probe =
     Probe(name, fn, None)
+
+  /** Per-run scratch dir for probes that exercise real table/index
+    * writes, removed on JVM exit so repeated Verify/Bench runs don't
+    * accumulate under /tmp.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** Shared DuckDB oracle prelude re-deriving the engine's md5-derived
+    * random-hyperplane signatures over the 64-dim embeddings table:
+    * CTEs e (vectors as doubles), g (plane components), proj
+    * (element-ordered projections), sig (nBits-bit sign signature as
+    * `sigName`). ONE source of truth for the plane convention —
+    * `(md5-60bit(p_d) % 2001 - 1000)/1000` — shared by every RHP probe.
+    */
+  def rhpSigSql(nBits: Int, sigName: String): String =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"g AS (SELECT p.p AS p, d.d AS d, (CAST('0x' || substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS g FROM UNNEST(generate_series(0, ${nBits - 1})) AS p(p), UNNEST(generate_series(0, 63)) AS d(d)), " +
+      "proj AS (SELECT e.vec_id, g.p, list_reduce(list_prepend(0.0, list(e.v[g.d + 1] * g.g ORDER BY g.d)), (a, b) -> a + b) AS dot FROM e CROSS JOIN g GROUP BY e.vec_id, g.p), " +
+      s"$sigName AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS $sigName FROM proj GROUP BY vec_id)"
 }
