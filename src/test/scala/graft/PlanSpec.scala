@@ -139,4 +139,48 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p2.contains("Exchange"), p2)
     assert(p2.contains("*(1)"), p2) // fused into WholeStageCodegen
   }
+
+  test("histogram collapses map-side: partials before the shuffle, tiny join") {
+    val p = plan(graft.ext.Stats.histogram(
+      Tables.load(spark, sf, "documents"), col("n_chars"), 0.0, 500.0, 10))
+    // partial + final HashAggregate around the one bin-keyed exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the dense-bin frame joins without shuffling the counts again
+    assert(p.contains("Join"), p)
+  }
+
+  test("snapshotDiff reduces both sides to (id, fingerprint) before the join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ops.Diff.snapshotDiff(docs, docs, "doc_id",
+      Seq("text", "source")))
+    // the full-outer join's inputs must already be the two slim columns:
+    // no document text survives past the pre-join projections
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).get
+    assert(joinLine.contains("_d_ido") && !joinLine.contains("text"), joinLine)
+  }
+
+  test("zorder key is pure codegen arithmetic; clustered write range-partitions") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val keyed = li.select(graft.ops.Layout.zorderKey2(
+      pmod(col("l_orderkey"), lit(1024L)),
+      pmod(col("l_partkey"), lit(1024L)), 10).as("z"))
+    val p = plan(keyed)
+    assert(p.contains("*(1)"), p) // the bit interleave fuses into codegen
+    val p2 = plan(li.withColumn("z", graft.ops.Layout.zorderKey2(
+        col("l_orderkey"), col("l_partkey"), 10))
+      .repartitionByRange(4, col("z")))
+    assert(p2.contains("rangepartitioning"), p2)
+  }
+
+  test("DSIR model learning collapses to nBuckets rows before the collect") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    // scoring pass itself must be shuffle-free (broadcast-model shape)
+    val model = graft.ext.Importance.learnDsir(docs, "text",
+      col("source") === "src0", nBuckets = 64)
+    val p = plan(graft.ext.Importance.scoreLogWeights(
+      docs, "doc_id", "text", model))
+    assert(!p.contains("Exchange"), p)
+  }
 }
