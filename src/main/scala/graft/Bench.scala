@@ -47,6 +47,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
+      // per-query line as it completes: even if the driver truncates the
+      // combined JSON line below, every timing survives in the log
+      println(f"""[bench] {"query":"$name","sec":$t%.6f}""")
       // inter-query hygiene, outside the timer: queries that persist or
       // localCheckpoint intermediates would otherwise accumulate block-
       // manager state across 100+ queries and tax later queries with GC
@@ -57,7 +60,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full JSON also goes to a file: the driver's stdout capture has
+    // been observed to keep only the tail of very long lines (BENCH_r04
+    // lost the first ~67 per-query timings), and a file survives intact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -759,6 +759,13 @@ object Dedup {
     * Null keys are dropped (engine null-id convention; they never
     * equi-join anyway).
     *
+    * Determinism precondition (same contract as rankByHexKey): `df` is
+    * scanned twice, through the complementary definite/maybe filters — a
+    * nondeterministic input (rand-derived column, re-read of a mutable
+    * source) can drop or duplicate rows between the two passes.
+    * `localCheckpoint()` such inputs first (the exclusion side is already
+    * checkpointed here for exactly that reason).
+    *
     * @param fpp false-positive probability of the prefilter — tune DOWN
     *            for bigger corpora (more bits, fewer rows re-verified)
     */
@@ -807,20 +814,22 @@ object Dedup {
     * pair-finding operators this one rewrites the corpus — boilerplate
     * shared across documents survives exactly once.
     *
-    * Scale shape: one scalar blocking pass (zero shuffle), then ONE
-    * shuffle keyed on the block's md5 — every window partition holds one
-    * block-content group (duplicate count, typically tiny), so no task
-    * ever sees more than one boilerplate family — and one per-document
-    * reassembly aggregation. Shuffle payload is the block text; at
-    * extreme scale project the window input down to (hash, doc, idx) and
-    * re-join the kept block text from the blocking pass.
+    * Scale shape: one scalar blocking pass (zero shuffle), then the
+    * globally-first occurrence per distinct block computed as a MAP-SIDE
+    * COMBINABLE min — `groupBy(md5(blk)).agg(min(struct(doc_id,
+    * blk_idx)))` — so a boilerplate block shared by millions of documents
+    * collapses to one row per input partition before the shuffle, instead
+    * of a window partition serializing the whole family through one task
+    * (the motivating C4 workload makes exactly those groups huge). The
+    * join back to flag first occurrences is an equi-join on the hash,
+    * which AQE skew-join splitting can subdivide — windows have no such
+    * escape hatch. Then one per-document reassembly aggregation.
     *
     * @return (doc_id, n_blocks, n_kept, text_clean) — text_clean is ""
     *         when every block of the document already appeared earlier
     */
   def dropRepeatedBlocks(docs: DataFrame, idCol: String, textCol: String,
                          blockTokens: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -833,10 +842,16 @@ object Dedup {
           .map { case (ts, i) => (id, i.toLong, ts.mkString(" ")) }
       }
       .toDF("doc_id", "blk_idx", "blk")
-    val w = Window.partitionBy(md5(col("blk")))
-      .orderBy(col("doc_id"), col("blk_idx"))
-    val flagged = blocks
-      .withColumn("_first", row_number().over(w) === 1)
+      .withColumn("_h", md5(col("blk")))
+    // lexicographic min(struct) == the row row_number-over-(doc_id,
+    // blk_idx) would rank first: (doc_id, blk_idx) is unique per block
+    // row, so exactly one row per hash matches the min
+    val firsts = blocks.groupBy("_h")
+      .agg(min(struct(col("doc_id"), col("blk_idx"))).as("_fo"))
+    val flagged = blocks.join(firsts, Seq("_h"))
+      .withColumn("_first",
+        col("_fo.doc_id") === col("doc_id") &&
+          col("_fo.blk_idx") === col("blk_idx"))
     flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("_first"), 1L).otherwise(0L)).as("n_kept"),

@@ -244,11 +244,61 @@ object Similarity {
   def ivfCell(vec: Column, cellBits: Int = 8): Column =
     rhpSignature(vec, cellBits)
 
+  /** Index layout versioning: the cell convention (md5-derived planes
+    * since round 4, xxhash64 before) is baked into the data layout, so a
+    * reader probing with a different convention would scan the wrong
+    * partitions and return plausible-but-wrong neighbours. Each build
+    * stamps a `_graft_ivf_meta` marker; each query verifies it. Indexes
+    * written before the marker existed must be rebuilt (fail-fast, not
+    * silently-wrong).
+    */
+  private val MetaFile = "_graft_ivf_meta"
+  private[ext] val RhpLayoutV1 = "rhp-md5-v1"
+  private[ext] val KmeansLayoutV1 = "kmeans-v1"
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        kvs: (String, String)*): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(kvs.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    }
+  }
+
+  private def requireLayout(spark: SparkSession, path: String,
+                            layout: String, kvs: (String, String)*): Unit = {
+    val meta = readMeta(spark, path)
+    require(meta.nonEmpty,
+      s"IVF index at $path has no $MetaFile marker — it predates the " +
+        s"versioned layout (pre-round-4 plane convention). Rebuild it with " +
+        s"ivfWrite/ivfKmeansWrite before querying.")
+    (("layout" -> layout) +: kvs).foreach { case (k, expect) =>
+      require(meta.get(k).contains(expect),
+        s"IVF index at $path was built with $k=${meta.getOrElse(k, "?")} " +
+          s"but this query expects $k=$expect — probing would scan the " +
+          s"wrong partitions. Rebuild the index or match the parameters.")
+    }
+  }
+
   /** Materialize an embedding table partitioned by IVF cell. At corpus
     * scale this is the index build: one pass, hive-partitioned output.
     */
   def ivfWrite(emb: DataFrame, idCol: String, vecCol: String, path: String,
-               cellBits: Int = 6): Unit =
+               cellBits: Int = 6): Unit = {
     emb.select(col(idCol), col(vecCol),
         ivfCell(col(vecCol).cast("array<double>"), cellBits).as("ivf_cell"))
       // co-locate each cell before the partitioned write: without this,
@@ -257,6 +307,11 @@ object Similarity {
       // it, file count tracks cell count regardless of cluster width
       .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // marker AFTER the data write: overwrite mode clears the directory, so
+    // a surviving marker implies the data alongside it is complete
+    writeMeta(emb.sparkSession, path,
+      "layout" -> RhpLayoutV1, "cellBits" -> cellBits.toString)
+  }
 
   /** All cell ids within `maxHamming` bit flips of `center` — generated
     * by choosing flip positions (O(C(bits, <=h)) instead of scanning all
@@ -282,6 +337,7 @@ object Similarity {
               k: Int, cellBits: Int = 6, maxHamming: Int = 2,
               excludeId: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    requireLayout(spark, path, RhpLayoutV1, "cellBits" -> cellBits.toString)
     // consistent cell computation: evaluate the same Catalyst expression
     // the writer used, on the query vector
     val cellOfQuery = Seq(queryVec).toDF("v")
@@ -309,6 +365,8 @@ object Similarity {
       // not tasks x cells
       .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    writeMeta(emb.sparkSession, path,
+      "layout" -> KmeansLayoutV1, "k" -> k.toString)
     centroids
   }
 
@@ -324,6 +382,7 @@ object Similarity {
                     excludeId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    requireLayout(spark, path, KmeansLayoutV1, "k" -> centroids.length.toString)
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (Clustering.dist2(queryVec, c), i) }
       .sortBy(identity).take(nProbe).map(_._2.toLong)

@@ -303,8 +303,14 @@ object Stats {
     val w = (hi - lo) / nBins
     // least() clamp: when w is inexact, (v - lo)/w can reach nBins for a
     // v strictly below hi (e.g. lo=0, hi=1, nBins=3, v=1-1ulp) — such a
-    // value must land in the top interior bin, not overflow
-    val bin = when(valueCol < lo, -1)
+    // value must land in the top interior bin, not overflow.
+    // NaN routes explicitly into the overflow bin (the convention Spark's
+    // total ordering implies — NaN sorts above every real number); left
+    // implicit it would fall through both range branches into a null bin
+    // the dense-bin join silently drops, and the counts would no longer
+    // sum to the non-null row count
+    val bin = when(valueCol.cast("double").isNaN, nBins)
+      .when(valueCol < lo, -1)
       .when(valueCol >= hi, nBins)
       .otherwise(least(
         floor((valueCol.cast("double") - lo) / w).cast("int"),
@@ -342,6 +348,13 @@ object Stats {
   def zscore(df: DataFrame, valueCol: Column): DataFrame = {
     require(!df.columns.exists(_.equalsIgnoreCase("z")),
       "zscore adds a 'z' column; rename the existing one")
+    // enforce the documented INTEGRAL domain: a silent cast('long') on a
+    // double/decimal column would truncate toward zero and produce wrong
+    // z-scores — same hazard class bloomSubtract guards against
+    val vt = df.select(valueCol).schema.head.dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(vt),
+      s"zscore needs an integral value column (exact moment sums); got $vt" +
+        " — pre-bucket or scale-and-round real-valued features first")
     import graft.ops.Cols
     val (nC, sC, qC) = (Cols.fresh(df, "_zs_n"), Cols.fresh(df, "_zs_s"),
       Cols.fresh(df, "_zs_q"))

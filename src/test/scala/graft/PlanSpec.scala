@@ -173,6 +173,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p2.contains("rangepartitioning"), p2)
   }
 
+  test("knn join: codegen cosine, one slim window shuffle, no cartesian") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding",
+      "label", 3)).split("== Initial Plan ==")(0)
+    // the r4→r5 regression class this pins: cosineAuto must resolve to the
+    // native codegen expression (not the interpreted HOF fallback), the
+    // block self-join must stay an equi-join (broadcast at this scale),
+    // and the only hash exchange is the slim (id_a,id_b,cos) window
+    // shuffle — vectors never travel through it
+    assert(p.contains("graft_cosine"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("DSIR model learning collapses to nBuckets rows before the collect") {
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)

@@ -161,6 +161,23 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
       (5, None, 1L)))          // 100 overflow
   }
 
+  test("histogram routes NaN into the overflow bin; counts stay complete") {
+    val df = Seq(1.0, Double.NaN, 25.0, Double.NaN, 60.0).toDF("x")
+    val got = Stats.histogram(df, col("x"), lo = 0.0, hi = 50.0, nBins = 5)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(3))).toList
+    // the two NaNs join the 60.0 overflow; bin counts sum to all 5 rows
+    assert(got.map(_._2).sum == 5L)
+    assert(got.find(_._1 == 5).map(_._2).contains(3L))
+  }
+
+  test("zscore rejects non-integral value columns instead of truncating") {
+    val dbl = Seq(1.5, 2.5).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.zscore(dbl, col("v"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("ngramNovelty: shared shingles score low, originals high") {
     val docs = Seq(
       (1L, "a b c d e"),   // shingles {abc bcd cde}
