@@ -68,7 +68,12 @@ final class IngestPipeline(
     spark: SparkSession,
     tables: TableStore,
     objects: ObjectStore,
-    cfg: ProcessingConfig = ProcessingConfig()) extends Serializable {
+    cfg: ProcessingConfig = ProcessingConfig(),
+    // the production codec plug point (README "Production codec
+    // boundaries"): a factory, invoked once per partition, so heavyweight
+    // parsers amortize their init across the partition's files
+    mkParser: () => Parse.DocParser = () => new Parse.TextDocParser)
+  extends Serializable {
 
   import spark.implicits._
 
@@ -156,7 +161,7 @@ final class IngestPipeline(
     // documents table, which this very batch is about to append to — a lazy
     // plan would re-read the table post-append and drop the batch's own
     // rows from later stages.
-    val parsed = Parse.parseDocuments(deduped)
+    val parsed = Parse.parseDocuments(deduped, mkParser)
       .map { doc =>
         val chunks = Chunker.chunk(doc, chunkerCfg).map { c: TextChunk =>
           ChunkData(c.chunkIndex, c.serialized, c.tokenCount,

@@ -53,6 +53,33 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     (new DocumentStore(spark, tables, objects), tables, objects, stats)
   }
 
+  test("a custom DocParser plugs into the pipeline (codec boundary)") {
+    import graft.etl.Parse
+    import graft.model.{DocElement, ParsedDoc}
+    // a trivial production-shaped parser: whole payload becomes one text
+    // element, proving the factory wiring reaches the executors
+    class OneBlockParser extends Parse.DocParser {
+      override def parse(path: String, content: Array[Byte]): ParsedDoc = {
+        val text = new String(content, StandardCharsets.UTF_8)
+        ParsedDoc(path, path.split('/').last, 1, content.length.toLong,
+          "x" * 64, Seq(DocElement("text", 0, null, text.trim, 1)))
+      }
+    }
+    val inbox = tmpDir("inbox-custom")
+    writeDoc(inbox, "memo.pdf", "Alpha beta gamma delta epsilon words " +
+      "enough to make one chunk of ten tokens easily.")
+    val root = tmpDir("store-custom")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(chunker = ChunkerConfig(minTokens = 5, maxTokens = 2000)),
+      mkParser = () => new OneBlockParser)
+    val stats = pipe.ingest(inbox, now)
+    assert(stats.documents == 1)
+    // the custom parser produced no table/figure elements -> no charts
+    assert(stats.charts == 0)
+  }
+
   test("end-to-end ingest -> nested read -> range query -> update -> cascade delete") {
     val (store, tables, objects, stats) = fixture()
     assert(stats.documents == 2)
