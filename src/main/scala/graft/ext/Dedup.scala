@@ -793,16 +793,45 @@ object Dedup {
     val nEx = exKeys.count()
     if (nEx == 0L) return base
     val bloom = exKeys.stat.bloomFilter("_ex_key", nEx, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
     val key = col(keyCol).cast("long")
+    // probe-function selection: Spark's codegen BloomFilterMightContain
+    // (surfaced as graft_might_contain — same sketch serialization as
+    // stat.bloomFilter) keeps the probe inside WholeStageCodegen, but
+    // embeds the serialized filter in the plan as a literal, which ships
+    // per TASK. Small filters take that deal; past the cutover (~27M keys
+    // at fpp 0.01) — or on a vanilla session without the extension — a
+    // broadcast + UDF ships the filter once per EXECUTOR instead. Both
+    // paths call the same mightContainLong, so results are identical.
+    val mightContain: Column => Column = {
+      val blob = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      if (blob.length <= BloomLiteralMaxBytes &&
+          spark.catalog.functionExists("graft_might_contain")) {
+        val filterLit = lit(blob)
+        (k: Column) => call_function("graft_might_contain", filterLit, k)
+      } else {
+        val bc = spark.sparkContext.broadcast(bloom)
+        val probe = udf((k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k))
+        (k: Column) => probe(k)
+      }
+    }
     // definitely-absent rows short-circuit past the join entirely
     val definite = base.filter(!mightContain(key))
     val maybe = base.filter(mightContain(key))
       .join(exKeys, key === col("_ex_key"), "left_anti")
     definite.unionByName(maybe)
   }
+
+  /** Cutover between plan-literal and broadcast shipping of the Bloom
+    * filter in [[bloomSubtract]]: a literal rides inside every serialized
+    * task, a broadcast lands once per executor — 32 MB keeps task
+    * binaries sane while covering ~27M exclusion keys at fpp 0.01.
+    */
+  private val BloomLiteralMaxBytes: Int = 32 << 20
 
   /** C4-style repeated-block REWRITE (Raffel et al., "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text

@@ -28,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_langid expects 1 argument, got ${children.length}")
         LangIdExpr(children.head)
       }))
+    // Spark's own codegen bloom-probe expression (the one its runtime
+    // filters plan), surfaced as a callable function: (serialized filter
+    // binary, long value) => boolean. The binary literal and the
+    // df.stat.bloomFilter sketch share one serialization format
+    // (util.sketch.BloomFilter.writeTo/readFrom), so Dedup.bloomSubtract
+    // can probe a driver-built filter from inside WholeStageCodegen
+    // instead of through a deserializing Scala UDF.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_might_contain expects 2 arguments, got ${children.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -74,6 +74,23 @@ class SelectionSpec extends AnyFunSuite with SharedSpark {
     assert(got.sameElements(want))
   }
 
+  test("bloomSubtract probes via the codegen expression, not a UDF") {
+    // parquet-backed input: a Seq-based LocalRelation would be constant-
+    // folded through the filter at optimization time, hiding the probe
+    val dir = tmpDir("bloom-plan")
+    (1L to 500L).map(i => (i, s"d$i")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val exclude = (1L to 500L by 5).map(Tuple1(_)).toDF("k")
+    val plan = Dedup.bloomSubtract(df, "id", exclude, "k")
+      .queryExecution.executedPlan.toString
+    // on a GraftExtensions session the probe is Spark's native
+    // BloomFilterMightContain (plan shows its prettyName) and no Scala
+    // UDF appears anywhere in the filter stages
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("bloomSubtract: empty exclude returns the non-null-key input") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
       .toDF("id", "payload")
