@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata (SURVEY north-star). The Spark-side plumbing —
   * schemas, partitioning-friendly batch shapes, mapPartitions decode with
   * init-once codecs (the JVM analogue of PySpark's mapInPandas batch
-  * iteration), per-row error isolation — is real and tested; the
-  * actual codec is a STUB (no image/audio libraries ship in this
+  * iteration), per-row error isolation — is real and tested.
+  *
+  * Codec status: IMAGES are decoded for real via the JDK's javax.imageio
+  * (PNG/JPEG/GIF/BMP — format sniffing, header-only dimension reads, and
+  * a real `resizeImages` re-encoder); AUDIO/VIDEO remain a declared STUB
+  * (the JDK ships no audio/video codecs and none are available in this
   * environment) behind a deterministic container format, exactly like the
   * pluggable `Parse.DocParser` boundary.
   *
   * STUB FORMAT ("GMM1"): ascii header `GMM1|<kind>|<width>|<height>|<fps>|`
-  * followed by payload bytes. A production build replaces `decodeHeader`
-  * with a real codec (e.g. javax.imageio / ffmpeg bindings) — nothing else
-  * changes shape.
+  * followed by payload bytes. A production build replaces the GMM1 branch
+  * of `decodeHeader` with a real codec (e.g. ffmpeg bindings) — nothing
+  * else changes shape.
   */
 object Multimodal {
 
@@ -31,19 +35,47 @@ object Multimodal {
     header ++ payload
   }
 
-  /** STUB decode boundary — replace with a real codec in production. */
-  def decodeHeader(bytes: Array[Byte]): MediaMeta = {
-    val headEnd = {
-      var i = 0; var bars = 0
-      while (i < bytes.length && bars < 5) { if (bytes(i) == '|') bars += 1; i += 1 }
-      i
-    }
-    val head = new String(bytes, 0, headEnd, java.nio.charset.StandardCharsets.US_ASCII)
-    val parts = head.split('|')
-    require(parts(0) == "GMM1", s"not a GMM1 container: ${parts(0)}")
-    MediaMeta(parts(1), parts(2).toInt, parts(3).toInt, parts(4).toInt,
-      (bytes.length - headEnd).toLong)
+  /** Header-only image dimension read via the JDK's pluggable ImageIO
+    * reader registry: the registry sniffs the format from the leading
+    * bytes, and `ImageReader.getWidth/getHeight` parse only the header
+    * (IHDR / SOF0 / logical-screen descriptor) — no pixel decode, so
+    * metadata extraction over a 100 TB image corpus costs header bytes,
+    * not decoded rasters.
+    */
+  private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
+
+  /** Decode boundary. Real raster formats the JDK ships codecs for
+    * (PNG/JPEG/GIF/BMP/WBMP) decode for real; anything else must be a
+    * GMM1 container (the declared audio/video stub) or the call throws
+    * and the caller's per-row isolation drops the row.
+    */
+  def decodeHeader(bytes: Array[Byte]): MediaMeta =
+    imageDims(bytes) match {
+      case Some((w, h)) => MediaMeta("image", w, h, 0, bytes.length.toLong)
+      case None =>
+        val headEnd = {
+          var i = 0; var bars = 0
+          while (i < bytes.length && bars < 5) { if (bytes(i) == '|') bars += 1; i += 1 }
+          i
+        }
+        val head = new String(bytes, 0, headEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        val parts = head.split('|')
+        require(parts(0) == "GMM1", s"not a decodable image or GMM1 container")
+        MediaMeta(parts(1), parts(2).toInt, parts(3).toInt, parts(4).toInt,
+          (bytes.length - headEnd).toLong)
+    }
 
   /** Decode a DataFrame of (`media_id` long, `content` binary) into typed
     * metadata rows. mapPartitions keeps one (stub) codec per partition and
@@ -64,9 +96,56 @@ object Multimodal {
       }
   }
 
-  /** "Resize": halves the payload for each halving step of the larger
-    * dimension — a deterministic stand-in with a real codec's cost shape
-    * (per-row CPU, no shuffle).
+  /** REAL image resize (JDK codecs, no external libs): decode, scale so
+    * the larger dimension fits `maxDim` (aspect preserved, never
+    * upscaled), re-encode as PNG. Per-row CPU, zero shuffle — the scan
+    * parallelism IS the resize parallelism, so the operator's 100 TB
+    * story is purely "how many cores". Rows that aren't decodable
+    * raster images are dropped (per-row isolation, same discipline as
+    * decodeMeta); use [[resizeStub]] for GMM1 containers.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Iterator.empty
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val out =
+                if (scale >= 1.0) img // never upscale
+                else {
+                  val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                    math.max(1, (img.getHeight * scale).toInt))
+                  val scaled = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = scaled.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, w, h, null)
+                  } finally g.dispose()
+                  scaled
+                }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Iterator.single((id, bos.toByteArray))
+            }
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+      .toDF("media_id", "content")
+  }
+
+  /** "Resize" for GMM1 stub containers: halves the payload for each
+    * halving step of the larger dimension — a deterministic stand-in with
+    * a real codec's cost shape (per-row CPU, no shuffle).
     */
   def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
     val spark = media.sparkSession

@@ -27,6 +27,51 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(meta.width == 200 && meta.height == 150)
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeHeader reads real PNG/JPEG headers via the JDK codecs") {
+    import spark.implicits._
+    val png = pngBytes(100, 40)
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val gmm = Multimodal.encodeStub("video", 320, 240, 10, new Array[Byte](50))
+    val df = Seq((1L, png), (2L, jpg), (3L, gmm), (4L, Array[Byte](9, 9)))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeMeta(df).collect()
+      .map(d => d.mediaId -> d.meta).toMap
+    assert(out.size == 3) // garbage row isolated
+    assert(out(1L).kind == "image" && out(1L).width == 100 && out(1L).height == 40)
+    assert(out(2L).kind == "image" && out(2L).width == 8 && out(2L).height == 6)
+    assert(out(3L).kind == "video" && out(3L).fps == 10) // stub path intact
+  }
+
+  test("resizeImages really rescales and re-encodes; aspect preserved") {
+    import spark.implicits._
+    val df = Seq((1L, pngBytes(100, 40)), (2L, pngBytes(30, 20)),
+      (3L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    val out = Multimodal.resizeImages(df, maxDim = 50).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out.size == 2) // non-image row isolated
+    val resized = Multimodal.decodeHeader(out(1L))
+    assert(resized.kind == "image" && resized.width == 50 && resized.height == 20)
+    // already within bound: not upscaled, dimensions unchanged
+    val small = Multimodal.decodeHeader(out(2L))
+    assert(small.width == 30 && small.height == 20)
+  }
+
   test("sampleFrames emits every-nth frame rows for video only") {
     import spark.implicits._
     val video = Multimodal.encodeStub("video", 320, 240, 10, new Array[Byte](100))
