@@ -852,7 +852,11 @@ object Dedup {
     * (the motivating C4 workload makes exactly those groups huge). The
     * join back to flag first occurrences is an equi-join on the hash,
     * which AQE skew-join splitting can subdivide — windows have no such
-    * escape hatch. Then one per-document reassembly aggregation.
+    * escape hatch. Then one per-document reassembly aggregation. The
+    * blocking flatMap is evaluated twice (aggregate side + join side) —
+    * recomputing a cheap scalar pass beats materializing the blocked
+    * corpus; inputs must be deterministic (same contract as
+    * [[bloomSubtract]]'s double scan).
     *
     * @return (doc_id, n_blocks, n_kept, text_clean) — text_clean is ""
     *         when every block of the document already appeared earlier
