@@ -303,6 +303,27 @@ object ExtProbes {
     ) { (s, d) =>
       Similarity.knnJoin(t(s, d, "embeddings"), "vec_id", "embedding", "label", 3)
         .orderBy(col("id_a"), col("cos").desc, col("id_b"))
+    },
+
+    // k-NN JOIN blocked by DERIVED LSH cells — the corpus-scale path the
+    // label-blocked probe only gestures at: no application blocking key
+    // exists at 100 TB, so the engine derives the block from the vector
+    // itself (4-bit RHP cell) and runs the same bounded pair space. The
+    // oracle re-derives every cell from the md5 hyperplanes and replays
+    // the join, so blocking + scoring + ranking are all checked.
+    Probe(
+      "sim_knn_join_cells",
+      s"WITH ${Probe.rhpSigSql(4, "cell")}, " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos " +
+        "FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
+        "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id) " +
+        "SELECT id_a, id_b, cos FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM p) t WHERE rn <= 3 " +
+        "ORDER BY id_a, cos DESC, id_b"
+    ) { (s, d) =>
+      val blocked = t(s, d, "embeddings").withColumn("cell",
+        Similarity.ivfCell(col("embedding").cast("array<double>"), cellBits = 4))
+      Similarity.knnJoin(blocked, "vec_id", "embedding", "cell", 3)
+        .orderBy(col("id_a"), col("cos").desc, col("id_b"))
     }
   )
 
