@@ -236,6 +236,22 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** k-NN join with NO application blocking key — the corpus-scale form:
+    * each vector's block is derived from the vector itself (its
+    * `cellBits`-bit RHP cell), bounding the pair space to within-cell
+    * pairs exactly as [[knnJoin]] does with a label. Approximate by
+    * construction (cross-cell neighbours are never compared — the same
+    * trade every LSH/IVF method makes); recall rises as cellBits falls.
+    * `sim_knn_join_cells` oracles this path end to end.
+    */
+  def knnJoinByCell(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, cellBits: Int = 4): DataFrame = {
+    val cellCol = graft.ops.Cols.fresh(emb, "_knn_cell")
+    knnJoin(emb.withColumn(cellCol,
+        ivfCell(col(vecCol).cast("array<double>"), cellBits)),
+      idCol, vecCol, cellCol, k)
+  }
+
   /** IVF-style coarse partitioning: assign each vector to the centroid-free
     * cell given by the top bits of its signature. Used to co-locate probable
     * neighbours (write-time `partitionBy(cell)`), turning ANN queries into

@@ -320,9 +320,8 @@ object ExtProbes {
         "SELECT id_a, id_b, cos FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM p) t WHERE rn <= 3 " +
         "ORDER BY id_a, cos DESC, id_b"
     ) { (s, d) =>
-      val blocked = t(s, d, "embeddings").withColumn("cell",
-        Similarity.ivfCell(col("embedding").cast("array<double>"), cellBits = 4))
-      Similarity.knnJoin(blocked, "vec_id", "embedding", "cell", 3)
+      Similarity.knnJoinByCell(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 3, cellBits = 4)
         .orderBy(col("id_a"), col("cos").desc, col("id_b"))
     }
   )
