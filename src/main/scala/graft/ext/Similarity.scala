@@ -222,18 +222,34 @@ object Similarity {
     * curation, vs the single-query top-k above. Ranking happens on the
     * rounded score with an id tiebreak so results are deterministic and
     * oracle-reproducible. Pair space is bounded by the blocks; at corpus
-    * scale the blocking key is an LSH/IVF cell rather than a label.
+    * scale the blocking key is an LSH/IVF cell rather than a label (see
+    * [[knnJoinByCell]]).
+    *
+    * Scale shape: the top-k selection is a bounded-heap AGGREGATE
+    * (graft.functions.TopKByScore), not a row_number window — partial
+    * aggregation truncates each group to k rows on the map side, so the
+    * exchange carries at most k rows per (vector, input partition)
+    * instead of every scored pair. For blocks of B vectors that is k vs
+    * B rows per vector through the shuffle; identical winners (same
+    * score-desc, id-asc order, ties included).
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               blockCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
     val pairs = blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = false)
       .select(col("id_a"), col("id_b"),
-        round(cosineAuto(emb.sparkSession, col("va"), col("vb")), 6).as("cos"))
-    val byScore = Window.partitionBy("id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    pairs.withColumn("rn", row_number().over(byScore))
-      .filter(col("rn") <= k).drop("rn")
+        round(cosineAuto(spark, col("va"), col("vb")), 6).as("cos"))
+    // native TypedImperativeAggregate on a GraftExtensions session (no
+    // per-row encoder roundtrip); typed-Aggregator fallback elsewhere —
+    // identical winners either way
+    val topk =
+      if (spark.catalog.functionExists("graft_topk_by_score"))
+        call_function("graft_topk_by_score", col("id_b"), col("cos"), lit(k))
+      else graft.functions.TopKByScore.topKByScore(col("id_b"), col("cos"), k)
+    pairs.groupBy("id_a")
+      .agg(topk.as("nn"))
+      .select(col("id_a"), explode(col("nn")).as("n"))
+      .select(col("id_a"), col("n.id").as("id_b"), col("n.score").as("cos"))
   }
 
   /** k-NN join with NO application blocking key — the corpus-scale form:

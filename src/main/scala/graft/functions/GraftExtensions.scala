@@ -46,5 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScoreNative].getName, "graft_topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_topk_by_score expects 3 arguments, got ${children.length}")
+        TopKByScoreNative(children(0), children(1), children(2))
+          .toAggregateExpression()
+      }))
   }
 }

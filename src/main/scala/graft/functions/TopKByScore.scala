@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregate: bounded top-k by score per group — the
+  * map-side-combinable replacement for `row_number().over(partitionBy
+  * ... orderBy score)` + `filter(rn <= k)`. The window formulation must
+  * shuffle EVERY candidate row to sort it; this aggregator keeps a k-row
+  * buffer per group on the map side, so the exchange carries at most k
+  * rows per (group, input partition) — for a k-NN join over blocks of B
+  * vectors that is k rows instead of B per vector, the difference
+  * between a shuffle that scales with the pair space and one that
+  * scales with the answer.
+  *
+  * Ordering matches the window form exactly — score descending, id
+  * ascending tiebreak — so winners (ties at the boundary included) are
+  * identical and oracle hash-checks carry over unchanged.
+  */
+final class TopKByScoreAggregator(k: Int)
+  extends Aggregator[(Long, Double), List[(Double, Long)], Array[TopKByScore.Neighbor]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  // rank order: best first = highest score, then lowest id
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (score, id) => (-score, id) }
+
+  override def zero: List[(Double, Long)] = Nil
+
+  override def reduce(b: List[(Double, Long)],
+                      in: (Long, Double)): List[(Double, Long)] =
+    ((in._2, in._1) :: b).sorted(ord).take(k) // k is tiny; re-sort is cheap
+
+  override def merge(a: List[(Double, Long)],
+                     b: List[(Double, Long)]): List[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(r: List[(Double, Long)]): Array[TopKByScore.Neighbor] =
+    r.sorted(ord).map { case (score, id) => TopKByScore.Neighbor(id, score) }
+      .toArray
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+  override def outputEncoder: Encoder[Array[TopKByScore.Neighbor]] =
+    ExpressionEncoder[Array[TopKByScore.Neighbor]]()
+}
+
+object TopKByScore {
+  /** Named struct fields so downstream `explode` reads `.id`/`.score`
+    * instead of tuple `_1`/`_2`.
+    */
+  final case class Neighbor(id: Long, score: Double)
+
+  /** Column function: top-k (id, score) structs of a group, score
+    * descending with id tiebreak.
+    */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    udaf(new TopKByScoreAggregator(k),
+      ExpressionEncoder[(Long, Double)]()).apply(id, score)
+}

@@ -173,16 +173,20 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p2.contains("rangepartitioning"), p2)
   }
 
-  test("knn join: codegen cosine, one slim window shuffle, no cartesian") {
+  test("knn join: codegen cosine, map-side-truncated top-k, no cartesian") {
     val emb = Tables.load(spark, sf, "embeddings")
     val p = plan(graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding",
       "label", 3)).split("== Initial Plan ==")(0)
     // the r4→r5 regression class this pins: cosineAuto must resolve to the
     // native codegen expression (not the interpreted HOF fallback), the
     // block self-join must stay an equi-join (broadcast at this scale),
-    // and the only hash exchange is the slim (id_a,id_b,cos) window
-    // shuffle — vectors never travel through it
+    // and the ONLY hash exchange is the top-k aggregation's — with a
+    // partial ObjectHashAggregate before it, so each group is truncated
+    // to k rows on the map side and the shuffle scales with the answer,
+    // not the pair space
     assert(p.contains("graft_cosine"), p)
+    assert(p.contains("graft_topk_by_score"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

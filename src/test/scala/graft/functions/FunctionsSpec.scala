@@ -47,6 +47,37 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(df.select(Similarity.cosineNative(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("graft_topk_by_score matches the row_number window exactly, " +
+    "ties and partial merges included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic synthetic scores with deliberate ties; 64 partitions
+    // force real partial-buffer serialization + merges through the shuffle
+    val rows = spark.range(20000L).select(
+      pmod(col("id"), lit(50)).as("g"),
+      col("id").as("item"),
+      (pmod(col("id") * 2654435761L, lit(97L)) / 97.0).as("score"))
+      .repartition(64)
+    val viaAgg = rows.groupBy("g")
+      .agg(call_function("graft_topk_by_score",
+        col("item"), col("score"), lit(5)).as("nn"))
+      .select(col("g"), explode(col("nn")).as("n"))
+      .select(col("g"), col("n.id").as("item"), col("n.score").as("score"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("item"))
+    val viaWindow = rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("g", "item", "score")
+    assert(viaAgg.except(viaWindow).count() == 0)
+    assert(viaWindow.except(viaAgg).count() == 0)
+    assert(viaAgg.count() == 250L) // 50 groups x k=5
+    // groups smaller than k return their full membership, best-first
+    val small = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("g", "item", "score")
+      .groupBy("g")
+      .agg(call_function("graft_topk_by_score",
+        col("item"), col("score"), lit(5)).as("nn"))
+      .select(explode(col("nn")).as("n")).select("n.id").as[Long].collect()
+    assert(small.toSeq == Seq(11L, 10L))
+  }
+
   test("graft_langid matches the when-chain on every decision branch") {
     import spark.implicits._
     import graft.ext.{TextAnalysis => TA}
