@@ -262,10 +262,28 @@ object Similarity {
     */
   def knnJoinByCell(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, cellBits: Int = 4): DataFrame = {
-    val cellCol = graft.ops.Cols.fresh(emb, "_knn_cell")
-    knnJoin(emb.withColumn(cellCol,
-        ivfCell(col(vecCol).cast("array<double>"), cellBits)),
-      idCol, vecCol, cellCol, k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // scalar signing pass, plane matrix cached per partition — the
+    // expression form (ivfCell) evaluates cellBits interpreted
+    // higher-order dot products per row, and the self-join inside
+    // knnJoin evaluates its input subtree TWICE, doubling that cost;
+    // the scalar pass is the same convention bit-for-bit (RhpParity
+    // pins it), so oracle results are unchanged
+    val signed = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (planes == null || planes(0).length < v.length)
+            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
+          (id, v, rhpSignatureScalar(v, planes))
+        }
+      }
+      .toDF(idCol, "_knn_v", "_knn_cell")
+    knnJoin(signed, idCol, "_knn_v", "_knn_cell", k)
   }
 
   /** IVF-style coarse partitioning: assign each vector to the centroid-free
