@@ -349,8 +349,30 @@ object Similarity {
     */
   def ivfWrite(emb: DataFrame, idCol: String, vecCol: String, path: String,
                cellBits: Int = 6): Unit = {
-    emb.select(col(idCol), col(vecCol),
-        ivfCell(col(vecCol).cast("array<double>"), cellBits).as("ivf_cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // scalar signing pass (plane matrix cached per partition): the
+    // expression form pays cellBits interpreted higher-order dot products
+    // per row, and the BUILD is exactly where that cost multiplies by the
+    // whole corpus. Same md5 convention bit-for-bit (RhpParity), so the
+    // persisted cells — and the oracle that re-derives them — are
+    // unchanged. Vectors land in the index widened to array<double>, the
+    // type every reader casts to anyway. Null-id/vector rows are dropped
+    // (engine null-id convention).
+    val signed = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (planes == null || planes(0).length < v.length)
+            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
+          (id, v, rhpSignatureScalar(v, planes))
+        }
+      }
+      .toDF(idCol, vecCol, "ivf_cell")
+    signed
       // co-locate each cell before the partitioned write: without this,
       // every task writes a sliver of every cell (tasks × cells small
       // files — the classic small-files trap as parallelism grows); with
@@ -359,7 +381,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     // marker AFTER the data write: overwrite mode clears the directory, so
     // a surviving marker implies the data alongside it is complete
-    writeMeta(emb.sparkSession, path,
+    writeMeta(spark, path,
       "layout" -> RhpLayoutV1, "cellBits" -> cellBits.toString)
   }
 
