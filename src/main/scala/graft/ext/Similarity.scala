@@ -101,6 +101,41 @@ object Similarity {
     rerankTopK(emb.filter(col(idCol) =!= queryId), q, idCol, vecCol, k)
   }
 
+  /** Exact top-k for a BATCH of query vectors in ONE corpus scan — the
+    * recall-evaluation / batch-serving shape (Q probe queries against the
+    * corpus), vs one scan per query with [[bruteForceTopK]]. The query
+    * frame broadcasts (Q × d doubles); scoring is the codegen cosine over
+    * the streamed corpus; per-query top-k is the map-side-combinable
+    * bounded aggregate, so the exchange carries at most k rows per
+    * (query, input partition) — the scan cost is amortized across every
+    * query in the batch. Matching ids (query vector present in the
+    * corpus) are excluded, mirroring the single-query APIs.
+    *
+    * @return (query_id, id, cos) — cos rounded to 6 dp, best-first order
+    *         not guaranteed (sort downstream if needed)
+    */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qIdCol: String,
+                          qVecCol: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<double>").as("_q_v"))
+    val scored = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("_c_v"))
+      .crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
+    val topk =
+      if (spark.catalog.functionExists("graft_topk_by_score"))
+        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
+      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
+    scored.groupBy("query_id").agg(topk.as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
     * [-1, 1] (pmod yields 0..2000, so both endpoints are reachable),
     * derived from the engine-wide 60-bit md5 convention

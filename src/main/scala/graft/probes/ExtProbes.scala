@@ -279,6 +279,24 @@ object ExtProbes {
         queryId = 0L, k = 10)
     },
 
+    // Batch exact top-k: 5 query vectors answered in ONE corpus scan
+    // (broadcast queries, codegen cosine, per-query bounded top-k
+    // aggregate) — the recall-evaluation / batch-serving shape. The
+    // oracle replays the full Q x N scoring and per-query ranking.
+    Probe(
+      "sim_topk_batch",
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "p AS (SELECT q.query_id, e.vec_id AS id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) " +
+        "SELECT query_id, id, cos FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM p) t WHERE rn <= 10 " +
+        "ORDER BY query_id, cos DESC, id"
+    ) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("cos").desc, col("id"))
+    },
+
     // LSH-bucketed ANN, fully oracled: the md5-derived hyperplanes make
     // the ENTIRE pipeline engine-independent, so the oracle re-derives the
     // 32 planes, every element-ordered projection, the 32-bit signatures,
