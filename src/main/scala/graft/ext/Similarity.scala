@@ -456,6 +456,58 @@ object Similarity {
     rerankTopK(candidates, Seq(queryVec).toDF("qv"), idCol, vecCol, k)
   }
 
+  /** Batch ANN over an IVF-partitioned table: every query's Hamming-ball
+    * probe cells are generated in one scalar pass, their UNION prunes the
+    * index scan to the touched partitions (one pruned read for the whole
+    * batch), and a broadcast (query, cell) frame routes each surviving
+    * candidate to exactly the queries probing its cell. Per-query top-k
+    * is the bounded map-side aggregate. Scales as one pruned scan + k
+    * rows per (query, partition) through the shuffle — per-query scans
+    * would multiply the read cost by the batch size.
+    */
+  def ivfTopKBatch(spark: SparkSession, path: String, idCol: String,
+                   vecCol: String, queries: DataFrame, qIdCol: String,
+                   qVecCol: String, k: Int, cellBits: Int = 6,
+                   maxHamming: Int = 2): DataFrame = {
+    import spark.implicits._
+    requireLayout(spark, path, RhpLayoutV1, "cellBits" -> cellBits.toString)
+    // (query_id, query vector, probed cell) — C(cellBits, <=maxHamming)
+    // rows per query, signed with the cached-plane scalar pass
+    val qCells = queries
+      .filter(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.flatMap { case (id, v) =>
+          if (planes == null || planes(0).length < v.length)
+            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
+          val cell = rhpSignatureScalar(v, planes)
+          cellsWithinHamming(cell, cellBits, maxHamming)
+            .map(c => (id, v, c))
+        }
+      }
+      .toDF("query_id", "_q_v", "ivf_cell")
+    // bounded collect: at most Q * C(cellBits, <=maxHamming) cell ids —
+    // the IN-filter constant-folds into partition pruning on the read
+    val probeCells = qCells.select("ivf_cell").distinct().as[Long].collect()
+    val scan = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("_c_v"), col("ivf_cell"))
+    val scored = scan.join(broadcast(qCells), Seq("ivf_cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
+    val topk =
+      if (spark.catalog.functionExists("graft_topk_by_score"))
+        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
+      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
+    scored.groupBy("query_id").agg(topk.as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+  }
+
   /** IVF index with LEARNED centroids — the standard IVF-flat design
     * (Lloyd-trained coarse quantizer), stronger than the hash-cell variant
     * above when the embedding space is low-contrast (cells follow the

@@ -281,6 +281,26 @@ object SelectionProbes {
         qv, k = 10, cellBits = 6, maxHamming = 2, excludeId = Some(0L))
     },
 
+    // Batch ANN over the shared IVF index: three queries' Hamming-2 probe
+    // cells union into ONE pruned scan; a broadcast (query, cell) frame
+    // routes candidates; bounded top-k per query. The oracle re-derives
+    // cells and replays the per-query candidate sets and rankings.
+    Probe(
+      "sim_topk_ivf_batch",
+      s"WITH ${Probe.rhpSigSql(6, "sig")}, " +
+        "q AS (SELECT s.vec_id AS query_id, s.sig AS qcell, e.v AS qv FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id < 3), " +
+        "p AS (SELECT q.query_id, e.vec_id AS id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos FROM e JOIN sig ON e.vec_id = sig.vec_id CROSS JOIN q WHERE e.vec_id <> q.query_id AND bit_count(xor(sig.sig, q.qcell)) <= 2) " +
+        "SELECT query_id, id, cos FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM p) t WHERE rn <= 10 " +
+        "ORDER BY query_id, cos DESC, id"
+    ) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val path = Probe.ivfIndexFor(s, d, cellBits = 6)
+      graft.ext.Similarity.ivfTopKBatch(s, path, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, cellBits = 6, maxHamming = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("id"))
+    },
+
     // PQ asymmetric-distance search (ADC), fully oracled: the oracle
     // re-derives the smallest-id codebook, every per-subspace code
     // assignment, the query's m×k lookup table, and the subspace-ordered
