@@ -508,6 +508,29 @@ object Similarity {
       .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — THE
+    * quality metric every ANN deployment tunes against (nProbe,
+    * maxHamming, cellBits all trade recall for scan fraction). Both
+    * inputs are (query_id, id, ...) neighbour lists, e.g.
+    * [[ivfTopKBatch]] vs [[bruteForceTopKBatch]]; `k` is the exact
+    * side's per-query size. Queries the approximate side missed entirely
+    * score 0, not absent.
+    *
+    * @return (query_id, n_hits, recall) — recall rounded to 4 dp
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = exact.select("query_id", "id")
+      .join(approx.select("query_id", "id"), Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
   /** IVF index with LEARNED centroids — the standard IVF-flat design
     * (Lloyd-trained coarse quantizer), stronger than the hash-cell variant
     * above when the embedding space is low-contrast (cells follow the

@@ -301,6 +301,35 @@ object SelectionProbes {
         .orderBy(col("query_id"), col("cos").desc, col("id"))
     },
 
+    // ANN quality metric, fully oracled: recall@10 of the IVF batch
+    // answer against the exact batch answer, per query. The oracle
+    // re-derives BOTH sides (cells, candidate sets, rankings) and the
+    // intersection count — the complete tune-recall-vs-scan-fraction
+    // loop an ANN deployment runs, checked end to end.
+    Probe(
+      "sim_recall_ivf",
+      s"WITH ${Probe.rhpSigSql(6, "sig")}, " +
+        "q AS (SELECT s.vec_id AS query_id, s.sig AS qcell, e.v AS qv FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id < 3), " +
+        "pex AS (SELECT q.query_id, e.vec_id AS id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), " +
+        "ex AS (SELECT query_id, id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM pex) t WHERE rn <= 10), " +
+        "pap AS (SELECT q.query_id, e.vec_id AS id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos FROM e JOIN sig ON e.vec_id = sig.vec_id CROSS JOIN q WHERE e.vec_id <> q.query_id AND bit_count(xor(sig.sig, q.qcell)) <= 2), " +
+        "ap AS (SELECT query_id, id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM pap) t WHERE rn <= 10), " +
+        "h AS (SELECT ex.query_id, count(*) AS n_hits FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.id = ap.id GROUP BY ex.query_id) " +
+        "SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall " +
+        "FROM q LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id"
+    ) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val path = Probe.ivfIndexFor(s, d, cellBits = 6)
+      val exact = graft.ext.Similarity.bruteForceTopKBatch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      val approx = graft.ext.Similarity.ivfTopKBatch(s, path,
+        "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, cellBits = 6, maxHamming = 2)
+      graft.ext.Similarity.recallAtK(approx, exact, k = 10)
+        .orderBy("query_id")
+    },
+
     // PQ asymmetric-distance search (ADC), fully oracled: the oracle
     // re-derives the smallest-id codebook, every per-subspace code
     // assignment, the query's m×k lookup table, and the subspace-ordered
