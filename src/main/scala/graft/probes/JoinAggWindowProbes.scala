@@ -388,6 +388,38 @@ object JoinAggWindowProbes {
         .orderBy("event_id")
     },
 
+    // [EXT] Skew-mitigation equivalence, oracled: the two-phase salted
+    // aggregation must equal the plain GROUP BY bit for bit (salting is a
+    // physical-layout trick, never a semantic one) — the oracle IS the
+    // plain GROUP BY. count decomposes as count->sum, sum as sum->sum.
+    Probe(
+      "skew_salted_agg",
+      "SELECT l_suppkey AS key, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1 ORDER BY key"
+    ) { (s, d) =>
+      graft.ops.Skew.saltedAggregate(t(s, d, "lineitem"),
+          col("l_suppkey"), saltBuckets = 8,
+          partial = Seq(count(lit(1)).as("_c"), sum("l_quantity").as("_q")),
+          finalAgg = Seq(sum("_c").as("cnt"),
+            sum("_q").cast("long").as("qty")))
+        .orderBy("key")
+    },
+
+    // [EXT] Salted join equivalence, oracled: replicating the dimension
+    // across salt buckets must reproduce the plain equi-join exactly —
+    // the salt exists only to spread a hot key over tasks.
+    Probe(
+      "skew_salted_join",
+      "SELECT l.l_orderkey, l.l_linenumber, s.s_name FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey ORDER BY l_orderkey, l_linenumber"
+    ) { (s, d) =>
+      val fact = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_orderkey"), col("l_linenumber"))
+      val dim = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      graft.ops.Skew.saltedJoin(fact, dim, "k", saltBuckets = 8)
+        .select("l_orderkey", "l_linenumber", "s_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // [EXT] rank / lag / framed running sum (SURVEY §2.5 note).
     Probe(
       "w3_rank_lag_framesum",
