@@ -552,6 +552,49 @@ object Similarity {
     centroids
   }
 
+  /** Batch ANN over a k-means IVF table — [[ivfTopKBatch]]'s learned-cell
+    * twin: per query the `nProbe` nearest centroids are ranked on the
+    * driver (Q × cells × d flops — negligible), the union of probed
+    * cells prunes ONE scan, a broadcast (query, cell) frame routes
+    * candidates, and the bounded top-k aggregate ranks per query.
+    */
+  def ivfKmeansTopKBatch(spark: SparkSession, path: String, idCol: String,
+                         vecCol: String, centroids: Array[Array[Double]],
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    requireLayout(spark, path, KmeansLayoutV1, "k" -> centroids.length.toString)
+    // bounded collect: Q query vectors (the batch is by definition small
+    // relative to the corpus); centroid ranking happens driver-side
+    val qRows = queries
+      .filter(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val qCells = qRows.toSeq.flatMap { case (id, v) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (Clustering.dist2(v, c), i) }
+        .sortBy(identity).take(nProbe)
+        .map { case (_, cell) => (id, v, cell.toLong) }
+    }.toDF("query_id", "_q_v", "ivf_cell")
+    val probeCells = qCells.select("ivf_cell").distinct().as[Long].collect()
+    val scan = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probeCells: _*))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("_c_v"), col("ivf_cell"))
+    val scored = scan.join(broadcast(qCells), Seq("ivf_cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
+    val topk =
+      if (spark.catalog.functionExists("graft_topk_by_score"))
+        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
+      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
+    scored.groupBy("query_id").agg(topk.as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+  }
+
   /** ANN top-k over a k-means IVF table: rank the centroids by distance to
     * the query ON THE DRIVER (k×d flops — negligible), then scan only the
     * `nProbe` nearest cells; the small IN-filter constant-folds into
