@@ -48,8 +48,10 @@ object Bench {
       }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query line as it completes: even if the driver truncates the
-      // combined JSON line below, every timing survives in the log
-      println(f"""[bench] {"query":"$name","sec":$t%.6f}""")
+      // combined JSON line below, every timing survives in the log.
+      // Double.toString (not the f-interpolator) — locale-independent,
+      // so the JSON stays valid on comma-decimal default locales
+      println(s"""[bench] {"query":"$name","sec":$t}""")
       // inter-query hygiene, outside the timer: queries that persist or
       // localCheckpoint intermediates would otherwise accumulate block-
       // manager state across 100+ queries and tax later queries with GC

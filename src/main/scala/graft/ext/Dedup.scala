@@ -798,10 +798,11 @@ object Dedup {
     // (surfaced as graft_might_contain — same sketch serialization as
     // stat.bloomFilter) keeps the probe inside WholeStageCodegen, but
     // embeds the serialized filter in the plan as a literal, which ships
-    // per TASK. Small filters take that deal; past the cutover (~27M keys
-    // at fpp 0.01) — or on a vanilla session without the extension — a
-    // broadcast + UDF ships the filter once per EXECUTOR instead. Both
-    // paths call the same mightContainLong, so results are identical.
+    // per TASK and hex-renders in plan strings. Small filters take that
+    // deal; past the cutover (~1.7M keys at fpp 0.01) — or on a vanilla
+    // session without the extension — a broadcast + UDF ships the filter
+    // once per EXECUTOR instead. Both paths call the same
+    // mightContainLong, so results are identical.
     val mightContain: Column => Column = {
       val blob = {
         val bos = new java.io.ByteArrayOutputStream()
@@ -827,11 +828,15 @@ object Dedup {
   }
 
   /** Cutover between plan-literal and broadcast shipping of the Bloom
-    * filter in [[bloomSubtract]]: a literal rides inside every serialized
-    * task, a broadcast lands once per executor — 32 MB keeps task
-    * binaries sane while covering ~27M exclusion keys at fpp 0.01.
+    * filter in [[bloomSubtract]]. A literal rides inside every serialized
+    * task AND renders as full hex in every plan string — and the filter
+    * appears in TWO operators (definite + maybe), so explain/AQE
+    * logging/UI would materialize ~4 chars per filter byte. 2 MB keeps
+    * worst-case plan text ~8 MB while covering ~1.7M exclusion keys at
+    * fpp 0.01 inside codegen; bigger filters ship once per executor as a
+    * broadcast instead.
     */
-  private val BloomLiteralMaxBytes: Int = 32 << 20
+  private val BloomLiteralMaxBytes: Int = 2 << 20
 
   /** C4-style repeated-block REWRITE (Raffel et al., "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text

@@ -112,18 +112,28 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            if (img == null) Iterator.empty
-            else {
-              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-              val out =
-                if (scale >= 1.0) img // never upscale
+            // header-only pre-check: rows already within the bound pass
+            // through UNTOUCHED (no pixel decode, no format change, no
+            // size inflation from a lossless re-encode of a no-op)
+            imageDims(bytes) match {
+              case None => Iterator.empty // not a decodable raster
+              case Some((w0, h0)) if math.max(w0, h0) <= maxDim =>
+                Iterator.single((id, bytes))
+              case Some(_) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                if (img == null) Iterator.empty
                 else {
+                  val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
                   val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
                     math.max(1, (img.getHeight * scale).toInt))
-                  val scaled = new java.awt.image.BufferedImage(
-                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  // preserve transparency: flattening ARGB onto an RGB
+                  // canvas composites transparent pixels to black
+                  val imgType =
+                    if (img.getColorModel.hasAlpha)
+                      java.awt.image.BufferedImage.TYPE_INT_ARGB
+                    else java.awt.image.BufferedImage.TYPE_INT_RGB
+                  val scaled = new java.awt.image.BufferedImage(w, h, imgType)
                   val g = scaled.createGraphics()
                   try {
                     g.setRenderingHint(
@@ -131,11 +141,10 @@ object Multimodal {
                       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
                     g.drawImage(img, 0, 0, w, h, null)
                   } finally g.dispose()
-                  scaled
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(scaled, "png", bos)
+                  Iterator.single((id, bos.toByteArray))
                 }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "png", bos)
-              Iterator.single((id, bos.toByteArray))
             }
           } catch { case _: Exception => Iterator.empty }
         }

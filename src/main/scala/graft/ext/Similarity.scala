@@ -127,13 +127,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
-    val topk =
-      if (spark.catalog.functionExists("graft_topk_by_score"))
-        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
-      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
-    scored.groupBy("query_id").agg(topk.as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+    topKPerGroup(scored, "query_id", "id", "cos", k, "id", "cos")
   }
 
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
@@ -189,6 +183,50 @@ object Similarity {
       p += 1
     }
     sig
+  }
+
+  /** One scalar cached-plane signing pass over a frame: (id, vector,
+    * cell) rows. ONE implementation shared by the index build, the
+    * cell-blocked knn join, and the batch probes, so the RhpParity
+    * convention cannot drift between copies. Null-id/vector rows are
+    * dropped (engine null-id convention).
+    */
+  private[ext] def signCells(df: DataFrame, idCol: String, vecCol: String,
+                             cellBits: Int, idOut: String, vecOut: String,
+                             cellOut: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (planes == null || planes(0).length < v.length)
+            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
+          (id, v, rhpSignatureScalar(v, planes))
+        }
+      }
+      .toDF(idOut, vecOut, cellOut)
+  }
+
+  /** Shared per-group bounded top-k tail: the native map-side-combinable
+    * aggregate when the extension registered it, the typed-Aggregator
+    * fallback otherwise (identical winners, NaN-worst ordering either
+    * way); explodes to (groupCol, idOut, scoreOut).
+    */
+  private def topKPerGroup(scored: DataFrame, groupCol: String,
+                           idCol: String, scoreCol: String, k: Int,
+                           idOut: String, scoreOut: String): DataFrame = {
+    val spark = scored.sparkSession
+    val topk =
+      if (spark.catalog.functionExists("graft_topk_by_score"))
+        call_function("graft_topk_by_score", col(idCol), col(scoreCol), lit(k))
+      else graft.functions.TopKByScore.topKByScore(col(idCol), col(scoreCol), k)
+    scored.groupBy(groupCol).agg(topk.as("_nn"))
+      .select(col(groupCol), explode(col("_nn")).as("_n"))
+      .select(col(groupCol), col("_n.id").as(idOut),
+        col("_n.score").as(scoreOut))
   }
 
   /** Approximate top-k via LSH bucketing: candidates are vectors whose
@@ -270,21 +308,10 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               blockCol: String, k: Int): DataFrame = {
-    val spark = emb.sparkSession
     val pairs = blockedPairs(emb, idCol, vecCol, blockCol, orderedPairs = false)
       .select(col("id_a"), col("id_b"),
-        round(cosineAuto(spark, col("va"), col("vb")), 6).as("cos"))
-    // native TypedImperativeAggregate on a GraftExtensions session (no
-    // per-row encoder roundtrip); typed-Aggregator fallback elsewhere —
-    // identical winners either way
-    val topk =
-      if (spark.catalog.functionExists("graft_topk_by_score"))
-        call_function("graft_topk_by_score", col("id_b"), col("cos"), lit(k))
-      else graft.functions.TopKByScore.topKByScore(col("id_b"), col("cos"), k)
-    pairs.groupBy("id_a")
-      .agg(topk.as("nn"))
-      .select(col("id_a"), explode(col("nn")).as("n"))
-      .select(col("id_a"), col("n.id").as("id_b"), col("n.score").as("cos"))
+        round(cosineAuto(emb.sparkSession, col("va"), col("vb")), 6).as("cos"))
+    topKPerGroup(pairs, "id_a", "id_b", "cos", k, "id_b", "cos")
   }
 
   /** k-NN join with NO application blocking key — the corpus-scale form:
@@ -296,30 +323,13 @@ object Similarity {
     * `sim_knn_join_cells` oracles this path end to end.
     */
   def knnJoinByCell(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, cellBits: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // scalar signing pass, plane matrix cached per partition — the
-    // expression form (ivfCell) evaluates cellBits interpreted
-    // higher-order dot products per row, and the self-join inside
-    // knnJoin evaluates its input subtree TWICE, doubling that cost;
-    // the scalar pass is the same convention bit-for-bit (RhpParity
-    // pins it), so oracle results are unchanged
-    val signed = emb
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        var planes: Array[Array[Double]] = null
-        it.map { case (id, v) =>
-          if (planes == null || planes(0).length < v.length)
-            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
-          (id, v, rhpSignatureScalar(v, planes))
-        }
-      }
-      .toDF(idCol, "_knn_v", "_knn_cell")
-    knnJoin(signed, idCol, "_knn_v", "_knn_cell", k)
-  }
+                    k: Int, cellBits: Int = 4): DataFrame =
+    // scalar signing pass ([[signCells]]) — the expression form (ivfCell)
+    // evaluates cellBits interpreted higher-order dot products per row,
+    // and the self-join inside knnJoin evaluates its input subtree TWICE,
+    // doubling that cost
+    knnJoin(signCells(emb, idCol, vecCol, cellBits,
+      idCol, "_knn_v", "_knn_cell"), idCol, "_knn_v", "_knn_cell", k)
 
   /** IVF-style coarse partitioning: assign each vector to the centroid-free
     * cell given by the top bits of its signature. Used to co-locate probable
@@ -384,30 +394,12 @@ object Similarity {
     */
   def ivfWrite(emb: DataFrame, idCol: String, vecCol: String, path: String,
                cellBits: Int = 6): Unit = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    // scalar signing pass (plane matrix cached per partition): the
-    // expression form pays cellBits interpreted higher-order dot products
-    // per row, and the BUILD is exactly where that cost multiplies by the
-    // whole corpus. Same md5 convention bit-for-bit (RhpParity), so the
-    // persisted cells — and the oracle that re-derives them — are
-    // unchanged. Vectors land in the index widened to array<double>, the
-    // type every reader casts to anyway. Null-id/vector rows are dropped
-    // (engine null-id convention).
-    val signed = emb
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        var planes: Array[Array[Double]] = null
-        it.map { case (id, v) =>
-          if (planes == null || planes(0).length < v.length)
-            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
-          (id, v, rhpSignatureScalar(v, planes))
-        }
-      }
-      .toDF(idCol, vecCol, "ivf_cell")
-    signed
+    // scalar signing pass ([[signCells]]): the expression form pays
+    // cellBits interpreted higher-order dot products per row, and the
+    // BUILD is exactly where that cost multiplies by the whole corpus.
+    // Vectors land in the index widened to array<double>, the type every
+    // reader casts to anyway.
+    signCells(emb, idCol, vecCol, cellBits, idCol, vecCol, "ivf_cell")
       // co-locate each cell before the partitioned write: without this,
       // every task writes a sliver of every cell (tasks × cells small
       // files — the classic small-files trap as parallelism grows); with
@@ -416,7 +408,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     // marker AFTER the data write: overwrite mode clears the directory, so
     // a surviving marker implies the data alongside it is complete
-    writeMeta(spark, path,
+    writeMeta(emb.sparkSession, path,
       "layout" -> RhpLayoutV1, "cellBits" -> cellBits.toString)
   }
 
@@ -471,26 +463,24 @@ object Similarity {
                    maxHamming: Int = 2): DataFrame = {
     import spark.implicits._
     requireLayout(spark, path, RhpLayoutV1, "cellBits" -> cellBits.toString)
-    // (query_id, query vector, probed cell) — C(cellBits, <=maxHamming)
-    // rows per query, signed with the cached-plane scalar pass
-    val qCells = queries
+    // Q query rows collected ONCE (the batch is small by definition);
+    // cells and Hamming balls derive driver-side, so the routing frame
+    // and the IN-filter come from the same single evaluation of the
+    // query input — no second scan, no determinism hazard
+    val qRows = queries
       .filter(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        var planes: Array[Array[Double]] = null
-        it.flatMap { case (id, v) =>
-          if (planes == null || planes(0).length < v.length)
-            planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
-          val cell = rhpSignatureScalar(v, planes)
-          cellsWithinHamming(cell, cellBits, maxHamming)
-            .map(c => (id, v, c))
-        }
-      }
-      .toDF("query_id", "_q_v", "ivf_cell")
-    // bounded collect: at most Q * C(cellBits, <=maxHamming) cell ids —
-    // the IN-filter constant-folds into partition pruning on the read
-    val probeCells = qCells.select("ivf_cell").distinct().as[Long].collect()
+      .as[(Long, Array[Double])].collect()
+    var planes: Array[Array[Double]] = null
+    val qCellRows = qRows.toSeq.flatMap { case (id, v) =>
+      if (planes == null || planes(0).length < v.length)
+        planes = Array.tabulate(cellBits, v.length)(planeComponentScalar)
+      cellsWithinHamming(rhpSignatureScalar(v, planes), cellBits, maxHamming)
+        .map(c => (id, v, c))
+    }
+    val qCells = qCellRows.toDF("query_id", "_q_v", "ivf_cell")
+    // the small IN-filter constant-folds into partition pruning
+    val probeCells = qCellRows.map(_._3).distinct
     val scan = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probeCells: _*))
       .select(col(idCol).cast("long").as("id"),
@@ -499,13 +489,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
-    val topk =
-      if (spark.catalog.functionExists("graft_topk_by_score"))
-        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
-      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
-    scored.groupBy("query_id").agg(topk.as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+    topKPerGroup(scored, "query_id", "id", "cos", k, "id", "cos")
   }
 
   /** Recall@k of an approximate ANN result against the exact one — THE
@@ -547,8 +531,11 @@ object Similarity {
       // not tasks x cells
       .repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // stamp the ACHIEVED centroid count, not the requested k: a small
+    // corpus can yield fewer centroids, and queries verify against the
+    // centroid array they actually hold
     writeMeta(emb.sparkSession, path,
-      "layout" -> KmeansLayoutV1, "k" -> k.toString)
+      "layout" -> KmeansLayoutV1, "k" -> centroids.length.toString)
     centroids
   }
 
@@ -586,13 +573,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
-    val topk =
-      if (spark.catalog.functionExists("graft_topk_by_score"))
-        call_function("graft_topk_by_score", col("id"), col("cos"), lit(k))
-      else graft.functions.TopKByScore.topKByScore(col("id"), col("cos"), k)
-    scored.groupBy("query_id").agg(topk.as("nn"))
-      .select(col("query_id"), explode(col("nn")).as("n"))
-      .select(col("query_id"), col("n.id").as("id"), col("n.score").as("cos"))
+    topKPerGroup(scored, "query_id", "id", "cos", k, "id", "cos")
   }
 
   /** ANN top-k over a k-means IVF table: rank the centroids by distance to

@@ -23,9 +23,23 @@ final class TopKByScoreAggregator(k: Int)
   extends Aggregator[(Long, Double), List[(Double, Long)], Array[TopKByScore.Neighbor]] {
   require(k > 0, s"k must be positive, got $k")
 
-  // rank order: best first = highest score, then lowest id
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (score, id) => (-score, id) }
+  // rank order: best first = highest score, then lowest id; NaN ranks
+  // strictly worst, matching TopKBuffer.better exactly (the implicit
+  // tuple ordering would use IEEE Double semantics, where comparisons
+  // against NaN are all false and sort position becomes arrival-
+  // dependent)
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val (n1, n2) = (a._1.isNaN, b._1.isNaN)
+      if (n1 || n2) {
+        if (n1 && n2) java.lang.Long.compare(a._2, b._2)
+        else if (n1) 1 else -1 // NaN ranks after (worse than) any real
+      } else {
+        val c = java.lang.Double.compare(b._1, a._1) // score desc
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

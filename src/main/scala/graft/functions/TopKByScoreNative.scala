@@ -20,11 +20,19 @@ final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   var n = 0
 
-  /** rank order: (score desc, id asc); returns true if (s1,id1) ranks
-    * strictly better than (s2,id2)
+  /** rank order: (score desc, id asc), TOTAL — NaN ranks strictly worst
+    * (a NaN similarity is a broken input, never a best neighbour), with
+    * the id tiebreak still applying among NaNs. Without the explicit NaN
+    * arms, `>`/`==` are both false against NaN and the buffer order
+    * becomes arrival-dependent. Returns true if (s1,id1) ranks strictly
+    * better than (s2,id2).
     */
-  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1)
+    val n2 = java.lang.Double.isNaN(s2)
+    if (n1 || n2) (!n1 && n2) || (n1 && n2 && id1 < id2)
+    else s1 > s2 || (s1 == s2 && id1 < id2)
+  }
 
   def insert(id: Long, score: Double): Unit = {
     if (n == k && !better(score, id, scores(n - 1), ids(n - 1))) return
@@ -76,6 +84,8 @@ case class TopKByScoreNative(
         s"graft_topk_by_score expects (bigint, double, const int), got " +
           s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
           s"${third.dataType.simpleString})")
+    else if (third.eval() == null)
+      TypeCheckResult.TypeCheckFailure("k must not be null")
     else if (k <= 0) TypeCheckResult.TypeCheckFailure(s"k must be > 0, got $k")
     else TypeCheckResult.TypeCheckSuccess
   }

@@ -60,16 +60,34 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   test("resizeImages really rescales and re-encodes; aspect preserved") {
     import spark.implicits._
-    val df = Seq((1L, pngBytes(100, 40)), (2L, pngBytes(30, 20)),
+    val smallPng = pngBytes(30, 20)
+    val df = Seq((1L, pngBytes(100, 40)), (2L, smallPng),
       (3L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
     val out = Multimodal.resizeImages(df, maxDim = 50).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(out.size == 2) // non-image row isolated
     val resized = Multimodal.decodeHeader(out(1L))
     assert(resized.kind == "image" && resized.width == 50 && resized.height == 20)
-    // already within bound: not upscaled, dimensions unchanged
-    val small = Multimodal.decodeHeader(out(2L))
-    assert(small.width == 30 && small.height == 20)
+    // already within bound: passed through byte-identical, never decoded
+    assert(java.util.Arrays.equals(out(2L), smallPng))
+  }
+
+  test("resizeImages preserves transparency of ARGB sources") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      100, 100, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(10, 10, 0xCC336699) // one semi-transparent pixel, rest fully transparent
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "content")
+    val out = Multimodal.resizeImages(df, maxDim = 50).collect()
+      .head.getAs[Array[Byte]](1)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getColorModel.hasAlpha,
+      "resize flattened the alpha channel away")
+    // a fully transparent corner must stay transparent, not composite to
+    // opaque black
+    assert(((back.getRGB(49, 49) >>> 24) & 0xff) == 0)
   }
 
   test("sampleFrames emits every-nth frame rows for video only") {

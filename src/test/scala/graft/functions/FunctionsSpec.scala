@@ -78,6 +78,35 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(small.toSeq == Seq(11L, 10L))
   }
 
+  test("graft_topk_by_score ranks NaN scores strictly last, deterministically") {
+    import spark.implicits._
+    // a NaN must never displace a real neighbour, whatever the arrival
+    // order — both the native aggregate and the typed fallback
+    val rows = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.2), (1L, 12L, 0.9),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.5)).toDF("g", "item", "score")
+      .repartition(5) // spread so merge order varies
+    val native = rows.groupBy("g")
+      .agg(call_function("graft_topk_by_score",
+        col("item"), col("score"), lit(3)).as("nn"))
+      .select(explode(col("nn")).as("n")).select("n.id")
+      .as[Long].collect().toSeq
+    assert(native == Seq(12L, 14L, 11L), s"got $native")
+    val fallback = rows.groupBy("g")
+      .agg(graft.functions.TopKByScore
+        .topKByScore(col("item"), col("score"), 3).as("nn"))
+      .select(explode(col("nn")).as("n")).select("n.id")
+      .as[Long].collect().toSeq
+    assert(fallback == Seq(12L, 14L, 11L), s"got $fallback")
+    // with fewer reals than k, NaNs fill the tail in id order
+    val tail = rows.filter(col("item") =!= 11L && col("item") =!= 14L)
+      .groupBy("g")
+      .agg(call_function("graft_topk_by_score",
+        col("item"), col("score"), lit(3)).as("nn"))
+      .select(explode(col("nn")).as("n")).select("n.id")
+      .as[Long].collect().toSeq
+    assert(tail == Seq(12L, 10L, 13L), s"got $tail")
+  }
+
   test("graft_langid matches the when-chain on every decision branch") {
     import spark.implicits._
     import graft.ext.{TextAnalysis => TA}
