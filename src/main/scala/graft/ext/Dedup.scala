@@ -831,8 +831,9 @@ object Dedup {
     * filter in [[bloomSubtract]]. A literal rides inside every serialized
     * task AND renders as full hex in every plan string — and the filter
     * appears in TWO operators (definite + maybe), so explain/AQE
-    * logging/UI would materialize ~4 chars per filter byte. 2 MB keeps
-    * worst-case plan text ~8 MB while covering ~1.7M exclusion keys at
+    * logging/UI would materialize 2 hex chars per byte, twice — ~4 chars
+    * per filter byte in total. 2 MB keeps worst-case plan text ~8 MB
+    * while covering ~1.7M exclusion keys at
     * fpp 0.01 inside codegen; bigger filters ship once per executor as a
     * broadcast instead.
     */

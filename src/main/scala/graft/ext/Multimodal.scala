@@ -98,10 +98,13 @@ object Multimodal {
 
   /** REAL image resize (JDK codecs, no external libs): decode, scale so
     * the larger dimension fits `maxDim` (aspect preserved, never
-    * upscaled), re-encode as PNG. Per-row CPU, zero shuffle — the scan
-    * parallelism IS the resize parallelism, so the operator's 100 TB
-    * story is purely "how many cores". Rows that aren't decodable
-    * raster images are dropped (per-row isolation, same discipline as
+    * upscaled), re-encode as PNG. Rows already within the bound are
+    * validated by the decode but emitted byte-identical (original
+    * format kept, no re-encode inflation). Per-row CPU, zero shuffle —
+    * the scan parallelism IS the resize parallelism, so the operator's
+    * 100 TB story is purely "how many cores". Rows that aren't fully
+    * decodable raster images (including truncated bodies behind intact
+    * headers) are dropped (per-row isolation, same discipline as
     * decodeMeta); use [[resizeStub]] for GMM1 containers.
     */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
@@ -112,39 +115,37 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           try {
-            // header-only pre-check: rows already within the bound pass
-            // through UNTOUCHED (no pixel decode, no format change, no
-            // size inflation from a lossless re-encode of a no-op)
-            imageDims(bytes) match {
-              case None => Iterator.empty // not a decodable raster
-              case Some((w0, h0)) if math.max(w0, h0) <= maxDim =>
-                Iterator.single((id, bytes))
-              case Some(_) =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes))
-                if (img == null) Iterator.empty
-                else {
-                  val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-                  val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
-                    math.max(1, (img.getHeight * scale).toInt))
-                  // preserve transparency: flattening ARGB onto an RGB
-                  // canvas composites transparent pixels to black
-                  val imgType =
-                    if (img.getColorModel.hasAlpha)
-                      java.awt.image.BufferedImage.TYPE_INT_ARGB
-                    else java.awt.image.BufferedImage.TYPE_INT_RGB
-                  val scaled = new java.awt.image.BufferedImage(w, h, imgType)
-                  val g = scaled.createGraphics()
-                  try {
-                    g.setRenderingHint(
-                      java.awt.RenderingHints.KEY_INTERPOLATION,
-                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                    g.drawImage(img, 0, 0, w, h, null)
-                  } finally g.dispose()
-                  val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(scaled, "png", bos)
-                  Iterator.single((id, bos.toByteArray))
-                }
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Iterator.empty // not a decodable raster
+            else if (math.max(img.getWidth, img.getHeight) <= maxDim)
+              // within bound: the decode above VALIDATED the payload (a
+              // truncated body behind an intact header must still be
+              // isolated, not emitted), but the original bytes pass
+              // through — no format change, no size inflation from a
+              // lossless re-encode of a no-op
+              Iterator.single((id, bytes))
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              // preserve transparency: flattening ARGB onto an RGB
+              // canvas composites transparent pixels to black
+              val imgType =
+                if (img.getColorModel.hasAlpha)
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+              val scaled = new java.awt.image.BufferedImage(w, h, imgType)
+              val g = scaled.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", bos)
+              Iterator.single((id, bos.toByteArray))
             }
           } catch { case _: Exception => Iterator.empty }
         }

@@ -194,6 +194,10 @@ object Similarity {
   private[ext] def signCells(df: DataFrame, idCol: String, vecCol: String,
                              cellBits: Int, idOut: String, vecOut: String,
                              cellOut: String): DataFrame = {
+    // 0 bits would build an empty plane matrix (and AIOOBE on the cache-
+    // rebuild guard); >62 would shift past the sign bit of the long cell
+    require(cellBits > 0 && cellBits <= 62,
+      s"cellBits must be in [1, 62], got $cellBits")
     val spark = df.sparkSession
     import spark.implicits._
     df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -462,6 +466,8 @@ object Similarity {
                    qVecCol: String, k: Int, cellBits: Int = 6,
                    maxHamming: Int = 2): DataFrame = {
     import spark.implicits._
+    require(cellBits > 0 && cellBits <= 62,
+      s"cellBits must be in [1, 62], got $cellBits")
     requireLayout(spark, path, RhpLayoutV1, "cellBits" -> cellBits.toString)
     // Q query rows collected ONCE (the batch is small by definition);
     // cells and Hamming balls derive driver-side, so the routing frame
@@ -558,13 +564,16 @@ object Similarity {
       .filter(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
-    val qCells = qRows.toSeq.flatMap { case (id, v) =>
+    val qCellRows = qRows.toSeq.flatMap { case (id, v) =>
       centroids.zipWithIndex
         .map { case (c, i) => (Clustering.dist2(v, c), i) }
         .sortBy(identity).take(nProbe)
         .map { case (_, cell) => (id, v, cell.toLong) }
-    }.toDF("query_id", "_q_v", "ivf_cell")
-    val probeCells = qCells.select("ivf_cell").distinct().as[Long].collect()
+    }
+    val qCells = qCellRows.toDF("query_id", "_q_v", "ivf_cell")
+    // distinct on the driver-local rows — a distinct().collect() here
+    // would launch a Spark job to dedup cells the driver already holds
+    val probeCells = qCellRows.map(_._3).distinct
     val scan = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probeCells: _*))
       .select(col(idCol).cast("long").as("id"),
