@@ -1,5 +1,6 @@
 package graft.serve
 
+import java.io.InputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
@@ -15,17 +16,25 @@ import org.apache.spark.sql.functions.col
   * query semantics live in exactly one place.
   *
   * Routes (api.py line refs):
-  *   - `POST /documents/upload?filename=f.pdf`  (:71) — body bytes land
-  *     in the watch directory feeding the S1 streaming ingest. Declared
-  *     divergence: raw body + filename query param instead of multipart
-  *     (no multipart codec in the JDK; the semantic contract — bytes
-  *     reach the watch dir — is preserved).
-  *   - `GET /documents`                          (:87)
+  *   - `POST /documents/upload`                  (:71) — `multipart/
+  *     form-data` body (the reference's `UploadFile` contract, parsed by
+  *     [[Multipart]]); the file part's bytes land in the watch directory
+  *     feeding the S1 streaming ingest, and the response carries the
+  *     reference's exact fields (`message`/`filename`/`status`,
+  *     api.py:79-84). A raw body + `filename` query param is kept as a
+  *     compatibility fallback for non-multipart clients.
+  *   - `GET /documents?skip=&limit=`             (:87)
   *   - `GET /documents/{id}`                     (:106)
   *   - `GET /documents/{id}/chunks?start_chunk=&end_chunk=` (:149)
   *   - `GET /documents/{id}/charts`              (:174)
   *   - `GET /documents/{id}/charts/{chartId}`    (:197) — PNG bytes with
   *     the stored content type.
+  *
+  * Malformed numeric query params return 422 with a FastAPI-shaped
+  * validation body (the same contract the reference's framework emits for
+  * a bad path/query type), never a 500; uploads larger than
+  * `maxUploadBytes` return 413 instead of buffering unbounded driver
+  * memory (the raw fallback streams to disk and never buffers at all).
   *
   * Serving scale note: every handler collects a POINT-SHAPED or
   * paginated result (one document, one chart, one bounded page) — the
@@ -34,7 +43,8 @@ import org.apache.spark.sql.functions.col
   * put this behind the usual replica fan-out, which is out of engine
   * scope.
   */
-final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
+final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
+                     maxUploadBytes: Long = HttpShim.DefaultMaxUploadBytes) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -67,9 +77,10 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
       case ("POST", List("documents", "upload")) =>
         upload(ex, query)
       case ("GET", List("documents")) =>
-        jsonArray(ex, store.listDocuments(
-          skip = query.get("skip").map(_.toInt).getOrElse(0),
-          limit = query.get("limit").map(_.toInt).getOrElse(100)))
+        withInts(ex, query, List(("skip", 0, Some(0)), ("limit", 100, Some(0)))) {
+          case List(skip, limit) =>
+            jsonArray(ex, store.listDocuments(skip = skip, limit = limit))
+        }
       case ("GET", List("documents", AsLong(id))) =>
         store.getDocument(id).toJSON.collect().headOption match {
           case Some(doc) => send(ex, 200, "application/json",
@@ -77,11 +88,14 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
           case None => notFound(ex, "Document not found")
         }
       case ("GET", List("documents", AsLong(id), "chunks")) =>
-        // existence guard before returning children (api.py:110-112)
-        if (documentAbsent(id)) notFound(ex, "Document not found")
-        else jsonArray(ex, store.getChunks(id,
-          query.get("start_chunk").map(_.toInt),
-          query.get("end_chunk").map(_.toInt)))
+        withInts(ex, query,
+          List(("start_chunk", -1, None), ("end_chunk", -1, None))) {
+          case List(start, end) =>
+            // existence guard before returning children (api.py:110-112)
+            if (documentAbsent(id)) notFound(ex, "Document not found")
+            else jsonArray(ex, store.getChunks(id,
+              Some(start).filter(_ >= 0), Some(end).filter(_ >= 0)))
+        }
       case ("GET", List("documents", AsLong(id), "charts")) =>
         if (documentAbsent(id)) notFound(ex, "Document not found")
         else jsonArray(ex, store.getCharts(id))
@@ -95,29 +109,128 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
     }
   }
 
-  private def upload(ex: HttpExchange, query: Map[String, String]): Unit =
-    query.get("filename").filter(_.nonEmpty) match {
+  // ---- upload ----------------------------------------------------------
+
+  private def upload(ex: HttpExchange, query: Map[String, String]): Unit = {
+    val contentType =
+      Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (contentType.toLowerCase.startsWith("multipart/form-data")) {
+      Multipart.boundaryOf(contentType) match {
+        case None =>
+          badRequest(ex, "multipart/form-data boundary parameter missing")
+        case Some(boundary) =>
+          readBounded(ex.getRequestBody) match {
+            case None => tooLarge(ex)
+            case Some(body) =>
+              Multipart.firstFilePart(body, boundary) match {
+                case None =>
+                  badRequest(ex, "no file part found in multipart body")
+                case Some(part) => saveUpload(ex, part.filename) { target =>
+                  java.nio.file.Files.write(target, part.bytes); ()
+                }
+              }
+          }
+      }
+    } else query.get("filename").filter(_.nonEmpty) match {
+      // compatibility fallback: raw body + filename query param
       case None =>
-        send(ex, 400, "application/json",
-          """{"detail":"filename query parameter required"}"""
-            .getBytes(StandardCharsets.UTF_8))
-      case Some(name) =>
-        // basename only: a path-bearing filename must not escape the
-        // watch directory
-        val base = name.split('/').last.split('\\').last
-        val body = ex.getRequestBody.readAllBytes()
-        val dir = java.nio.file.Paths.get(uploadDir)
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve(base), body)
-        send(ex, 200, "application/json",
-          s"""{"filename":${jsonStr(base)},"size":${body.length},"status":"uploaded"}"""
-            .getBytes(StandardCharsets.UTF_8))
+        badRequest(ex,
+          "multipart file part or filename query parameter required")
+      case Some(name) => saveUpload(ex, name) { target =>
+        if (!copyBounded(ex.getRequestBody, target)) {
+          java.nio.file.Files.deleteIfExists(target)
+          throw new HttpShim.BodyTooLarge
+        }
+      }
     }
+  }
+
+  /** Confine `name` to its basename inside the watch directory, reject
+    * names that resolve to no file at all, run `write`, and answer with
+    * the reference's exact upload response fields (api.py:79-84).
+    */
+  private def saveUpload(ex: HttpExchange, name: String)
+                        (write: java.nio.file.Path => Unit): Unit = {
+    // basename only: a path-bearing filename must not escape the watch dir
+    val base = name.split('/').last.split('\\').last
+    if (base.isEmpty || base == "." || base == "..")
+      badRequest(ex, s"invalid filename: ${name}")
+    else {
+      val dir = java.nio.file.Paths.get(uploadDir)
+      java.nio.file.Files.createDirectories(dir)
+      try {
+        write(dir.resolve(base))
+        send(ex, 200, "application/json",
+          (s"""{"message":"File uploaded successfully",""" +
+            s""""filename":${jsonStr(base)},"status":"pending_processing"}""")
+            .getBytes(StandardCharsets.UTF_8))
+      } catch { case _: HttpShim.BodyTooLarge => tooLarge(ex) }
+    }
+  }
+
+  /** Read at most `maxUploadBytes`; `None` if the stream holds more. */
+  private def readBounded(in: InputStream): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > maxUploadBytes) return None
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Stream the body straight to `target` (never buffered in driver
+    * memory); false if the cap was exceeded (partial file left to caller).
+    */
+  private def copyBounded(in: InputStream, target: java.nio.file.Path): Boolean = {
+    val out = java.nio.file.Files.newOutputStream(target)
+    try {
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > maxUploadBytes) return false
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      true
+    } finally out.close()
+  }
 
   // ---- helpers ---------------------------------------------------------
 
   private object AsLong {
     def unapply(s: String): Option[Long] = s.toLongOption
+  }
+
+  /** Parse the named int params (`(key, default, minimum)`), answering a
+    * FastAPI-shaped 422 validation error (api.py's framework contract for
+    * a malformed query type) instead of ever surfacing a 500.
+    */
+  private def withInts(ex: HttpExchange, query: Map[String, String],
+                       params: List[(String, Int, Option[Int])])
+                      (body: List[Int] => Unit): Unit = {
+    val parsed = params.map { case (key, default, min) =>
+      query.get(key) match {
+        case None => Right(default)
+        case Some(v) => v.toIntOption match {
+          case Some(i) if min.forall(i >= _) => Right(i)
+          case Some(_) => Left(key -> s"ensure this value is greater than or equal to ${min.get}")
+          case None => Left(key -> "value is not a valid integer")
+        }
+      }
+    }
+    val errors = parsed.collect { case Left(e) => e }
+    if (errors.nonEmpty) {
+      val details = errors.map { case (key, msg) =>
+        s"""{"loc":["query",${jsonStr(key)}],"msg":${jsonStr(msg)}}"""
+      }.mkString("[", ",", "]")
+      send(ex, 422, "application/json",
+        s"""{"detail":$details}""".getBytes(StandardCharsets.UTF_8))
+    } else body(parsed.collect { case Right(i) => i })
   }
 
   private def documentAbsent(id: Long): Boolean =
@@ -134,6 +247,15 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
   private def notFound(ex: HttpExchange, detail: String): Unit =
     send(ex, 404, "application/json",
       s"""{"detail":${jsonStr(detail)}}""".getBytes(StandardCharsets.UTF_8))
+
+  private def badRequest(ex: HttpExchange, detail: String): Unit =
+    send(ex, 400, "application/json",
+      s"""{"detail":${jsonStr(detail)}}""".getBytes(StandardCharsets.UTF_8))
+
+  private def tooLarge(ex: HttpExchange): Unit =
+    send(ex, 413, "application/json",
+      s"""{"detail":"upload exceeds $maxUploadBytes bytes"}"""
+        .getBytes(StandardCharsets.UTF_8))
 
   private def send(ex: HttpExchange, status: Int, contentType: String,
                    body: Array[Byte]): Unit = {
@@ -161,4 +283,113 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0) {
         java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
+}
+
+object HttpShim {
+  /** Default upload cap — generous for documents, small enough that a
+    * hostile body cannot OOM the single-JVM serving node.
+    */
+  val DefaultMaxUploadBytes: Long = 256L * 1024 * 1024
+
+  private final class BodyTooLarge extends RuntimeException
+}
+
+/** Minimal RFC 7578 `multipart/form-data` reader — just enough of the
+  * grammar to accept what real HTTP clients (and the reference's FastAPI
+  * test client) put on the wire for `POST /documents/upload`
+  * (api.py:71-85): optional preamble, any number of parts delimited by
+  * `--boundary` lines, a `--boundary--` close, optional epilogue. Returns
+  * the first part whose `Content-Disposition` carries a `filename`
+  * (FastAPI's `UploadFile` field). Part payloads are byte-preserved —
+  * binary documents round-trip exactly.
+  */
+private[serve] object Multipart {
+
+  final case class FilePart(name: String, filename: String, bytes: Array[Byte])
+
+  /** Extract the boundary parameter from a Content-Type header value. */
+  def boundaryOf(contentType: String): Option[String] =
+    contentType.split(';').map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("boundary=") =>
+        val raw = p.substring("boundary=".length)
+        if (raw.length >= 2 && raw.startsWith("\"") && raw.endsWith("\""))
+          raw.substring(1, raw.length - 1)
+        else raw
+    }.filter(_.nonEmpty)
+
+  def firstFilePart(body: Array[Byte], boundary: String): Option[FilePart] = {
+    val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    // Delimiter lines must start the body or follow a CRLF (RFC 2046 §5.1.1)
+    val starts = occurrences(body, delim).filter(i =>
+      i == 0 || (i >= 2 && body(i - 2) == '\r' && body(i - 1) == '\n'))
+    // Pair each opening delimiter with the next; a part spans
+    // (delim + CRLF) .. (CRLF + next delim)
+    starts.zip(starts.drop(1)).iterator.flatMap { case (from, until) =>
+      val afterDelim = from + delim.length
+      // "--" after the delimiter closes the multipart — no part follows
+      if (afterDelim + 1 < body.length &&
+          body(afterDelim) == '-' && body(afterDelim + 1) == '-') Iterator.empty
+      else if (afterDelim + 1 < body.length &&
+          body(afterDelim) == '\r' && body(afterDelim + 1) == '\n')
+        parsePart(body, afterDelim + 2, until - 2)
+      else Iterator.empty // malformed delimiter line — skip
+    }.find(_.filename.nonEmpty)
+  }
+
+  /** One part: `headers CRLF CRLF payload`, payload = bytes [dataFrom,
+    * dataUntil) with the header block carved off the front.
+    */
+  private def parsePart(body: Array[Byte], from: Int,
+                        until: Int): Iterator[FilePart] = {
+    if (until <= from) return Iterator.empty
+    val headerEnd = indexOfFrom(body,
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1), from, until)
+    if (headerEnd < 0 || headerEnd + 4 > until) return Iterator.empty
+    val headers = new String(body, from, headerEnd - from,
+      StandardCharsets.ISO_8859_1)
+    val disposition = headers.split("\r\n")
+      .find(_.toLowerCase.startsWith("content-disposition:"))
+      .getOrElse("")
+    (attr(disposition, "filename"), attr(disposition, "name")) match {
+      case (Some(filename), name) =>
+        Iterator.single(FilePart(name.getOrElse(""), filename,
+          java.util.Arrays.copyOfRange(body, headerEnd + 4, until)))
+      case _ => Iterator.empty
+    }
+  }
+
+  /** `key="value"` (quoted, `\"` unescaped) or bare-token attribute of a
+    * Content-Disposition header.
+    */
+  private def attr(header: String, key: String): Option[String] = {
+    val quoted = (key + "=\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    val bare = (key + "=([^;\\s]+)").r
+    quoted.findFirstMatchIn(header)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .orElse(bare.findFirstMatchIn(header).map(_.group(1)))
+  }
+
+  private def occurrences(haystack: Array[Byte],
+                          needle: Array[Byte]): List[Int] = {
+    val found = List.newBuilder[Int]
+    var i = indexOfFrom(haystack, needle, 0, haystack.length)
+    while (i >= 0) {
+      found += i
+      i = indexOfFrom(haystack, needle, i + needle.length, haystack.length)
+    }
+    found.result()
+  }
+
+  private def indexOfFrom(haystack: Array[Byte], needle: Array[Byte],
+                          from: Int, until: Int): Int = {
+    var i = from
+    val last = until - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && haystack(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
 }

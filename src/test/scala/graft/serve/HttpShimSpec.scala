@@ -16,13 +16,16 @@ import graft.store.{ObjectStore, TableStore}
   * exercise every REST route of the reference contract (api.py:71-218)
   * through an actual HTTP round trip — JSON listings, nested detail,
   * range queries, the PNG byte route with its content type, 404 guards,
-  * and the upload path feeding the watch directory.
+  * multipart upload (the reference's UploadFile contract) feeding the
+  * watch directory byte-identically, FastAPI-shaped 422 validation for
+  * malformed query params, and the 413 body cap.
   */
 class HttpShimSpec extends AnyFunSuite with SharedSpark {
 
   private val now = Timestamp.valueOf("2026-01-15 08:30:00")
 
-  private def fixture(): (HttpShim, Int, String, DocumentStore) = {
+  // one ingested corpus + running shim shared by every test in the suite
+  private lazy val (port, uploadDir): (Int, String) = {
     val inbox = tmpDir("shim-inbox")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(inbox, "report.pdf"),
@@ -37,83 +40,147 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
       ProcessingConfig(chunker = ChunkerConfig(minTokens = 5, maxTokens = 2000)))
       .ingest(inbox, now)
     val store = new DocumentStore(spark, tables, objects)
-    val uploadDir = tmpDir("shim-upload")
-    val shim = new HttpShim(store, uploadDir)
-    val port = shim.start()
-    (shim, port, uploadDir, store)
+    val dir = tmpDir("shim-upload")
+    val shim = new HttpShim(store, dir, maxUploadBytes = 64 * 1024)
+    val p = shim.start()
+    sys.addShutdownHook(shim.stop())
+    (p, dir)
   }
 
   private val client = HttpClient.newHttpClient()
 
-  private def get(port: Int, path: String): HttpResponse[String] =
+  private def get(path: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
       HttpResponse.BodyHandlers.ofString())
 
-  test("every reference route answers over the wire") {
-    val (shim, port, uploadDir, _) = fixture()
-    try {
-      // GET /documents — JSON array with the ingested row
-      val list = get(port, "/documents")
-      assert(list.statusCode() == 200)
-      assert(list.headers().firstValue("Content-Type").get() == "application/json")
-      assert(list.body().startsWith("[") && list.body().contains("\"filename\":\"report.pdf\""))
-      // spark can parse the shim's JSON back — schema round trips
-      import spark.implicits._
-      val parsed = spark.read.json(Seq(list.body()).toDS())
-      val docId = parsed.select("id").head().getLong(0)
+  private def post(path: String, body: Array[Byte],
+                   contentType: Option[String] = None): HttpResponse[String] = {
+    val builder = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    contentType.foreach(ct => builder.header("Content-Type", ct))
+    client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+  }
 
-      // GET /documents/{id} — nested detail with chunks + charts
-      val detail = get(port, s"/documents/$docId")
-      assert(detail.statusCode() == 200)
-      assert(detail.body().contains("\"chunks\":") && detail.body().contains("\"charts\":"))
+  test("every reference read route answers over the wire") {
+    // GET /documents — JSON array with the ingested row
+    val list = get("/documents")
+    assert(list.statusCode() == 200)
+    assert(list.headers().firstValue("Content-Type").get() == "application/json")
+    assert(list.body().startsWith("[") && list.body().contains("\"filename\":\"report.pdf\""))
+    // spark can parse the shim's JSON back — schema round trips
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(list.body()).toDS())
+    val docId = parsed.select("id").head().getLong(0)
 
-      // GET chunks with a range; bounds honoured
-      val chunks = get(port, s"/documents/$docId/chunks?start_chunk=0&end_chunk=0")
-      assert(chunks.statusCode() == 200)
-      assert(chunks.body().contains("\"chunk_index\":0"))
-      assert(!chunks.body().contains("\"chunk_index\":1"))
+    // GET /documents/{id} — nested detail with chunks + charts
+    val detail = get(s"/documents/$docId")
+    assert(detail.statusCode() == 200)
+    assert(detail.body().contains("\"chunks\":") && detail.body().contains("\"charts\":"))
 
-      // GET charts listing, then the PNG byte route with content type
-      val charts = get(port, s"/documents/$docId/charts")
-      assert(charts.statusCode() == 200 && charts.body().contains("\"image_path\""))
-      val chartId = spark.read.json(Seq(charts.body()).toDS())
-        .select("id").head().getLong(0)
-      val img = client.send(
-        HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:$port/documents/$docId/charts/$chartId"))
-          .GET().build(),
-        HttpResponse.BodyHandlers.ofByteArray())
-      assert(img.statusCode() == 200)
-      assert(img.headers().firstValue("Content-Type").get() == "image/png")
-      val magic = img.body().take(4).map(_ & 0xff)
-      assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    // GET chunks with a range; bounds honoured
+    val chunks = get(s"/documents/$docId/chunks?start_chunk=0&end_chunk=0")
+    assert(chunks.statusCode() == 200)
+    assert(chunks.body().contains("\"chunk_index\":0"))
+    assert(!chunks.body().contains("\"chunk_index\":1"))
 
-      // 404 guards: absent document, absent chart, wrong-owner chart
-      assert(get(port, "/documents/999999").statusCode() == 404)
-      assert(get(port, "/documents/999999/chunks").statusCode() == 404)
-      assert(get(port, s"/documents/999999/charts/$chartId").statusCode() == 404)
+    // GET charts listing, then the PNG byte route with content type
+    val charts = get(s"/documents/$docId/charts")
+    assert(charts.statusCode() == 200 && charts.body().contains("\"image_path\""))
+    val chartId = spark.read.json(Seq(charts.body()).toDS())
+      .select("id").head().getLong(0)
+    val img = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/documents/$docId/charts/$chartId"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(img.statusCode() == 200)
+    assert(img.headers().firstValue("Content-Type").get() == "image/png")
+    val magic = img.body().take(4).map(_ & 0xff)
+    assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
 
-      // POST /documents/upload — bytes land in the watch dir (S1 feed);
-      // path-bearing names are confined to their basename
-      val up = client.send(
-        HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:$port/documents/upload?filename=..%2Fnew.pdf"))
-          .POST(HttpRequest.BodyPublishers.ofString("Note:\nuploaded body"))
-          .build(),
-        HttpResponse.BodyHandlers.ofString())
-      assert(up.statusCode() == 200 && up.body().contains("\"status\":\"uploaded\""))
-      val landed = java.nio.file.Paths.get(uploadDir, "new.pdf")
-      assert(java.nio.file.Files.exists(landed))
-      assert(new String(java.nio.file.Files.readAllBytes(landed),
-        StandardCharsets.UTF_8).contains("uploaded body"))
-      // missing filename is a 400, not a crash
-      val bad = client.send(
-        HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:$port/documents/upload"))
-          .POST(HttpRequest.BodyPublishers.ofString("x")).build(),
-        HttpResponse.BodyHandlers.ofString())
-      assert(bad.statusCode() == 400)
-    } finally shim.stop()
+    // 404 guards: absent document, absent chart, wrong-owner chart
+    assert(get("/documents/999999").statusCode() == 404)
+    assert(get("/documents/999999/chunks").statusCode() == 404)
+    assert(get(s"/documents/999999/charts/$chartId").statusCode() == 404)
+  }
+
+  test("multipart upload lands the file part byte-identical in the watch dir") {
+    // binary payload with CRLFs and a boundary-lookalike NOT at line start —
+    // the parser must byte-preserve all of it
+    val payload = ("PDF-ish\r\nbinary --bound lookalike\r\n" + "x" * 300)
+      .getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0, 1, 2, '\r', '\n', -1)
+    val boundary = "graftBoundary42"
+    val body =
+      ("preamble to be ignored\r\n" +                       // RFC 2046 preamble
+        s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"note\"\r\n\r\n" +
+        "a non-file field the parser must skip\r\n" +
+        s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"multi.pdf\"\r\n" +
+        "Content-Type: application/pdf\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+        (s"\r\n--$boundary--\r\nepilogue junk".getBytes(StandardCharsets.ISO_8859_1))
+    val up = post("/documents/upload", body,
+      Some(s"multipart/form-data; boundary=$boundary"))
+    assert(up.statusCode() == 200)
+    // the reference's exact response fields (api.py:79-84)
+    assert(up.body().contains("\"message\":\"File uploaded successfully\""))
+    assert(up.body().contains("\"filename\":\"multi.pdf\""))
+    assert(up.body().contains("\"status\":\"pending_processing\""))
+    val landed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(uploadDir, "multi.pdf"))
+    assert(java.util.Arrays.equals(landed, payload))
+  }
+
+  test("multipart without boundary or file part is a 400") {
+    assert(post("/documents/upload", "x".getBytes,
+      Some("multipart/form-data")).statusCode() == 400)
+    val b = "bb"
+    val noFile = (s"--$b\r\nContent-Disposition: form-data; name=\"f\"\r\n\r\nv\r\n--$b--\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(post("/documents/upload", noFile,
+      Some(s"multipart/form-data; boundary=$b")).statusCode() == 400)
+  }
+
+  test("raw-body fallback still lands uploads; path-bearing names confined") {
+    val up = post("/documents/upload?filename=..%2Fnew.pdf",
+      "Note:\nuploaded body".getBytes(StandardCharsets.UTF_8))
+    assert(up.statusCode() == 200 && up.body().contains("\"status\":\"pending_processing\""))
+    val landed = java.nio.file.Paths.get(uploadDir, "new.pdf")
+    assert(java.nio.file.Files.exists(landed))
+    assert(new String(java.nio.file.Files.readAllBytes(landed),
+      StandardCharsets.UTF_8).contains("uploaded body"))
+    // missing filename is a 400, not a crash
+    assert(post("/documents/upload", "x".getBytes).statusCode() == 400)
+    // '.' and '..' resolve to no file — explicit 400, not a 500 from Files
+    assert(post("/documents/upload?filename=.", "x".getBytes).statusCode() == 400)
+    assert(post("/documents/upload?filename=..", "x".getBytes).statusCode() == 400)
+  }
+
+  test("malformed numeric query params are FastAPI-shaped 422s, not 500s") {
+    val badSkip = get("/documents?skip=abc")
+    assert(badSkip.statusCode() == 422)
+    assert(badSkip.body().contains("\"loc\":[\"query\",\"skip\"]"))
+    assert(badSkip.body().contains("not a valid integer"))
+    assert(get("/documents?limit=-1").statusCode() == 422)
+    assert(get("/documents/1/chunks?start_chunk=x").statusCode() == 422)
+    // valid bounds still work
+    assert(get("/documents?skip=0&limit=1").statusCode() == 200)
+  }
+
+  test("uploads beyond the cap are a 413, never an OOM") {
+    val big = new Array[Byte](80 * 1024) // cap in fixture is 64 KiB
+    assert(post("/documents/upload?filename=big.bin", big).statusCode() == 413)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(uploadDir, "big.bin")))
+    val boundary = "capb"
+    val multi =
+      (s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"big2.bin\"\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ big ++
+        (s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(post("/documents/upload", multi,
+      Some(s"multipart/form-data; boundary=$boundary")).statusCode() == 413)
   }
 }
