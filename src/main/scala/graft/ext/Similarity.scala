@@ -217,7 +217,11 @@ object Similarity {
   /** Shared per-group bounded top-k tail: the native map-side-combinable
     * aggregate when the extension registered it, the typed-Aggregator
     * fallback otherwise (identical winners, NaN-worst ordering either
-    * way); explodes to (groupCol, idOut, scoreOut).
+    * way); explodes to (groupCol, idOut, scoreOut). Null ids/scores are
+    * dropped up front so both paths share one convention — the native
+    * aggregate skips nulls internally, but the typed fallback's tuple
+    * encoder would throw on a null reaching it (e.g. a null embedding
+    * surviving into a cosine).
     */
   private def topKPerGroup(scored: DataFrame, groupCol: String,
                            idCol: String, scoreCol: String, k: Int,
@@ -227,7 +231,8 @@ object Similarity {
       if (spark.catalog.functionExists("graft_topk_by_score"))
         call_function("graft_topk_by_score", col(idCol), col(scoreCol), lit(k))
       else graft.functions.TopKByScore.topKByScore(col(idCol), col(scoreCol), k)
-    scored.groupBy(groupCol).agg(topk.as("_nn"))
+    scored.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(groupCol).agg(topk.as("_nn"))
       .select(col(groupCol), explode(col("_nn")).as("_n"))
       .select(col(groupCol), col("_n.id").as(idOut),
         col("_n.score").as(scoreOut))

@@ -192,6 +192,24 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("brute-force top-k: broadcast query, codegen cosine, no shuffle, no sort") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.ext.Similarity.bruteForceTopK(emb, "vec_id",
+      "embedding", queryId = 0L, k = 10)).split("== Initial Plan ==")(0)
+    // the r5 "0.20→0.46 s" scare was attributed to per-query fixed
+    // overhead on a 780 KB input (double-run confirmed, same plan); this
+    // pins the structure so a REAL regression — a shuffle, a global sort,
+    // or the interpreted cosine fallback — fails loudly instead of hiding
+    // in the noise band
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("graft_cosine"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row query side
+    assert(!p.contains("Exchange hashpartitioning"), p) // corpus never shuffles
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!"(?m)^\\s*[*+]?\\(?\\d*\\)?\\s*Sort ".r.findFirstIn(p).isDefined,
+      s"global sort crept in:\n$p")
+  }
+
   test("DSIR model learning collapses to nBuckets rows before the collect") {
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
