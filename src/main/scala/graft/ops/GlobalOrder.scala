@@ -159,6 +159,39 @@ object GlobalOrder {
         (col(posName) +: sizeName.map(col).toSeq): _*)
   }
 
+  /** SERIAL-parity dense ids (`base+1, base+2, ...` in `sortCols` order)
+    * WITHOUT the one-task funnel of `row_number().over(Window.orderBy)`:
+    * a balanced range repartition gives a total order across partitions,
+    * `zipWithIndex` assigns per-partition offsets (one lightweight
+    * count-per-partition job — Spark's cumulative-offset primitive), and
+    * every partition stamps its rows in parallel.
+    *
+    * The ids do not depend on where the range sampler places partition
+    * boundaries: boundaries only move rows between partitions, never
+    * change the total order, so the assignment is deterministic — PROVIDED
+    * `sortCols` is a unique key (duplicate sort keys would make the order
+    * among equals placement-dependent). Ingest uses file path and
+    * (document_id, chunk_index), both unique.
+    */
+  def denseIds(df: DataFrame, sortCols: Seq[Column], idName: String,
+               base: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+    require(sortCols.nonEmpty, "denseIds needs >=1 sort column")
+    require(!df.columns.exists(_.equalsIgnoreCase(idName)),
+      s"denseIds adds '$idName'; rename the existing column")
+    val spark = df.sparkSession
+    // default: let AQE size the range exchange (a small batch coalesces,
+    // a huge one fans out); ids are identical either way
+    val ranged = numPartitions.fold(df.repartitionByRange(sortCols: _*))(
+      n => df.repartitionByRange(n, sortCols: _*))
+    val sorted = ranged.sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+      .add(idName, org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + 1L + i))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   // ~128 MB of (group, bucket, base) rows at worst — the broadcast bound
   private val BroadcastMaxBaseRows = 2000000L
 }

@@ -7,37 +7,52 @@ import org.apache.spark.sql.functions._
   * salting or AQE skew-join"). AQE's skew-join handling (enabled in
   * GraftSession) covers sort-merge joins; these helpers cover the cases
   * AQE doesn't: skewed aggregations and broadcast-averse skewed joins.
+  *
+  * Determinism contract (shared with `rankByHexKey`/`bloomSubtract`): the
+  * salt is `xxhash64` over the ROW'S OWN COLUMNS, never a physical-
+  * placement id. A salt drawn from `monotonically_increasing_id`/
+  * `spark_partition_id` changes when a task is recomputed after a fetch
+  * failure, and a nondeterministic shuffle key can lose or duplicate rows
+  * when only PART of a stage reruns (the SPARK-23207 class of bug) — a
+  * content-derived salt re-salts a recomputed row identically every time.
+  * A hot key still spreads because its rows differ in their other
+  * columns; the one degenerate case is a hot key whose rows are FULLY
+  * duplicated across every column, which hashes to one bucket (dedup
+  * first, or add a disambiguating column — at that point the "rows" are
+  * indistinguishable and any deterministic scheme must collapse them).
+  * All columns must be hashable types (no MapType).
   */
 object Skew {
 
+  private[graft] def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+
   /** Two-phase salted aggregation: per-(key, salt) partial aggregate, then
     * final aggregate over the partials. Turns one hot key processed by one
-    * task into `saltBuckets` parallel partials. The caller supplies the
-    * partial and final aggregate pairs (they differ for non-decomposable
-    * aggregates: count -> sum, avg -> sum/sum, ...).
+    * task into up to `saltBuckets` parallel partials. The caller supplies
+    * the partial and final aggregate pairs (they differ for
+    * non-decomposable aggregates: count -> sum, avg -> sum/sum, ...).
     */
   def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
                       partial: Seq[Column], finalAgg: Seq[Column],
                       keyName: String = "key"): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id()
-        + monotonically_increasing_id(), lit(saltBuckets)))
+    df.withColumn("_salt", contentSalt(df, saltBuckets))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col("_key"))
       .agg(finalAgg.head, finalAgg.tail: _*)
       .withColumnRenamed("_key", keyName)
 
-  /** Salted join of a skewed fact side against a dimension: the fact side
-    * gets a random-ish salt in [0, n); the dimension is replicated n times
-    * (explode) so every (key, salt) pair still matches. Join stays an
-    * equi-join on (key, salt) and the hot key spreads over n tasks.
+  /** Salted join of a skewed fact side against a dimension: each fact row
+    * gets a content-derived salt in [0, n); the dimension is replicated n
+    * times (explode) so every (key, salt) pair still matches. Join stays
+    * an equi-join on (key, salt) and the hot key spreads over n tasks.
     * Use when the dimension is too big to broadcast but small enough to
     * replicate n-fold.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val saltedFact = fact.withColumn("_salt", contentSalt(fact, saltBuckets))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -173,15 +173,18 @@ final class IngestPipeline(
 
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      // ---- document ids (SERIAL replacement, SURVEY §7.4.2)
+      // ---- document ids (SERIAL replacement, SURVEY §7.4.2). Dense
+      // parity ids come from the balanced range-partition + per-partition
+      // offset scheme (GlobalOrder.denseIds) — same ids as a global
+      // row_number (paths are unique), without funnelling the batch
+      // through one task.
       val baseDocId = if (cfg.idStrategy == "dense") tables.maxId("documents", "id") else 0L
-      val docIdCol =
+      val docsWithId =
         if (cfg.idStrategy == "dense")
-          row_number().over(Window.orderBy(col("doc.path"))).cast("long") + baseDocId
-        else pmod(xxhash64(col("doc.path")), lit(Long.MaxValue))
-
-      val docsWithId = parsed.toDF()
-        .withColumn("id", docIdCol)
+          graft.ops.GlobalOrder.denseIds(parsed.toDF(),
+            Seq(col("doc.path")), "id", baseDocId)
+        else parsed.toDF()
+          .withColumn("id", pmod(xxhash64(col("doc.path")), lit(Long.MaxValue)))
       docsWithId.persist()
       toUnpersist += docsWithId
 
@@ -200,14 +203,11 @@ final class IngestPipeline(
         nowLit.as("created_at"),
         nowLit.as("updated_at"))
 
-      // ---- document_chunks table (schema.py:11-24)
+      // ---- document_chunks table (schema.py:11-24); dense chunk ids use
+      // the same funnel-free scheme, ordered by the unique
+      // (document_id, chunk_index) key
       val baseChunkId = if (cfg.idStrategy == "dense") tables.maxId("document_chunks", "id") else 0L
-      val chunkIdCol =
-        if (cfg.idStrategy == "dense")
-          row_number().over(Window.orderBy(col("document_id"), col("chunk_index")))
-            .cast("long") + baseChunkId
-        else pmod(xxhash64(col("document_id"), col("chunk_index")), lit(Long.MaxValue))
-      val chunkRows = docsWithId
+      val chunkCols = docsWithId
         .select(col("id").as("document_id"), explode(col("chunks")).as("c"))
         .select(
           col("document_id"),
@@ -216,7 +216,12 @@ final class IngestPipeline(
           to_json(col("c.entities")).as("entities"),
           to_json(struct(col("c.tokenCount").as("token_count"))).as("chunk_metadata"),
           nowLit.as("created_at"))
-        .withColumn("id", chunkIdCol)
+      val chunkRows =
+        (if (cfg.idStrategy == "dense")
+          graft.ops.GlobalOrder.denseIds(chunkCols,
+            Seq(col("document_id"), col("chunk_index")), "id", baseChunkId)
+        else chunkCols.withColumn("id",
+          pmod(xxhash64(col("document_id"), col("chunk_index")), lit(Long.MaxValue))))
         .select("id", "document_id", "chunk_index", "text_content",
           "entities", "chunk_metadata", "created_at")
         .withColumn("doc_bucket",
@@ -233,15 +238,14 @@ final class IngestPipeline(
         .toDF("document_id", "chart_type", "type_index", "level", "caption", "png")
 
       val baseChartId = if (cfg.idStrategy == "dense") tables.maxId("chart_data", "id") else 0L
-      val chartIdCol =
-        if (cfg.idStrategy == "dense")
-          row_number().over(Window.orderBy(col("document_id"),
-            col("chart_type"), col("type_index"))).cast("long") + baseChartId
-        else pmod(xxhash64(col("document_id"), col("chart_type"),
-          col("type_index")), lit(Long.MaxValue))
-
-      val chartsWithId = chartPayloads
-        .withColumn("id", chartIdCol)
+      val chartsWithId =
+        (if (cfg.idStrategy == "dense")
+          graft.ops.GlobalOrder.denseIds(chartPayloads,
+            Seq(col("document_id"), col("chart_type"), col("type_index")),
+            "id", baseChartId)
+        else chartPayloads.withColumn("id",
+          pmod(xxhash64(col("document_id"), col("chart_type"),
+            col("type_index")), lit(Long.MaxValue))))
         .withColumn("image_path",
           format_string("documents/%d/charts/%d.png", col("document_id"), col("id")))
       chartsWithId.persist()

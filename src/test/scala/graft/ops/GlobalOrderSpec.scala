@@ -45,6 +45,27 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(s == 1999999L * 2000000L / 2)
   }
 
+  test("denseIds equals the global-window row_number without the funnel") {
+    import org.apache.spark.sql.expressions.Window
+    // deliberately unsorted, skewed-ish input over several partitions
+    val df = (0L until 5000L).map(i => (s"path-${(i * 7919) % 5000}%05d", i))
+      .toDF("path", "payload").repartition(11)
+    val got = GlobalOrder.denseIds(df, Seq(col("path")), "id", base = 100L)
+    val want = df.withColumn("id",
+      row_number().over(Window.orderBy(col("path"))).cast("long") + 100L)
+    assert(got.select("path", "payload", "id")
+      .exceptAll(want.select("path", "payload", "id")).isEmpty)
+    // partition-count independence: a pinned 7-way layout assigns the SAME
+    // ids as the AQE-sized default (boundaries move, the total order
+    // cannot), and the pinned layout demonstrably spreads the work
+    val pinned = GlobalOrder.denseIds(df, Seq(col("path")), "id",
+      base = 100L, numPartitions = Some(7))
+    assert(got.select("path", "id").exceptAll(pinned.select("path", "id")).isEmpty)
+    val parts = pinned.rdd.mapPartitions(it => Iterator.single(it.size))
+      .collect().count(_ > 0)
+    assert(parts > 1, s"denseIds collapsed to $parts non-empty partition(s)")
+  }
+
   test("rankByHexKeyWithin equals the per-group single-window rank") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
