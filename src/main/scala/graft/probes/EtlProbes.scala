@@ -28,11 +28,27 @@ object EtlProbes {
   val all: Seq[Probe] = Seq(
 
     // E1→E2→E4→E7→S10→E5→S11→S12 end-to-end, then the §2.12 listing.
-    Probe.unchecked("etl_ingest_pipeline") { (s, d) =>
+    // Fully oracled (round 6): each synthesized doc is one heading + one
+    // single-line text block + one table marker, so the oracle re-derives
+    // the whole listing in closed form — 1 chunk (one atomic text element
+    // under max_tokens), 1 chart (the table), and metainfo rebuilt
+    // byte-for-byte (page_count 1: no form feeds; file_size = payload
+    // octet length; fixed clock; content_sha via DuckDB's sha256 over the
+    // same payload bytes Spark hashes).
+    Probe(
+      "etl_ingest_pipeline",
+      "WITH sel AS (SELECT doc_id, 'Section heading:' || chr(10) || text || chr(10) || 'TABLE: totals by source' || chr(10) AS content " +
+        "FROM documents WHERE doc_id < 50) " +
+        "SELECT 'doc_' || doc_id || '.pdf' AS filename, 1 AS total_chunks, " +
+        "'{\"page_count\":1,\"file_size\":' || octet_length(encode(content)) || " +
+        "',\"extraction_date\":\"2026-01-15 08:30:00\",\"content_sha\":\"' || sha256(content) || '\"}' AS metainfo, " +
+        "1 AS n_charts FROM sel ORDER BY filename"
+    ) { (s, d) =>
       import s.implicits._
       // binary payloads with a heading + table marker so every stage of the
-      // parse (headings, text blocks, table elements) is exercised
-      val bin = Tables.load(s, d, "documents").limit(50)
+      // parse (headings, text blocks, table elements) is exercised;
+      // doc_id < 50 (not limit) so the input set is order-independent
+      val bin = Tables.load(s, d, "documents").filter(col("doc_id") < 50)
         .select(
           format_string("memory://doc_%d.pdf", col("doc_id")).as("path"),
           encode(concat(

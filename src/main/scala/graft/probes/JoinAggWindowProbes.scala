@@ -164,27 +164,51 @@ object JoinAggWindowProbes {
           countDistinct(col("l_suppkey")).as("d_supps"))
     },
 
-    // [EXT] HLL approximate distinct — engine-specific estimates differ by
-    // design, so this is a rows-only probe (no oracle).
-    Probe.unchecked("agg_approx_distinct") { (s, d) =>
+    // [EXT] HLL approximate distinct. Raw estimates are engine-specific by
+    // design, so the probe outputs the CONTRACT instead: the exact counts
+    // (oracled value-for-value) plus each engine's own sketch pushed
+    // through the same ±5% tolerance — both engines must independently
+    // land inside the bound (rsd 0.01 here leaves 5x margin), turning the
+    // old rows-only probe into a dual-engine accuracy gate. Tighter
+    // in-engine bounds live in SketchBoundsSpec.
+    Probe(
+      "agg_approx_distinct",
+      "SELECT count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps, " +
+        "abs(approx_count_distinct(l_partkey) * 1.0 / count(DISTINCT l_partkey) - 1.0) <= 0.05 AS parts_within_5pct, " +
+        "abs(approx_count_distinct(l_suppkey) * 1.0 / count(DISTINCT l_suppkey) - 1.0) <= 0.05 AS supps_within_5pct " +
+        "FROM lineitem"
+    ) { (s, d) =>
       t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("d_parts_approx"),
-          approx_count_distinct(col("l_suppkey")).as("d_supps_approx"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) /
+            countDistinct(col("l_partkey")) - 1.0) <= 0.05).as("parts_within_5pct"),
+          (abs(approx_count_distinct(col("l_suppkey"), 0.01) /
+            countDistinct(col("l_suppkey")) - 1.0) <= 0.05).as("supps_within_5pct"))
     },
 
     // [EXT] approximate percentiles (Greenwald-Khanna sketch) — the
     // mergeable-summary path corpus statistics run at 100 TB, where exact
-    // `percentile` would buffer every value per group. Sketch estimates
-    // are engine-specific, so rows-only; AsofJoinSpec-style exactness
-    // lives with the exact `agg_percentiles` oracle instead.
-    // Scalar columns only (no array output): the driver's rows-only
-    // compare sorts the result frame, which an array column breaks.
-    Probe.unchecked("agg_approx_percentile") { (s, d) =>
+    // `percentile` would buffer every value per group. Raw estimates are
+    // engine-specific (GK here, t-digest in the oracle), so per group the
+    // probe outputs the exact p50 (oracled value-for-value) plus each
+    // engine's own sketch pushed through a ±2% relative-error bound —
+    // the mergeable-summary contract itself, checked in both engines.
+    Probe(
+      "agg_approx_percentile",
+      "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact, " +
+        "abs(approx_quantile(o_totalprice, 0.5) / quantile_cont(o_totalprice, 0.5) - 1.0) <= 0.02 AS p50_within_2pct, " +
+        "abs(approx_quantile(o_totalprice, 0.9) / quantile_cont(o_totalprice, 0.9) - 1.0) <= 0.02 AS p90_within_2pct " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ) { (s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
-        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)")
-          .as("p50_approx"),
-          expr("approx_percentile(o_totalprice, 0.9, 1000)")
-            .as("p90_approx"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+          (abs(expr("approx_percentile(o_totalprice, 0.5, 1000)") /
+            expr("percentile(o_totalprice, 0.5)") - 1.0) <= 0.02)
+            .as("p50_within_2pct"),
+          (abs(expr("approx_percentile(o_totalprice, 0.9, 1000)") /
+            expr("percentile(o_totalprice, 0.9)") - 1.0) <= 0.02)
+            .as("p90_within_2pct"))
         .orderBy("o_orderstatus")
     },
 
