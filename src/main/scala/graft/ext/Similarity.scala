@@ -530,8 +530,11 @@ object Similarity {
     * (Lloyd-trained coarse quantizer), stronger than the hash-cell variant
     * above when the embedding space is low-contrast (cells follow the
     * data's density instead of fixed hyperplanes). Build = k-means, then
-    * one partitioned write; the returned centroid matrix IS the index
-    * metadata (k×d doubles — persist alongside the table).
+    * one partitioned write. The centroid matrix (k×d doubles) is the
+    * index's metadata: it is both returned AND persisted inside the index
+    * directory, so any later session — or another engine — can serve the
+    * index with [[ivfKmeansCentroids]] + the centroid-free query
+    * overloads, without re-learning or hand-carrying the matrix.
     */
   def ivfKmeansWrite(emb: DataFrame, idCol: String, vecCol: String,
                      path: String, k: Int,
@@ -547,8 +550,68 @@ object Similarity {
     // centroid array they actually hold
     writeMeta(emb.sparkSession, path,
       "layout" -> KmeansLayoutV1, "k" -> centroids.length.toString)
+    writeCentroids(emb.sparkSession, path, centroids)
     centroids
   }
+
+  /** Centroids persist as one tiny text file in the index directory
+    * (k rows × d full-precision doubles, '%a' hex float rendering so the
+    * round trip is bit-exact — decimal rendering would perturb cell
+    * assignment for boundary vectors). Written AFTER the data + marker:
+    * a visible centroid file implies a complete index around it.
+    */
+  private val CentroidFile = "_graft_ivf_centroids"
+
+  private def writeCentroids(spark: SparkSession, path: String,
+                             centroids: Array[Array[Double]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, CentroidFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(centroids
+      .map(_.map(d => java.lang.Double.toHexString(d)).mkString(","))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load the centroid matrix persisted by [[ivfKmeansWrite]] — the
+    * cross-session half of the k-means IVF lifecycle. Fails fast (with
+    * the rebuild hint) on indexes written before centroid persistence
+    * existed rather than silently returning nothing.
+    */
+  def ivfKmeansCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    requireLayout(spark, path, KmeansLayoutV1)
+    val p = new org.apache.hadoop.fs.Path(path, CentroidFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"IVF index at $path has no $CentroidFile — it predates centroid " +
+        "persistence. Rebuild it with ivfKmeansWrite (or pass the centroid " +
+        "matrix explicitly).")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val centroids = text.linesIterator.filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Double.parseDouble)).toArray
+    val meta = readMeta(spark, path)
+    require(meta.get("k").contains(centroids.length.toString),
+      s"IVF index at $path stamps k=${meta.getOrElse("k", "?")} but the " +
+        s"centroid file holds ${centroids.length} rows — the index is " +
+        "inconsistent; rebuild it.")
+    centroids
+  }
+
+  /** [[ivfKmeansTopK]] with the centroids loaded from the index itself. */
+  def ivfKmeansTopK(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String, queryVec: Array[Double], k: Int,
+                    nProbe: Int, excludeId: Option[Long]): DataFrame =
+    ivfKmeansTopK(spark, path, idCol, vecCol,
+      ivfKmeansCentroids(spark, path), queryVec, k, nProbe, excludeId)
+
+  /** [[ivfKmeansTopKBatch]] with the centroids loaded from the index. */
+  def ivfKmeansTopKBatch(spark: SparkSession, path: String, idCol: String,
+                         vecCol: String, queries: DataFrame, qIdCol: String,
+                         qVecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfKmeansTopKBatch(spark, path, idCol, vecCol,
+      ivfKmeansCentroids(spark, path), queries, qIdCol, qVecCol, k, nProbe)
 
   /** Batch ANN over a k-means IVF table — [[ivfTopKBatch]]'s learned-cell
     * twin: per query the `nProbe` nearest centroids are ranked on the
