@@ -178,13 +178,20 @@ object JoinAggWindowProbes {
         "abs(approx_count_distinct(l_suppkey) * 1.0 / count(DISTINCT l_suppkey) - 1.0) <= 0.05 AS supps_within_5pct " +
         "FROM lineitem"
     ) { (s, d) =>
-      t(s, d, "lineitem")
-        .agg(countDistinct(col("l_partkey")).as("d_parts"),
-          countDistinct(col("l_suppkey")).as("d_supps"),
-          (abs(approx_count_distinct(col("l_partkey"), 0.01) /
-            countDistinct(col("l_partkey")) - 1.0) <= 0.05).as("parts_within_5pct"),
-          (abs(approx_count_distinct(col("l_suppkey"), 0.01) /
-            countDistinct(col("l_suppkey")) - 1.0) <= 0.05).as("supps_within_5pct"))
+      // exact and sketch aggregates run as SEPARATE scans joined at one
+      // row each: mixing count(DISTINCT x, y) with non-distinct aggs in a
+      // single agg triggers the Expand plan (one replica per distinct
+      // set), which re-feeds every replica through the HLL updates —
+      // measured 13x slower than the two clean scans at sf0.1
+      val li = t(s, d, "lineitem")
+      val exact = li.agg(countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("_ap"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("_as"))
+      exact.crossJoin(approx).select(col("d_parts"), col("d_supps"),
+        (abs(col("_ap") / col("d_parts") - 1.0) <= 0.05).as("parts_within_5pct"),
+        (abs(col("_as") / col("d_supps") - 1.0) <= 0.05).as("supps_within_5pct"))
     },
 
     // [EXT] approximate percentiles (Greenwald-Khanna sketch) — the
@@ -201,14 +208,21 @@ object JoinAggWindowProbes {
         "abs(approx_quantile(o_totalprice, 0.9) / quantile_cont(o_totalprice, 0.9) - 1.0) <= 0.02 AS p90_within_2pct " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
     ) { (s, d) =>
-      t(s, d, "orders").groupBy("o_orderstatus")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-          (abs(expr("approx_percentile(o_totalprice, 0.5, 1000)") /
-            expr("percentile(o_totalprice, 0.5)") - 1.0) <= 0.02)
-            .as("p50_within_2pct"),
-          (abs(expr("approx_percentile(o_totalprice, 0.9, 1000)") /
-            expr("percentile(o_totalprice, 0.9)") - 1.0) <= 0.02)
-            .as("p90_within_2pct"))
+      // exact (sort-buffering) and GK (sketch) percentiles as separate
+      // grouped scans joined on the 3-row status key — same reasoning as
+      // agg_approx_distinct: each aggregate keeps its own optimal plan
+      val o = t(s, d, "orders")
+      val exact = o.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("_e50"),
+          expr("percentile(o_totalprice, 0.9)").as("_e90"))
+      val approx = o.groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_a50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("_a90"))
+      exact.join(approx, "o_orderstatus")
+        .select(col("o_orderstatus"),
+          round(col("_e50"), 4).as("p50_exact"),
+          (abs(col("_a50") / col("_e50") - 1.0) <= 0.02).as("p50_within_2pct"),
+          (abs(col("_a90") / col("_e90") - 1.0) <= 0.02).as("p90_within_2pct"))
         .orderBy("o_orderstatus")
     },
 
