@@ -426,6 +426,20 @@ object JoinAggWindowProbes {
         .orderBy("event_id")
     },
 
+    // [EXT] Funnel-free dense ids (GlobalOrder.denseIds — the scheme
+    // ingest's SERIAL-parity mode runs): balanced range partition +
+    // per-partition offsets must equal the oracle's global row_number
+    // over the same unique key, value for value.
+    Probe(
+      "w5_dense_ids",
+      "SELECT l_orderkey, l_linenumber, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid FROM lineitem ORDER BY rid"
+    ) { (s, d) =>
+      graft.ops.GlobalOrder.denseIds(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+        Seq(col("l_orderkey"), col("l_linenumber")), "rid")
+        .orderBy("rid")
+    },
+
     // [EXT] Skew-mitigation equivalence, oracled: the two-phase salted
     // aggregation must equal the plain GROUP BY bit for bit (salting is a
     // physical-layout trick, never a semantic one) — the oracle IS the
