@@ -23,10 +23,11 @@ import graft.store.{ObjectStore, TableStore}
   * shuffles — chunk ordinals and per-type chart counters are computed
   * inside the per-document iteration exactly like the reference's
   * `enumerate` (repository.py:28) and counters (pdf_parser.py:137-138).
-  * The only shuffle in the whole job is the tiny dense-id window over one
-  * row per *document* (not per chunk), and it disappears entirely under
-  * `idStrategy="hash"` — the configuration a 100 TB corpus would run
-  * (SURVEY §7.4.2 parity note).
+  * The only shuffles in the whole job are the balanced range exchanges
+  * of the dense-id assignment (GlobalOrder.denseIds — per-partition
+  * offsets, never a single-partition window), and they disappear
+  * entirely under `idStrategy="hash"` — the configuration a 100 TB
+  * corpus would run (SURVEY §7.4.2 parity note).
   */
 final case class ProcessingConfig(
     chunker: ChunkerConfig = ChunkerConfig(),

@@ -105,9 +105,23 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
             send(ex, 200, contentType, bytes)
           case None => notFound(ex, "Chart not found") // wrong owner too
         }
+      // FastAPI validates path param TYPES before routing: a non-integer
+      // id is a 422 validation error, not a 404 (api.py:106,149,174,197)
+      case ("GET", List("documents", AsLong(_), "charts", bad))
+          if bad.toLongOption.isEmpty =>
+        pathTypeError(ex, "chart_id")
+      case ("GET", "documents" :: bad :: _)
+          if bad.toLongOption.isEmpty && bad != "upload" =>
+        pathTypeError(ex, "document_id")
       case _ => notFound(ex, "Not found")
     }
   }
+
+  private def pathTypeError(ex: HttpExchange, name: String): Unit =
+    send(ex, 422, "application/json",
+      (s"""{"detail":[{"loc":["path",${jsonStr(name)}],""" +
+        """"msg":"value is not a valid integer"}]}""")
+        .getBytes(StandardCharsets.UTF_8))
 
   // ---- upload ----------------------------------------------------------
 

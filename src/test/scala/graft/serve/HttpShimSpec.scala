@@ -167,6 +167,14 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(get("/documents/1/chunks?start_chunk=x").statusCode() == 422)
     // valid bounds still work
     assert(get("/documents?skip=0&limit=1").statusCode() == 200)
+    // non-integer PATH params are 422s too (FastAPI type validation),
+    // with absent-but-well-typed ids staying 404
+    val badPath = get("/documents/abc")
+    assert(badPath.statusCode() == 422)
+    assert(badPath.body().contains("\"loc\":[\"path\",\"document_id\"]"))
+    assert(get("/documents/abc/chunks").statusCode() == 422)
+    assert(get("/documents/1/charts/xyz").statusCode() == 422)
+    assert(get("/documents/999999").statusCode() == 404)
   }
 
   test("uploads beyond the cap are a 413, never an OOM") {
