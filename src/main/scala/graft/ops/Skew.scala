@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * content-derived salt re-salts a recomputed row identically every time.
   * A hot key still spreads because its rows differ in their other
   * columns; the one degenerate case is a hot key whose rows are FULLY
-  * duplicated across every column, which hashes to one bucket (dedup
-  * first, or add a disambiguating column — at that point the "rows" are
-  * indistinguishable and any deterministic scheme must collapse them).
+  * duplicated across every column (e.g. a bare-key projection), which
+  * hashes to one bucket. For [[saltedAggregate]] that degeneracy is
+  * absorbed by map-side partial aggregation: identical rows collapse to
+  * ONE partial per (key, salt) per input partition before the shuffle,
+  * so the hot reducer receives O(input partitions) rows either way. For
+  * [[saltedJoin]], keep a distinguishing column in the fact frame (at
+  * the point rows are byte-identical, any deterministic scheme must
+  * collapse them — dedup-with-count first if that is the workload).
   * All columns must be hashable types (no MapType).
   */
 object Skew {

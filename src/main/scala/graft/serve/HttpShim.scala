@@ -88,13 +88,14 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
           case None => notFound(ex, "Document not found")
         }
       case ("GET", List("documents", AsLong(id), "chunks")) =>
-        withInts(ex, query,
-          List(("start_chunk", -1, None), ("end_chunk", -1, None))) {
+        // bounds pass through VERBATIM (absent stays None): the reference
+        // applies `chunk_index >= start` / `<= end` as given, so e.g.
+        // end_chunk=-1 means an EMPTY range, not "no bound"
+        withOptInts(ex, query, List("start_chunk", "end_chunk")) {
           case List(start, end) =>
             // existence guard before returning children (api.py:110-112)
             if (documentAbsent(id)) notFound(ex, "Document not found")
-            else jsonArray(ex, store.getChunks(id,
-              Some(start).filter(_ >= 0), Some(end).filter(_ >= 0)))
+            else jsonArray(ex, store.getChunks(id, start, end))
         }
       case ("GET", List("documents", AsLong(id), "charts")) =>
         if (documentAbsent(id)) notFound(ex, "Document not found")
@@ -151,17 +152,22 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         badRequest(ex,
           "multipart file part or filename query parameter required")
       case Some(name) => saveUpload(ex, name) { target =>
-        if (!copyBounded(ex.getRequestBody, target)) {
-          java.nio.file.Files.deleteIfExists(target)
+        if (!copyBounded(ex.getRequestBody, target))
           throw new HttpShim.BodyTooLarge
-        }
       }
     }
   }
 
   /** Confine `name` to its basename inside the watch directory, reject
-    * names that resolve to no file at all, run `write`, and answer with
-    * the reference's exact upload response fields (api.py:79-84).
+    * names that resolve to no file at all, run `write` against a hidden
+    * staging path, atomically move into place, and answer with the
+    * reference's exact upload response fields (api.py:79-84).
+    *
+    * The staging hop matters because `uploadDir` IS the S1 watch
+    * directory: a file written incrementally under its final name could
+    * be listed — and parsed half-written — by a streaming trigger firing
+    * mid-upload. The dot-prefixed temp name is invisible to the ingest
+    * glob, and the rename is atomic within the directory.
     */
   private def saveUpload(ex: HttpExchange, name: String)
                         (write: java.nio.file.Path => Unit): Unit = {
@@ -172,13 +178,23 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
     else {
       val dir = java.nio.file.Paths.get(uploadDir)
       java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s".$base.uploading")
       try {
-        write(dir.resolve(base))
+        write(tmp)
+        // ATOMIC_MOVE alone: POSIX rename(2) replaces an existing target
+        // atomically, and combining it with REPLACE_EXISTING is
+        // implementation-specific
+        java.nio.file.Files.move(tmp, dir.resolve(base),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         send(ex, 200, "application/json",
           (s"""{"message":"File uploaded successfully",""" +
             s""""filename":${jsonStr(base)},"status":"pending_processing"}""")
             .getBytes(StandardCharsets.UTF_8))
-      } catch { case _: HttpShim.BodyTooLarge => tooLarge(ex) }
+      } catch {
+        case _: HttpShim.BodyTooLarge =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          tooLarge(ex)
+      }
     }
   }
 
@@ -237,6 +253,30 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         }
       }
     }
+    validationGate(ex, parsed)(ints => body(ints))
+  }
+
+  /** As [[withInts]] for OPTIONAL params: absent stays `None`, present
+    * values (any sign) pass through verbatim after type validation.
+    */
+  private def withOptInts(ex: HttpExchange, query: Map[String, String],
+                          keys: List[String])
+                         (body: List[Option[Int]] => Unit): Unit = {
+    val parsed = keys.map { key =>
+      query.get(key) match {
+        case None => Right(None)
+        case Some(v) => v.toIntOption match {
+          case Some(i) => Right(Some(i))
+          case None => Left(key -> "value is not a valid integer")
+        }
+      }
+    }
+    validationGate(ex, parsed)(body)
+  }
+
+  private def validationGate[A](ex: HttpExchange,
+                                parsed: List[Either[(String, String), A]])
+                               (body: List[A] => Unit): Unit = {
     val errors = parsed.collect { case Left(e) => e }
     if (errors.nonEmpty) {
       val details = errors.map { case (key, msg) =>
@@ -244,7 +284,7 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
       }.mkString("[", ",", "]")
       send(ex, 422, "application/json",
         s"""{"detail":$details}""".getBytes(StandardCharsets.UTF_8))
-    } else body(parsed.collect { case Right(i) => i })
+    } else body(parsed.collect { case Right(a) => a })
   }
 
   private def documentAbsent(id: Long): Boolean =
@@ -316,6 +356,11 @@ object HttpShim {
   * the first part whose `Content-Disposition` carries a `filename`
   * (FastAPI's `UploadFile` field). Part payloads are byte-preserved —
   * binary documents round-trip exactly.
+  *
+  * Cost note: the delimiter scan is a straightforward O(body × |boundary|)
+  * byte search, bounded by the shim's body cap; the server binds loopback
+  * only (HttpShim constructor), so a degenerate boundary/body pairing is a
+  * local-client concern, not a remote DoS surface.
   */
 private[serve] object Multipart {
 
@@ -333,9 +378,20 @@ private[serve] object Multipart {
 
   def firstFilePart(body: Array[Byte], boundary: String): Option[FilePart] = {
     val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
-    // Delimiter lines must start the body or follow a CRLF (RFC 2046 §5.1.1)
-    val starts = occurrences(body, delim).filter(i =>
-      i == 0 || (i >= 2 && body(i - 2) == '\r' && body(i - 1) == '\n'))
+    // A real delimiter line starts the body or follows a CRLF (RFC 2046
+    // §5.1.1) AND is terminated by CRLF (part delimiter) or "--" (close).
+    // BOTH conditions must gate the candidate list: a payload line that
+    // merely BEGINS with "--boundary" (e.g. "--boundaryX...") is data,
+    // and treating it as a boundary would silently truncate the part.
+    val starts = occurrences(body, delim).filter { i =>
+      val j = i + delim.length
+      val atLineStart =
+        i == 0 || (i >= 2 && body(i - 2) == '\r' && body(i - 1) == '\n')
+      val terminated = j + 2 <= body.length &&
+        ((body(j) == '\r' && body(j + 1) == '\n') ||
+          (body(j) == '-' && body(j + 1) == '-'))
+      atLineStart && terminated
+    }
     // Pair each opening delimiter with the next; a part spans
     // (delim + CRLF) .. (CRLF + next delim)
     starts.zip(starts.drop(1)).iterator.flatMap { case (from, until) =>
@@ -373,11 +429,12 @@ private[serve] object Multipart {
   }
 
   /** `key="value"` (quoted, `\"` unescaped) or bare-token attribute of a
-    * Content-Disposition header.
+    * Content-Disposition header. The key is anchored at a parameter
+    * boundary (start or `;`) so `name=` never matches inside `filename=`.
     */
   private def attr(header: String, key: String): Option[String] = {
-    val quoted = (key + "=\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    val bare = (key + "=([^;\\s]+)").r
+    val quoted = ("(?:^|;\\s*)" + key + "=\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    val bare = ("(?:^|;\\s*)" + key + "=([^;\\s]+)").r
     quoted.findFirstMatchIn(header)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       .orElse(bare.findFirstMatchIn(header).map(_.group(1)))

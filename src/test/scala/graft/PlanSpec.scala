@@ -206,7 +206,12 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row query side
     assert(!p.contains("Exchange hashpartitioning"), p) // corpus never shuffles
     assert(!p.contains("CartesianProduct"), p)
-    assert(!"(?m)^\\s*[*+]?\\(?\\d*\\)?\\s*Sort ".r.findFirstIn(p).isDefined,
+    // a Sort NODE renders as "Sort [ordering...]" wherever it sits in the
+    // tree (with "+- "/":- "/"*(n) " prefixes); substring-match it rather
+    // than anchoring a line regex that tree connectors would defeat.
+    // "SortMergeJoin"/"SortAggregate" contain no " Sort [" and can't
+    // false-positive; a root-level Sort can't occur under TakeOrdered.
+    assert(!p.contains(" Sort [") && !p.startsWith("Sort ["),
       s"global sort crept in:\n$p")
   }
 

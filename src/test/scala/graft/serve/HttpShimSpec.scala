@@ -83,6 +83,11 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(chunks.statusCode() == 200)
     assert(chunks.body().contains("\"chunk_index\":0"))
     assert(!chunks.body().contains("\"chunk_index\":1"))
+    // bounds pass through verbatim: end_chunk=-1 is an EMPTY range
+    // (chunk_index <= -1, the reference's ORM-filter semantics), not
+    // "no upper bound"
+    val negRange = get(s"/documents/$docId/chunks?end_chunk=-1")
+    assert(negRange.statusCode() == 200 && negRange.body() == "[]")
 
     // GET charts listing, then the PNG byte route with content type
     val charts = get(s"/documents/$docId/charts")
@@ -106,11 +111,15 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("multipart upload lands the file part byte-identical in the watch dir") {
-    // binary payload with CRLFs and a boundary-lookalike NOT at line start —
-    // the parser must byte-preserve all of it
-    val payload = ("PDF-ish\r\nbinary --bound lookalike\r\n" + "x" * 300)
-      .getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0, 1, 2, '\r', '\n', -1)
+    // binary payload with CRLFs, a boundary-lookalike NOT at line start,
+    // AND a line that BEGINS with the exact delimiter but continues with
+    // other bytes ("--boundaryX...") — data per RFC 2046 (a real delimiter
+    // line ends in CRLF or "--"), which a naive prefix match would treat
+    // as a boundary and silently truncate the file at
     val boundary = "graftBoundary42"
+    val payload = ("PDF-ish\r\nbinary --bound lookalike\r\n" +
+      s"--${boundary}X not a boundary\r\n" + "x" * 300)
+      .getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0, 1, 2, '\r', '\n', -1)
     val body =
       ("preamble to be ignored\r\n" +                       // RFC 2046 preamble
         s"--$boundary\r\n" +
