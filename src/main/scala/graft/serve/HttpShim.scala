@@ -191,9 +191,12 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
             s""""filename":${jsonStr(base)},"status":"pending_processing"}""")
             .getBytes(StandardCharsets.UTF_8))
       } catch {
-        case _: HttpShim.BodyTooLarge =>
-          java.nio.file.Files.deleteIfExists(tmp)
-          tooLarge(ex)
+        case _: HttpShim.BodyTooLarge => tooLarge(ex)
+      } finally {
+        // no-op after a successful move; on ANY failure (cap, disk-full
+        // IOException, move refusal) the staging file must not strand
+        // bytes in the watch directory
+        java.nio.file.Files.deleteIfExists(tmp)
       }
     }
   }
@@ -253,7 +256,7 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         }
       }
     }
-    validationGate(ex, parsed)(ints => body(ints))
+    validationGate(ex, parsed)(body)
   }
 
   /** As [[withInts]] for OPTIONAL params: absent stays `None`, present
@@ -378,31 +381,35 @@ private[serve] object Multipart {
 
   def firstFilePart(body: Array[Byte], boundary: String): Option[FilePart] = {
     val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
-    // A real delimiter line starts the body or follows a CRLF (RFC 2046
-    // §5.1.1) AND is terminated by CRLF (part delimiter) or "--" (close).
-    // BOTH conditions must gate the candidate list: a payload line that
-    // merely BEGINS with "--boundary" (e.g. "--boundaryX...") is data,
-    // and treating it as a boundary would silently truncate the part.
-    val starts = occurrences(body, delim).filter { i =>
+    // A real delimiter line starts the body or follows a CRLF and is
+    // terminated by optional transport padding (SP/HT) + CRLF, or by
+    // "--" (the close delimiter) — RFC 2046 §5.1.1. BOTH conditions gate
+    // the candidate list: a payload line that merely BEGINS with
+    // "--boundary" (e.g. "--boundaryX...") is data, and treating it as a
+    // boundary would silently truncate the part. Each candidate carries
+    // the offset where the next part's headers start (past the padding
+    // and CRLF), or -1 for the close delimiter.
+    val candidates = occurrences(body, delim).flatMap { i =>
       val j = i + delim.length
       val atLineStart =
         i == 0 || (i >= 2 && body(i - 2) == '\r' && body(i - 1) == '\n')
-      val terminated = j + 2 <= body.length &&
-        ((body(j) == '\r' && body(j + 1) == '\n') ||
-          (body(j) == '-' && body(j + 1) == '-'))
-      atLineStart && terminated
+      if (!atLineStart) None
+      else if (j + 2 <= body.length && body(j) == '-' && body(j + 1) == '-')
+        Some((i, -1))
+      else {
+        var k = j
+        while (k < body.length && (body(k) == ' ' || body(k) == '\t')) k += 1
+        if (k + 2 <= body.length && body(k) == '\r' && body(k + 1) == '\n')
+          Some((i, k + 2))
+        else None
+      }
     }
-    // Pair each opening delimiter with the next; a part spans
-    // (delim + CRLF) .. (CRLF + next delim)
-    starts.zip(starts.drop(1)).iterator.flatMap { case (from, until) =>
-      val afterDelim = from + delim.length
-      // "--" after the delimiter closes the multipart — no part follows
-      if (afterDelim + 1 < body.length &&
-          body(afterDelim) == '-' && body(afterDelim + 1) == '-') Iterator.empty
-      else if (afterDelim + 1 < body.length &&
-          body(afterDelim) == '\r' && body(afterDelim + 1) == '\n')
-        parsePart(body, afterDelim + 2, until - 2)
-      else Iterator.empty // malformed delimiter line — skip
+    // Pair each delimiter with the next; a part spans its delimiter
+    // line's end .. (CRLF + next delimiter)
+    candidates.zip(candidates.drop(1)).iterator.flatMap {
+      case ((_, partStart), (nextDelim, _)) =>
+        if (partStart < 0) Iterator.empty // after the close delimiter
+        else parsePart(body, partStart, nextDelim - 2)
     }.find(_.filename.nonEmpty)
   }
 

@@ -125,7 +125,7 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
         s"--$boundary\r\n" +
         "Content-Disposition: form-data; name=\"note\"\r\n\r\n" +
         "a non-file field the parser must skip\r\n" +
-        s"--$boundary\r\n" +
+        s"--$boundary \t \r\n" + // transport padding after the delimiter (RFC 2046 §5.1.1)
         "Content-Disposition: form-data; name=\"file\"; filename=\"multi.pdf\"\r\n" +
         "Content-Type: application/pdf\r\n\r\n")
         .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
