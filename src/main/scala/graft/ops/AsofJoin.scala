@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   * one sort over |L|+|R| rows, the same cost profile as a sort-merge join,
   * regardless of how many right rows precede each left row. Equal
   * timestamps match (right sorts before left at the same instant), and
-  * ties among right rows resolve by `rightOrd`, keeping the result
-  * deterministic.
+  * ties among right rows resolve by `rightOrd` (compared in its own
+  * type), keeping the result deterministic.
+  *
+  * Null semantics (the repo-wide convention): right rows with a null key
+  * or null `rightTs` never match anything; left rows with a null key or
+  * null `leftTs` come through with null payloads.
   */
 object AsofJoin {
 
@@ -40,19 +44,31 @@ object AsofJoin {
     val payloadType = right.select(payload).schema.head.dataType
     val leftRow = struct(left.columns.map(col): _*)
     val leftType = left.select(leftRow).schema.head.dataType
+    // the ord tie-break keeps the RIGHT column's own type (a long cast
+    // would null out string/uuid ids, leaving same-instant ties unbroken
+    // and the winner shuffle-order-dependent); the left side carries a
+    // typed null of the same type so the union's schemas line up
+    val ordType = right.schema(rightOrd).dataType
 
     val lTagged = left.select(
       key.map(col) ++ Seq(
         col(leftTs).as("_graft_ts"), lit(1).as("_graft_tag"),
-        lit(null).cast("long").as("_graft_ord"),
+        lit(null).cast(ordType).as("_graft_ord"),
         leftRow.as("_graft_lrow"),
         lit(null).cast(payloadType).as("_graft_rpay")): _*)
-    val rTagged = right.select(
-      key.map(col) ++ Seq(
-        col(rightTs).as("_graft_ts"), lit(0).as("_graft_tag"),
-        col(rightOrd).cast("long").as("_graft_ord"),
-        lit(null).cast(leftType).as("_graft_lrow"),
-        payload.as("_graft_rpay")): _*)
+    // a right row with a null key or null timestamp can never satisfy
+    // `rightTs <= leftTs` in an equi-key group under SQL semantics — drop
+    // them up front (otherwise nulls-first ordering would seat them at
+    // the head of a partition and fabricate matches for null-ts left
+    // rows, and null keys would "equi-join" through partitionBy)
+    val rTagged = right
+      .filter(key.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(
+        key.map(col) ++ Seq(
+          col(rightTs).as("_graft_ts"), lit(0).as("_graft_tag"),
+          col(rightOrd).as("_graft_ord"),
+          lit(null).cast(leftType).as("_graft_lrow"),
+          payload.as("_graft_rpay")): _*)
 
     // right rows sort before left rows at the same instant (inclusive
     // match); left rows at one instant all see the same carried value, so

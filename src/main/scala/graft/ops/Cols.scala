@@ -12,8 +12,14 @@ private[graft] object Cols {
     * default, so a same-name-different-case "fresh" column would still
     * clobber).
     */
-  def fresh(df: DataFrame, base: String): String = {
-    val taken = df.columns.map(_.toLowerCase).toSet
+  def fresh(df: DataFrame, base: String): String =
+    fresh(df.columns.toSeq, base)
+
+  /** As above over an explicit column set (e.g. the union of both sides
+    * of a join, where the temp name must dodge either frame's columns).
+    */
+  def fresh(columns: Seq[String], base: String): String = {
+    val taken = columns.map(_.toLowerCase).toSet
     Iterator.iterate(base)(_ + "_")
       .dropWhile(n => taken(n.toLowerCase)).next()
   }

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  /** Reproducible row fingerprint over `cols`, null-safe: md5 of the
-    * -joined values with  standing in for NULL (so ("a", null)
-    * and ("a", "") hash differently, and no real value collides with the
-    * sentinel separator).
+  /** Reproducible row fingerprint over `cols`, null-safe and
+    * framing-unambiguous: each value renders netstring-style as
+    * `<charlen>:<value>` (nulls as the bare marker `n`, distinct from
+    * every length-prefixed value, so ("a", null) and ("a", "") hash
+    * differently), then md5 over the concatenation. Length prefixes make
+    * the decoding unique for ANY content — a sentinel-separator scheme
+    * would mis-frame values that themselves contain the sentinel
+    * (control characters do occur in scraped corpus text).
     */
   def rowFingerprint(cols: Seq[Column]): Column =
-    md5(concat_ws("", cols.map(c =>
-      coalesce(c.cast("string"), lit(""))): _*))
+    md5(concat(cols.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*))
 
   /** @return (idCol, status) with status in
     *         {'added','removed','changed','unchanged'}

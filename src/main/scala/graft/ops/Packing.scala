@@ -83,8 +83,11 @@ object Packing {
       .withColumn("shard", expr(s"seq_start div ${seqsPerShard}L"))
     // empty corpus: a partitioned write would emit no data files at all
     // (unreadable directory, schema lost) — write one empty unpartitioned
-    // file instead, preserving the schema, and report zero shards
-    if (packed.isEmpty) {
+    // file instead, preserving the schema, and report zero shards.
+    // Emptiness is probed on the 1-row-limited INPUT, not on `packed`,
+    // whose evaluation would re-run the whole placement plan a second
+    // time ahead of the write.
+    if (df.limit(1).isEmpty) {
       packed.write.mode("overwrite").parquet(path)
       return 0L
     }
@@ -111,11 +114,17 @@ object Packing {
   def sequenceTexts(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // materialized once: the tokenization (the expensive pass) is
+    // consumed by packSequences' bounds aggregate, its subtotal collect,
+    // AND both sides of the placement join below — without the
+    // checkpoint the corpus would re-split 3-4x in separate jobs (same
+    // consumed-twice reasoning as rankByHexKeyWithin's counts frame)
     val toks = df
       .select(col(idCol).cast("long").as("id"), col(textCol))
       .filter(col("id").isNotNull && col(textCol).isNotNull)
       .withColumn("ts", split(col(textCol), " "))
       .select(col("id"), col("ts"), size(col("ts")).cast("long").as("tok"))
+      .localCheckpoint()
     val placed = packSequences(toks.select(col("id"), col("tok")),
       "id", "tok", seqLen)
     placed.join(toks, placed("doc_id") === toks("id"))
@@ -158,12 +167,24 @@ object Packing {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(tokenCol).cast("long").as("tok"))
 
-    val bounds = base.agg(min("id"), max("id")).head()
-    if (bounds.isNullAt(0)) {
+    val bounds = base.agg(min("id"), max("id"),
+      count(lit(1)), count("id"), count("tok")).head()
+    // null ids/token-counts — including string ids that cast('long') to
+    // null — would silently misplace every row (an all-null input would
+    // take the empty path yet emit rows; a mixed one would NPE at the
+    // subtotal collect). Reject them loudly, like every sibling op.
+    require(bounds.getLong(2) == bounds.getLong(3) &&
+      bounds.getLong(2) == bounds.getLong(4),
+      s"packSequences: ${bounds.getLong(2) - bounds.getLong(3)} null/" +
+        s"non-castable id(s) and ${bounds.getLong(2) - bounds.getLong(4)} " +
+        "null token count(s) present; ids and token counts must be " +
+        "non-null and castable to long")
+    if (bounds.getLong(2) == 0L) {
       // empty input: emit the full schema, zero rows
-      return base.select(col("id").as("doc_id"), col("tok").as("token_count"),
-        col("tok").as("token_start"), col("tok").as("seq_start"),
-        col("tok").as("seq_offset"), col("tok").as("seq_end"))
+      return base.limit(0)
+        .select(col("id").as("doc_id"), col("tok").as("token_count"),
+          col("tok").as("token_start"), col("tok").as("seq_start"),
+          col("tok").as("seq_offset"), col("tok").as("seq_end"))
     }
     val minId = bounds.getLong(0)
     val maxId = bounds.getLong(1)

@@ -40,13 +40,19 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
                       partial: Seq[Column], finalAgg: Seq[Column],
-                      keyName: String = "key"): DataFrame =
-    df.withColumn("_salt", contentSalt(df, saltBuckets))
-      .groupBy(key.as("_key"), col("_salt"))
+                      keyName: String = "key"): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    // temp names must not clobber caller columns (Cols.fresh, the same
+    // hygiene GlobalOrder/Layout apply)
+    val sc = Cols.fresh(df, "_skew_salt")
+    val kc = Cols.fresh(df, "_skew_key")
+    df.withColumn(sc, contentSalt(df, saltBuckets))
+      .groupBy(key.as(kc), col(sc))
       .agg(partial.head, partial.tail: _*)
-      .groupBy(col("_key"))
+      .groupBy(col(kc))
       .agg(finalAgg.head, finalAgg.tail: _*)
-      .withColumnRenamed("_key", keyName)
+      .withColumnRenamed(kc, keyName)
+  }
 
   /** Salted join of a skewed fact side against a dimension: each fact row
     * gets a content-derived salt in [0, n); the dimension is replicated n
@@ -57,9 +63,11 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt", contentSalt(fact, saltBuckets))
-    val replicatedDim = dim.withColumn("_salt",
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    val sc = Cols.fresh((fact.columns ++ dim.columns).toSeq, "_skew_salt")
+    val saltedFact = fact.withColumn(sc, contentSalt(fact, saltBuckets))
+    val replicatedDim = dim.withColumn(sc,
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
-    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(replicatedDim, Seq(key, sc)).drop(sc)
   }
 }

@@ -172,8 +172,8 @@ object SelectionProbes {
       "etl_snapshot_diff",
       "WITH old AS (SELECT doc_id, text, source FROM documents WHERE doc_id IS NOT NULL), " +
         "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, source FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 != 0 UNION ALL SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 = 0), " +
-        "oh AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(2)), coalesce(source, chr(2)))) AS h FROM old), " +
-        "nh AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(2)), coalesce(source, chr(2)))) AS h FROM new), " +
+        "oh AS (SELECT doc_id, md5((CASE WHEN text IS NULL THEN 'n' ELSE length(text) || ':' || text END) || (CASE WHEN source IS NULL THEN 'n' ELSE length(source) || ':' || source END)) AS h FROM old), " +
+        "nh AS (SELECT doc_id, md5((CASE WHEN text IS NULL THEN 'n' ELSE length(text) || ':' || text END) || (CASE WHEN source IS NULL THEN 'n' ELSE length(source) || ':' || source END)) AS h FROM new), " +
         "j AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id, oh.h AS ho, nh.h AS hn FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id) " +
         "SELECT doc_id, CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed' WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status FROM j ORDER BY doc_id"
     ) { (s, d) =>

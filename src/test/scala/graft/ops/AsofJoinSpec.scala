@@ -37,6 +37,32 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
       (13L, None, None)))              // key with no right side
   }
 
+  test("null right keys/timestamps never match; string ord ties break in its own type") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 00:00:10")), "normal"),
+      (2L, Option.empty[Timestamp], "nullts"))
+      .toDF("user_id", "ts", "tagd")
+    // right rows with a null ts or null key can never satisfy
+    // rightTs <= leftTs under SQL semantics — they must not seat
+    // themselves at the head of the window and fabricate matches
+    val right = Seq(
+      (Option(1L), Option.empty[Timestamp], "ghost-nullts", 1.0),
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:01")), "ghost-nullkey", 2.0),
+      // string ord ids: "b" > "a" in STRING order (a long cast would
+      // null both and leave the tie shuffle-order-dependent)
+      (Option(1L), Option(ts("2024-01-01 00:00:05")), "a", 3.0),
+      (Option(1L), Option(ts("2024-01-01 00:00:05")), "b", 4.0))
+      .toDF("user_id", "ts", "ord", "value")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts", "ord")
+      .orderBy("user_id")
+      .select("user_id", "asof_ord", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toList
+    assert(out == List(
+      (1L, Some("b"), Some(4.0)), // tie broken by string ord, not a null cast
+      (2L, None, None)))          // null left ts matches nothing
+  }
+
   test("asof join agrees with per-row brute force on randomized inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

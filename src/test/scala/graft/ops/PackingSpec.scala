@@ -71,6 +71,36 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(seams.getLong(2) == 0L)
   }
 
+  test("packSequences rejects null and non-castable ids loudly") {
+    import spark.implicits._
+    // md5-style string ids fail the ANSI cast loudly (CAST_INVALID_INPUT)
+    // before placement; typed null ids — which cast silently — previously
+    // either emitted garbage rows (all null) or NPE'd at the subtotal
+    // collect (mixed), and must be clear errors instead
+    val stringIds = Seq(("ab3f", 5L), ("9c02", 7L)).toDF("id", "tok")
+    val e1 = intercept[Exception] {
+      Packing.packSequences(stringIds, "id", "tok", seqLen = 4).collect()
+    }
+    assert(e1.getMessage.contains("CAST_INVALID_INPUT"))
+    val mixed = Seq((Option(1L), 5L), (Option.empty[Long], 7L)).toDF("id", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      Packing.packSequences(mixed, "id", "tok", seqLen = 4)
+    }
+    assert(e2.getMessage.contains("null/non-castable"))
+    val allNull = Seq(Option.empty[Long], Option.empty[Long])
+      .toDF("id").withColumn("tok", lit(5L))
+    val e3 = intercept[IllegalArgumentException] {
+      Packing.packSequences(allNull, "id", "tok", seqLen = 4)
+    }
+    assert(e3.getMessage.contains("null/non-castable"))
+    // genuinely empty input still yields the zero-row full-schema frame
+    val empty = Packing.packSequences(
+      Seq.empty[(Long, Long)].toDF("id", "tok"), "id", "tok", seqLen = 4)
+    assert(empty.columns.toSeq == Seq("doc_id", "token_count",
+      "token_start", "seq_start", "seq_offset", "seq_end"))
+    assert(empty.count() == 0)
+  }
+
   test("hash-id spans wider than 2^63 pack correctly (no long overflow)") {
     import spark.implicits._
     // ids at both extremes of the 64-bit space: maxId - minId overflows a
