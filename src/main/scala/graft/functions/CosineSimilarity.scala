@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * scan into a tight fused loop — the difference between an ANN scan that
   * keeps up at 100 TB and one that doesn't.
   *
-  * Evaluation order (sequential left-to-right folds, dot/(√na·√nb))
-  * matches both the HOF formulation and the DuckDB oracle, so results are
-  * bit-for-bit identical across all three.
+  * Semantics match the HOF formulation (and the DuckDB oracle) exactly,
+  * malformed inputs included: sequential left-to-right folds,
+  * dot/(√na·√nb), zero-vector → 0.0, and NULL when the lengths differ or
+  * a compared element is null (`zip_with` pads/propagates nulls, so the
+  * HOF sum goes null there — the native path must not invent a number).
+  * The element null check is emitted only when the array type's
+  * containsNull says nulls are possible, so clean parquet vectors keep
+  * the tight loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -35,15 +40,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null is produced for length-mismatched inputs even when the children
+  // themselves are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val checkNulls = mayHaveNullElems
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -56,16 +73,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: two graft_cosine calls can land in ONE codegen
+      // scope (no braces around the non-nullable fast path), where fixed
+      // names would redeclare and fail janino compilation
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val elemNullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |      : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0
-         |  : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -51,7 +51,16 @@ object LangIdExpr {
   private val markerLang: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     Seq("en" -> 0, "de" -> 1, "es" -> 2, "fr" -> 3).foreach { case (lang, i) =>
-      graft.ext.TextAnalysis.profiles(lang).foreach(w => m.put(w, i))
+      graft.ext.TextAnalysis.profiles(lang).foreach { w =>
+        // the one-lookup design is only valid while the profiles stay
+        // disjoint; fail at class init (not with silently skewed counts)
+        // if a future profile edit introduces an overlap
+        val prev = m.put(w, i)
+        require(prev == null,
+          s"LangIdExpr marker '$w' appears in two language profiles " +
+            s"(${Seq("en", "de", "es", "fr")(prev)} and $lang); the " +
+            "single-lookup classifier requires disjoint marker sets")
+      }
     }
     m
   }

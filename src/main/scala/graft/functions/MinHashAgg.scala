@@ -21,8 +21,10 @@ final class MinHashAggregator(k: Int)
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], text: String): Array[Long] = {
-    val sig = Dedup.minhashSig(Dedup.shingleSet(text), k)
-    merge(buf, sig)
+    // SQL aggregates ignore NULLs — nulls DO reach typed udaf reduce
+    // (same guard as MisraGriesAggregator); shingling null would NPE
+    if (text == null) buf
+    else merge(buf, Dedup.minhashSig(Dedup.shingleSet(text), k))
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions.udaf
   * between a shuffle that scales with the pair space and one that
   * scales with the answer.
   *
-  * Ordering matches the window form exactly — score descending, id
-  * ascending tiebreak — so winners (ties at the boundary included) are
-  * identical and oracle hash-checks carry over unchanged.
+  * Ordering matches the window form — score descending, id ascending
+  * tiebreak — with two deliberate divergences: NaN scores rank strictly
+  * WORST (`ORDER BY score DESC` would rank NaN above every real value —
+  * garbage first), and null ids/scores are skipped like SQL aggregates
+  * skip nulls (the window form would rank them). For real-valued,
+  * non-null inputs winners are identical (boundary ties included) and
+  * oracle hash-checks carry over unchanged. Both conventions match the
+  * native `graft_topk_by_score` exactly.
   */
 final class TopKByScoreAggregator(k: Int)
-  extends Aggregator[(Long, Double), List[(Double, Long)], Array[TopKByScore.Neighbor]] {
+  extends Aggregator[(Option[Long], Option[Double]), List[(Double, Long)], Array[TopKByScore.Neighbor]] {
   require(k > 0, s"k must be positive, got $k")
 
   // rank order: best first = highest score, then lowest id; NaN ranks
@@ -44,8 +49,15 @@ final class TopKByScoreAggregator(k: Int)
   override def zero: List[(Double, Long)] = Nil
 
   override def reduce(b: List[(Double, Long)],
-                      in: (Long, Double)): List[(Double, Long)] =
-    ((in._2, in._1) :: b).sorted(ord).take(k) // k is tiny; re-sort is cheap
+                      in: (Option[Long], Option[Double])): List[(Double, Long)] =
+    in match {
+      // null id/score rows are skipped (SQL-aggregate null convention,
+      // same as the native graft_topk_by_score) — a non-optional tuple
+      // encoder would instead throw on the first null reaching it
+      case (Some(id), Some(score)) =>
+        ((score, id) :: b).sorted(ord).take(k) // k is tiny; re-sort is cheap
+      case _ => b
+    }
 
   override def merge(a: List[(Double, Long)],
                      b: List[(Double, Long)]): List[(Double, Long)] =
@@ -72,5 +84,5 @@ object TopKByScore {
     */
   def topKByScore(id: Column, score: Column, k: Int): Column =
     udaf(new TopKByScoreAggregator(k),
-      ExpressionEncoder[(Long, Double)]()).apply(id, score)
+      ExpressionEncoder[(Option[Long], Option[Double])]()).apply(id, score)
 }

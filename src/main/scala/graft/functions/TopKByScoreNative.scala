@@ -61,7 +61,11 @@ final class TopKBuffer(val k: Int) {
   * map side and the exchange carries at most k rows per (group, input
   * partition) — a shuffle that scales with the ANSWER, not the pair
   * space. Winners (score desc, id asc, ties included) are identical to
-  * the window form, so oracle hashes carry over.
+  * the window form for REAL-VALUED, NON-NULL inputs, so oracle hashes
+  * carry over; deliberate divergences (shared with the typed fallback):
+  * NaN scores rank strictly worst where `ORDER BY score DESC` would put
+  * them first, and null ids/scores are skipped like any SQL aggregate
+  * where the window form would rank them.
   *
   * Registered as `graft_topk_by_score(id, score, k)` by GraftExtensions;
   * returns array<struct<id:bigint, score:double>> best-first.

@@ -47,6 +47,60 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(df.select(Similarity.cosineNative(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("graft_cosine matches the HOF on malformed vectors: mismatch/null element -> null") {
+    import spark.implicits._
+    // zip_with pads the shorter array with nulls, so the HOF sum goes
+    // null on length mismatch and on null elements; the native path must
+    // agree instead of silently scoring a truncated prefix
+    val df = Seq(
+      (Seq(Option(1.0), Option(2.0), Option(3.0)), Seq(Option(1.0), Option(2.0))),
+      (Seq(Option(1.0), Option.empty[Double]), Seq(Option(1.0), Option(2.0))))
+      .toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosineNative(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), s"native invented a score: $r")
+      assert(r.isNullAt(1), s"HOF convention changed: $r")
+    }
+  }
+
+  test("two graft_cosine calls fuse in one codegen projection (fresh locals)") {
+    // fixed local names would redeclare in the shared Java scope and
+    // silently drop the stage to interpreted execution
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val two = emb.select(
+      Similarity.cosineNative(col("v"), col("v")).as("c1"),
+      Similarity.cosineNative(col("v"), col("v")).as("c2"))
+    assert(two.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "two cosine calls fell out of whole-stage codegen")
+    val r = two.head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("typed top-k fallback and minhash union skip null inputs like SQL aggregates") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, Option(10L), Option(0.5)),
+      (1L, Option.empty[Long], Option(0.9)), // null id: skipped, not a crash
+      (1L, Option(11L), Option.empty[Double]), // null score: skipped
+      (1L, Option(12L), Option(0.8)))
+      .toDF("g", "id", "score")
+    val top = scored.groupBy("g")
+      .agg(TopKByScore.topKByScore(col("id"), col("score"), 2).as("nn"))
+      .select(explode(col("nn")).as("n")).select("n.id").as[Long].collect().toSeq
+    assert(top == Seq(12L, 10L))
+    val sig = Seq((1, Option("a b c d e")), (1, Option.empty[String]))
+      .toDF("g", "text").groupBy("g")
+      .agg(MinHashAgg.minhashUnion(col("text")).as("sig"))
+      .select("sig").head().getSeq[Long](0)
+    val clean = Seq((1, "a b c d e")).toDF("g", "text").groupBy("g")
+      .agg(MinHashAgg.minhashUnion(col("text")).as("sig"))
+      .select("sig").head().getSeq[Long](0)
+    assert(sig == clean, "null text must be a no-op for the union sketch")
+  }
+
   test("graft_topk_by_score matches the row_number window exactly, " +
     "ties and partial merges included") {
     import spark.implicits._
