@@ -34,14 +34,38 @@ final class DocumentStore(
 
   /** Bucket count travels with the table (`_graft_buckets` marker written
     * at ingest); session conf is the fallback for marker-less tables.
+    * The marker is write-once per table, so once FOUND it is cached —
+    * the hot serving path stops paying a sidecar read per request (on an
+    * object store that is metadata round-trips per GET); until a marker
+    * exists (pre-first-batch), every call re-checks so the store picks
+    * the marker up the moment ingest writes it.
     */
-  private def chunkBuckets: Int =
-    tables.getTableProp("document_chunks", "buckets").map(_.toInt)
-      .getOrElse(spark.conf.get("spark.graft.chunkBuckets", "16").toInt)
+  @volatile private var cachedBuckets: Option[Int] = None
+  private def chunkBuckets: Int = cachedBuckets.getOrElse {
+    val marker = tables.getTableProp("document_chunks", "buckets").map(_.toInt)
+    marker.foreach(b => cachedBuckets = Some(b))
+    marker.getOrElse(spark.conf.get("spark.graft.chunkBuckets", "16").toInt)
+  }
 
-  def documents: DataFrame = tables.read("documents")
-  def chunks: DataFrame = tables.read("document_chunks")
-  def charts: DataFrame = tables.read("chart_data")
+  // a store can legitimately be queried before its first batch commits
+  // (HttpShim starts with the stream) — a missing table is an EMPTY
+  // table to the serving surface (api.py returns 200 [] / 404 there),
+  // never a 500 from a nonexistent path
+  private def readOr(table: String, ddl: String): DataFrame =
+    if (tables.exists(table)) tables.read(table)
+    else spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  def documents: DataFrame = readOr("documents",
+    "id BIGINT, filename STRING, total_chunks INT, metainfo STRING, " +
+      "created_at TIMESTAMP, updated_at TIMESTAMP")
+  def chunks: DataFrame = readOr("document_chunks",
+    "id BIGINT, document_id BIGINT, chunk_index INT, text_content STRING, " +
+      "entities STRING, chunk_metadata STRING, created_at TIMESTAMP, " +
+      "doc_bucket BIGINT")
+  def charts: DataFrame = readOr("chart_data",
+    "id BIGINT, document_id BIGINT, info STRING, image_path STRING, " +
+      "created_at TIMESTAMP")
 
   /** Foldable bucket predicate: filtering on the partition column turns a
     * per-document chunk read into a 1-of-N partition-pruned scan
@@ -104,9 +128,13 @@ final class DocumentStore(
     * or owned by a different document (the 404 guard, api.py:205-209).
     */
   def getChartWithImage(documentId: Long, chartId: Long): Option[(Row, Array[Byte], String)] = {
-    val rows = charts.filter(col("id") === chartId).limit(1).collect()
+    // ownership is part of the KEY, not a post-hoc check: filtering by id
+    // alone + limit(1) could pick the wrong row if duplicate chart ids
+    // ever exist (the defect state Audit.chart_ids_duplicated watches
+    // for) and 404 a chart that is actually present
+    val rows = charts.filter(col("id") === chartId &&
+      col("document_id") === documentId).limit(1).collect()
     rows.headOption
-      .filter(_.getAs[Long]("document_id") == documentId)
       .flatMap { row =>
         objects.get(objects.chartKey(documentId, chartId))
           .map { case (bytes, contentType) => (row, bytes, contentType) }
@@ -118,26 +146,44 @@ final class DocumentStore(
     tables.updateWhere("documents", col("id") === id,
       Map("metainfo" -> lit(metainfo), "updated_at" -> lit(now)))
 
-  /** M2 — cascade delete (schema.py:43-44): chart blobs, chart rows,
-    * chunk rows, then the document row.
+  /** M2 — cascade delete (schema.py:43-44): chart rows, chunk rows, the
+    * document row, the near-dup index rows, and LAST the chart blobs —
+    * rows strictly before blobs, so a failure anywhere leaves at worst
+    * orphan BLOBS (the mode the engine already tolerates and Audit
+    * surfaces as informational) and never dangling rows pointing at
+    * deleted blobs (SURVEY §7.4.4 invariant). The near-dup cascade keeps
+    * Audit's bands_dangling/flags_dangling clean after routine deletes
+    * and stops future batches flagging against documents that no longer
+    * exist.
     */
   def deleteDocument(id: Long): Unit = {
     val chartIds = charts.filter(col("document_id") === id)
       .select("id").collect().map(_.getLong(0))
+    if (tables.exists("chart_data"))
+      tables.deleteWhere("chart_data", col("document_id") === id)
+    if (tables.exists("document_chunks"))
+      tables.deleteWhere("document_chunks", col("document_id") === id,
+        partitionCols = Seq("doc_bucket"))
+    if (tables.exists("documents"))
+      tables.deleteWhere("documents", col("id") === id)
+    if (tables.exists("minhash_bands"))
+      tables.deleteWhere("minhash_bands", col("doc_id") === id)
+    if (tables.exists("near_dup_flags"))
+      tables.deleteWhere("near_dup_flags",
+        col("new_id") === id || col("indexed_id") === id)
     chartIds.foreach(cid => objects.delete(objects.chartKey(id, cid)))
-    tables.deleteWhere("chart_data", col("document_id") === id)
-    tables.deleteWhere("document_chunks", col("document_id") === id,
-      partitionCols = Seq("doc_bucket"))
-    tables.deleteWhere("documents", col("id") === id)
   }
 
-  /** M3 — delete one chart row + its blob (repository.py:169-187). */
+  /** M3 — delete one chart row + its blob, row first (repository.py:
+    * 169-187; same rows-before-blobs ordering as [[deleteDocument]]).
+    */
   def deleteChart(documentId: Long, chartId: Long): Boolean = {
     val owned = charts.filter(col("id") === chartId &&
       col("document_id") === documentId).limit(1).collect().nonEmpty
     if (owned) {
+      tables.deleteWhere("chart_data",
+        col("id") === chartId && col("document_id") === documentId)
       objects.delete(objects.chartKey(documentId, chartId))
-      tables.deleteWhere("chart_data", col("id") === chartId)
     }
     owned
   }

@@ -49,14 +49,24 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // without an executor every request runs on the single dispatcher
+  // thread — one slow Spark read would stall uploads and every other
+  // route; a small pool serves them concurrently (Spark sessions are
+  // thread-safe; the staging-file names are per-request unique)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   /** Start serving; returns the bound port (ephemeral when `port` = 0). */
   def start(): Int = {
     server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ---- routing ---------------------------------------------------------
 
@@ -171,14 +181,19 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
     */
   private def saveUpload(ex: HttpExchange, name: String)
                         (write: java.nio.file.Path => Unit): Unit = {
-    // basename only: a path-bearing filename must not escape the watch dir
-    val base = name.split('/').last.split('\\').last
+    // basename only: a path-bearing filename must not escape the watch
+    // dir; separator-only names ("/", "\\", "//") split to an EMPTY
+    // array, so lastOption — a bare .last would throw and surface a 500
+    // where this is a plain 400
+    val base = name.split(Array('/', '\\')).lastOption.getOrElse("")
     if (base.isEmpty || base == "." || base == "..")
       badRequest(ex, s"invalid filename: ${name}")
     else {
       val dir = java.nio.file.Paths.get(uploadDir)
       java.nio.file.Files.createDirectories(dir)
-      val tmp = dir.resolve(s".$base.uploading")
+      // per-request unique staging name: concurrent same-name uploads
+      // must not write through each other's temp file
+      val tmp = dir.resolve(s".$base.${System.nanoTime()}.uploading")
       try {
         write(tmp)
         // ATOMIC_MOVE alone: POSIX rename(2) replaces an existing target

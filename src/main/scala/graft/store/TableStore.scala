@@ -68,8 +68,18 @@ final class TableStore(spark: SparkSession, root: String) {
         }
         found
       }
-      if (!hasDataFiles) f.delete(dir, true)
-      else if (read(table).isEmpty) f.delete(dir, true)
+      // sidecar props must survive the empty-marker clearing — wiping
+      // them with the marker would strip layout metadata (the exact
+      // mismatch the props exist to prevent); captured before the delete,
+      // re-written after the append recreates the directory
+      val props = allTableProps(table)
+      if (!hasDataFiles || read(table).isEmpty) {
+        f.delete(dir, true)
+        df.write.mode("append").partitionBy(partitionCols: _*)
+          .parquet(tablePath(table))
+        props.foreach { case (k, v) => setTableProp(table, k, v) }
+        return
+      }
     }
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
@@ -79,6 +89,15 @@ final class TableStore(spark: SparkSession, root: String) {
     * next to the table, then swap via rename (close to atomic on HDFS-like
     * filesystems; on object stores, swap the pointer in a manifest
     * instead — same discipline, different primitive).
+    *
+    * `_graft_*` sidecar props are copied INTO the temp dir before the
+    * swap, so they travel with the data rename — a crash at any point
+    * leaves either the old table (props intact) or the new one (props
+    * intact), never a table stripped of its layout metadata. The swap
+    * itself is two renames, so there is an instant where the table path
+    * does not exist; under the single-writer contract a concurrent
+    * reader can transiently fail there (retryable), and a crash INSIDE
+    * the window leaves the data recoverable in the `.old-*` sibling.
     */
   def overwriteAtomic(table: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {
@@ -92,6 +111,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val props = allTableProps(table) // survive the swap
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
+    props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
     val f = fs
     if (f.exists(dest) && !f.rename(dest, old))
       throw new java.io.IOException(s"swap failed for $table")
@@ -100,7 +120,6 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"swap failed for $table")
     }
     f.delete(old, true)
-    props.foreach { case (k, v) => setTableProp(table, k, v) }
   }
 
   /** M1 — partial update by predicate (base.py:38-52): copy-on-write
@@ -159,8 +178,11 @@ final class TableStore(spark: SparkSession, root: String) {
   private def propPath(table: String, key: String) =
     new Path(tablePath(table) + s"/_graft_$key")
 
-  def setTableProp(table: String, key: String, value: String): Unit = {
-    val out = fs.create(propPath(table, key), true)
+  def setTableProp(table: String, key: String, value: String): Unit =
+    writePropFile(propPath(table, key), value)
+
+  private def writePropFile(at: Path, value: String): Unit = {
+    val out = fs.create(at, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
   }
 

@@ -186,6 +186,33 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(get("/documents/999999").statusCode() == 404)
   }
 
+  test("a fresh store (no tables yet) serves empty listings, not 500s") {
+    // HttpShim legitimately starts before the first streaming batch
+    // commits any table; the reference returns 200 [] / 404 there
+    val root = tmpDir("shim-empty")
+    val store = new DocumentStore(spark,
+      new TableStore(spark, s"$root/tables"),
+      new ObjectStore(spark, s"$root/bucket"))
+    val shim = new HttpShim(store, tmpDir("shim-empty-up"))
+    val p = shim.start()
+    try {
+      val list = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/documents"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(list.statusCode() == 200 && list.body() == "[]")
+      val detail = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/documents/1"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(detail.statusCode() == 404)
+    } finally shim.stop()
+  }
+
+  test("separator-only filenames are 400s, not 500s") {
+    assert(post("/documents/upload?filename=%2F", "x".getBytes).statusCode() == 400)
+    assert(post("/documents/upload?filename=%5C", "x".getBytes).statusCode() == 400)
+    assert(post("/documents/upload?filename=%2F%2F", "x".getBytes).statusCode() == 400)
+  }
+
   test("uploads beyond the cap are a 413, never an OOM") {
     val big = new Array[Byte](80 * 1024) // cap in fixture is 64 KiB
     assert(post("/documents/upload?filename=big.bin", big).statusCode() == 413)
