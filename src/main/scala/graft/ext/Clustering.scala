@@ -124,9 +124,14 @@ object Clustering {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val spark = emb.sparkSession
     import spark.implicits._
+    // materialized once: every Lloyd iteration plus the final assign
+    // scans this frame — without the checkpoint a 10-iteration run would
+    // re-evaluate the upstream source ~12 times (seed + iterations +
+    // final), paying the full read each round
     val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])].toDF(idCol, "v")
+      .localCheckpoint()
     var centroids = seedCentroids(emb, idCol, vecCol, k)
     var iter = 0
     while (iter < maxIters) {

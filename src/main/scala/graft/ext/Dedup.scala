@@ -80,10 +80,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard between two distinct-shingle arrays. */
+  /** Exact Jaccard between two distinct-shingle arrays. The intersection
+    * is computed ONCE and reused — interpreted array expressions get no
+    * common-subexpression elimination, and this runs in the hot
+    * exact-verify loop over every candidate pair.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
   // -------------------------------------------------------------------
@@ -183,10 +187,16 @@ object Dedup {
         "ignore trailing signature slots)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null guard (engine convention: null id/text rows are skipped, not
+    // job-killers) + localCheckpoint: the shingled frame feeds THREE
+    // subtrees (banding + both join sides) and would otherwise re-read
+    // the corpus and re-shingle it three times
     val withSh = docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
       .toDF("doc_id", "sh")
+      .localCheckpoint()
     val banded = minhashBandsOfShingles(withSh, k, bands)
     val cands = lshCandidatePairs(banded)
     val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -233,6 +243,7 @@ object Dedup {
     import spark.implicits._
     minhashBandsOfShingles(
       docs.select(col(idCol).cast("long"), col(textCol))
+        .filter(col(idCol).isNotNull && col(textCol).isNotNull)
         .as[(Long, String)]
         .map { case (id, text) => (id, shingleSet(text)) }
         .toDF("doc_id", "sh"),
@@ -323,10 +334,15 @@ object Dedup {
       s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee (3)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null guard (engine convention) + localCheckpoint: the signed frame
+    // feeds both sides of the band self-join and would otherwise re-sign
+    // the corpus twice
     val sim = docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash60Scalar(text.split(" ", -1))) }
       .toDF("doc_id", "simhash")
+      .localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -371,6 +387,10 @@ object Dedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"),
         col(blockCol).cast("string"), col(textCol))
+      // null id/text rows are skipped per the engine convention; a null
+      // BLOCK key stays (it groups with other null-block rows through the
+      // tuple encoder, matching the SQL-side per-doc counts)
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String, String)]
       .flatMap { case (id, block, text) =>
         shingleSet(text).iterator.map(s => (id, block, hash64(s)))
@@ -613,10 +633,14 @@ object Dedup {
     val slim = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
     // limit+collect bounds driver memory: we never pull more than the
     // cutover count, and fall through to the distributed path when the
-    // input exceeds it
-    val head = slim.limit(localSolveMaxEdges.toInt + 1)
+    // input exceeds it. The cutover is clamped into Int range BEFORE the
+    // +1 — a raw .toInt of a >2^31 cutover would wrap, silently truncate
+    // the edge list, and split real clusters (and Int.MaxValue would
+    // overflow limit() into a negative argument)
+    val localCap = math.min(localSolveMaxEdges, (Int.MaxValue - 1).toLong).toInt
+    val head = slim.limit(localCap + 1)
       .as[(Long, Long)].collect()
-    if (head.length <= localSolveMaxEdges) {
+    if (head.length <= localCap) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(a: Long): Long = {
         var r = a

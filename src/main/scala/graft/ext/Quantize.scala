@@ -43,6 +43,10 @@ object Quantize {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      // engine null convention (same guard as pqAssign): a null id/vector
+      // row is skipped, not an executor NPE — the expression twins
+      // (int8Scale/int8Mse) null-propagate the same rows away
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, v) =>
         var mx = 0.0
@@ -119,10 +123,17 @@ object Quantize {
   }
 
   def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-               m: Int, k: Int): DataFrame = {
+               m: Int, k: Int): DataFrame =
+    pqAssignWith(emb, idCol, vecCol, pqCodebook(emb, idCol, vecCol, m, k))
+
+  /** As [[pqAssign]] against a PRECOMPUTED codebook — callers holding one
+    * (pqTopK, persisted-index pipelines) skip the second seed-collect job
+    * an (m, k) overload would re-run.
+    */
+  def pqAssignWith(emb: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Array[Double]]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = pqCodebook(emb, idCol, vecCol, m, k)
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -149,7 +160,12 @@ object Quantize {
     */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int): DataFrame =
-    pqAssign(emb, idCol, vecCol, m, k)
+    pqCodesWith(emb, idCol, vecCol, pqCodebook(emb, idCol, vecCol, m, k))
+
+  /** As [[pqCodes]] against a precomputed codebook. */
+  def pqCodesWith(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[Array[Array[Double]]]): DataFrame =
+    pqAssignWith(emb, idCol, vecCol, cents)
       .groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
         .as("sc"))
@@ -210,15 +226,22 @@ object Quantize {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqCodebook(emb, idCol, vecCol, m, k)
-    val q = emb.filter(col(idCol) === queryId)
+    // absent query id -> empty result, matching the sibling top-k APIs
+    // (head() would throw an opaque 'next on empty iterator')
+    emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>"))
-      .as[Seq[Double]].head().toArray
-    // codes come from the FULL corpus (same deterministic codebook as
-    // cb); the query row is dropped AFTER coding — filtering first would
-    // shift the k-smallest-id seeds and desync index and lookup table
-    pqTopKFromCodes(
-      pqCodes(emb, idCol, vecCol, m, k)
-        .filter(col(idCol).cast("long") =!= queryId),
-      idCol, cb, q, topK)
+      .as[Seq[Double]].collect().headOption match {
+      case None =>
+        spark.range(0).select(col("id").as(idCol), lit(0.0).as("adc"))
+      case Some(q) =>
+        // codes come from the FULL corpus (same deterministic codebook as
+        // cb, computed ONCE and passed through); the query row is dropped
+        // AFTER coding — filtering first would shift the k-smallest-id
+        // seeds and desync index and lookup table
+        pqTopKFromCodes(
+          pqCodesWith(emb, idCol, vecCol, cb)
+            .filter(col(idCol).cast("long") =!= queryId),
+          idCol, cb, q.toArray, topK)
+    }
   }
 }

@@ -152,7 +152,12 @@ object Similarity {
       val proj = aggregate(zip_with(vec,
         transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
         (x, g) => x * g), lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      // coalesce pins the EMPTY-vector case to the scalar twin's result:
+      // sequence(0, -1) yields [0, -1] there, zip_with null-pads, and the
+      // fold would go NULL → bit dropped, where the scalar's dot = 0.0
+      // sets every bit — a signature mismatch that would point the IVF
+      // probe at the wrong cells for that row
+      when(coalesce(proj, lit(0.0)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Scalar twin of [[planeComponent]]: same 60-bit md5 evaluated
@@ -256,22 +261,11 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nBits: Int = 32,
               maxHamming: Int = 14): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val signed = emb
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        // plane matrix cached once per partition (it only depends on the
-        // vector dimensionality); rebuilt if a wider vector appears
-        var planes: Array[Array[Double]] = null
-        it.map { case (id, v) =>
-          if (planes == null || planes(0).length < v.length)
-            planes = Array.tabulate(nBits, v.length)(planeComponentScalar)
-          (id, v, rhpSignatureScalar(v, planes))
-        }
-      }
-      .toDF(idCol, "v", "sig")
+    // one signing pass, shared with the IVF/cell family — reusing
+    // signCells (instead of an inline copy of the same mapPartitions)
+    // keeps the RhpParity convention in one place and inherits its null
+    // guard and bits-range validation
+    val signed = signCells(emb, idCol, vecCol, nBits, idCol, "v", "sig")
     val q = signed.filter(col(idCol) === queryId)
       .select(col("v").as("qv0"), col("sig").as("qsig"))
     val candidates = signed.filter(col(idCol) =!= queryId)
