@@ -47,7 +47,7 @@ object Bpe {
   private[ext] def learnFromVocab(vocab: Array[(String, Long)],
                                   numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
-      vocab.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      vocab.map { case (w, c) => (symbolize(w), c) }
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
@@ -111,9 +111,26 @@ object Bpe {
     */
   private[ext] def encodeWord(word: String,
                               merges: Seq[(String, String)]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = symbolize(word)
     merges.foreach { m => syms = applyMerge(syms, m) }
     syms
+  }
+
+  /** Initial symbols = CODE POINTS, not UTF-16 chars: a per-char split
+    * would break astral-plane characters (emoji, CJK extensions) into
+    * unpaired surrogates, and the learner could merge a trailing
+    * surrogate with the next character's leading one — vocabulary
+    * entries that are invalid standalone strings.
+    */
+  private def symbolize(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** Per-document subword count under the learned merges: the real

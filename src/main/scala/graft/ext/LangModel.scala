@@ -173,11 +173,16 @@ object LangModel {
     */
   def groupKlDivergence(docs: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {
+    // materialized once: three consumers (the join input, the corpus
+    // re-aggregation, and the grand total) would otherwise each re-run
+    // the corpus explode + groupBy — the module's standard
+    // consumed-more-than-once checkpoint (cf. bigramSelfLogProb)
     val tc = docs
       .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
       .select(col(groupCol).as("_kl_grp"),
         explode(split(col(textCol), " ", -1)).as("_kl_t"))
       .groupBy("_kl_grp", "_kl_t").agg(count(lit(1)).as("_kl_c"))
+      .localCheckpoint()
     val corpus = tc.groupBy("_kl_t").agg(sum("_kl_c").as("_kl_cc"))
     val grand = tc.agg(sum("_kl_c").as("_kl_cn"))
     val pg = col("_kl_c").cast("double") / col("_kl_gn")

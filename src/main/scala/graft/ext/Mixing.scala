@@ -40,6 +40,12 @@ object Mixing {
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions must sum to <= 1, got $splits")
+    require(splits.forall(_._2 >= 0.0),
+      s"split fractions must be non-negative, got $splits " +
+        "(a negative fraction would make a silently-unreachable split)")
+    require(!df.columns.exists(_.equalsIgnoreCase("split")),
+      "hashSplit adds 'split'; rename the existing column " +
+        "(same clobber guard as quantileBuckets/exactStratifiedSplit)")
     val bucket = hashBucket(col(idCol), salt)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     val expr = splits.init.zip(cum.init).foldRight(
@@ -110,6 +116,13 @@ object Mixing {
     // Negative counts excluded too — keep-while semantics require a
     // MONOTONE running sum (a negative count could dip a later document
     // back under budget, so the kept set would no longer be a prefix)
+    // integral token counts only (same guard as Stats.zscore): the
+    // running sum casts to long, and a fractional tokenCol would
+    // silently truncate toward zero — budgets would never bind
+    require(Seq("int", "bigint", "smallint", "tinyint")
+      .contains(df.schema(tokenCol).dataType.simpleString),
+      s"tokenCol '$tokenCol' must be an integral type, got " +
+        s"${df.schema(tokenCol).dataType.simpleString} — round explicitly first")
     df.filter(col(idCol).isNotNull && col(tokenCol).isNotNull &&
         col(tokenCol) >= 0)
       .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
@@ -142,9 +155,12 @@ object Mixing {
     // engines — oracle comparisons should prefer 0.5 or round coarser
     def powA(x: Double): Double =
       if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    // group rendered as string so any group type (int source ids, dates)
+    // works — the output frame keys on the rendered value
     val totals = df
       .filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
-      .groupBy(groupCol).agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
       .orderBy(groupCol)
       .as[(String, Long)].collect()
     val grand = totals.map(_._2).sum.toDouble

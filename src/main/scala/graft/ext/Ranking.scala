@@ -29,8 +29,13 @@ object Ranking {
                topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.distinct
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(col(textCol), " ", -1).as("toks"))
+    // engine null convention: null-id/text rows neither score nor count
+    // toward N/avgdl/df (distinct null-id docs would otherwise merge into
+    // one pseudo-document and unscoreable rows would skew every idf)
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ", -1).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
 
     // one row per (doc, query-term occurrence); everything else is
@@ -42,11 +47,15 @@ object Ranking {
     def tfCol(t: String): Column =
       sum(when(col("term") === t, 1L).otherwise(0L))
 
+    // materialized once: both the df aggregation and the scored frame
+    // consume this — without the checkpoint the corpus explode + filter +
+    // aggregate runs twice (AQE does not stage-share the copies)
     val perDoc = hits.groupBy("doc_id", "dl")
       .agg(tfCol(terms.head).as(tfName(0)),
         terms.tail.zipWithIndex.map { case (t, i) =>
           tfCol(t).as(tfName(i + 1))
         }: _*)
+      .localCheckpoint()
 
     // corpus-level stats: N + avgdl from the full corpus, df per term from
     // the hit frame — a single 1-row frame, cross-joined (broadcast)

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  // ~2 GiB of bucket partials: the ceiling for exactMoments' driver
+  // collect (guarded below with an actionable error)
+  private val MomentsDriverBudgetBytes = 2L << 30
+
   private def base(emb: DataFrame, idCol: String,
                    vecCol: String): Dataset[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
@@ -101,6 +105,24 @@ object Stats {
       .withColumn("b", expr(s"id div ${bucketWidth}L"))
       .repartition(col("b")).sortWithinPartitions("b", "id")
       .as[(Long, Seq[Double], Long)]
+    // driver-budget guard: the collect below ships one (d²+d)-double
+    // partial PER BUCKET. With dense ids that is rows/bucketWidth
+    // partials; with SPARSE ids (md5-derived 60-bit) `id div width` can
+    // put nearly every row in its own bucket and the collect becomes a
+    // driver OOM. Fail with the remediation instead: widen bucketWidth
+    // toward (max_id - min_id)/1e5, or use covarianceFast when
+    // bit-auditable fold order isn't required.
+    val firstV = withB.limit(1).collect()
+    if (firstV.isEmpty) return None
+    val d0 = firstV.head._2.length.toLong
+    val nB = withB.agg(countDistinct(col("b"))).head().getLong(0)
+    val bytes = nB * (d0 * d0 + d0 + 2L) * 8L
+    require(bytes <= MomentsDriverBudgetBytes,
+      s"exactMoments would collect $nB bucket partials of ${d0}x${d0} " +
+        s"moment sums (~${bytes >> 20} MiB) to the driver — the ids are " +
+        s"too sparse for bucketWidth=$bucketWidth. Pass a bucketWidth " +
+        "near (max_id - min_id) / 100000, or use covarianceFast for the " +
+        "non-bit-auditable estimate.")
     val partials = withB.mapPartitions { it =>
       // a hash partition holds whole buckets; rows arrive (b, id)-sorted,
       // so per-bucket accumulation IS the ascending-id fold

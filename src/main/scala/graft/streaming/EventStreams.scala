@@ -81,13 +81,17 @@ object EventStreams {
         (userId: Long, rows: Iterator[(Long, Timestamp, Double)],
          state: GroupState[UserProfile]) =>
           val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, new Timestamp(0L)))
+          // the STATE carries the exact running sum; rounding only at
+          // emission — rounding after every event would silently discard
+          // per-event contributions under 0.005 forever
           val updated = rows.foldLeft(prev) { case (p, (_, ts, v)) =>
-            UserProfile(userId, p.events + 1,
-              math.round((p.totalValue + v) * 100).toDouble / 100,
+            UserProfile(userId, p.events + 1, p.totalValue + v,
               if (ts.after(p.lastTs)) ts else p.lastTs)
           }
           state.update(updated)
-          updated
+          updated.copy(totalValue = java.math.BigDecimal
+            .valueOf(updated.totalValue)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
       }
   }
 
@@ -159,21 +163,50 @@ object EventStreams {
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
+            // late-but-within-watermark events OLDER than the current
+            // session's reach (start - gap) must NOT merge into it — a
+            // signed `us - lastUs < gap` test is vacuously true for any
+            // earlier timestamp and would fuse events gap-apart into one
+            // session. Such stragglers chain into their own preceding
+            // session (they arrive first in the sorted batch), which is
+            // reconciled against the live session at the end.
+            var old = Option.empty[SessionState]
             sorted.foreach { case (_, ts, v) =>
               val us = ts.getTime * 1000L
               cur match {
-                case Some(s) if us - s.lastUs < gapUs =>
-                  // monotonic bounds: a late-but-within-watermark event
-                  // must not regress lastUs (it would cause spurious
-                  // session splits with wrong end times)
-                  cur = Some(SessionState(math.min(s.startUs, us),
-                    math.max(s.lastUs, us), s.events + 1, s.totalValue + v))
-                case Some(s) =>
-                  closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.events, s.totalValue)
-                  cur = Some(SessionState(us, us, 1L, v))
                 case None =>
                   cur = Some(SessionState(us, us, 1L, v))
+                case Some(s) if us - s.lastUs >= gapUs =>
+                  closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.events, s.totalValue)
+                  cur = Some(SessionState(us, us, 1L, v))
+                case Some(s) if s.startUs - us < gapUs =>
+                  // within the session's interval (or within gap of its
+                  // start): merge with monotonic bounds — a late event
+                  // must not regress lastUs
+                  cur = Some(SessionState(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.events + 1, s.totalValue + v))
+                case Some(_) =>
+                  old match {
+                    case Some(o) if us - o.lastUs < gapUs =>
+                      old = Some(SessionState(math.min(o.startUs, us),
+                        math.max(o.lastUs, us), o.events + 1, o.totalValue + v))
+                    case Some(o) =>
+                      closed ::= ClosedSession(userId, o.startUs, o.lastUs, o.events, o.totalValue)
+                      old = Some(SessionState(us, us, 1L, v))
+                    case None =>
+                      old = Some(SessionState(us, us, 1L, v))
+                  }
               }
+            }
+            // straggler chain that grew to within gap of the live session
+            // merges into it; otherwise it closes as its own session
+            (old, cur) match {
+              case (Some(o), Some(s)) if s.startUs - o.lastUs < gapUs =>
+                cur = Some(SessionState(math.min(o.startUs, s.startUs),
+                  s.lastUs, o.events + s.events, o.totalValue + s.totalValue))
+              case (Some(o), _) =>
+                closed ::= ClosedSession(userId, o.startUs, o.lastUs, o.events, o.totalValue)
+              case _ =>
             }
             cur.foreach { s =>
               state.update(s)

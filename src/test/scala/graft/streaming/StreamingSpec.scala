@@ -130,6 +130,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       s"expected exactly user 7's closed session, got ${sessions.toSeq}")
   }
 
+  test("a late event older than the session's reach becomes its own session, never a merge") {
+    val dir = tmpDir("stream-straggler")
+    val checkpoint = tmpDir("straggler-ckpt")
+    val out = tmpDir("straggler-out")
+    def run(): Unit = {
+      val q = EventStreams.closedSessions(
+        EventStreams.fromDirectory(spark, dir), gapMinutes = 5,
+        lateness = "60 minutes")
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: a session at 10:30
+    arrive(dir, 1, Seq((1L, ts("2024-01-01 10:30:00"), 7L, "view", 1.0, "{}")))
+    run()
+    // batch 2: a late-but-within-watermark event at 10:00 — 30 minutes
+    // BEFORE the live session. The buggy signed-gap test (us - last < gap,
+    // vacuously true for earlier timestamps) merged it into the 10:30
+    // session; it must close as its own single-event session
+    arrive(dir, 2, Seq((2L, ts("2024-01-01 10:00:00"), 7L, "view", 2.0, "{}")))
+    run()
+    // batch 3: far future flushes the live session via timeout
+    arrive(dir, 3, Seq((3L, ts("2024-01-01 13:00:00"), 8L, "view", 1.0, "{}")))
+    run()
+    val sessions = spark.read.parquet(out)
+      .filter(col("userId") === 7L).orderBy("startUs").collect()
+      .map(r => (r.getAs[Long]("events"), r.getAs[Double]("totalValue")))
+    assert(sessions.toSeq == Seq((1L, 2.0), (1L, 1.0)),
+      s"expected two single-event sessions for user 7, got ${sessions.toSeq}")
+  }
+
   test("stream-stream interval join correlates responses within the horizon") {
     val dir = tmpDir("stream-corr")
     arrive(dir, 1, Seq(
