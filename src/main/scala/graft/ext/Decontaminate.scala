@@ -32,13 +32,16 @@ object Decontaminate {
     // (higher-order expressions are interpreted), and the broadcast side
     // ships 8-byte hashes instead of n-word strings
     val corpusGrams = corpus
-      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .select(col(idCol).cast("long"), col(textCol))
+      // engine null convention: null id/text rows skip, not NPE
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         Dedup.shingleSet(text, n).iterator.map(s => (id, Dedup.hash64(s)))
       }
       .toDF("doc_id", "ngram")
     val benchGrams = benchmark
-      .select(col(textCol)).as[String]
+      .select(col(textCol)).filter(col(textCol).isNotNull).as[String]
       .flatMap(t => Dedup.shingleSet(t, n).iterator.map(Dedup.hash64(_)))
       .toDF("ngram")
       .distinct()

@@ -158,14 +158,22 @@ object Multimodal {
     * a real codec's cost shape (per-row CPU, no shuffle).
     */
   def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim") // same
+    // guard as resizeImages — and a non-positive bound would spin the
+    // halving loop forever once w and h hit 0
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val m = decodeHeader(bytes)
-        var (w, h, p) = (m.width, m.height, bytes.length)
-        while (math.max(w, h) > maxDim) { w /= 2; h /= 2; p /= 2 }
-        (id, encodeStub(m.kind, w, h, m.fps, new Array[Byte](math.max(0, p))))
+      // per-row isolation (decodeHeader's documented contract): a corrupt
+      // blob drops its row instead of aborting the job
+      .flatMap { case (id, bytes) =>
+        try {
+          val m = decodeHeader(bytes)
+          var (w, h, p) = (m.width, m.height, bytes.length)
+          while (math.max(w, h) > maxDim) { w /= 2; h /= 2; p /= 2 }
+          Iterator.single(
+            (id, encodeStub(m.kind, w, h, m.fps, new Array[Byte](math.max(0, p)))))
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
       .toDF("media_id", "content")
   }
@@ -179,14 +187,17 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val m = decodeHeader(bytes)
-        if (m.kind != "video") Iterator.empty
-        else {
-          // frame count stub: one "frame" per fps-sized payload slice
-          val frames = (m.payloadBytes / math.max(1, m.fps)).toInt
-          (0 until frames by math.max(1, everyNth)).iterator
-            .map(f => (id, f, m.width, m.height))
-        }
+        // per-row isolation, same contract as decodeMeta/resizeStub
+        try {
+          val m = decodeHeader(bytes)
+          if (m.kind != "video") Iterator.empty
+          else {
+            // frame count stub: one "frame" per fps-sized payload slice
+            val frames = (m.payloadBytes / math.max(1, m.fps)).toInt
+            (0 until frames by math.max(1, everyNth)).iterator
+              .map(f => (id, f, m.width, m.height))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
       .toDF("media_id", "frame_idx", "width", "height")
   }

@@ -64,9 +64,7 @@ object Quality {
     * supplementary-plane characters, so entropy folds ordered with it
     * would sum in a different order than a SQL oracle.
     */
-  private val utf8ByteOrder: Ordering[String] = (a: String, b: String) => {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def compareUtf8(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     var cmp = 0
     val n = math.min(x.length, y.length)
@@ -98,7 +96,14 @@ object Quality {
         val n = toks.length
         val counts = new scala.collection.mutable.HashMap[String, Long]
         toks.foreach(t => counts.updateWith(t)(o => Some(o.getOrElse(0L) + 1L)))
-        val ordered = counts.toArray.sortBy(_._1)(utf8ByteOrder)
+        // tokens encode to UTF-8 ONCE before the sort — an Ordering over
+        // strings would re-encode both sides on every comparison of the
+        // O(k log k) sort, dominating per-row CPU on token-rich docs
+        val ordered = counts.toArray
+          .map { case (t, c) =>
+            (t.getBytes(java.nio.charset.StandardCharsets.UTF_8), c)
+          }
+          .sortWith((a, b) => compareUtf8(a._1, b._1) < 0)
         var h = 0.0
         ordered.foreach { case (_, c) =>
           val p = c.toDouble / n
@@ -191,6 +196,9 @@ object Quality {
                    n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // materialized once: the df-frequency aggregate and the join probe
+    // side both consume this, and the md5 shingling pass is the dominant
+    // cost — without the checkpoint it runs twice over the corpus
     val posts = df.select(col(idCol).cast("long"), col(textCol))
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
@@ -198,6 +206,7 @@ object Quality {
         Dedup.shingleSet(text, n).iterator.map(s => (id, Dedup.md5Hash60(s)))
       }
       .toDF("doc_id", "h")
+      .localCheckpoint()
     val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
     posts.join(dfreq, "h")
       .groupBy("doc_id")

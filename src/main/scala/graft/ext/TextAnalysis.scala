@@ -70,9 +70,12 @@ object TextAnalysis {
   def cjkCount(text: Column): Column =
     length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("long")
 
-  /** N-gram/marker heuristic language ID. Deterministic argmax with a fixed
-    * tiebreak order (zh by charset ratio, then de > es > fr > en), so a SQL
-    * oracle can reproduce the decision exactly.
+  /** N-gram/marker heuristic language ID. Deterministic argmax: zh by
+    * charset ratio; otherwise a language wins only with a STRICTLY
+    * greater marker count than every later-checked language, so equal
+    * counts resolve toward the END of the chain (es over de, fr over
+    * es/de, en over all) — exactly the decision table the SQL oracle and
+    * the native expression reproduce.
     */
   def langId(text: Column): Column = {
     val cEn = markerCount(text, profiles("en"))
@@ -101,10 +104,14 @@ object TextAnalysis {
     markerCount(text, profiles.values.flatten.toSeq.distinct).cast("double") /
       size(tokens(text)).cast("double")
 
-  /** Punctuation/symbol character ratio. */
+  /** Punctuation/symbol character ratio; empty text is 0.0 (a bare
+    * division would give 0.0/0.0 = NaN, and NaN poisons qualityScore's
+    * documented [0,1] range — every threshold comparison goes false).
+    */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
-      length(text).cast("double")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
 
   /** Composite quality score in [0,1]: stopword presence, low punctuation
     * noise, and reasonable mean token length. The exact weights are not the

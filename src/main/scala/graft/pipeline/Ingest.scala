@@ -15,8 +15,15 @@ import graft.store.{ObjectStore, TableStore}
   * documents/chunks tables, then element iteration → PNG render → object
   * store → chart rows. Batch (`ingest`) and Structured Streaming
   * (`ingestStream`, replacing the reference's watchdog observer
-  * main.py:154-159 with the checkpointed file source — an at-least-once →
-  * exactly-once upgrade, SURVEY §7.4.5).
+  * main.py:154-159 with the checkpointed file source — exactly-once FILE
+  * DISCOVERY vs the reference's at-least-once watcher, SURVEY §7.4.5).
+  *
+  * Delivery contract for the WRITES: foreachBatch re-delivers the last
+  * batch after a restart, so a committed-batch marker skips fully
+  * replayed batches; a crash mid-batch can leave partial appends that
+  * the replay would duplicate — run streams with
+  * `dedupByContent = true` (content-sha dedup) to close that window, or
+  * accept the reference's own at-least-once behavior without it.
   *
   * Scale design: parse/chunk/NER/render are all per-document computations
   * performed inside `mapPartitions`/`flatMap`, so the heavy path has ZERO
@@ -124,8 +131,21 @@ final class IngestPipeline(
     bin.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBinary(batch, now()); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: foreachBatch delivers at-least-once — after a
+        // crash the last batch re-arrives even if its writes completed.
+        // A batch whose marker committed is skipped wholesale, making the
+        // common full-replay case exactly-once; a crash MID-batch can
+        // still duplicate that batch's partial appends unless
+        // dedupByContent is on (see the class doc's delivery-contract
+        // note). Marker written AFTER all of ingestBinary's writes.
+        val last = tables.getTableProp("documents", "last_batch").map(_.toLong)
+        if (!last.exists(_ >= batchId)) {
+          ingestBinary(batch, now())
+          if (tables.exists("documents"))
+            tables.setTableProp("documents", "last_batch", batchId.toString)
+        }
+        ()
       }
       .start()
   }

@@ -26,13 +26,15 @@ object Audit {
             objects: ObjectStore): DataFrame = {
     import spark.implicits._
 
+    // shared inputs are cached for the audit's lifetime: documents feeds
+    // ~6 checks, the object listing 2, and document_chunks — typically
+    // the LARGEST table — 5; re-reading any of them per check would
+    // multiply the audit's dominant scan/LIST cost by the check count
+    val cached = scala.collection.mutable.Map.empty[String, DataFrame]
     def cnt(df: => DataFrame): Long = df.count()
     def ifTable(name: String)(body: DataFrame => Long): Long =
-      if (tables.exists(name)) body(tables.read(name)) else 0L
-
-    // shared inputs are cached for the audit's lifetime: documents feeds
-    // ~6 checks and the object listing feeds 2 — at corpus scale the
-    // object-store LIST alone dominates, and must not be paid twice
+      if (!tables.exists(name)) 0L
+      else body(cached.getOrElseUpdate(name, tables.read(name).cache()))
     val docs = (if (tables.exists("documents")) tables.read("documents")
                 else Seq.empty[(Long, String, Long)]
                   .toDF("id", "filename", "total_chunks")).cache()
@@ -64,7 +66,8 @@ object Audit {
     results += "total_chunks_mismatch" -> {
       val actual =
         if (tables.exists("document_chunks"))
-          tables.read("document_chunks")
+          cached.getOrElseUpdate("document_chunks",
+            tables.read("document_chunks").cache())
             .groupBy(col("document_id")).agg(count(lit(1)).as("actual"))
         else Seq.empty[(Long, Long)].toDF("document_id", "actual")
       cnt(docs.join(actual, docs("id") === actual("document_id"), "left_outer")
@@ -134,6 +137,7 @@ object Audit {
     } finally {
       docs.unpersist()
       keys.unpersist()
+      cached.values.foreach(_.unpersist())
     }
   }
 }
