@@ -266,6 +266,18 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(!flags.exists(_._1 == idOf("fresh.pdf")), s"$flags")
     // the index now covers both batches (3 docs x 8 bands)
     assert(tables.read("minhash_bands").count() == 24)
+
+    // cascade: deleting a document removes its band rows AND any flags
+    // referencing it in either role — the audit stays clean after a
+    // routine delete, and future batches can't flag against a ghost
+    new graft.serve.DocumentStore(spark, tables, objects)
+      .deleteDocument(idOf("base.pdf"))
+    assert(tables.read("minhash_bands")
+      .filter(col("doc_id") === idOf("base.pdf")).count() == 0)
+    assert(tables.read("near_dup_flags")
+      .filter(col("new_id") === idOf("base.pdf") ||
+        col("indexed_id") === idOf("base.pdf")).count() == 0)
+    assert(tables.read("minhash_bands").count() == 16) // two docs remain
   }
 
   test("non-pdf files are filtered at the source (F4, main.py:48)") {

@@ -44,6 +44,9 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     assert(docs.count() == 2)
     // exactly-once: no duplicate filenames even though first.pdf still exists
     assert(docs.select("filename").distinct().count() == 2)
+    // the replay guard's committed-batch marker advanced with the stream:
+    // a crash-replayed batch at-or-below it is skipped wholesale
+    assert(tables.getTableProp("documents", "last_batch").exists(_.toLong >= 0L))
   }
 
   test("archiveDir moves processed files out of the inbox (S14 parity)") {
