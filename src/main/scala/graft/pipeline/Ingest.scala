@@ -25,6 +25,14 @@ import graft.store.{ObjectStore, TableStore}
   * `dedupByContent = true` (content-sha dedup) to close that window, or
   * accept the reference's own at-least-once behavior without it.
   *
+  * The marker is scoped to the CHECKPOINT's identity (the query id Spark
+  * persists in `<checkpoint>/metadata`), because batch ids restart at 0
+  * whenever an operator points ingestion at a fresh checkpoint dir — an
+  * unscoped high-water mark would then silently skip every batch until
+  * the new numbering caught up (data loss with no error). A marker from
+  * a different checkpoint is ignored: the fresh stream REPLAYS, which is
+  * the safe direction (at-least-once; `dedupByContent` de-duplicates).
+  *
   * Scale design: parse/chunk/NER/render are all per-document computations
   * performed inside `mapPartitions`/`flatMap`, so the heavy path has ZERO
   * shuffles — chunk ordinals and per-type chart counters are computed
@@ -63,6 +71,36 @@ object IngestPipeline {
     */
   def chunkBucket(documentId: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(documentId), lit(buckets.toLong))
+
+  /** Identity of a streaming checkpoint: the query id Structured Streaming
+    * persists in `<checkpoint>/metadata` at query start. Stable across
+    * restarts on the same checkpoint; fresh for a new (or wiped) one —
+    * even at the same path, because Spark mints a new UUID. Falls back to
+    * a hash of the qualified path if the metadata is unreadable (then a
+    * wiped-in-place checkpoint looks identical — still strictly safer
+    * than the unscoped marker this replaces).
+    */
+  private[pipeline] def checkpointIdentity(spark: SparkSession, checkpointDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    def pathHash = {
+      val qualified = p.getFileSystem(conf).makeQualified(p).toString
+      java.lang.Long.toHexString(
+        java.util.Arrays.hashCode(qualified.getBytes("UTF-8")).toLong & 0xffffffffL)
+    }
+    try {
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) pathHash
+      else {
+        val in = f.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(content)
+          .map(_.group(1)).getOrElse(pathHash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => pathHash }
+  }
 }
 
 /** Chunk + NER payload computed per document (E7, pdf_parser.py:188-199).
@@ -128,6 +166,9 @@ final class IngestPipeline(
       reader.option("cleanSource", "archive").option("sourceArchiveDir", dir)
     }
     val bin = reader.load(inputDir)
+    // resolved on the driver at first use, once per query run: Spark has
+    // written `<checkpoint>/metadata` by the time any batch executes
+    lazy val ckptId = IngestPipeline.checkpointIdentity(spark, checkpointDir)
     bin.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -139,11 +180,21 @@ final class IngestPipeline(
         // still duplicate that batch's partial appends unless
         // dedupByContent is on (see the class doc's delivery-contract
         // note). Marker written AFTER all of ingestBinary's writes.
-        val last = tables.getTableProp("documents", "last_batch").map(_.toLong)
-        if (!last.exists(_ >= batchId)) {
+        //
+        // Batch ids are only comparable WITHIN one checkpoint, so the
+        // marker carries the checkpoint identity; a marker written under
+        // a different checkpoint (or the pre-identity legacy bare-long
+        // form) never suppresses a batch (see the class doc).
+        val skip = tables.getTableProp("documents", "last_batch").exists {
+          _.split(":", 2) match {
+            case Array(id, b) if id == ckptId => b.toLong >= batchId
+            case _                            => false
+          }
+        }
+        if (!skip) {
           ingestBinary(batch, now())
           if (tables.exists("documents"))
-            tables.setTableProp("documents", "last_batch", batchId.toString)
+            tables.setTableProp("documents", "last_batch", s"$ckptId:$batchId")
         }
         ()
       }

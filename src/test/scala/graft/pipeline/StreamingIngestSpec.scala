@@ -45,8 +45,79 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     // exactly-once: no duplicate filenames even though first.pdf still exists
     assert(docs.select("filename").distinct().count() == 2)
     // the replay guard's committed-batch marker advanced with the stream:
-    // a crash-replayed batch at-or-below it is skipped wholesale
-    assert(tables.getTableProp("documents", "last_batch").exists(_.toLong >= 0L))
+    // a crash-replayed batch at-or-below it is skipped wholesale. The
+    // marker is checkpoint-scoped (`<checkpointId>:<batchId>`).
+    val marker = tables.getTableProp("documents", "last_batch")
+    assert(marker.exists(_.split(":", 2) match {
+      case Array(id, b) => id.nonEmpty && b.toLong >= 0L
+      case _            => false
+    }), s"marker=$marker")
+  }
+
+  test("crash-replay of a committed batch on the SAME checkpoint is exactly-once") {
+    val inbox = tmpDir("replay-inbox")
+    val root = tmpDir("replay-store")
+    val checkpoint = s"$root/checkpoint"
+    Files.write(Paths.get(inbox, "only.pdf"),
+      "Intro:\nReplayed body text.\n".getBytes(StandardCharsets.UTF_8))
+
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects, ProcessingConfig())
+
+    val q1 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q1.awaitTermination()
+    val docsAfter = tables.read("documents").count()
+    val chunksAfter = tables.read("document_chunks").count()
+    assert(docsAfter == 1 && chunksAfter > 0)
+
+    // simulate a crash AFTER the writes but BEFORE Spark recorded the
+    // batch commit: delete the commits-log entry so the restarted query
+    // re-delivers batch 0 through foreachBatch (the at-least-once window
+    // the marker exists to close)
+    val commit0 = Paths.get(checkpoint, "commits", "0")
+    assert(Files.deleteIfExists(commit0), s"expected a commit log at $commit0")
+    // the checksummed local FS keeps a `.0.crc` sidecar — leaving it
+    // behind makes the replayed commit write fail as a (spurious)
+    // concurrent-modification; a real crash loses both together
+    Files.deleteIfExists(Paths.get(checkpoint, "commits", ".0.crc"))
+
+    val q2 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q2.awaitTermination()
+    assert(tables.read("documents").count() == docsAfter,
+      "replayed batch must not duplicate documents rows")
+    assert(tables.read("document_chunks").count() == chunksAfter,
+      "replayed batch must not duplicate chunk rows")
+  }
+
+  test("a fresh checkpoint dir replays instead of silently skipping batches") {
+    val inbox = tmpDir("fresh-ckpt-inbox")
+    val root = tmpDir("fresh-ckpt-store")
+    Files.write(Paths.get(inbox, "first.pdf"),
+      "Intro:\nOriginal body text.\n".getBytes(StandardCharsets.UTF_8))
+
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    // content dedup keeps the deliberate replay from duplicating first.pdf
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(dedupByContent = true))
+
+    val q1 = pipe.ingestStream(inbox, s"$root/ckpt-a", Trigger.AvailableNow(), () => now)
+    q1.awaitTermination()
+    assert(tables.read("documents").count() == 1)
+
+    // an operator re-points ingestion at a NEW checkpoint dir — batch ids
+    // restart at 0, and the source re-discovers the whole inbox plus one
+    // new file. Under the old unscoped marker (last_batch >= 0) this
+    // batch was silently dropped; the checkpoint-scoped marker replays it.
+    Files.write(Paths.get(inbox, "second.pdf"),
+      "Notes:\nBrand new body text.\n".getBytes(StandardCharsets.UTF_8))
+    val q2 = pipe.ingestStream(inbox, s"$root/ckpt-b", Trigger.AvailableNow(), () => now)
+    q2.awaitTermination()
+
+    val docs = tables.read("documents")
+    assert(docs.count() == 2, "the new file must land despite the stale marker")
+    assert(docs.select("filename").distinct().count() == 2)
   }
 
   test("archiveDir moves processed files out of the inbox (S14 parity)") {
