@@ -30,7 +30,10 @@ class ChunkBucketPruning(spark: SparkSession)
   // session pruning with the stale count would silently filter out every
   // row — the TTL bounds that exposure to seconds at the cost of one tiny
   // sidecar read per table per TTL window.
-  private val markerTtlNanos = 30L * 1000 * 1000 * 1000
+  // same knob as DocumentStore's marker cache, so one conf governs every
+  // stale-marker exposure window in the session
+  private def markerTtlNanos: Long =
+    spark.conf.get("spark.graft.bucketMarkerTtlMs", "30000").toLong * 1000000L
   private val markerCache =
     scala.collection.concurrent.TrieMap.empty[String, (Option[Long], Long)]
 

@@ -181,6 +181,30 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(tables.getTableProp("document_chunks", "buckets").contains("8"))
   }
 
+  test("a live store picks up a re-bucketed table within the marker TTL") {
+    val (store, tables, _, _) = fixture()
+    val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
+    assert(store.getChunks(id1).count() == 3) // marker (16) now cached
+
+    // full-table rewrite under a NEW modulus — the one legitimate way to
+    // change the bucket convention (Ingest class doc): recompute every
+    // row's bucket, swap atomically, update the marker
+    val rebucketed = tables.read("document_chunks").drop("doc_bucket")
+      .withColumn("doc_bucket",
+        IngestPipeline.chunkBucket(col("document_id"), 4))
+    tables.overwriteAtomic("document_chunks", rebucketed, Seq("doc_bucket"))
+    tables.setTableProp("document_chunks", "buckets", "4")
+
+    // TTL 0 = always revalidate (the test can't wait 30 s); the SAME
+    // live store instance must serve complete results under the new
+    // modulus — a forever-cache would prune bucket-16 and return empty
+    val prevTtl = spark.conf.get("spark.graft.bucketMarkerTtlMs", "30000")
+    spark.conf.set("spark.graft.bucketMarkerTtlMs", "0")
+    try assert(store.getChunks(id1).count() == 3,
+      "stale cached bucket count must not empty out a re-bucketed read")
+    finally spark.conf.set("spark.graft.bucketMarkerTtlMs", prevTtl)
+  }
+
   test("ChunkBucketPruning injects the bucket predicate for bare document_id filters") {
     val (store, tables, _, _) = fixture()
     val id1 = store.documents.orderBy("id").collect().head.getAs[Long]("id")
