@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions.col
   * Malformed numeric query params return 422 with a FastAPI-shaped
   * validation body (the same contract the reference's framework emits for
   * a bad path/query type), never a 500; uploads larger than
-  * `maxUploadBytes` return 413 instead of buffering unbounded driver
-  * memory (the raw fallback streams to disk and never buffers at all).
+  * `maxUploadBytes` return 413. NEITHER upload path buffers the body in
+  * driver heap: the raw fallback streams to the staging file, and the
+  * multipart path spools to a temp file and boundary-scans a read-only
+  * memory-mapped view (page cache, not heap) — per-request heap cost is
+  * one 8 KiB copy buffer, so the pool-wide bound is threads × 8 KiB, not
+  * threads × maxUploadBytes.
   *
   * Serving scale note: every handler collects a POINT-SHAPED or
   * paginated result (one document, one chart, one bounded page) — the
@@ -144,17 +148,39 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         case None =>
           badRequest(ex, "multipart/form-data boundary parameter missing")
         case Some(boundary) =>
-          readBounded(ex.getRequestBody) match {
-            case None => tooLarge(ex)
-            case Some(body) =>
-              Multipart.firstFilePart(body, boundary) match {
-                case None =>
-                  badRequest(ex, "no file part found in multipart body")
-                case Some(part) => saveUpload(ex, part.filename) { target =>
-                  java.nio.file.Files.write(target, part.bytes); ()
+          // spool the body to disk FIRST (8 KiB heap regardless of body
+          // size), then boundary-scan a read-only mapped view — the whole
+          // request never lands in driver heap, so N concurrent uploads
+          // cost N×8 KiB, not N×maxUploadBytes
+          val spool = java.nio.file.Files.createTempFile("graft-upload-", ".spool")
+          try {
+            if (!copyBounded(ex.getRequestBody, spool)) tooLarge(ex)
+            else {
+              val ch = java.nio.channels.FileChannel.open(spool,
+                java.nio.file.StandardOpenOption.READ)
+              try {
+                val mapped = ch.map(
+                  java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
+                Multipart.firstFilePartRange(
+                    new Multipart.BufferBytes(mapped), boundary) match {
+                  case None =>
+                    badRequest(ex, "no file part found in multipart body")
+                  case Some(part) => saveUpload(ex, part.filename) { target =>
+                    val out = java.nio.channels.FileChannel.open(target,
+                      java.nio.file.StandardOpenOption.CREATE,
+                      java.nio.file.StandardOpenOption.WRITE,
+                      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+                    try {
+                      var pos = part.from.toLong
+                      val end = part.until.toLong
+                      while (pos < end)
+                        pos += ch.transferTo(pos, end - pos, out)
+                    } finally out.close()
+                  }
                 }
-              }
-          }
+              } finally ch.close()
+            }
+          } finally java.nio.file.Files.deleteIfExists(spool)
       }
     } else query.get("filename").filter(_.nonEmpty) match {
       // compatibility fallback: raw body + filename query param
@@ -214,19 +240,6 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         java.nio.file.Files.deleteIfExists(tmp)
       }
     }
-  }
-
-  /** Read at most `maxUploadBytes`; `None` if the stream holds more. */
-  private def readBounded(in: InputStream): Option[Array[Byte]] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) {
-      out.write(buf, 0, n)
-      if (out.size() > maxUploadBytes) return None
-      n = in.read(buf)
-    }
-    Some(out.toByteArray)
   }
 
   /** Stream the body straight to `target` (never buffered in driver
@@ -371,9 +384,11 @@ object HttpShim {
   * test client) put on the wire for `POST /documents/upload`
   * (api.py:71-85): optional preamble, any number of parts delimited by
   * `--boundary` lines, a `--boundary--` close, optional epilogue. Returns
-  * the first part whose `Content-Disposition` carries a `filename`
-  * (FastAPI's `UploadFile` field). Part payloads are byte-preserved —
-  * binary documents round-trip exactly.
+  * the RANGE of the first part whose `Content-Disposition` carries a
+  * `filename` (FastAPI's `UploadFile` field) — the caller copies those
+  * bytes with a channel transfer, so the payload is byte-preserved and
+  * never materialized in heap. The scan reads through [[Bytes]], letting
+  * the server hand in a memory-mapped spool file instead of an array.
   *
   * Cost note: the delimiter scan is a straightforward O(body × |boundary|)
   * byte search, bounded by the shim's body cap; the server binds loopback
@@ -382,7 +397,25 @@ object HttpShim {
   */
 private[serve] object Multipart {
 
-  final case class FilePart(name: String, filename: String, bytes: Array[Byte])
+  /** Random-access byte view — the one abstraction both an in-heap array
+    * (tests) and a mapped spool file (server) satisfy. Mapped buffers cap
+    * at 2 GiB, comfortably above the shim's upload cap.
+    */
+  sealed trait Bytes { def length: Int; def apply(i: Int): Byte }
+  final class ArrayBytes(a: Array[Byte]) extends Bytes {
+    def length: Int = a.length
+    def apply(i: Int): Byte = a(i)
+  }
+  final class BufferBytes(b: java.nio.ByteBuffer) extends Bytes {
+    def length: Int = b.limit()
+    def apply(i: Int): Byte = b.get(i)
+  }
+
+  /** First file part's payload as byte offsets `[from, until)` into the
+    * scanned body, plus its Content-Disposition attributes.
+    */
+  final case class PartRange(name: String, filename: String,
+                             from: Int, until: Int)
 
   /** Extract the boundary parameter from a Content-Type header value. */
   def boundaryOf(contentType: String): Option[String] =
@@ -394,7 +427,7 @@ private[serve] object Multipart {
         else raw
     }.filter(_.nonEmpty)
 
-  def firstFilePart(body: Array[Byte], boundary: String): Option[FilePart] = {
+  def firstFilePartRange(body: Bytes, boundary: String): Option[PartRange] = {
     val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
     // A real delimiter line starts the body or follows a CRLF and is
     // terminated by optional transport padding (SP/HT) + CRLF, or by
@@ -431,21 +464,25 @@ private[serve] object Multipart {
   /** One part: `headers CRLF CRLF payload`, payload = bytes [dataFrom,
     * dataUntil) with the header block carved off the front.
     */
-  private def parsePart(body: Array[Byte], from: Int,
-                        until: Int): Iterator[FilePart] = {
+  private def parsePart(body: Bytes, from: Int,
+                        until: Int): Iterator[PartRange] = {
     if (until <= from) return Iterator.empty
     val headerEnd = indexOfFrom(body,
       "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1), from, until)
     if (headerEnd < 0 || headerEnd + 4 > until) return Iterator.empty
-    val headers = new String(body, from, headerEnd - from,
-      StandardCharsets.ISO_8859_1)
+    // header block is tiny (a few Content-* lines) — the only bytes this
+    // scan ever copies into heap; ISO_8859_1 maps bytes to chars 1:1
+    val headerBytes = new Array[Byte](headerEnd - from)
+    var i = 0
+    while (i < headerBytes.length) { headerBytes(i) = body(from + i); i += 1 }
+    val headers = new String(headerBytes, StandardCharsets.ISO_8859_1)
     val disposition = headers.split("\r\n")
       .find(_.toLowerCase.startsWith("content-disposition:"))
       .getOrElse("")
     (attr(disposition, "filename"), attr(disposition, "name")) match {
       case (Some(filename), name) =>
-        Iterator.single(FilePart(name.getOrElse(""), filename,
-          java.util.Arrays.copyOfRange(body, headerEnd + 4, until)))
+        Iterator.single(PartRange(name.getOrElse(""), filename,
+          headerEnd + 4, until))
       case _ => Iterator.empty
     }
   }
@@ -462,7 +499,7 @@ private[serve] object Multipart {
       .orElse(bare.findFirstMatchIn(header).map(_.group(1)))
   }
 
-  private def occurrences(haystack: Array[Byte],
+  private def occurrences(haystack: Bytes,
                           needle: Array[Byte]): List[Int] = {
     val found = List.newBuilder[Int]
     var i = indexOfFrom(haystack, needle, 0, haystack.length)
@@ -473,7 +510,7 @@ private[serve] object Multipart {
     found.result()
   }
 
-  private def indexOfFrom(haystack: Array[Byte], needle: Array[Byte],
+  private def indexOfFrom(haystack: Bytes, needle: Array[Byte],
                           from: Int, until: Int): Int = {
     var i = from
     val last = until - needle.length
