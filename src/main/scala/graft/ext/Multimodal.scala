@@ -65,6 +65,18 @@ object Multimodal {
     imageDims(bytes) match {
       case Some((w, h)) => MediaMeta("image", w, h, 0, bytes.length.toLong)
       case None =>
+        // magic check FIRST, against at most 5 bytes: real audio/video
+        // payloads (MP3/MP4/WAV/...) must fail loudly and cheaply here —
+        // never scanned, never materialized as a string, never a silent
+        // null — with an error that names the plug point to fix it
+        val magic = "GMM1|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val isStubContainer = bytes.length >= magic.length &&
+          magic.indices.forall(i => bytes(i) == magic(i))
+        if (!isStubContainer) throw new IllegalArgumentException(
+          s"cannot decode ${bytes.length}-byte payload: not a JDK-decodable " +
+            "image (PNG/JPEG/GIF/BMP/WBMP) and not a GMM1 stub container. " +
+            "Real audio/video decoding needs a production codec plugged in " +
+            "at the decodeHeader boundary (README: Production codec boundaries)")
         val headEnd = {
           var i = 0; var bars = 0
           while (i < bytes.length && bars < 5) { if (bytes(i) == '|') bars += 1; i += 1 }
@@ -72,10 +84,15 @@ object Multimodal {
         }
         val head = new String(bytes, 0, headEnd, java.nio.charset.StandardCharsets.US_ASCII)
         val parts = head.split('|')
-        require(parts(0) == "GMM1", s"not a decodable image or GMM1 container")
+        require(bars(head) == 5 && parts.length >= 5 &&
+          parts(2).toIntOption.isDefined && parts(3).toIntOption.isDefined &&
+          parts(4).toIntOption.isDefined,
+          s"malformed GMM1 container header: ${head.take(64)}")
         MediaMeta(parts(1), parts(2).toInt, parts(3).toInt, parts(4).toInt,
           (bytes.length - headEnd).toLong)
     }
+
+  private def bars(s: String): Int = s.count(_ == '|')
 
   /** Decode a DataFrame of (`media_id` long, `content` binary) into typed
     * metadata rows. mapPartitions keeps one (stub) codec per partition and

@@ -38,6 +38,10 @@ object Audit {
     val docs = (if (tables.exists("documents")) tables.read("documents")
                 else Seq.empty[(Long, String, Long)]
                   .toDF("id", "filename", "total_chunks")).cache()
+    // seed the map with the already-cached frame so a check reaching
+    // documents via ifTable shares docs' one cache entry instead of
+    // caching a second copy of the audit's widest-fanout table
+    if (tables.exists("documents")) cached.update("documents", docs)
     val docIds = docs.select(col("id"))
     val keys = objects.listKeys().cache()
 

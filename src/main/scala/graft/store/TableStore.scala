@@ -90,14 +90,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * filesystems; on object stores, swap the pointer in a manifest
     * instead — same discipline, different primitive).
     *
-    * `_graft_*` sidecar props are copied INTO the temp dir before the
-    * swap, so they travel with the data rename — a crash at any point
-    * leaves either the old table (props intact) or the new one (props
-    * intact), never a table stripped of its layout metadata. The swap
+    * Crash-safety contract (verified by the StoresSpec crash-point
+    * property test via [[failpoint]]): a crash at ANY point leaves the
+    * table readable as fully-old or fully-new rows — never a mixture,
+    * never a half-written file set — because the only path readers see
+    * changes solely via whole-directory renames. `_graft_*` sidecar
+    * props are copied INTO the temp dir before the swap, so they travel
+    * with the data rename — old table ⇒ props intact, new table ⇒ props
+    * intact, never a table stripped of its layout metadata. The swap
     * itself is two renames, so there is an instant where the table path
     * does not exist; under the single-writer contract a concurrent
     * reader can transiently fail there (retryable), and a crash INSIDE
     * the window leaves the data recoverable in the `.old-*` sibling.
+    * Stranded `.tmp-*` / `.old-*` siblings are invisible to `read`
+    * (distinct directory names) and are garbage, not corruption.
     */
   def overwriteAtomic(table: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {
@@ -112,15 +118,26 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    failpoint("tmp-written")
     val f = fs
     if (f.exists(dest) && !f.rename(dest, old))
       throw new java.io.IOException(s"swap failed for $table")
+    failpoint("old-aside")
     if (!f.rename(tmp, dest)) {
       f.rename(old, dest) // roll back
       throw new java.io.IOException(s"swap failed for $table")
     }
+    failpoint("swapped")
     f.delete(old, true)
   }
+
+  /** Crash-injection seam for the swap's property test: called at the
+    * named points of the two-rename commit; a production store never
+    * assigns it, so it stays a no-op. Deterministic injection is the only
+    * way to pin the fully-old-or-fully-new contract — real filesystem
+    * fault timing isn't reproducible in CI.
+    */
+  private[store] var failpoint: String => Unit = _ => ()
 
   /** M1 — partial update by predicate (base.py:38-52): copy-on-write
     * column rewrite. `assignments` are applied only where `cond` holds;

@@ -44,6 +44,53 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(rows == Seq("b", "orphan")) // NULL-id row survives
   }
 
+  test("a crash at ANY swap point leaves the table fully-old or fully-new") {
+    import spark.implicits._
+    val oldRows = Set((1L, "a"), (2L, "b"))
+    val newRows = Set((10L, "x"), (11L, "y"), (12L, "z"))
+    def snapshot(ts: TableStore): Set[(Long, String)] =
+      ts.read("t").as[(Long, String)].collect().toSet
+
+    final class Boom extends RuntimeException("injected crash")
+    // one fresh store per crash point: a stranded .tmp-/.old- sibling from
+    // an earlier injection must not leak into the next scenario
+    for (crashAt <- Seq("tmp-written", "old-aside", "swapped")) {
+      val root = tmpDir(s"tables-crash-$crashAt")
+      val ts = new TableStore(spark, root)
+      ts.append("t", oldRows.toSeq.toDF("id", "v"))
+      ts.setTableProp("t", "buckets", "16")
+      ts.failpoint = at => if (at == crashAt) throw new Boom
+      intercept[Boom] {
+        ts.overwriteAtomic("t", newRows.toSeq.toDF("id", "v"))
+      }
+      ts.failpoint = _ => ()
+
+      crashAt match {
+        case "tmp-written" =>
+          // nothing renamed yet: readers still see the old table, props
+          // untouched; the half-committed data sits only in .tmp-*
+          assert(snapshot(ts) == oldRows, s"[$crashAt] expected all-old")
+          assert(ts.getTableProp("t", "buckets").contains("16"))
+        case "old-aside" =>
+          // inside the two-rename window: the table path is ABSENT (a
+          // retryable read failure, per the scaladoc), and the complete
+          // old table — props included — is recoverable in .old-*
+          assert(!ts.exists("t"), s"[$crashAt] table path should be absent")
+          val oldDir = new java.io.File(root).listFiles()
+            .map(_.getName).filter(_.startsWith("t.old-")).toSeq
+          assert(oldDir.size == 1, s"[$crashAt] expected one .old-* sibling")
+          val rescued = new TableStore(spark, root)
+          assert(rescued.read(oldDir.head).as[(Long, String)]
+            .collect().toSet == oldRows, s"[$crashAt] .old-* must be all-old")
+          assert(rescued.getTableProp(oldDir.head, "buckets").contains("16"))
+        case "swapped" =>
+          // commit point passed: fully-new, props traveled with the swap
+          assert(snapshot(ts) == newRows, s"[$crashAt] expected all-new")
+          assert(ts.getTableProp("t", "buckets").contains("16"))
+      }
+    }
+  }
+
   test("empty partitioned append is a no-op and never poisons the table") {
     import spark.implicits._
     val ts = new TableStore(spark, tmpDir("tables"))
@@ -144,10 +191,16 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
       graft.pipeline.ProcessingConfig(flagNearDups = true))
     pipe.ingest(inbox, java.sql.Timestamp.valueOf("2026-01-15 08:30:00"))
 
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val healthy = Audit.check(spark, tables, objects)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(healthy.values.forall(_ == 0L), s"unexpected violations: $healthy")
     assert(healthy.size == 15)
+    // the audit caches its shared inputs (documents seeded into the same
+    // map ifTable uses — one entry per table, never two) and must release
+    // every one of them on the way out
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"audit leaked cached RDDs: $leaked")
 
     // corrupt: orphan chunk row + delete a stored blob + orphan blob
     tables.appendPartitioned("document_chunks",
