@@ -160,37 +160,132 @@ object GlobalOrder {
   }
 
   /** SERIAL-parity dense ids (`base+1, base+2, ...` in `sortCols` order)
-    * WITHOUT the one-task funnel of `row_number().over(Window.orderBy)`:
-    * a balanced range repartition gives a total order across partitions,
-    * `zipWithIndex` assigns per-partition offsets (one lightweight
-    * count-per-partition job — Spark's cumulative-offset primitive), and
-    * every partition stamps its rows in parallel.
+    * WITHOUT the one-task funnel of `row_number().over(Window.orderBy)`,
+    * and without the earlier `rdd.zipWithIndex` round-trip (which
+    * deserialized every row out of Tungsten format and back).
     *
-    * The ids do not depend on where the range sampler places partition
-    * boundaries: boundaries only move rows between partitions, never
-    * change the total order, so the assignment is deterministic — PROVIDED
-    * `sortCols` is a unique key (duplicate sort keys would make the order
-    * among equals placement-dependent). Ingest uses file path and
-    * (document_id, chunk_index), both unique.
+    * Same two-level scheme as [[rankByHexKey]]/[[Packing.packSequences]],
+    * generalised to arbitrary orderable sort keys: bucket boundaries are
+    * SAMPLED ONCE to the driver (one slim per-partition-top-k pass over
+    * the sort keys, ≤16k rows collected) and embedded in the plan as
+    * LITERALS, so the per-row bucket assignment is pure literal
+    * comparison — deterministic on every evaluation by construction.
+    * A partition-id scheme (`spark_partition_id` over a range exchange)
+    * is NOT used deliberately: the tiny counts branch and the stamping
+    * branch are separate subtrees after optimization, and column pruning
+    * / AQE coalescing / round-robin upstream exchanges can each give the
+    * two branches different physical layouts — boundary literals cannot
+    * diverge. Then, as in the siblings:
+    *
+    *   1. one tiny aggregate (≤buckets rows, map-side combined) counts
+    *      rows per bucket; an in-plan prefix sum over that frame turns
+    *      counts into per-bucket base offsets, broadcast-joined back;
+    *   2. a window partitioned BY BUCKET ranks within buckets in
+    *      parallel — id = base + 1 + bucketBase + (rank - 1).
+    *
+    * Bucket-order correctness does not depend on the sample or even on
+    * the driver's sort of it: bucket(key) = #{boundaries < key} is
+    * monotone in the engine's key order for ANY fixed boundary set, so a
+    * skewed sample only unbalances bucket sizes, never the id order.
+    * The standing sibling preconditions apply: `df` must evaluate
+    * deterministically (same multiset of rows on every evaluation — the
+    * ingest call sites pass checkpointed/persisted frames) and
+    * `sortCols` must be a unique key (duplicate keys would make the
+    * order among equals nondeterministic). Sort keys must be atomic
+    * orderable types (string/numeric/date/timestamp — what SERIAL-parity
+    * keys are in practice); a bucket of more than 2^31 rows fails loudly
+    * rather than silently wrapping `row_number`.
+    *
+    * @param numPartitions fan-out of the within-bucket ranking (default
+    *   `spark.sql.shuffle.partitions`, capped at 256 like
+    *   [[rankByHexKey]] — boundary literals are compared per row, so the
+    *   chain is kept codegen-sized)
     */
   def denseIds(df: DataFrame, sortCols: Seq[Column], idName: String,
                base: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty, "denseIds needs >=1 sort column")
     require(!df.columns.exists(_.equalsIgnoreCase(idName)),
       s"denseIds adds '$idName'; rename the existing column")
-    val spark = df.sparkSession
-    // default: let AQE size the range exchange (a small batch coalesces,
-    // a huge one fans out); ids are identical either way
-    val ranged = numPartitions.fold(df.repartitionByRange(sortCols: _*))(
-      n => df.repartitionByRange(n, sortCols: _*))
-    val sorted = ranged.sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema
-      .add(idName, org.apache.spark.sql.types.LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + 1L + i))
+    val bucketC = Cols.fresh(df, "_go_bucket")
+    val cntC = Cols.fresh(df, "_go_cnt")
+    val baseC = Cols.fresh(df, "_go_base")
+    val nB = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .max(1).min(256)
+
+    // ---- boundary sample: per-partition top-k on a random key, merged
+    // on the driver — one slim scan, O(sample) driver memory, no count()
+    // pre-pass. rand() is evaluated exactly once (collected), so its
+    // nondeterminism never reaches the bucket assignment.
+    val rC = Cols.fresh(df, "_go_r")
+    val sampleN = math.max(nB * 64, 1024)
+    val sample = df.select(sortCols: _*).withColumn(rC, rand(42))
+      .orderBy(col(rC)).limit(sampleN).drop(rC).collect()
+    val width = math.max(1, sample.length / nB)
+    val boundaries = sample.sorted(rowOrdering(sortCols.length))
+      .zipWithIndex.collect { case (r, i) if i % width == width - 1 => r }
+      .take(nB - 1)
+
+    // bucket = #{boundaries < key}: a flat sum of literal lexicographic
+    // comparisons (null keys sort first, as in the engine's ordering)
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      val gt = sortCols.zipWithIndex.foldRight(lit(false)) {
+        case ((c, i), rest) =>
+          val v = b.get(i)
+          val (g, e) =
+            if (v == null) (c.isNotNull, c.isNull)
+            else (c > lit(v), c <=> lit(v))
+          g || (e && rest)
+      }
+      acc + when(coalesce(gt, lit(false)), 1).otherwise(0)
     }
-    spark.createDataFrame(indexed, schema)
+    val marked = df.withColumn(bucketC, bucket)
+
+    // tiny frame: one row per non-empty bucket; in-plan prefix sum (one
+    // window task over ≤nB rows), broadcast back — single action total
+    val counts = marked.groupBy(bucketC).agg(count(lit(1)).as(cntC))
+    val wCum = Window.partitionBy(lit(0)).orderBy(bucketC)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn(baseC,
+        when(col(cntC) > Int.MaxValue.toLong,
+          raise_error(concat(lit("denseIds: a bucket holds "), col(cntC),
+            lit(" rows, past row_number's 2^31 space; raise numPartitions " +
+              "or re-balance the sort keys"))).cast("long"))
+          .otherwise(coalesce(sum(cntC).over(wCum), lit(0L))))
+      .select(col(bucketC), col(baseC))
+    val wRank = Window.partitionBy(bucketC).orderBy(sortCols: _*)
+    marked.join(broadcast(bases), Seq(bucketC))
+      .withColumn(idName,
+        lit(base) + col(baseC) + row_number().over(wRank).cast("long"))
+      // the using-join moved the bucket first; restore the caller's layout
+      .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
   }
+
+  /** Driver-side lexicographic Row ordering for the boundary sample.
+    * Only balance depends on it (see [[denseIds]]), so a Comparable cast
+    * suffices; nulls sort first to mirror the engine's NULLS FIRST.
+    */
+  private def rowOrdering(numKeys: Int): Ordering[org.apache.spark.sql.Row] =
+    (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) => {
+      var i = 0
+      var res = 0
+      while (i < numKeys && res == 0) {
+        res = (a.get(i), b.get(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x: Comparable[_], y) =>
+            x.asInstanceOf[Comparable[Any]].compareTo(y)
+          case (x, _) => throw new IllegalArgumentException(
+            s"denseIds sort keys must be atomic orderable types; got " +
+              s"${x.getClass.getName}")
+        }
+        i += 1
+      }
+      res
+    }
 
   // ~128 MB of (group, bucket, base) rows at worst — the broadcast bound
   private val BroadcastMaxBaseRows = 2000000L
