@@ -105,31 +105,70 @@ object Packing {
     * id), then each document explodes into at most (tok/seqLen + 2) span
     * rows, and one shuffle groups spans by sequence. Memory per group is
     * one sequence (seqLen tokens), never a partition. Zero-token
-    * documents contribute nothing.
+    * documents contribute nothing. Executor storage is bounded: only a
+    * slim (id, token_count) frame is checkpointed (16 B/row), released
+    * on driver GC via the ContextCleaner — or deterministically by
+    * [[sequenceTextsManaged]], the preferred form in long-lived
+    * sessions.
     *
     * @return (seq_id, n_docs, n_tokens, seq_md5) — n_tokens == seqLen for
     *         every sequence except the last; seq_md5 fingerprints the
     *         space-joined token stream (md5 hex, engine-portable)
     */
   def sequenceTexts(df: DataFrame, idCol: String, textCol: String,
-                    seqLen: Long): DataFrame = {
+                    seqLen: Long): DataFrame =
+    sequenceTextsReleasable(df, idCol, textCol, seqLen)._1
+
+  /** As [[sequenceTexts]], but scoped: `use` receives the assembled
+    * frame, and the internal checkpoint storage is released when it
+    * returns — the lifecycle-managed form for repeated/long-lived
+    * sessions, where relying on the returned frame's GC (the unmanaged
+    * path) would let checkpoint blocks accumulate between collections.
+    * The frame must not escape `use` (its checkpoint is gone after).
+    */
+  def sequenceTextsManaged[T](df: DataFrame, idCol: String, textCol: String,
+                              seqLen: Long)(use: DataFrame => T): T = {
+    val (out, release) = sequenceTextsReleasable(df, idCol, textCol, seqLen)
+    try use(out) finally release()
+  }
+
+  private def sequenceTextsReleasable(df: DataFrame, idCol: String,
+                                      textCol: String, seqLen: Long)
+      : (DataFrame, () => Unit) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    // materialized once: the tokenization (the expensive pass) is
-    // consumed by packSequences' bounds aggregate, its subtotal collect,
-    // AND both sides of the placement join below — without the
-    // checkpoint the corpus would re-split 3-4x in separate jobs (same
-    // consumed-twice reasoning as rankByHexKeyWithin's counts frame)
+    // Only the SLIM (id, token_count) frame is checkpointed — 16 B/row
+    // of executor storage, materialized once and consumed by
+    // packSequences' bounds aggregate, its subtotal collect, and the
+    // placement side of the join (same consumed-thrice reasoning as
+    // rankByHexKeyWithin's counts frame). The tokenized ARRAYS are
+    // corpus-sized and are deliberately NOT checkpointed: they are
+    // re-split exactly once, inside the single consuming query below —
+    // at scale, one extra scan-and-split beats parking the whole
+    // tokenized corpus in executor storage (which spills, and which the
+    // unmanaged path can only release on driver GC).
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val slim = df
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .filter(col("id").isNotNull && col(textCol).isNotNull)
+      .select(col("id"),
+        size(split(col(textCol), " ")).cast("long").as("tok"))
+      .localCheckpoint()
+    // the blocks persisted by THIS eager checkpoint (diffed, because
+    // Dataset.localCheckpoint does not hand back its RDD); assumes no
+    // concurrent persist raced the build — engine-internal ops don't
+    val mine = sc.getPersistentRDDs.keySet.diff(before)
+    val release = () => mine.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val placed = packSequences(slim, "id", "tok", seqLen)
     val toks = df
       .select(col(idCol).cast("long").as("id"), col(textCol))
       .filter(col("id").isNotNull && col(textCol).isNotNull)
-      .withColumn("ts", split(col(textCol), " "))
-      .select(col("id"), col("ts"), size(col("ts")).cast("long").as("tok"))
-      .localCheckpoint()
-    val placed = packSequences(toks.select(col("id"), col("tok")),
-      "id", "tok", seqLen)
-    placed.join(toks, placed("doc_id") === toks("id"))
-      .filter(col("tok") > 0)
-      .select(col("ts"), col("tok"), col("token_start"),
+      .select(col("id"), split(col(textCol), " ").as("ts"))
+    val assembled = placed.join(toks, placed("doc_id") === toks("id"))
+      .filter(col("token_count") > 0)
+      .select(col("ts"), col("token_count").as("tok"), col("token_start"),
         explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
       // local slice bounds of this doc's tokens inside sequence seq_id
       .withColumn("lo",
@@ -147,6 +186,7 @@ object Packing {
           .as("ps"))
       .select(col("seq_id"), col("n_docs"), col("n_tokens"),
         md5(concat_ws(" ", flatten(col("ps.piece")))).as("seq_md5"))
+    (assembled, release)
   }
 
   /** @param idCol       unique document id (packing order)

@@ -215,6 +215,50 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       s"global sort crept in:\n$p")
   }
 
+  test("packSequences: one bucket shuffle, literal-map prefix sum, pruned scan") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("tok"))
+    val p = plan(graft.ops.Packing.packSequences(docs, "doc_id", "tok", 512))
+    // the whole placement is ONE corpus shuffle — the bucket hash for the
+    // windowed running sum; a second Exchange (or a rangepartitioning)
+    // would mean the two-level prefix-sum degraded to a resort
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    // per-bucket bases arrive as a driver-computed literal map, not a join
+    assert(p.contains("element_at(map("), p)
+    // the running sum windows BY BUCKET, never globally
+    assert(p.contains("windowspecdefinition(bucket"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint"), p)
+  }
+
+  test("lengthBuckets: windows by (bucket, sub-bucket), bases broadcast back") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "n_chars")
+    val p = plan(graft.ops.Packing.lengthBuckets(
+      docs, "doc_id", "n_chars", 50L, 8L, "s1"))
+    // a web corpus concentrates in few length buckets: the rank window
+    // must partition by (bucket, _go_bucket) — bucket alone would funnel
+    // each dominant bucket through one task
+    assert("windowspecdefinition\\(bucket#\\d+L, _go_bucket".r
+      .findAllIn(p).nonEmpty, p)
+    assert("Exchange hashpartitioning\\(bucket#\\d+L, _go_bucket".r
+      .findAllIn(p).nonEmpty, p)
+    // the tiny base-offset frame joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sequenceTexts: the consuming query tokenizes the corpus exactly once") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ops.Packing.sequenceTexts(docs, "doc_id", "text", 512))
+    // placements come from the slim (id, tok) checkpoint; the token
+    // arrays are split ONCE, on the join's corpus side — a second split
+    // would mean the tokenization leaked into the placement branch (or
+    // the corpus-sized array column got checkpointed again)
+    assert("split\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("DSIR model learning collapses to nBuckets rows before the collect") {
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)

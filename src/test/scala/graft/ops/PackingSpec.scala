@@ -157,6 +157,28 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       (2L, 1L, 1L, h("v0"))))
   }
 
+  test("sequenceTextsManaged releases its checkpoint storage, repeatedly") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, (0 until 7).map(j => s"w$i-$j")
+      .mkString(" "))).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    // drain leftovers from other suites so the leak assertion is exact
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val expected = graft.ops.Packing
+      .sequenceTexts(df, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect().toSeq
+    (1 to 3).foreach { _ =>
+      val got = graft.ops.Packing.sequenceTextsManaged(
+        df, "doc_id", "text", seqLen = 4)(
+        _.orderBy("seq_id").collect().toSeq)
+      assert(got == expected)
+    }
+    // every managed run unpersisted its slim checkpoint: nothing but the
+    // unmanaged call's own block (GC-released) may remain
+    val live = sc.getPersistentRDDs.size
+    assert(live <= 1, s"checkpoint blocks leaked across runs: $live live")
+  }
+
   test("writeShards partitions placements by starting sequence") {
     import spark.implicits._
     // 10 docs x 100 tokens, seqLen 100 -> one sequence per doc;
