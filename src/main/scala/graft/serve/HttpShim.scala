@@ -321,13 +321,30 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
   private def documentAbsent(id: Long): Boolean =
     store.documents.filter(col("id") === id).limit(1).isEmpty
 
-  /** Rows → one JSON array via Spark's own row serialization (bounded:
-    * every caller is a paginated or single-document read).
+  /** Rows → one JSON array, streamed to the client chunked via Spark's
+    * own row serialization: the driver holds ONE row's JSON at a time
+    * (toLocalIterator fetches partition by partition), so even a
+    * misconfigured page size cannot buffer a whole result set in heap.
+    * Every caller is a paginated or single-document read regardless; the
+    * chunked trade-off is that a mid-stream executor failure truncates
+    * the response instead of mapping to a 5xx (headers are already out).
     */
-  private def jsonArray(ex: HttpExchange, df: DataFrame): Unit =
-    send(ex, 200, "application/json",
-      df.toJSON.collect().mkString("[", ",", "]")
-        .getBytes(StandardCharsets.UTF_8))
+  private def jsonArray(ex: HttpExchange, df: DataFrame): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L) // 0 = chunked, length unknown up front
+    val os = ex.getResponseBody
+    try {
+      os.write('[')
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) os.write(',')
+        first = false
+        os.write(it.next().getBytes(StandardCharsets.UTF_8))
+      }
+      os.write(']')
+    } finally os.close()
+  }
 
   private def notFound(ex: HttpExchange, detail: String): Unit =
     send(ex, 404, "application/json",
