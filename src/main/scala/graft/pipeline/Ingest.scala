@@ -38,11 +38,11 @@ import graft.store.{ObjectStore, TableStore}
   * shuffles — chunk ordinals and per-type chart counters are computed
   * inside the per-document iteration exactly like the reference's
   * `enumerate` (repository.py:28) and counters (pdf_parser.py:137-138).
-  * The only shuffles in the whole job are the balanced range exchanges
-  * of the dense-id assignment (GlobalOrder.denseIds — per-partition
-  * offsets, never a single-partition window), and they disappear
-  * entirely under `idStrategy="hash"` — the configuration a 100 TB
-  * corpus would run (SURVEY §7.4.2 parity note).
+  * The only shuffles in the whole job are the bucket exchanges of the
+  * dense-id assignment (GlobalOrder.denseIds — literal-boundary buckets
+  * ranked by per-bucket windows, never a single-partition window), and
+  * they disappear entirely under `idStrategy="hash"` — the
+  * configuration a 100 TB corpus would run (SURVEY §7.4.2 parity note).
   */
 final case class ProcessingConfig(
     chunker: ChunkerConfig = ChunkerConfig(),
@@ -246,10 +246,9 @@ final class IngestPipeline(
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // ---- document ids (SERIAL replacement, SURVEY §7.4.2). Dense
-      // parity ids come from the balanced range-partition + per-partition
-      // offset scheme (GlobalOrder.denseIds) — same ids as a global
-      // row_number (paths are unique), without funnelling the batch
-      // through one task.
+      // parity ids come from the literal-boundary bucket scheme
+      // (GlobalOrder.denseIds) — same ids as a global row_number (paths
+      // are unique), without funnelling the batch through one task.
       val baseDocId = if (cfg.idStrategy == "dense") tables.maxId("documents", "id") else 0L
       val docsWithId =
         if (cfg.idStrategy == "dense")

@@ -427,8 +427,8 @@ object JoinAggWindowProbes {
     },
 
     // [EXT] Funnel-free dense ids (GlobalOrder.denseIds — the scheme
-    // ingest's SERIAL-parity mode runs): balanced range partition +
-    // per-partition offsets must equal the oracle's global row_number
+    // ingest's SERIAL-parity mode runs): literal-boundary buckets +
+    // per-bucket window ranks must equal the oracle's global row_number
     // over the same unique key, value for value.
     Probe(
       "w5_dense_ids",
