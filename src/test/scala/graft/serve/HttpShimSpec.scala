@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SharedSpark
@@ -226,5 +228,52 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
         (s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.ISO_8859_1))
     assert(post("/documents/upload", multi,
       Some(s"multipart/form-data; boundary=$boundary")).statusCode() == 413)
+  }
+
+  test("concurrent uploads and reads land intact — no cross-talk, no 5xx") {
+    // 24 clients against the shim's 8-thread pool: 16 distinct multipart
+    // uploads (binary payloads big enough to exercise the disk spool)
+    // interleaved with Spark-backed reads. Every upload must land its
+    // exact bytes under its own name — per-request spool files and
+    // staging paths must not collide — and no request may 5xx. This is
+    // the pool-wide heap-bound claim of the class doc exercised for real.
+    val uploads = 16
+    val readers = 8
+    val payloads = (0 until uploads).map { i =>
+      val b = new Array[Byte](16 * 1024 + i)
+      new scala.util.Random(1000 + i).nextBytes(b)
+      (s"conc$i.pdf", b)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(24)
+    try {
+      val tasks: Seq[java.util.concurrent.Callable[(String, Int)]] =
+        payloads.map { case (fname, payload) =>
+          { () =>
+            val boundary = s"cb-$fname"
+            val body =
+              (s"--$boundary\r\n" +
+                s"""Content-Disposition: form-data; name="file"; filename="$fname"""" +
+                "\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+                (s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.ISO_8859_1))
+            (fname, post("/documents/upload", body,
+              Some(s"multipart/form-data; boundary=$boundary")).statusCode())
+          }: java.util.concurrent.Callable[(String, Int)]
+        } ++ (0 until readers).map { i =>
+          { () =>
+            (s"read$i", get("/documents").statusCode())
+          }: java.util.concurrent.Callable[(String, Int)]
+        }
+      val shuffled = new scala.util.Random(7).shuffle(tasks)
+      val results = pool.invokeAll(shuffled.asJava).asScala.map(_.get())
+      results.foreach { case (who, status) =>
+        assert(status == 200, s"$who answered $status under concurrency")
+      }
+      payloads.foreach { case (fname, payload) =>
+        val landed = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(uploadDir, fname))
+        assert(java.util.Arrays.equals(landed, payload),
+          s"$fname landed ${landed.length} bytes, expected ${payload.length}")
+      }
+    } finally pool.shutdown()
   }
 }
