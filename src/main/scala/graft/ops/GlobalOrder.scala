@@ -177,11 +177,13 @@ object GlobalOrder {
     * two branches different physical layouts — boundary literals cannot
     * diverge. Then, as in the siblings:
     *
-    *   1. one tiny aggregate (≤buckets rows, map-side combined) counts
-    *      rows per bucket; an in-plan prefix sum over that frame turns
-    *      counts into per-bucket base offsets, broadcast-joined back;
+    *   1. one tiny aggregate (≤buckets rows, map-side combined) collects
+    *      per-bucket counts to the driver, which prefix-sums them into
+    *      per-bucket base offsets embedded as a literal map — a per-row
+    *      map lookup, no join, no exchange (exactly [[rankByHexKey]]'s
+    *      bases scheme);
     *   2. a window partitioned BY BUCKET ranks within buckets in
-    *      parallel — id = base + 1 + bucketBase + (rank - 1).
+    *      parallel — id = base + bucketBase + rank.
     *
     * Bucket-order correctness does not depend on the sample or even on
     * the driver's sort of it: bucket(key) = #{boundaries < key} is
@@ -209,7 +211,6 @@ object GlobalOrder {
       s"denseIds adds '$idName'; rename the existing column")
     val bucketC = Cols.fresh(df, "_go_bucket")
     val cntC = Cols.fresh(df, "_go_cnt")
-    val baseC = Cols.fresh(df, "_go_base")
     val nB = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
       .max(1).min(256)
@@ -242,24 +243,29 @@ object GlobalOrder {
     }
     val marked = df.withColumn(bucketC, bucket)
 
-    // tiny frame: one row per non-empty bucket; in-plan prefix sum (one
-    // window task over ≤nB rows), broadcast back — single action total
+    // ≤nB rows to the driver; prefix-sum into per-bucket base offsets
+    // embedded as a literal map (rankByHexKey's bases scheme) — the
+    // stamping pass is then a pure map lookup: no join, no broadcast
+    // exchange, no prefix-sum window task
     val counts = marked.groupBy(bucketC).agg(count(lit(1)).as(cntC))
-    val wCum = Window.partitionBy(lit(0)).orderBy(bucketC)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = counts
-      .withColumn(baseC,
-        when(col(cntC) > Int.MaxValue.toLong,
-          raise_error(concat(lit("denseIds: a bucket holds "), col(cntC),
-            lit(" rows, past row_number's 2^31 space; raise numPartitions " +
-              "or re-balance the sort keys"))).cast("long"))
-          .otherwise(coalesce(sum(cntC).over(wCum), lit(0L))))
-      .select(col(bucketC), col(baseC))
+      .collect().map { r =>
+        val c = r.getLong(1)
+        require(c <= Int.MaxValue.toLong,
+          s"denseIds: a bucket holds $c rows, past row_number's 2^31 " +
+            "space; raise numPartitions or re-balance the sort keys")
+        r.getInt(0) -> c
+      }.toMap
+    var acc = 0L
+    val bases: Map[Int, Long] = counts.keys.toSeq.sorted.map { b =>
+      val e = b -> acc
+      acc += counts(b)
+      e
+    }.toMap
     val wRank = Window.partitionBy(bucketC).orderBy(sortCols: _*)
-    marked.join(broadcast(bases), Seq(bucketC))
+    marked
       .withColumn(idName,
-        lit(base) + col(baseC) + row_number().over(wRank).cast("long"))
-      // the using-join moved the bucket first; restore the caller's layout
+        lit(base) + element_at(typedLit(bases), col(bucketC)) +
+          row_number().over(wRank).cast("long"))
       .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
   }
 

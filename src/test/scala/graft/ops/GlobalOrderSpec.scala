@@ -74,7 +74,7 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set(coalesceKey, "true")
   }
 
-  test("denseIds plan: Tungsten end-to-end, bucketed window, broadcast bases") {
+  test("denseIds plan: Tungsten end-to-end, bucketed window, literal bases") {
     val df = (0L until 5000L).map(i => (f"p$i%05d", i))
       .toDF("path", "payload").repartition(7)
     val ids = GlobalOrder.denseIds(df, Seq(col("path")), "id")
@@ -87,13 +87,17 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     // the ranking window partitions by the literal-boundary bucket — a
     // global (empty-partition) window over the corpus must never appear
     assert(fin.contains("windowspecdefinition(_go_bucket"), fin)
-    // bases join back as a broadcast keyed on bucket — never a
-    // corpus-side sort-merge; no range sampling anywhere (the boundary
-    // literals replaced it: a sampled range exchange can lay out the
-    // counts branch and the stamping branch differently)
-    assert(fin.contains("BroadcastHashJoin"), fin)
-    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"), fin)
+    // per-bucket bases are a LITERAL map lookup in the stamping Project
+    // (rankByHexKey's bases scheme) — no join of any kind, and no range
+    // sampling anywhere (the boundary literals replaced it: a sampled
+    // range exchange can lay out the counts branch and the stamping
+    // branch differently)
+    assert(fin.contains("element_at(map("), fin)
+    assert(!fin.contains("Join") && !fin.contains("CartesianProduct"), fin)
     assert(!fin.contains("rangepartitioning"), fin)
+    // exactly one corpus exchange in the stamping query (hash by bucket
+    // for the window); the literal bases add none
+    assert("Exchange hashpartitioning".r.findAllIn(fin).length == 1, fin)
   }
 
   test("denseIds scale smoke: 2M rows stamp densely across many partitions") {
