@@ -42,28 +42,35 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      // a failed query must NOT silently contribute a misleadingly fast
+      // timing (a broken analysis "runs" in milliseconds): record it in
+      // the failed list and surface that list in the summary JSON
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query line as it completes: even if the driver truncates the
       // combined JSON line below, every timing survives in the log.
       // Double.toString (not the f-interpolator) — locale-independent,
       // so the JSON stays valid on comma-decimal default locales
-      println(s"""[bench] {"query":"$name","sec":$t}""")
+      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok}""")
       // inter-query hygiene, outside the timer: queries that persist or
       // localCheckpoint intermediates would otherwise accumulate block-
       // manager state across 100+ queries and tax later queries with GC
       // pauses (observed as multi-second outliers on mid-alphabet joins)
       spark.catalog.clearCache()
-      name -> t
+      (name, t, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // the full JSON also goes to a file: the driver's stdout capture has
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact

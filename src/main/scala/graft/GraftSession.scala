@@ -19,8 +19,9 @@ object GraftSession {
     b.withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-      // read as long nanos and normalize in Tables.load.
+      // events.parquet has shipped as TIMESTAMP(NANOS) (which vanilla
+      // Spark rejects — this conf reads it as long nanos) and as naive
+      // micros; Tables.load normalizes either shape to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
