@@ -26,11 +26,13 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/dumped_queries.json"),
         selected.keys.toSeq.sorted
           .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a failed query leaves no parquet dir, which downstream compares can
+    // only report as "missing" — this artifact records WHY, so a dropped
+    // probe is a visible failure in the dump itself, never a silent hole
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

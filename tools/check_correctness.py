@@ -37,9 +37,18 @@ def main(sf_dir, out_dir):
     # are checked — in a full dump a missing dir means the query CRASHED
     marker = f"{out_dir}/dumped_queries.json"
     dumped = set(json.load(open(marker))) if os.path.exists(marker) else None
+    # graft.Verify records per-query build/dump failures here — surface
+    # the Spark-side reason instead of a bare duckdb read error
+    fail_marker = f"{out_dir}/failures.json"
+    spark_failures = (
+        json.load(open(fail_marker)) if os.path.exists(fail_marker) else {})
     for name, sql in sorted(oracle.items()):
         if dumped is not None and name not in dumped:
             n_skip += 1
+            continue
+        if name in spark_failures:
+            print(f"FAIL {name}: spark-side: {spark_failures[name][:200]}")
+            n_fail += 1
             continue
         try:
             got = con.sql(
