@@ -163,10 +163,64 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Max value of an id column, or 0 on empty/missing table (the SERIAL
     * replacement — SURVEY §7.4.2).
+    *
+    * Answered from parquet FOOTER STATISTICS — O(#files) metadata reads
+    * instead of an O(rows) column scan. Streaming ingest calls this once
+    * per table per micro-batch, so at corpus scale the scan version
+    * would re-read billions of id values every trigger; footers are a
+    * few KB each and [[compact]] keeps the file count bounded. Falls
+    * back to the exact scan whenever any footer lacks usable statistics
+    * (foreign writers, type mismatch) — never trusts a partial answer,
+    * because an under-reported max would mint colliding SERIAL ids.
     */
   def maxId(table: String, idCol: String): Long =
     if (!exists(table)) 0L
-    else read(table).agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    else footerMaxId(table, idCol).getOrElse(
+      read(table).agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0))
+
+  /** Max of `idCol` across every data file's row-group statistics, 0 when
+    * the table has no non-null values (the empty-table marker included).
+    * None = statistics unusable somewhere → caller must scan.
+    */
+  private[store] def footerMaxId(table: String, idCol: String): Option[Long] = try {
+    import scala.jdk.CollectionConverters._
+    val f = fs
+    val dir = new Path(tablePath(table))
+    val rootPath = f.makeQualified(dir).toUri.getPath
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      // same hidden-path rule as appendPartitioned: _temporary/.old-*
+      // debris is not data
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && st.getLen > 0 && rel.endsWith(".parquet")) files += st.getPath
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    var acc = 0L
+    for (p <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        for (bg <- reader.getFooter.getBlocks.asScala) {
+          // a column absent from the footer (e.g. a hive PARTITION column)
+          // or missing/untyped stats means footers cannot answer — bail
+          val cc = bg.getColumns.asScala
+            .find(_.getPath.toDotString == idCol)
+            .getOrElse(return None)
+          val stats = cc.getStatistics
+          if (stats == null || stats.isEmpty) return None
+          if (stats.hasNonNullValue) stats.genericGetMax match {
+            case l: java.lang.Long    => acc = math.max(acc, l.longValue())
+            case i: java.lang.Integer => acc = math.max(acc, i.longValue())
+            case _                    => return None
+          }
+        }
+      } finally reader.close()
+    }
+    Some(acc)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Compact a table's files: rewrite into ~`targetFiles` parquet files
     * (per partition directory when `partitionCols` is set). Streaming

@@ -17,6 +17,30 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(ts.maxId("missing", "id") == 0L)
   }
 
+  test("maxId answers from footer statistics and falls back when it cannot") {
+    import spark.implicits._
+    val ts = new TableStore(spark, tmpDir("tables"))
+    // multi-file, multi-partition table: footer stats must see every file
+    ts.appendPartitioned("p",
+      (1L to 500L).map(i => (i, i % 4)).toDF("id", "b").repartition(7),
+      Seq("b"))
+    ts.appendPartitioned("p", Seq((9999L, 5L)).toDF("id", "b"), Seq("b"))
+    // the footer path itself must answer here (not a silent scan fallback)
+    assert(ts.footerMaxId("p", "id") == Some(9999L))
+    assert(ts.maxId("p", "id") == 9999L)
+    // all-null id column: footer has no non-null values → 0, like the scan
+    ts.append("n", Seq(Tuple1("x"), Tuple1("y")).toDF("v")
+      .withColumn("id", lit(null).cast("long")))
+    assert(ts.footerMaxId("n", "id") == Some(0L))
+    assert(ts.maxId("n", "id") == 0L)
+    // id as the PARTITION column is absent from footers: footers must
+    // DECLINE (an under-reported max would mint colliding ids) and the
+    // scan fallback answers from the hive-style directory values
+    ts.appendPartitioned("h", Seq((1L, "a"), (7L, "b")).toDF("id", "v"), Seq("id"))
+    assert(ts.footerMaxId("h", "id").isEmpty)
+    assert(ts.maxId("h", "id") == 7L)
+  }
+
   test("updateWhere rewrites only matching rows, atomically") {
     import spark.implicits._
     val ts = new TableStore(spark, tmpDir("tables"))
