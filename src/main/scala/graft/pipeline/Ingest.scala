@@ -60,7 +60,15 @@ final case class ProcessingConfig(
     // candidates against it into `near_dup_flags` — detection is
     // non-destructive (rows still ingest; a curation pass decides), which
     // is the reviewable behavior a production corpus wants
-    flagNearDups: Boolean = false)
+    flagNearDups: Boolean = false,
+    // [EXT] compact the ingest tables every N streamed batches: each
+    // trigger appends one file per table, so an uncompacted long-running
+    // stream degrades every read with file-listing and per-file open
+    // overhead (and pushes maxId's footer pass toward its fallback).
+    // Runs inside the single-writer loop between batches — the atomic
+    // swap keeps concurrent readers consistent. None = never (batch
+    // ingest, or an operator compacting out-of-band on their own cadence)
+    compactEveryBatches: Option[Int] = None)
 
 final case class IngestStats(documents: Long, chunks: Long, charts: Long)
 
@@ -195,10 +203,40 @@ final class IngestPipeline(
           ingestBinary(batch, now())
           if (tables.exists("documents"))
             tables.setTableProp("documents", "last_batch", s"$ckptId:$batchId")
+          // compaction AFTER the committed-batch marker: a crash mid-
+          // compaction leaves fully-old or fully-new files (atomic swap)
+          // and the marker already records the batch as done either way —
+          // the replay guard's semantics are untouched
+          cfg.compactEveryBatches.foreach { n =>
+            if (n > 0 && batchId % n == n - 1) compactIngestTables()
+          }
         }
         ()
       }
       .start()
+  }
+
+  /** Rewrite each ingest table into size-proportional file counts
+    * (~128 MB of parquet per file — the same order as a scan's split
+    * target, so post-compaction reads get full-sized partitions). Runs
+    * between streamed batches under the single-writer contract; the
+    * atomic swap keeps every table readable throughout.
+    */
+  private def compactIngestTables(): Unit = {
+    val perFile = 128L * 1024 * 1024
+    def doCompact(table: String, parts: Seq[String]): Unit =
+      if (tables.exists(table)) {
+        val t = math.max(1L, (tables.sizeInBytes(table) + perFile - 1) / perFile)
+          .min(Int.MaxValue.toLong).toInt
+        tables.compact(table, t, parts)
+      }
+    doCompact("documents", Nil)
+    doCompact("document_chunks", Seq("doc_bucket"))
+    doCompact("chart_data", Nil)
+    if (cfg.flagNearDups) {
+      doCompact("minhash_bands", Nil)
+      doCompact("near_dup_flags", Nil)
+    }
   }
 
   /** Core of E8 (pdf_parser.py:201-253) over one batch of binary rows. */

@@ -222,6 +222,26 @@ final class TableStore(spark: SparkSession, root: String) {
     Some(acc)
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Total bytes of the table's DATA files (hidden `_temporary`/`.old-*`
+    * debris excluded — the same visibility rule reads use). 0 for a
+    * missing table. Callers size compaction targets from this.
+    */
+  def sizeInBytes(table: String): Long = {
+    if (!exists(table)) return 0L
+    val f = fs
+    val dir = new Path(tablePath(table))
+    val rootPath = f.makeQualified(dir).toUri.getPath
+    var bytes = 0L
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) bytes += st.getLen
+    }
+    bytes
+  }
+
   /** Compact a table's files: rewrite into ~`targetFiles` parquet files
     * (per partition directory when `partitionCols` is set). Streaming
     * ingest appends one-file-per-batch; without periodic compaction a

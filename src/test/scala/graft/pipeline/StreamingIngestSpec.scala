@@ -167,6 +167,49 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("compactEveryBatches bounds files without losing rows or the marker") {
+    val inbox = tmpDir("compact-inbox")
+    val root = tmpDir("compact-store")
+    val checkpoint = s"$root/checkpoint"
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(compactEveryBatches = Some(1)))
+
+    // three AvailableNow runs = three appended batches, each compacted;
+    // without compaction the documents table would hold >=3 data files
+    for (i <- 1 to 3) {
+      Files.write(Paths.get(inbox, s"file$i.pdf"),
+        s"Heading $i:\nBody text number $i.\n".getBytes(StandardCharsets.UTF_8))
+      val q = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+      q.awaitTermination()
+    }
+    val docs = tables.read("documents")
+    assert(docs.count() == 3)
+    assert(docs.select("filename").distinct().count() == 3)
+
+    def dataFiles(table: String): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/tables/$table")).filter(f =>
+        f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+          !f.getPath.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+    }
+    assert(dataFiles("documents").size == 1,
+      s"expected one compacted file, got ${dataFiles("documents")}")
+
+    // the replay-guard marker survives the compaction's atomic swap
+    // (sidecar props travel with the directory rename) — and still works:
+    val marker = tables.getTableProp("documents", "last_batch")
+    assert(marker.isDefined, "marker must survive compaction")
+    val q4 = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+    q4.awaitTermination()
+    assert(tables.read("documents").count() == 3,
+      "a replayed/empty run after compaction must not re-ingest")
+  }
+
   test("streaming ingest flags near-dups against earlier micro-batches") {
     val inbox = tmpDir("stream-neardup-inbox")
     val root = tmpDir("stream-neardup-store")
