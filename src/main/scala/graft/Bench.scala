@@ -18,9 +18,12 @@ object Bench {
       import org.apache.spark.sql.functions._
       val r = spark.read.parquet(s"$sfDir/region.parquet")
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      // partitioned window: warms the same WindowExec/sort codegen paths
+      // without the (cosmetic, but greppable) single-partition warning
       n.join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name").agg(count(lit(1)).as("c"), collect_list("n_name").as("ns"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("r_name"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("r_name")).orderBy(col("c"))))
         .orderBy("r_name")
         .write.format("noop").mode("overwrite").save()
     }
