@@ -65,10 +65,21 @@ final case class ProcessingConfig(
     // trigger appends one file per table, so an uncompacted long-running
     // stream degrades every read with file-listing and per-file open
     // overhead (and pushes maxId's footer pass toward its fallback).
-    // Runs inside the single-writer loop between batches — the atomic
-    // swap keeps concurrent readers consistent. None = never (batch
-    // ingest, or an operator compacting out-of-band on their own cadence)
-    compactEveryBatches: Option[Int] = None)
+    // Incremental bin-packing (TableStore.compactIncremental): only the
+    // one-file-per-batch tail below `compactSmallBytes` is rewritten;
+    // already-compacted files are carried by metadata renames, so the
+    // per-cadence work is O(batches since last compaction), independent
+    // of corpus size — a trigger never stalls behind a full-table
+    // rewrite. Runs inside the single-writer loop between batches; in-
+    // process readers between batches see fully-old-or-fully-new, while
+    // an EXTERNAL concurrent reader can transiently fail inside the
+    // swap's rename window (retryable — see overwriteAtomic's contract).
+    // None = never (batch ingest, or out-of-band compaction)
+    compactEveryBatches: Option[Int] = None,
+    // files at or above this size are considered compacted and are never
+    // rewritten again by the cadence (default 32 MB; packed output
+    // targets ~128 MB files)
+    compactSmallBytes: Long = 32L * 1024 * 1024)
 
 final case class IngestStats(documents: Long, chunks: Long, charts: Long)
 
@@ -216,19 +227,24 @@ final class IngestPipeline(
       .start()
   }
 
-  /** Rewrite each ingest table into size-proportional file counts
-    * (~128 MB of parquet per file — the same order as a scan's split
-    * target, so post-compaction reads get full-sized partitions). Runs
-    * between streamed batches under the single-writer contract; the
-    * atomic swap keeps every table readable throughout.
+  /** Bin-pack each ingest table's small-file tail into ~128 MB parquet
+    * files (the same order as a scan's split target, so post-compaction
+    * reads get full-sized partitions). Incremental: files at or above
+    * `cfg.compactSmallBytes` were packed by an earlier cadence and are
+    * carried across by metadata-only renames — per-cadence I/O is
+    * proportional to the batches appended since the last compaction, not
+    * to the table, so triggers never stall behind an O(corpus) rewrite
+    * (pinned by StreamingIngestSpec's zero-rewrite case). Runs between
+    * streamed batches under the single-writer contract: fully-old or
+    * fully-new on crash; a concurrent EXTERNAL reader may transiently
+    * fail inside the swap's rename window (retryable).
     */
   private def compactIngestTables(): Unit = {
-    val perFile = 128L * 1024 * 1024
     def doCompact(table: String, parts: Seq[String]): Unit =
       if (tables.exists(table)) {
-        val t = math.max(1L, (tables.sizeInBytes(table) + perFile - 1) / perFile)
-          .min(Int.MaxValue.toLong).toInt
-        tables.compact(table, t, parts)
+        tables.compactIncremental(table, smallThreshold = cfg.compactSmallBytes,
+          partitionCols = parts)
+        ()
       }
     doCompact("documents", Nil)
     doCompact("document_chunks", Seq("doc_bucket"))

@@ -4,6 +4,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** What one [[TableStore.compactIncremental]] pass touched: `packedFiles`/
+  * `packedBytes` are the small files that were rewritten; `keptFiles` were
+  * carried across by metadata-only renames (zero data I/O). A no-op pass
+  * (nothing worth packing) reports 0 packed.
+  */
+final case class CompactStats(packedFiles: Int, packedBytes: Long, keptFiles: Int)
+
 /** Parquet-backed relational table store with CRUD semantics over immutable
   * files (SURVEY §7.4.1). Reads/appends are plain Spark jobs; UPDATE and
   * DELETE are copy-on-write rewrites committed with an atomic directory
@@ -161,6 +168,29 @@ final class TableStore(spark: SparkSession, root: String) {
                   partitionCols: Seq[String] = Nil): Unit =
     overwriteAtomic(table, read(table).filter(!coalesce(cond, lit(false))), partitionCols)
 
+  /** Every VISIBLE file under the table directory as (path relative to the
+    * table root, length): the same hidden-path rule reads use — any path
+    * component starting with `_` or `.` (crashed-write `_temporary` debris,
+    * `.old-*`/`.tmp-*` swap siblings, `_graft_*` sidecars, `_SUCCESS`) is
+    * not data. Includes non-`.parquet` visible files (a foreign writer's
+    * doing) so callers can decide whether such a file invalidates a
+    * metadata-only shortcut.
+    */
+  private def listVisibleFiles(table: String): Seq[(String, Long)] = {
+    val f = fs
+    val dir = new Path(tablePath(table))
+    val rootPath = f.makeQualified(dir).toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden) out += ((rel, st.getLen))
+    }
+    out.toSeq
+  }
+
   /** Max value of an id column, or 0 on empty/missing table (the SERIAL
     * replacement — SURVEY §7.4.2).
     *
@@ -180,25 +210,38 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Max of `idCol` across every data file's row-group statistics, 0 when
     * the table has no non-null values (the empty-table marker included).
-    * None = statistics unusable somewhere → caller must scan.
+    * None = statistics unusable somewhere → caller must scan. The rules
+    * err loudly toward the scan, never toward a guess:
+    *
+    *  - any VISIBLE file that is not `*.parquet` → None. The scan path
+    *    (`spark.read.parquet`) would read such a foreign-written file as
+    *    data; silently skipping it here could under-report the max and
+    *    mint colliding SERIAL ids.
+    *  - a row group with no min/max is trusted as value-less only when
+    *    its null count is recorded AND equals its row count (genuinely
+    *    all-null). A foreign writer that truncated or dropped min/max
+    *    (hasNonNullValue=false, rows not all null) → None.
+    *  - seeded at Long.MinValue for exact parity with the scan on
+    *    negative ids; a table with rows but zero non-null id values
+    *    reports 0, matching the scan's `coalesce(max(id), 0)`.
+    *
+    * Cost note: opens every footer serially on the driver — O(#files)
+    * metadata reads, a few KB each. Bounded in practice because streamed
+    * ingest compacts on a cadence ([[compactIncremental]] keeps the
+    * file count O(table bytes / threshold)); an uncompacted long stream
+    * degrades this pass linearly in batch count (see
+    * `FooterMaxIdSpec`'s many-files case).
     */
   private[store] def footerMaxId(table: String, idCol: String): Option[Long] = try {
     import scala.jdk.CollectionConverters._
-    val f = fs
-    val dir = new Path(tablePath(table))
-    val rootPath = f.makeQualified(dir).toUri.getPath
-    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = f.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      // same hidden-path rule as appendPartitioned: _temporary/.old-*
-      // debris is not data
-      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && st.getLen > 0 && rel.endsWith(".parquet")) files += st.getPath
+    val visible = listVisibleFiles(table)
+    if (visible.exists(v => !v._1.endsWith(".parquet"))) return None
+    val files = visible.collect { case (rel, len) if len > 0 =>
+      new Path(tablePath(table) + "/" + rel)
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    var acc = 0L
+    var acc = Long.MinValue
+    var sawValue = false
     for (p <- files) {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -211,36 +254,32 @@ final class TableStore(spark: SparkSession, root: String) {
             .getOrElse(return None)
           val stats = cc.getStatistics
           if (stats == null || stats.isEmpty) return None
-          if (stats.hasNonNullValue) stats.genericGetMax match {
-            case l: java.lang.Long    => acc = math.max(acc, l.longValue())
-            case i: java.lang.Integer => acc = math.max(acc, i.longValue())
-            case _                    => return None
+          if (stats.hasNonNullValue) {
+            stats.genericGetMax match {
+              case l: java.lang.Long    => acc = math.max(acc, l.longValue())
+              case i: java.lang.Integer => acc = math.max(acc, i.longValue())
+              case _                    => return None
+            }
+            sawValue = true
+          } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+            // min/max absent without proof the group is all-null
+            return None
           }
         }
       } finally reader.close()
     }
-    Some(acc)
+    Some(if (sawValue) acc else 0L)
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Total bytes of the table's DATA files (hidden `_temporary`/`.old-*`
     * debris excluded — the same visibility rule reads use). 0 for a
     * missing table. Callers size compaction targets from this.
     */
-  def sizeInBytes(table: String): Long = {
-    if (!exists(table)) return 0L
-    val f = fs
-    val dir = new Path(tablePath(table))
-    val rootPath = f.makeQualified(dir).toUri.getPath
-    var bytes = 0L
-    val it = f.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden && rel.endsWith(".parquet")) bytes += st.getLen
-    }
-    bytes
-  }
+  def sizeInBytes(table: String): Long =
+    if (!exists(table)) 0L
+    else listVisibleFiles(table).collect {
+      case (rel, len) if rel.endsWith(".parquet") => len
+    }.sum
 
   /** Compact a table's files: rewrite into ~`targetFiles` parquet files
     * (per partition directory when `partitionCols` is set). Streaming
@@ -256,6 +295,99 @@ final class TableStore(spark: SparkSession, root: String) {
       if (partitionCols.isEmpty) df.coalesce(targetFiles)
       else df.repartition(targetFiles, partitionCols.map(col): _*)
     overwriteAtomic(table, compacted, partitionCols)
+  }
+
+  /** Incremental bin-packing compaction: rewrite ONLY files smaller than
+    * `smallThreshold` into ~`targetBytes` files; every already-compacted
+    * (≥ threshold) file is carried across by a metadata-only rename —
+    * zero data I/O for data that was compacted before. This is the
+    * maintenance path a monotonically growing ingest table needs: the
+    * full-rewrite [[compact]] costs O(corpus) per pass (O(N²/n) over a
+    * stream's lifetime), while this pass costs O(new tail) — each byte is
+    * rewritten at most O(smallThreshold / batch-size) times total before
+    * its file crosses the threshold and is never touched again,
+    * independent of corpus size.
+    *
+    * Commit discipline is the [[overwriteAtomic]] two-rename swap, with
+    * the kept files moved (not copied) into the staged directory inside
+    * the swap window: packed replacements are fully written to `.tmp-*`
+    * while the table is still live, then dest→old, kept files old→tmp
+    * (renames), tmp→dest. A crash before dest→old leaves the table
+    * fully-old; after tmp→dest, fully-new; inside the window the table
+    * path is transiently absent (exactly like [[overwriteAtomic]] — the
+    * single-writer contract) and every byte remains recoverable in the
+    * `.old-*`/`.tmp-*` siblings, since renames never destroy data.
+    *
+    * Partitioned tables: small files are read with `basePath` so hive
+    * partition values survive, and the packed subset is hash-distributed
+    * on the partition columns — each pass writes ≈1 packed file per
+    * affected partition directory, so per-directory file counts stay
+    * O(dir bytes / smallThreshold). A visible non-parquet foreign file is
+    * never packed (it can't be read as parquet) and is carried across
+    * like a compacted file.
+    *
+    * No-op (returns 0 packed, touches nothing) when fewer than two small
+    * parquet files exist — so a second pass over an already-packed table
+    * rewrites zero bytes (pinned by `CompactionSpec`).
+    */
+  def compactIncremental(table: String,
+                         smallThreshold: Long = 32L * 1024 * 1024,
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         partitionCols: Seq[String] = Nil): CompactStats = {
+    if (!exists(table)) return CompactStats(0, 0L, 0)
+    val visible = listVisibleFiles(table)
+    val (small, kept) = visible.partition { case (rel, len) =>
+      rel.endsWith(".parquet") && len < smallThreshold
+    }
+    if (small.size < 2) return CompactStats(0, 0L, visible.size)
+
+    val f = fs
+    val dest = new Path(tablePath(table))
+    val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
+    val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
+    val smallBytes = small.map(_._2).sum
+    val smallPaths = small.map { case (rel, _) => s"${tablePath(table)}/$rel" }
+    // basePath keeps hive partition columns in the projected rows
+    val packedSrc = spark.read.option("basePath", tablePath(table))
+      .parquet(smallPaths: _*)
+    val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val packed =
+      if (partitionCols.isEmpty) packedSrc.coalesce(n)
+      else packedSrc.repartition(n, partitionCols.map(col): _*)
+    // empty partitioned writes produce no files (schema lost) — same
+    // fallback as overwriteAtomic; only reachable if every small file
+    // held zero rows
+    val effectiveParts =
+      if (partitionCols.nonEmpty && packed.isEmpty) Nil else partitionCols
+    val props = allTableProps(table) // survive the swap
+    packed.write.mode("overwrite").partitionBy(effectiveParts: _*)
+      .parquet(tmp.toString) // forces execution while dest is still live
+    props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    failpoint("tmp-written")
+    if (!f.rename(dest, old))
+      throw new java.io.IOException(s"compaction swap failed for $table")
+    failpoint("old-aside")
+    // carry already-compacted files across: O(1) metadata renames, no I/O.
+    // Packed part files carry a fresh job UUID, so names cannot collide.
+    for ((rel, _) <- kept) {
+      val src = new Path(old, rel)
+      val dst = new Path(tmp, rel)
+      val parent = dst.getParent
+      if (!f.exists(parent)) f.mkdirs(parent)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"compaction keep-rename failed: $rel")
+    }
+    failpoint("kept-moved")
+    if (!f.rename(tmp, dest)) {
+      // best-effort rollback: return kept files, restore the old dir
+      for ((rel, _) <- kept) f.rename(new Path(tmp, rel), new Path(old, rel))
+      f.rename(old, dest)
+      throw new java.io.IOException(s"compaction swap failed for $table")
+    }
+    failpoint("swapped")
+    f.delete(old, true)
+    CompactStats(small.size, smallBytes, kept.size)
   }
 
   // -------------------------------------------------------------------
