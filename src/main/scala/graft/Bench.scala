@@ -55,25 +55,36 @@ object Bench {
           false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      // sub-phase attribution for multi-stage probes (index build vs
+      // query, ingest vs read-back): drained per query so nothing leaks
+      // into a later iteration; empty for single-stage probes
+      val phases = graft.probes.PhaseTimer.drain(name)
+      val phasesJson = phases
+        .map { case (p, s) => s"\"" + p + "\":" + s }.mkString("{", ",", "}")
       // per-query line as it completes: even if the driver truncates the
       // combined JSON line below, every timing survives in the log.
       // Double.toString (not the f-interpolator) — locale-independent,
       // so the JSON stays valid on comma-decimal default locales
-      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok}""")
+      val phaseField = if (phases.isEmpty) "" else s""","phases":$phasesJson"""
+      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok$phaseField}""")
       // inter-query hygiene, outside the timer: queries that persist or
       // localCheckpoint intermediates would otherwise accumulate block-
       // manager state across 100+ queries and tax later queries with GC
       // pauses (observed as multi-second outliers on mid-alphabet joins)
       spark.catalog.clearCache()
-      (name, t, ok)
+      (name, t, ok, phases)
     }
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val phasesAll = results.collect { case (k, _, _, ph) if ph.nonEmpty =>
+      s"\"" + k + "\":" + ph.map { case (p, s) => s"\"" + p + "\":" + s }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phasesAll,"sf":"$sfDir"}"""
     // the full JSON also goes to a file: the driver's stdout capture has
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact

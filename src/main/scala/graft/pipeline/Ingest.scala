@@ -137,7 +137,12 @@ final class IngestPipeline(
     // the production codec plug point (README "Production codec
     // boundaries"): a factory, invoked once per partition, so heavyweight
     // parsers amortize their init across the partition's files
-    mkParser: () => Parse.DocParser = () => new Parse.TextDocParser)
+    mkParser: () => Parse.DocParser = () => new Parse.TextDocParser,
+    // operability hook: ingestBinary reports its named sub-phase durations
+    // here (parse_chunk_ner, ids_writes_stats) so an operator — or Bench —
+    // can attribute end-to-end ingest cost to the compute stage vs the
+    // write stage instead of guessing; default no-op
+    onPhase: (String, Double) => Unit = (_, _) => ())
   extends Serializable {
 
   import spark.implicits._
@@ -287,6 +292,7 @@ final class IngestPipeline(
     // documents table, which this very batch is about to append to — a lazy
     // plan would re-read the table post-append and drop the batch's own
     // rows from later stages.
+    val tParse = System.nanoTime()
     val parsed = Parse.parseDocuments(deduped, mkParser)
       .map { doc =>
         val chunks = Chunker.chunk(doc, chunkerCfg).map { c: TextChunk =>
@@ -296,7 +302,9 @@ final class IngestPipeline(
         DocWithChunks(doc, chunks)
       }
       .localCheckpoint()
+    onPhase("parse_chunk_ner", (System.nanoTime() - tParse) / 1e9)
 
+    val tWrites = System.nanoTime()
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // ---- document ids (SERIAL replacement, SURVEY §7.4.2). Dense
@@ -437,10 +445,12 @@ final class IngestPipeline(
       val docStats = docsWithId
         .agg(count(lit(1)), coalesce(sum(size(col("chunks"))), lit(0L)))
         .head()
-      IngestStats(
+      val stats = IngestStats(
         documents = docStats.getLong(0),
         chunks = docStats.getLong(1),
         charts = chartsWithId.count())
+      onPhase("ids_writes_stats", (System.nanoTime() - tWrites) / 1e9)
+      stats
     } finally {
       // release everything cached for this batch — a long-running stream
       // calls ingestBinary every trigger and leaked blocks (especially

@@ -60,7 +60,10 @@ object EtlProbes {
       val root = scratchDir()
       val tables = new TableStore(s, s"$root/tables")
       val objects = new ObjectStore(s, s"$root/bucket")
-      new IngestPipeline(s, tables, objects, ProcessingConfig())
+      // ingest sub-phases flow into the bench's phases map; the remaining
+      // time of this probe (total − phases) is the read-back listing
+      new IngestPipeline(s, tables, objects, ProcessingConfig(),
+        onPhase = PhaseTimer.record("etl_ingest_pipeline", _, _))
         .ingestBinary(bin, fixedNow)
       val store = new DocumentStore(s, tables, objects)
       // listing joined with per-doc chart counts + rendered PNG bytes so

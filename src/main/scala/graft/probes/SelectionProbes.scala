@@ -249,7 +249,9 @@ object SelectionProbes {
       s"WITH ${Probe.rhpSigSql(6, "sig")} " +
         "SELECT sig AS ivf_cell, count(*) AS n FROM sig GROUP BY 1 ORDER BY 1"
     ) { (s, d) =>
-      val path = Probe.ivfIndexFor(s, d, cellBits = 6, forceRebuild = true)
+      val path = PhaseTimer.timed("sim_ivf_build", "index_write") {
+        Probe.ivfIndexFor(s, d, cellBits = 6, forceRebuild = true)
+      }
       s.read.parquet(path)
         .groupBy(col("ivf_cell").cast("long").as("ivf_cell"))
         .agg(count(lit(1)).as("n"))

@@ -281,12 +281,17 @@ final class TableStore(spark: SparkSession, root: String) {
       case (rel, len) if rel.endsWith(".parquet") => len
     }.sum
 
-  /** Compact a table's files: rewrite into ~`targetFiles` parquet files
-    * (per partition directory when `partitionCols` is set). Streaming
-    * ingest appends one-file-per-batch; without periodic compaction a
-    * long-running stream degrades every scan with file-listing and
-    * per-file open overhead. Uses the same atomic swap as the CRUD
-    * rewrites, so readers never see a half-compacted table.
+  /** Full-rewrite compaction: rewrite the WHOLE table into `targetFiles`
+    * parquet files TOTAL — with `partitionCols`, the hash distribution
+    * puts ≈1 file per partition directory when `targetFiles` is at least
+    * the live partition count, not `targetFiles` per directory. Uses the
+    * same atomic swap as the CRUD rewrites.
+    *
+    * This is the O(table) maintenance pass — right for one-shot layout
+    * resets (post-backfill, changing file sizing wholesale). A streamed
+    * ingest cadence must use [[compactIncremental]] instead: calling
+    * this every N batches costs O(corpus) per pass and O(N²/n) over a
+    * stream's lifetime.
     */
   def compact(table: String, targetFiles: Int = 1,
               partitionCols: Seq[String] = Nil): Unit = {

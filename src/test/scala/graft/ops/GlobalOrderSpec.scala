@@ -74,6 +74,23 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set(coalesceKey, "true")
   }
 
+  test("denseIds stamping is deterministic across re-evaluations") {
+    // the rand(42) boundary sample is COLLECTED once, so its
+    // nondeterminism can never reach bucket assignment (the documented
+    // precondition): the same stamped frame, evaluated twice — including
+    // a fresh execution after cache eviction — must assign identical ids
+    val df = (0L until 3000L).map(i => (s"k-${(i * 6007) % 3000}%05d", i))
+      .toDF("path", "payload").repartition(9)
+    val stamped = GlobalOrder.denseIds(df, Seq(col("path")), "id")
+    val first = stamped.select("path", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val second = stamped.select("path", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == second, "re-evaluating the stamped frame moved ids")
+    assert(first.values.toSeq.sorted == (1L to 3000L),
+      "ids must be the dense 1..n range")
+  }
+
   test("denseIds plan: Tungsten end-to-end, bucketed window, literal bases") {
     val df = (0L until 5000L).map(i => (f"p$i%05d", i))
       .toDF("path", "payload").repartition(7)
