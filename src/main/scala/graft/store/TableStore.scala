@@ -225,51 +225,72 @@ final class TableStore(spark: SparkSession, root: String) {
     *    negative ids; a table with rows but zero non-null id values
     *    reports 0, matching the scan's `coalesce(max(id), 0)`.
     *
-    * Cost note: opens every footer serially on the driver — O(#files)
-    * metadata reads, a few KB each. Bounded in practice because streamed
-    * ingest compacts on a cadence ([[compactIncremental]] keeps the
-    * file count O(table bytes / threshold)); an uncompacted long stream
-    * degrades this pass linearly in batch count (see
-    * `FooterMaxIdSpec`'s many-files case).
+    * Cost note: a driver-side metadata pass — O(#files) footer reads, a
+    * few KB each, fanned across a bounded thread pool (the same driver-
+    * listing pattern Spark's InMemoryFileIndex uses). Bounded in
+    * practice because streamed ingest compacts on a cadence
+    * ([[compactIncremental]] keeps the file count
+    * O(table bytes / threshold)); an uncompacted long stream degrades
+    * this pass linearly in batch count (see `FooterMaxIdSpec`'s
+    * many-files case).
     */
   private[store] def footerMaxId(table: String, idCol: String): Option[Long] = try {
-    import scala.jdk.CollectionConverters._
     val visible = listVisibleFiles(table)
     if (visible.exists(v => !v._1.endsWith(".parquet"))) return None
     val files = visible.collect { case (rel, len) if len > 0 =>
       new Path(tablePath(table) + "/" + rel)
     }
+    if (files.isEmpty) return Some(0L)
     val conf = spark.sparkContext.hadoopConfiguration
-    var acc = Long.MinValue
-    var sawValue = false
-    for (p <- files) {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    val perFile =
       try {
-        for (bg <- reader.getFooter.getBlocks.asScala) {
-          // a column absent from the footer (e.g. a hive PARTITION column)
-          // or missing/untyped stats means footers cannot answer — bail
-          val cc = bg.getColumns.asScala
-            .find(_.getPath.toDotString == idCol)
-            .getOrElse(return None)
-          val stats = cc.getStatistics
-          if (stats == null || stats.isEmpty) return None
-          if (stats.hasNonNullValue) {
-            stats.genericGetMax match {
-              case l: java.lang.Long    => acc = math.max(acc, l.longValue())
-              case i: java.lang.Integer => acc = math.max(acc, i.longValue())
-              case _                    => return None
-            }
-            sawValue = true
-          } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
-            // min/max absent without proof the group is all-null
-            return None
-          }
-        }
-      } finally reader.close()
-    }
-    Some(if (sawValue) acc else 0L)
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Option[Option[Long]]]] =
+          files.map(p => () => fileFooterMax(p, conf, idCol))
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    if (perFile.contains(None)) return None // some footer unusable → scan
+    val values = perFile.flatten.flatten
+    Some(if (values.isEmpty) 0L else values.max)
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One file's footer verdict: outer None = statistics unusable (caller
+    * must scan), Some(None) = provably no non-null id values,
+    * Some(Some(m)) = the file's max id.
+    */
+  private def fileFooterMax(p: Path, conf: org.apache.hadoop.conf.Configuration,
+                            idCol: String): Option[Option[Long]] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      var acc = Long.MinValue
+      var sawValue = false
+      for (bg <- reader.getFooter.getBlocks.asScala) {
+        // a column absent from the footer (e.g. a hive PARTITION column)
+        // or missing/untyped stats means footers cannot answer — bail
+        val cc = bg.getColumns.asScala
+          .find(_.getPath.toDotString == idCol)
+          .getOrElse(return None)
+        val stats = cc.getStatistics
+        if (stats == null || stats.isEmpty) return None
+        if (stats.hasNonNullValue) {
+          stats.genericGetMax match {
+            case l: java.lang.Long    => acc = math.max(acc, l.longValue())
+            case i: java.lang.Integer => acc = math.max(acc, i.longValue())
+            case _                    => return None
+          }
+          sawValue = true
+        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+          // min/max absent without proof the group is all-null
+          return None
+        }
+      }
+      Some(if (sawValue) Some(acc) else None)
+    } finally reader.close()
+  }
 
   /** Total bytes of the table's DATA files (hidden `_temporary`/`.old-*`
     * debris excluded — the same visibility rule reads use). 0 for a
