@@ -154,10 +154,17 @@ final class TableStore(spark: SparkSession, root: String) {
   def updateWhere(table: String, cond: Column,
                   assignments: Map[String, Column],
                   partitionCols: Seq[String] = Nil): Unit = {
-    val updated = assignments.foldLeft(read(table)) { case (df, (name, value)) =>
-      df.withColumn(name, when(cond, value).otherwise(col(name)))
-    }
-    overwriteAtomic(table, updated, partitionCols)
+    def transform(df: DataFrame): DataFrame =
+      assignments.foldLeft(df) { case (d, (name, value)) =>
+        d.withColumn(name, when(cond, value).otherwise(col(name)))
+      }
+    // an assignment that MOVES rows across partition directories can't be
+    // a per-directory swap (the target dir holds unaffected rows that a
+    // rename would destroy) — only the whole-table path is correct there
+    if (partitionCols.isEmpty ||
+        assignments.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))))
+      overwriteAtomic(table, transform(read(table)), partitionCols)
+    else prunedRewrite(table, cond, partitionCols)(transform)
   }
 
   /** M2/J4 — delete by predicate as a keep-the-rest rewrite. NULL-valued
@@ -166,7 +173,113 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def deleteWhere(table: String, cond: Column,
                   partitionCols: Seq[String] = Nil): Unit =
-    overwriteAtomic(table, read(table).filter(!coalesce(cond, lit(false))), partitionCols)
+    if (partitionCols.isEmpty)
+      overwriteAtomic(table, read(table).filter(!coalesce(cond, lit(false))))
+    else prunedRewrite(table, cond, partitionCols)(
+      _.filter(!coalesce(cond, lit(false))))
+
+  /** Copy-on-write rewrite of ONLY the hive partition directories holding
+    * rows that match `cond` — the cluster-scale CRUD path the class doc
+    * promises: a single-document cascade delete on a 16-bucket chunks
+    * table rewrites one directory, not sixteen, and an untouched
+    * directory's bytes are never read or written (pinned by
+    * `PrunedRewriteSpec` on file names+mtimes).
+    *
+    * Shape: one slim scan finds the affected partition values (cond
+    * columns + partition columns only — column-pruned at the parquet
+    * reader), the rewrite input is the partition-pruned scan of just
+    * those directories, and the commit is a per-directory rename swap
+    * against fully-staged output. Partition values are mapped to
+    * directory names with Spark's own hive escaping, so the swap targets
+    * the directories Spark wrote.
+    *
+    * Crash contract (failpoint-tested like [[overwriteAtomic]]): each
+    * directory is individually fully-old-or-fully-new; a crash between
+    * directory swaps commits a PREFIX of the affected set. That partial
+    * state is benign for these operators: update/delete by predicate is
+    * idempotent, so re-running the same statement completes the
+    * remainder (the committed directories simply no longer match
+    * `cond`). Hidden `.old-*`/`.tmp-*` debris stays invisible to reads.
+    * Sidecar `_graft_*` props live at the table root, which this path
+    * never moves.
+    */
+  private def prunedRewrite(table: String, cond: Column,
+                            partitionCols: Seq[String])
+                           (transform: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val matched = coalesce(cond, lit(false))
+    val schema = read(table).schema // survives even if the rewrite empties the table
+    val affected = read(table).filter(matched)
+      .select(partitionCols.map(col): _*).distinct().limit(257).collect()
+    if (affected.isEmpty) return // nothing matches: zero I/O, not a rewrite
+    // a predicate touching very many directories gains nothing from
+    // pruning and would bloat the partition filter — whole-table path.
+    // (Value rendering below assumes string/integral partition values —
+    // what graft tables use; exotic types also land here via the cap
+    // only if they exceed it, so keep bucket counts modest.)
+    if (affected.length > 256) {
+      overwriteAtomic(table, transform(read(table)), partitionCols)
+      return
+    }
+
+    // dir name exactly as Spark's writer produces it (hive escaping,
+    // null → DEFAULT_PARTITION_NAME)
+    def dirRel(r: org.apache.spark.sql.Row): String =
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        val s =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"${ExternalCatalogUtils.escapePathName(c)}=$s"
+      }.mkString("/")
+    val affectedDirs = affected.map(dirRel).toSeq
+
+    // partition-pruned input: OR over the affected value tuples, each a
+    // null-safe conjunction — lands in the scan's PartitionFilters, so
+    // unaffected directories are never opened
+    val prunePred = affected.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) <=> lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+    val f = fs
+    val destRoot = new Path(tablePath(table))
+    val tmpRoot = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
+    transform(read(table).filter(prunePred))
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmpRoot.toString) // forces execution while dest is live
+    failpoint("pruned-staged")
+    var first = true
+    for (rel <- affectedDirs) {
+      val dest = new Path(destRoot, rel)
+      val staged = new Path(tmpRoot, rel)
+      // hidden flattened sibling inside the table dir: invisible to reads
+      val aside = new Path(destRoot,
+        s".old-${System.nanoTime()}-${rel.replace('/', '_')}")
+      if (f.exists(dest) && !f.rename(dest, aside))
+        throw new java.io.IOException(s"pruned swap failed: $table/$rel")
+      if (f.exists(staged)) { // absent staged dir = every row deleted
+        val parent = dest.getParent
+        if (!f.exists(parent)) f.mkdirs(parent)
+        if (!f.rename(staged, dest)) {
+          f.rename(aside, dest) // roll this directory back
+          throw new java.io.IOException(s"pruned swap failed: $table/$rel")
+        }
+      }
+      f.delete(aside, true)
+      if (first) { first = false; failpoint("pruned-first-swapped") }
+    }
+    failpoint("pruned-swapped")
+    f.delete(tmpRoot, true)
+    // a delete that emptied EVERY directory leaves a file-less table that
+    // read() would reject — restore the empty-table schema marker the
+    // whole-table path guarantees (schema captured before the swap)
+    if (!listVisibleFiles(table).exists(_._1.endsWith(".parquet")))
+      overwriteAtomic(table, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
 
   /** Every VISIBLE file under the table directory as (path relative to the
     * table root, length): the same hidden-path rule reads use — any path
