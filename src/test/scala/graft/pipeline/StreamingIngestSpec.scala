@@ -210,6 +210,48 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
       "a replayed/empty run after compaction must not re-ingest")
   }
 
+  test("the cadence never rewrites files the threshold calls compacted") {
+    val inbox = tmpDir("nocompact-inbox")
+    val root = tmpDir("nocompact-store")
+    val checkpoint = s"$root/checkpoint"
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    // compactSmallBytes=1: every written file counts as already-compacted,
+    // so each cadence must be a strict no-op — batch files accumulate and
+    // their bytes are NEVER touched again. This pins the incremental
+    // contract at the ingest level: per-cadence work is bounded by the
+    // sub-threshold tail (here empty), not the table.
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(compactEveryBatches = Some(1), compactSmallBytes = 1L))
+
+    def docFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/tables/documents")).filter(f =>
+        f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getPath.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+
+    var seen = Map.empty[String, Long]
+    for (i <- 1 to 3) {
+      Files.write(Paths.get(inbox, s"f$i.pdf"),
+        s"Part $i:\nBody $i.\n".getBytes(StandardCharsets.UTF_8))
+      val q = pipe.ingestStream(inbox, checkpoint, Trigger.AvailableNow(), () => now)
+      q.awaitTermination()
+      val cur = docFiles()
+      assert(cur.size > seen.size, s"batch $i should append file(s)")
+      seen.foreach { case (name, mtime) =>
+        assert(cur.get(name).contains(mtime),
+          s"file $name from an earlier batch was rewritten by the cadence")
+      }
+      seen = cur
+    }
+    assert(tables.read("documents").count() == 3)
+  }
+
   test("streaming ingest flags near-dups against earlier micro-batches") {
     val inbox = tmpDir("stream-neardup-inbox")
     val root = tmpDir("stream-neardup-store")
