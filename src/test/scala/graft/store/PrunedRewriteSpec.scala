@@ -113,6 +113,23 @@ class PrunedRewriteSpec extends AnyFunSuite with SharedSpark {
     assert(ts.read("t").columns.toSet == Set("id", "bucket", "v"))
   }
 
+  test("the affected-values predicate lands in PartitionFilters, not DataFilters") {
+    import spark.implicits._
+    // the predicate shape prunedRewrite builds — null-safe conjunctions
+    // OR'd per affected tuple — must prune at the partition level, or the
+    // 'unaffected directories are never read' claim silently degrades to
+    // a full scan with a post-filter
+    val root = tmpDir("tables")
+    val ts = freshTable(root)
+    val pred = (col("bucket") <=> lit(2L)) || (col("bucket") <=> lit(3L))
+    val scan = ts.read("t").filter(pred)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [((bucket"),
+      s"partition predicate not pruned:\n$scan")
+    assert(scan.contains("DataFilters: []"),
+      s"predicate leaked into per-row data filters:\n$scan")
+  }
+
   test("a crash at any pruned-swap point loses no unaffected data and re-runs to completion") {
     import spark.implicits._
     final class Boom extends RuntimeException("injected crash")
