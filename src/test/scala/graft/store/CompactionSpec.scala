@@ -116,6 +116,45 @@ class CompactionSpec extends AnyFunSuite with SharedSpark {
     assert(snap() == before)
   }
 
+  test("random append/pack interleavings preserve rows and never rewrite past-threshold files") {
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = new TableStore(spark, root)
+    val rnd = new scala.util.Random(7)
+    val threshold = 4096L // bigger than any single-append file here
+    var expected = Set.empty[Long]
+    var nextId = 0L
+    // invariants across a random workload: (1) every row survives every
+    // pack, (2) a file that crossed the threshold is never touched again,
+    // (3) the table stays readable throughout
+    var crossed = Map.empty[String, Long] // name -> mtime of >=threshold files
+    for (step <- 1 to 12) {
+      if (rnd.nextInt(3) < 2) { // append 1-3 rows
+        val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          nextId += 1; nextId
+        }
+        ts.append("t", rows.map(i => (i, s"v$i")).toDF("id", "v"))
+        expected ++= rows
+      } else {
+        ts.compactIncremental("t", smallThreshold = threshold,
+          targetBytes = threshold * 4)
+      }
+      if (ts.exists("t")) {
+        assert(ts.read("t").select("id").as[Long].collect().toSet == expected,
+          s"step $step lost or duplicated rows")
+        val files = dataFiles(root, "t")
+        crossed.foreach { case (name, mtime) =>
+          assert(files.get(name).exists(_._2 == mtime),
+            s"step $step rewrote past-threshold file $name")
+        }
+        crossed = files.collect { case (n, (rel, m))
+          if new java.io.File(s"$root/t/$rel").length() >= threshold => n -> m
+        }
+      }
+    }
+    assert(expected.nonEmpty)
+  }
+
   test("a crash at any compaction point loses no data") {
     import spark.implicits._
     final class Boom extends RuntimeException("injected crash")

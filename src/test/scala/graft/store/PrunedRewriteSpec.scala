@@ -113,6 +113,35 @@ class PrunedRewriteSpec extends AnyFunSuite with SharedSpark {
     assert(ts.read("t").columns.toSet == Set("id", "bucket", "v"))
   }
 
+  test("two-level partitioning: only the matching leaf directory is rewritten") {
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = new TableStore(spark, root)
+    ts.appendPartitioned("t",
+      (1L to 200L).map(i => (i, i % 2, i % 3, s"v$i")).toDF("id", "a", "b", "v"),
+      Seq("a", "b"))
+    def leafFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/t")).filter(f =>
+        f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getPath.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = leafFiles()
+    // id 7 → a=1, b=1: exactly one leaf dir rewritten
+    ts.deleteWhere("t", col("id") === 7L, partitionCols = Seq("a", "b"))
+    val after = leafFiles()
+    assert(ts.read("t").count() == 199)
+    val changed = before.keySet.filterNot(k => after.get(k).contains(before(k))) ++
+      after.keySet.diff(before.keySet)
+    assert(changed.forall(_.contains("a=1/b=1")),
+      s"leaf dirs outside a=1/b=1 changed: $changed")
+    assert(changed.nonEmpty, "the matching leaf must be rewritten")
+  }
+
   test("the affected-values predicate lands in PartitionFilters, not DataFilters") {
     import spark.implicits._
     // the predicate shape prunedRewrite builds — null-safe conjunctions
