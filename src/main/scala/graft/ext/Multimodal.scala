@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Codec status: IMAGES are decoded for real via the JDK's javax.imageio
   * (PNG/JPEG/GIF/BMP — format sniffing, header-only dimension reads, and
-  * a real `resizeImages` re-encoder); AUDIO/VIDEO remain a declared STUB
-  * (the JDK ships no audio/video codecs and none are available in this
-  * environment) behind a deterministic container format, exactly like the
-  * pluggable `Parse.DocParser` boundary.
+  * a real `resizeImages` re-encoder); uncompressed AUDIO containers
+  * (WAV/AIFF/AU) decode their headers for real via the JDK's
+  * javax.sound.sampled (sample rate, channels, raw payload size — no
+  * sample decode). COMPRESSED audio (MP3/AAC) and VIDEO remain a
+  * declared STUB (the JDK ships no such codecs and none are available in
+  * this environment) behind a deterministic container format, exactly
+  * like the pluggable `Parse.DocParser` boundary.
   *
   * STUB FORMAT ("GMM1"): ascii header `GMM1|<kind>|<width>|<height>|<fps>|`
   * followed by payload bytes. A production build replaces the GMM1 branch
@@ -56,14 +59,43 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Real audio header decode for the formats the JDK ships SPIs for
+    * (WAV/AIFF/AU): `AudioSystem.getAudioFileFormat` parses only the
+    * container header (RIFF/FORM chunk), no sample decode — the same
+    * header-bytes-only cost profile as [[imageDims]]. Mapping into
+    * [[MediaMeta]]: width = sample rate in Hz, height = channel count,
+    * fps = 0, payloadBytes = frame count × frame size when the header
+    * declares them (raw sample bytes), else the container length.
+    */
+  private def audioMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength
+      val frameSize = af.getFrameSize
+      val payload =
+        if (frames > 0 && frameSize > 0) frames.toLong * frameSize
+        else bytes.length.toLong
+      Some(MediaMeta("audio", math.round(af.getSampleRate),
+        af.getChannels, 0, payload))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
   /** Decode boundary. Real raster formats the JDK ships codecs for
-    * (PNG/JPEG/GIF/BMP/WBMP) decode for real; anything else must be a
-    * GMM1 container (the declared audio/video stub) or the call throws
-    * and the caller's per-row isolation drops the row.
+    * (PNG/JPEG/GIF/BMP/WBMP) decode for real, as do the JDK's audio
+    * containers (WAV/AIFF/AU — header-only, see [[audioMeta]]); anything
+    * else must be a GMM1 container (the declared compressed-audio/video
+    * stub) or the call throws and the caller's per-row isolation drops
+    * the row.
     */
   def decodeHeader(bytes: Array[Byte]): MediaMeta =
-    imageDims(bytes) match {
-      case Some((w, h)) => MediaMeta("image", w, h, 0, bytes.length.toLong)
+    imageDims(bytes).map { case (w, h) =>
+      MediaMeta("image", w, h, 0, bytes.length.toLong)
+    }.orElse(audioMeta(bytes)) match {
+      case Some(meta) => meta
       case None =>
         // magic check FIRST, against at most 5 bytes: real audio/video
         // payloads (MP3/MP4/WAV/...) must fail loudly and cheaply here —
@@ -74,9 +106,10 @@ object Multimodal {
           magic.indices.forall(i => bytes(i) == magic(i))
         if (!isStubContainer) throw new IllegalArgumentException(
           s"cannot decode ${bytes.length}-byte payload: not a JDK-decodable " +
-            "image (PNG/JPEG/GIF/BMP/WBMP) and not a GMM1 stub container. " +
-            "Real audio/video decoding needs a production codec plugged in " +
-            "at the decodeHeader boundary (README: Production codec boundaries)")
+            "image (PNG/JPEG/GIF/BMP/WBMP) or audio container (WAV/AIFF/AU) " +
+            "and not a GMM1 stub container. Compressed audio (MP3/AAC) and " +
+            "video decoding need a production codec plugged in at the " +
+            "decodeHeader boundary (README: Production codec boundaries)")
         val headEnd = {
           var i = 0; var bars = 0
           while (i < bytes.length && bars < 5) { if (bytes(i) == '|') bars += 1; i += 1 }
