@@ -161,9 +161,10 @@ final class TableStore(spark: SparkSession, root: String) {
     // an assignment that MOVES rows across partition directories can't be
     // a per-directory swap (the target dir holds unaffected rows that a
     // rename would destroy) — only the whole-table path is correct there
-    if (partitionCols.isEmpty ||
+    if (partitionCols.nonEmpty &&
         assignments.keys.exists(k => partitionCols.exists(_.equalsIgnoreCase(k))))
       overwriteAtomic(table, transform(read(table)), partitionCols)
+    else if (partitionCols.isEmpty) filePrunedRewrite(table, cond)(transform)
     else prunedRewrite(table, cond, partitionCols)(transform)
   }
 
@@ -174,9 +175,53 @@ final class TableStore(spark: SparkSession, root: String) {
   def deleteWhere(table: String, cond: Column,
                   partitionCols: Seq[String] = Nil): Unit =
     if (partitionCols.isEmpty)
-      overwriteAtomic(table, read(table).filter(!coalesce(cond, lit(false))))
+      filePrunedRewrite(table, cond)(_.filter(!coalesce(cond, lit(false))))
     else prunedRewrite(table, cond, partitionCols)(
       _.filter(!coalesce(cond, lit(false))))
+
+  /** Copy-on-write rewrite of ONLY the data files holding rows that match
+    * `cond` — the unpartitioned sibling of [[prunedRewrite]], and the
+    * path that makes single-row CRUD affordable at corpus scale: a
+    * metainfo patch on a compacted documents table rewrites the one
+    * ~128 MB file containing the row, not the table.
+    *
+    * One column-pruned scan with the predicate pushed to parquet (row-
+    * group stats skip non-matching files cheaply) lists the files that
+    * hold matching rows via `input_file_name()`; the transform runs over
+    * just those files, and every untouched file crosses the
+    * [[stageAndSwapWithKept]] swap by metadata-only rename. Unlike the
+    * per-directory variant this commit is table-level ALL-OR-NOTHING —
+    * one swap at the end. Falls back to the whole-table rewrite when the
+    * match spans more than half the files (rename churn would exceed the
+    * savings) or when a listed file can't be mapped back to a visible
+    * data file (foreign layouts).
+    */
+  private def filePrunedRewrite(table: String, cond: Column)
+                               (transform: DataFrame => DataFrame): Unit = {
+    val matched = coalesce(cond, lit(false))
+    def full(): Unit = overwriteAtomic(table, transform(read(table)))
+    val affectedRaw = read(table).filter(matched)
+      .select(input_file_name().as("_f")).distinct().collect()
+      .map(_.getString(0))
+    if (affectedRaw.isEmpty) return // nothing matches: zero write I/O
+    val rootPath = fs.makeQualified(new Path(tablePath(table))).toUri.getPath
+    def relOf(s: String): Option[String] = {
+      val p = try new java.net.URI(s).getPath catch { case _: Exception => s }
+      if (p == null || !p.startsWith(rootPath)) None
+      else Some(p.stripPrefix(rootPath).stripPrefix("/"))
+    }
+    val rels = affectedRaw.map(relOf)
+    val visible = listVisibleFiles(table).map(_._1)
+    if (rels.exists(_.isEmpty)) return full()
+    val affected = rels.flatten.toSet
+    if (!affected.subsetOf(visible.toSet)) return full()
+    if (affected.size * 2 > visible.size) return full()
+    val kept = visible.filterNot(affected)
+    val transformed = transform(
+      spark.read.option("basePath", tablePath(table))
+        .parquet(affected.map(r => s"${tablePath(table)}/$r").toSeq: _*))
+    stageAndSwapWithKept(table, transformed, kept, Nil)
+  }
 
   /** Copy-on-write rewrite of ONLY the hive partition directories holding
     * rows that match `cond` — the cluster-scale CRUD path the class doc
@@ -480,10 +525,6 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     if (small.size < 2) return CompactStats(0, 0L, visible.size)
 
-    val f = fs
-    val dest = new Path(tablePath(table))
-    val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
-    val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
     val smallBytes = small.map(_._2).sum
     val smallPaths = small.map { case (rel, _) => s"${tablePath(table)}/$rel" }
     // basePath keeps hive partition columns in the projected rows
@@ -494,39 +535,58 @@ final class TableStore(spark: SparkSession, root: String) {
     val packed =
       if (partitionCols.isEmpty) packedSrc.coalesce(n)
       else packedSrc.repartition(n, partitionCols.map(col): _*)
+    stageAndSwapWithKept(table, packed, kept.map(_._1), partitionCols)
+    CompactStats(small.size, smallBytes, kept.size)
+  }
+
+  /** Shared commit for the partial-rewrite paths ([[compactIncremental]],
+    * the file-pruned CRUD rewrite): stage `df` as the table's NEW content
+    * in a `.tmp-*` sibling while the table stays live, then commit with
+    * the two-rename swap, carrying every `keptRels` file across by a
+    * metadata-only rename inside the window — zero data I/O for
+    * carried-over bytes, and the table-level all-or-nothing contract of
+    * [[overwriteAtomic]] (fully-old before the window, fully-new after;
+    * transiently absent inside it; every byte recoverable from the
+    * `.old-*`/`.tmp-*` siblings on a mid-window crash).
+    */
+  private def stageAndSwapWithKept(table: String, df: DataFrame,
+                                   keptRels: Seq[String],
+                                   partitionCols: Seq[String]): Unit = {
+    val f = fs
+    val dest = new Path(tablePath(table))
+    val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
+    val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
     // empty partitioned writes produce no files (schema lost) — same
-    // fallback as overwriteAtomic; only reachable if every small file
-    // held zero rows
+    // fallback as overwriteAtomic
     val effectiveParts =
-      if (partitionCols.nonEmpty && packed.isEmpty) Nil else partitionCols
+      if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
     val props = allTableProps(table) // survive the swap
-    packed.write.mode("overwrite").partitionBy(effectiveParts: _*)
+    df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution while dest is still live
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
     failpoint("tmp-written")
     if (!f.rename(dest, old))
-      throw new java.io.IOException(s"compaction swap failed for $table")
+      throw new java.io.IOException(s"partial-rewrite swap failed for $table")
     failpoint("old-aside")
-    // carry already-compacted files across: O(1) metadata renames, no I/O.
-    // Packed part files carry a fresh job UUID, so names cannot collide.
-    for ((rel, _) <- kept) {
+    // carry untouched files across: O(1) metadata renames, no I/O.
+    // Staged part files carry a fresh job UUID, so names cannot collide.
+    for (rel <- keptRels) {
       val src = new Path(old, rel)
       val dst = new Path(tmp, rel)
       val parent = dst.getParent
       if (!f.exists(parent)) f.mkdirs(parent)
       if (!f.rename(src, dst))
-        throw new java.io.IOException(s"compaction keep-rename failed: $rel")
+        throw new java.io.IOException(s"keep-rename failed: $table/$rel")
     }
     failpoint("kept-moved")
     if (!f.rename(tmp, dest)) {
       // best-effort rollback: return kept files, restore the old dir
-      for ((rel, _) <- kept) f.rename(new Path(tmp, rel), new Path(old, rel))
+      for (rel <- keptRels) f.rename(new Path(tmp, rel), new Path(old, rel))
       f.rename(old, dest)
-      throw new java.io.IOException(s"compaction swap failed for $table")
+      throw new java.io.IOException(s"partial-rewrite swap failed for $table")
     }
     failpoint("swapped")
     f.delete(old, true)
-    CompactStats(small.size, smallBytes, kept.size)
   }
 
   // -------------------------------------------------------------------
