@@ -18,9 +18,13 @@ final case class CompactStats(packedFiles: Int, packedBytes: Long, keptFiles: In
   * under a single-writer contract (the reference, too, has exactly one
   * writer — its lone watchdog handler, main.py:154-159).
   *
-  * Scale note: the rewrite touches the whole table, which is correct but
-  * heavy; at cluster scale tables are partitioned (`partitionBy`) so the
-  * rewrite can be limited to affected partitions, and appends never rewrite.
+  * Scale note: appends never rewrite, and the copy-on-write CRUD paths
+  * prune — a partitioned table rewrites only the directories holding
+  * matching rows ([[prunedRewrite]]), an unpartitioned table only the
+  * FILES holding matching rows ([[filePrunedRewrite]]); untouched data
+  * crosses the commit by metadata-only renames. With
+  * [[compactIncremental]] keeping files near 128 MB, a single-row
+  * mutation costs one file's rewrite regardless of table size.
   */
 final class TableStore(spark: SparkSession, root: String) {
 
