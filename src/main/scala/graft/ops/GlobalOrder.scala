@@ -185,6 +185,12 @@ object GlobalOrder {
     *   2. a window partitioned BY BUCKET ranks within buckets in
     *      parallel — id = base + bucketBase + rank.
     *
+    * Small-frame fast path: when the boundary sample comes back short of
+    * its cap, the limit PROVED the whole frame fits in the sample — the
+    * counts job is skipped and the frame is stamped by one bounded
+    * single-partition window (the common streaming-trigger shape; saves
+    * one Spark job of per-batch fixed cost per id-stamped table).
+    *
     * Bucket-order correctness does not depend on the sample or even on
     * the driver's sort of it: bucket(key) = #{boundaries < key} is
     * monotone in the engine's key order for ANY fixed boundary set, so a
@@ -223,6 +229,21 @@ object GlobalOrder {
     val sampleN = math.max(nB * 64, 1024)
     val sample = df.select(sortCols: _*).withColumn(rC, rand(42))
       .orderBy(col(rC)).limit(sampleN).drop(rC).collect()
+
+    // ---- small-frame fast path: a short sample PROVES the whole frame
+    // fits in it (limit returned everything), so the bucket machinery is
+    // pure overhead — skip the counts job and stamp with one bounded
+    // single-partition window (≤ sampleN-1 rows, a constant partition
+    // key so WindowExec doesn't log the corpus-funnel warning). This is
+    // the common shape of a STREAMING trigger: per-batch fixed cost
+    // drops by one Spark job per id-stamped table.
+    if (sample.length < sampleN) {
+      val wSmall = Window.partitionBy(lit(0)).orderBy(sortCols: _*)
+      return df
+        .withColumn(idName, lit(base) + row_number().over(wSmall).cast("long"))
+        .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
+    }
+
     val width = math.max(1, sample.length / nB)
     val boundaries = sample.sorted(rowOrdering(sortCols.length))
       .zipWithIndex.collect { case (r, i) if i % width == width - 1 => r }

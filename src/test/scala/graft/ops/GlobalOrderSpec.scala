@@ -74,6 +74,24 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set(coalesceKey, "true")
   }
 
+  test("denseIds small-frame fast path equals the global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    // under the sample cap (1024): the short sample proves frame size, the
+    // counts job is skipped, and the single bounded window must assign the
+    // same ids as the bucketed big path / global window — incl. base offset
+    val df = (0L until 500L).map(i => (s"p-${(i * 733) % 500}%04d", i))
+      .toDF("path", "payload").repartition(5)
+    val got = GlobalOrder.denseIds(df, Seq(col("path")), "id", base = 7L)
+    val want = df.withColumn("id",
+      row_number().over(Window.orderBy(col("path"))).cast("long") + 7L)
+    assert(got.select("path", "payload", "id")
+      .exceptAll(want.select("path", "payload", "id")).isEmpty)
+    // deterministic across evaluations, like the big path
+    val first = got.select("path", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val second = got.select("path", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == second)
+  }
+
   test("denseIds stamping is deterministic across re-evaluations") {
     // the rand(42) boundary sample is COLLECTED once, so its
     // nondeterminism can never reach bucket assignment (the documented
