@@ -204,10 +204,14 @@ final class TableStore(spark: SparkSession, root: String) {
                                (transform: DataFrame => DataFrame): Unit = {
     val matched = coalesce(cond, lit(false))
     def full(): Unit = overwriteAtomic(table, transform(read(table)))
+    // capped collect: past 4096 affected files the pruning gains nothing
+    // over a full rewrite, and the driver must not hold an unbounded name
+    // list for a corpus-wide predicate
     val affectedRaw = read(table).filter(matched)
-      .select(input_file_name().as("_f")).distinct().collect()
+      .select(input_file_name().as("_f")).distinct().limit(4097).collect()
       .map(_.getString(0))
     if (affectedRaw.isEmpty) return // nothing matches: zero write I/O
+    if (affectedRaw.length > 4096) return full()
     val rootPath = fs.makeQualified(new Path(tablePath(table))).toUri.getPath
     def relOf(s: String): Option[String] = {
       val p = try new java.net.URI(s).getPath catch { case _: Exception => s }
