@@ -123,7 +123,7 @@ object Parse {
     * pdf_parser.py:63-71), not per document.
     */
   final class PdfBoxDocParser extends DocParser {
-    @transient private lazy val api = PdfBoxDocParser.Api.load()
+    @transient private lazy val api = PdfBoxDocParser.cachedApi
 
     override def parse(path: String, content: Array[Byte]): ParsedDoc = {
       val a = api.getOrElse(throw new IllegalStateException(
@@ -156,8 +156,14 @@ object Parse {
   }
 
   object PdfBoxDocParser {
+    /** The reflective lookup, resolved once per JVM — `available`,
+      * `orFallback` and every parser instance share it (the classpath
+      * does not change under a running executor).
+      */
+    @transient private lazy val cachedApi: Option[Api] = Api.load()
+
     /** True when a PDFBox 2.x/3.x jar is on the classpath. */
-    def available: Boolean = Api.load().isDefined
+    def available: Boolean = cachedApi.isDefined
 
     /** The best parser this classpath supports: real PDFBox decode when
       * the jar is present, the deterministic text stand-in otherwise.

@@ -97,14 +97,11 @@ object Multimodal {
     }.orElse(audioMeta(bytes)) match {
       case Some(meta) => meta
       case None =>
-        // magic check FIRST, against at most 5 bytes: real audio/video
-        // payloads (MP3/MP4/WAV/...) must fail loudly and cheaply here —
-        // never scanned, never materialized as a string, never a silent
-        // null — with an error that names the plug point to fix it
-        val magic = "GMM1|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        val isStubContainer = bytes.length >= magic.length &&
-          magic.indices.forall(i => bytes(i) == magic(i))
-        if (!isStubContainer) throw new IllegalArgumentException(
+        // magic check FIRST, against at most 5 bytes: payloads no JDK SPI
+        // decodes (MP3/MP4/compressed audio/video) must fail loudly and
+        // cheaply here — never scanned, never materialized as a string,
+        // never a silent null — with an error naming the plug point
+        if (!isStub(bytes)) throw new IllegalArgumentException(
           s"cannot decode ${bytes.length}-byte payload: not a JDK-decodable " +
             "image (PNG/JPEG/GIF/BMP/WBMP) or audio container (WAV/AIFF/AU) " +
             "and not a GMM1 stub container. Compressed audio (MP3/AAC) and " +
@@ -126,6 +123,12 @@ object Multimodal {
     }
 
   private def bars(s: String): Int = s.count(_ == '|')
+
+  /** True when the payload carries the GMM1 stub magic (≤5 bytes read). */
+  private def isStub(bytes: Array[Byte]): Boolean = {
+    val magic = "GMM1|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    bytes.length >= magic.length && magic.indices.forall(i => bytes(i) == magic(i))
+  }
 
   /** Decode a DataFrame of (`media_id` long, `content` binary) into typed
     * metadata rows. mapPartitions keeps one (stub) codec per partition and
@@ -203,9 +206,12 @@ object Multimodal {
       .toDF("media_id", "content")
   }
 
-  /** "Resize" for GMM1 stub containers: halves the payload for each
+  /** "Resize" for GMM1 stub containers ONLY: halves the payload for each
     * halving step of the larger dimension — a deterministic stand-in with
-    * a real codec's cost shape (per-row CPU, no shuffle).
+    * a real codec's cost shape (per-row CPU, no shuffle). Rows that are
+    * not GMM1 containers are DROPPED, never re-encoded: a real PNG or WAV
+    * flowing through here must not come out as a zero-filled synthetic
+    * container (use [[resizeImages]] for real rasters).
     */
   def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive, got $maxDim") // same
@@ -218,11 +224,14 @@ object Multimodal {
       // blob drops its row instead of aborting the job
       .flatMap { case (id, bytes) =>
         try {
-          val m = decodeHeader(bytes)
-          var (w, h, p) = (m.width, m.height, bytes.length)
-          while (math.max(w, h) > maxDim) { w /= 2; h /= 2; p /= 2 }
-          Iterator.single(
-            (id, encodeStub(m.kind, w, h, m.fps, new Array[Byte](math.max(0, p)))))
+          if (!isStub(bytes)) Iterator.empty
+          else {
+            val m = decodeHeader(bytes)
+            var (w, h, p) = (m.width, m.height, bytes.length)
+            while (math.max(w, h) > maxDim) { w /= 2; h /= 2; p /= 2 }
+            Iterator.single(
+              (id, encodeStub(m.kind, w, h, m.fps, new Array[Byte](math.max(0, p)))))
+          }
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
       .toDF("media_id", "content")

@@ -7,9 +7,25 @@ import org.apache.spark.sql.functions._
 /** What one [[TableStore.compactIncremental]] pass touched: `packedFiles`/
   * `packedBytes` are the small files that were rewritten; `keptFiles` were
   * carried across by metadata-only renames (zero data I/O). A no-op pass
-  * (nothing worth packing) reports 0 packed.
+  * (nothing worth packing) performs no swap and reports 0 everywhere —
+  * keptFiles counts renames actually performed, not files that happened
+  * to exist.
   */
 final case class CompactStats(packedFiles: Int, packedBytes: Long, keptFiles: Int)
+
+object TableStore {
+  /** Shared driver pool for footer-statistics reads: per-JVM, daemon
+    * threads (never blocks exit), sized for metadata fan-out. A per-call
+    * pool would spawn and tear down threads on every streaming trigger
+    * (maxId runs once per table per micro-batch).
+    */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-footer-reader")
+      t.setDaemon(true)
+      t
+    })
+}
 
 /** Parquet-backed relational table store with CRUD semantics over immutable
   * files (SURVEY §7.4.1). Reads/appends are plain Spark jobs; UPDATE and
@@ -67,18 +83,7 @@ final class TableStore(spark: SparkSession, root: String) {
       // must read as "no data" (the leaf name alone looks like data), or
       // the table wedges permanently: read() throws on a dir whose only
       // files are under _temporary, and nothing would ever clean it
-      val rootPath = f.makeQualified(dir).toUri.getPath
-      def hasDataFiles: Boolean = {
-        val it = f.listFiles(dir, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val rel = it.next().getPath.toUri.getPath
-            .stripPrefix(rootPath).stripPrefix("/")
-          if (!rel.split("/").exists(seg =>
-            seg.startsWith("_") || seg.startsWith("."))) found = true
-        }
-        found
-      }
+      def hasDataFiles: Boolean = listVisibleFiles(table).nonEmpty
       // sidecar props must survive the empty-marker clearing — wiping
       // them with the marker would strip layout metadata (the exact
       // mismatch the props exist to prevent); captured before the delete,
@@ -241,39 +246,39 @@ final class TableStore(spark: SparkSession, root: String) {
     * Shape: one slim scan finds the affected partition values (cond
     * columns + partition columns only — column-pruned at the parquet
     * reader), the rewrite input is the partition-pruned scan of just
-    * those directories, and the commit is a per-directory rename swap
-    * against fully-staged output. Partition values are mapped to
-    * directory names with Spark's own hive escaping, so the swap targets
-    * the directories Spark wrote.
-    *
-    * Crash contract (failpoint-tested like [[overwriteAtomic]]): each
-    * directory is individually fully-old-or-fully-new; a crash between
-    * directory swaps commits a PREFIX of the affected set. That partial
-    * state is benign for these operators: update/delete by predicate is
-    * idempotent, so re-running the same statement completes the
-    * remainder (the committed directories simply no longer match
-    * `cond`). Hidden `.old-*`/`.tmp-*` debris stays invisible to reads.
-    * Sidecar `_graft_*` props live at the table root, which this path
-    * never moves.
+    * those directories, and the commit is [[stageAndSwapWithKept]] with
+    * every UNAFFECTED leaf directory carried across as one whole-dir
+    * rename — table-level ALL-OR-NOTHING (same contract and failpoints
+    * as the file-level and compaction paths), O(#directories) metadata
+    * ops. Partition values are mapped to directory names with Spark's
+    * own hive escaping; the rendering is only proven for string /
+    * integral / boolean / date partition columns, and any other type —
+    * or an affected value whose rendered directory is not found on disk
+    * — falls back to the whole-table rewrite rather than risk a silent
+    * mismatch.
     */
   private def prunedRewrite(table: String, cond: Column,
                             partitionCols: Seq[String])
                            (transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types._
     val matched = coalesce(cond, lit(false))
-    val schema = read(table).schema // survives even if the rewrite empties the table
+    def full(): Unit = overwriteAtomic(table, transform(read(table)), partitionCols)
+    val schema = read(table).schema
+    val renderable = partitionCols.forall { c =>
+      schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case StringType | ByteType | ShortType | IntegerType | LongType
+             | BooleanType | DateType => true
+        case _ => false
+      }
+    }
+    if (!renderable) return full()
     val affected = read(table).filter(matched)
       .select(partitionCols.map(col): _*).distinct().limit(257).collect()
     if (affected.isEmpty) return // nothing matches: zero I/O, not a rewrite
     // a predicate touching very many directories gains nothing from
-    // pruning and would bloat the partition filter — whole-table path.
-    // (Value rendering below assumes string/integral partition values —
-    // what graft tables use; exotic types also land here via the cap
-    // only if they exceed it, so keep bucket counts modest.)
-    if (affected.length > 256) {
-      overwriteAtomic(table, transform(read(table)), partitionCols)
-      return
-    }
+    // pruning and would bloat the partition filter — whole-table path
+    if (affected.length > 256) return full()
 
     // dir name exactly as Spark's writer produces it (hive escaping,
     // null → DEFAULT_PARTITION_NAME)
@@ -285,11 +290,24 @@ final class TableStore(spark: SparkSession, root: String) {
           else ExternalCatalogUtils.escapePathName(v.toString)
         s"${ExternalCatalogUtils.escapePathName(c)}=$s"
       }.mkString("/")
-    val affectedDirs = affected.map(dirRel).toSeq
+    val affectedDirs = affected.map(dirRel).toSet
+
+    // leaf partition dirs actually on disk = parents of visible files;
+    // stray root-level files (foreign writers) are kept file-by-file
+    val visible = listVisibleFiles(table).map(_._1)
+    val leafDirs = visible.collect {
+      case rel if rel.contains('/') => rel.take(rel.lastIndexOf('/'))
+    }.toSet
+    // safety net for finding-class rendering bugs: every affected tuple
+    // MUST map to a directory that exists — else the swap below would
+    // silently drop or miss data
+    if (!affectedDirs.subsetOf(leafDirs)) return full()
+    val kept = (leafDirs -- affectedDirs).toSeq ++
+      visible.filterNot(_.contains('/'))
 
     // partition-pruned input: OR over the affected value tuples, each a
     // null-safe conjunction — lands in the scan's PartitionFilters, so
-    // unaffected directories are never opened
+    // unaffected directories are never opened (plan pinned in spec)
     val prunePred = affected.map { r =>
       partitionCols.zipWithIndex.map { case (c, i) =>
         val v = r.get(i)
@@ -297,41 +315,8 @@ final class TableStore(spark: SparkSession, root: String) {
       }.reduce(_ && _)
     }.reduce(_ || _)
 
-    val f = fs
-    val destRoot = new Path(tablePath(table))
-    val tmpRoot = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
-    transform(read(table).filter(prunePred))
-      .write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(tmpRoot.toString) // forces execution while dest is live
-    failpoint("pruned-staged")
-    var first = true
-    for (rel <- affectedDirs) {
-      val dest = new Path(destRoot, rel)
-      val staged = new Path(tmpRoot, rel)
-      // hidden flattened sibling inside the table dir: invisible to reads
-      val aside = new Path(destRoot,
-        s".old-${System.nanoTime()}-${rel.replace('/', '_')}")
-      if (f.exists(dest) && !f.rename(dest, aside))
-        throw new java.io.IOException(s"pruned swap failed: $table/$rel")
-      if (f.exists(staged)) { // absent staged dir = every row deleted
-        val parent = dest.getParent
-        if (!f.exists(parent)) f.mkdirs(parent)
-        if (!f.rename(staged, dest)) {
-          f.rename(aside, dest) // roll this directory back
-          throw new java.io.IOException(s"pruned swap failed: $table/$rel")
-        }
-      }
-      f.delete(aside, true)
-      if (first) { first = false; failpoint("pruned-first-swapped") }
-    }
-    failpoint("pruned-swapped")
-    f.delete(tmpRoot, true)
-    // a delete that emptied EVERY directory leaves a file-less table that
-    // read() would reject — restore the empty-table schema marker the
-    // whole-table path guarantees (schema captured before the swap)
-    if (!listVisibleFiles(table).exists(_._1.endsWith(".parquet")))
-      overwriteAtomic(table, spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    stageAndSwapWithKept(table,
+      transform(read(table).filter(prunePred)), kept, partitionCols)
   }
 
   /** Every VISIBLE file under the table directory as (path relative to the
@@ -408,15 +393,12 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     if (files.isEmpty) return Some(0L)
     val conf = spark.sparkContext.hadoopConfiguration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.size))
-    val perFile =
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[Option[Option[Long]]]] =
-          files.map(p => () => fileFooterMax(p, conf, idCol))
-        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
-      } finally pool.shutdown()
+    val perFile = {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Option[Option[Long]]]] =
+        files.map(p => () => fileFooterMax(p, conf, idCol))
+      TableStore.footerPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    }
     if (perFile.contains(None)) return None // some footer unusable → scan
     val values = perFile.flatten.flatten
     Some(if (values.isEmpty) 0L else values.max)
@@ -531,7 +513,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val (small, kept) = visible.partition { case (rel, len) =>
       rel.endsWith(".parquet") && len < smallThreshold
     }
-    if (small.size < 2) return CompactStats(0, 0L, visible.size)
+    if (small.size < 2) return CompactStats(0, 0L, 0)
 
     val smallBytes = small.map(_._2).sum
     val smallPaths = small.map { case (rel, _) => s"${tablePath(table)}/$rel" }
@@ -565,9 +547,13 @@ final class TableStore(spark: SparkSession, root: String) {
     val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
     val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
     // empty partitioned writes produce no files (schema lost) — same
-    // fallback as overwriteAtomic
+    // fallback as overwriteAtomic, but ONLY when nothing is carried over:
+    // with kept directories the table stays readable from them, and a
+    // root-level marker file next to hive dirs would break partition
+    // discovery
     val effectiveParts =
-      if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
+      if (partitionCols.nonEmpty && keptRels.isEmpty && df.isEmpty) Nil
+      else partitionCols
     val props = allTableProps(table) // survive the swap
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution while dest is still live

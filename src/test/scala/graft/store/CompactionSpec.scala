@@ -56,9 +56,9 @@ class CompactionSpec extends AnyFunSuite with SharedSpark {
     assert(ts.maxId("t", "id") == 100003L)
 
     // a second pass with nothing new to pack is a no-op: zero bytes
-    // rewritten, every file byte-for-byte untouched
+    // rewritten, zero renames, every file byte-for-byte untouched
     val s2 = ts.compactIncremental("t", smallThreshold = threshold)
-    assert(s2 == CompactStats(0, 0L, 2))
+    assert(s2 == CompactStats(0, 0L, 0))
     assert(dataFiles(root, "t") == after1, "no-op pass must touch nothing")
 
     // new tail arrives: the next pass re-packs ONLY the sub-threshold

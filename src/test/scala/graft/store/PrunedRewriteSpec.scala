@@ -159,30 +159,47 @@ class PrunedRewriteSpec extends AnyFunSuite with SharedSpark {
       s"predicate leaked into per-row data filters:\n$scan")
   }
 
-  test("a crash at any pruned-swap point loses no unaffected data and re-runs to completion") {
+  test("a crash at any pruned-swap point is all-or-nothing at table level") {
     import spark.implicits._
     final class Boom extends RuntimeException("injected crash")
-    for (crashAt <- Seq("pruned-staged", "pruned-first-swapped", "pruned-swapped")) {
+    val allIds = (1L to 400L).toSet
+    // the same shared failpoints as the compaction / file-level paths:
+    // the partitioned rewrite commits through stageAndSwapWithKept, so a
+    // mid-window crash leaves the TABLE PATH absent (loud, retryable) —
+    // never a readable table silently missing one partition directory
+    for (crashAt <- Seq("tmp-written", "old-aside", "kept-moved", "swapped")) {
       val root = tmpDir(s"tables-pr-$crashAt")
       val ts = freshTable(root)
       ts.failpoint = at => if (at == crashAt) throw new Boom
-      // touches bucket=0 and bucket=1 (two directory swaps)
+      // touches bucket=0 and bucket=1 (two directories)
       intercept[Boom] {
         ts.deleteWhere("t", col("id") === 4L || col("id") === 5L,
           partitionCols = Seq("bucket"))
       }
       ts.failpoint = _ => ()
-      // whatever the crash point: the table stays readable, unaffected
-      // rows are all present, and affected rows are each present (dir
-      // still old) or absent (dir committed) — never corrupted
-      val ids = ts.read("t").select("id").as[Long].collect().toSet
-      assert((1L to 400L).toSet -- Set(4L, 5L) subsetOf ids,
-        s"[$crashAt] unaffected rows lost")
-      assert(ids subsetOf (1L to 400L).toSet, s"[$crashAt] phantom rows")
-      // idempotent re-run completes the remainder
-      ts.deleteWhere("t", col("id") === 4L || col("id") === 5L,
-        partitionCols = Seq("bucket"))
-      assert(ts.read("t").count() == 398)
+      def ids(path: String): Set[Long] =
+        spark.read.parquet(path).select("id").as[Long].collect().toSet
+      val siblings = new java.io.File(root).listFiles().map(_.getName).toSeq
+      crashAt match {
+        case "tmp-written" =>
+          assert(ids(s"$root/t") == allIds, s"[$crashAt] fully-old")
+          // re-running the statement completes it
+          ts.deleteWhere("t", col("id") === 4L || col("id") === 5L,
+            partitionCols = Seq("bucket"))
+          assert(ts.read("t").count() == 398)
+        case "old-aside" =>
+          assert(!ts.exists("t"), s"[$crashAt] table path must be absent")
+          val old = siblings.find(_.startsWith("t.old-")).get
+          assert(ids(s"$root/$old") == allIds, s"[$crashAt] all-old in sibling")
+        case "kept-moved" =>
+          assert(!ts.exists("t"), s"[$crashAt] table path must be absent")
+          val tmp = siblings.find(_.startsWith("t.tmp-")).get
+          assert(ids(s"$root/$tmp") == allIds -- Set(4L, 5L),
+            s"[$crashAt] staged dir holds the complete new table")
+        case "swapped" =>
+          assert(ids(s"$root/t") == allIds -- Set(4L, 5L),
+            s"[$crashAt] fully-new")
+      }
     }
   }
 }
