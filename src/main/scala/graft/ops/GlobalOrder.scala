@@ -189,7 +189,9 @@ object GlobalOrder {
     * its cap, the limit PROVED the whole frame fits in the sample — the
     * counts job is skipped and the frame is stamped by one bounded
     * single-partition window (the common streaming-trigger shape; saves
-    * one Spark job of per-batch fixed cost per id-stamped table).
+    * one Spark job of per-batch fixed cost per id-stamped table). Frames
+    * with binary columns are excluded: the row bound is not a byte
+    * bound, and blob batches must not funnel through one window task.
     *
     * Bucket-order correctness does not depend on the sample or even on
     * the driver's sort of it: bucket(key) = #{boundaries < key} is
@@ -236,8 +238,11 @@ object GlobalOrder {
     // single-partition window (≤ sampleN-1 rows, a constant partition
     // key so WindowExec doesn't log the corpus-funnel warning). This is
     // the common shape of a STREAMING trigger: per-batch fixed cost
-    // drops by one Spark job per id-stamped table.
-    if (sample.length < sampleN) {
+    // drops by one Spark job per id-stamped table. Gated off for frames
+    // carrying binary columns: the short sample bounds ROWS, not bytes,
+    // and a single window task must not become the funnel for a batch of
+    // multi-MB blobs (chart PNGs) — those keep the bucketed path.
+    if (sample.length < sampleN && !hasBinaryColumn(df.schema)) {
       val wSmall = Window.partitionBy(lit(0)).orderBy(sortCols: _*)
       return df
         .withColumn(idName, lit(base) + row_number().over(wSmall).cast("long"))
@@ -288,6 +293,20 @@ object GlobalOrder {
         lit(base) + element_at(typedLit(bases), col(bucketC)) +
           row_number().over(wRank).cast("long"))
       .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
+  }
+
+  /** True when the schema carries a binary column anywhere (top level or
+    * nested) — the payload-weight signal the denseIds fast path gates on.
+    */
+  private def hasBinaryColumn(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType     => true
+      case s: StructType  => s.fields.exists(f => hasBinaryColumn(f.dataType))
+      case a: ArrayType   => hasBinaryColumn(a.elementType)
+      case m: MapType     => hasBinaryColumn(m.keyType) || hasBinaryColumn(m.valueType)
+      case _              => false
+    }
   }
 
   /** Driver-side lexicographic Row ordering for the boundary sample.

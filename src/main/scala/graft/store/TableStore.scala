@@ -83,7 +83,20 @@ final class TableStore(spark: SparkSession, root: String) {
       // must read as "no data" (the leaf name alone looks like data), or
       // the table wedges permanently: read() throws on a dir whose only
       // files are under _temporary, and nothing would ever clean it
-      def hasDataFiles: Boolean = listVisibleFiles(table).nonEmpty
+      // early-exit walk (NOT listVisibleFiles: this runs once per
+      // streaming trigger, and a boolean must not enumerate a compacted
+      // corpus's whole file list)
+      def hasDataFiles: Boolean = {
+        val rootPath = f.makeQualified(dir).toUri.getPath
+        val it = f.listFiles(dir, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val rel = it.next().getPath.toUri.getPath
+            .stripPrefix(rootPath).stripPrefix("/")
+          if (!isHiddenRel(rel)) found = true
+        }
+        found
+      }
       // sidecar props must survive the empty-marker clearing — wiping
       // them with the marker would strip layout metadata (the exact
       // mismatch the props exist to prevent); captured before the delete,
@@ -207,12 +220,21 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def filePrunedRewrite(table: String, cond: Column)
                                (transform: DataFrame => DataFrame): Unit = {
-    val matched = coalesce(cond, lit(false))
     def full(): Unit = overwriteAtomic(table, transform(read(table)))
-    // capped collect: past 4096 affected files the pruning gains nothing
-    // over a full rewrite, and the driver must not hold an unbounded name
-    // list for a corpus-wide predicate
-    val affectedRaw = read(table).filter(matched)
+    val visible = listVisibleFiles(table).map(_._1)
+    // a table that is hive-partitioned ON DISK but addressed without
+    // partitionCols must not take this path: an unpartitioned staged
+    // write next to kept partition directories is a mixed layout no
+    // reader can load — degrade to the (flattening) whole-table rewrite
+    // the pre-pruning code performed
+    if (visible.exists(_.contains('/'))) return full()
+    // discovery filters on the RAW cond (filter already treats NULL as
+    // false) so it stays translatable to a parquet data-source filter —
+    // a coalesce wrapper would defeat the row-group stats skipping this
+    // path exists for. Capped collect: past 4096 affected files the
+    // pruning gains nothing, and the driver must not hold an unbounded
+    // name list for a corpus-wide predicate
+    val affectedRaw = read(table).filter(cond)
       .select(input_file_name().as("_f")).distinct().limit(4097).collect()
       .map(_.getString(0))
     if (affectedRaw.isEmpty) return // nothing matches: zero write I/O
@@ -224,7 +246,6 @@ final class TableStore(spark: SparkSession, root: String) {
       else Some(p.stripPrefix(rootPath).stripPrefix("/"))
     }
     val rels = affectedRaw.map(relOf)
-    val visible = listVisibleFiles(table).map(_._1)
     if (rels.exists(_.isEmpty)) return full()
     val affected = rels.flatten.toSet
     if (!affected.subsetOf(visible.toSet)) return full()
@@ -262,7 +283,6 @@ final class TableStore(spark: SparkSession, root: String) {
                            (transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.types._
-    val matched = coalesce(cond, lit(false))
     def full(): Unit = overwriteAtomic(table, transform(read(table)), partitionCols)
     val schema = read(table).schema
     val renderable = partitionCols.forall { c =>
@@ -273,7 +293,9 @@ final class TableStore(spark: SparkSession, root: String) {
       }
     }
     if (!renderable) return full()
-    val affected = read(table).filter(matched)
+    // raw cond (not coalesce-wrapped): filter drops NULLs anyway, and the
+    // raw predicate stays pushdown-translatable for stats skipping
+    val affected = read(table).filter(cond)
       .select(partitionCols.map(col): _*).distinct().limit(257).collect()
     if (affected.isEmpty) return // nothing matches: zero I/O, not a rewrite
     // a predicate touching very many directories gains nothing from
@@ -327,6 +349,9 @@ final class TableStore(spark: SparkSession, root: String) {
     * doing) so callers can decide whether such a file invalidates a
     * metadata-only shortcut.
     */
+  private def isHiddenRel(rel: String): Boolean =
+    rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+
   private def listVisibleFiles(table: String): Seq[(String, Long)] = {
     val f = fs
     val dir = new Path(tablePath(table))
@@ -336,8 +361,7 @@ final class TableStore(spark: SparkSession, root: String) {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
-      if (!hidden) out += ((rel, st.getLen))
+      if (!isHiddenRel(rel)) out += ((rel, st.getLen))
     }
     out.toSeq
   }
@@ -562,15 +586,28 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!f.rename(dest, old))
       throw new java.io.IOException(s"partial-rewrite swap failed for $table")
     failpoint("old-aside")
-    // carry untouched files across: O(1) metadata renames, no I/O.
+    // carry untouched files/dirs across: O(1) metadata renames, no I/O.
     // Staged part files carry a fresh job UUID, so names cannot collide.
-    for (rel <- keptRels) {
-      val src = new Path(old, rel)
-      val dst = new Path(tmp, rel)
-      val parent = dst.getParent
-      if (!f.exists(parent)) f.mkdirs(parent)
-      if (!f.rename(src, dst))
-        throw new java.io.IOException(s"keep-rename failed: $table/$rel")
+    // A rename FAILURE (not a crash) rolls everything back so the table
+    // stays readable and the statement re-runnable — only a hard crash
+    // inside the window needs sibling recovery.
+    val movedKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      for (rel <- keptRels) {
+        val src = new Path(old, rel)
+        val dst = new Path(tmp, rel)
+        val parent = dst.getParent
+        if (!f.exists(parent)) f.mkdirs(parent)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"keep-rename failed: $table/$rel")
+        movedKept += rel
+      }
+    } catch {
+      case e: Throwable =>
+        for (rel <- movedKept.reverse)
+          f.rename(new Path(tmp, rel), new Path(old, rel))
+        f.rename(old, dest)
+        throw e
     }
     failpoint("kept-moved")
     if (!f.rename(tmp, dest)) {

@@ -92,6 +92,19 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(first == second)
   }
 
+  test("denseIds keeps the bucketed path for small frames with binary columns") {
+    // the fast path's row bound is not a byte bound: a blob batch must
+    // not funnel through one window task, so binary-schema frames stay on
+    // the bucketed path (visible as the literal bases map in the plan)
+    val blobby = (0L until 50L).map(i => (s"k$i%03d", Array.fill(4)(i.toByte)))
+      .toDF("path", "blob")
+    val stamped = GlobalOrder.denseIds(blobby, Seq(col("path")), "id")
+    assert(stamped.queryExecution.optimizedPlan.toString.contains("element_at"),
+      "binary frame should use the bucketed bases-map path")
+    assert(stamped.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 50L).toSeq)
+  }
+
   test("denseIds stamping is deterministic across re-evaluations") {
     // the rand(42) boundary sample is COLLECTED once, so its
     // nondeterminism can never reach bucket assignment (the documented

@@ -89,6 +89,36 @@ class FilePrunedRewriteSpec extends AnyFunSuite with SharedSpark {
       == Seq("b", "orphan"))
   }
 
+  test("a partitioned-on-disk table without partitionCols degrades to the flat rewrite, readable") {
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = new TableStore(spark, root)
+    ts.appendPartitioned("t",
+      (1L to 100L).map(i => (i, i % 4, s"v$i")).toDF("id", "bucket", "v"),
+      Seq("bucket"))
+    // caller forgets partitionCols: the file-pruned path must NOT stage an
+    // unpartitioned write next to kept hive directories (unreadable mixed
+    // layout) — it degrades to the flattening whole-table rewrite
+    ts.deleteWhere("t", col("id") === 7L)
+    val back = ts.read("t")
+    assert(back.count() == 99)
+    assert(back.columns.contains("bucket"), "partition values survive as a column")
+    assert(back.filter(col("id") === 7L).isEmpty)
+  }
+
+  test("the discovery predicate is pushed to the parquet scan") {
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = threeBatches(root)
+    // the affected-file discovery filters on the RAW cond so parquet can
+    // skip row groups via stats; a coalesce wrapper would block pushdown
+    // and turn single-row CRUD back into an O(table) read
+    val scan = ts.read("t").filter(col("id") === 150L)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,150)]"),
+      s"predicate not pushed:\n$scan")
+  }
+
   test("a crash at any swap point leaves fully-old or fully-new, rows recoverable") {
     import spark.implicits._
     final class Boom extends RuntimeException("injected crash")
