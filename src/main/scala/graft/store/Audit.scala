@@ -144,4 +144,28 @@ object Audit {
       cached.values.foreach(_.unpersist())
     }
   }
+
+  /** Reclaim orphan chart blobs — the tolerated crash-mode leftovers the
+    * `blobs_orphaned` check surfaces (ingest writes blobs BEFORE rows,
+    * SURVEY §7.4.4, so a mid-batch crash strands blobs whose rows never
+    * committed). Orphans = stored keys with no `chart_data.image_path`
+    * referencing them; the delete is distributed ([[ObjectStore.deleteAll]])
+    * and idempotent. Returns the number of blobs removed.
+    *
+    * MUST run inside the single-writer maintenance window (no concurrent
+    * ingest): the same blob-before-row ordering means a live batch's
+    * just-written blobs look orphaned until their rows commit — a racing
+    * GC would delete them and manufacture the dangling-row state the
+    * write ordering exists to prevent.
+    */
+  def gcOrphanBlobs(spark: SparkSession, tables: TableStore,
+                    objects: ObjectStore): Long = {
+    val keys = objects.listKeys()
+    val orphans =
+      if (!tables.exists("chart_data")) keys
+      else keys.join(
+        tables.read("chart_data").select(col("image_path")),
+        keys("key") === col("image_path"), "left_anti")
+    objects.deleteAll(orphans)
+  }
 }

@@ -103,6 +103,34 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
         }
     }
   }
+
+  /** Distributed bulk delete: `keysDf` must carry a `key` string column.
+    * Executor-side, one FileSystem per partition like [[putAll]]; returns
+    * the number of objects actually removed (already-absent keys are not
+    * counted — delete is idempotent).
+    */
+  def deleteAll(keysDf: DataFrame): Long = {
+    val rootStr = bucketRoot
+    val confMap: Map[String, String] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val sess = keysDf.sparkSession
+    import sess.implicits._
+    keysDf.select("key").as[String].mapPartitions { keys =>
+      val conf = new Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
+      val f = new Path(rootStr).getFileSystem(conf)
+      var n = 0L
+      keys.foreach { key =>
+        ObjectStore.requireListableKey(key)
+        if (f.delete(new Path(s"$rootStr/$key"), false)) n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum // collect, not reduce: an empty listing has no partitions to reduce
+  }
 }
 
 object ObjectStore {

@@ -245,5 +245,17 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       objects.put("documents/1/charts/.hidden.png", Array[Byte](1))
     }
+
+    // GC reclaims exactly the orphan (referenced blobs survive), is
+    // idempotent, and leaves the blobs_orphaned check clean
+    val referenced = tables.read("chart_data").select("image_path")
+      .collect().map(_.getString(0)).filter(objects.get(_).isDefined)
+    assert(Audit.gcOrphanBlobs(spark, tables, objects) == 1L)
+    assert(objects.get("documents/55/charts/55.png").isEmpty, "orphan removed")
+    referenced.foreach(k => assert(objects.get(k).isDefined, s"$k must survive GC"))
+    assert(Audit.gcOrphanBlobs(spark, tables, objects) == 0L, "idempotent")
+    val after = Audit.check(spark, tables, objects)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("blobs_orphaned") == 0L, s"$after")
   }
 }
