@@ -157,15 +157,32 @@ object Audit {
     * just-written blobs look orphaned until their rows commit — a racing
     * GC would delete them and manufacture the dangling-row state the
     * write ordering exists to prevent.
+    *
+    * Refuses (throws) when `chart_data` is absent but swap debris
+    * (`.old-*`/`.tmp-*` siblings) exists: that is a table TRANSIENTLY
+    * absent mid-crashed-swap whose rows — and therefore whose blob
+    * references — are recoverable, not a first-batch crash where every
+    * blob is genuinely orphaned. Deleting on that state would turn a
+    * recoverable table crash into permanent blob loss.
     */
-  def gcOrphanBlobs(spark: SparkSession, tables: TableStore,
-                    objects: ObjectStore): Long = {
+  def gcOrphanBlobs(tables: TableStore, objects: ObjectStore): Long = {
     val keys = objects.listKeys()
     val orphans =
-      if (!tables.exists("chart_data")) keys
-      else keys.join(
+      if (!tables.exists("chart_data")) {
+        if (tables.hasSwapDebris("chart_data"))
+          throw new IllegalStateException(
+            "chart_data is absent but .old-*/.tmp-* swap siblings exist — " +
+              "recover the table (rename the .old-* sibling back) before " +
+              "running blob GC; its rows still reference stored blobs")
+        keys // table never existed: the first-batch crash, all blobs orphan
+      } else keys.join(
         tables.read("chart_data").select(col("image_path")),
         keys("key") === col("image_path"), "left_anti")
+    // count BEFORE deleting: deleteAll's running tally undercounts when a
+    // task retry re-deletes already-absent keys; the pre-counted orphan
+    // set is exact under the single-writer window
+    val n = orphans.count()
     objects.deleteAll(orphans)
+    n
   }
 }

@@ -79,17 +79,21 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
     * Runs on executors; one FileSystem per partition (init-once, like the
     * reference's per-process client — minio.py:17-28).
     */
+  /** Hadoop Configuration is not serializable; ship its entries as a map
+    * and rebuild per partition (init-once, like the reference's
+    * per-process client — minio.py:17-28). Shared by the executor-side
+    * bulk operations.
+    */
+  private def serializableHadoopConf: Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
   def putAll(df: DataFrame): Unit = {
     val rootStr = bucketRoot
-    // Hadoop Configuration is not serializable; ship its entries as a map
-    // and rebuild per partition (init-once, like the reference's
-    // per-process client — minio.py:17-28).
-    val confMap: Map[String, String] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confMap = serializableHadoopConf
     df.select("key", "content").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conf = new Configuration(false)
@@ -105,18 +109,15 @@ final class ObjectStore(spark: SparkSession, bucketRoot: String) {
   }
 
   /** Distributed bulk delete: `keysDf` must carry a `key` string column.
-    * Executor-side, one FileSystem per partition like [[putAll]]; returns
-    * the number of objects actually removed (already-absent keys are not
-    * counted — delete is idempotent).
+    * Executor-side, one FileSystem per partition like [[putAll]]. Returns
+    * a BEST-EFFORT removed count: the tally runs inside tasks, so a task
+    * retry that re-deletes already-absent keys undercounts — callers
+    * needing an exact number must count the key set before deleting
+    * (deletion itself stays idempotent and correct under retries).
     */
   def deleteAll(keysDf: DataFrame): Long = {
     val rootStr = bucketRoot
-    val confMap: Map[String, String] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confMap = serializableHadoopConf
     val sess = keysDf.sparkSession
     import sess.implicits._
     keysDf.select("key").as[String].mapPartitions { keys =>

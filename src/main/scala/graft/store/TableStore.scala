@@ -51,6 +51,19 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
 
+  /** True when a crashed or in-flight atomic swap left `.old-*`/`.tmp-*`
+    * siblings of the table — the recoverable states in which the table
+    * path may be TRANSIENTLY absent. Destructive maintenance (e.g. orphan
+    * GC) must distinguish "never existed" from "absent mid-swap": acting
+    * on the former is cleanup, acting on the latter destroys data whose
+    * rows are still recoverable from the siblings.
+    */
+  def hasSwapDebris(table: String): Boolean = {
+    val parent = new Path(root)
+    fs.exists(parent) && fs.listStatus(parent).map(_.getPath.getName)
+      .exists(n => n.startsWith(table + ".old-") || n.startsWith(table + ".tmp-"))
+  }
+
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
   /** S9 — append-only insert (base.py:13-22). */

@@ -250,12 +250,29 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     // idempotent, and leaves the blobs_orphaned check clean
     val referenced = tables.read("chart_data").select("image_path")
       .collect().map(_.getString(0)).filter(objects.get(_).isDefined)
-    assert(Audit.gcOrphanBlobs(spark, tables, objects) == 1L)
+    assert(Audit.gcOrphanBlobs(tables, objects) == 1L)
     assert(objects.get("documents/55/charts/55.png").isEmpty, "orphan removed")
     referenced.foreach(k => assert(objects.get(k).isDefined, s"$k must survive GC"))
-    assert(Audit.gcOrphanBlobs(spark, tables, objects) == 0L, "idempotent")
+    assert(Audit.gcOrphanBlobs(tables, objects) == 0L, "idempotent")
     val after = Audit.check(spark, tables, objects)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after("blobs_orphaned") == 0L, s"$after")
+
+    // a chart_data path absent because a swap CRASHED mid-window (swap
+    // debris present) must refuse GC — classifying every referenced blob
+    // as orphan there would turn a recoverable crash into blob loss
+    val fs = new java.io.File(s"$root/tables")
+    assert(new java.io.File(fs, "chart_data").renameTo(
+      new java.io.File(fs, "chart_data.old-99")), "simulate crashed swap")
+    val e = intercept[IllegalStateException] {
+      Audit.gcOrphanBlobs(tables, objects)
+    }
+    assert(e.getMessage.contains("swap siblings"), e.getMessage)
+    referenced.foreach(k => assert(objects.get(k).isDefined,
+      s"$k must survive the refused GC"))
+    assert(new java.io.File(fs, "chart_data.old-99").renameTo(
+      new java.io.File(fs, "chart_data")), "recover the table")
+    assert(Audit.gcOrphanBlobs(tables, objects) == 0L,
+      "recovered table: nothing orphaned")
   }
 }
