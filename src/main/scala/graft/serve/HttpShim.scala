@@ -94,6 +94,7 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         withInts(ex, query, List(("skip", 0, Some(0)), ("limit", 100, Some(0)))) {
           case List(skip, limit) =>
             jsonArray(ex, store.listDocuments(skip = skip, limit = limit))
+          case other => sys.error(s"internal: expected 2 params, got $other")
         }
       case ("GET", List("documents", AsLong(id))) =>
         store.getDocument(id).toJSON.collect().headOption match {
@@ -110,6 +111,7 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
             // existence guard before returning children (api.py:110-112)
             if (documentAbsent(id)) notFound(ex, "Document not found")
             else jsonArray(ex, store.getChunks(id, start, end))
+          case other => sys.error(s"internal: expected 2 params, got $other")
         }
       case ("GET", List("documents", AsLong(id), "charts")) =>
         if (documentAbsent(id)) notFound(ex, "Document not found")
