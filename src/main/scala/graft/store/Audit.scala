@@ -172,17 +172,23 @@ object Audit {
         if (tables.hasSwapDebris("chart_data"))
           throw new IllegalStateException(
             "chart_data is absent but .old-*/.tmp-* swap siblings exist — " +
-              "recover the table (rename the .old-* sibling back) before " +
+              "run TableStore.recoverSwapDebris(\"chart_data\") before " +
               "running blob GC; its rows still reference stored blobs")
         keys // table never existed: the first-batch crash, all blobs orphan
       } else keys.join(
         tables.read("chart_data").select(col("image_path")),
         keys("key") === col("image_path"), "left_anti")
-    // count BEFORE deleting: deleteAll's running tally undercounts when a
-    // task retry re-deletes already-absent keys; the pre-counted orphan
-    // set is exact under the single-writer window
-    val n = orphans.count()
-    objects.deleteAll(orphans)
-    n
+    // pin the orphan set so the bucket listing + anti-join run ONCE for
+    // both the count and the delete (re-planning would double the GC's
+    // dominant scan cost on a large bucket), and count BEFORE deleting:
+    // deleteAll's running tally undercounts when a task retry re-deletes
+    // already-absent keys; the pre-counted set is exact under the
+    // single-writer window
+    orphans.persist()
+    try {
+      val n = orphans.count()
+      objects.deleteAll(orphans)
+      n
+    } finally orphans.unpersist()
   }
 }

@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 final case class CompactStats(packedFiles: Int, packedBytes: Long, keptFiles: Int)
 
+/** Outcome of [[TableStore.recoverSwapDebris]]. */
+sealed trait SwapRecovery
+object SwapRecovery {
+  /** No `.old-*`/`.tmp-*` siblings existed — nothing to do. */
+  case object NoDebris extends SwapRecovery
+  /** The table path was live (the crash fell outside the swap window, so
+    * the table is already fully-old or fully-new); stale siblings dropped.
+    */
+  case object CleanedUp extends SwapRecovery
+  /** The table was absent mid-window; the `.old-*` contents (plus any
+    * already-moved kept files, returned first) were restored — fully-old.
+    */
+  case object RolledBack extends SwapRecovery
+  /** The table was absent mid-window but the staged dir was provably the
+    * complete new table; it was committed — fully-new.
+    */
+  case object RolledForward extends SwapRecovery
+}
+
 object TableStore {
   /** Shared driver pool for footer-statistics reads: per-JVM, daemon
     * threads (never blocks exit), sized for metadata fan-out. A per-call
@@ -160,6 +179,7 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    writeSwapMarkers(tmp, Nil) // staging complete — recovery may roll forward
     failpoint("tmp-written")
     val f = fs
     if (f.exists(dest) && !f.rename(dest, old))
@@ -171,6 +191,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     failpoint("swapped")
     f.delete(old, true)
+    deleteSwapMarkers(dest)
   }
 
   /** Crash-injection seam for the swap's property test: called at the
@@ -595,6 +616,9 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution while dest is still live
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    // staging complete: the manifest names every file recovery must find
+    // either moved into tmp (→ roll forward) or still in old (→ roll back)
+    writeSwapMarkers(tmp, keptRels)
     failpoint("tmp-written")
     if (!f.rename(dest, old))
       throw new java.io.IOException(s"partial-rewrite swap failed for $table")
@@ -631,6 +655,143 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     failpoint("swapped")
     f.delete(old, true)
+    deleteSwapMarkers(dest)
+  }
+
+  // -------------------------------------------------------------------
+  // Crashed-swap recovery: the hidden `_swap_staged` marker and
+  // `_swap_kept` manifest written into the staged dir (last step of
+  // staging, before the window opens) make every crash state decidable.
+  // Both names are `_`-prefixed — invisible to reads, footer statistics,
+  // and sizeInBytes — and deliberately NOT `_graft_`-prefixed, so the
+  // table-props machinery never mistakes them for layout metadata.
+  // -------------------------------------------------------------------
+
+  private val StagedMarker = "_swap_staged"
+  private val KeptManifest = "_swap_kept"
+
+  private def writeSwapMarkers(tmp: Path, keptRels: Seq[String]): Unit = {
+    writePropFile(new Path(tmp, KeptManifest), keptRels.mkString("\n"))
+    writePropFile(new Path(tmp, StagedMarker), "1")
+  }
+
+  private def deleteSwapMarkers(dir: Path): Unit = {
+    val f = fs
+    f.delete(new Path(dir, StagedMarker), false)
+    f.delete(new Path(dir, KeptManifest), false)
+  }
+
+  private def stagedComplete(tmp: Path): Boolean =
+    fs.exists(new Path(tmp, StagedMarker))
+
+  private def keptManifest(tmp: Path): Seq[String] =
+    Sidecar.read(new Path(tmp, KeptManifest),
+        spark.sparkContext.hadoopConfiguration)
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Automated recovery from a crashed atomic swap (any commit path:
+    * [[overwriteAtomic]], compaction, file-/partition-pruned CRUD).
+    * Inspects the table's `.old-*`/`.tmp-*` siblings, restores a
+    * consistent FULLY-OLD or FULLY-NEW table, and deletes the debris —
+    * the file-engine replacement for the reference's transactional
+    * rollback (Postgres rolls back on error, base.py:19-22). Run it at
+    * startup or before destructive maintenance ([[Audit.gcOrphanBlobs]]
+    * refuses until it has run). Idempotent: a crash DURING recovery
+    * leaves a state a re-run recognizes.
+    *
+    * Decision table — sound because the table path only ever comes into
+    * existence via a whole-directory rename, so a live path is complete:
+    *  - path live → every sibling is stale (pre-window staging, or a
+    *    post-commit `.old-*` whose delete didn't finish): drop them.
+    *  - path absent, staged dir lacks `_swap_staged` → the crash predates
+    *    the marker, so no kept file was ever moved (moves start only
+    *    after staging completes): restore `.old-*` wholesale.
+    *  - path absent, staged complete, every `_swap_kept` manifest entry
+    *    present in the staged dir → it IS the complete new table: commit
+    *    it, drop `.old-*` (which now holds only superseded bytes).
+    *  - path absent, manifest entries still (partly) in `.old-*` →
+    *    return the moved ones, restore `.old-*`.
+    * Any other state (two siblings of a kind, a manifest entry in
+    * neither dir) is not one a crash of this protocol can produce —
+    * refuse loudly rather than guess at someone else's debris.
+    */
+  def recoverSwapDebris(table: String): SwapRecovery = {
+    val f = fs
+    val parent = new Path(root)
+    val dest = new Path(tablePath(table))
+    if (!f.exists(parent)) return SwapRecovery.NoDebris
+    val sibs = f.listStatus(parent).map(_.getPath.getName).toSeq
+    val olds = sibs.filter(_.startsWith(table + ".old-"))
+    val tmps = sibs.filter(_.startsWith(table + ".tmp-"))
+    if (olds.isEmpty && tmps.isEmpty) return SwapRecovery.NoDebris
+    if (f.exists(dest)) {
+      (olds ++ tmps).foreach(n => f.delete(new Path(parent, n), true))
+      deleteSwapMarkers(dest)
+      return SwapRecovery.CleanedUp
+    }
+    if (olds.size > 1 || tmps.size > 1)
+      throw new IllegalStateException(
+        s"table $table is absent with multiple same-kind swap siblings " +
+          s"(${(olds ++ tmps).mkString(", ")}) — one crashed swap cannot " +
+          "produce this; refusing to guess which holds the live data")
+    (olds.headOption.map(new Path(parent, _)),
+     tmps.headOption.map(new Path(parent, _))) match {
+      case (Some(_), None) =>
+        // the staged dir outlives the window on every protocol path, and
+        // kept files may have been moved OUT of .old-* into it — restoring
+        // .old-* alone could silently serve a partial table
+        throw new IllegalStateException(
+          s"table $table is absent with an .old-* sibling but no .tmp-* — " +
+            "not a state the commit protocol produces; resolve by hand")
+      case (None, Some(tmp)) =>
+        // first-ever write of the table (no old existed), crashed before
+        // its commit rename
+        val pending = keptManifest(tmp).filterNot(r => f.exists(new Path(tmp, r)))
+        if (stagedComplete(tmp) && pending.isEmpty) {
+          deleteSwapMarkers(tmp)
+          if (!f.rename(tmp, dest))
+            throw new java.io.IOException(s"recovery commit failed for $table")
+          SwapRecovery.RolledForward
+        } else if (!stagedComplete(tmp)) {
+          f.delete(tmp, true) // incomplete staging of a never-extant table
+          SwapRecovery.CleanedUp
+        } else throw new IllegalStateException(
+          s"table $table: staged dir claims kept files (${pending.take(5)
+            .mkString(", ")}) but no .old-* sibling holds them")
+      case (Some(old), Some(tmp)) =>
+        if (!stagedComplete(tmp)) {
+          if (!f.rename(old, dest))
+            throw new java.io.IOException(s"recovery restore failed for $table")
+          f.delete(tmp, true)
+          SwapRecovery.RolledBack
+        } else {
+          val manifest = keptManifest(tmp)
+          val (moved, pending) = manifest.partition(r => f.exists(new Path(tmp, r)))
+          if (pending.isEmpty) {
+            deleteSwapMarkers(tmp)
+            if (!f.rename(tmp, dest))
+              throw new java.io.IOException(s"recovery commit failed for $table")
+            f.delete(old, true)
+            SwapRecovery.RolledForward
+          } else if (pending.forall(r => f.exists(new Path(old, r)))) {
+            for (rel <- moved) {
+              val dst = new Path(old, rel)
+              val p = dst.getParent
+              if (!f.exists(p)) f.mkdirs(p)
+              if (!f.rename(new Path(tmp, rel), dst))
+                throw new java.io.IOException(
+                  s"recovery kept-return failed: $table/$rel")
+            }
+            if (!f.rename(old, dest))
+              throw new java.io.IOException(s"recovery restore failed for $table")
+            f.delete(tmp, true)
+            SwapRecovery.RolledBack
+          } else throw new IllegalStateException(
+            s"table $table: manifest file(s) present in neither sibling: " +
+              pending.filterNot(r => f.exists(new Path(old, r)))
+                .take(5).mkString(", "))
+        }
+    }
   }
 
   // -------------------------------------------------------------------
