@@ -44,6 +44,10 @@ object Bench {
       // arbitrary points INSIDE some unlucky query's timing window)
       sinceGc += 1
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
+      // discard any phase entries recorded under this name BEFORE the
+      // timer opens (a correctness pass or aborted run earlier in the
+      // same JVM) — else a query's phases map can exceed its reported sec
+      graft.probes.PhaseTimer.drain(name)
       val t0 = System.nanoTime()
       // a failed query must NOT silently contribute a misleadingly fast
       // timing (a broken analysis "runs" in milliseconds): record it in

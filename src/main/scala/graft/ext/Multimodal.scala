@@ -77,7 +77,11 @@ object Multimodal {
       val payload =
         if (frames > 0 && frameSize > 0) frames.toLong * frameSize
         else bytes.length.toLong
-      Some(MediaMeta("audio", math.round(af.getSampleRate),
+      // an SPI may report NOT_SPECIFIED (-1) fields: a container without
+      // a concrete sample rate or channel count is undecodable metadata,
+      // not a MediaMeta carrying sentinels into downstream rows
+      if (af.getSampleRate <= 0 || af.getChannels <= 0) None
+      else Some(MediaMeta("audio", math.round(af.getSampleRate),
         af.getChannels, 0, payload))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
