@@ -66,13 +66,13 @@ object Chunker {
     }
 
     doc.elements.foreach {
-      case DocElement("heading", level, _, text, _) =>
+      case DocElement("heading", level, _, text, _, _) =>
         // section boundary: close a full-enough chunk before switching
         if (currentTokens >= cfg.minTokens) closeChunk()
         while (headings.nonEmpty && headings.last._1 >= level)
           headings.remove(headings.length - 1)
         headings += ((level, text))
-      case DocElement("text", _, _, text, _) if text != null && text.nonEmpty =>
+      case DocElement("text", _, _, text, _, _) if text != null && text.nonEmpty =>
         val t = countTokens(text)
         if (currentTokens > 0 && currentTokens + t > cfg.maxTokens &&
           currentTokens >= cfg.minTokens) closeChunk()

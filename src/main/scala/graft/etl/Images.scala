@@ -59,13 +59,16 @@ object Images {
     var figureCounter = 0
     val out = Seq.newBuilder[ChartPayload]
     doc.elements.foreach {
-      case DocElement(t @ ("table" | "picture"), level, caption, _, _) =>
+      case el @ DocElement(t @ ("table" | "picture"), level, caption, _, _, _) =>
         try {
           val (chartType, idx) =
             if (t == "table") { tableCounter += 1; ("table", tableCounter) }
             else { figureCounter += 1; ("figure", figureCounter) }
-          out += ChartPayload(doc.path, chartType, idx, level, caption,
-            renderPng(chartType, idx, caption, scale))
+          // a parser that rasterized the real page (PDFBox) wins; the
+          // deterministic placeholder only stands in where it couldn't
+          val png = if (el.imagePng != null) el.imagePng
+                    else renderPng(chartType, idx, caption, scale)
+          out += ChartPayload(doc.path, chartType, idx, level, caption, png)
         } catch {
           case e: Exception =>
             System.err.println(s"[images] skipping element in ${doc.path}: ${e.getMessage}")

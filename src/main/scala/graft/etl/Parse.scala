@@ -116,7 +116,9 @@ object Parse {
     * pins. Reference contract being adapted: docling's converter walk
     * (pdf_parser.py:73-84) and its element mapping (pdf_parser.py:130-186)
     * — per-page text through the shared [[layoutElements]] convention,
-    * plus one captionless `picture` element per image XObject on a page.
+    * plus one captionless `picture` element per image XObject on a page,
+    * each carrying a real 2x page rasterization (PDFRenderer,
+    * pdf_parser.py:30,76) when the loaded build can render.
     *
     * Per-partition lifecycle matches [[parseDocuments]]'s contract: the
     * reflective method lookups happen once per instance (init-once,
@@ -138,9 +140,17 @@ object Parse {
         while (p <= pageCount) {
           elements ++= layoutElements(a.pageText(doc, p), p)
           var img = a.imageCount(doc, p)
-          while (img > 0) { // captionless pictures (pdf_parser.py:158 guard)
-            elements += DocElement("picture", 0, null, null, p)
-            img -= 1
+          if (img > 0) {
+            // one rasterization of the page at docling's 2x scale
+            // (pdf_parser.py:30,76) serves every picture element on it;
+            // null on render failure — the element still flows and the
+            // chart extractor's placeholder stands in (the per-element
+            // isolation of pdf_parser.py:181-184)
+            val png = a.renderPagePng(doc, p, 2.0f)
+            while (img > 0) { // captionless pictures (pdf_parser.py:158 guard)
+              elements += DocElement("picture", 0, null, null, p, png)
+              img -= 1
+            }
           }
           p += 1
         }
@@ -183,7 +193,9 @@ object Parse {
         setEndPage: java.lang.reflect.Method,
         getText: java.lang.reflect.Method,
         getPage: java.lang.reflect.Method,
-        closeM: java.lang.reflect.Method) {
+        closeM: java.lang.reflect.Method,
+        renderer: Option[(java.lang.reflect.Constructor[_],
+                          java.lang.reflect.Method)]) {
       def load(bytes: Array[Byte]): AnyRef = loadFn(bytes)
       def pageCount(doc: AnyRef): Int =
         getNumberOfPages.invoke(doc).asInstanceOf[Int]
@@ -209,6 +221,25 @@ object Parse {
           if (isImage.invoke(res, nm).asInstanceOf[Boolean]) n += 1)
         n
       } catch { case scala.util.control.NonFatal(_) => 0 }
+      /** Rasterize one page to PNG bytes via
+        * `org.apache.pdfbox.rendering.PDFRenderer.renderImage(page, scale)`
+        * (same signature on the 2.x and 3.x lines); null when the loaded
+        * build can't render or the page itself fails — the caller's
+        * picture element still flows, bytes-less.
+        */
+      def renderPagePng(doc: AnyRef, page: Int, scale: Float): Array[Byte] =
+        renderer match {
+          case None => null
+          case Some((ctor, renderImage)) => try {
+            val img = renderImage
+              .invoke(ctor.newInstance(doc.asInstanceOf[Object]),
+                Int.box(page - 1), Float.box(scale))
+              .asInstanceOf[java.awt.image.BufferedImage]
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            out.toByteArray
+          } catch { case scala.util.control.NonFatal(_) => null }
+        }
       def close(doc: AnyRef): Unit = closeM.invoke(doc)
     }
 
@@ -226,6 +257,13 @@ object Parse {
               bytes => m.invoke(null, bytes)
           }
         val stripper = Class.forName("org.apache.pdfbox.text.PDFTextStripper")
+        // the renderer is optional WITHIN an available build: a pdfbox
+        // jar stripped of the rendering package still parses text
+        val renderer = try {
+          val rc = Class.forName("org.apache.pdfbox.rendering.PDFRenderer")
+          Some((rc.getConstructor(pdDoc),
+            rc.getMethod("renderImage", classOf[Int], classOf[Float])))
+        } catch { case scala.util.control.NonFatal(_) => None }
         Some(new Api(
           loadFn,
           pdDoc.getMethod("getNumberOfPages"),
@@ -234,7 +272,8 @@ object Parse {
           stripper.getMethod("setEndPage", classOf[Int]),
           stripper.getMethod("getText", pdDoc),
           pdDoc.getMethod("getPage", classOf[Int]),
-          pdDoc.getMethod("close")))
+          pdDoc.getMethod("close"),
+          renderer))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

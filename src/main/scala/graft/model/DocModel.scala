@@ -47,13 +47,18 @@ final case class ChartRow(
 /** One layout element of a parsed document, in reading order — the shape
   * docling's element stream exposes (pdf_parser.py:130-186): headings,
   * text blocks, tables, pictures, with optional caption and outline level.
+  * `imagePng` carries a real rasterization of the element's page when the
+  * parser can render one (docling rasterizes at 2x, pdf_parser.py:30,76;
+  * the PDFBox adapter fills it via PDFRenderer) — null otherwise, and the
+  * downstream chart extractor substitutes its deterministic placeholder.
   */
 final case class DocElement(
     elemType: String, // "heading" | "text" | "table" | "picture"
     level: Int,
     caption: String,
     text: String,
-    page: Int)
+    page: Int,
+    imagePng: Array[Byte] = null)
 
 /** Parse-stage IR: one converted document (pdf_parser.py:219 IR).
   * `contentSha` is the sha-256 hex of the raw bytes — the [EXT] dedup key

@@ -62,4 +62,50 @@ class PdfBoxParserSpec extends AnyFunSuite with SharedSpark {
       e.elemType == "text" && e.text != null && e.text.contains("Hello graft")))
     assert(doc.contentSha == Parse.sha256Hex(content))
   }
+
+  test("with the jar, pictures carry real rendered PNGs into the object store") {
+    assume(PdfBoxDocParser.available, "no pdfbox jar in this sandbox")
+    // one page holding a 1x1 image XObject: the resource walk must count
+    // it as a picture, and the element must carry a REAL rasterization of
+    // the page (PDFRenderer at docling's 2x — pdf_parser.py:30,76), not
+    // the deterministic placeholder
+    val content =
+      """%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100]
+        |  /Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >> endobj
+        |4 0 obj << /Length 30 >>
+        |stream
+        |q 50 0 0 50 25 25 cm /Im1 Do Q
+        |endstream
+        |endobj
+        |5 0 obj << /Type /XObject /Subtype /Image /Width 1 /Height 1
+        |  /ColorSpace /DeviceRGB /BitsPerComponent 8 /Length 3 >>
+        |stream
+        |""".stripMargin.getBytes("ISO-8859-1") ++ Array[Byte](40, 80, 120) ++
+      """
+        |endstream
+        |endobj
+        |trailer << /Root 1 0 R >>
+        |%%EOF""".stripMargin.getBytes("ISO-8859-1")
+    val doc = new PdfBoxDocParser().parse("/x/fig.pdf", content)
+    val pics = doc.elements.filter(_.elemType == "picture")
+    assert(pics.nonEmpty, "the image XObject must surface as a picture element")
+    val png = pics.head.imagePng
+    assert(png != null && png.length > 8, "picture must carry rendered bytes")
+    val magic = Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    assert(png.take(8).toSeq == magic.map(_.toByte), "PNG magic")
+    // the page is 100x100 pt; a 2x raster is ~200px wide — proves the
+    // docling scale reached the renderer
+    val dims = graft.ext.Multimodal.decodeHeader(png)
+    assert(dims.kind == "image" && dims.width == 200, s"2x raster, got $dims")
+    // E5 -> S11: the REAL bytes (not the placeholder) flow to the store
+    val charts = Images.extractCharts(doc)
+    assert(charts.nonEmpty && charts.head.png.sameElements(png))
+    val os = new graft.store.ObjectStore(spark, tmpDir("pdf-bucket"))
+    val key = os.chartKey(1L, 1L)
+    os.put(key, charts.head.png)
+    assert(os.get(key).exists(_._1.sameElements(png)))
+  }
 }
