@@ -65,6 +65,37 @@ class FooterMaxIdSpec extends AnyFunSuite with SharedSpark {
     assert(ts.maxId("t", "id") == 999999L)
   }
 
+  test("past the file-count threshold, the executor tier answers identically") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    import spark.implicits._
+    val root = tmpDir("tables")
+    val ts = new TableStore(spark, root)
+    // > threshold files: footerMaxId switches from the driver pool to the
+    // executor-side job — answers must be exactly the driver tier's / the
+    // scan's
+    val n = TableStore.ExecutorFooterThreshold + 76
+    ts.append("t", (1L to n.toLong).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(n))
+    assert(ts.footerMaxId("t", "id") == Some(n.toLong))
+    assert(ts.maxId("t", "id") == n.toLong)
+    // the never-guess rules hold on the executor tier too: ONE stats-less
+    // foreign file among the >1k must force the exact scan
+    val schema = MessageTypeParser.parseMessageType(
+      "message t { required int64 id; optional binary v (UTF8); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(new Path(s"$root/t/foreign.parquet"))
+      .withConf(conf).withStatisticsEnabled(false).build()
+    try w.write(new SimpleGroupFactory(schema).newGroup()
+      .append("id", 999999L).append("v", "z"))
+    finally w.close()
+    assert(ts.footerMaxId("t", "id").isEmpty,
+      "executor tier must decline on an unusable footer, never guess")
+    assert(ts.maxId("t", "id") == 999999L, "the scan sees the foreign file")
+  }
+
   test("all-negative ids: footer path matches the scan exactly") {
     import spark.implicits._
     val ts = new TableStore(spark, tmpDir("tables"))
