@@ -93,10 +93,28 @@ object Bench {
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    def writeJson(p: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    writeJson(outPath)
+    // durable per-round capture: bench_out.json is overwritten every run
+    // and the driver's BENCH_rN tail keeps ~2 KB (cross-round diffs
+    // recovered only 60/135 queries) — a round-stamped copy commits to
+    // git intact. Round = SPARK_GRAFT_ROUND, else one past the newest
+    // BENCH_r*.json in the cwd; filtered dev runs never clobber it
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(r => scala.util.Try(r.toInt).toOption)
+        .getOrElse {
+          val pat = "BENCH_r(\\d+)\\.json".r
+          Option(new java.io.File(".").list()).toSeq.flatten
+            .collect { case pat(n) => n.toInt }
+            .maxOption.map(_ + 1).getOrElse(0)
+        }
+      if (round > 0) writeJson(f"bench_full_r$round%02d.json")
     }
     println(json)
     spark.stop()

@@ -210,9 +210,15 @@ object GlobalOrder {
     *   `spark.sql.shuffle.partitions`, capped at 256 like
     *   [[rankByHexKey]] — boundary literals are compared per row, so the
     *   chain is kept codegen-sized)
+    * @param onPhase timing hook for the two EAGER stages this call runs
+    *   (`boundary_sample`, `bucket_counts` — the latter absent on the
+    *   small-frame fast path); the returned frame's stamped window is the
+    *   remainder of the caller's wall clock. Bench wires this to its
+    *   phase registry so cross-round drift is stage-attributable.
     */
   def denseIds(df: DataFrame, sortCols: Seq[Column], idName: String,
-               base: Long = 0L, numPartitions: Option[Int] = None): DataFrame = {
+               base: Long = 0L, numPartitions: Option[Int] = None,
+               onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty, "denseIds needs >=1 sort column")
     require(!df.columns.exists(_.equalsIgnoreCase(idName)),
@@ -229,8 +235,10 @@ object GlobalOrder {
     // nondeterminism never reaches the bucket assignment.
     val rC = Cols.fresh(df, "_go_r")
     val sampleN = math.max(nB * 64, 1024)
+    val tSample = System.nanoTime()
     val sample = df.select(sortCols: _*).withColumn(rC, rand(42))
       .orderBy(col(rC)).limit(sampleN).drop(rC).collect()
+    onPhase("boundary_sample", (System.nanoTime() - tSample) / 1e9)
 
     // ---- small-frame fast path: a short sample PROVES the whole frame
     // fits in it (limit returned everything), so the bucket machinery is
@@ -273,6 +281,7 @@ object GlobalOrder {
     // embedded as a literal map (rankByHexKey's bases scheme) — the
     // stamping pass is then a pure map lookup: no join, no broadcast
     // exchange, no prefix-sum window task
+    val tCounts = System.nanoTime()
     val counts = marked.groupBy(bucketC).agg(count(lit(1)).as(cntC))
       .collect().map { r =>
         val c = r.getLong(1)
@@ -281,6 +290,7 @@ object GlobalOrder {
             "space; raise numPartitions or re-balance the sort keys")
         r.getInt(0) -> c
       }.toMap
+    onPhase("bucket_counts", (System.nanoTime() - tCounts) / 1e9)
     var acc = 0L
     val bases: Map[Int, Long] = counts.keys.toSeq.sorted.map { b =>
       val e = b -> acc

@@ -74,8 +74,12 @@ final case class ProcessingConfig(
     // process readers between batches see fully-old-or-fully-new, while
     // an EXTERNAL concurrent reader can transiently fail inside the
     // swap's rename window (retryable — see overwriteAtomic's contract).
-    // None = never (batch ingest, or out-of-band compaction)
-    compactEveryBatches: Option[Int] = None,
+    // ON by default (every 16 batches): the cadence cost is O(new tail),
+    // and a long-running default-config stream must not silently
+    // accumulate one file per table per trigger until listings and the
+    // footer max-id pass degrade linearly. Opt out with None (batch-only
+    // ingest, or compaction scheduled out-of-band)
+    compactEveryBatches: Option[Int] = Some(16),
     // files at or above this size are considered compacted and are never
     // rewritten again by the cadence (default 32 MB; packed output
     // targets ~128 MB files)
@@ -174,11 +178,17 @@ final class IngestPipeline(
   /** S1 — streaming ingest: new files appear as rows per micro-batch.
     * `archiveDir` enables S14 semantics (file_sensor.py:36-58 move-to-
     * processed) via the file source's cleanSource option.
+    * `maxFilesPerBatch` caps one micro-batch's file count (the source's
+    * maxFilesPerTrigger): without it an AvailableNow BACKFILL over a
+    * large inbox materializes the whole backlog as one batch — at corpus
+    * scale the cap is what keeps per-trigger memory and the replay
+    * guard's at-least-once redo window bounded.
     */
   def ingestStream(inputDir: String, checkpointDir: String,
                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-                   archiveDir: Option[String] = None)
+                   archiveDir: Option[String] = None,
+                   maxFilesPerBatch: Option[Int] = None)
   : StreamingQuery = {
     val reader = spark.readStream.format("binaryFile")
       .schema(new org.apache.spark.sql.types.StructType()
@@ -186,6 +196,7 @@ final class IngestPipeline(
         .add("length", "long").add("content", "binary"))
       .option("pathGlobFilter", "*.pdf")
       .option("recursiveFileLookup", "false") // recursive=False (main.py:156)
+    maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
     archiveDir.foreach { dir =>
       reader.option("cleanSource", "archive").option("sourceArchiveDir", dir)
     }

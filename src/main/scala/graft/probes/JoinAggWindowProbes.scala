@@ -434,9 +434,12 @@ object JoinAggWindowProbes {
       "w5_dense_ids",
       "SELECT l_orderkey, l_linenumber, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid FROM lineitem ORDER BY rid"
     ) { (s, d) =>
+      // phases: boundary_sample + bucket_counts (the eager pre-passes);
+      // the un-attributed remainder is the stamped-window job itself
       graft.ops.GlobalOrder.denseIds(
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
-        Seq(col("l_orderkey"), col("l_linenumber")), "rid")
+        Seq(col("l_orderkey"), col("l_linenumber")), "rid",
+        onPhase = PhaseTimer.record("w5_dense_ids", _, _))
         .orderBy("rid")
     },
 

@@ -275,12 +275,22 @@ object SelectionProbes {
     ) { (s, d) =>
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val path = Probe.ivfIndexFor(s, d, cellBits = 6)
-      val qv = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .as[Seq[Double]].head().toArray
-      graft.ext.Similarity.ivfTopK(s, path, "vec_id", "embedding",
-        qv, k = 10, cellBits = 6, maxHamming = 2, excludeId = Some(0L))
+      // phase split (the ±75% cross-round bounce adjudication, VERDICT
+      // r10 watch list): index_ensure = lazy index build/reuse;
+      // query_prep = the two tiny driver jobs (query vector + its cell);
+      // the un-attributed remainder is the fused pruned-scan + re-rank
+      // job — deliberately unsplit, materializing between them would
+      // change the measured query
+      val path = PhaseTimer.timed("sim_topk_ivf", "index_ensure") {
+        Probe.ivfIndexFor(s, d, cellBits = 6)
+      }
+      PhaseTimer.timed("sim_topk_ivf", "query_prep") {
+        val qv = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .as[Seq[Double]].head().toArray
+        graft.ext.Similarity.ivfTopK(s, path, "vec_id", "embedding",
+          qv, k = 10, cellBits = 6, maxHamming = 2, excludeId = Some(0L))
+      }
     },
 
     // Batch ANN over the shared IVF index: three queries' Hamming-2 probe
@@ -296,11 +306,17 @@ object SelectionProbes {
         "ORDER BY query_id, cos DESC, id"
     ) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val path = Probe.ivfIndexFor(s, d, cellBits = 6)
-      graft.ext.Similarity.ivfTopKBatch(s, path, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-          k = 10, cellBits = 6, maxHamming = 2)
-        .orderBy(col("query_id"), col("cos").desc, col("id"))
+      val path = PhaseTimer.timed("sim_topk_ivf_batch", "index_ensure") {
+        Probe.ivfIndexFor(s, d, cellBits = 6)
+      }
+      // probe_prep = the query-batch collect + driver Hamming-ball
+      // derivation; remainder = the one pruned scan + routed re-rank
+      PhaseTimer.timed("sim_topk_ivf_batch", "probe_prep") {
+        graft.ext.Similarity.ivfTopKBatch(s, path, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+            k = 10, cellBits = 6, maxHamming = 2)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      }
     },
 
     // ANN quality metric, fully oracled: recall@10 of the IVF batch
@@ -322,12 +338,21 @@ object SelectionProbes {
     ) { (s, d) =>
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
-      val path = Probe.ivfIndexFor(s, d, cellBits = 6)
-      val exact = graft.ext.Similarity.bruteForceTopKBatch(
-        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
-      val approx = graft.ext.Similarity.ivfTopKBatch(s, path,
-        "vec_id", "embedding", queries, "vec_id", "embedding",
-        k = 10, cellBits = 6, maxHamming = 2)
+      val path = PhaseTimer.timed("sim_recall_ivf", "index_ensure") {
+        Probe.ivfIndexFor(s, d, cellBits = 6)
+      }
+      // the two prep phases cover each side's eager query-batch collect;
+      // the remainder is one job fusing the exact scan, the pruned scan,
+      // and the recall join
+      val exact = PhaseTimer.timed("sim_recall_ivf", "exact_prep") {
+        graft.ext.Similarity.bruteForceTopKBatch(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      }
+      val approx = PhaseTimer.timed("sim_recall_ivf", "approx_prep") {
+        graft.ext.Similarity.ivfTopKBatch(s, path,
+          "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 10, cellBits = 6, maxHamming = 2)
+      }
       graft.ext.Similarity.recallAtK(approx, exact, k = 10)
         .orderBy("query_id")
     },

@@ -210,6 +210,41 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
       "a replayed/empty run after compaction must not re-ingest")
   }
 
+  test("DEFAULT config compacts: a long stream's file count stays bounded") {
+    // the default cadence must be ON — a default-config long-running
+    // stream otherwise accumulates one file per table per trigger until
+    // listings and the footer max-id pass degrade linearly
+    assert(ProcessingConfig().compactEveryBatches.contains(16))
+
+    val inbox = tmpDir("defcompact-inbox")
+    val root = tmpDir("defcompact-store")
+    val tables = new TableStore(spark, s"$root/tables")
+    val pipe = new IngestPipeline(spark, tables,
+      new ObjectStore(spark, s"$root/bucket"), ProcessingConfig())
+    // 17 one-file micro-batches in ONE AvailableNow run (the per-batch
+    // file cap splits the backlog): batch 15 crosses the default cadence
+    for (i <- 1 to 17)
+      Files.write(Paths.get(inbox, s"file$i.pdf"),
+        s"Heading $i:\nBody text number $i.\n".getBytes(StandardCharsets.UTF_8))
+    val q = pipe.ingestStream(inbox, s"$root/checkpoint", Trigger.AvailableNow(),
+      () => now, maxFilesPerBatch = Some(1))
+    q.awaitTermination()
+
+    assert(tables.read("documents").count() == 17)
+    def docFiles: Int = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/tables/documents")).count(f =>
+        f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getPath.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+    }
+    // 17 appends, compacted once at batch 15: one packed file + the
+    // post-cadence tail — far below one-file-per-batch
+    assert(docFiles <= 3, s"default cadence must bound files, got $docFiles")
+  }
+
   test("the cadence never rewrites files the threshold calls compacted") {
     val inbox = tmpDir("nocompact-inbox")
     val root = tmpDir("nocompact-store")
