@@ -1,0 +1,124 @@
+package graft.ext
+
+/** Deterministic builders for minimal-but-valid compressed media
+  * containers (test/synthesis helpers, the compressed-format analogue of
+  * [[Multimodal.encodeStub]]). Each builder emits the real public byte
+  * layout of its format, so [[CompressedMedia]]'s parsers are exercised
+  * against the documented structures — and probe oracles can re-derive
+  * the expected metadata in closed form from the build parameters.
+  */
+object MediaFixtures {
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be24(v: Int): Array[Byte] = Array(((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** MPEG-1 Layer III frame header (sync, 128 kbps) with an optional
+    * empty ID3v2 tag in front. srIdx 0/1/2 → 44100/48000/32000 Hz.
+    */
+  def mp3(srIdx: Int, stereo: Boolean, payload: Array[Byte], withId3: Boolean = true): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"bad MPEG-1 sample-rate index $srIdx")
+    val id3 =
+      if (withId3) ascii("ID3") ++ Array[Byte](4, 0, 0, 0, 0, 0, 0) // v2.4, no flags, size 0
+      else Array.emptyByteArray
+    val hdr = Array(0xFF.toByte, 0xFB.toByte, // sync | MPEG1 | Layer III
+      (0x90 | (srIdx << 2)).toByte,           // bitrate idx 9 (128k) | sr idx
+      (if (stereo) 0x00 else 0xC0).toByte)    // channel mode
+    id3 ++ hdr ++ payload
+  }
+
+  /** AAC in ADTS (MPEG-4, AAC-LC). freqIdx per the ADTS table
+    * (e.g. 3→48000, 4→44100); chanCfg 1..7.
+    */
+  def adts(freqIdx: Int, chanCfg: Int, payload: Array[Byte]): Array[Byte] = {
+    require(freqIdx >= 0 && freqIdx < 13 && chanCfg >= 1 && chanCfg <= 7)
+    Array(0xFF.toByte, 0xF1.toByte, // sync | MPEG-4 | layer 00 | no CRC
+      ((1 << 6) | (freqIdx << 2) | ((chanCfg >> 2) & 1)).toByte, // AAC-LC
+      ((chanCfg & 3) << 6).toByte, 0.toByte, 0.toByte, 0.toByte) ++ payload
+  }
+
+  /** Native FLAC: "fLaC" + last-flag STREAMINFO block (34 bytes). */
+  def flac(rate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    require(rate > 0 && rate < (1 << 20) && channels >= 1 && channels <= 8 &&
+      bps >= 4 && bps <= 32 && totalSamples >= 0 && totalSamples < (1L << 36))
+    val packed = Array(
+      ((rate >> 12) & 0xFF).toByte, ((rate >> 4) & 0xFF).toByte,
+      (((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)).toByte,
+      ((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt).toByte) ++
+      be32(totalSamples & 0xFFFFFFFFL)
+    ascii("fLaC") ++ Array(0x80.toByte) ++ be24(34) ++
+      be16(4096) ++ be16(4096) ++ be24(0) ++ be24(0) ++ // block/frame sizes
+      packed ++ new Array[Byte](16)                     // md5
+  }
+
+  private def oggPage(packet: Array[Byte]): Array[Byte] = {
+    require(packet.length < 255, "single-segment fixture page only")
+    ascii("OggS") ++ Array[Byte](0, 2) ++          // version 0, BOS
+      new Array[Byte](8 + 4 + 4 + 4) ++            // granule/serial/seq/crc
+      Array(1.toByte, packet.length.toByte) ++ packet
+  }
+
+  /** Ogg page carrying an OpusHead identification header. */
+  def oggOpus(channels: Int, rate: Long): Array[Byte] =
+    oggPage(ascii("OpusHead") ++ Array(1.toByte, channels.toByte) ++
+      be16(312).reverse ++ le32(rate) ++ be16(0) ++ Array(0.toByte))
+
+  /** Ogg page carrying a Vorbis identification header. */
+  def oggVorbis(channels: Int, rate: Long): Array[Byte] =
+    oggPage(Array(1.toByte) ++ ascii("vorbis") ++ le32(0) ++
+      Array(channels.toByte) ++ le32(rate) ++
+      new Array[Byte](12) ++ Array(0xB8.toByte, 1.toByte))
+
+  // ---- ISO-BMFF (MP4/M4A) ----
+
+  private def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+    val content = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8L + content.length) ++ ascii(tpe) ++ content
+  }
+
+  private def tkhd(width: Int, height: Int): Array[Byte] =
+    box("tkhd", new Array[Byte](4 + 20 + 52), // v0 verflags..matrix
+      be32(width.toLong << 16), be32(height.toLong << 16)) // 16.16 fixed
+
+  private def mdhd(timescale: Long, duration: Long): Array[Byte] =
+    box("mdhd", new Array[Byte](4 + 8), be32(timescale), be32(duration),
+      new Array[Byte](4)) // language + pre_defined
+
+  private def hdlr(handler: String): Array[Byte] =
+    box("hdlr", new Array[Byte](8), ascii(handler), new Array[Byte](13))
+
+  private def stts(frames: Long, delta: Long): Array[Byte] =
+    box("stts", new Array[Byte](4), be32(1), be32(frames), be32(delta))
+
+  private def audioStsd(channels: Int, rate: Int): Array[Byte] =
+    box("stsd", new Array[Byte](4), be32(1),
+      box("mp4a", new Array[Byte](6), be16(1),     // reserved + data-ref
+        new Array[Byte](8),                        // version/rev/vendor
+        be16(channels), be16(16), new Array[Byte](4),
+        be32(rate.toLong << 16)))                  // 16.16 sample rate
+
+  /** MP4 with one `vide` track: real tkhd dims, an stts frame table, and
+    * an mdat payload. fps parses as round(frames·timescale/duration).
+    */
+  def mp4Video(width: Int, height: Int, frames: Long, timescale: Long,
+               duration: Long, payload: Array[Byte]): Array[Byte] =
+    box("ftyp", ascii("isom"), be32(0), ascii("isom")) ++
+      box("moov",
+        box("trak", tkhd(width, height),
+          box("mdia", mdhd(timescale, duration), hdlr("vide"),
+            box("minf", box("stbl", stts(frames, duration / math.max(1, frames))))))) ++
+      box("mdat", payload)
+
+  /** M4A (audio-only MP4): `soun` track with an mp4a stsd entry. */
+  def m4aAudio(channels: Int, rate: Int, payload: Array[Byte]): Array[Byte] =
+    box("ftyp", ascii("M4A "), be32(0), ascii("M4A ")) ++
+      box("moov",
+        box("trak", tkhd(0, 0),
+          box("mdia", mdhd(rate.toLong, 0L), hdlr("soun"),
+            box("minf", box("stbl", audioStsd(channels, rate)))))) ++
+      box("mdat", payload)
+}

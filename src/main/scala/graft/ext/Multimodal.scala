@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * a real `resizeImages` re-encoder); uncompressed AUDIO containers
   * (WAV/AIFF/AU) decode their headers for real via the JDK's
   * javax.sound.sampled (sample rate, channels, raw payload size — no
-  * sample decode). COMPRESSED audio (MP3/AAC) and VIDEO remain a
-  * declared STUB (the JDK ships no such codecs and none are available in
-  * this environment) behind a deterministic container format, exactly
-  * like the pluggable `Parse.DocParser` boundary.
+  * sample decode); COMPRESSED containers (MP3, ADTS-AAC, FLAC, Ogg
+  * Vorbis/Opus, MP4/M4A incl. video dims + stts frame counts) decode
+  * their headers for real via [[CompressedMedia]]'s pure byte parsers.
+  * Only SAMPLE/PIXEL decode of compressed media remains a declared STUB
+  * (the JDK ships no such codecs and none are available in this
+  * environment) behind a deterministic container format, exactly like
+  * the pluggable `Parse.DocParser` boundary.
   *
   * STUB FORMAT ("GMM1"): ascii header `GMM1|<kind>|<width>|<height>|<fps>|`
   * followed by payload bytes. A production build replaces the GMM1 branch
@@ -90,33 +93,43 @@ object Multimodal {
 
   /** Decode boundary. Real raster formats the JDK ships codecs for
     * (PNG/JPEG/GIF/BMP/WBMP) decode for real, as do the JDK's audio
-    * containers (WAV/AIFF/AU — header-only, see [[audioMeta]]); anything
-    * else must be a GMM1 container (the declared compressed-audio/video
-    * stub) or the call throws and the caller's per-row isolation drops
-    * the row.
+    * containers (WAV/AIFF/AU — header-only, see [[audioMeta]]) and the
+    * compressed containers [[CompressedMedia]] parses headers for
+    * (MP3/ADTS-AAC/FLAC/Ogg Vorbis/Opus/MP4/M4A — pure byte parsing, no
+    * codec); anything else must be a GMM1 container (the declared stub
+    * for formats outside that set) or the call throws and the caller's
+    * per-row isolation drops the row.
     */
   def decodeHeader(bytes: Array[Byte]): MediaMeta =
-    imageDims(bytes).map { case (w, h) =>
-      MediaMeta("image", w, h, 0, bytes.length.toLong)
-    }.orElse {
-      // stub magic BEFORE the audio SPI sniff: the 5-byte check keeps the
-      // per-row cost of a stub corpus flat, while a real WAV/AIFF/AU (no
-      // GMM1 magic) still reaches audioMeta (order measured: running the
-      // SPI provider scan on every stub row cost ~4x on the decode bench)
-      if (isStub(bytes)) None else audioMeta(bytes)
-    } match {
+    (if (isStub(bytes)) None
+     else
+       // compressed-container magics BEFORE the SPI sniffs: they are
+       // plain leading-byte compares (~free for non-matching rows),
+       // while ImageIO/AudioSystem sniffs walk provider registries —
+       // same measured ordering rationale as the stub-magic-first fix
+       CompressedMedia.meta(bytes)
+         .orElse(imageDims(bytes).map { case (w, h) =>
+           MediaMeta("image", w, h, 0, bytes.length.toLong)
+         })
+         // stub magic BEFORE the audio SPI sniff: the 5-byte check keeps
+         // the per-row cost of a stub corpus flat, while a real
+         // WAV/AIFF/AU (no GMM1 magic) still reaches audioMeta (order
+         // measured: running the SPI provider scan on every stub row
+         // cost ~4x on the decode bench)
+         .orElse(audioMeta(bytes))) match {
       case Some(meta) => meta
       case None =>
-        // payloads no JDK SPI decodes (MP3/MP4/compressed audio/video)
-        // must fail loudly and cheaply here — never scanned, never
-        // materialized as a string, never a silent null — with an error
-        // naming the plug point
+        // payloads nothing here decodes must fail loudly and cheaply —
+        // never scanned, never materialized as a string, never a silent
+        // null — with an error naming the plug point
         if (!isStub(bytes)) throw new IllegalArgumentException(
           s"cannot decode ${bytes.length}-byte payload: not a JDK-decodable " +
-            "image (PNG/JPEG/GIF/BMP/WBMP) or audio container (WAV/AIFF/AU) " +
-            "and not a GMM1 stub container. Compressed audio (MP3/AAC) and " +
-            "video decoding need a production codec plugged in at the " +
-            "decodeHeader boundary (README: Production codec boundaries)")
+            "image (PNG/JPEG/GIF/BMP/WBMP) or audio container (WAV/AIFF/AU), " +
+            "not a parseable compressed container (MP3/ADTS-AAC/FLAC/Ogg/MP4 " +
+            "— see CompressedMedia), and not a GMM1 stub container. Sample/" +
+            "pixel DECODE of compressed media needs a production codec " +
+            "plugged in at the decodeHeader boundary (README: Production " +
+            "codec boundaries)")
         val headEnd = {
           var i = 0; var bars = 0
           while (i < bytes.length && bars < 5) { if (bytes(i) == '|') bars += 1; i += 1 }
@@ -249,7 +262,11 @@ object Multimodal {
 
   /** Frame sampling for "video" blobs: emit one row per sampled frame
     * index at `everyNth` cadence — the generator (1 video row → N frame
-    * rows) shape a real extractor has.
+    * rows) shape a real extractor has. For real MP4 video the frame
+    * count is the REAL `stts` sample total ([[CompressedMedia
+    * .videoFrameCount]] — frame enumeration is pure header metadata;
+    * only pixel extraction needs a codec); for GMM1 stubs it is the
+    * deterministic one-"frame"-per-fps-sized-payload-slice arithmetic.
     */
   def sampleFrames(media: DataFrame, everyNth: Int): DataFrame = {
     val spark = media.sparkSession
@@ -261,8 +278,16 @@ object Multimodal {
           val m = decodeHeader(bytes)
           if (m.kind != "video") Iterator.empty
           else {
-            // frame count stub: one "frame" per fps-sized payload slice
-            val frames = (m.payloadBytes / math.max(1, m.fps)).toInt
+            val frames =
+              if (isStub(bytes))
+                // frame count stub: one "frame" per fps-sized payload slice
+                (m.payloadBytes / math.max(1, m.fps)).toInt
+              else
+                // real container: stts frame total, or 0 (emit nothing)
+                // when the table is absent/empty — never fps-derived
+                // guesswork on real media
+                CompressedMedia.videoFrameCount(bytes)
+                  .fold(0)(n => math.min(n, Int.MaxValue.toLong).toInt)
             (0 until frames by math.max(1, everyNth)).iterator
               .map(f => (id, f, m.width, m.height))
           }
