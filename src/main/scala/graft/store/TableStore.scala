@@ -795,9 +795,15 @@ final class TableStore(spark: SparkSession, root: String) {
         // its commit rename
         val pending = keptManifest(tmp).filterNot(r => f.exists(new Path(tmp, r)))
         if (stagedComplete(tmp) && pending.isEmpty) {
-          deleteSwapMarkers(tmp)
+          // commit FIRST, then drop the markers from the now-live dest
+          // (the normal commit path's own order): deleting the marker
+          // while the data still sits in .tmp-* would make a crash here
+          // unrecognizable — the re-run would read "incomplete staging"
+          // and delete the complete new table
           if (!f.rename(tmp, dest))
             throw new java.io.IOException(s"recovery commit failed for $table")
+          failpoint("recovery-committed")
+          deleteSwapMarkers(dest)
           SwapRecovery.RolledForward
         } else if (!stagedComplete(tmp)) {
           f.delete(tmp, true) // incomplete staging of a never-extant table
@@ -815,9 +821,14 @@ final class TableStore(spark: SparkSession, root: String) {
           val manifest = keptManifest(tmp)
           val (moved, pending) = manifest.partition(r => f.exists(new Path(tmp, r)))
           if (pending.isEmpty) {
-            deleteSwapMarkers(tmp)
+            // commit FIRST (see the sibling-less branch): dropping the
+            // marker pre-rename would leave old+tmp with no marker, and
+            // the re-run's !stagedComplete branch would restore an
+            // .old-* that is MISSING its kept files — a partial table
             if (!f.rename(tmp, dest))
               throw new java.io.IOException(s"recovery commit failed for $table")
+            failpoint("recovery-committed")
+            deleteSwapMarkers(dest)
             f.delete(old, true)
             SwapRecovery.RolledForward
           } else if (pending.forall(r => f.exists(new Path(old, r)))) {

@@ -233,6 +233,31 @@ class SwapRecoverySpec extends AnyFunSuite with SharedSpark {
     assertClean(ts, root + "/tables", "chart_data")
   }
 
+  test("a crash DURING recovery's own roll-forward is re-recognized") {
+    import spark.implicits._
+    val root = tmpDir("rec-rerec")
+    val ts = new TableStore(spark, root)
+    val rows = (1L to 400L).map(i => (i, i % 8, s"v$i"))
+    ts.appendPartitioned("t", rows.toDF("id", "b", "v"), Seq("b"))
+    // produce a roll-forward-eligible state: staged complete, kept moved
+    ts.failpoint = at => if (at == "kept-moved") throw new Boom
+    intercept[Boom] {
+      ts.deleteWhere("t", col("b") === 3L, partitionCols = Seq("b"))
+    }
+    // first recovery run crashes right AFTER its commit rename — the
+    // markers are still inside the now-live table, .old-* still beside it
+    ts.failpoint = at => if (at == "recovery-committed") throw new Boom
+    intercept[Boom] { ts.recoverSwapDebris("t") }
+    ts.failpoint = _ => ()
+    // the re-run must read this as "table live, stale debris" — never as
+    // an incomplete stage (which would delete or restore the wrong side)
+    assert(ts.recoverSwapDebris("t") == SwapRecovery.CleanedUp)
+    assert(ts.read("t").select("id").as[Long].collect().toSet ==
+      (1L to 400L).filter(_ % 8 != 3).toSet,
+      "re-run must keep the committed fully-new table")
+    assertClean(ts, root, "t")
+  }
+
   test("foreign same-kind sibling pairs refuse loudly") {
     import spark.implicits._
     val root = tmpDir("rec-foreign")
