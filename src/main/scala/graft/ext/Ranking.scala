@@ -86,6 +86,60 @@ object Ranking {
   private def tfName(i: Int) = s"tf_$i"
   private def dfName(i: Int) = s"df_$i"
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked candidate lists — the standard hybrid-retrieval combiner
+    * (lexical BM25 + dense ANN) for curation and RAG-style corpus
+    * search: each list contributes `1/(rrfK + rank)` per candidate and
+    * the fused score is the sum, so scales of the underlying scores
+    * never need calibrating against each other.
+    *
+    * Every input must carry `idCol` and `scoreCol` (plus `queryCols` for
+    * batch fusion). Ranks are per-list (and per-query), ordered by
+    * (score desc, id) — the same deterministic tie-break every retriever
+    * in this library emits, so fusing their outputs is rank-stable.
+    *
+    * Scale shape: inputs are top-k retriever outputs (k·Q rows each,
+    * never the corpus), so this whole operator works on candidate-sized
+    * frames. The rank window partitions by (src, queryCols) — a real
+    * key, never a corpus funnel; the fuse is one groupBy on
+    * (queryCols, id); final selection is sort+limit (global) or a
+    * per-query window. With ≤2 lists the fused double sum is exact
+    * (2-operand fp addition is commutative), and ≥3 lists stay
+    * cross-engine stable under the 9-dp rounding.
+    *
+    * @return (queryCols…, idCol, rrf_score) — `topK` rows per query by
+    *         (rrf_score desc, id)
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+              queryCols: Seq[String] = Nil, rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.size >= 2, s"rrfFuse needs ≥2 lists, got ${lists.size}")
+    require(rrfK > 0 && topK > 0, s"rrfK/topK must be positive")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(queryCols.map(col) ++ Seq(
+        col(idCol).cast("long").as(idCol),
+        col(scoreCol).cast("double").as("s"), lit(i).as("src")): _*)
+    }.reduce(_ unionByName _)
+    val rankW = Window
+      .partitionBy(col("src") +: queryCols.map(col): _*)
+      .orderBy(col("s").desc, col(idCol))
+    val fused = tagged
+      .withColumn("contrib",
+        lit(1.0) / (lit(rrfK.toDouble) + row_number().over(rankW)))
+      .groupBy(queryCols.map(col) :+ col(idCol): _*)
+      .agg(round(sum(col("contrib")), 9).as("rrf_score"))
+    if (queryCols.isEmpty)
+      fused.orderBy(col("rrf_score").desc, col(idCol)).limit(topK)
+    else {
+      val sel = Window.partitionBy(queryCols.map(col): _*)
+        .orderBy(col("rrf_score").desc, col(idCol))
+      fused.withColumn("rn", row_number().over(sel))
+        .filter(col("rn") <= topK).drop("rn")
+        .orderBy(queryCols.map(col) :+ col("rrf_score").desc :+ col(idCol): _*)
+    }
+  }
+
   /** Top-k TF-IDF terms per document (smoothed sklearn-style idf:
     * ln((N+1)/(df+1)) + 1, always positive) — the per-document keyword
     * signature used for topic labelling and cheap relevance features.

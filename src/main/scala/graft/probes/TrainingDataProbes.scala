@@ -169,6 +169,38 @@ object TrainingDataProbes {
     ) { (s, d) =>
       Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Seq("data", "spark", "join"), k1 = 1.2, b = 0.75, topK = 20)
+    },
+
+    // Hybrid retrieval: lexical BM25 top-20 + dense cosine top-20 fused
+    // by reciprocal-rank fusion (1/(60+rank) per list). The oracle
+    // replays both retrievers' exact scoring CTEs (the same arithmetic
+    // as their standalone probes), ranks each list identically
+    // (score desc, id), and fuses via a full outer join — doc_id and
+    // vec_id share the id space in the testdata, the hybrid-search
+    // contract.
+    Probe(
+      "rank_rrf_hybrid",
+      "WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "b2 AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM base), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2), " +
+        "hits AS (SELECT doc_id, dl, u.t AS term FROM b2, UNNEST(ts) AS u(t) WHERE u.t IN ('data', 'spark', 'join')), " +
+        "per_doc AS (SELECT doc_id, dl, CAST(sum(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS DOUBLE) AS tf0, CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS DOUBLE) AS tf1, CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2 FROM hits GROUP BY doc_id, dl), " +
+        "dfs AS (SELECT CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM per_doc), " +
+        "lexs AS (SELECT doc_id, round(ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS s FROM per_doc, stats, dfs ORDER BY s DESC, doc_id LIMIT 20), " +
+        "lex AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM lexs), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "dens AS (SELECT vec_id AS doc_id, round(list_cosine_similarity(v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS s FROM e WHERE vec_id <> 0 ORDER BY s DESC, doc_id LIMIT 20), " +
+        "den AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM dens), " +
+        "fused AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, COALESCE(1.0 / (60 + l.rn), 0) + COALESCE(1.0 / (60 + r.rn), 0) AS rrf FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id) " +
+        "SELECT doc_id, round(rrf, 9) AS rrf_score FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"
+    ) { (s, d) =>
+      val lex = Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("data", "spark", "join"), k1 = 1.2, b = 0.75, topK = 20)
+      val dense = graft.ext.Similarity
+        .bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"), col("cos").as("score"))
+      Ranking.rrfFuse(Seq(lex, dense), "doc_id", "score", topK = 10)
     }
   )
 }

@@ -480,4 +480,28 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       .groupBy("cluster_rep").count().collect().map(_.getLong(1)).toSet
     assert(perCluster == Set(1L))
   }
+
+  test("rrfFuse: hand-computable fusion, missing-side zero, batch windows") {
+    // list A ranks ids 1,2,3; list B ranks 2,1 — id 2: 1/61 + 1/62,
+    // id 1: 1/62 + 1/61 (tie with 2 -> id order), id 3: A-only 1/63
+    val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s")
+    val b = Seq((2L, 9.0), (1L, 8.0)).toDF("id", "s")
+    val got = Ranking.rrfFuse(Seq(a, b), "id", "s", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val both = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val only3 = BigDecimal(1.0 / 63)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List((1L, both), (2L, both), (3L, only3)))
+
+    // batch path: fusion and top-k are per query, never cross-query
+    val qa = Seq((10L, 1L, 2.0), (10L, 2L, 1.0), (20L, 1L, 5.0))
+      .toDF("q", "id", "s")
+    val qb = Seq((10L, 1L, 7.0), (20L, 3L, 1.0)).toDF("q", "id", "s")
+    val batch = Ranking.rrfFuse(Seq(qa, qb), "id", "s",
+        queryCols = Seq("q"), topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(batch == List((10L, 1L), (20L, 1L)),
+      "per-query winners: id 1 leads both lists of q=10 and ranks first in q=20's A list")
+  }
 }
