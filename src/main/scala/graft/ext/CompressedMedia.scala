@@ -41,6 +41,7 @@ object CompressedMedia {
       else if (magic(bytes, 0, "fLaC")) flacMeta(bytes, 0)
       else if (magic(bytes, 0, "OggS")) oggMeta(bytes)
       else if (magic(bytes, 4, "ftyp")) mp4Meta(bytes)
+      else if (isEbml(bytes)) webmMeta(bytes)
       else if (magic(bytes, 0, "ID3")) mpegAfterId3(bytes)
       else if (isAdtsSync(bytes, 0)) adtsMeta(bytes, 0)
       else if (isMpegSync(bytes, 0)) mpegFrameMeta(bytes, 0)
@@ -49,13 +50,27 @@ object CompressedMedia {
 
   /** Total video frame count from the MP4 `stts` table (Σ sample counts
     * of the first `vide` track) — real frame ENUMERATION without a codec;
-    * only pixel extraction needs one. None for non-MP4 or audio-only.
+    * only pixel extraction needs one. MP4: the `stts` table's Σ sample
+    * counts. WebM/Matroska: segment Duration (timecode-scale units) over
+    * the video track's DefaultDuration (ns/frame). None for other
+    * containers or audio-only streams.
     */
   def videoFrameCount(bytes: Array[Byte]): Option[Long] =
     try {
-      if (bytes.length < 8 || !magic(bytes, 4, "ftyp")) None
-      else parseMp4(bytes).flatMap(_.videoTrack).flatMap(t =>
-        if (t.sttsTotal > 0) Some(t.sttsTotal) else None)
+      if (bytes.length < 8) None
+      else if (magic(bytes, 4, "ftyp"))
+        parseMp4(bytes).flatMap(_.videoTrack).flatMap(t =>
+          if (t.sttsTotal > 0) Some(t.sttsTotal) else None)
+      else if (isEbml(bytes))
+        parseEbml(bytes).flatMap { s =>
+          s.tracks.find(_.trackType == 1).flatMap { v =>
+            if (s.durationTicks > 0 && v.defaultDurationNs > 0)
+              Some(math.round(
+                s.durationTicks * s.timecodeScaleNs / v.defaultDurationNs))
+            else None
+          }
+        }
+      else None
     } catch { case _: IndexOutOfBoundsException => None }
 
   // ---- shared byte helpers (all big-endian unless noted) ----
@@ -207,6 +222,162 @@ object CompressedMedia {
       flacMeta(b, p + 9)
     } else None
   }
+
+  // ---- WebM / Matroska (EBML) ----
+
+  private def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3
+
+  /** EBML element ID: length = leading-zero count of the first byte + 1
+    * (1–4 bytes); the conventional ID value KEEPS the length-marker bits
+    * (0x1A45DFA3 style). Returns (id, byteLength), or null-equivalent
+    * (0, 0) on malformed input.
+    */
+  private def ebmlId(b: Array[Byte], at: Int): (Long, Int) = {
+    if (at >= b.length) return (0L, 0)
+    val first = b(at) & 0xFF
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 4 || at + len > b.length) return (0L, 0)
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(at + i) & 0xFF); i += 1 }
+    (v, len)
+  }
+
+  /** EBML data size: like the ID but the marker bit is STRIPPED (1–8
+    * bytes); the all-value-bits-set pattern means "unknown size" (the
+    * element extends to the enclosing bound) → -1.
+    */
+  private def ebmlSize(b: Array[Byte], at: Int): (Long, Int) = {
+    if (at >= b.length) return (-2L, 0)
+    val first = b(at) & 0xFF
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8 || at + len > b.length) return (-2L, 0)
+    var v = (first & (0xFF >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(at + i) & 0xFF); i += 1 }
+    val allOnes = (1L << (7 * len)) - 1
+    (if (v == allOnes) -1L else v, len)
+  }
+
+  /** Walk EBML child elements in [lo, hi): (id, payloadStart, payloadEnd).
+    * Unknown-size elements extend to `hi`; malformed input ends the walk.
+    */
+  private def ebmlChildren(b: Array[Byte], lo: Long, hi: Long): Iterator[(Long, Long, Long)] =
+    new Iterator[(Long, Long, Long)] {
+      private var at = lo
+      private var dead = false
+      def hasNext: Boolean = !dead && at + 2 <= hi
+      def next(): (Long, Long, Long) = {
+        val (id, idLen) = ebmlId(b, at.toInt)
+        if (idLen == 0) { dead = true; return (0L, hi, hi) }
+        val (size, szLen) = ebmlSize(b, (at + idLen).toInt)
+        if (szLen == 0) { dead = true; return (0L, hi, hi) }
+        val ps = at + idLen + szLen
+        val pe = if (size < 0) hi else math.min(hi, ps + size)
+        if (ps > hi) { dead = true; (0L, hi, hi) }
+        else { at = pe; (id, ps, pe) }
+      }
+    }
+
+  private def ebmlUint(b: Array[Byte], lo: Long, hi: Long): Long = {
+    var v = 0L
+    var i = lo
+    while (i < hi && i - lo < 8) { v = (v << 8) | (b(i.toInt) & 0xFF); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], lo: Long, hi: Long): Double =
+    (hi - lo) match {
+      case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, lo, hi).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, lo, hi))
+      case _ => 0.0
+    }
+
+  private final case class MkvTrack(trackType: Int, width: Int, height: Int,
+                                    sampleRate: Double, channels: Int,
+                                    defaultDurationNs: Long)
+  private final case class MkvSegment(timecodeScaleNs: Double,
+                                      durationTicks: Double,
+                                      tracks: List[MkvTrack],
+                                      clusterBytes: Long)
+
+  /** Parse the Matroska segment headers: Info (TimecodeScale, Duration),
+    * Tracks (type, video dims, audio rate/channels, DefaultDuration),
+    * Σ Cluster payload sizes. Never reads block/frame data.
+    */
+  private def parseEbml(b: Array[Byte]): Option[MkvSegment] = {
+    var seg: Option[(Long, Long)] = None
+    for ((id, ps, pe) <- ebmlChildren(b, 0L, b.length.toLong))
+      if (id == 0x18538067L && seg.isEmpty) seg = Some((ps, pe)) // Segment
+    seg.map { case (slo, shi) =>
+      var tcScale = 1000000.0 // Matroska default: 1 ms per tick
+      var duration = 0.0
+      var tracks = List.empty[MkvTrack]
+      var clusters = 0L
+      for ((id, ps, pe) <- ebmlChildren(b, slo, shi)) id match {
+        case 0x1549A966L => // Info
+          for ((i2, s2, e2) <- ebmlChildren(b, ps, pe)) i2 match {
+            case 0x2AD7B1L => tcScale = ebmlUint(b, s2, e2).toDouble
+            case 0x4489L   => duration = ebmlFloat(b, s2, e2)
+            case _         => ()
+          }
+        case 0x1654AE6BL => // Tracks
+          for ((i2, s2, e2) <- ebmlChildren(b, ps, pe) if i2 == 0xAEL) {
+            var (tt, w, h, ch) = (0, 0, 0, 0)
+            var rate = 0.0
+            var dd = 0L
+            for ((i3, s3, e3) <- ebmlChildren(b, s2, e2)) i3 match {
+              case 0x83L     => tt = ebmlUint(b, s3, e3).toInt
+              case 0x23E383L => dd = ebmlUint(b, s3, e3)
+              case 0xE0L => // Video
+                for ((i4, s4, e4) <- ebmlChildren(b, s3, e3)) i4 match {
+                  case 0xB0L => w = ebmlUint(b, s4, e4).toInt
+                  case 0xBAL => h = ebmlUint(b, s4, e4).toInt
+                  case _     => ()
+                }
+              case 0xE1L => // Audio
+                for ((i4, s4, e4) <- ebmlChildren(b, s3, e3)) i4 match {
+                  case 0xB5L => rate = ebmlFloat(b, s4, e4)
+                  case 0x9FL => ch = ebmlUint(b, s4, e4).toInt
+                  case _     => ()
+                }
+              case _ => ()
+            }
+            tracks :+= MkvTrack(tt, w, h, rate, ch, dd)
+          }
+        case 0x1F43B675L => clusters += pe - ps // Cluster
+        case _           => ()
+      }
+      MkvSegment(tcScale, duration, tracks, clusters)
+    }
+  }
+
+  /** WebM/Matroska: a video track (type 1) wins — pixel dims from the
+    * Video element, fps from DefaultDuration (ns per frame); else the
+    * first audio track (type 2) — SamplingFrequency/Channels.
+    * payloadBytes = Σ Cluster payloads when present, else container
+    * length.
+    */
+  private def webmMeta(b: Array[Byte]): Option[MediaMeta] =
+    parseEbml(b).flatMap { s =>
+      val payload = if (s.clusterBytes > 0) s.clusterBytes else b.length.toLong
+      s.tracks.find(_.trackType == 1) match {
+        case Some(v) if v.width > 0 && v.height > 0 =>
+          val fps =
+            if (v.defaultDurationNs > 0)
+              math.round(1e9 / v.defaultDurationNs).toInt
+            else 0
+          Some(MediaMeta("video", v.width, v.height, fps, payload))
+        case _ =>
+          s.tracks.find(_.trackType == 2).flatMap { a =>
+            if (a.sampleRate <= 0 || a.channels <= 0) None
+            else Some(MediaMeta("audio", math.round(a.sampleRate).toInt,
+              a.channels, 0, payload))
+          }
+      }
+    }
 
   // ---- MP4 / ISO base media (MP4, M4A, MOV-style brands) ----
 

@@ -73,6 +73,54 @@ object MediaFixtures {
       Array(channels.toByte) ++ le32(rate) ++
       new Array[Byte](12) ++ Array(0xB8.toByte, 1.toByte))
 
+  // ---- WebM / Matroska (EBML) ----
+
+  private def minBe(v: Long): Array[Byte] = {
+    val n = math.max(1, (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8)
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+  }
+
+  private def ebml(id: Long, parts: Array[Byte]*): Array[Byte] = {
+    val content = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    // size always in the 8-byte vint form (0x01 marker + 7 value bytes)
+    val size = Array(0x01.toByte) ++
+      (0 until 7).map(i => ((content.length.toLong >> (8 * (6 - i))) & 0xFF).toByte)
+    minBe(id) ++ size ++ content
+  }
+
+  private def ebmlFloat8(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+  }
+
+  /** WebM with one video track: pixel dims, DefaultDuration (ns/frame →
+    * fps), segment Duration in timecode-scale ticks, one Cluster.
+    */
+  def webmVideo(width: Int, height: Int, frameNs: Long, durationTicks: Double,
+                tcScaleNs: Long, payload: Array[Byte]): Array[Byte] =
+    ebml(0x1A45DFA3L) ++ // EBML header (content irrelevant to the parser)
+      ebml(0x18538067L,  // Segment
+        ebml(0x1549A966L, // Info
+          ebml(0x2AD7B1L, minBe(tcScaleNs)),
+          ebml(0x4489L, ebmlFloat8(durationTicks))),
+        ebml(0x1654AE6BL, // Tracks
+          ebml(0xAEL,
+            ebml(0x83L, minBe(1)),
+            ebml(0x23E383L, minBe(frameNs)),
+            ebml(0xE0L, ebml(0xB0L, minBe(width)), ebml(0xBAL, minBe(height))))),
+        ebml(0x1F43B675L, payload)) // Cluster
+
+  /** WebM/MKA with one audio track: SamplingFrequency + Channels. */
+  def webmAudio(channels: Int, rate: Double, payload: Array[Byte]): Array[Byte] =
+    ebml(0x1A45DFA3L) ++
+      ebml(0x18538067L,
+        ebml(0x1549A966L, ebml(0x2AD7B1L, minBe(1000000L))),
+        ebml(0x1654AE6BL,
+          ebml(0xAEL,
+            ebml(0x83L, minBe(2)),
+            ebml(0xE1L, ebml(0xB5L, ebmlFloat8(rate)), ebml(0x9FL, minBe(channels))))),
+        ebml(0x1F43B675L, payload))
+
   // ---- ISO-BMFF (MP4/M4A) ----
 
   private def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {

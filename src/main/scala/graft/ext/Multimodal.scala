@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * (WAV/AIFF/AU) decode their headers for real via the JDK's
   * javax.sound.sampled (sample rate, channels, raw payload size — no
   * sample decode); COMPRESSED containers (MP3, ADTS-AAC, FLAC, Ogg
-  * Vorbis/Opus, MP4/M4A incl. video dims + stts frame counts) decode
+  * Vorbis/Opus, MP4/M4A, WebM/Matroska — incl. video dims + frame counts) decode
   * their headers for real via [[CompressedMedia]]'s pure byte parsers.
   * Only SAMPLE/PIXEL decode of compressed media remains a declared STUB
   * (the JDK ships no such codecs and none are available in this
@@ -95,8 +95,8 @@ object Multimodal {
     * (PNG/JPEG/GIF/BMP/WBMP) decode for real, as do the JDK's audio
     * containers (WAV/AIFF/AU — header-only, see [[audioMeta]]) and the
     * compressed containers [[CompressedMedia]] parses headers for
-    * (MP3/ADTS-AAC/FLAC/Ogg Vorbis/Opus/MP4/M4A — pure byte parsing, no
-    * codec); anything else must be a GMM1 container (the declared stub
+    * (MP3/ADTS-AAC/FLAC/Ogg Vorbis/Opus/MP4/M4A/WebM — pure byte parsing,
+    * no codec); anything else must be a GMM1 container (the declared stub
     * for formats outside that set) or the call throws and the caller's
     * per-row isolation drops the row.
     */
@@ -125,7 +125,7 @@ object Multimodal {
         if (!isStub(bytes)) throw new IllegalArgumentException(
           s"cannot decode ${bytes.length}-byte payload: not a JDK-decodable " +
             "image (PNG/JPEG/GIF/BMP/WBMP) or audio container (WAV/AIFF/AU), " +
-            "not a parseable compressed container (MP3/ADTS-AAC/FLAC/Ogg/MP4 " +
+            "not a parseable compressed container (MP3/ADTS-AAC/FLAC/Ogg/MP4/WebM " +
             "— see CompressedMedia), and not a GMM1 stub container. Sample/" +
             "pixel DECODE of compressed media needs a production codec " +
             "plugged in at the decodeHeader boundary (README: Production " +

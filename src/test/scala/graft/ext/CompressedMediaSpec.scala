@@ -74,6 +74,24 @@ class CompressedMediaSpec extends AnyFunSuite with SharedSpark {
       MediaFixtures.m4aAudio(2, 44100, payload)).isEmpty)
   }
 
+  test("WebM video: EBML dims, DefaultDuration-derived fps, cluster payload") {
+    // 25 fps (40 ms/frame), 10 s of ticks at the default 1 ms scale
+    val bytes = MediaFixtures.webmVideo(1280, 720, frameNs = 40000000L,
+      durationTicks = 10000.0, tcScaleNs = 1000000L, payload = payload)
+    val m = CompressedMedia.meta(bytes).get
+    assert(m.kind == "video" && m.width == 1280 && m.height == 720 && m.fps == 25)
+    assert(m.payloadBytes == payload.length.toLong)
+    // duration 10 s × 25 fps = 250 frames
+    assert(CompressedMedia.videoFrameCount(bytes).contains(250L))
+  }
+
+  test("WebM audio: SamplingFrequency float and Channels uint") {
+    val m = CompressedMedia.meta(
+      MediaFixtures.webmAudio(2, 48000.0, payload)).get
+    assert(m.kind == "audio" && m.width == 48000 && m.height == 2)
+    assert(m.payloadBytes == payload.length.toLong)
+  }
+
   test("malformed and truncated containers return None, never a guess") {
     assert(CompressedMedia.meta(Array.fill[Byte](3)(0x7F)).isEmpty)
     assert(CompressedMedia.meta("not media at all padding".getBytes("UTF-8")).isEmpty)
@@ -83,7 +101,8 @@ class CompressedMediaSpec extends AnyFunSuite with SharedSpark {
       MediaFixtures.adts(4, 2, payload),
       MediaFixtures.flac(48000, 2, 16, 1000L),
       MediaFixtures.oggOpus(2, 48000L),
-      MediaFixtures.mp4Video(64, 48, 24L, 600L, 600L, payload))
+      MediaFixtures.mp4Video(64, 48, 24L, 600L, 600L, payload),
+      MediaFixtures.webmVideo(64, 48, 40000000L, 1000.0, 1000000L, payload))
     for (f <- fixtures; n <- Seq(1, 5, 11, 27))
       CompressedMedia.meta(f.take(n)) // must not throw
     // a JPEG-start (FF D8) must not read as an MPEG sync
