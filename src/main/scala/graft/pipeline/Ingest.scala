@@ -169,6 +169,10 @@ final class IngestPipeline(
 
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
+    // auto-heal any crashed swap BEFORE writing (the reference's
+    // rollback-on-error, base.py:19-22): appending to a mid-swap-absent
+    // table would fork it into a fresh directory
+    tables.recoverAllSwapDebris()
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
       .load(inputDir)
@@ -190,6 +194,10 @@ final class IngestPipeline(
                    archiveDir: Option[String] = None,
                    maxFilesPerBatch: Option[Int] = None)
   : StreamingQuery = {
+    // auto-heal any crashed swap before the stream's first write — the
+    // restarted-stream analogue of ingest()'s startup recovery (a prior
+    // run may have died inside a compaction-cadence swap window)
+    tables.recoverAllSwapDebris()
     val reader = spark.readStream.format("binaryFile")
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")

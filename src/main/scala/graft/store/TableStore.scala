@@ -762,6 +762,26 @@ final class TableStore(spark: SparkSession, root: String) {
     * neither dir) is not one a crash of this protocol can produce —
     * refuse loudly rather than guess at someone else's debris.
     */
+  /** [[recoverSwapDebris]] for every table with debris under the store
+    * root — the "run at startup" form: one directory listing discovers
+    * the `.old-*`/`.tmp-*` siblings, their table names derive from the
+    * sibling names, and each table recovers independently. Writer entry
+    * points ([[graft.pipeline.IngestPipeline]]) call this before their
+    * first write, because appending to a table whose path is TRANSIENTLY
+    * absent mid-swap would create a fresh directory and FORK the table —
+    * auto-heal first, then write. No-debris stores pay one listing.
+    *
+    * @return recovery outcome per affected table (empty = clean store)
+    */
+  def recoverAllSwapDebris(): Map[String, SwapRecovery] = {
+    val parent = new Path(root)
+    if (!fs.exists(parent)) return Map.empty
+    val pat = "(.+)\\.(?:old|tmp)-.*".r
+    fs.listStatus(parent).map(_.getPath.getName).toSeq
+      .collect { case pat(table) => table }.distinct.sorted
+      .map(t => t -> recoverSwapDebris(t)).toMap
+  }
+
   def recoverSwapDebris(table: String): SwapRecovery = {
     val f = fs
     val parent = new Path(root)

@@ -258,6 +258,66 @@ class SwapRecoverySpec extends AnyFunSuite with SharedSpark {
     assertClean(ts, root, "t")
   }
 
+  test("recoverAllSwapDebris heals every affected table from one listing") {
+    import spark.implicits._
+    val root = tmpDir("rec-all")
+    val ts = new TableStore(spark, root)
+    ts.append("alpha", Seq((1L, "a")).toDF("id", "v"))
+    ts.append("beta", Seq((2L, "b")).toDF("id", "v"))
+    ts.append("clean", Seq((3L, "c")).toDF("id", "v"))
+    for (t <- Seq("alpha", "beta")) {
+      ts.failpoint = at => if (at == "old-aside") throw new Boom
+      intercept[Boom] {
+        ts.overwriteAtomic(t, Seq((9L, "n")).toDF("id", "v"))
+      }
+      ts.failpoint = _ => ()
+    }
+    val outcomes = ts.recoverAllSwapDebris()
+    // only the tables WITH debris appear, each rolled forward (staged
+    // dir was complete); the clean table is untouched and unlisted
+    assert(outcomes == Map("alpha" -> SwapRecovery.RolledForward,
+      "beta" -> SwapRecovery.RolledForward))
+    assert(ts.read("alpha").as[(Long, String)].collect().toSet == Set((9L, "n")))
+    assert(ts.read("clean").as[(Long, String)].collect().toSet == Set((3L, "c")))
+    assert(ts.recoverAllSwapDebris().isEmpty, "second run: clean store")
+    for (t <- Seq("alpha", "beta")) assertClean(ts, root, t)
+  }
+
+  test("batch ingest auto-heals a crashed swap instead of forking the table") {
+    import graft.pipeline.{IngestPipeline, ProcessingConfig}
+    import graft.store.ObjectStore
+    import spark.implicits._
+    val root = tmpDir("rec-ingest")
+    val ts = new TableStore(spark, root + "/tables")
+    val os = new ObjectStore(spark, root + "/bucket")
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    java.nio.file.Files.write(inbox.toPath.resolve("one.pdf"),
+      "%PDF-1.4 hello swap recovery".getBytes("UTF-8"))
+    val pipeline = new IngestPipeline(spark, ts, os, ProcessingConfig())
+    pipeline.ingest(inbox.getAbsolutePath)
+    val before = ts.read("documents").count()
+    assert(before == 1L)
+    // a maintenance swap crashes mid-window: documents is absent, its
+    // bytes live only in the siblings
+    val snap = ts.read("documents").localCheckpoint()
+    ts.failpoint = at => if (at == "old-aside") throw new Boom
+    intercept[Boom] { ts.overwriteAtomic("documents", snap) }
+    ts.failpoint = _ => ()
+    assert(!ts.exists("documents") && ts.hasSwapDebris("documents"))
+    // the next ingest must FIRST restore the table, then append — without
+    // recovery the append would create a fresh `documents` dir and the
+    // original row would be stranded in the .old-* sibling
+    java.nio.file.Files.write(inbox.toPath.resolve("two.pdf"),
+      "%PDF-1.4 second file".getBytes("UTF-8"))
+    val inbox2 = new java.io.File(root, "inbox2"); inbox2.mkdirs()
+    java.nio.file.Files.write(inbox2.toPath.resolve("two.pdf"),
+      "%PDF-1.4 second file".getBytes("UTF-8"))
+    pipeline.ingest(inbox2.getAbsolutePath)
+    assert(ts.read("documents").count() == 2L,
+      "both the recovered row and the new row must be present")
+    assertClean(ts, root + "/tables", "documents")
+  }
+
   test("foreign same-kind sibling pairs refuse loudly") {
     import spark.implicits._
     val root = tmpDir("rec-foreign")
