@@ -220,6 +220,19 @@ object CompressedMedia {
       // FLAC-to-Ogg mapping: 0x7F "FLAC" major minor nheaders(u16) then a
       // native "fLaC" stream with its STREAMINFO
       flacMeta(b, p + 9)
+    } else if (u8(b, p) == 0x80 && magic(b, p + 1, "theora")) {
+      // Theora identification header: picture dims (24-bit each) and the
+      // frame rate as a rational FRN/FRD
+      if (p + 30 > b.length) None
+      else {
+        val w = u24(b, p + 14)
+        val h = u24(b, p + 17)
+        val frn = u32(b, p + 22)
+        val frd = u32(b, p + 26)
+        val fps = if (frn > 0 && frd > 0) math.round(frn.toDouble / frd).toInt else 0
+        if (w == 0 || h == 0) None
+        else Some(MediaMeta("video", w, h, fps, b.length.toLong))
+      }
     } else None
   }
 

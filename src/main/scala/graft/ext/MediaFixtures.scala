@@ -73,6 +73,14 @@ object MediaFixtures {
       Array(channels.toByte) ++ le32(rate) ++
       new Array[Byte](12) ++ Array(0xB8.toByte, 1.toByte))
 
+  /** Ogg page carrying a Theora identification header. */
+  def oggTheora(width: Int, height: Int, fpsNum: Long, fpsDen: Long): Array[Byte] =
+    oggPage(Array(0x80.toByte) ++ ascii("theora") ++
+      Array[Byte](3, 2, 1) ++                       // VMAJ VMIN VREV
+      be16((width + 15) / 16) ++ be16((height + 15) / 16) ++ // macroblock dims
+      be24(width) ++ be24(height) ++ Array[Byte](0, 0) ++    // pic dims + offsets
+      be32(fpsNum) ++ be32(fpsDen))
+
   // ---- WebM / Matroska (EBML) ----
 
   private def minBe(v: Long): Array[Byte] = {

@@ -48,11 +48,15 @@ class CompressedMediaSpec extends AnyFunSuite with SharedSpark {
     assert(CompressedMedia.meta(unk).get.payloadBytes == unk.length.toLong)
   }
 
-  test("Ogg: Vorbis and Opus identification headers") {
+  test("Ogg: Vorbis, Opus and Theora identification headers") {
     val v = CompressedMedia.meta(MediaFixtures.oggVorbis(2, 44100L)).get
     assert(v.kind == "audio" && v.width == 44100 && v.height == 2)
     val o = CompressedMedia.meta(MediaFixtures.oggOpus(1, 48000L)).get
     assert(o.width == 48000 && o.height == 1)
+    // Theora: 30000/1001 ≈ 29.97 → rounds to 30 fps
+    val t = CompressedMedia.meta(
+      MediaFixtures.oggTheora(704, 480, 30000L, 1001L)).get
+    assert(t.kind == "video" && t.width == 704 && t.height == 480 && t.fps == 30)
   }
 
   test("MP4 video: tkhd dims, stts-derived fps, mdat payload") {
