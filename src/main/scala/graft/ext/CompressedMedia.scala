@@ -48,30 +48,46 @@ object CompressedMedia {
       else None
     } catch { case _: IndexOutOfBoundsException => None }
 
-  /** Total video frame count from the MP4 `stts` table (Σ sample counts
-    * of the first `vide` track) — real frame ENUMERATION without a codec;
+  /** Total video frame count — real frame ENUMERATION without a codec;
     * only pixel extraction needs one. MP4: the `stts` table's Σ sample
-    * counts. WebM/Matroska: segment Duration (timecode-scale units) over
-    * the video track's DefaultDuration (ns/frame). None for other
-    * containers or audio-only streams.
+    * counts of the first `vide` track. WebM/Matroska: segment Duration
+    * (timecode-scale units) over the video track's DefaultDuration
+    * (ns/frame). None for other containers (an Ogg Theora ident header
+    * declares fps but no frame total) or audio-only streams.
     */
   def videoFrameCount(bytes: Array[Byte]): Option[Long] =
+    metaAndFrames(bytes).flatMap(_._2)
+
+  /** One-parse variant for consumers that need both the typed metadata
+    * AND the frame enumeration ([[Multimodal.sampleFrames]]): the MP4 box
+    * tree / EBML element tree is walked ONCE and serves both answers —
+    * `meta(bytes)` + `videoFrameCount(bytes)` would walk it twice per
+    * row on a corpus-scale hot path. `_2` is the frame count when the
+    * container declares one.
+    */
+  def metaAndFrames(bytes: Array[Byte]): Option[(MediaMeta, Option[Long])] =
     try {
-      if (bytes.length < 8) None
+      if (bytes.length < 8) meta(bytes).map((_, None))
       else if (magic(bytes, 4, "ftyp"))
-        parseMp4(bytes).flatMap(_.videoTrack).flatMap(t =>
-          if (t.sttsTotal > 0) Some(t.sttsTotal) else None)
+        parseMp4(bytes).flatMap(info =>
+          mp4MetaFrom(info, bytes.length).map((_, mp4Frames(info))))
       else if (isEbml(bytes))
-        parseEbml(bytes).flatMap { s =>
-          s.tracks.find(_.trackType == 1).flatMap { v =>
-            if (s.durationTicks > 0 && v.defaultDurationNs > 0)
-              Some(math.round(
-                s.durationTicks * s.timecodeScaleNs / v.defaultDurationNs))
-            else None
-          }
-        }
-      else None
+        parseEbml(bytes).flatMap(seg =>
+          webmMetaFrom(seg, bytes.length).map((_, webmFrames(seg))))
+      else meta(bytes).map((_, None))
     } catch { case _: IndexOutOfBoundsException => None }
+
+  private def mp4Frames(info: Mp4Info): Option[Long] =
+    info.videoTrack.flatMap(t =>
+      if (t.sttsTotal > 0) Some(t.sttsTotal) else None)
+
+  private def webmFrames(s: MkvSegment): Option[Long] =
+    s.tracks.find(_.trackType == 1).flatMap { v =>
+      if (s.durationTicks > 0 && v.defaultDurationNs > 0)
+        Some(math.round(
+          s.durationTicks * s.timecodeScaleNs / v.defaultDurationNs))
+      else None
+    }
 
   // ---- shared byte helpers (all big-endian unless noted) ----
 
@@ -374,23 +390,25 @@ object CompressedMedia {
     * length.
     */
   private def webmMeta(b: Array[Byte]): Option[MediaMeta] =
-    parseEbml(b).flatMap { s =>
-      val payload = if (s.clusterBytes > 0) s.clusterBytes else b.length.toLong
-      s.tracks.find(_.trackType == 1) match {
-        case Some(v) if v.width > 0 && v.height > 0 =>
-          val fps =
-            if (v.defaultDurationNs > 0)
-              math.round(1e9 / v.defaultDurationNs).toInt
-            else 0
-          Some(MediaMeta("video", v.width, v.height, fps, payload))
-        case _ =>
-          s.tracks.find(_.trackType == 2).flatMap { a =>
-            if (a.sampleRate <= 0 || a.channels <= 0) None
-            else Some(MediaMeta("audio", math.round(a.sampleRate).toInt,
-              a.channels, 0, payload))
-          }
-      }
+    parseEbml(b).flatMap(webmMetaFrom(_, b.length))
+
+  private def webmMetaFrom(s: MkvSegment, containerLen: Long): Option[MediaMeta] = {
+    val payload = if (s.clusterBytes > 0) s.clusterBytes else containerLen
+    s.tracks.find(_.trackType == 1) match {
+      case Some(v) if v.width > 0 && v.height > 0 =>
+        val fps =
+          if (v.defaultDurationNs > 0)
+            math.round(1e9 / v.defaultDurationNs).toInt
+          else 0
+        Some(MediaMeta("video", v.width, v.height, fps, payload))
+      case _ =>
+        s.tracks.find(_.trackType == 2).flatMap { a =>
+          if (a.sampleRate <= 0 || a.channels <= 0) None
+          else Some(MediaMeta("audio", math.round(a.sampleRate).toInt,
+            a.channels, 0, payload))
+        }
     }
+  }
 
   // ---- MP4 / ISO base media (MP4, M4A, MOV-style brands) ----
 
@@ -501,22 +519,37 @@ object CompressedMedia {
     * payloadBytes = mdat payload when present, else container length.
     */
   private def mp4Meta(b: Array[Byte]): Option[MediaMeta] =
-    parseMp4(b).flatMap { info =>
-      val payload = if (info.mdatBytes > 0) info.mdatBytes else b.length.toLong
-      info.videoTrack match {
-        case Some(v) if v.width > 0 && v.height > 0 =>
-          val fps =
-            if (v.sttsTotal > 0 && v.mdhdDuration > 0 && v.mdhdTimescale > 0)
-              math.round(v.sttsTotal.toDouble * v.mdhdTimescale / v.mdhdDuration).toInt
+    parseMp4(b).flatMap(mp4MetaFrom(_, b.length))
+
+  private def mp4MetaFrom(info: Mp4Info, containerLen: Long): Option[MediaMeta] = {
+    val payload = if (info.mdatBytes > 0) info.mdatBytes else containerLen
+    info.videoTrack match {
+      case Some(v) if v.width > 0 && v.height > 0 =>
+        val fps =
+          if (v.sttsTotal > 0 && v.mdhdDuration > 0 && v.mdhdTimescale > 0)
+            math.round(v.sttsTotal.toDouble * v.mdhdTimescale / v.mdhdDuration).toInt
+          else 0
+        Some(MediaMeta("video", v.width, v.height, fps, payload))
+      case _ =>
+        info.audioTrack.flatMap { a =>
+          // the stsd rate is a 16.16 fixed field — its integer part
+          // cannot hold rates ≥ 65536 Hz, which hi-res encoders store
+          // TRUNCATED (rate & 0xFFFF). The mdhd timescale is by
+          // convention the true audio sample rate: when it exceeds 16
+          // bits and its low 16 bits equal the stsd value, the stsd
+          // field wrapped — repair from the timescale instead of
+          // emitting 30464 Hz for a 96 kHz stream
+          val wrapped = a.mdhdTimescale > 0xFFFF &&
+            (a.mdhdTimescale & 0xFFFFL) == a.stsdRate.toLong
+          val rate =
+            if (a.stsdRate > 0 && !wrapped) a.stsdRate
+            else if (a.mdhdTimescale > 0 && a.mdhdTimescale <= Int.MaxValue)
+              a.mdhdTimescale.toInt
             else 0
-          Some(MediaMeta("video", v.width, v.height, fps, payload))
-        case _ =>
-          info.audioTrack.flatMap { a =>
-            val rate = if (a.stsdRate > 0) a.stsdRate else a.mdhdTimescale.toInt
-            val channels = if (a.stsdChannels > 0) a.stsdChannels else 0
-            if (rate <= 0 || channels <= 0) None
-            else Some(MediaMeta("audio", rate, channels, 0, payload))
-          }
-      }
+          val channels = if (a.stsdChannels > 0) a.stsdChannels else 0
+          if (rate <= 0 || channels <= 0) None
+          else Some(MediaMeta("audio", rate, channels, 0, payload))
+        }
     }
+  }
 }

@@ -275,21 +275,26 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         // per-row isolation, same contract as decodeMeta/resizeStub
         try {
-          val m = decodeHeader(bytes)
-          if (m.kind != "video") Iterator.empty
-          else {
-            val frames =
-              if (isStub(bytes))
-                // frame count stub: one "frame" per fps-sized payload slice
-                (m.payloadBytes / math.max(1, m.fps)).toInt
-              else
-                // real container: stts frame total, or 0 (emit nothing)
-                // when the table is absent/empty — never fps-derived
-                // guesswork on real media
-                CompressedMedia.videoFrameCount(bytes)
-                  .fold(0)(n => math.min(n, Int.MaxValue.toLong).toInt)
-            (0 until frames by math.max(1, everyNth)).iterator
-              .map(f => (id, f, m.width, m.height))
+          // (meta, frames) in ONE container parse — decodeHeader followed
+          // by videoFrameCount would walk the MP4/EBML tree twice per row
+          val parsed: Option[(MediaMeta, Option[Long])] =
+            if (isStub(bytes)) {
+              val m = decodeHeader(bytes)
+              // frame count stub: one "frame" per fps-sized payload slice
+              Some((m, Some(m.payloadBytes / math.max(1, m.fps))))
+            } else CompressedMedia.metaAndFrames(bytes)
+          parsed match {
+            case Some((m, fc)) if m.kind == "video" =>
+              // a real container that declares no frame table (Ogg
+              // Theora ident, fragmented MP4 whose samples live in moof
+              // fragments) enumerates ZERO frames — deliberately: frame
+              // indices here are real metadata, never fps-derived
+              // guesswork, and such rows are distinguishable upstream
+              // (decodeMeta still returns their full MediaMeta)
+              val frames = fc.fold(0)(n => math.min(n, Int.MaxValue.toLong).toInt)
+              (0 until frames by math.max(1, everyNth)).iterator
+                .map(f => (id, f, m.width, m.height))
+            case _ => Iterator.empty
           }
         } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }

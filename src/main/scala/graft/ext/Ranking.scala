@@ -116,26 +116,32 @@ object Ranking {
     import org.apache.spark.sql.expressions.Window
     require(lists.size >= 2, s"rrfFuse needs ≥2 lists, got ${lists.size}")
     require(rrfK > 0 && topK > 0, s"rrfK/topK must be positive")
+    // internal working columns are _rrf_-prefixed so caller column names
+    // can never collide into an ambiguous-reference AnalysisException;
+    // only the output name is reserved
+    val reserved = Set("_rrf_s", "_rrf_src", "_rrf_contrib", "_rrf_rn", "rrf_score")
+    (idCol +: queryCols).foreach(c => require(!reserved(c),
+      s"column name '$c' collides with rrfFuse's internal/output names"))
     val tagged = lists.zipWithIndex.map { case (df, i) =>
       df.select(queryCols.map(col) ++ Seq(
         col(idCol).cast("long").as(idCol),
-        col(scoreCol).cast("double").as("s"), lit(i).as("src")): _*)
+        col(scoreCol).cast("double").as("_rrf_s"), lit(i).as("_rrf_src")): _*)
     }.reduce(_ unionByName _)
     val rankW = Window
-      .partitionBy(col("src") +: queryCols.map(col): _*)
-      .orderBy(col("s").desc, col(idCol))
+      .partitionBy(col("_rrf_src") +: queryCols.map(col): _*)
+      .orderBy(col("_rrf_s").desc, col(idCol))
     val fused = tagged
-      .withColumn("contrib",
+      .withColumn("_rrf_contrib",
         lit(1.0) / (lit(rrfK.toDouble) + row_number().over(rankW)))
       .groupBy(queryCols.map(col) :+ col(idCol): _*)
-      .agg(round(sum(col("contrib")), 9).as("rrf_score"))
+      .agg(round(sum(col("_rrf_contrib")), 9).as("rrf_score"))
     if (queryCols.isEmpty)
       fused.orderBy(col("rrf_score").desc, col(idCol)).limit(topK)
     else {
       val sel = Window.partitionBy(queryCols.map(col): _*)
         .orderBy(col("rrf_score").desc, col(idCol))
-      fused.withColumn("rn", row_number().over(sel))
-        .filter(col("rn") <= topK).drop("rn")
+      fused.withColumn("_rrf_rn", row_number().over(sel))
+        .filter(col("_rrf_rn") <= topK).drop("_rrf_rn")
         .orderBy(queryCols.map(col) :+ col("rrf_score").desc :+ col(idCol): _*)
     }
   }

@@ -167,12 +167,24 @@ final class IngestPipeline(
     tables.getTableProp("document_chunks", "buckets").map(_.toInt)
       .getOrElse(cfg.chunkBuckets)
 
+  /** The tables this pipeline writes — the set it may auto-heal.
+    * Recovery before writing is scoped HERE, not store-wide: other
+    * tables under the same root belong to other writers, and their
+    * debris (or a refusal on it) is not this pipeline's to delete or to
+    * be blocked by. A refusal on an OWNED table still propagates — a
+    * write that would fork an unrecovered table must not proceed.
+    */
+  private def recoverOwnedTables(): Unit =
+    Seq("documents", "document_chunks", "chart_data",
+        "minhash_bands", "near_dup_flags")
+      .foreach(tables.recoverSwapDebris(_))
+
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
     // auto-heal any crashed swap BEFORE writing (the reference's
     // rollback-on-error, base.py:19-22): appending to a mid-swap-absent
     // table would fork it into a fresh directory
-    tables.recoverAllSwapDebris()
+    recoverOwnedTables()
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
       .load(inputDir)
@@ -197,7 +209,7 @@ final class IngestPipeline(
     // auto-heal any crashed swap before the stream's first write — the
     // restarted-stream analogue of ingest()'s startup recovery (a prior
     // run may have died inside a compaction-cadence swap window)
-    tables.recoverAllSwapDebris()
+    recoverOwnedTables()
     val reader = spark.readStream.format("binaryFile")
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")

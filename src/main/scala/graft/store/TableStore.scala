@@ -45,6 +45,23 @@ object TableStore {
       t
     })
 
+  /** True iff `name` is a sibling the swap PROTOCOL generated for
+    * `table`: exactly `<table>.old-<digits>` / `<table>.tmp-<digits>`
+    * (the nanoTime suffix of the commit paths). Anything looser — an
+    * operator's `documents.old-backup` copy, a differently-suffixed
+    * foreign directory — must never be treated as debris: recovery
+    * DELETES what it classifies as stale.
+    */
+  private[store] def isSwapSibling(name: String, table: String): Boolean =
+    isSwapSibling(name, table, "old") || isSwapSibling(name, table, "tmp")
+
+  private[store] def isSwapSibling(name: String, table: String,
+                                   kind: String): Boolean = {
+    val prefix = s"$table.$kind-"
+    name.startsWith(prefix) && name.length > prefix.length &&
+      name.drop(prefix.length).forall(_.isDigit)
+  }
+
   /** File-count boundary between the driver footer pool and the
     * executor-side footer job (see [[TableStore.footerMaxId]]): below it
     * a Spark job's scheduling overhead exceeds the metadata reads; above
@@ -136,7 +153,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def hasSwapDebris(table: String): Boolean = {
     val parent = new Path(root)
     fs.exists(parent) && fs.listStatus(parent).map(_.getPath.getName)
-      .exists(n => n.startsWith(table + ".old-") || n.startsWith(table + ".tmp-"))
+      .exists(n => TableStore.isSwapSibling(n, table))
   }
 
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
@@ -762,35 +779,21 @@ final class TableStore(spark: SparkSession, root: String) {
     * neither dir) is not one a crash of this protocol can produce —
     * refuse loudly rather than guess at someone else's debris.
     */
-  /** [[recoverSwapDebris]] for every table with debris under the store
-    * root — the "run at startup" form: one directory listing discovers
-    * the `.old-*`/`.tmp-*` siblings, their table names derive from the
-    * sibling names, and each table recovers independently. Writer entry
-    * points ([[graft.pipeline.IngestPipeline]]) call this before their
-    * first write, because appending to a table whose path is TRANSIENTLY
-    * absent mid-swap would create a fresh directory and FORK the table —
-    * auto-heal first, then write. No-debris stores pay one listing.
-    *
-    * @return recovery outcome per affected table (empty = clean store)
-    */
-  def recoverAllSwapDebris(): Map[String, SwapRecovery] = {
-    val parent = new Path(root)
-    if (!fs.exists(parent)) return Map.empty
-    val pat = "(.+)\\.(?:old|tmp)-.*".r
-    fs.listStatus(parent).map(_.getPath.getName).toSeq
-      .collect { case pat(table) => table }.distinct.sorted
-      .map(t => t -> recoverSwapDebris(t)).toMap
-  }
-
   def recoverSwapDebris(table: String): SwapRecovery = {
     val f = fs
     val parent = new Path(root)
     val dest = new Path(tablePath(table))
     if (!f.exists(parent)) return SwapRecovery.NoDebris
     val sibs = f.listStatus(parent).map(_.getPath.getName).toSeq
-    val olds = sibs.filter(_.startsWith(table + ".old-"))
-    val tmps = sibs.filter(_.startsWith(table + ".tmp-"))
-    if (olds.isEmpty && tmps.isEmpty) return SwapRecovery.NoDebris
+    val olds = sibs.filter(TableStore.isSwapSibling(_, table, "old"))
+    val tmps = sibs.filter(TableStore.isSwapSibling(_, table, "tmp"))
+    if (olds.isEmpty && tmps.isEmpty) {
+      // a crash between recovery's commit rename and its marker delete
+      // can leave the markers inside the live table with no siblings at
+      // all — sweep them so they never outlive their swap
+      if (f.exists(dest)) deleteSwapMarkers(dest)
+      return SwapRecovery.NoDebris
+    }
     if (f.exists(dest)) {
       (olds ++ tmps).foreach(n => f.delete(new Path(parent, n), true))
       deleteSwapMarkers(dest)
@@ -870,6 +873,40 @@ final class TableStore(spark: SparkSession, root: String) {
                 .take(5).mkString(", "))
         }
     }
+  }
+
+  /** [[recoverSwapDebris]] for every table with debris under the store
+    * root — the "run at startup" form: one directory listing discovers
+    * the protocol's `.old-<nanos>`/`.tmp-<nanos>` siblings (ONLY that
+    * exact shape — an operator's `documents.old-backup` copy is not ours
+    * to touch), their table names derive from the sibling names, and
+    * each table recovers independently. EVERY table is attempted even if
+    * one refuses: partial healing first, then ONE combined error naming
+    * the refusers — a foreign-debris refusal on one table must not
+    * strand recoverable bytes on the others. No-debris stores pay one
+    * listing.
+    *
+    * @return recovery outcome per affected table (empty = clean store)
+    */
+  def recoverAllSwapDebris(): Map[String, SwapRecovery] = {
+    val parent = new Path(root)
+    if (!fs.exists(parent)) return Map.empty
+    val pat = "(.+)\\.(?:old|tmp)-\\d+".r
+    val affected = fs.listStatus(parent).map(_.getPath.getName).toSeq
+      .collect { case pat(table) => table }.distinct.sorted
+    val outcomes = Map.newBuilder[String, SwapRecovery]
+    val refused = Seq.newBuilder[(String, String)]
+    for (t <- affected)
+      try outcomes += t -> recoverSwapDebris(t)
+      catch {
+        case e: IllegalStateException => refused += t -> e.getMessage
+        case e: java.io.IOException   => refused += t -> e.getMessage
+      }
+    val bad = refused.result()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"swap recovery refused for ${bad.size} table(s) (the rest were " +
+        s"healed): ${bad.map { case (t, m) => s"$t: $m" }.mkString("; ")}")
+    outcomes.result()
   }
 
   // -------------------------------------------------------------------

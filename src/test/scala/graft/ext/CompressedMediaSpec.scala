@@ -96,6 +96,40 @@ class CompressedMediaSpec extends AnyFunSuite with SharedSpark {
     assert(m.payloadBytes == payload.length.toLong)
   }
 
+  test("hi-res M4A: the wrapped 16.16 stsd rate is repaired from mdhd") {
+    // encoders store rate<<16 truncated to 32 bits: for 96 kHz the stsd
+    // field holds 30464 (96000 & 0xFFFF); the mdhd timescale carries the
+    // true rate and must win over the wrapped value
+    val m = CompressedMedia.meta(MediaFixtures.m4aAudio(2, 96000, payload)).get
+    assert(m.kind == "audio" && m.width == 96000 && m.height == 2)
+    // sub-65536 rates still come straight from the stsd entry
+    assert(CompressedMedia.meta(
+      MediaFixtures.m4aAudio(1, 22050, payload)).get.width == 22050)
+  }
+
+  test("metaAndFrames answers meta and frame count from one parse") {
+    val mp4 = MediaFixtures.mp4Video(640, 360, 120L, 600L, 3000L, payload)
+    val (m, fc) = CompressedMedia.metaAndFrames(mp4).get
+    assert(m == CompressedMedia.meta(mp4).get)
+    assert(fc == CompressedMedia.videoFrameCount(mp4))
+    val webm = MediaFixtures.webmVideo(320, 240, 40000000L, 2000.0, 1000000L, payload)
+    val (wm, wfc) = CompressedMedia.metaAndFrames(webm).get
+    assert(wm == CompressedMedia.meta(webm).get && wfc.contains(50L))
+    // audio containers report no frame enumeration
+    assert(CompressedMedia.metaAndFrames(
+      MediaFixtures.flac(48000, 2, 16, 10L)).get._2.isEmpty)
+  }
+
+  test("sampleFrames enumerates WebM frames from Duration/DefaultDuration") {
+    import spark.implicits._
+    // 2 s at 25 fps → 50 frames, every 10th → 0,10,20,30,40
+    val bytes = MediaFixtures.webmVideo(320, 240, 40000000L, 2000.0,
+      1000000L, payload)
+    val rows = Multimodal.sampleFrames(Seq((3L, bytes)).toDF("media_id", "content"),
+      everyNth = 10).orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 10, 20, 30, 40))
+  }
+
   test("malformed and truncated containers return None, never a guess") {
     assert(CompressedMedia.meta(Array.fill[Byte](3)(0x7F)).isEmpty)
     assert(CompressedMedia.meta("not media at all padding".getBytes("UTF-8")).isEmpty)

@@ -503,5 +503,12 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(batch == List((10L, 1L), (20L, 1L)),
       "per-query winners: id 1 leads both lists of q=10 and ranks first in q=20's A list")
+
+    // internal/output name collisions are rejected up front, not as an
+    // ambiguous-reference AnalysisException deep in the plan
+    val c = Seq((1L, 1.0)).toDF("_rrf_s", "x")
+    intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq(c, c), "_rrf_s", "x")
+    }
   }
 }

@@ -318,6 +318,60 @@ class SwapRecoverySpec extends AnyFunSuite with SharedSpark {
     assertClean(ts, root + "/tables", "documents")
   }
 
+  test("a crash after the sibling-less roll-forward commit sweeps markers on re-run") {
+    import spark.implicits._
+    val root = tmpDir("rec-firstcrash")
+    val ts = new TableStore(spark, root)
+    ts.failpoint = at => if (at == "tmp-written") throw new Boom
+    intercept[Boom] { ts.overwriteAtomic("t", Seq((1L, "a")).toDF("id", "v")) }
+    // recovery commits the staged first write, then crashes before its
+    // marker delete: table live WITH markers inside, no siblings left
+    ts.failpoint = at => if (at == "recovery-committed") throw new Boom
+    intercept[Boom] { ts.recoverSwapDebris("t") }
+    ts.failpoint = _ => ()
+    assert(ts.exists("t"))
+    // the sibling-less re-run must still sweep the leaked markers
+    assert(ts.recoverSwapDebris("t") == SwapRecovery.NoDebris)
+    assertClean(ts, root, "t")
+    assert(ts.read("t").as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("operator backups that merely LOOK like swap siblings are untouchable") {
+    import spark.implicits._
+    val root = tmpDir("rec-backup")
+    val ts = new TableStore(spark, root)
+    ts.append("t", Seq((1L, "a")).toDF("id", "v"))
+    // an operator's manual copy — NOT the protocol's .old-<nanos> shape
+    val backup = new java.io.File(root, "t.old-backup")
+    assert(backup.mkdirs())
+    java.nio.file.Files.write(backup.toPath.resolve("precious.txt"),
+      "do not delete".getBytes("UTF-8"))
+    assert(!ts.hasSwapDebris("t"), "a non-protocol name is not debris")
+    assert(ts.recoverSwapDebris("t") == SwapRecovery.NoDebris)
+    assert(ts.recoverAllSwapDebris().isEmpty)
+    assert(backup.exists() && backup.toPath.resolve("precious.txt").toFile.exists(),
+      "recovery must never classify foreign directories as stale debris")
+  }
+
+  test("recoverAllSwapDebris heals the healable tables before refusing") {
+    import spark.implicits._
+    val root = tmpDir("rec-partialall")
+    val ts = new TableStore(spark, root)
+    ts.append("good", Seq((1L, "a")).toDF("id", "v"))
+    ts.failpoint = at => if (at == "old-aside") throw new Boom
+    intercept[Boom] { ts.overwriteAtomic("good", Seq((9L, "n")).toDF("id", "v")) }
+    ts.failpoint = _ => ()
+    // an unrecoverable foreign state for ANOTHER table: absent dest with
+    // two same-kind protocol-shaped siblings
+    new java.io.File(root, "bad.old-1").mkdirs()
+    new java.io.File(root, "bad.old-2").mkdirs()
+    val e = intercept[IllegalStateException] { ts.recoverAllSwapDebris() }
+    assert(e.getMessage.contains("bad"), e.getMessage)
+    // the refusal did NOT strand the healable table
+    assert(ts.read("good").as[(Long, String)].collect().toSet == Set((9L, "n")))
+    assertClean(ts, root, "good")
+  }
+
   test("foreign same-kind sibling pairs refuse loudly") {
     import spark.implicits._
     val root = tmpDir("rec-foreign")
