@@ -56,7 +56,15 @@ object CompressedMedia {
     * declares fps but no frame total) or audio-only streams.
     */
   def videoFrameCount(bytes: Array[Byte]): Option[Long] =
-    metaAndFrames(bytes).flatMap(_._2)
+    try {
+      // derived from the frame tables ALONE, independent of whether a
+      // full MediaMeta exists: an MP4 with a populated stts but a
+      // zero-dim/absent tkhd still has a real frame count
+      if (bytes.length < 8) None
+      else if (magic(bytes, 4, "ftyp")) parseMp4(bytes).flatMap(mp4Frames)
+      else if (isEbml(bytes)) parseEbml(bytes).flatMap(webmFrames)
+      else None
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** One-parse variant for consumers that need both the typed metadata
     * AND the frame enumeration ([[Multimodal.sampleFrames]]): the MP4 box
@@ -83,9 +91,12 @@ object CompressedMedia {
 
   private def webmFrames(s: MkvSegment): Option[Long] =
     s.tracks.find(_.trackType == 1).flatMap { v =>
-      if (s.durationTicks > 0 && v.defaultDurationNs > 0)
-        Some(math.round(
-          s.durationTicks * s.timecodeScaleNs / v.defaultDurationNs))
+      val frames = s.durationTicks * s.timecodeScaleNs / v.defaultDurationNs
+      // Duration is a raw container float: NaN/Infinity (or a non-positive
+      // product) reads as "no declared frame count", never a fake one
+      if (s.durationTicks > 0 && v.defaultDurationNs > 0 &&
+          java.lang.Double.isFinite(frames) && frames > 0)
+        Some(math.round(frames))
       else None
     }
 
@@ -245,7 +256,12 @@ object CompressedMedia {
         val h = u24(b, p + 17)
         val frn = u32(b, p + 22)
         val frd = u32(b, p + 26)
-        val fps = if (frn > 0 && frd > 0) math.round(frn.toDouble / frd).toInt else 0
+        // clamp: a corrupt 32-bit numerator over denominator 1 would
+        // overflow toInt into a negative fps
+        val fps =
+          if (frn > 0 && frd > 0)
+            math.min(math.round(frn.toDouble / frd), Int.MaxValue.toLong).toInt
+          else 0
         if (w == 0 || h == 0) None
         else Some(MediaMeta("video", w, h, fps, b.length.toLong))
       }
@@ -403,8 +419,13 @@ object CompressedMedia {
         Some(MediaMeta("video", v.width, v.height, fps, payload))
       case _ =>
         s.tracks.find(_.trackType == 2).flatMap { a =>
-          if (a.sampleRate <= 0 || a.channels <= 0) None
-          else Some(MediaMeta("audio", math.round(a.sampleRate).toInt,
+          // SamplingFrequency is a raw float from the container: NaN
+          // passes a `<= 0` comparison and a huge value overflows toInt
+          // — both must read as undecodable, never a garbage rate
+          val r = a.sampleRate
+          if (!java.lang.Double.isFinite(r) || r <= 0 ||
+              r > Int.MaxValue || a.channels <= 0) None
+          else Some(MediaMeta("audio", math.round(r).toInt,
             a.channels, 0, payload))
         }
     }
@@ -525,9 +546,13 @@ object CompressedMedia {
     val payload = if (info.mdatBytes > 0) info.mdatBytes else containerLen
     info.videoTrack match {
       case Some(v) if v.width > 0 && v.height > 0 =>
+        // clamp against corrupt stts/mdhd fields driving the rational
+        // past Int range (toInt would wrap negative)
         val fps =
           if (v.sttsTotal > 0 && v.mdhdDuration > 0 && v.mdhdTimescale > 0)
-            math.round(v.sttsTotal.toDouble * v.mdhdTimescale / v.mdhdDuration).toInt
+            math.min(math.round(
+              v.sttsTotal.toDouble * v.mdhdTimescale / v.mdhdDuration),
+              Int.MaxValue.toLong).toInt
           else 0
         Some(MediaMeta("video", v.width, v.height, fps, payload))
       case _ =>

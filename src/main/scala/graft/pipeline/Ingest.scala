@@ -167,17 +167,25 @@ final class IngestPipeline(
     tables.getTableProp("document_chunks", "buckets").map(_.toInt)
       .getOrElse(cfg.chunkBuckets)
 
-  /** The tables this pipeline writes — the set it may auto-heal.
-    * Recovery before writing is scoped HERE, not store-wide: other
-    * tables under the same root belong to other writers, and their
-    * debris (or a refusal on it) is not this pipeline's to delete or to
-    * be blocked by. A refusal on an OWNED table still propagates — a
-    * write that would fork an unrecovered table must not proceed.
+  /** The tables this pipeline writes, with their hive partition columns
+    * — the single source of truth for BOTH the pre-write auto-heal scope
+    * and the compaction cadence, so a table added to the write path can
+    * never silently miss either.
+    */
+  private val ownedTables: Seq[(String, Seq[String])] = Seq(
+    "documents" -> Nil, "document_chunks" -> Seq("doc_bucket"),
+    "chart_data" -> Nil, "minhash_bands" -> Nil, "near_dup_flags" -> Nil)
+
+  /** Auto-heal the owned tables before writing. Scoped HERE, not
+    * store-wide: other tables under the same root belong to other
+    * writers, and their debris (or a refusal on it) is not this
+    * pipeline's to delete or to be blocked by. One root listing; every
+    * owned table is attempted before a combined refusal propagates — a
+    * write that would fork an unrecovered owned table must not proceed,
+    * but one refusal must not strand another table's recoverable bytes.
     */
   private def recoverOwnedTables(): Unit =
-    Seq("documents", "document_chunks", "chart_data",
-        "minhash_bands", "near_dup_flags")
-      .foreach(tables.recoverSwapDebris(_))
+    tables.recoverSwapDebrisScoped(Some(ownedTables.map(_._1).toSet))
 
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
@@ -275,21 +283,16 @@ final class IngestPipeline(
     * fully-new on crash; a concurrent EXTERNAL reader may transiently
     * fail inside the swap's rename window (retryable).
     */
-  private def compactIngestTables(): Unit = {
-    def doCompact(table: String, parts: Seq[String]): Unit =
-      if (tables.exists(table)) {
+  private def compactIngestTables(): Unit =
+    ownedTables.foreach { case (table, parts) =>
+      val enabled = cfg.flagNearDups ||
+        (table != "minhash_bands" && table != "near_dup_flags")
+      if (enabled && tables.exists(table)) {
         tables.compactIncremental(table, smallThreshold = cfg.compactSmallBytes,
           partitionCols = parts)
         ()
       }
-    doCompact("documents", Nil)
-    doCompact("document_chunks", Seq("doc_bucket"))
-    doCompact("chart_data", Nil)
-    if (cfg.flagNearDups) {
-      doCompact("minhash_bands", Nil)
-      doCompact("near_dup_flags", Nil)
     }
-  }
 
   /** Core of E8 (pdf_parser.py:201-253) over one batch of binary rows. */
   def ingestBinary(bin: DataFrame, now: Timestamp): IngestStats = {

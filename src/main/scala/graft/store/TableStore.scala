@@ -58,8 +58,12 @@ object TableStore {
   private[store] def isSwapSibling(name: String, table: String,
                                    kind: String): Boolean = {
     val prefix = s"$table.$kind-"
+    // ASCII digits ONLY (nanoTime emits nothing else): Char.isDigit also
+    // accepts Unicode digit classes, which would re-admit look-alike
+    // foreign names that the \d+ regex in recoverAllSwapDebris rejects —
+    // the two classifiers must agree exactly
     name.startsWith(prefix) && name.length > prefix.length &&
-      name.drop(prefix.length).forall(_.isDigit)
+      name.drop(prefix.length).forall(c => c >= '0' && c <= '9')
   }
 
   /** File-count boundary between the driver footer pool and the
@@ -882,30 +886,52 @@ final class TableStore(spark: SparkSession, root: String) {
     * to touch), their table names derive from the sibling names, and
     * each table recovers independently. EVERY table is attempted even if
     * one refuses: partial healing first, then ONE combined error naming
-    * the refusers — a foreign-debris refusal on one table must not
+    * the refusers (first refusal attached as the cause, the rest
+    * suppressed) — a foreign-debris refusal on one table must not
     * strand recoverable bytes on the others. No-debris stores pay one
     * listing.
     *
     * @return recovery outcome per affected table (empty = clean store)
     */
-  def recoverAllSwapDebris(): Map[String, SwapRecovery] = {
+  def recoverAllSwapDebris(): Map[String, SwapRecovery] =
+    recoverSwapDebrisScoped(None)
+
+  /** [[recoverAllSwapDebris]] restricted to `only` — a writer's own
+    * tables (the ingest pipeline's pre-write auto-heal). Same single
+    * root listing; sibling-derived tables outside the set are left for
+    * their own writers. A table whose only residue is leaked markers
+    * inside a LIVE dir (possible after a recovery crash on the
+    * first-ever-write path) has no siblings to discover here; the
+    * harmless, reader-invisible markers are swept by the next direct
+    * [[recoverSwapDebris]] of that table.
+    */
+  def recoverSwapDebrisScoped(only: Option[Set[String]]): Map[String, SwapRecovery] = {
     val parent = new Path(root)
     if (!fs.exists(parent)) return Map.empty
     val pat = "(.+)\\.(?:old|tmp)-\\d+".r
     val affected = fs.listStatus(parent).map(_.getPath.getName).toSeq
       .collect { case pat(table) => table }.distinct.sorted
+      .filter(t => only.forall(_.contains(t)))
     val outcomes = Map.newBuilder[String, SwapRecovery]
-    val refused = Seq.newBuilder[(String, String)]
+    val refused = Seq.newBuilder[(String, Throwable)]
     for (t <- affected)
       try outcomes += t -> recoverSwapDebris(t)
       catch {
-        case e: IllegalStateException => refused += t -> e.getMessage
-        case e: java.io.IOException   => refused += t -> e.getMessage
+        case e: IllegalStateException => refused += t -> e
+        case e: java.io.IOException   => refused += t -> e
       }
     val bad = refused.result()
-    if (bad.nonEmpty) throw new IllegalStateException(
-      s"swap recovery refused for ${bad.size} table(s) (the rest were " +
-        s"healed): ${bad.map { case (t, m) => s"$t: $m" }.mkString("; ")}")
+    if (bad.nonEmpty) {
+      // keep the originating exceptions: cause for the first, suppressed
+      // for the rest — a transient IOException must stay distinguishable
+      // from a permanent protocol refusal for retrying callers
+      val ex = new IllegalStateException(
+        s"swap recovery refused for ${bad.size} table(s) (the rest were " +
+          s"healed): ${bad.map { case (t, e) => s"$t: ${e.getMessage}" }.mkString("; ")}",
+        bad.head._2)
+      bad.tail.foreach { case (_, e) => ex.addSuppressed(e) }
+      throw ex
+    }
     outcomes.result()
   }
 

@@ -12,6 +12,13 @@ import org.scalacheck.Prop.forAll
   */
 object CompressedMediaProps extends Properties("CompressedMedia") {
 
+  // parser-hardening properties are cheap (pure byte reads) — run a
+  // deeper sample than the scalacheck default; the corruption property
+  // originally falsified only on rare seeds (Theora fps overflow, NaN
+  // WebM sample rates), so shallow sampling gives false confidence
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(500)
+
   private def sane(m: Multimodal.MediaMeta): Boolean =
     (m.kind == "audio" || m.kind == "video") &&
       m.width > 0 && m.height > 0 && m.fps >= 0 && m.payloadBytes >= 0

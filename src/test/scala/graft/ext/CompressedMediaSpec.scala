@@ -118,6 +118,11 @@ class CompressedMediaSpec extends AnyFunSuite with SharedSpark {
     // audio containers report no frame enumeration
     assert(CompressedMedia.metaAndFrames(
       MediaFixtures.flac(48000, 2, 16, 10L)).get._2.isEmpty)
+    // the frame count derives from the stts table ALONE: an MP4 whose
+    // tkhd declares no dims has no MediaMeta but still a real count
+    val dimless = MediaFixtures.mp4Video(0, 0, 77L, 600L, 600L, payload)
+    assert(CompressedMedia.meta(dimless).isEmpty)
+    assert(CompressedMedia.videoFrameCount(dimless).contains(77L))
   }
 
   test("sampleFrames enumerates WebM frames from Duration/DefaultDuration") {

@@ -346,11 +346,16 @@ class SwapRecoverySpec extends AnyFunSuite with SharedSpark {
     assert(backup.mkdirs())
     java.nio.file.Files.write(backup.toPath.resolve("precious.txt"),
       "do not delete".getBytes("UTF-8"))
+    // a Unicode-digit suffix is ALSO not the protocol's shape: nanoTime
+    // emits ASCII only, and the debris classifiers must agree on that
+    val unicodeDigits = new java.io.File(root, "t.old-３４")
+    assert(unicodeDigits.mkdirs())
     assert(!ts.hasSwapDebris("t"), "a non-protocol name is not debris")
     assert(ts.recoverSwapDebris("t") == SwapRecovery.NoDebris)
     assert(ts.recoverAllSwapDebris().isEmpty)
     assert(backup.exists() && backup.toPath.resolve("precious.txt").toFile.exists(),
       "recovery must never classify foreign directories as stale debris")
+    assert(unicodeDigits.exists())
   }
 
   test("recoverAllSwapDebris heals the healable tables before refusing") {
