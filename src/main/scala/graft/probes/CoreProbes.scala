@@ -300,6 +300,35 @@ object CoreProbes {
         .orderBy("o_orderkey")
     },
 
+    // M4 — keyed upsert (MERGE) through the REAL storage path: orders is
+    // copied into a scratch TableStore, TableStore.merge applies a source
+    // of updates (every 10th key → 'MERGED') and inserts (every 7th key
+    // shifted by 1e6 → 'INSERTED'), and the oracle recomputes the same
+    // upsert as a FULL OUTER JOIN (the batch form of the reference's
+    // read-mutate-flush session, base.py:38-52).
+    Probe(
+      "m3_merge_upsert",
+      "WITH src AS (" +
+        "SELECT o_orderkey, 'MERGED' AS o_orderpriority FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED' FROM orders WHERE o_orderkey % 7 = 0) " +
+        "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
+        "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
+        "ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-merge-probe")
+      val ts = new graft.store.TableStore(s, root)
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      ts.overwriteAtomic("orders_m", orders.repartition(4))
+      val src = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"))
+        .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority")))
+      ts.merge("orders_m", src, Seq("o_orderkey"))
+      ts.read("orders_m").orderBy("o_orderkey")
+    },
+
     // M2/J4 — cascade delete as left-anti rewrite (schema.py:43-44).
     Probe(
       "m2_delete_count",

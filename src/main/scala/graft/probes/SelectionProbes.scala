@@ -390,6 +390,27 @@ object SelectionProbes {
             pmod(col("l_orderkey"), lit(1024L)),
             pmod(col("l_partkey"), lit(1024L)), bits = 10).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Stats-pruned range read over a clustered layout: lineitem is
+    // range-partitioned on l_orderkey into a scratch TableStore (tight
+    // per-file [min, max]), then TableStore.readRange answers the range
+    // from footer statistics — only the files intersecting [1000, 3000]
+    // are planned (RangeReadSpec pins the file count); the oracle is the
+    // plain filter, because pruning must never change results.
+    Probe(
+      "layout_range_read",
+      "SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty, min(l_orderkey) AS kmin, max(l_orderkey) AS kmax FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-range-probe")
+      val ts = new graft.store.TableStore(s, root)
+      t(s, d, "lineitem").repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$root/li")
+      ts.readRange("li", "l_orderkey", 1000L, 3000L)
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("qty"),
+          min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
     }
   )
 }

@@ -121,6 +121,49 @@ object TableStore {
       case Some(None)    => (1, 0L)
       case Some(Some(m)) => (2, m)
     } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
+
+  /** One file's [min, max] footer verdict over an INTEGRAL column, for
+    * read-side file skipping: 0 = statistics unusable (the caller must
+    * KEEP the file — unlike maxId, a range read stays exact by
+    * conservatively scanning it, because the final row filter still
+    * applies), 1 = provably no non-null values (prunable for any range),
+    * 2 = `(min, max)` in `_2`/`_3`. Static for the same reason as
+    * [[footerVerdictCode]]: the executor tier ships it in a closure.
+    */
+  private[store] def footerRangeCode(p: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      column: String): (Int, Long, Long) = try {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var sawValue = false
+      for (bg <- reader.getFooter.getBlocks.asScala) {
+        val cc = bg.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(return (0, 0L, 0L))
+        val stats = cc.getStatistics
+        if (stats == null || stats.isEmpty) return (0, 0L, 0L)
+        if (stats.hasNonNullValue) {
+          def asLong(v: Any): Option[Long] = v match {
+            case l: java.lang.Long    => Some(l.longValue())
+            case i: java.lang.Integer => Some(i.longValue())
+            case _                    => None
+          }
+          (asLong(stats.genericGetMin), asLong(stats.genericGetMax)) match {
+            case (Some(mn), Some(mx)) =>
+              lo = math.min(lo, mn); hi = math.max(hi, mx); sawValue = true
+            case _ => return (0, 0L, 0L)
+          }
+        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+          return (0, 0L, 0L) // min/max absent without proof of all-null
+        }
+      }
+      if (sawValue) (2, lo, hi) else (1, 0L, 0L)
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => (0, 0L, 0L) }
 }
 
 /** Parquet-backed relational table store with CRUD semantics over immutable
@@ -312,6 +355,185 @@ final class TableStore(spark: SparkSession, root: String) {
     else prunedRewrite(table, cond, partitionCols)(
       _.filter(!coalesce(cond, lit(false))))
 
+  /** True iff every partition column's type is one whose hive directory
+    * rendering ([[hiveDirRel]]) is proven to match Spark's writer —
+    * partial-rewrite paths must fall back to the whole-table rewrite for
+    * anything else rather than risk a silent directory-name mismatch.
+    */
+  private def partitionTypesRenderable(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    partitionCols.forall { c =>
+      schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case StringType | ByteType | ShortType | IntegerType | LongType
+             | BooleanType | DateType => true
+        case _ => false
+      }
+    }
+  }
+
+  /** Hive leaf-directory path for one partition-value tuple, exactly as
+    * Spark's writer produces it (hive escaping, null →
+    * DEFAULT_PARTITION_NAME). The row must carry `partitionCols` in order.
+    */
+  private def hiveDirRel(partitionCols: Seq[String])
+                        (r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    partitionCols.zipWithIndex.map { case (c, i) =>
+      val v = r.get(i)
+      val s =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(c)}=$s"
+    }.mkString("/")
+  }
+
+  /** M4 — keyed upsert (MERGE): every source row whose key matches a
+    * target row REPLACES that row's columns with the source's; source
+    * rows matching nothing are INSERTED; target rows matching nothing are
+    * untouched. The `MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` shape — the batch form of the reference's
+    * read-mutate-flush upsert session (base.py:38-52), which updates one
+    * row per statement.
+    *
+    * Source contract, validated in one aggregation pass (fails loud,
+    * before any write): every target column present, keys unique, keys
+    * non-null — a duplicate or null source key would make "the matching
+    * row" ambiguous. Target rows with null keys can match nothing and
+    * are always retained.
+    *
+    * Scale shape — upserting a patch batch must cost O(affected + batch),
+    * not O(table):
+    *  - no key matches at all → plain append, zero rewrite I/O;
+    *  - unpartitioned: one column-pruned pushdown join lists the FILES
+    *    holding matched keys (`input_file_name`, capped at 4096); the
+    *    staged rewrite reads only those files, drops their matched rows
+    *    (left-anti on key) and unions the whole source; every untouched
+    *    file crosses [[stageAndSwapWithKept]] by metadata-only rename;
+    *  - partitioned: affected DIRECTORIES = dirs holding matched keys ∪
+    *    dirs any source row lands in (a matched key whose partition value
+    *    changed vacates the old dir and lands in the new — both are
+    *    affected; a brand-new partition value simply isn't in the kept
+    *    set, so the staged write creates it); unaffected dirs rename
+    *    across whole.
+    * Falls back to the whole-table rewrite on the same conditions as the
+    * other CRUD paths: too many affected files/dirs, hive-on-disk layout
+    * addressed without partitionCols, unmappable file names, unrenderable
+    * partition types. Commit is the table-level ALL-OR-NOTHING swap with
+    * the shared failpoints, so [[recoverSwapDebris]] covers a mid-merge
+    * crash.
+    */
+  def merge(table: String, source: DataFrame, keyCols: Seq[String],
+            partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    if (!exists(table)) {
+      // first write: the merge degenerates to "insert everything", but the
+      // source contract still holds (a later merge must be able to match)
+      validateMergeSource(source, source.columns.toSeq, keyCols)
+      overwriteAtomic(table, source, partitionCols)
+      return
+    }
+    val targetCols = read(table).columns.toSeq
+    validateMergeSource(source, targetCols, keyCols)
+    val src = source.select(targetCols.map(col): _*)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    // new content of the affected slice: its unmatched rows + ALL source
+    // rows (matched rows re-enter with source values; the rest insert)
+    def stagedFrom(affected: DataFrame): DataFrame =
+      affected.join(srcKeys, keyCols, "left_anti").unionByName(src)
+    def full(): Unit =
+      overwriteAtomic(table, stagedFrom(read(table)), partitionCols)
+
+    if (partitionCols.isEmpty) {
+      val visible = listVisibleFiles(table).map(_._1)
+      // hive-on-disk addressed unpartitioned: same degrade as the CRUD
+      // paths — a mixed staged layout would be unreadable
+      if (visible.exists(_.contains('/'))) return full()
+      // input_file_name() must be projected BEFORE the join: evaluated
+      // above a shuffle (sort-merge path) it returns the empty string
+      val fileCol = graft.ops.Cols.fresh(read(table), "_graft_file")
+      val affectedRaw = read(table)
+        .select(keyCols.map(col) :+ input_file_name().as(fileCol): _*)
+        .join(srcKeys, keyCols, "left_semi")
+        .select(fileCol).distinct().limit(4097).collect()
+        .map(_.getString(0))
+      if (affectedRaw.isEmpty) { append(table, src); return }
+      if (affectedRaw.length > 4096) return full()
+      val rels = affectedRaw.map(relativizer(table))
+      if (rels.exists(_.isEmpty)) return full()
+      val affected = rels.flatten.toSet
+      if (!affected.subsetOf(visible.toSet)) return full()
+      if (affected.size * 2 > visible.size) return full()
+      val kept = visible.filterNot(affected)
+      val stagedDf = stagedFrom(
+        spark.read.option("basePath", tablePath(table))
+          .parquet(affected.map(r => s"${tablePath(table)}/$r").toSeq: _*))
+      stageAndSwapWithKept(table, stagedDf, kept, Nil)
+    } else {
+      if (!partitionTypesRenderable(read(table).schema, partitionCols))
+        return full()
+      val dirRel = hiveDirRel(partitionCols) _
+      val matchedTuples = read(table).join(srcKeys, keyCols, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().limit(257).collect()
+      if (matchedTuples.isEmpty) { appendPartitioned(table, src, partitionCols); return }
+      val sourceTuples = src
+        .select(partitionCols.map(col): _*).distinct().limit(257).collect()
+      if (matchedTuples.length > 256 || sourceTuples.length > 256) return full()
+
+      val visible = listVisibleFiles(table).map(_._1)
+      val leafDirs = visible.collect {
+        case rel if rel.contains('/') => rel.take(rel.lastIndexOf('/'))
+      }.toSet
+      val matchedDirs = matchedTuples.map(dirRel).toSet
+      // matched dirs come FROM the table, so they must exist on disk —
+      // anything else is a rendering-class bug and gets the safe path
+      if (!matchedDirs.subsetOf(leafDirs)) return full()
+      // a source-derived dir may legitimately not exist yet (new
+      // partition value); it joins the affected set so any CURRENT rows
+      // of an existing insert-target dir enter the staged rewrite
+      val allTuples = (matchedTuples ++ sourceTuples)
+        .map(r => dirRel(r) -> r).toMap
+      if (allTuples.size > 256) return full()
+      val affectedDirs = allTuples.keySet
+      val kept = (leafDirs -- affectedDirs).toSeq ++
+        visible.filterNot(_.contains('/'))
+
+      // value-based partition-pruned input over ALL affected dirs
+      val prunePred = allTuples.values.map { r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          if (v == null) col(c).isNull else col(c) <=> lit(v)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      stageAndSwapWithKept(table,
+        stagedFrom(read(table).filter(prunePred)), kept, partitionCols)
+    }
+  }
+
+  /** The [[merge]] source contract in one aggregation job: all target
+    * columns present (by case-insensitive name), keys unique, keys
+    * non-null. Throws IllegalArgumentException naming the offense.
+    */
+  private def validateMergeSource(source: DataFrame, targetCols: Seq[String],
+                                  keyCols: Seq[String]): Unit = {
+    val have = source.columns.map(_.toLowerCase).toSet
+    val missing = targetCols.filterNot(c => have.contains(c.toLowerCase))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"merge source is missing target columns: ${missing.mkString(", ")}")
+    val badKey = keyCols.filterNot(c => have.contains(c.toLowerCase))
+    if (badKey.nonEmpty) throw new IllegalArgumentException(
+      s"merge key columns absent from source: ${badKey.mkString(", ")}")
+    val keyIsNull = keyCols.map(c => col(c).isNull).reduce(_ || _)
+    val offenders = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_graft_n"))
+      .filter(col("_graft_n") > 1 || keyIsNull)
+      .limit(1).collect()
+    if (offenders.nonEmpty) throw new IllegalArgumentException(
+      s"merge source keys must be unique and non-null on " +
+        s"(${keyCols.mkString(", ")}); offending key: ${offenders.head}")
+  }
+
   /** Copy-on-write rewrite of ONLY the data files holding rows that match
     * `cond` — the unpartitioned sibling of [[prunedRewrite]], and the
     * path that makes single-row CRUD affordable at corpus scale: a
@@ -350,12 +572,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .map(_.getString(0))
     if (affectedRaw.isEmpty) return // nothing matches: zero write I/O
     if (affectedRaw.length > 4096) return full()
-    val rootPath = fs.makeQualified(new Path(tablePath(table))).toUri.getPath
-    def relOf(s: String): Option[String] = {
-      val p = try new java.net.URI(s).getPath catch { case _: Exception => s }
-      if (p == null || !p.startsWith(rootPath)) None
-      else Some(p.stripPrefix(rootPath).stripPrefix("/"))
-    }
+    val relOf = relativizer(table)
     val rels = affectedRaw.map(relOf)
     if (rels.exists(_.isEmpty)) return full()
     val affected = rels.flatten.toSet
@@ -392,18 +609,9 @@ final class TableStore(spark: SparkSession, root: String) {
   private def prunedRewrite(table: String, cond: Column,
                             partitionCols: Seq[String])
                            (transform: DataFrame => DataFrame): Unit = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.types._
     def full(): Unit = overwriteAtomic(table, transform(read(table)), partitionCols)
-    val schema = read(table).schema
-    val renderable = partitionCols.forall { c =>
-      schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
-        case StringType | ByteType | ShortType | IntegerType | LongType
-             | BooleanType | DateType => true
-        case _ => false
-      }
-    }
-    if (!renderable) return full()
+    if (!partitionTypesRenderable(read(table).schema, partitionCols))
+      return full()
     // raw cond (not coalesce-wrapped): filter drops NULLs anyway, and the
     // raw predicate stays pushdown-translatable for stats skipping
     val affected = read(table).filter(cond)
@@ -413,17 +621,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // pruning and would bloat the partition filter — whole-table path
     if (affected.length > 256) return full()
 
-    // dir name exactly as Spark's writer produces it (hive escaping,
-    // null → DEFAULT_PARTITION_NAME)
-    def dirRel(r: org.apache.spark.sql.Row): String =
-      partitionCols.zipWithIndex.map { case (c, i) =>
-        val v = r.get(i)
-        val s =
-          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-          else ExternalCatalogUtils.escapePathName(v.toString)
-        s"${ExternalCatalogUtils.escapePathName(c)}=$s"
-      }.mkString("/")
-    val affectedDirs = affected.map(dirRel).toSet
+    val affectedDirs = affected.map(hiveDirRel(partitionCols)).toSet
 
     // leaf partition dirs actually on disk = parents of visible files;
     // stray root-level files (foreign writers) are kept file-by-file
@@ -452,6 +650,19 @@ final class TableStore(spark: SparkSession, root: String) {
       transform(read(table).filter(prunePred)), kept, partitionCols)
   }
 
+  /** Maps an `input_file_name()` URI back to a path relative to the table
+    * root; None when the file lies outside the table (a plan that read
+    * foreign paths must not drive a partial rewrite).
+    */
+  private def relativizer(table: String): String => Option[String] = {
+    val rootPath = fs.makeQualified(new Path(tablePath(table))).toUri.getPath
+    (s: String) => {
+      val p = try new java.net.URI(s).getPath catch { case _: Exception => s }
+      if (p == null || !p.startsWith(rootPath)) None
+      else Some(p.stripPrefix(rootPath).stripPrefix("/"))
+    }
+  }
+
   /** Every VISIBLE file under the table directory as (path relative to the
     * table root, length): the same hidden-path rule reads use — any path
     * component starting with `_` or `.` (crashed-write `_temporary` debris,
@@ -463,9 +674,11 @@ final class TableStore(spark: SparkSession, root: String) {
   private def isHiddenRel(rel: String): Boolean =
     rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
 
-  private def listVisibleFiles(table: String): Seq[(String, Long)] = {
+  private def listVisibleFiles(table: String): Seq[(String, Long)] =
+    listVisibleFilesAt(new Path(tablePath(table)))
+
+  private def listVisibleFilesAt(dir: Path): Seq[(String, Long)] = {
     val f = fs
-    val dir = new Path(tablePath(table))
     val rootPath = f.makeQualified(dir).toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = f.listFiles(dir, true)
@@ -576,6 +789,68 @@ final class TableStore(spark: SparkSession, root: String) {
       case (rel, len) if rel.endsWith(".parquet") => len
     }.sum
 
+  /** Stats-pruned range read: the table filtered to `lo <= column <= hi`
+    * (inclusive, integral column), with the FILE LIST pruned by parquet
+    * footer min/max BEFORE the scan is planned. Spark's parquet reader
+    * already skips non-matching ROW GROUPS at execution time, but every
+    * file still costs a planned task and an opened footer on an executor;
+    * at 100 TB (~800k files at 128 MB) a selective range over a clustered
+    * layout should schedule tens of tasks, not 800k. This is the
+    * read-side payoff of [[graft.ops.Layout.writeZClustered]] and of any
+    * sort-ordered ingest: write-time clustering makes per-file [min, max]
+    * tight, and this read turns that into a short file list.
+    *
+    * Exactness is unconditional — the final row filter is always applied,
+    * and a file whose statistics are unusable (foreign writer, missing
+    * stats, non-integral physical type) is conservatively KEPT and
+    * scanned, so unlike [[maxId]] there is no fall-back-or-guess
+    * decision; pruning only ever removes files PROVED disjoint from the
+    * range (or provably all-null — `BETWEEN` is null-rejecting). Footer
+    * reads fan across the shared driver pool below
+    * [[TableStore.ExecutorFooterThreshold]] files and run as one
+    * executor-side job above it, same two-tier shape as [[footerMaxId]].
+    */
+  def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
+    def fallback = read(table).filter(col(column).between(lo, hi))
+    if (lo > hi) return read(table).filter(lit(false))
+    val visible = listVisibleFiles(table)
+    // a visible non-parquet file would be read as data by the fallback
+    // scan; footers can't answer for it — keep the plain filtered read
+    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
+      return fallback
+    val files = visible.collect { case (rel, len) if len > 0 =>
+      new Path(tablePath(table) + "/" + rel)
+    }
+    if (files.isEmpty) return fallback
+    val conf = spark.sparkContext.hadoopConfiguration
+    val verdicts: Seq[(String, (Int, Long, Long))] =
+      if (files.length <= TableStore.ExecutorFooterThreshold) {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, (Int, Long, Long))]] =
+          files.map(p => () => p.toString -> TableStore.footerRangeCode(p, conf, column))
+        TableStore.footerPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } else {
+        val confMap = serializableHadoopConf
+        val c0 = column
+        val paths = files.map(_.toString)
+        spark.sparkContext
+          .parallelize(paths, math.min(256, 1 + paths.length / 256))
+          .mapPartitions { it =>
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            confMap.foreach { case (k, v) => c.set(k, v) }
+            it.map(p => p -> TableStore.footerRangeCode(new Path(p), c, c0))
+          }.collect().toSeq
+      }
+    val keep = verdicts.collect {
+      case (p, (0, _, _))                              => p // unusable → scan it
+      case (p, (2, mn, mx)) if mx >= lo && mn <= hi    => p
+    }
+    if (keep.isEmpty) return read(table).filter(lit(false))
+    if (keep.length == files.length) return fallback // nothing pruned
+    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
+      .filter(col(column).between(lo, hi))
+  }
+
   /** Full-rewrite compaction: rewrite the WHOLE table into `targetFiles`
     * parquet files TOTAL — with `partitionCols`, the hash distribution
     * puts ≈1 file per partition directory when `targetFiles` is at least
@@ -684,6 +959,24 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution while dest is still live
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    // staged/kept collision guard: if the staged write produced a path a
+    // kept rel would later be renamed onto (e.g. a rendering-class bug
+    // mapping an affected partition to the wrong directory name), the
+    // kept rename would nest one directory inside the other — silent
+    // duplication. Abort BEFORE the window opens: the table is untouched
+    // and the statement re-runnable. One listing of tmp (staged output
+    // only), not one exists() per kept file.
+    if (keptRels.nonEmpty) {
+      val stagedRels = listVisibleFilesAt(tmp).map(_._1)
+      val collide = keptRels.find(k =>
+        stagedRels.exists(r => r == k || r.startsWith(k + "/")))
+      collide.foreach { k =>
+        f.delete(tmp, true)
+        throw new IllegalStateException(
+          s"staged write for $table produced '$k', which a kept file " +
+            "would replace — aborting before the swap (table untouched)")
+      }
+    }
     // staging complete: the manifest names every file recovery must find
     // either moved into tmp (→ roll forward) or still in old (→ roll back)
     writeSwapMarkers(tmp, keptRels)

@@ -1,0 +1,129 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Pins [[TableStore.readRange]] — stats-based FILE skipping ahead of the
+  * scan: a selective range over a clustered layout plans tasks for only
+  * the files whose footer [min, max] intersects the range, and the result
+  * is ALWAYS exactly `read.filter(between)` — pruning may only drop files
+  * proved disjoint (or provably all-null), and unusable statistics mean
+  * the file is scanned, never guessed about.
+  */
+class RangeReadSpec extends AnyFunSuite with SharedSpark {
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  /** Three single-file appends with disjoint id ranges 1-100/101-200/201-300. */
+  private def threeBatches(root: String): TableStore = {
+    import spark.implicits._
+    val ts = new TableStore(spark, root)
+    for (b <- 0 until 3)
+      ts.append("t", (b * 100L + 1 to b * 100L + 100)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    ts
+  }
+
+  test("range inside one batch reads one file and equals the plain filter") {
+    import spark.implicits._
+    val root = tmpDir("range-basic")
+    val ts = threeBatches(root)
+    val pruned = ts.readRange("t", "id", 120L, 180L)
+    assert(scannedFiles(pruned) == 1, "exactly one file must survive pruning")
+    val want = ts.read("t").filter(col("id").between(120L, 180L))
+      .as[(Long, String)].collect().toSet
+    assert(pruned.as[(Long, String)].collect().toSet == want)
+    assert(want.size == 61)
+  }
+
+  test("range spanning two batches reads two files") {
+    val root = tmpDir("range-two")
+    val ts = threeBatches(root)
+    val pruned = ts.readRange("t", "id", 90L, 110L)
+    assert(scannedFiles(pruned) == 2)
+    assert(pruned.count() == 21)
+  }
+
+  test("disjoint range and inverted bounds return empty") {
+    val root = tmpDir("range-empty")
+    val ts = threeBatches(root)
+    assert(ts.readRange("t", "id", 500L, 600L).isEmpty)
+    assert(ts.readRange("t", "id", 10L, 5L).isEmpty)
+  }
+
+  test("an all-null file is pruned; null ids never match a range") {
+    import spark.implicits._
+    val root = tmpDir("range-nulls")
+    val ts = threeBatches(root)
+    ts.append("t", Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("id", "v").coalesce(1))
+    val pruned = ts.readRange("t", "id", 120L, 180L)
+    assert(scannedFiles(pruned) == 1, "the all-null file must be pruned")
+    assert(pruned.count() == 61)
+  }
+
+  test("a visible non-parquet file disables pruning but stays exact") {
+    val root = tmpDir("range-foreign")
+    val ts = threeBatches(root)
+    val foreign = new java.io.File(s"$root/t/notes.txt")
+    java.nio.file.Files.write(foreign.toPath, "not parquet".getBytes)
+    // the fallback would read notes.txt as parquet and fail — which is
+    // exactly what read() does on such a table; pruning must not hide it
+    intercept[Exception] { ts.readRange("t", "id", 120L, 180L).count() }
+  }
+
+  test("int32 column statistics prune too") {
+    import spark.implicits._
+    val root = tmpDir("range-int")
+    val ts = new TableStore(spark, root)
+    for (b <- 0 until 3)
+      ts.append("t", (b * 10 to b * 10 + 9).map(i => (i, s"v$i"))
+        .toDF("bucket", "v").coalesce(1))
+    val pruned = ts.readRange("t", "bucket", 12, 17)
+    assert(scannedFiles(pruned) == 1)
+    assert(pruned.count() == 6)
+  }
+
+  test("a column with no usable stats (partition column) keeps all files") {
+    import spark.implicits._
+    val root = tmpDir("range-part")
+    val ts = new TableStore(spark, root)
+    ts.appendPartitioned("t",
+      (1L to 60L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "p"),
+      Seq("p"))
+    // p exists only in directory names, not footers → conservative keep;
+    // Spark's own partition pruning then handles the directories
+    val got = ts.readRange("t", "p", 1L, 1L)
+    assert(got.count() == 20)
+    // and a data column still prunes on the partitioned layout
+    val byId = ts.readRange("t", "id", 10L, 20L)
+    assert(byId.count() == 11)
+    assert(byId.columns.toSet == Set("id", "v", "p"),
+      "partition columns must survive the basePath read")
+  }
+
+  test("z-clustered layout prunes on either dimension") {
+    import spark.implicits._
+    val root = tmpDir("range-z")
+    val ts = new TableStore(spark, root)
+    val df = (0L until 4096L)
+      .map(i => (i % 64, (i * 2654435761L % 64 + 64) % 64, i))
+      .toDF("a", "b", "payload")
+    graft.ops.Layout.writeZClustered(df, s"$root/t", col("a"), col("b"),
+      bits = 6, numFiles = 16)
+    val total = new java.io.File(s"$root/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(total >= 8, s"layout should produce many files, got $total")
+
+    for (dim <- Seq("a", "b")) {
+      val pruned = ts.readRange("t", dim, 3L, 6L)
+      assert(scannedFiles(pruned) < total,
+        s"range on $dim must prune at least one of $total files")
+      val want = ts.read("t").filter(col(dim).between(3L, 6L)).count()
+      assert(pruned.count() == want)
+    }
+  }
+}
