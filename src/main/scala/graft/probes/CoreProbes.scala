@@ -301,16 +301,19 @@ object CoreProbes {
     },
 
     // M4 — keyed upsert (MERGE) through the REAL storage path: orders is
-    // copied into a scratch TableStore, TableStore.merge applies a source
-    // of updates (every 10th key → 'MERGED') and inserts (every 7th key
-    // shifted by 1e6 → 'INSERTED'), and the oracle recomputes the same
-    // upsert as a FULL OUTER JOIN (the batch form of the reference's
-    // read-mutate-flush session, base.py:38-52).
+    // copied range-clustered into a scratch TableStore (tight per-file
+    // key ranges → the patch batch hits a few files, the shape a corpus
+    // upsert has), then TableStore.merge applies a contiguous band of
+    // updates ([1000, 2999] every 10th key → 'MERGED') plus inserts
+    // (every 97th key shifted by 1e6 → 'INSERTED'), taking the
+    // FILE-PRUNED commit path (MergeSpec pins the rename accounting).
+    // The oracle recomputes the upsert as a FULL OUTER JOIN (the batch
+    // form of the reference's read-mutate-flush session, base.py:38-52).
     Probe(
       "m3_merge_upsert",
       "WITH src AS (" +
-        "SELECT o_orderkey, 'MERGED' AS o_orderpriority FROM orders WHERE o_orderkey % 10 = 0 " +
-        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED' FROM orders WHERE o_orderkey % 7 = 0) " +
+        "SELECT o_orderkey, 'MERGED' AS o_orderpriority FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999 AND o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED' FROM orders WHERE o_orderkey % 97 = 0) " +
         "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
         "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
         "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
@@ -319,10 +322,14 @@ object CoreProbes {
       val root = Probe.scratchDir("graft-merge-probe")
       val ts = new graft.store.TableStore(s, root)
       val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-      ts.overwriteAtomic("orders_m", orders.repartition(4))
-      val src = orders.filter(col("o_orderkey") % 10 === 0)
+      ts.overwriteAtomic("orders_m",
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val src = orders
+        .filter(col("o_orderkey").between(1000L, 2999L) &&
+          col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"))
-        .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
           .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
             lit("INSERTED").as("o_orderpriority")))
       ts.merge("orders_m", src, Seq("o_orderkey"))

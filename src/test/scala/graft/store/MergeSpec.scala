@@ -206,6 +206,35 @@ class MergeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("randomized merge rounds agree with an in-memory upsert model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val root = tmpDir("merge-prop")
+    val ts = new TableStore(spark, root)
+    var model = Map.empty[Long, String]
+    val init = (1L to 200L).map(i => i -> s"v$i")
+    model ++= init
+    ts.append("t", init.toDF("id", "v").repartitionByRange(2, col("id")))
+    for (round <- 1 to 8) {
+      val updates = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(20))
+        .map(k => k -> s"u$round-$k")
+      val inserts = (1 to rnd.nextInt(10))
+        .map(_ => 1000L * round + rnd.nextInt(500)).distinct
+        .filterNot(model.contains).map(k => k -> s"i$round-$k")
+      val src = updates ++ inserts // keys disjoint: updates ∈ model, inserts ∉
+      if (src.nonEmpty) {
+        model ++= src
+        ts.merge("t", src.toDF("id", "v"), Seq("id"))
+      }
+      // interleave maintenance: a merge must survive compaction reshaping
+      // the file layout under it (and vice versa)
+      if (round % 3 == 0) ts.compactIncremental("t", smallThreshold = 1L << 20)
+      val got = ts.read("t").as[(Long, String)].collect().toMap
+      assert(got == model, s"round $round diverged (${got.size} vs ${model.size})")
+    }
+    assert(!ts.hasSwapDebris("t"))
+  }
+
   test("merged table stays readable and re-mergeable (idempotent upsert)") {
     import spark.implicits._
     val root = tmpDir("merge-idem")
