@@ -411,6 +411,31 @@ object SelectionProbes {
         .agg(count(lit(1)).as("n"),
           sum("l_quantity").cast("long").as("qty"),
           min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+    },
+
+    // Stats-pruned PREFIX read over string keys — the content-hash-id
+    // read path (SURVEY §7.4.2 keys documents by hash strings at corpus
+    // scale): documents get 'docNNNNNNNNN' string keys, are written
+    // key-clustered into a scratch TableStore, and readPrefix answers
+    // "every key under doc00000012*" from the files whose footer byte
+    // bounds straddle the prefix. Oracle is the plain starts_with filter.
+    Probe(
+      "layout_prefix_read",
+      "WITH k AS (SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key, n_chars FROM documents) " +
+        "SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars, min(key) AS kmin, max(key) AS kmax " +
+        "FROM k WHERE starts_with(key, 'doc00000012')"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-prefix-probe")
+      val ts = new graft.store.TableStore(s, root)
+      t(s, d, "documents")
+        .select(format_string("doc%09d", col("doc_id")).as("key"),
+          col("n_chars"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+        .write.mode("overwrite").parquet(s"$root/docs")
+      ts.readPrefix("docs", "key", "doc00000012")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").cast("long").as("chars"),
+          min("key").as("kmin"), max("key").as("kmax"))
     }
   )
 }

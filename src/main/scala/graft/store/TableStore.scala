@@ -164,6 +164,82 @@ object TableStore {
       if (sawValue) (2, lo, hi) else (1, 0L, 0L)
     } finally reader.close()
   } catch { case scala.util.control.NonFatal(_) => (0, 0L, 0L) }
+
+  /** [[footerRangeCode]]'s sibling for STRING (parquet BINARY/UTF8)
+    * columns: the per-file verdict carries [min, max] as raw bytes.
+    * Parquet column-chunk statistics hold full (untruncated) values, and
+    * unsigned byte-wise order over UTF-8 equals code-point order — which
+    * is exactly Spark's string comparison (UTF8String) — so byte
+    * comparisons against the footer bounds are consistent with the row
+    * filter the read applies.
+    */
+  private[store] def footerRangeBytes(p: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      column: String): (Int, Array[Byte], Array[Byte]) = try {
+    import scala.jdk.CollectionConverters._
+    val empty = Array.empty[Byte]
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      var lo: Array[Byte] = null
+      var hi: Array[Byte] = null
+      var sawValue = false
+      for (bg <- reader.getFooter.getBlocks.asScala) {
+        val cc = bg.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(return (0, empty, empty))
+        val stats = cc.getStatistics
+        if (stats == null || stats.isEmpty) return (0, empty, empty)
+        if (stats.hasNonNullValue) {
+          def asBytes(v: Any): Option[Array[Byte]] = v match {
+            case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+            case _                                   => None
+          }
+          (asBytes(stats.genericGetMin), asBytes(stats.genericGetMax)) match {
+            case (Some(mn), Some(mx)) =>
+              if (lo == null || cmpBytes(mn, lo) < 0) lo = mn
+              if (hi == null || cmpBytes(mx, hi) > 0) hi = mx
+              sawValue = true
+            case _ => return (0, empty, empty)
+          }
+        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+          return (0, empty, empty)
+        }
+      }
+      if (sawValue) (2, lo, hi) else (1, empty, empty)
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) =>
+    (0, Array.empty[Byte], Array.empty[Byte]) }
+
+  /** Unsigned lexicographic byte comparison — parquet's BINARY order and
+    * Spark's UTF8String order.
+    */
+  private[store] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `p`: increment the last non-0xFF byte and drop the tail; None when
+    * every byte is 0xFF (no upper bound exists). Byte-generic, so the
+    * UTF-8 carry cases are covered without string round-trips.
+    */
+  private[store] def nextPrefixBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
 }
 
 /** Parquet-backed relational table store with CRUD semantics over immutable
@@ -822,25 +898,9 @@ final class TableStore(spark: SparkSession, root: String) {
       new Path(tablePath(table) + "/" + rel)
     }
     if (files.isEmpty) return fallback
-    val conf = spark.sparkContext.hadoopConfiguration
-    val verdicts: Seq[(String, (Int, Long, Long))] =
-      if (files.length <= TableStore.ExecutorFooterThreshold) {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[(String, (Int, Long, Long))]] =
-          files.map(p => () => p.toString -> TableStore.footerRangeCode(p, conf, column))
-        TableStore.footerPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
-      } else {
-        val confMap = serializableHadoopConf
-        val c0 = column
-        val paths = files.map(_.toString)
-        spark.sparkContext
-          .parallelize(paths, math.min(256, 1 + paths.length / 256))
-          .mapPartitions { it =>
-            val c = new org.apache.hadoop.conf.Configuration(false)
-            confMap.foreach { case (k, v) => c.set(k, v) }
-            it.map(p => p -> TableStore.footerRangeCode(new Path(p), c, c0))
-          }.collect().toSeq
-      }
+    val c0 = column
+    val verdicts = footerScanVerdicts(files,
+      (p, c) => TableStore.footerRangeCode(p, c, c0))
     val keep = verdicts.collect {
       case (p, (0, _, _))                              => p // unusable → scan it
       case (p, (2, mn, mx)) if mx >= lo && mn <= hi    => p
@@ -849,6 +909,74 @@ final class TableStore(spark: SparkSession, root: String) {
     if (keep.length == files.length) return fallback // nothing pruned
     spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
       .filter(col(column).between(lo, hi))
+  }
+
+  /** [[readRange]]'s sibling for STRING keys: the table filtered to rows
+    * whose `column` starts with `prefix`, with files pruned by footer
+    * byte bounds. This is the pruned read the engine's own 100 TB id
+    * design needs — content-hash ids (SURVEY §7.4.2) are strings, so a
+    * clustered documents table answers "all chunks of doc `ab12…`" or
+    * "every key under `source/domain/`" from the files whose [min, max]
+    * straddle the prefix. A string with prefix p sorts in
+    * [p, nextPrefix(p)), so the overlap test is two byte comparisons per
+    * file; the same conservative-keep rules as [[readRange]] make the
+    * result always exactly the plain `startsWith` filter.
+    */
+  def readPrefix(table: String, column: String, prefix: String): DataFrame = {
+    def fallback = read(table).filter(col(column).startsWith(prefix))
+    if (prefix.isEmpty) return fallback
+    val visible = listVisibleFiles(table)
+    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
+      return fallback
+    val files = visible.collect { case (rel, len) if len > 0 =>
+      new Path(tablePath(table) + "/" + rel)
+    }
+    if (files.isEmpty) return fallback
+    val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val upper = TableStore.nextPrefixBytes(pBytes)
+    val c0 = column
+    val verdicts = footerScanVerdicts(files,
+      (p, c) => TableStore.footerRangeBytes(p, c, c0))
+    val keep = verdicts.collect {
+      case (p, (0, _, _)) => p // unusable → scan it
+      case (p, (2, mn, mx))
+        if TableStore.cmpBytes(mx, pBytes) >= 0 &&
+          upper.forall(u => TableStore.cmpBytes(mn, u) < 0) => p
+    }
+    if (keep.isEmpty) return read(table).filter(lit(false))
+    if (keep.length == files.length) return fallback // nothing pruned
+    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
+      .filter(col(column).startsWith(prefix))
+  }
+
+  /** Shared two-tier footer fan-out for the stats-pruned reads: driver
+    * pool below [[TableStore.ExecutorFooterThreshold]] files, one
+    * executor-side job above it. `perFile` must not capture `this` (the
+    * executor tier ships it in a task closure) — the callers pass
+    * lambdas over the static verdict functions.
+    */
+  private def footerScanVerdicts[T: scala.reflect.ClassTag](
+      files: Seq[Path],
+      perFile: (Path, org.apache.hadoop.conf.Configuration) => T)
+      : Seq[(String, T)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.length <= TableStore.ExecutorFooterThreshold) {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, T)]] =
+        files.map(p => () => p.toString -> perFile(p, conf))
+      TableStore.footerPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } else {
+      val confMap = serializableHadoopConf
+      val fn = perFile
+      val paths = files.map(_.toString)
+      spark.sparkContext
+        .parallelize(paths, math.min(256, 1 + paths.length / 256))
+        .mapPartitions { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => c.set(k, v) }
+          it.map(p => p -> fn(new Path(p), c))
+        }.collect().toSeq
+    }
   }
 
   /** Full-rewrite compaction: rewrite the WHOLE table into `targetFiles`

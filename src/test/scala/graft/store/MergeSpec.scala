@@ -184,6 +184,23 @@ class MergeSpec extends AnyFunSuite with SharedSpark {
     assert(p3.nonEmpty && p3.forall { case (n, m) => after.get(n).contains(m) })
   }
 
+  test("partitioned merge handles null partition values (DEFAULT dir)") {
+    import spark.implicits._
+    val root = tmpDir("merge-nullpart")
+    val ts = new TableStore(spark, root)
+    ts.appendPartitioned("t",
+      Seq((1L, "a", Some(1)), (2L, "b", Option.empty[Int]), (3L, "c", Some(2)))
+        .toDF("id", "v", "p"), Seq("p"))
+    // update the null-partition row in place, insert another null-dir row
+    ts.merge("t",
+      Seq((2L, "b2", Option.empty[Int]), (9L, "i", Option.empty[Int]))
+        .toDF("id", "v", "p"),
+      Seq("id"), Seq("p"))
+    val got = ts.read("t").as[(Long, String, Option[Int])].collect().toSet
+    assert(got == Set((1L, "a", Some(1)), (2L, "b2", None),
+      (3L, "c", Some(2)), (9L, "i", None)))
+  }
+
   test("merge crash at every failpoint recovers to fully-old or fully-new") {
     import spark.implicits._
     val oldRows = (1L to 300L).map(i => (i, s"v$i")).toSet

@@ -105,6 +105,74 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       "partition columns must survive the basePath read")
   }
 
+  test("string prefix read prunes to the files straddling the prefix") {
+    import spark.implicits._
+    val root = tmpDir("prefix-basic")
+    val ts = new TableStore(spark, root)
+    for (b <- 0 until 3)
+      ts.append("t", (b * 100 to b * 100 + 99)
+        .map(i => (f"doc$i%09d", s"v$i")).toDF("key", "v").coalesce(1))
+    // 'doc00000012' matches keys doc000000120..129 — all in batch 2's file
+    val pruned = ts.readPrefix("t", "key", "doc00000012")
+    assert(scannedFiles(pruned) == 1)
+    val want = ts.read("t").filter(col("key").startsWith("doc00000012"))
+      .as[(String, String)].collect().toSet
+    assert(pruned.as[(String, String)].collect().toSet == want)
+    assert(want.size == 10)
+    // disjoint prefix: nothing scanned
+    assert(ts.readPrefix("t", "key", "zzz").isEmpty)
+    // empty prefix matches everything via the fallback
+    assert(ts.readPrefix("t", "key", "").count() == 300)
+  }
+
+  test("prefix pruning is exact on multi-byte UTF-8 keys") {
+    import spark.implicits._
+    val root = tmpDir("prefix-utf8")
+    val ts = new TableStore(spark, root)
+    val rows = Seq("aé1", "aé2", "añ1", "añ2", "b早1", "b早2", "zz")
+      .zipWithIndex.map { case (k, i) => (k, i) }
+    // one file per key-neighborhood so pruning has something to skip
+    ts.append("t", rows.take(4).toDF("key", "v").coalesce(1))
+    ts.append("t", rows.drop(4).toDF("key", "v").coalesce(1))
+    for (prefix <- Seq("aé", "añ", "b早", "a", "b", "é")) {
+      val got = ts.readPrefix("t", "key", prefix)
+        .as[(String, Int)].collect().toSet
+      val want = ts.read("t").filter(col("key").startsWith(prefix))
+        .as[(String, Int)].collect().toSet
+      assert(got == want, s"prefix '$prefix'")
+    }
+  }
+
+  test("nextPrefixBytes handles carries and the all-0xFF no-bound case") {
+    def np(bs: Int*): Option[Seq[Int]] =
+      TableStore.nextPrefixBytes(bs.map(_.toByte).toArray)
+        .map(_.toSeq.map(_ & 0xff))
+    assert(np(0x61, 0x62) == Some(Seq(0x61, 0x63)))
+    assert(np(0x61, 0xff) == Some(Seq(0x62)))      // carry drops the tail
+    assert(np(0x61, 0xff, 0xff) == Some(Seq(0x62)))
+    assert(np(0xff, 0xff) == None)                  // no upper bound
+    // the bound is correct: p < everything-with-prefix < next
+    assert(TableStore.cmpBytes(Array(0x61, 0xff.toByte, 0x00),
+      Array(0x62)) < 0)
+  }
+
+  test("past the file-count threshold the executor tier prunes identically") {
+    import spark.implicits._
+    val root = tmpDir("range-exec")
+    val ts = new TableStore(spark, root)
+    val n = TableStore.ExecutorFooterThreshold + 40
+    // range-clustered: file i holds a narrow id band, so a selective
+    // range must prune to a handful of files on the EXECUTOR tier too
+    ts.append("t", (1L to n * 4L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(n, col("id")))
+    val pruned = ts.readRange("t", "id", 10L, 20L)
+    assert(scannedFiles(pruned) <= 8,
+      "executor-tier verdicts must still prune the clustered layout")
+    assert(pruned.count() == 11)
+    assert(pruned.as[(Long, String)].collect().toMap ==
+      (10L to 20L).map(i => i -> s"v$i").toMap)
+  }
+
   test("z-clustered layout prunes on either dimension") {
     import spark.implicits._
     val root = tmpDir("range-z")
