@@ -415,6 +415,68 @@ object Similarity {
       "layout" -> RhpLayoutV1, "cellBits" -> cellBits.toString)
   }
 
+  /** Incremental IVF index maintenance — the ANN analog of the ingest
+    * pipeline's incremental MinHash band index: assign ONLY the new batch
+    * to cells and append it into the existing cell-partitioned layout,
+    * O(batch) work however large the indexed corpus is. The cell
+    * convention is immutable per index, so queries see old + new rows
+    * with unchanged semantics the moment the append lands: a hash-plane
+    * index signs the batch with the same md5-derived planes (deterministic
+    * in cellBits, read from the layout marker — never caller-supplied, so
+    * the convention cannot fork); a k-means index assigns against its
+    * PERSISTED centroids — standard IVF practice: the coarse quantizer is
+    * frozen after training, and centroid drift is a REBUILD decision
+    * (recall on new data is measurable via [[recallAtK]]), not an append
+    * decision. The batch must carry the same columns the original build
+    * stored (for k-means indexes, which keep the caller's schema).
+    *
+    * Each append adds at most one file per touched cell; a long-running
+    * ingest should run [[ivfCompact]] on a cadence so per-cell file
+    * counts stay bounded (same incremental bin-packing discipline as the
+    * ingest tables).
+    */
+  def ivfAppend(newEmb: DataFrame, idCol: String, vecCol: String,
+                path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val meta = readMeta(spark, path)
+    require(meta.nonEmpty,
+      s"no versioned IVF index at $path — build with ivfWrite/ivfKmeansWrite first")
+    meta.get("layout") match {
+      case Some(RhpLayoutV1) =>
+        val cellBits = meta.getOrElse("cellBits",
+          throw new IllegalStateException(s"index at $path lacks cellBits")).toInt
+        signCells(newEmb, idCol, vecCol, cellBits, idCol, vecCol, "ivf_cell")
+          .repartition(col("ivf_cell"))
+          .write.mode("append").partitionBy("ivf_cell").parquet(path)
+      case Some(KmeansLayoutV1) =>
+        val centroids = ivfKmeansCentroids(spark, path)
+        val assigned = Clustering.assign(newEmb, idCol, vecCol, centroids)
+          .select(col(idCol), col("cluster").as("ivf_cell"))
+        newEmb.join(assigned, idCol)
+          .repartition(col("ivf_cell"))
+          .write.mode("append").partitionBy("ivf_cell").parquet(path)
+      case other => throw new IllegalStateException(
+        s"unknown IVF layout marker at $path: $other")
+    }
+  }
+
+  /** Bin-pack an IVF index's per-cell small-file tail (each [[ivfAppend]]
+    * adds a file per touched cell). Delegates to the storage layer's
+    * incremental compaction with the cell as the partition column —
+    * already-compacted files cross by metadata-only renames, and the
+    * `_graft_*` sidecars (layout marker, centroids) survive the atomic
+    * swap as table props, so queries keep verifying the layout after.
+    */
+  def ivfCompact(spark: SparkSession, path: String,
+                 smallThreshold: Long = 32L * 1024 * 1024,
+                 targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val store = new graft.store.TableStore(spark, p.getParent.toString)
+    store.compactIncremental(p.getName, smallThreshold, targetBytes,
+      partitionCols = Seq("ivf_cell"))
+    ()
+  }
+
   /** All cell ids within `maxHamming` bit flips of `center` — generated
     * by choosing flip positions (O(C(bits, <=h)) instead of scanning all
     * 2^bits cells, which matters once cellBits grows past toy sizes).

@@ -61,6 +61,19 @@ final case class ProcessingConfig(
     // non-destructive (rows still ingest; a curation pass decides), which
     // is the reviewable behavior a production corpus wants
     flagNearDups: Boolean = false,
+    // [EXT] re-crawl upsert: when a file with an already-stored filename
+    // arrives again, REPLACE the stored document — its documents row,
+    // chunks, chart rows, and (when flagNearDups) its band-index and
+    // flag rows are cascade-deleted before the batch's appends, and the
+    // replacement row keeps the original created_at (the reference's
+    // created-once/updated-now column pair, schema.py:33-37). Old chart
+    // BLOBS become orphans by design — rows always delete first, so a
+    // dangling row can never exist — and gcOrphanBlobs reclaims them in
+    // the next maintenance window. Combined with dedupByContent=true,
+    // re-crawls are idempotent: unchanged files skip, changed files
+    // replace. Opt-in because the reference itself re-processes
+    // duplicate drops into NEW rows (no upsert key in main.py)
+    replaceByPath: Boolean = false,
     // [EXT] compact the ingest tables every N streamed batches: each
     // trigger appends one file per table, so an uncompacted long-running
     // stream degrades every read with file-listing and per-file open
@@ -429,10 +442,71 @@ final class IngestPipeline(
         col("image_path"),
         nowLit.as("created_at"))
 
+      // ---- [EXT] replaceByPath: cascade-delete the PREVIOUS generation
+      // of every filename in this batch before its replacement appends.
+      // All three dense-id bases were captured above, PRE-delete, so a
+      // replaced document's ids are never reused — the band index and
+      // any external id reference stay unambiguous. Driver state here is
+      // batch-sized (the file source already lists the batch's paths on
+      // the driver). Deletes run through the pruned copy-on-write
+      // rewrites; a crash mid-cascade is recoverable per-table (atomic
+      // swaps) and the un-markered batch replays, converging on the
+      // replaced state.
+      val docRowsFinal =
+        if (!cfg.replaceByPath || !tables.exists("documents")) docRows
+        else {
+          val names = docsWithId.select(col("doc.filename")).distinct()
+            .as[String].collect().toSeq
+          // eager collect, not a lazy frame: every later use must see the
+          // PRE-delete table
+          val oldRows =
+            if (names.isEmpty) Array.empty[org.apache.spark.sql.Row]
+            else tables.read("documents")
+              .filter(col("filename").isInCollection(names))
+              .select(col("id"), col("filename"), col("created_at"))
+              .collect()
+          if (oldRows.isEmpty) docRows
+          else {
+            val oldIds = oldRows.map(_.getLong(0)).toSeq.distinct
+            tables.deleteWhere("documents",
+              col("filename").isInCollection(names))
+            if (tables.exists("document_chunks"))
+              tables.deleteWhere("document_chunks",
+                col("document_id").isInCollection(oldIds), Seq("doc_bucket"))
+            if (tables.exists("chart_data"))
+              tables.deleteWhere("chart_data",
+                col("document_id").isInCollection(oldIds))
+            // a replaced document's band rows would otherwise flag its own
+            // replacement as a near-duplicate of a row that no longer
+            // exists; flags referencing it on either side go too
+            if (tables.exists("minhash_bands"))
+              tables.deleteWhere("minhash_bands",
+                col("doc_id").isInCollection(oldIds))
+            if (tables.exists("near_dup_flags"))
+              tables.deleteWhere("near_dup_flags",
+                col("new_id").isInCollection(oldIds) ||
+                  col("indexed_id").isInCollection(oldIds))
+            // the replacement keeps the ORIGINAL created_at (earliest, if
+            // pre-replace history held duplicates) — the reference's
+            // created-once/updated-now pair (schema.py:33-37)
+            val orig = oldRows
+              .map(r => (r.getString(1), r.getTimestamp(2)))
+              .groupBy(_._1)
+              .map { case (f, xs) => (f, xs.minBy(_._2.getTime)._2) }
+              .toSeq.toDF("filename", "_orig_created")
+            docRows.join(broadcast(orig), Seq("filename"), "left")
+              .select(col("id"), col("filename"), col("total_chunks"),
+                col("metainfo"),
+                coalesce(col("_orig_created"), col("created_at"))
+                  .as("created_at"),
+                col("updated_at"))
+          }
+        }
+
       // ---- persist: rows first (S10), then blobs, then chart rows (S12) —
       // blob-before-row ordering replicates the reference's failure mode
       // (orphan blobs possible, dangling rows never — SURVEY §7.4.4).
-      tables.append("documents", docRows)
+      tables.append("documents", docRowsFinal)
       tables.appendPartitioned("document_chunks", chunkRows, Seq("doc_bucket"))
       // persist the bucketing convention WITH the table so any reader
       // (other sessions included) derives the right bucket predicate

@@ -322,9 +322,11 @@ object CoreProbes {
       val root = Probe.scratchDir("graft-merge-probe")
       val ts = new graft.store.TableStore(s, root)
       val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-      ts.overwriteAtomic("orders_m",
-        orders.repartitionByRange(16, col("o_orderkey"))
-          .sortWithinPartitions("o_orderkey"))
+      PhaseTimer.timed("m3_merge_upsert", "table_setup_write") {
+        ts.overwriteAtomic("orders_m",
+          orders.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"))
+      }
       val src = orders
         .filter(col("o_orderkey").between(1000L, 2999L) &&
           col("o_orderkey") % 10 === 0)
@@ -332,7 +334,9 @@ object CoreProbes {
         .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
           .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
             lit("INSERTED").as("o_orderpriority")))
-      ts.merge("orders_m", src, Seq("o_orderkey"))
+      PhaseTimer.timed("m3_merge_upsert", "merge") {
+        ts.merge("orders_m", src, Seq("o_orderkey"))
+      }
       ts.read("orders_m").orderBy("o_orderkey")
     },
 

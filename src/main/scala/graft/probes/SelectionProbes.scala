@@ -404,9 +404,11 @@ object SelectionProbes {
     ) { (s, d) =>
       val root = Probe.scratchDir("graft-range-probe")
       val ts = new graft.store.TableStore(s, root)
-      t(s, d, "lineitem").repartitionByRange(16, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.mode("overwrite").parquet(s"$root/li")
+      PhaseTimer.timed("layout_range_read", "clustered_write") {
+        t(s, d, "lineitem").repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(s"$root/li")
+      }
       ts.readRange("li", "l_orderkey", 1000L, 3000L)
         .agg(count(lit(1)).as("n"),
           sum("l_quantity").cast("long").as("qty"),
@@ -427,15 +429,42 @@ object SelectionProbes {
     ) { (s, d) =>
       val root = Probe.scratchDir("graft-prefix-probe")
       val ts = new graft.store.TableStore(s, root)
-      t(s, d, "documents")
-        .select(format_string("doc%09d", col("doc_id")).as("key"),
-          col("n_chars"))
-        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
-        .write.mode("overwrite").parquet(s"$root/docs")
+      PhaseTimer.timed("layout_prefix_read", "clustered_write") {
+        t(s, d, "documents")
+          .select(format_string("doc%09d", col("doc_id")).as("key"),
+            col("n_chars"))
+          .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(s"$root/docs")
+      }
       ts.readPrefix("docs", "key", "doc00000012")
         .agg(count(lit(1)).as("n"),
           sum("n_chars").cast("long").as("chars"),
           min("key").as("kmin"), max("key").as("kmax"))
+    },
+
+    // Stats-pruned TIMESTAMP range read — the time-window scan an events
+    // table answers constantly, over a time-clustered scratch copy. The
+    // typed overload keeps parquet's INT64-micro footer stats and the
+    // row filter in the same unit (a Long-bounds BETWEEN would cast as
+    // seconds — off by 10^6). Oracle is the plain BETWEEN.
+    Probe(
+      "layout_ts_range_read",
+      "SELECT count(*) AS n, min(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_min, max(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_max FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tsrange-probe")
+      val ts = new graft.store.TableStore(s, root)
+      PhaseTimer.timed("layout_ts_range_read", "clustered_write") {
+        t(s, d, "events").repartitionByRange(8, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(s"$root/ev")
+      }
+      ts.readRange("ev", "ts",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("ts_min"),
+          max(unix_micros(col("ts"))).as("ts_max"))
     }
   )
 }

@@ -911,6 +911,45 @@ final class TableStore(spark: SparkSession, root: String) {
       .filter(col(column).between(lo, hi))
   }
 
+  /** [[readRange]] for TIMESTAMP columns — the time-window scan an events
+    * or crawl-log table answers constantly. Needs its own typed overload
+    * because the two sides of the comparison live in different units:
+    * parquet stores the column as INT64 micros (and its footer min/max
+    * are micro Longs, which [[TableStore.footerRangeCode]] already
+    * reads), while a Spark `BETWEEN` against a Long literal would cast
+    * the literal as SECONDS — silently off by 10^6. Bounds convert to
+    * micros for the footer test and stay `Timestamp` literals in the row
+    * filter, so both sides agree. Same conservative-keep exactness rules
+    * as the integral read (a legacy INT96 file has non-Long statistics →
+    * unusable → scanned).
+    */
+  def readRange(table: String, column: String,
+                lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    def fallback = read(table).filter(col(column).between(lit(lo), lit(hi)))
+    if (lo.after(hi)) return read(table).filter(lit(false))
+    val visible = listVisibleFiles(table)
+    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
+      return fallback
+    val files = visible.collect { case (rel, len) if len > 0 =>
+      new Path(tablePath(table) + "/" + rel)
+    }
+    if (files.isEmpty) return fallback
+    val (loU, hiU) = (micros(lo), micros(hi))
+    val c0 = column
+    val verdicts = footerScanVerdicts(files,
+      (p, c) => TableStore.footerRangeCode(p, c, c0))
+    val keep = verdicts.collect {
+      case (p, (0, _, _))                             => p
+      case (p, (2, mn, mx)) if mx >= loU && mn <= hiU => p
+    }
+    if (keep.isEmpty) return read(table).filter(lit(false))
+    if (keep.length == files.length) return fallback
+    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
+      .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
   /** [[readRange]]'s sibling for STRING keys: the table filtered to rows
     * whose `column` starts with `prefix`, with files pruned by footer
     * byte bounds. This is the pruned read the engine's own 100 TB id

@@ -304,6 +304,71 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(tables.read("minhash_bands").count() == 16) // two docs remain
   }
 
+  test("replaceByPath re-crawl: changed files replace, unchanged skip, " +
+    "ids are never reused, created_at survives, GC reclaims old blobs") {
+    import spark.implicits._
+    val inbox = tmpDir("inbox-replace")
+    writeDoc(inbox, "report.pdf",
+      "Intro:\nOriginal body text with enough tokens for one full chunk here.\nTABLE: t1\n")
+    writeDoc(inbox, "keep.pdf", "Notes:\nUntouched sibling document stays.\n")
+    val root = tmpDir("store-replace")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(chunker = ChunkerConfig(minTokens = 5, maxTokens = 2000),
+        dedupByContent = true, replaceByPath = true, flagNearDups = true))
+    val t1 = Timestamp.valueOf("2026-01-15 08:30:00")
+    assert(pipe.ingest(inbox, t1).documents == 2)
+    val orig = tables.read("documents")
+      .filter(col("filename") === "report.pdf").head()
+    val origId = orig.getLong(orig.fieldIndex("id"))
+    val blobsBefore = objects.listKeys().count()
+
+    // re-crawl: report.pdf changed, keep.pdf byte-identical
+    val inbox2 = tmpDir("inbox-replace2")
+    writeDoc(inbox2, "report.pdf",
+      "Intro:\nRevised body text entirely different tokens this time around.\nTABLE: t2\n")
+    writeDoc(inbox2, "keep.pdf", "Notes:\nUntouched sibling document stays.\n")
+    val t2 = Timestamp.valueOf("2026-02-01 10:00:00")
+    val s2 = pipe.ingest(inbox2, t2)
+    assert(s2.documents == 1, "unchanged keep.pdf must dedup away")
+
+    val docs = tables.read("documents").collect()
+    assert(docs.length == 2, "one live row per filename after the replace")
+    val rep = tables.read("documents")
+      .filter(col("filename") === "report.pdf").head()
+    val repId = rep.getLong(rep.fieldIndex("id"))
+    assert(repId != origId, "a replaced document's id is never reused")
+    assert(rep.getTimestamp(rep.fieldIndex("created_at")) == t1,
+      "the original created_at survives the replace")
+    assert(rep.getTimestamp(rep.fieldIndex("updated_at")) == t2)
+
+    // the old generation is gone from every owned table
+    val liveIds = docs.map(r => r.getLong(r.fieldIndex("id"))).toSet
+    assert(tables.read("document_chunks")
+      .filter(col("text_content").contains("Original")).count() == 0)
+    assert(tables.read("document_chunks")
+      .filter(col("text_content").contains("Revised")).count() == 1)
+    for ((t, c) <- Seq("document_chunks" -> "document_id",
+        "chart_data" -> "document_id", "minhash_bands" -> "doc_id")) {
+      val refs = tables.read(t).select(col(c)).distinct().as[Long]
+        .collect().toSet
+      assert(refs.subsetOf(liveIds), s"$t must reference only live ids")
+    }
+
+    // old chart blobs are orphans by design; GC reclaims them and the
+    // store audits clean afterwards
+    val reclaimed = graft.store.Audit.gcOrphanBlobs(tables, objects)
+    assert(reclaimed >= 1, "the replaced report's chart blob must be orphaned")
+    assert(objects.listKeys().count() == blobsBefore,
+      "one blob per live chart after GC (old t1 chart out, new t2 chart in)")
+
+    // replaying the same re-crawl is a no-op (sha-identical batch)
+    val s3 = pipe.ingest(inbox2, t2)
+    assert(s3.documents == 0)
+    assert(tables.read("documents").count() == 2)
+  }
+
   test("non-pdf files are filtered at the source (F4, main.py:48)") {
     val inbox = tmpDir("inbox3")
     writeDoc(inbox, "keep.pdf", "T:\nbody text\n")

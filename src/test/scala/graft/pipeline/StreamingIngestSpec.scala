@@ -90,6 +90,52 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
       "replayed batch must not duplicate chunk rows")
   }
 
+  test("streaming re-crawl with replaceByPath replaces a re-dropped filename") {
+    import org.apache.spark.sql.functions.col
+    val inbox = tmpDir("recrawl-inbox")
+    val root = tmpDir("recrawl-store")
+    val checkpoint = s"$root/checkpoint"
+    // the realistic re-crawl shape: each crawl drops into its own dated
+    // directory, so the checkpointed source (which keys seen-files by
+    // PATH) re-delivers the same logical filename from a fresh path
+    Files.createDirectories(Paths.get(inbox, "crawl1"))
+    Files.write(Paths.get(inbox, "crawl1", "report.pdf"),
+      "Intro:\nOriginal crawl body text here today.\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(replaceByPath = true, dedupByContent = true))
+    val q1 = pipe.ingestStream(s"$inbox/*", checkpoint,
+      Trigger.AvailableNow(), () => now)
+    q1.awaitTermination()
+    val first = tables.read("documents").collect()
+    assert(first.length == 1)
+    val id1 = first.head.getLong(first.head.fieldIndex("id"))
+
+    Files.createDirectories(Paths.get(inbox, "crawl2"))
+    Files.write(Paths.get(inbox, "crawl2", "report.pdf"),
+      "Intro:\nRevised crawl body text entirely new.\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val t2 = Timestamp.valueOf("2026-02-01 10:00:00")
+    val q2 = pipe.ingestStream(s"$inbox/*", checkpoint,
+      Trigger.AvailableNow(), () => t2)
+    q2.awaitTermination()
+
+    val docs = tables.read("documents").collect()
+    assert(docs.length == 1, "same filename must replace, not duplicate")
+    val row = docs.head
+    assert(row.getLong(row.fieldIndex("id")) != id1,
+      "the replacement gets a fresh id")
+    assert(row.getTimestamp(row.fieldIndex("created_at")) == now,
+      "created_at survives the replace")
+    assert(row.getTimestamp(row.fieldIndex("updated_at")) == t2)
+    assert(tables.read("document_chunks")
+      .filter(col("text_content").contains("Revised")).count() == 1)
+    assert(tables.read("document_chunks")
+      .filter(col("text_content").contains("Original")).count() == 0)
+  }
+
   test("a fresh checkpoint dir replays instead of silently skipping batches") {
     val inbox = tmpDir("fresh-ckpt-inbox")
     val root = tmpDir("fresh-ckpt-store")

@@ -105,6 +105,35 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       "partition columns must survive the basePath read")
   }
 
+  test("timestamp range read prunes time-clustered files, micro-exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val root = tmpDir("range-ts")
+    val ts = new TableStore(spark, root)
+    val base = Timestamp.valueOf("2026-01-15 08:00:00").getTime
+    // three files of one-hour bands with sub-second offsets (micros in
+    // play: the off-by-10^6 seconds/micros confusion would be caught)
+    for (b <- 0 until 3)
+      ts.append("t", (0 until 100).map { i =>
+        val t0 = new Timestamp(base + b * 3600000L + i * 1000L)
+        t0.setNanos(123456000) // .123456 — micro precision
+        (t0, s"e$b-$i")
+      }.toDF("ts", "v").coalesce(1))
+    val lo = Timestamp.valueOf("2026-01-15 09:00:00")
+    val hi = Timestamp.valueOf("2026-01-15 09:00:30")
+    val pruned = ts.readRange("t", "ts", lo, hi)
+    assert(scannedFiles(pruned) == 1, "one hour-band file must survive")
+    val want = ts.read("t").filter(col("ts").between(lit(lo), lit(hi)))
+      .as[(Timestamp, String)].collect().toSet
+    assert(pruned.as[(Timestamp, String)].collect().toSet == want)
+    assert(want.size == 30, s"30 in-window events, got ${want.size}")
+    // boundary: a window whose edge sits INSIDE a file's band still
+    // returns exactly the filtered rows
+    val edge = ts.readRange("t", "ts",
+      Timestamp.valueOf("2026-01-15 08:59:59"), hi)
+    assert(edge.count() == 30)
+  }
+
   test("string prefix read prunes to the files straddling the prefix") {
     import spark.implicits._
     val root = tmpDir("prefix-basic")
