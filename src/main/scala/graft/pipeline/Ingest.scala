@@ -61,19 +61,27 @@ final case class ProcessingConfig(
     // non-destructive (rows still ingest; a curation pass decides), which
     // is the reviewable behavior a production corpus wants
     flagNearDups: Boolean = false,
-    // [EXT] re-crawl upsert: when a file with an already-stored filename
-    // arrives again, REPLACE the stored document — its documents row,
-    // chunks, chart rows, and (when flagNearDups) its band-index and
-    // flag rows are cascade-deleted before the batch's appends, and the
-    // replacement row keeps the original created_at (the reference's
+    // [EXT] re-crawl upsert: when a file whose FILENAME (basename — the
+    // reference's own document key: its reads and its repository address
+    // documents by filename) is already stored arrives again, REPLACE
+    // the stored document — its documents row, chunks, chart rows, and
+    // (when flagNearDups) its band-index and flag rows are
+    // cascade-deleted before the batch's appends, and the replacement
+    // row keeps the original created_at (the reference's
     // created-once/updated-now column pair, schema.py:33-37). Old chart
     // BLOBS become orphans by design — rows always delete first, so a
     // dangling row can never exist — and gcOrphanBlobs reclaims them in
     // the next maintenance window. Combined with dedupByContent=true,
     // re-crawls are idempotent: unchanged files skip, changed files
-    // replace. Opt-in because the reference itself re-processes
-    // duplicate drops into NEW rows (no upsert key in main.py)
-    replaceByPath: Boolean = false,
+    // replace. The key is the BASENAME, deliberately: a re-crawl drops
+    // the same logical document at a fresh dated path, so path-keying
+    // would never match — but it follows that two DISTINCT documents
+    // must not share a basename under this mode (they are ambiguous in
+    // the reference's filename-keyed API for the same reason); a corpus
+    // that can't guarantee that must leave this off. Opt-in because the
+    // reference itself re-processes duplicate drops into NEW rows (no
+    // upsert in main.py)
+    replaceByFilename: Boolean = false,
     // [EXT] compact the ingest tables every N streamed batches: each
     // trigger appends one file per table, so an uncompacted long-running
     // stream degrades every read with file-listing and per-file open
@@ -442,18 +450,18 @@ final class IngestPipeline(
         col("image_path"),
         nowLit.as("created_at"))
 
-      // ---- [EXT] replaceByPath: cascade-delete the PREVIOUS generation
-      // of every filename in this batch before its replacement appends.
-      // All three dense-id bases were captured above, PRE-delete, so a
-      // replaced document's ids are never reused — the band index and
-      // any external id reference stay unambiguous. Driver state here is
-      // batch-sized (the file source already lists the batch's paths on
-      // the driver). Deletes run through the pruned copy-on-write
-      // rewrites; a crash mid-cascade is recoverable per-table (atomic
-      // swaps) and the un-markered batch replays, converging on the
-      // replaced state.
+      // ---- [EXT] replaceByFilename: cascade-delete the PREVIOUS
+      // generation of every filename in this batch before its
+      // replacement appends. All three dense-id bases were captured
+      // above, PRE-delete, so a replaced document's ids are never reused
+      // — the band index and any external id reference stay unambiguous.
+      // Driver state here is batch-sized (the file source already lists
+      // the batch's paths on the driver). Deletes run through the pruned
+      // copy-on-write rewrites; a crash mid-cascade is recoverable
+      // per-table (atomic swaps) and the un-markered batch replays,
+      // converging on the replaced state.
       val docRowsFinal =
-        if (!cfg.replaceByPath || !tables.exists("documents")) docRows
+        if (!cfg.replaceByFilename || !tables.exists("documents")) docRows
         else {
           val names = docsWithId.select(col("doc.filename")).distinct()
             .as[String].collect().toSeq
@@ -467,7 +475,12 @@ final class IngestPipeline(
               .collect()
           if (oldRows.isEmpty) docRows
           else {
-            val oldIds = oldRows.map(_.getLong(0)).toSeq.distinct
+            // null-proof against foreign/legacy rows: a null id can't be
+            // referenced by child tables (skip it in the cascade), and a
+            // null created_at just doesn't contribute an original
+            // timestamp — neither may abort the batch mid-cascade
+            val oldIds = oldRows.filter(!_.isNullAt(0))
+              .map(_.getLong(0)).toSeq.distinct
             tables.deleteWhere("documents",
               col("filename").isInCollection(names))
             if (tables.exists("document_chunks"))
@@ -490,6 +503,7 @@ final class IngestPipeline(
             // pre-replace history held duplicates) — the reference's
             // created-once/updated-now pair (schema.py:33-37)
             val orig = oldRows
+              .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
               .map(r => (r.getString(1), r.getTimestamp(2)))
               .groupBy(_._1)
               .map { case (f, xs) => (f, xs.minBy(_._2.getTime)._2) }

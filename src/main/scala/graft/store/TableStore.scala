@@ -73,6 +73,49 @@ object TableStore {
     */
   private[store] val ExecutorFooterThreshold = 1024
 
+  /** The unit a caller's row filter compares in; a column whose parquet
+    * LOGICAL type stores values in any other unit makes its statistics
+    * UNUSABLE (verdict 0) rather than silently compared wrong:
+    *  - [[IntegralUnit]]: plain INT32/INT64 or a signed INT annotation.
+    *    A DECIMAL's unscaled ints, a DATE's day counts, a TIMESTAMP's
+    *    epoch ticks all ride the same physical types in a different
+    *    unit — comparing them against the filter's Long bounds would
+    *    prune files that hold matching rows.
+    *  - [[TimestampMicrosUnit]]: TIMESTAMP(MICROS) only — a
+    *    TIMESTAMP(MILLIS) footer is off by 10^3 from micro bounds.
+    *  - [[Utf8Unit]]: BINARY with the String annotation — raw-binary or
+    *    enum columns aren't what a string startsWith filter addresses.
+    */
+  private[store] sealed trait StatsUnit extends Serializable
+  private[store] case object IntegralUnit extends StatsUnit
+  private[store] case object TimestampMicrosUnit extends StatsUnit
+  private[store] case object Utf8Unit extends StatsUnit
+
+  private def unitOk(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                     unit: StatsUnit): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val pt = cc.getPrimitiveType
+    val ann = pt.getLogicalTypeAnnotation
+    unit match {
+      case IntegralUnit =>
+        (pt.getPrimitiveTypeName == INT64 || pt.getPrimitiveTypeName == INT32) &&
+          (ann == null || (ann match {
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case _ => false
+          }))
+      case TimestampMicrosUnit =>
+        pt.getPrimitiveTypeName == INT64 && (ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => false
+        })
+      case Utf8Unit =>
+        pt.getPrimitiveTypeName == BINARY &&
+          ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    }
+  }
+
   /** One file's footer verdict: outer None = statistics unusable (caller
     * must scan), Some(None) = provably no non-null id values,
     * Some(Some(m)) = the file's max id. Static — the executor path ships
@@ -93,6 +136,9 @@ object TableStore {
         val cc = bg.getColumns.asScala
           .find(_.getPath.toDotString == idCol)
           .getOrElse(return None)
+        // a logical type in another unit (decimal unscaled, date days,
+        // timestamp ticks) would compare wrong against a SERIAL max
+        if (!unitOk(cc, IntegralUnit)) return None
         val stats = cc.getStatistics
         if (stats == null || stats.isEmpty) return None
         if (stats.hasNonNullValue) {
@@ -122,17 +168,19 @@ object TableStore {
       case Some(Some(m)) => (2, m)
     } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
 
-  /** One file's [min, max] footer verdict over an INTEGRAL column, for
-    * read-side file skipping: 0 = statistics unusable (the caller must
-    * KEEP the file — unlike maxId, a range read stays exact by
-    * conservatively scanning it, because the final row filter still
-    * applies), 1 = provably no non-null values (prunable for any range),
-    * 2 = `(min, max)` in `_2`/`_3`. Static for the same reason as
-    * [[footerVerdictCode]]: the executor tier ships it in a closure.
+  /** One file's [min, max] footer verdict over a column storing Long
+    * values in `unit`'s encoding, for read-side file skipping: 0 =
+    * statistics unusable OR the column's logical type is in a different
+    * unit than the row filter compares in (the caller must KEEP the file
+    * — unlike maxId, a range read stays exact by conservatively scanning
+    * it, because the final row filter still applies), 1 = provably no
+    * non-null values (prunable for any range), 2 = `(min, max)` in
+    * `_2`/`_3`. Static for the same reason as [[footerVerdictCode]]: the
+    * executor tier ships it in a closure.
     */
   private[store] def footerRangeCode(p: Path,
       conf: org.apache.hadoop.conf.Configuration,
-      column: String): (Int, Long, Long) = try {
+      column: String, unit: StatsUnit): (Int, Long, Long) = try {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -144,6 +192,7 @@ object TableStore {
         val cc = bg.getColumns.asScala
           .find(_.getPath.toDotString == column)
           .getOrElse(return (0, 0L, 0L))
+        if (!unitOk(cc, unit)) return (0, 0L, 0L)
         val stats = cc.getStatistics
         if (stats == null || stats.isEmpty) return (0, 0L, 0L)
         if (stats.hasNonNullValue) {
@@ -188,6 +237,7 @@ object TableStore {
         val cc = bg.getColumns.asScala
           .find(_.getPath.toDotString == column)
           .getOrElse(return (0, empty, empty))
+        if (!unitOk(cc, Utf8Unit)) return (0, empty, empty)
         val stats = cc.getStatistics
         if (stats == null || stats.isEmpty) return (0, empty, empty)
         if (stats.hasNonNullValue) {
@@ -506,13 +556,19 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(table)) {
       // first write: the merge degenerates to "insert everything", but the
       // source contract still holds (a later merge must be able to match)
-      validateMergeSource(source, source.columns.toSeq, keyCols)
+      validateMergeColumns(source.columns.toSeq, source.columns.toSeq, keyCols)
+      requireUniqueKeys(source, keyCols)
       overwriteAtomic(table, source, partitionCols)
       return
     }
     val targetCols = read(table).columns.toSeq
-    validateMergeSource(source, targetCols, keyCols)
-    val src = source.select(targetCols.map(col): _*)
+    validateMergeColumns(source.columns.toSeq, targetCols, keyCols)
+    // persisted: the source plan evaluates up to five times otherwise
+    // (key-uniqueness aggregation, discovery join(s), the staged write's
+    // union) — an expensively-derived patch batch must compute once
+    val src = source.select(targetCols.map(col): _*).persist()
+    try {
+    requireUniqueKeys(src, keyCols)
     val srcKeys = src.select(keyCols.map(col): _*)
     // new content of the affected slice: its unmatched rows + ALL source
     // rows (matched rows re-enter with source values; the rest insert)
@@ -549,6 +605,16 @@ final class TableStore(spark: SparkSession, root: String) {
     } else {
       if (!partitionTypesRenderable(read(table).schema, partitionCols))
         return full()
+      val visible = listVisibleFiles(table).map(_._1)
+      // a table that is FLAT on disk (root-level data files) must not
+      // take ANY partitioned shortcut: a hive-partitioned append or
+      // staged write next to root-level parquet is a mixed layout no
+      // reader can load — the mirror of the unpartitioned branch's
+      // guard. The whole-table rewrite converges it to the partitioned
+      // layout the caller addressed. (Root-level NON-parquet strays are
+      // foreign files, tolerated below by keeping them file-by-file.)
+      if (visible.exists(v => !v.contains('/') && v.endsWith(".parquet")))
+        return full()
       val dirRel = hiveDirRel(partitionCols) _
       val matchedTuples = read(table).join(srcKeys, keyCols, "left_semi")
         .select(partitionCols.map(col): _*).distinct().limit(257).collect()
@@ -557,7 +623,6 @@ final class TableStore(spark: SparkSession, root: String) {
         .select(partitionCols.map(col): _*).distinct().limit(257).collect()
       if (matchedTuples.length > 256 || sourceTuples.length > 256) return full()
 
-      val visible = listVisibleFiles(table).map(_._1)
       val leafDirs = visible.collect {
         case rel if rel.contains('/') => rel.take(rel.lastIndexOf('/'))
       }.toSet
@@ -585,23 +650,30 @@ final class TableStore(spark: SparkSession, root: String) {
       stageAndSwapWithKept(table,
         stagedFrom(read(table).filter(prunePred)), kept, partitionCols)
     }
+    } finally { src.unpersist(); () }
   }
 
-  /** The [[merge]] source contract in one aggregation job: all target
-    * columns present (by case-insensitive name), keys unique, keys
-    * non-null. Throws IllegalArgumentException naming the offense.
+  /** The structural half of the [[merge]] source contract (no Spark job):
+    * all target columns present, keys among them — case-insensitive.
     */
-  private def validateMergeSource(source: DataFrame, targetCols: Seq[String],
-                                  keyCols: Seq[String]): Unit = {
-    val have = source.columns.map(_.toLowerCase).toSet
+  private def validateMergeColumns(sourceCols: Seq[String],
+                                   targetCols: Seq[String],
+                                   keyCols: Seq[String]): Unit = {
+    val have = sourceCols.map(_.toLowerCase).toSet
     val missing = targetCols.filterNot(c => have.contains(c.toLowerCase))
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"merge source is missing target columns: ${missing.mkString(", ")}")
     val badKey = keyCols.filterNot(c => have.contains(c.toLowerCase))
     if (badKey.nonEmpty) throw new IllegalArgumentException(
       s"merge key columns absent from source: ${badKey.mkString(", ")}")
+  }
+
+  /** The data half of the [[merge]] source contract, one aggregation job:
+    * keys unique and non-null. Throws naming the offending key.
+    */
+  private def requireUniqueKeys(src: DataFrame, keyCols: Seq[String]): Unit = {
     val keyIsNull = keyCols.map(c => col(c).isNull).reduce(_ || _)
-    val offenders = source.groupBy(keyCols.map(col): _*)
+    val offenders = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_graft_n"))
       .filter(col("_graft_n") > 1 || keyIsNull)
       .limit(1).collect()
@@ -887,28 +959,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * executor-side job above it, same two-tier shape as [[footerMaxId]].
     */
   def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
-    def fallback = read(table).filter(col(column).between(lo, hi))
     if (lo > hi) return read(table).filter(lit(false))
-    val visible = listVisibleFiles(table)
-    // a visible non-parquet file would be read as data by the fallback
-    // scan; footers can't answer for it — keep the plain filtered read
-    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
-      return fallback
-    val files = visible.collect { case (rel, len) if len > 0 =>
-      new Path(tablePath(table) + "/" + rel)
-    }
-    if (files.isEmpty) return fallback
     val c0 = column
-    val verdicts = footerScanVerdicts(files,
-      (p, c) => TableStore.footerRangeCode(p, c, c0))
-    val keep = verdicts.collect {
-      case (p, (0, _, _))                              => p // unusable → scan it
-      case (p, (2, mn, mx)) if mx >= lo && mn <= hi    => p
-    }
-    if (keep.isEmpty) return read(table).filter(lit(false))
-    if (keep.length == files.length) return fallback // nothing pruned
-    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
-      .filter(col(column).between(lo, hi))
+    statsPrunedRead(table, col(column).between(lo, hi),
+      (p, c) => TableStore.footerRangeCode(p, c, c0, TableStore.IntegralUnit),
+      (v: (Int, Long, Long)) =>
+        v._1 == 0 || (v._1 == 2 && v._3 >= lo && v._2 <= hi))
   }
 
   /** [[readRange]] for TIMESTAMP columns — the time-window scan an events
@@ -927,27 +983,13 @@ final class TableStore(spark: SparkSession, root: String) {
                 lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
-    def fallback = read(table).filter(col(column).between(lit(lo), lit(hi)))
     if (lo.after(hi)) return read(table).filter(lit(false))
-    val visible = listVisibleFiles(table)
-    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
-      return fallback
-    val files = visible.collect { case (rel, len) if len > 0 =>
-      new Path(tablePath(table) + "/" + rel)
-    }
-    if (files.isEmpty) return fallback
     val (loU, hiU) = (micros(lo), micros(hi))
     val c0 = column
-    val verdicts = footerScanVerdicts(files,
-      (p, c) => TableStore.footerRangeCode(p, c, c0))
-    val keep = verdicts.collect {
-      case (p, (0, _, _))                             => p
-      case (p, (2, mn, mx)) if mx >= loU && mn <= hiU => p
-    }
-    if (keep.isEmpty) return read(table).filter(lit(false))
-    if (keep.length == files.length) return fallback
-    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
-      .filter(col(column).between(lit(lo), lit(hi)))
+    statsPrunedRead(table, col(column).between(lit(lo), lit(hi)),
+      (p, c) => TableStore.footerRangeCode(p, c, c0, TableStore.TimestampMicrosUnit),
+      (v: (Int, Long, Long)) =>
+        v._1 == 0 || (v._1 == 2 && v._3 >= loU && v._2 <= hiU))
   }
 
   /** [[readRange]]'s sibling for STRING keys: the table filtered to rows
@@ -962,8 +1004,33 @@ final class TableStore(spark: SparkSession, root: String) {
     * result always exactly the plain `startsWith` filter.
     */
   def readPrefix(table: String, column: String, prefix: String): DataFrame = {
-    def fallback = read(table).filter(col(column).startsWith(prefix))
-    if (prefix.isEmpty) return fallback
+    if (prefix.isEmpty) return read(table).filter(col(column).startsWith(prefix))
+    val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val upper = TableStore.nextPrefixBytes(pBytes)
+    val c0 = column
+    statsPrunedRead(table, col(column).startsWith(prefix),
+      (p, c) => TableStore.footerRangeBytes(p, c, c0),
+      (v: (Int, Array[Byte], Array[Byte])) =>
+        v._1 == 0 || (v._1 == 2 &&
+          TableStore.cmpBytes(v._3, pBytes) >= 0 &&
+          upper.forall(u => TableStore.cmpBytes(v._2, u) < 0)))
+  }
+
+  /** Shared scaffolding of the stats-pruned reads ([[readRange]] twice,
+    * [[readPrefix]]): list visible files, bail to the plain filtered
+    * read when any visible file is not parquet (the fallback scan would
+    * read it as data — footers can't answer for it), fan the per-file
+    * verdicts across the two-tier footer reader, keep the files
+    * `keepVerdict` accepts (every caller encodes "unusable → keep" here,
+    * which is what makes the reads unconditionally exact), and re-read
+    * just those under `basePath` with the row filter applied. ONE copy
+    * of the conservative-keep rules — a fix lands once, not three times.
+    */
+  private def statsPrunedRead[T: scala.reflect.ClassTag](
+      table: String, rowFilter: Column,
+      perFile: (Path, org.apache.hadoop.conf.Configuration) => T,
+      keepVerdict: T => Boolean): DataFrame = {
+    def fallback = read(table).filter(rowFilter)
     val visible = listVisibleFiles(table)
     if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
       return fallback
@@ -971,21 +1038,12 @@ final class TableStore(spark: SparkSession, root: String) {
       new Path(tablePath(table) + "/" + rel)
     }
     if (files.isEmpty) return fallback
-    val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val upper = TableStore.nextPrefixBytes(pBytes)
-    val c0 = column
-    val verdicts = footerScanVerdicts(files,
-      (p, c) => TableStore.footerRangeBytes(p, c, c0))
-    val keep = verdicts.collect {
-      case (p, (0, _, _)) => p // unusable → scan it
-      case (p, (2, mn, mx))
-        if TableStore.cmpBytes(mx, pBytes) >= 0 &&
-          upper.forall(u => TableStore.cmpBytes(mn, u) < 0) => p
-    }
+    val verdicts = footerScanVerdicts(files, perFile)
+    val keep = verdicts.collect { case (p, v) if keepVerdict(v) => p }
     if (keep.isEmpty) return read(table).filter(lit(false))
     if (keep.length == files.length) return fallback // nothing pruned
     spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
-      .filter(col(column).startsWith(prefix))
+      .filter(rowFilter)
   }
 
   /** Shared two-tier footer fan-out for the stats-pruned reads: driver

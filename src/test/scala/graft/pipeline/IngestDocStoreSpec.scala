@@ -304,7 +304,7 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     assert(tables.read("minhash_bands").count() == 16) // two docs remain
   }
 
-  test("replaceByPath re-crawl: changed files replace, unchanged skip, " +
+  test("replaceByFilename re-crawl: changed files replace, unchanged skip, " +
     "ids are never reused, created_at survives, GC reclaims old blobs") {
     import spark.implicits._
     val inbox = tmpDir("inbox-replace")
@@ -316,7 +316,7 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     val objects = new ObjectStore(spark, s"$root/bucket")
     val pipe = new IngestPipeline(spark, tables, objects,
       ProcessingConfig(chunker = ChunkerConfig(minTokens = 5, maxTokens = 2000),
-        dedupByContent = true, replaceByPath = true, flagNearDups = true))
+        dedupByContent = true, replaceByFilename = true, flagNearDups = true))
     val t1 = Timestamp.valueOf("2026-01-15 08:30:00")
     assert(pipe.ingest(inbox, t1).documents == 2)
     val orig = tables.read("documents")
@@ -367,6 +367,34 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     val s3 = pipe.ingest(inbox2, t2)
     assert(s3.documents == 0)
     assert(tables.read("documents").count() == 2)
+  }
+
+  test("replaceByFilename tolerates legacy rows with null id/created_at") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val inbox = tmpDir("inbox-nullrow")
+    writeDoc(inbox, "report.pdf", "Intro:\nFirst body text content.\n")
+    val root = tmpDir("store-nullrow")
+    val tables = new TableStore(spark, s"$root/tables")
+    val objects = new ObjectStore(spark, s"$root/bucket")
+    val pipe = new IngestPipeline(spark, tables, objects,
+      ProcessingConfig(replaceByFilename = true))
+    pipe.ingest(inbox, now)
+    // a foreign/legacy writer leaves a same-filename row with NULL id and
+    // created_at — the re-crawl cascade must not NPE mid-batch on it
+    tables.updateWhere("documents", col("filename") === "report.pdf",
+      Map("id" -> lit(null).cast(LongType),
+        "created_at" -> lit(null).cast(TimestampType)))
+
+    val inbox2 = tmpDir("inbox-nullrow2")
+    writeDoc(inbox2, "report.pdf", "Intro:\nRevised body text content.\n")
+    val t2 = Timestamp.valueOf("2026-02-01 10:00:00")
+    pipe.ingest(inbox2, t2)
+    val docs = tables.read("documents").collect()
+    assert(docs.length == 1, "the null-keyed legacy row is still replaced by filename")
+    val row = docs.head
+    assert(!row.isNullAt(row.fieldIndex("id")))
+    // no original timestamp recoverable → the replacement's own clock
+    assert(row.getTimestamp(row.fieldIndex("created_at")) == t2)
   }
 
   test("non-pdf files are filtered at the source (F4, main.py:48)") {

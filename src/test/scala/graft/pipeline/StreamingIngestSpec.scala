@@ -90,7 +90,7 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
       "replayed batch must not duplicate chunk rows")
   }
 
-  test("streaming re-crawl with replaceByPath replaces a re-dropped filename") {
+  test("streaming re-crawl with replaceByFilename replaces a re-dropped filename") {
     import org.apache.spark.sql.functions.col
     val inbox = tmpDir("recrawl-inbox")
     val root = tmpDir("recrawl-store")
@@ -105,7 +105,7 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     val tables = new TableStore(spark, s"$root/tables")
     val objects = new ObjectStore(spark, s"$root/bucket")
     val pipe = new IngestPipeline(spark, tables, objects,
-      ProcessingConfig(replaceByPath = true, dedupByContent = true))
+      ProcessingConfig(replaceByFilename = true, dedupByContent = true))
     val q1 = pipe.ingestStream(s"$inbox/*", checkpoint,
       Trigger.AvailableNow(), () => now)
     q1.awaitTermination()

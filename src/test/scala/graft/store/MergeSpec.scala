@@ -184,6 +184,23 @@ class MergeSpec extends AnyFunSuite with SharedSpark {
     assert(p3.nonEmpty && p3.forall { case (n, m) => after.get(n).contains(m) })
   }
 
+  test("insert-only partitioned merge into a FLAT table converges, never wedges") {
+    import spark.implicits._
+    val root = tmpDir("merge-flat")
+    val ts = new TableStore(spark, root)
+    // table created FLAT (p is a data column, files at the root): a
+    // partitioned append here would produce the mixed layout Spark
+    // refuses to read — the merge must take the whole-table path instead
+    ts.append("t", Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "p"))
+    ts.merge("t", Seq((9L, "i", 3)).toDF("id", "v", "p"), Seq("id"), Seq("p"))
+    val got = ts.read("t").select("id", "v", "p").as[(Long, String, Int)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 1), (2L, "b", 2), (9L, "i", 3)))
+    // and the table is now genuinely hive-partitioned on p
+    assert(new java.io.File(s"$root/t").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("p=")))
+  }
+
   test("partitioned merge handles null partition values (DEFAULT dir)") {
     import spark.implicits._
     val root = tmpDir("merge-nullpart")

@@ -202,6 +202,40 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       (10L to 20L).map(i => i -> s"v$i").toMap)
   }
 
+  test("wrong-unit logical types make stats unusable, never wrongly pruned") {
+    import spark.implicits._
+    // DECIMAL rides INT32/INT64 physically with UNSCALED values: a file
+    // holding only 150.00 has footer max 15000 — comparing that against
+    // Long bounds [100, 200] would prune a file whose rows MATCH the
+    // filter. The logical-type check must refuse (keep + scan) instead.
+    val root = tmpDir("range-decimal")
+    val ts = new TableStore(spark, root)
+    ts.append("t", Seq((1L, BigDecimal("150.00")), (2L, BigDecimal("150.50")))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(9,2)").as("price"))
+      .coalesce(1))
+    val got = ts.readRange("t", "price", 100L, 200L)
+    assert(got.count() == 2,
+      "decimal stats are unscaled ints — pruning on them would drop matching rows")
+
+    // TIMESTAMP_MILLIS files: footer Longs are millis, micro bounds would
+    // be ~1000x larger and prune every matching file — must keep + scan
+    val root2 = tmpDir("range-millis")
+    val ts2 = new TableStore(spark, root2)
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try ts2.append("t", Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-15 09:00:10")),
+        (2L, java.sql.Timestamp.valueOf("2026-01-15 09:00:20")))
+      .toDF("id", "ts").coalesce(1))
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val win = ts2.readRange("t", "ts",
+      java.sql.Timestamp.valueOf("2026-01-15 09:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-15 09:01:00"))
+    assert(win.count() == 2,
+      "millis-encoded footers must not be compared against micro bounds")
+  }
+
   test("z-clustered layout prunes on either dimension") {
     import spark.implicits._
     val root = tmpDir("range-z")
