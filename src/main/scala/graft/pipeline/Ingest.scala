@@ -529,6 +529,20 @@ final class IngestPipeline(
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 
+      // [EXT] one-time stats-manifest declaration for the SERIAL id
+      // columns: maxId runs on EVERY later trigger, and with a manifest
+      // its footer pass covers only the appends since the last
+      // compaction cadence (compactIncremental rebuilds the manifest).
+      // Advisory cache setup — a failure here must never fail the batch
+      if (cfg.idStrategy == "dense")
+        for (t <- Seq("documents", "document_chunks", "chart_data"))
+          if (tables.exists(t) && tables.sizeInBytes(t) > 0 &&
+              tables.getTableProp(t, "stats_cols").isEmpty)
+            try tables.declareStatsColumns(t, Seq("id"))
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[ingest] stats-manifest declare skipped for $t: ${e.getMessage}")
+            }
+
       // ---- [EXT] incremental near-dup flags. Candidates come from the
       // PRE-BATCH index (a batch never flags against itself — within-batch
       // duplicates are dedupByContent's job); the batch's own bands join

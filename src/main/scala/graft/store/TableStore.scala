@@ -89,6 +89,7 @@ object TableStore {
   private[store] sealed trait StatsUnit extends Serializable
   private[store] case object IntegralUnit extends StatsUnit
   private[store] case object TimestampMicrosUnit extends StatsUnit
+  private[store] case object DateDaysUnit extends StatsUnit
   private[store] case object Utf8Unit extends StatsUnit
 
   private def unitOk(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
@@ -110,63 +111,14 @@ object TableStore {
             t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
           case _ => false
         })
+      case DateDaysUnit =>
+        pt.getPrimitiveTypeName == INT32 &&
+          ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
       case Utf8Unit =>
         pt.getPrimitiveTypeName == BINARY &&
           ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
     }
   }
-
-  /** One file's footer verdict: outer None = statistics unusable (caller
-    * must scan), Some(None) = provably no non-null id values,
-    * Some(Some(m)) = the file's max id. Static — the executor path ships
-    * this in a task closure, which must not capture a TableStore (it
-    * holds the non-serializable SparkSession).
-    */
-  private def fileFooterMax(p: Path, conf: org.apache.hadoop.conf.Configuration,
-                            idCol: String): Option[Option[Long]] = {
-    import scala.jdk.CollectionConverters._
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try {
-      var acc = Long.MinValue
-      var sawValue = false
-      for (bg <- reader.getFooter.getBlocks.asScala) {
-        // a column absent from the footer (e.g. a hive PARTITION column)
-        // or missing/untyped stats means footers cannot answer — bail
-        val cc = bg.getColumns.asScala
-          .find(_.getPath.toDotString == idCol)
-          .getOrElse(return None)
-        // a logical type in another unit (decimal unscaled, date days,
-        // timestamp ticks) would compare wrong against a SERIAL max
-        if (!unitOk(cc, IntegralUnit)) return None
-        val stats = cc.getStatistics
-        if (stats == null || stats.isEmpty) return None
-        if (stats.hasNonNullValue) {
-          stats.genericGetMax match {
-            case l: java.lang.Long    => acc = math.max(acc, l.longValue())
-            case i: java.lang.Integer => acc = math.max(acc, i.longValue())
-            case _                    => return None
-          }
-          sawValue = true
-        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
-          // min/max absent without proof the group is all-null
-          return None
-        }
-      }
-      Some(if (sawValue) Some(acc) else None)
-    } finally reader.close()
-  }
-
-  /** The verdict flattened for shipping through an RDD: 0 = unusable,
-    * 1 = provably value-less, 2 = value in `_2`.
-    */
-  private def footerVerdictCode(p: Path,
-      conf: org.apache.hadoop.conf.Configuration, idCol: String): (Int, Long) =
-    try fileFooterMax(p, conf, idCol) match {
-      case None          => (0, 0L)
-      case Some(None)    => (1, 0L)
-      case Some(Some(m)) => (2, m)
-    } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
 
   /** One file's [min, max] footer verdict over a column storing Long
     * values in `unit`'s encoding, for read-side file skipping: 0 =
@@ -175,8 +127,10 @@ object TableStore {
     * — unlike maxId, a range read stays exact by conservatively scanning
     * it, because the final row filter still applies), 1 = provably no
     * non-null values (prunable for any range), 2 = `(min, max)` in
-    * `_2`/`_3`. Static for the same reason as [[footerVerdictCode]]: the
-    * executor tier ships it in a closure.
+    * `_2`/`_3`. Static because the executor tier ships it in a task
+    * closure, which must not capture a TableStore (it holds the
+    * non-serializable SparkSession). [[footerMaxId]] consumes the same
+    * verdicts (via the canonical encoding) for its SERIAL max.
     */
   private[store] def footerRangeCode(p: Path,
       conf: org.apache.hadoop.conf.Configuration,
@@ -290,6 +244,52 @@ object TableStore {
       Some(out)
     }
   }
+
+  /** Stable wire tag for a [[StatsUnit]] — the manifest format and the
+    * `stats_cols` table prop speak these, never Scala class names.
+    */
+  private[store] def unitTag(u: StatsUnit): String = u match {
+    case IntegralUnit        => "int"
+    case TimestampMicrosUnit => "tsus"
+    case DateDaysUnit        => "date"
+    case Utf8Unit            => "utf8"
+  }
+  private[store] def unitOfTag(t: String): Option[StatsUnit] = t match {
+    case "int"  => Some(IntegralUnit)
+    case "tsus" => Some(TimestampMicrosUnit)
+    case "date" => Some(DateDaysUnit)
+    case "utf8" => Some(Utf8Unit)
+    case _      => None
+  }
+
+  /** One file's verdict in the CANONICAL string encoding every pruned
+    * read and the stats manifest share: `(code, min, max)` where code is
+    * the usual 0/1/2 and min/max are decimal strings for the Long units,
+    * URL-safe base64 for UTF-8 byte bounds (empty for codes 0/1). One
+    * currency means a manifest entry and a live footer read are
+    * interchangeable at the keep/prune decision.
+    */
+  private[store] def footerStatsCanonical(p: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      column: String, unit: StatsUnit): (Int, String, String) = {
+    footerOpens.incrementAndGet()
+    unit match {
+      case Utf8Unit =>
+        val (c, mn, mx) = footerRangeBytes(p, conf, column)
+        val enc = java.util.Base64.getUrlEncoder
+        if (c == 2) (c, enc.encodeToString(mn), enc.encodeToString(mx))
+        else (c, "", "")
+      case u =>
+        val (c, mn, mx) = footerRangeCode(p, conf, column, u)
+        if (c == 2) (c, mn.toString, mx.toString) else (c, "", "")
+    }
+  }
+
+  /** Test-visible tally of live footer opens via the canonical reader —
+    * the manifest specs assert a fully-covered read performs ZERO of
+    * them. Per-JVM (local-mode tests share the JVM with executors).
+    */
+  private[store] val footerOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** Parquet-backed relational table store with CRUD semantics over immutable
@@ -823,17 +823,26 @@ final class TableStore(spark: SparkSession, root: String) {
     rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
 
   private def listVisibleFiles(table: String): Seq[(String, Long)] =
+    listVisibleFilesMeta(table).map(v => (v._1, v._2))
+
+  /** As [[listVisibleFiles]] but carrying the modification time — the
+    * identity the stats manifest validates entries against (files in
+    * this store are immutable once written: appends create new names,
+    * rewrites swap whole directories — so (rel, len, mtime) matching
+    * means the footer bytes are the ones the manifest summarized).
+    */
+  private def listVisibleFilesMeta(table: String): Seq[(String, Long, Long)] =
     listVisibleFilesAt(new Path(tablePath(table)))
 
-  private def listVisibleFilesAt(dir: Path): Seq[(String, Long)] = {
+  private def listVisibleFilesAt(dir: Path): Seq[(String, Long, Long)] = {
     val f = fs
     val rootPath = f.makeQualified(dir).toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val it = f.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!isHiddenRel(rel)) out += ((rel, st.getLen))
+      if (!isHiddenRel(rel)) out += ((rel, st.getLen, st.getModificationTime))
     }
     out.toSeq
   }
@@ -885,35 +894,30 @@ final class TableStore(spark: SparkSession, root: String) {
     * ([[compactIncremental]] holds it at O(table bytes / threshold)).
     */
   private[store] def footerMaxId(table: String, idCol: String): Option[Long] = try {
-    val visible = listVisibleFiles(table)
-    if (visible.exists(v => !v._1.endsWith(".parquet"))) return None
-    val files = visible.collect { case (rel, len) if len > 0 =>
-      new Path(tablePath(table) + "/" + rel)
-    }
+    val meta = listVisibleFilesMeta(table)
+    if (meta.exists(v => !v._1.endsWith(".parquet"))) return None
+    val files = meta.filter(_._2 > 0)
     if (files.isEmpty) return Some(0L)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val verdicts: Seq[(Int, Long)] =
-      if (files.length <= TableStore.ExecutorFooterThreshold) {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[(Int, Long)]] =
-          files.map(p => () => TableStore.footerVerdictCode(p, conf, idCol))
-        TableStore.footerPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
-      } else {
-        // executor tier: the closure ships only strings + a conf map
-        // (never `this` — TableStore holds the SparkSession)
-        val confMap = serializableHadoopConf
+    // manifest-covered files answer without touching their footers —
+    // maxId runs once per table per STREAMING TRIGGER, so on a compacted
+    // corpus this turns a per-trigger O(#files) metadata pass into
+    // O(appends since the last compaction refresh). Identical rules:
+    // the canonical verdict encodes exactly the never-guess semantics
+    // (0 = unusable anywhere → scan; 1 = provably value-less; 2 = max)
+    val cached = manifestVerdicts(table, idCol, TableStore.IntegralUnit)
+    val (hit, miss) = files.partition(v => cached.contains((v._1, v._2, v._3)))
+    val missVerdicts: Seq[(Int, String, String)] =
+      if (miss.isEmpty) Nil
+      else {
         val idc = idCol
-        val paths = files.map(_.toString)
-        spark.sparkContext
-          .parallelize(paths, math.min(256, 1 + paths.length / 256))
-          .mapPartitions { it =>
-            val c = new org.apache.hadoop.conf.Configuration(false)
-            confMap.foreach { case (k, v) => c.set(k, v) }
-            it.map(p => TableStore.footerVerdictCode(new Path(p), c, idc))
-          }.collect().toSeq
+        footerScanVerdicts(
+          miss.map(v => new Path(tablePath(table) + "/" + v._1)),
+          (p, c) => TableStore.footerStatsCanonical(p, c, idc,
+            TableStore.IntegralUnit)).map(_._2)
       }
+    val verdicts = hit.map(v => cached((v._1, v._2, v._3))) ++ missVerdicts
     if (verdicts.exists(_._1 == 0)) return None // some footer unusable → scan
-    val values = verdicts.collect { case (2, m) => m }
+    val values = verdicts.collect { case (2, _, mx) => mx.toLong }
     Some(if (values.isEmpty) 0L else values.max)
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -960,11 +964,12 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
     if (lo > hi) return read(table).filter(lit(false))
-    val c0 = column
     statsPrunedRead(table, col(column).between(lo, hi),
-      (p, c) => TableStore.footerRangeCode(p, c, c0, TableStore.IntegralUnit),
-      (v: (Int, Long, Long)) =>
-        v._1 == 0 || (v._1 == 2 && v._3 >= lo && v._2 <= hi))
+      column, TableStore.IntegralUnit, {
+        case (0, _, _)   => true
+        case (2, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+        case _           => false
+      })
   }
 
   /** [[readRange]] for TIMESTAMP columns — the time-window scan an events
@@ -985,11 +990,31 @@ final class TableStore(spark: SparkSession, root: String) {
       t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
     if (lo.after(hi)) return read(table).filter(lit(false))
     val (loU, hiU) = (micros(lo), micros(hi))
-    val c0 = column
     statsPrunedRead(table, col(column).between(lit(lo), lit(hi)),
-      (p, c) => TableStore.footerRangeCode(p, c, c0, TableStore.TimestampMicrosUnit),
-      (v: (Int, Long, Long)) =>
-        v._1 == 0 || (v._1 == 2 && v._3 >= loU && v._2 <= hiU))
+      column, TableStore.TimestampMicrosUnit, {
+        case (0, _, _)   => true
+        case (2, mn, mx) => mx.toLong >= loU && mn.toLong <= hiU
+        case _           => false
+      })
+  }
+
+  /** [[readRange]] for DATE columns — parquet stores DATE as INT32 days
+    * since the epoch, so the footer bounds compare against day counts
+    * while the row filter stays a Date BETWEEN. `java.sql.Date.toLocalDate
+    * .toEpochDay` is the writer's own day arithmetic (calendar-safe,
+    * unlike millis/86400000 around DST-less-but-offset-shifted zones).
+    */
+  def readRange(table: String, column: String,
+                lo: java.sql.Date, hi: java.sql.Date): DataFrame = {
+    def days(d: java.sql.Date): Long = d.toLocalDate.toEpochDay
+    if (lo.after(hi)) return read(table).filter(lit(false))
+    val (loD, hiD) = (days(lo), days(hi))
+    statsPrunedRead(table, col(column).between(lit(lo), lit(hi)),
+      column, TableStore.DateDaysUnit, {
+        case (0, _, _)   => true
+        case (2, mn, mx) => mx.toLong >= loD && mn.toLong <= hiD
+        case _           => false
+      })
   }
 
   /** [[readRange]]'s sibling for STRING keys: the table filtered to rows
@@ -1007,44 +1032,176 @@ final class TableStore(spark: SparkSession, root: String) {
     if (prefix.isEmpty) return read(table).filter(col(column).startsWith(prefix))
     val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val upper = TableStore.nextPrefixBytes(pBytes)
-    val c0 = column
+    val dec = java.util.Base64.getUrlDecoder
     statsPrunedRead(table, col(column).startsWith(prefix),
-      (p, c) => TableStore.footerRangeBytes(p, c, c0),
-      (v: (Int, Array[Byte], Array[Byte])) =>
-        v._1 == 0 || (v._1 == 2 &&
-          TableStore.cmpBytes(v._3, pBytes) >= 0 &&
-          upper.forall(u => TableStore.cmpBytes(v._2, u) < 0)))
+      column, TableStore.Utf8Unit, {
+        case (0, _, _) => true
+        case (2, mn, mx) =>
+          TableStore.cmpBytes(dec.decode(mx), pBytes) >= 0 &&
+            upper.forall(u => TableStore.cmpBytes(dec.decode(mn), u) < 0)
+        case _ => false
+      })
   }
 
-  /** Shared scaffolding of the stats-pruned reads ([[readRange]] twice,
+  /** Shared scaffolding of the stats-pruned reads ([[readRange]] thrice,
     * [[readPrefix]]): list visible files, bail to the plain filtered
     * read when any visible file is not parquet (the fallback scan would
-    * read it as data — footers can't answer for it), fan the per-file
-    * verdicts across the two-tier footer reader, keep the files
-    * `keepVerdict` accepts (every caller encodes "unusable → keep" here,
-    * which is what makes the reads unconditionally exact), and re-read
-    * just those under `basePath` with the row filter applied. ONE copy
-    * of the conservative-keep rules — a fix lands once, not three times.
+    * read it as data — footers can't answer for it), resolve each file's
+    * verdict — from the STATS MANIFEST when a validated entry exists,
+    * live footers otherwise — keep the files `keepVerdict` accepts
+    * (every caller encodes "unusable → keep", which is what makes the
+    * reads unconditionally exact; a verdict that fails to DECODE is also
+    * kept), and re-read just those under `basePath` with the row filter
+    * applied. ONE copy of the conservative-keep rules — a fix lands
+    * once, not three times.
+    *
+    * Scale note: without the manifest every pruned read pays an
+    * O(#files) footer-metadata pass (bounded, two-tier, but PER QUERY).
+    * With [[declareStatsColumns]] + the compaction-cadence refresh, the
+    * compacted bulk answers from one sidecar read and only the
+    * fresh-append tail is read live — the same O(new tail) discipline
+    * the storage layer applies everywhere else.
     */
-  private def statsPrunedRead[T: scala.reflect.ClassTag](
-      table: String, rowFilter: Column,
-      perFile: (Path, org.apache.hadoop.conf.Configuration) => T,
-      keepVerdict: T => Boolean): DataFrame = {
+  private def statsPrunedRead(table: String, rowFilter: Column,
+      column: String, unit: TableStore.StatsUnit,
+      keepVerdict: ((Int, String, String)) => Boolean): DataFrame = {
     def fallback = read(table).filter(rowFilter)
-    val visible = listVisibleFiles(table)
-    if (visible.isEmpty || visible.exists(v => !v._1.endsWith(".parquet")))
+    val meta = listVisibleFilesMeta(table)
+    if (meta.isEmpty || meta.exists(v => !v._1.endsWith(".parquet")))
       return fallback
-    val files = visible.collect { case (rel, len) if len > 0 =>
-      new Path(tablePath(table) + "/" + rel)
-    }
+    val files = meta.filter(_._2 > 0)
     if (files.isEmpty) return fallback
-    val verdicts = footerScanVerdicts(files, perFile)
-    val keep = verdicts.collect { case (p, v) if keepVerdict(v) => p }
+    val cached = manifestVerdicts(table, column, unit)
+    val (hit, miss) = files.partition(v => cached.contains((v._1, v._2, v._3)))
+    val missByRel: Seq[(String, (Int, String, String))] =
+      if (miss.isEmpty) Nil
+      else {
+        val relByPath = miss.map(v => (tablePath(table) + "/" + v._1) -> v._1).toMap
+        val (cn, u) = (column, unit)
+        footerScanVerdicts(miss.map(v => new Path(tablePath(table) + "/" + v._1)),
+          (p, c) => TableStore.footerStatsCanonical(p, c, cn, u))
+          .flatMap { case (pstr, ver) => relByPath.get(pstr).map(_ -> ver) }
+      }
+    if (missByRel.size != miss.size) return fallback // path mapping surprise
+    val verdicts = hit.map(v => v._1 -> cached((v._1, v._2, v._3))) ++ missByRel
+    def keeps(v: (Int, String, String)): Boolean =
+      try keepVerdict(v)
+      catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
+    val keep = verdicts.collect { case (rel, v) if keeps(v) =>
+      tablePath(table) + "/" + rel
+    }
     if (keep.isEmpty) return read(table).filter(lit(false))
     if (keep.length == files.length) return fallback // nothing pruned
     spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
       .filter(rowFilter)
   }
+
+  // -------------------------------------------------------------------
+  // Stats manifest: a sidecar cache of canonical per-file verdicts for
+  // DECLARED columns, so the pruned reads' footer pass is O(new tail)
+  // instead of O(#files) per query. Strictly advisory — entries validate
+  // against (rel, len, mtime) and anything else is a live read, so a
+  // missing, stale, or torn manifest can only cost time, never rows.
+  // Deliberately NOT a `_graft_*` prop: props are carried byte-for-byte
+  // across atomic swaps, and a rewrite invalidates the summarized files
+  // — dropping the manifest at the swap (and rebuilding on the next
+  // compaction cadence) is the correct lifecycle.
+  // -------------------------------------------------------------------
+
+  private val StatsManifest = "_stats_manifest"
+  private val StatsColsProp = "stats_cols"
+
+  /** Declare the columns whose footer statistics the manifest maintains
+    * (units inferred from the table schema — integral, timestamp, date
+    * and string columns are supported), persist the declaration as a
+    * table prop (it survives swaps), and build the first manifest.
+    */
+  def declareStatsColumns(table: String, columns: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = read(table).schema
+    val specs = columns.map { c =>
+      val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"declareStatsColumns: no column '$c' in $table"))
+      val unit = dt match {
+        case LongType | IntegerType | ShortType | ByteType => TableStore.IntegralUnit
+        case TimestampType => TableStore.TimestampMicrosUnit
+        case DateType      => TableStore.DateDaysUnit
+        case StringType    => TableStore.Utf8Unit
+        case other => throw new IllegalArgumentException(
+          s"declareStatsColumns: unsupported type for '$c': $other")
+      }
+      c -> unit
+    }
+    setTableProp(table, StatsColsProp,
+      specs.map { case (c, u) => s"$c:${TableStore.unitTag(u)}" }.mkString(","))
+    refreshStatsManifest(table)
+  }
+
+  private def declaredStatsSpecs(table: String): Seq[(String, TableStore.StatsUnit)] =
+    getTableProp(table, StatsColsProp).toSeq
+      .flatMap(_.split(",").toSeq).flatMap { e =>
+        e.split(":", 2) match {
+          case Array(c, t) => TableStore.unitOfTag(t).map(c -> _)
+          case _           => None
+        }
+      }
+
+  /** Rebuild the manifest for every declared column over the CURRENT
+    * file set (one footer pass, two-tier like the reads), then publish
+    * it with a tmp-write + rename. No-op without a declaration. Runs
+    * automatically at the end of [[compactIncremental]] — the cadence
+    * that reshapes the file set — and may be called after bulk loads.
+    */
+  def refreshStatsManifest(table: String): Unit = {
+    val specs = declaredStatsSpecs(table)
+    if (specs.isEmpty || !exists(table)) return
+    val files = listVisibleFilesMeta(table)
+      .filter(v => v._1.endsWith(".parquet") && v._2 > 0)
+    val relByPath = files.map(v => (tablePath(table) + "/" + v._1) -> v).toMap
+    val specs0 = specs
+    val verdicts = footerScanVerdicts(
+      files.map(v => new Path(tablePath(table) + "/" + v._1)),
+      (p, c) => specs0.map { case (cn, u) =>
+        (cn, TableStore.unitTag(u), TableStore.footerStatsCanonical(p, c, cn, u))
+      })
+    val sb = new StringBuilder("v1\n")
+    for {
+      (pstr, perCol) <- verdicts
+      (rel, len, mtime) <- relByPath.get(pstr).toSeq
+      (cn, tag, (code, mn, mx)) <- perCol
+    } sb.append(s"$rel\t$len\t$mtime\t$cn\t$tag\t$code\t$mn\t$mx\n")
+    val f = fs
+    val tmp = new Path(tablePath(table), s".manifest-tmp-${System.nanoTime()}")
+    val dest = new Path(tablePath(table), StatsManifest)
+    val out = f.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest)) { f.delete(tmp, false); () } // advisory: a miss, not an error
+  }
+
+  /** Validated manifest entries for (column, unit): key (rel, len, mtime)
+    * → canonical verdict. Empty on any read/parse trouble — the caller
+    * falls back to live footers file-by-file.
+    */
+  private def manifestVerdicts(table: String, column: String,
+      unit: TableStore.StatsUnit): Map[(String, Long, Long), (Int, String, String)] =
+    try {
+      val text = Sidecar.read(new Path(tablePath(table), StatsManifest),
+        spark.sparkContext.hadoopConfiguration).getOrElse(return Map.empty)
+      val lines = text.linesIterator.toSeq
+      if (!lines.headOption.contains("v1")) return Map.empty
+      val tag = TableStore.unitTag(unit)
+      lines.drop(1).flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(rel, len, mtime, cn, t, code, mn, mx)
+            if cn == column && t == tag =>
+            Some((rel, len.toLong, mtime.toLong) -> ((code.toInt, mn, mx)))
+          case _ => None
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Shared two-tier footer fan-out for the stats-pruned reads: driver
     * pool below [[TableStore.ExecutorFooterThreshold]] files, one
@@ -1152,6 +1309,10 @@ final class TableStore(spark: SparkSession, root: String) {
       if (partitionCols.isEmpty) packedSrc.coalesce(n)
       else packedSrc.repartition(n, partitionCols.map(col): _*)
     stageAndSwapWithKept(table, packed, kept.map(_._1), partitionCols)
+    // the swap drops the (file-identity-keyed) stats manifest by design;
+    // compaction is the cadence that reshapes the file set, so it is
+    // also the cadence that rebuilds the manifest — no-op undeclared
+    refreshStatsManifest(table)
     CompactStats(small.size, smallBytes, kept.size)
   }
 

@@ -269,6 +269,26 @@ class MergeSpec extends AnyFunSuite with SharedSpark {
     assert(!ts.hasSwapDebris("t"))
   }
 
+  test("scale smoke: a single-key patch on a 2M-row table rewrites one file") {
+    import spark.implicits._
+    val root = tmpDir("merge-scale")
+    val ts = new TableStore(spark, root)
+    ts.overwriteAtomic("t", spark.range(2000000L)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(32, col("id")).sortWithinPartitions("id"))
+    val before = files(root, "t")
+    assert(before.size == 32)
+
+    ts.merge("t", Seq((1234567L, "patched")).toDF("id", "v"), Seq("id"))
+    val after = files(root, "t")
+    val untouched = before.count { case (n, m) => after.get(n).contains(m) }
+    assert(untouched == 31,
+      s"a one-row patch must rewrite exactly one of 32 files (renamed: $untouched)")
+    assert(ts.read("t").count() == 2000000L)
+    assert(ts.read("t").filter(col("id") === 1234567L)
+      .head().getString(1) == "patched")
+  }
+
   test("merged table stays readable and re-mergeable (idempotent upsert)") {
     import spark.implicits._
     val root = tmpDir("merge-idem")

@@ -202,6 +202,29 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       (10L to 20L).map(i => i -> s"v$i").toMap)
   }
 
+  test("date range read prunes day-banded files exactly") {
+    import spark.implicits._
+    import java.sql.Date
+    val root = tmpDir("range-date")
+    val ts = new TableStore(spark, root)
+    // three files of one-month bands
+    for (m <- 1 to 3)
+      ts.append("t", (1 to 28).map(d => (Date.valueOf(f"2026-$m%02d-$d%02d"), s"d$m-$d"))
+        .toDF("day", "v").coalesce(1))
+    val pruned = ts.readRange("t", "day",
+      Date.valueOf("2026-02-10"), Date.valueOf("2026-02-20"))
+    assert(scannedFiles(pruned) == 1, "one month-band file must survive")
+    assert(pruned.count() == 11)
+    val want = ts.read("t")
+      .filter(col("day").between(lit(Date.valueOf("2026-02-10")),
+        lit(Date.valueOf("2026-02-20"))))
+      .as[(Date, String)].collect().toSet
+    assert(pruned.as[(Date, String)].collect().toSet == want)
+    // inverted bounds → empty
+    assert(ts.readRange("t", "day",
+      Date.valueOf("2026-03-01"), Date.valueOf("2026-01-01")).isEmpty)
+  }
+
   test("wrong-unit logical types make stats unusable, never wrongly pruned") {
     import spark.implicits._
     // DECIMAL rides INT32/INT64 physically with UNSCALED values: a file
