@@ -309,11 +309,28 @@ final class IngestPipeline(
       val enabled = cfg.flagNearDups ||
         (table != "minhash_bands" && table != "near_dup_flags")
       if (enabled && tables.exists(table)) {
+        // [EXT] stats-manifest declaration for the SERIAL id tables,
+        // piggybacked on the compaction cadence (the stream lifecycle
+        // the manifest exists for — maxId runs every trigger, and a
+        // manifest makes its footer pass O(appends since this cadence)).
+        // Declared WITHOUT an immediate refresh: compactIncremental
+        // rebuilds the manifest right below. Advisory — a failure here
+        // must never fail the cadence
+        if (cfg.idStrategy == "dense" && SerialIdTables.contains(table) &&
+            tables.getTableProp(table, "stats_cols").isEmpty)
+          try tables.declareStatsColumns(table, Seq("id"), refresh = false)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[ingest] stats-manifest declare skipped for $table: ${e.getMessage}")
+          }
         tables.compactIncremental(table, smallThreshold = cfg.compactSmallBytes,
           partitionCols = parts)
         ()
       }
     }
+
+  /** The owned tables whose `id` is SERIAL-allocated via `maxId`. */
+  private val SerialIdTables = Set("documents", "document_chunks", "chart_data")
 
   /** Core of E8 (pdf_parser.py:201-253) over one batch of binary rows. */
   def ingestBinary(bin: DataFrame, now: Timestamp): IngestStats = {
@@ -529,19 +546,6 @@ final class IngestPipeline(
       objects.putAll(chartsWithId.select(col("image_path").as("key"), col("png").as("content")))
       tables.append("chart_data", chartRows)
 
-      // [EXT] one-time stats-manifest declaration for the SERIAL id
-      // columns: maxId runs on EVERY later trigger, and with a manifest
-      // its footer pass covers only the appends since the last
-      // compaction cadence (compactIncremental rebuilds the manifest).
-      // Advisory cache setup — a failure here must never fail the batch
-      if (cfg.idStrategy == "dense")
-        for (t <- Seq("documents", "document_chunks", "chart_data"))
-          if (tables.exists(t) && tables.sizeInBytes(t) > 0 &&
-              tables.getTableProp(t, "stats_cols").isEmpty)
-            try tables.declareStatsColumns(t, Seq("id"))
-            catch { case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[ingest] stats-manifest declare skipped for $t: ${e.getMessage}")
-            }
 
       // ---- [EXT] incremental near-dup flags. Candidates come from the
       // PRE-BATCH index (a batch never flags against itself — within-batch

@@ -1115,8 +1115,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * (units inferred from the table schema — integral, timestamp, date
     * and string columns are supported), persist the declaration as a
     * table prop (it survives swaps), and build the first manifest.
+    * `refresh = false` records the declaration only — for callers about
+    * to run a maintenance pass that rebuilds the manifest anyway
+    * (undeclared-until-then files simply read live).
     */
-  def declareStatsColumns(table: String, columns: Seq[String]): Unit = {
+  def declareStatsColumns(table: String, columns: Seq[String],
+                          refresh: Boolean = true): Unit = {
     import org.apache.spark.sql.types._
     val schema = read(table).schema
     val specs = columns.map { c =>
@@ -1135,7 +1139,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     setTableProp(table, StatsColsProp,
       specs.map { case (c, u) => s"$c:${TableStore.unitTag(u)}" }.mkString(","))
-    refreshStatsManifest(table)
+    if (refresh) refreshStatsManifest(table)
   }
 
   private def declaredStatsSpecs(table: String): Seq[(String, TableStore.StatsUnit)] =

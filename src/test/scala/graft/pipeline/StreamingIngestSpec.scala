@@ -289,6 +289,11 @@ class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
     // 17 appends, compacted once at batch 15: one packed file + the
     // post-cadence tail — far below one-file-per-batch
     assert(docFiles <= 3, s"default cadence must bound files, got $docFiles")
+    // the cadence also declared + built the SERIAL stats manifest, so
+    // later triggers' maxId answers the compacted bulk from the sidecar
+    assert(tables.getTableProp("documents", "stats_cols").contains("id:int"))
+    assert(new java.io.File(s"$root/tables/documents/_stats_manifest").exists(),
+      "compaction cadence must have built the manifest")
   }
 
   test("the cadence never rewrites files the threshold calls compacted") {
