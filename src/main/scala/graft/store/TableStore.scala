@@ -135,37 +135,42 @@ object TableStore {
   private[store] def footerRangeCode(p: Path,
       conf: org.apache.hadoop.conf.Configuration,
       column: String, unit: StatsUnit): (Int, Long, Long) = try {
-    import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try {
-      var lo = Long.MaxValue
-      var hi = Long.MinValue
-      var sawValue = false
-      for (bg <- reader.getFooter.getBlocks.asScala) {
-        val cc = bg.getColumns.asScala
-          .find(_.getPath.toDotString == column)
-          .getOrElse(return (0, 0L, 0L))
-        if (!unitOk(cc, unit)) return (0, 0L, 0L)
-        val stats = cc.getStatistics
-        if (stats == null || stats.isEmpty) return (0, 0L, 0L)
-        if (stats.hasNonNullValue) {
-          def asLong(v: Any): Option[Long] = v match {
-            case l: java.lang.Long    => Some(l.longValue())
-            case i: java.lang.Integer => Some(i.longValue())
-            case _                    => None
-          }
-          (asLong(stats.genericGetMin), asLong(stats.genericGetMax)) match {
-            case (Some(mn), Some(mx)) =>
-              lo = math.min(lo, mn); hi = math.max(hi, mx); sawValue = true
-            case _ => return (0, 0L, 0L)
-          }
-        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
-          return (0, 0L, 0L) // min/max absent without proof of all-null
+    try rangeFromFooter(reader.getFooter, column, unit)
+    finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => (0, 0L, 0L) }
+
+  private def rangeFromFooter(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      column: String, unit: StatsUnit): (Int, Long, Long) = try {
+    import scala.jdk.CollectionConverters._
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var sawValue = false
+    for (bg <- footer.getBlocks.asScala) {
+      val cc = bg.getColumns.asScala
+        .find(_.getPath.toDotString == column)
+        .getOrElse(return (0, 0L, 0L))
+      if (!unitOk(cc, unit)) return (0, 0L, 0L)
+      val stats = cc.getStatistics
+      if (stats == null || stats.isEmpty) return (0, 0L, 0L)
+      if (stats.hasNonNullValue) {
+        def asLong(v: Any): Option[Long] = v match {
+          case l: java.lang.Long    => Some(l.longValue())
+          case i: java.lang.Integer => Some(i.longValue())
+          case _                    => None
         }
+        (asLong(stats.genericGetMin), asLong(stats.genericGetMax)) match {
+          case (Some(mn), Some(mx)) =>
+            lo = math.min(lo, mn); hi = math.max(hi, mx); sawValue = true
+          case _ => return (0, 0L, 0L)
+        }
+      } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+        return (0, 0L, 0L) // min/max absent without proof of all-null
       }
-      if (sawValue) (2, lo, hi) else (1, 0L, 0L)
-    } finally reader.close()
+    }
+    if (sawValue) (2, lo, hi) else (1, 0L, 0L)
   } catch { case scala.util.control.NonFatal(_) => (0, 0L, 0L) }
 
   /** [[footerRangeCode]]'s sibling for STRING (parquet BINARY/UTF8)
@@ -179,39 +184,45 @@ object TableStore {
   private[store] def footerRangeBytes(p: Path,
       conf: org.apache.hadoop.conf.Configuration,
       column: String): (Int, Array[Byte], Array[Byte]) = try {
-    import scala.jdk.CollectionConverters._
-    val empty = Array.empty[Byte]
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try {
-      var lo: Array[Byte] = null
-      var hi: Array[Byte] = null
-      var sawValue = false
-      for (bg <- reader.getFooter.getBlocks.asScala) {
-        val cc = bg.getColumns.asScala
-          .find(_.getPath.toDotString == column)
-          .getOrElse(return (0, empty, empty))
-        if (!unitOk(cc, Utf8Unit)) return (0, empty, empty)
-        val stats = cc.getStatistics
-        if (stats == null || stats.isEmpty) return (0, empty, empty)
-        if (stats.hasNonNullValue) {
-          def asBytes(v: Any): Option[Array[Byte]] = v match {
-            case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
-            case _                                   => None
-          }
-          (asBytes(stats.genericGetMin), asBytes(stats.genericGetMax)) match {
-            case (Some(mn), Some(mx)) =>
-              if (lo == null || cmpBytes(mn, lo) < 0) lo = mn
-              if (hi == null || cmpBytes(mx, hi) > 0) hi = mx
-              sawValue = true
-            case _ => return (0, empty, empty)
-          }
-        } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
-          return (0, empty, empty)
+    try bytesFromFooter(reader.getFooter, column)
+    finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) =>
+    (0, Array.empty[Byte], Array.empty[Byte]) }
+
+  private def bytesFromFooter(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      column: String): (Int, Array[Byte], Array[Byte]) = try {
+    import scala.jdk.CollectionConverters._
+    val empty = Array.empty[Byte]
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    var sawValue = false
+    for (bg <- footer.getBlocks.asScala) {
+      val cc = bg.getColumns.asScala
+        .find(_.getPath.toDotString == column)
+        .getOrElse(return (0, empty, empty))
+      if (!unitOk(cc, Utf8Unit)) return (0, empty, empty)
+      val stats = cc.getStatistics
+      if (stats == null || stats.isEmpty) return (0, empty, empty)
+      if (stats.hasNonNullValue) {
+        def asBytes(v: Any): Option[Array[Byte]] = v match {
+          case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+          case _                                   => None
         }
+        (asBytes(stats.genericGetMin), asBytes(stats.genericGetMax)) match {
+          case (Some(mn), Some(mx)) =>
+            if (lo == null || cmpBytes(mn, lo) < 0) lo = mn
+            if (hi == null || cmpBytes(mx, hi) > 0) hi = mx
+            sawValue = true
+          case _ => return (0, empty, empty)
+        }
+      } else if (!stats.isNumNullsSet || stats.getNumNulls != bg.getRowCount) {
+        return (0, empty, empty)
       }
-      if (sawValue) (2, lo, hi) else (1, empty, empty)
-    } finally reader.close()
+    }
+    if (sawValue) (2, lo, hi) else (1, empty, empty)
   } catch { case scala.util.control.NonFatal(_) =>
     (0, Array.empty[Byte], Array.empty[Byte]) }
 
@@ -271,17 +282,40 @@ object TableStore {
     */
   private[store] def footerStatsCanonical(p: Path,
       conf: org.apache.hadoop.conf.Configuration,
-      column: String, unit: StatsUnit): (Int, String, String) = {
+      column: String, unit: StatsUnit): (Int, String, String) =
+    footerStatsCanonicalMulti(p, conf, Seq(column -> unit)).head._3
+
+  /** Canonical verdicts for SEVERAL (column, unit) specs from ONE footer
+    * open — the manifest-refresh shape: k declared columns must not cost
+    * k footer reads per file. Any open/parse failure yields code 0 for
+    * every spec (conservative: reads keep, maxId scans).
+    */
+  private[store] def footerStatsCanonicalMulti(p: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      specs: Seq[(String, StatsUnit)])
+      : Seq[(String, String, (Int, String, String))] = {
     footerOpens.incrementAndGet()
-    unit match {
-      case Utf8Unit =>
-        val (c, mn, mx) = footerRangeBytes(p, conf, column)
-        val enc = java.util.Base64.getUrlEncoder
-        if (c == 2) (c, enc.encodeToString(mn), enc.encodeToString(mx))
-        else (c, "", "")
-      case u =>
-        val (c, mn, mx) = footerRangeCode(p, conf, column, u)
-        if (c == 2) (c, mn.toString, mx.toString) else (c, "", "")
+    val enc = java.util.Base64.getUrlEncoder
+    val footer: Option[org.apache.parquet.hadoop.metadata.ParquetMetadata] =
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try Some(reader.getFooter) finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    specs.map { case (column, unit) =>
+      val verdict = footer match {
+        case None => (0, "", "")
+        case Some(f) => unit match {
+          case Utf8Unit =>
+            val (c, mn, mx) = bytesFromFooter(f, column)
+            if (c == 2) (c, enc.encodeToString(mn), enc.encodeToString(mx))
+            else (c, "", "")
+          case u =>
+            val (c, mn, mx) = rangeFromFooter(f, column, u)
+            if (c == 2) (c, mn.toString, mx.toString) else (c, "", "")
+        }
+      }
+      (column, unitTag(unit), verdict)
     }
   }
 
@@ -1076,9 +1110,14 @@ final class TableStore(spark: SparkSession, root: String) {
     val missByRel: Seq[(String, (Int, String, String))] =
       if (miss.isEmpty) Nil
       else {
-        val relByPath = miss.map(v => (tablePath(table) + "/" + v._1) -> v._1).toMap
+        // keyed by the CONSTRUCTED Path's toString — the same normalized
+        // form footerScanVerdicts echoes back, so a non-canonical root
+        // (trailing slash) can't silently break the mapping
+        val missPairs = miss.map(v =>
+          (new Path(tablePath(table) + "/" + v._1), v._1))
+        val relByPath = missPairs.map { case (p, rel) => p.toString -> rel }.toMap
         val (cn, u) = (column, unit)
-        footerScanVerdicts(miss.map(v => new Path(tablePath(table) + "/" + v._1)),
+        footerScanVerdicts(missPairs.map(_._1),
           (p, c) => TableStore.footerStatsCanonical(p, c, cn, u))
           .flatMap { case (pstr, ver) => relByPath.get(pstr).map(_ -> ver) }
       }
@@ -1124,10 +1163,13 @@ final class TableStore(spark: SparkSession, root: String) {
     import org.apache.spark.sql.types._
     val schema = read(table).schema
     val specs = columns.map { c =>
-      val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      // resolve case-insensitively but RECORD the schema's exact name:
+      // the parquet footer lookup is case-sensitive, and a mis-cased
+      // declaration would cache permanent code-0 verdicts with no error
+      val field = schema.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"declareStatsColumns: no column '$c' in $table"))
-      val unit = dt match {
+      val unit = field.dataType match {
         case LongType | IntegerType | ShortType | ByteType => TableStore.IntegralUnit
         case TimestampType => TableStore.TimestampMicrosUnit
         case DateType      => TableStore.DateDaysUnit
@@ -1135,7 +1177,7 @@ final class TableStore(spark: SparkSession, root: String) {
         case other => throw new IllegalArgumentException(
           s"declareStatsColumns: unsupported type for '$c': $other")
       }
-      c -> unit
+      field.name -> unit
     }
     setTableProp(table, StatsColsProp,
       specs.map { case (c, u) => s"$c:${TableStore.unitTag(u)}" }.mkString(","))
@@ -1152,37 +1194,73 @@ final class TableStore(spark: SparkSession, root: String) {
       }
 
   /** Rebuild the manifest for every declared column over the CURRENT
-    * file set (one footer pass, two-tier like the reads), then publish
-    * it with a tmp-write + rename. No-op without a declaration. Runs
-    * automatically at the end of [[compactIncremental]] — the cadence
-    * that reshapes the file set — and may be called after bulk loads.
+    * file set and publish it with a tmp-write + rename. No-op without a
+    * declaration. INCREMENTAL: entries for files whose (rel, len, mtime)
+    * identity is unchanged carry over without re-reading their footers,
+    * so a refresh costs O(files changed since the last one) — cheap
+    * enough that [[compactIncremental]] runs it on EVERY cadence,
+    * including no-op passes (a declaration must not wait for the next
+    * real compaction to take effect). New files pay ONE footer open for
+    * all declared columns. ADVISORY end to end: any failure is logged
+    * and swallowed — a maintenance cadence or streaming trigger must
+    * never die for a cache, and the worst outcome is live footer reads.
     */
-  def refreshStatsManifest(table: String): Unit = {
+  def refreshStatsManifest(table: String): Unit =
+    try refreshStatsManifestUnsafe(table)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] stats-manifest refresh skipped for $table: ${e.getMessage}")
+    }
+
+  private def refreshStatsManifestUnsafe(table: String): Unit = {
     val specs = declaredStatsSpecs(table)
     if (specs.isEmpty || !exists(table)) return
     val files = listVisibleFilesMeta(table)
       .filter(v => v._1.endsWith(".parquet") && v._2 > 0)
-    val relByPath = files.map(v => (tablePath(table) + "/" + v._1) -> v).toMap
+    val cachedBySpec = specs.map { case (cn, u) =>
+      (cn, u) -> manifestVerdicts(table, cn, u)
+    }.toMap
+    // a file missing ANY spec's entry is recomputed for ALL specs from
+    // one footer open; fully-covered files carry over untouched
+    val missing = files.filter { v =>
+      specs.exists { case (cn, u) =>
+        !cachedBySpec((cn, u)).contains((v._1, v._2, v._3))
+      }
+    }
     val specs0 = specs
-    val verdicts = footerScanVerdicts(
-      files.map(v => new Path(tablePath(table) + "/" + v._1)),
-      (p, c) => specs0.map { case (cn, u) =>
-        (cn, TableStore.unitTag(u), TableStore.footerStatsCanonical(p, c, cn, u))
-      })
+    val missPairs = missing.map(v =>
+      (new Path(tablePath(table) + "/" + v._1), v._1))
+    val fresh: Map[String, Seq[(String, String, (Int, String, String))]] =
+      footerScanVerdicts(missPairs.map(_._1),
+        (p, c) => TableStore.footerStatsCanonicalMulti(p, c, specs0)).toMap
     val sb = new StringBuilder("v1\n")
-    for {
-      (pstr, perCol) <- verdicts
-      (rel, len, mtime) <- relByPath.get(pstr).toSeq
-      (cn, tag, (code, mn, mx)) <- perCol
-    } sb.append(s"$rel\t$len\t$mtime\t$cn\t$tag\t$code\t$mn\t$mx\n")
+    for ((rel, len, mtime) <- files) {
+      fresh.get(new Path(tablePath(table) + "/" + rel).toString) match {
+        case Some(perCol) =>
+          for ((cn, tag, (code, mn, mx)) <- perCol)
+            sb.append(s"$rel\t$len\t$mtime\t$cn\t$tag\t$code\t$mn\t$mx\n")
+        case None =>
+          for ((cn, u) <- specs) {
+            val (code, mn, mx) = cachedBySpec((cn, u))((rel, len, mtime))
+            sb.append(s"$rel\t$len\t$mtime\t$cn\t${TableStore.unitTag(u)}\t$code\t$mn\t$mx\n")
+          }
+      }
+    }
     val f = fs
     val tmp = new Path(tablePath(table), s".manifest-tmp-${System.nanoTime()}")
     val dest = new Path(tablePath(table), StatsManifest)
-    val out = f.create(tmp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest)) { f.delete(tmp, false); () } // advisory: a miss, not an error
+    try {
+      val out = f.create(tmp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(dest, false)
+      if (!f.rename(tmp, dest)) { f.delete(tmp, false); () }
+    } catch { case e: Throwable =>
+      // never strand a tmp file in the table dir on a failed publish
+      try { f.delete(tmp, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
   }
 
   /** Validated manifest entries for (column, unit): key (rel, len, mtime)
@@ -1300,7 +1378,14 @@ final class TableStore(spark: SparkSession, root: String) {
     val (small, kept) = visible.partition { case (rel, len) =>
       rel.endsWith(".parquet") && len < smallThreshold
     }
-    if (small.size < 2) return CompactStats(0, 0L, 0)
+    if (small.size < 2) {
+      // no-op pass, but the cadence contract still holds: the manifest
+      // covers the current file set (incremental — costs only the files
+      // added since the last refresh, so an all-compacted table pays a
+      // listing and a sidecar rewrite, not a footer pass)
+      refreshStatsManifest(table)
+      return CompactStats(0, 0L, 0)
+    }
 
     val smallBytes = small.map(_._2).sum
     val smallPaths = small.map { case (rel, _) => s"${tablePath(table)}/$rel" }

@@ -44,7 +44,9 @@ class StatsManifestSpec extends AnyFunSuite with SharedSpark {
     }
     assert(nLive == 3, s"uncached read must open all 3 footers, opened $nLive")
 
-    ts.declareStatsColumns("t", Seq("id", "key"))
+    // TWO declared columns still cost ONE footer open per file
+    val (_, nDecl) = opens { ts.declareStatsColumns("t", Seq("id", "key")) }
+    assert(nDecl == 3, s"multi-column refresh must open each footer once, opened $nDecl")
     val (cached, nCached) = opens {
       ts.readRange("t", "id", 120L, 180L).as[(Long, String, String)]
         .collect().toSet
@@ -161,6 +163,54 @@ class StatsManifestSpec extends AnyFunSuite with SharedSpark {
     assert(ts.footerMaxId("t", "id").isEmpty,
       "an unusable footer must decline even when other files are cached")
     assert(ts.maxId("t", "id") == 777777L, "the scan sees the foreign file")
+  }
+
+  test("a trailing-slash store root still prunes (path-normalization keying)") {
+    import spark.implicits._
+    val dir = tmpDir("manifest-slash")
+    val ts = new TableStore(spark, dir + "/") // non-canonical root
+    for (b <- 0 until 3)
+      ts.append("t", (b * 100L + 1 to b * 100L + 100)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val pruned = ts.readRange("t", "id", 120L, 180L)
+    assert(pruned.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() == 1,
+      "pruning must survive a non-canonical root")
+    assert(pruned.count() == 61)
+    // and the manifest round-trips under the same root
+    ts.declareStatsColumns("t", Seq("id"))
+    val (got, n) = opens { ts.readRange("t", "id", 120L, 180L).count() }
+    assert(got == 61 && n == 0, s"manifest must cover under a slash root ($n live)")
+  }
+
+  test("a mis-cased declaration records the schema's exact column name") {
+    import spark.implicits._
+    val root = tmpDir("manifest-case")
+    val ts = threeBatches(root)
+    ts.declareStatsColumns("t", Seq("ID")) // schema column is "id"
+    assert(ts.getTableProp("t", "stats_cols").contains("id:int"),
+      "the prop must carry the footer-exact name, not the caller's casing")
+    val (got, n) = opens { ts.readRange("t", "id", 120L, 180L).count() }
+    assert(got == 61 && n == 0,
+      s"the manifest built from a mis-cased declare must still cover ($n live)")
+  }
+
+  test("a no-op compaction cadence still builds a fresh declaration's manifest") {
+    import spark.implicits._
+    val root = tmpDir("manifest-noop")
+    val ts = new TableStore(spark, root)
+    // one compacted-size file: every cadence no-ops (nothing to pack)
+    ts.append("t", (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    ts.declareStatsColumns("t", Seq("id"), refresh = false)
+    assert(!new java.io.File(s"$root/t/_stats_manifest").exists())
+    ts.compactIncremental("t") // small.size < 2 → no-op pack
+    assert(new java.io.File(s"$root/t/_stats_manifest").exists(),
+      "the no-op cadence must still publish the manifest")
+    val (m, n) = opens { ts.maxId("t", "id") }
+    assert(m == 300L && n == 0, s"maxId must be covered after the no-op cadence ($n live)")
+    // and a SECOND no-op cadence carries entries instead of re-reading
+    val (_, nAgain) = opens { ts.compactIncremental("t") }
+    assert(nAgain == 0, s"incremental refresh must not reopen covered footers ($nAgain)")
   }
 
   test("declareStatsColumns validates columns and types loud") {
