@@ -25,14 +25,36 @@ object Layout {
     * 2j+1. Inputs must already be reduced to `bits` width (pmod, bucket
     * id, quantile rank...); 2·bits ≤ 62 keeps the key in a long.
     */
-  def zorderKey2(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).map { j =>
-      shiftleft(shiftright(al, j).bitwiseAND(lit(1L)), 2 * j) +
-        shiftleft(shiftright(bl, j).bitwiseAND(lit(1L)), 2 * j + 1)
-    }.reduce(_ + _)
+  def zorderKey2(a: Column, b: Column, bits: Int = 16): Column =
+    zorderKeyN(Seq(a, b), bits)
+
+  /** N-dimensional Morton key: bit j of dimension i lands at position
+    * j·n + i, so every dimension stays locally dense in every output
+    * file and parquet min-max pruning works for any single predicate or
+    * conjunction ([[graft.store.TableStore.readRangeAll]] is the
+    * matching read). n·bits ≤ 62 keeps the key in a long; for n = 2 this
+    * is exactly [[zorderKey2]]'s layout.
+    */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"zorderKeyN needs at least 2 dimensions, got $n")
+    require(bits > 0 && n * bits <= 62,
+      s"n*bits must be in [1, 62], got $n*$bits")
+    val longs = cols.map(_.cast("long"))
+    (for {
+      j <- 0 until bits
+      (c, i) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i))
+      .reduce(_ + _)
+  }
+
+  /** Scalar mirror of [[zorderKeyN]] (tests / driver-side planning). */
+  private[graft] def zorderKeyNScalar(vs: Seq[Long], bits: Int): Long = {
+    val n = vs.length
+    var z = 0L
+    for (j <- 0 until bits; i <- 0 until n)
+      z += ((vs(i) >> j) & 1L) << (j * n + i)
+    z
   }
 
   /** Scalar mirror of [[zorderKey2]] (tests / driver-side planning). */
@@ -54,11 +76,16 @@ object Layout {
     * by parquet min-max stats with no layout knowledge.
     */
   def writeZClustered(df: DataFrame, path: String, a: Column, b: Column,
-                      bits: Int = 16, numFiles: Int = 200): DataFrame = {
+                      bits: Int = 16, numFiles: Int = 200): DataFrame =
+    writeZClusteredN(df, path, Seq(a, b), bits, numFiles)
+
+  /** [[writeZClustered]] over N dimensions (the [[zorderKeyN]] curve). */
+  def writeZClusteredN(df: DataFrame, path: String, dims: Seq[Column],
+                       bits: Int = 16, numFiles: Int = 200): DataFrame = {
     val zc = Cols.fresh(df, "_z_key")
     // the key is dropped ABOVE the sort, so files carry only caller
     // columns while rows still land in Z-curve order
-    df.withColumn(zc, zorderKey2(a, b, bits))
+    df.withColumn(zc, zorderKeyN(dims, bits))
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)

@@ -442,6 +442,32 @@ object SelectionProbes {
           min("key").as("kmin"), max("key").as("kmax"))
     },
 
+    // Conjunctive stats-pruned read over a 2-dim Z-ORDERED layout: both
+    // reduced join keys are locally dense in every file, so the
+    // intersection of the per-column file sets prunes harder than either
+    // single range (RangeReadSpec pins the file accounting on 3 dims).
+    // Oracle is the plain two-BETWEEN filter.
+    Probe(
+      "layout_range_conj",
+      "WITH m AS (SELECT l_orderkey % 1024 AS ka, l_partkey % 1024 AS kb, l_quantity FROM lineitem) " +
+        "SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty FROM m " +
+        "WHERE ka BETWEEN 100 AND 300 AND kb BETWEEN 200 AND 400"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-conj-probe")
+      val ts = new graft.store.TableStore(s, root)
+      PhaseTimer.timed("layout_range_conj", "clustered_write") {
+        val m = t(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(1024L)).as("ka"),
+          pmod(col("l_partkey"), lit(1024L)).as("kb"),
+          col("l_quantity"))
+        graft.ops.Layout.writeZClusteredN(m, s"$root/li",
+          Seq(col("ka"), col("kb")), bits = 10, numFiles = 16)
+        ()
+      }
+      ts.readRangeAll("li", Seq(("ka", 100L, 300L), ("kb", 200L, 400L)))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("qty"))
+    },
+
     // Stats-pruned TIMESTAMP range read — the time-window scan an events
     // table answers constantly, over a time-clustered scratch copy. The
     // typed overload keeps parquet's INT64-micro footer stats and the

@@ -1032,6 +1032,33 @@ final class TableStore(spark: SparkSession, root: String) {
       })
   }
 
+  /** Conjunctive stats-pruned read over SEVERAL integral ranges — the
+    * read that makes a multi-dimensional layout pay off: on a Z-ordered
+    * table ([[graft.ops.Layout.writeZClusteredN]]) every dimension's
+    * per-file [min, max] is tight, so the intersection of the per-column
+    * file sets is a small fraction of what any single predicate keeps.
+    * A file proved disjoint from ANY conjunct holds no matching row;
+    * the row filter (the AND of all BETWEENs) still applies, so the
+    * result is always exactly the plain filtered read.
+    */
+  def readRangeAll(table: String,
+                   ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "readRangeAll needs at least one range")
+    if (ranges.exists { case (_, lo, hi) => lo > hi })
+      return read(table).filter(lit(false))
+    val rowFilter = ranges.map { case (c, lo, hi) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _)
+    statsPrunedReadMulti(table, rowFilter, ranges.map { case (c, lo, hi) =>
+      (c, TableStore.IntegralUnit,
+        (v: (Int, String, String)) => v match {
+          case (0, _, _)   => true
+          case (2, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+          case _           => false
+        })
+    })
+  }
+
   /** [[readRange]] for DATE columns — parquet stores DATE as INT32 days
     * since the epoch, so the footer bounds compare against day counts
     * while the row filter stays a Date BETWEEN. `java.sql.Date.toLocalDate
@@ -1098,13 +1125,50 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def statsPrunedRead(table: String, rowFilter: Column,
       column: String, unit: TableStore.StatsUnit,
-      keepVerdict: ((Int, String, String)) => Boolean): DataFrame = {
+      keepVerdict: ((Int, String, String)) => Boolean): DataFrame =
+    statsPrunedReadMulti(table, rowFilter, Seq((column, unit, keepVerdict)))
+
+  /** The conjunctive form: a file survives only if EVERY spec keeps it —
+    * correct because the row filter is the conjunction of the specs'
+    * predicates, so a file proved disjoint from ANY conjunct can hold no
+    * matching row. Per-spec verdicts resolve manifest-first with live
+    * footer reads for the misses, same as the single-column path.
+    */
+  private def statsPrunedReadMulti(table: String, rowFilter: Column,
+      specs: Seq[(String, TableStore.StatsUnit,
+        ((Int, String, String)) => Boolean)]): DataFrame = {
     def fallback = read(table).filter(rowFilter)
     val meta = listVisibleFilesMeta(table)
     if (meta.isEmpty || meta.exists(v => !v._1.endsWith(".parquet")))
       return fallback
     val files = meta.filter(_._2 > 0)
     if (files.isEmpty) return fallback
+    var keepRels: Set[String] = null
+    for ((column, unit, keepVerdict) <- specs) {
+      resolveVerdicts(table, files, column, unit) match {
+        case None => return fallback // path mapping surprise: never guess
+        case Some(verdicts) =>
+          def keeps(v: (Int, String, String)): Boolean =
+            try keepVerdict(v)
+            catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
+          val kept = verdicts.collect { case (rel, v) if keeps(v) => rel }.toSet
+          keepRels = if (keepRels == null) kept else keepRels.intersect(kept)
+          if (keepRels.isEmpty) return read(table).filter(lit(false))
+      }
+    }
+    if (keepRels == null || keepRels.size == files.size) return fallback
+    spark.read.option("basePath", tablePath(table))
+      .parquet(keepRels.toSeq.sorted.map(r => tablePath(table) + "/" + r): _*)
+      .filter(rowFilter)
+  }
+
+  /** One spec's verdict per file, manifest-first: None only when a live
+    * footer path cannot be mapped back to a listed file (the caller must
+    * fall back rather than guess).
+    */
+  private def resolveVerdicts(table: String, files: Seq[(String, Long, Long)],
+      column: String, unit: TableStore.StatsUnit)
+      : Option[Seq[(String, (Int, String, String))]] = {
     val cached = manifestVerdicts(table, column, unit)
     val (hit, miss) = files.partition(v => cached.contains((v._1, v._2, v._3)))
     val missByRel: Seq[(String, (Int, String, String))] =
@@ -1121,18 +1185,8 @@ final class TableStore(spark: SparkSession, root: String) {
           (p, c) => TableStore.footerStatsCanonical(p, c, cn, u))
           .flatMap { case (pstr, ver) => relByPath.get(pstr).map(_ -> ver) }
       }
-    if (missByRel.size != miss.size) return fallback // path mapping surprise
-    val verdicts = hit.map(v => v._1 -> cached((v._1, v._2, v._3))) ++ missByRel
-    def keeps(v: (Int, String, String)): Boolean =
-      try keepVerdict(v)
-      catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
-    val keep = verdicts.collect { case (rel, v) if keeps(v) =>
-      tablePath(table) + "/" + rel
-    }
-    if (keep.isEmpty) return read(table).filter(lit(false))
-    if (keep.length == files.length) return fallback // nothing pruned
-    spark.read.option("basePath", tablePath(table)).parquet(keep: _*)
-      .filter(rowFilter)
+    if (missByRel.size != miss.size) None
+    else Some(hit.map(v => v._1 -> cached((v._1, v._2, v._3))) ++ missByRel)
   }
 
   // -------------------------------------------------------------------

@@ -259,6 +259,62 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       "millis-encoded footers must not be compared against micro bounds")
   }
 
+  test("conjunctive readRangeAll prunes harder than either single range") {
+    import spark.implicits._
+    val root = tmpDir("range-conj")
+    val ts = new TableStore(spark, root)
+    // 3-dim Z-order over INDEPENDENT dimensions (a pure mod of i would
+    // make all three functions of i%64 and the conjunction empty)
+    val df = (0L until 8192L)
+      .map(i => (i % 64, (i / 64) % 64, ((i * 2654435761L) >>> 7) % 64, i))
+      .toDF("a", "b", "c", "payload")
+    graft.ops.Layout.writeZClusteredN(df, s"$root/t",
+      Seq(col("a"), col("b"), col("c")), bits = 6, numFiles = 32)
+    val total = new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(total >= 16)
+
+    def scanned(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(input_file_name()).distinct().count()
+    val single = ts.readRange("t", "a", 3L, 6L)
+    val conj = ts.readRangeAll("t",
+      Seq(("a", 3L, 6L), ("b", 10L, 20L), ("c", 0L, 31L)))
+    assert(scanned(conj) <= scanned(single),
+      "the conjunction must never scan more files than one conjunct")
+    assert(scanned(conj) < total)
+    val want = ts.read("t")
+      .filter(col("a").between(3L, 6L) && col("b").between(10L, 20L) &&
+        col("c").between(0L, 31L)).count()
+    assert(conj.count() == want && want > 0)
+    // an inverted bound anywhere empties the conjunction
+    assert(ts.readRangeAll("t", Seq(("a", 3L, 6L), ("b", 9L, 2L))).isEmpty)
+    // and the manifest covers every conjunct at once
+    ts.declareStatsColumns("t", Seq("a", "b", "c"))
+    val before = TableStore.footerOpens.get()
+    assert(ts.readRangeAll("t",
+      Seq(("a", 3L, 6L), ("b", 10L, 20L))).count() == ts.read("t")
+      .filter(col("a").between(3L, 6L) && col("b").between(10L, 20L)).count())
+    assert(TableStore.footerOpens.get() == before,
+      "a declared conjunction must answer without live footer opens")
+  }
+
+  test("zorderKeyN matches its scalar mirror and the 2-dim key") {
+    import spark.implicits._
+    val df = (0L until 512L)
+      .map(i => (i % 32, i * 7 % 32, i * 13 % 32)).toDF("a", "b", "c")
+    val got = df.select(
+      graft.ops.Layout.zorderKeyN(Seq(col("a"), col("b"), col("c")), 5).as("z3"),
+      graft.ops.Layout.zorderKey2(col("a"), col("b"), 5).as("z2"),
+      col("a"), col("b"), col("c")).collect()
+    for (r <- got) {
+      assert(r.getAs[Long]("z3") == graft.ops.Layout.zorderKeyNScalar(
+        Seq(r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c")), 5))
+      assert(r.getAs[Long]("z2") == graft.ops.Layout.zorderKey2Scalar(
+        r.getAs[Long]("a"), r.getAs[Long]("b"), 5),
+        "the 2-dim key must be unchanged by the N-dim generalization")
+    }
+  }
+
   test("z-clustered layout prunes on either dimension") {
     import spark.implicits._
     val root = tmpDir("range-z")
