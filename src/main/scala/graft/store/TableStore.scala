@@ -1131,8 +1131,9 @@ final class TableStore(spark: SparkSession, root: String) {
   /** The conjunctive form: a file survives only if EVERY spec keeps it —
     * correct because the row filter is the conjunction of the specs'
     * predicates, so a file proved disjoint from ANY conjunct can hold no
-    * matching row. Per-spec verdicts resolve manifest-first with live
-    * footer reads for the misses, same as the single-column path.
+    * matching row. Verdicts resolve manifest-first, and every miss file
+    * pays ONE footer open for ALL specs (the k-conjunct read must not
+    * cost k footer passes) and ONE manifest parse total.
     */
   private def statsPrunedReadMulti(table: String, rowFilter: Column,
       specs: Seq[(String, TableStore.StatsUnit,
@@ -1143,50 +1144,49 @@ final class TableStore(spark: SparkSession, root: String) {
       return fallback
     val files = meta.filter(_._2 > 0)
     if (files.isEmpty) return fallback
-    var keepRels: Set[String] = null
-    for ((column, unit, keepVerdict) <- specs) {
-      resolveVerdicts(table, files, column, unit) match {
-        case None => return fallback // path mapping surprise: never guess
-        case Some(verdicts) =>
-          def keeps(v: (Int, String, String)): Boolean =
-            try keepVerdict(v)
-            catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
-          val kept = verdicts.collect { case (rel, v) if keeps(v) => rel }.toSet
-          keepRels = if (keepRels == null) kept else keepRels.intersect(kept)
-          if (keepRels.isEmpty) return read(table).filter(lit(false))
+    val cachedBySpec = manifestVerdictsAll(table,
+      specs.map { case (cn, u, _) => (cn, u) })
+    // a file missing ANY spec's cached entry is read live — once, for
+    // every spec, via the multi-column canonical reader
+    val missing = files.filter { v =>
+      specs.exists { case (cn, u, _) =>
+        !cachedBySpec((cn, TableStore.unitTag(u))).contains((v._1, v._2, v._3))
       }
+    }
+    val specs0 = specs.map { case (cn, u, _) => (cn, u) }
+    // keyed by the CONSTRUCTED Path's toString — the same normalized
+    // form footerScanVerdicts echoes back, so a non-canonical root
+    // (trailing slash) can't silently break the mapping
+    val missPairs = missing.map(v =>
+      (new Path(tablePath(table) + "/" + v._1), v._1))
+    val relByPath = missPairs.map { case (p, rel) => p.toString -> rel }.toMap
+    val freshByRel: Map[String, Map[(String, String), (Int, String, String)]] =
+      footerScanVerdicts(missPairs.map(_._1),
+        (p, c) => TableStore.footerStatsCanonicalMulti(p, c, specs0))
+        .flatMap { case (pstr, perCol) =>
+          relByPath.get(pstr).map(rel =>
+            rel -> perCol.map { case (cn, tag, v) => (cn, tag) -> v }.toMap)
+        }.toMap
+    if (freshByRel.size != missing.size) return fallback // mapping surprise
+    var keepRels: Set[String] = null
+    for ((cn, u, keepVerdict) <- specs) {
+      val tag = TableStore.unitTag(u)
+      val cached = cachedBySpec((cn, tag))
+      def keeps(v: (Int, String, String)): Boolean =
+        try keepVerdict(v)
+        catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
+      val kept = files.filter { v =>
+        cached.get((v._1, v._2, v._3))
+          .orElse(freshByRel.get(v._1).flatMap(_.get((cn, tag))))
+          .forall(keeps) // absent verdict → conservative keep
+      }.map(_._1).toSet
+      keepRels = if (keepRels == null) kept else keepRels.intersect(kept)
+      if (keepRels.isEmpty) return read(table).filter(lit(false))
     }
     if (keepRels == null || keepRels.size == files.size) return fallback
     spark.read.option("basePath", tablePath(table))
       .parquet(keepRels.toSeq.sorted.map(r => tablePath(table) + "/" + r): _*)
       .filter(rowFilter)
-  }
-
-  /** One spec's verdict per file, manifest-first: None only when a live
-    * footer path cannot be mapped back to a listed file (the caller must
-    * fall back rather than guess).
-    */
-  private def resolveVerdicts(table: String, files: Seq[(String, Long, Long)],
-      column: String, unit: TableStore.StatsUnit)
-      : Option[Seq[(String, (Int, String, String))]] = {
-    val cached = manifestVerdicts(table, column, unit)
-    val (hit, miss) = files.partition(v => cached.contains((v._1, v._2, v._3)))
-    val missByRel: Seq[(String, (Int, String, String))] =
-      if (miss.isEmpty) Nil
-      else {
-        // keyed by the CONSTRUCTED Path's toString — the same normalized
-        // form footerScanVerdicts echoes back, so a non-canonical root
-        // (trailing slash) can't silently break the mapping
-        val missPairs = miss.map(v =>
-          (new Path(tablePath(table) + "/" + v._1), v._1))
-        val relByPath = missPairs.map { case (p, rel) => p.toString -> rel }.toMap
-        val (cn, u) = (column, unit)
-        footerScanVerdicts(missPairs.map(_._1),
-          (p, c) => TableStore.footerStatsCanonical(p, c, cn, u))
-          .flatMap { case (pstr, ver) => relByPath.get(pstr).map(_ -> ver) }
-      }
-    if (missByRel.size != miss.size) None
-    else Some(hit.map(v => v._1 -> cached((v._1, v._2, v._3))) ++ missByRel)
   }
 
   // -------------------------------------------------------------------
@@ -1323,21 +1323,35 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def manifestVerdicts(table: String, column: String,
       unit: TableStore.StatsUnit): Map[(String, Long, Long), (Int, String, String)] =
+    manifestVerdictsAll(table, Seq(column -> unit))((column, TableStore.unitTag(unit)))
+
+  /** As [[manifestVerdicts]] for several specs from ONE sidecar read and
+    * parse: (column, tag) → entry map (every requested spec present,
+    * possibly empty). A k-conjunct read must not re-read the sidecar k
+    * times.
+    */
+  private def manifestVerdictsAll(table: String,
+      specs: Seq[(String, TableStore.StatsUnit)])
+      : Map[(String, String), Map[(String, Long, Long), (Int, String, String)]] = {
+    val wanted = specs.map { case (cn, u) => (cn, TableStore.unitTag(u)) }
+    val empty = wanted.map(_ -> Map.empty[(String, Long, Long), (Int, String, String)]).toMap
     try {
       val text = Sidecar.read(new Path(tablePath(table), StatsManifest),
-        spark.sparkContext.hadoopConfiguration).getOrElse(return Map.empty)
+        spark.sparkContext.hadoopConfiguration).getOrElse(return empty)
       val lines = text.linesIterator.toSeq
-      if (!lines.headOption.contains("v1")) return Map.empty
-      val tag = TableStore.unitTag(unit)
-      lines.drop(1).flatMap { l =>
+      if (!lines.headOption.contains("v1")) return empty
+      val wantedSet = wanted.toSet
+      val parsed = lines.drop(1).flatMap { l =>
         l.split("\t", -1) match {
           case Array(rel, len, mtime, cn, t, code, mn, mx)
-            if cn == column && t == tag =>
-            Some((rel, len.toLong, mtime.toLong) -> ((code.toInt, mn, mx)))
+            if wantedSet.contains((cn, t)) =>
+            Some((cn, t) -> ((rel, len.toLong, mtime.toLong) -> ((code.toInt, mn, mx))))
           case _ => None
         }
-      }.toMap
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toMap }
+      empty ++ parsed
+    } catch { case scala.util.control.NonFatal(_) => empty }
+  }
 
   /** Shared two-tier footer fan-out for the stats-pruned reads: driver
     * pool below [[TableStore.ExecutorFooterThreshold]] files, one

@@ -274,14 +274,19 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
       .count(_.getName.endsWith(".parquet"))
     assert(total >= 16)
 
-    def scanned(d: org.apache.spark.sql.DataFrame): Long =
-      d.select(input_file_name()).distinct().count()
     val single = ts.readRange("t", "a", 3L, 6L)
     val conj = ts.readRangeAll("t",
       Seq(("a", 3L, 6L), ("b", 10L, 20L), ("c", 0L, 31L)))
-    assert(scanned(conj) <= scanned(single),
+    assert(scannedFiles(conj) <= scannedFiles(single),
       "the conjunction must never scan more files than one conjunct")
-    assert(scanned(conj) < total)
+    assert(scannedFiles(conj) < total)
+    // a k-conjunct read opens each uncovered footer ONCE, not k times
+    val opensBefore = TableStore.footerOpens.get()
+    ts.readRangeAll("t",
+      Seq(("a", 3L, 6L), ("b", 10L, 20L), ("c", 0L, 31L))).count()
+    val opened = TableStore.footerOpens.get() - opensBefore
+    assert(opened == total,
+      s"3-conjunct read must cost one open per file ($opened vs $total)")
     val want = ts.read("t")
       .filter(col("a").between(3L, 6L) && col("b").between(10L, 20L) &&
         col("c").between(0L, 31L)).count()
