@@ -36,6 +36,14 @@ object Bench {
       .foreach(n => System.err.println(s"[bench] unknown query name: $n")))
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter(kv => names.contains(kv._1)))
+    // each query runs ITERS times and reports the MIN: single-shot timings
+    // proved noise-limited (round 11: the same commit measured 110 s and
+    // 159 s on the same code, 4-6× swings on untouched shuffle joins from
+    // host contention) — the min of two runs filters contention spikes
+    // while plan-level regressions still show in both runs. Raw per-run
+    // values are kept in "runs" so a cross-round diff can see the spread.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
     var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // periodic full GC outside the timer: lets the ContextCleaner drop
@@ -43,26 +51,40 @@ object Bench {
       // mid-suite pauses (a 125-query single-JVM run otherwise GCs at
       // arbitrary points INSIDE some unlucky query's timing window)
       sinceGc += 1
-      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
-      // discard any phase entries recorded under this name BEFORE the
-      // timer opens (a correctness pass or aborted run earlier in the
-      // same JVM) — else a query's phases map can exceed its reported sec
-      graft.probes.PhaseTimer.drain(name)
-      val t0 = System.nanoTime()
-      // a failed query must NOT silently contribute a misleadingly fast
-      // timing (a broken analysis "runs" in milliseconds): record it in
-      // the failed list and surface that list in the summary JSON
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val t = (System.nanoTime() - t0) / 1e9
-      // sub-phase attribution for multi-stage probes (index build vs
-      // query, ingest vs read-back): drained per query so nothing leaks
-      // into a later iteration; empty for single-stage probes
-      val phases = graft.probes.PhaseTimer.drain(name)
+      if (sinceGc >= 10) { sinceGc = 0; System.gc() }
+      val runs = (1 to iters).map { _ =>
+        // discard any phase entries recorded under this name BEFORE the
+        // timer opens (a correctness pass, aborted run, or the previous
+        // iteration) — else a query's phases map can exceed its sec
+        graft.probes.PhaseTimer.drain(name)
+        val t0 = System.nanoTime()
+        // a failed query must NOT silently contribute a misleadingly fast
+        // timing (a broken analysis "runs" in milliseconds): record it in
+        // the failed list and surface that list in the summary JSON
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        // sub-phase attribution for multi-stage probes (index build vs
+        // query, ingest vs read-back): drained per iteration so nothing
+        // leaks into a later one; empty for single-stage probes
+        val phases = graft.probes.PhaseTimer.drain(name)
+        // inter-query hygiene, outside the timer: queries that persist or
+        // localCheckpoint intermediates would otherwise accumulate block-
+        // manager state across 100+ queries and tax later queries with GC
+        // pauses (observed as multi-second outliers on mid-alphabet joins)
+        spark.catalog.clearCache()
+        (t, ok, phases)
+      }
+      val okRuns = runs.filter(_._2)
+      val ok = okRuns.nonEmpty
+      // min over the SUCCESSFUL runs; phases from that same run so the
+      // sub-phase sum stays consistent with the reported second count
+      val (t, _, phases) =
+        if (ok) okRuns.minBy(_._1) else runs.minBy(_._1)
       val phasesJson = phases
         .map { case (p, s) => s"\"" + p + "\":" + s }.mkString("{", ",", "}")
       // per-query line as it completes: even if the driver truncates the
@@ -70,25 +92,24 @@ object Bench {
       // Double.toString (not the f-interpolator) — locale-independent,
       // so the JSON stays valid on comma-decimal default locales
       val phaseField = if (phases.isEmpty) "" else s""","phases":$phasesJson"""
-      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok$phaseField}""")
-      // inter-query hygiene, outside the timer: queries that persist or
-      // localCheckpoint intermediates would otherwise accumulate block-
-      // manager state across 100+ queries and tax later queries with GC
-      // pauses (observed as multi-second outliers on mid-alphabet joins)
-      spark.catalog.clearCache()
-      (name, t, ok, phases)
+      val runsField = runs.map(_._1).mkString("[", ",", "]")
+      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok,"runs":$runsField$phaseField}""")
+      (name, t, ok, phases, runs.map(_._1))
     }
-    val qs = results.collect { case (k, v, true, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val phasesAll = results.collect { case (k, _, _, ph) if ph.nonEmpty =>
+    val runsAll = results.map { case (k, _, _, _, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val phasesAll = results.collect { case (k, _, _, ph, _) if ph.nonEmpty =>
       s"\"" + k + "\":" + ph.map { case (p, s) => s"\"" + p + "\":" + s }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"phases":$phasesAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"runs":$runsAll,"phases":$phasesAll,"sf":"$sfDir"}"""
     // the full JSON also goes to a file: the driver's stdout capture has
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact
