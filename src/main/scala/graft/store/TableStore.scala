@@ -324,6 +324,83 @@ object TableStore {
     * them. Per-JVM (local-mode tests share the JVM with executors).
     */
   private[store] val footerOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Hive partition (column → value) pairs parsed from a file's
+    * table-relative path: every DIRECTORY segment of the form `name=value`
+    * (the filename itself never participates, so a flat-layout part file
+    * parses to empty). Values are unescaped from Spark's `%xx` partition-
+    * path escaping.
+    */
+  private[store] def hivePartitionValues(rel: String): Map[String, String] = {
+    val segs = rel.split("/")
+    if (segs.length <= 1) Map.empty
+    else segs.iterator.take(segs.length - 1).flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) None
+      else Some(s.substring(0, i) -> unescapePathName(s.substring(i + 1)))
+    }.toMap
+  }
+
+  /** Inverse of Spark/Hive partition-path escaping: `%xx` two-hex-digit
+    * sequences decode to their character; anything malformed passes
+    * through verbatim (the caller's verdict derivation then fails closed
+    * to a conservative keep).
+    */
+  private[store] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Canonical verdict for a file derived from its HIVE PARTITION value
+    * when the pruned column IS a partition column — partition columns are
+    * not stored in the data pages, so their footers carry no statistics
+    * (a live read would yield code 0 = keep everything); the directory
+    * name IS the exact single value of every row in the file, i.e.
+    * min = max = value. This is the partition-pruning tier of the stats-
+    * pruned reads: on a hive-partitioned table the partition conjunct
+    * prunes whole directories with ZERO footer opens, and the remaining
+    * data-column conjuncts prune the survivors by footer. None when the
+    * column is not a partition column of this file or the value does not
+    * parse in the unit (→ caller falls through to footer stats / keep).
+    * `__HIVE_DEFAULT_PARTITION__` is the null partition: code 1
+    * (provably value-less), which every BETWEEN-shaped keepVerdict drops
+    * — correct because BETWEEN is null-rejecting.
+    */
+  private[store] def partitionVerdict(values: Map[String, String],
+      column: String, unit: StatsUnit): Option[(Int, String, String)] = {
+    val v = values.get(column).orElse(
+      values.collectFirst { case (k, x) if k.equalsIgnoreCase(column) => x })
+    v.flatMap {
+      case "__HIVE_DEFAULT_PARTITION__" => Some((1, "", ""))
+      case s => unit match {
+        case IntegralUnit =>
+          scala.util.Try(s.toLong).toOption.map(l => (2, l.toString, l.toString))
+        case Utf8Unit =>
+          val b = java.util.Base64.getUrlEncoder.encodeToString(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Some((2, b, b))
+        case DateDaysUnit =>
+          scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption
+            .map(d => (2, d.toString, d.toString))
+        // partition timestamp rendering varies by writer config (escaped
+        // colons, optional fractional seconds, session zone) — resolve
+        // conservatively through footers instead of guessing a format
+        case TimestampMicrosUnit => None
+      }
+    }
+  }
 }
 
 /** Parquet-backed relational table store with CRUD semantics over immutable
@@ -1146,11 +1223,34 @@ final class TableStore(spark: SparkSession, root: String) {
     if (files.isEmpty) return fallback
     val cachedBySpec = manifestVerdictsAll(table,
       specs.map { case (cn, u, _) => (cn, u) })
-    // a file missing ANY spec's cached entry is read live — once, for
-    // every spec, via the multi-column canonical reader
-    val missing = files.filter { v =>
+    // the partition tier runs FIRST: a spec whose column is a hive
+    // PARTITION column of a file resolves from the directory name alone —
+    // partition columns carry no footer statistics, so without this tier
+    // they would cost a (useless, code-0) footer open per file and never
+    // prune. Files a partition-derived verdict proves disjoint drop
+    // before the footer stage, so on a partitioned table the data-column
+    // conjuncts pay footer opens only inside the SURVIVING directories
+    // (prune dirs by partition value, then files by footer).
+    val partValsByRel: Map[String, Map[String, String]] =
+      files.iterator.map(v => v._1 -> TableStore.hivePartitionValues(v._1)).toMap
+    def keepsBy(keepVerdict: ((Int, String, String)) => Boolean)(
+        v: (Int, String, String)): Boolean =
+      try keepVerdict(v)
+      catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
+    val survivors = files.filter { v =>
+      specs.forall { case (cn, u, keepVerdict) =>
+        TableStore.partitionVerdict(partValsByRel(v._1), cn, u)
+          .forall(keepsBy(keepVerdict))
+      }
+    }
+    if (survivors.isEmpty) return read(table).filter(lit(false))
+    // a surviving file missing ANY spec's partition-derived or cached
+    // entry is read live — once, for every spec, via the multi-column
+    // canonical reader
+    val missing = survivors.filter { v =>
       specs.exists { case (cn, u, _) =>
-        !cachedBySpec((cn, TableStore.unitTag(u))).contains((v._1, v._2, v._3))
+        TableStore.partitionVerdict(partValsByRel(v._1), cn, u).isEmpty &&
+          !cachedBySpec((cn, TableStore.unitTag(u))).contains((v._1, v._2, v._3))
       }
     }
     val specs0 = specs.map { case (cn, u, _) => (cn, u) }
@@ -1172,13 +1272,11 @@ final class TableStore(spark: SparkSession, root: String) {
     for ((cn, u, keepVerdict) <- specs) {
       val tag = TableStore.unitTag(u)
       val cached = cachedBySpec((cn, tag))
-      def keeps(v: (Int, String, String)): Boolean =
-        try keepVerdict(v)
-        catch { case scala.util.control.NonFatal(_) => true } // undecodable → scan
-      val kept = files.filter { v =>
-        cached.get((v._1, v._2, v._3))
+      val kept = survivors.filter { v =>
+        TableStore.partitionVerdict(partValsByRel(v._1), cn, u)
+          .orElse(cached.get((v._1, v._2, v._3)))
           .orElse(freshByRel.get(v._1).flatMap(_.get((cn, tag))))
-          .forall(keeps) // absent verdict → conservative keep
+          .forall(keepsBy(keepVerdict)) // absent verdict → conservative keep
       }.map(_._1).toSet
       keepRels = if (keepRels == null) kept else keepRels.intersect(kept)
       if (keepRels.isEmpty) return read(table).filter(lit(false))

@@ -87,22 +87,108 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
     assert(pruned.count() == 6)
   }
 
-  test("a column with no usable stats (partition column) keeps all files") {
+  test("a partition column prunes whole directories with zero footer opens") {
     import spark.implicits._
     val root = tmpDir("range-part")
     val ts = new TableStore(spark, root)
     ts.appendPartitioned("t",
       (1L to 60L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "p"),
       Seq("p"))
-    // p exists only in directory names, not footers → conservative keep;
-    // Spark's own partition pruning then handles the directories
+    // p exists only in directory names, not footers — the partition tier
+    // answers every file from its dir name, so the read prunes to the
+    // p=1 directory without opening a single footer
+    val opensBefore = TableStore.footerOpens.get()
     val got = ts.readRange("t", "p", 1L, 1L)
     assert(got.count() == 20)
+    assert(TableStore.footerOpens.get() == opensBefore,
+      "a partition-column range must resolve without footer opens")
+    assert(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains("p=1")),
+      "only the p=1 directory's files may be planned")
     // and a data column still prunes on the partitioned layout
     val byId = ts.readRange("t", "id", 10L, 20L)
     assert(byId.count() == 11)
     assert(byId.columns.toSet == Set("id", "v", "p"),
       "partition columns must survive the basePath read")
+  }
+
+  test("partition dirs and footer stats compose: dirs prune first, footers after") {
+    import spark.implicits._
+    val root = tmpDir("range-part-conj")
+    val ts = new TableStore(spark, root)
+    // per-partition appends so each p=… dir holds id-banded files: three
+    // partitions × three disjoint id bands, one file each
+    for (p <- 0 until 3; b <- 0 until 3)
+      ts.appendPartitioned("t",
+        (b * 100L + 1 to b * 100L + 100).map(i => (i, s"v$p-$i", p))
+          .toDF("id", "v", "p").coalesce(1),
+        Seq("p"))
+    val allFiles = new TableStore(spark, root).read("t")
+      .select(input_file_name()).distinct().count()
+    assert(allFiles == 9)
+    // conjunctive read: the p conjunct must confine the footer pass to
+    // the surviving directory — 3 opens, not 9
+    val opensBefore = TableStore.footerOpens.get()
+    val conj = ts.readRangeAll("t", Seq(("p", 1L, 1L), ("id", 120L, 180L)))
+    val rows = conj.count()
+    val opened = TableStore.footerOpens.get() - opensBefore
+    assert(opened == 3,
+      s"footer opens must cover only the surviving dir's files, got $opened")
+    assert(conj.inputFiles.length == 1,
+      "one file (p=1, id band 101-200) must survive both tiers")
+    assert(rows == 61)
+    val want = ts.read("t")
+      .filter(col("p") === 1 && col("id").between(120L, 180L))
+      .as[(Long, String, Int)].collect().toSet
+    assert(conj.as[(Long, String, Int)].collect().toSet == want)
+    // a disjoint partition value empties the read before any footer work
+    val before2 = TableStore.footerOpens.get()
+    assert(ts.readRangeAll("t", Seq(("p", 7L, 7L), ("id", 120L, 180L))).isEmpty)
+    assert(TableStore.footerOpens.get() == before2,
+      "a partition-disjoint conjunction must not open footers")
+    // the manifest composes too: declared id stats + partition dirs →
+    // zero live opens on a fully-covered conjunctive read
+    ts.declareStatsColumns("t", Seq("id"))
+    val before3 = TableStore.footerOpens.get()
+    assert(ts.readRangeAll("t",
+      Seq(("p", 1L, 1L), ("id", 120L, 180L))).count() == 61)
+    assert(TableStore.footerOpens.get() == before3,
+      "manifest-covered id stats + partition dirs must need no live opens")
+  }
+
+  test("null partition dir is pruned by a range; escaped values stay exact") {
+    import spark.implicits._
+    val root = tmpDir("range-part-null")
+    val ts = new TableStore(spark, root)
+    ts.appendPartitioned("t",
+      Seq((1L, "a", Option(1)), (2L, "b", Option(2)), (3L, "n", Option.empty[Int]))
+        .toDF("id", "v", "p"),
+      Seq("p"))
+    // the __HIVE_DEFAULT_PARTITION__ dir holds only null p — BETWEEN is
+    // null-rejecting, so the partition tier proves it value-less (code 1)
+    val got = ts.readRange("t", "p", 1L, 2L)
+    assert(got.count() == 2)
+    assert(got.inputFiles.nonEmpty &&
+      got.inputFiles.forall(f => !f.contains("HIVE_DEFAULT_PARTITION")),
+      "the null-partition dir must be pruned")
+    // string partition values round-trip Spark's %xx path escaping
+    val root2 = tmpDir("range-part-esc")
+    val ts2 = new TableStore(spark, root2)
+    ts2.appendPartitioned("t",
+      Seq((1L, "k a:b"), (2L, "plain")).toDF("id", "k").coalesce(1), Seq("k"))
+    val hit = ts2.readPrefix("t", "k", "k a")
+    assert(hit.count() == 1, "escaped partition value must match its prefix")
+    assert(ts2.readPrefix("t", "k", "zz").isEmpty)
+  }
+
+  test("unescapePathName decodes %xx and passes malformed escapes through") {
+    assert(TableStore.unescapePathName("a%3Ab") == "a:b")
+    assert(TableStore.unescapePathName("a%2Fb%25c") == "a/b%c")
+    assert(TableStore.unescapePathName("plain") == "plain")
+    assert(TableStore.unescapePathName("bad%zz") == "bad%zz")
+    assert(TableStore.unescapePathName("tail%3") == "tail%3")
+    assert(TableStore.hivePartitionValues("p=1/q=x%3Ay/part-0.parquet") ==
+      Map("p" -> "1", "q" -> "x:y"))
+    assert(TableStore.hivePartitionValues("part-0.parquet").isEmpty)
   }
 
   test("timestamp range read prunes time-clustered files, micro-exact") {
