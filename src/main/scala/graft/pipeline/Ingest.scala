@@ -116,6 +116,21 @@ object IngestPipeline {
   def chunkBucket(documentId: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(documentId), lit(buckets.toLong))
 
+  /** Scalar mirror of [[chunkBucket]] for DRIVER-side bucket derivation
+    * (the serving point reads compute the one bucket to prune to before
+    * any plan exists). Must stay bit-identical to the Column form:
+    * Spark's `xxhash64` is XXH64 over the long's 8 little-endian bytes
+    * with seed 42 (`XxHash64.seed`), which is exactly
+    * `XXH64.hashLong(v, 42)`; `pmod` is the sign-safe modulus.
+    * `IngestDocStoreSpec` pins scalar == Column across random ids — a
+    * drift here would silently empty every chunk read.
+    */
+  def chunkBucketScalar(documentId: Long, buckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(documentId, 42L)
+    val b = buckets.toLong
+    ((h % b) + b) % b
+  }
+
   /** Identity of a streaming checkpoint: the query id Structured Streaming
     * persists in `<checkpoint>/metadata` at query start. Stable across
     * restarts on the same checkpoint; fresh for a new (or wiped) one —
@@ -309,28 +324,48 @@ final class IngestPipeline(
       val enabled = cfg.flagNearDups ||
         (table != "minhash_bands" && table != "near_dup_flags")
       if (enabled && tables.exists(table)) {
-        // [EXT] stats-manifest declaration for the SERIAL id tables,
+        // [EXT] stats-manifest declaration for the serving-read columns,
         // piggybacked on the compaction cadence (the stream lifecycle
-        // the manifest exists for — maxId runs every trigger, and a
-        // manifest makes its footer pass O(appends since this cadence)).
-        // Declared WITHOUT an immediate refresh: compactIncremental
-        // rebuilds the manifest right below. Advisory — a failure here
-        // must never fail the cadence
-        if (cfg.idStrategy == "dense" && SerialIdTables.contains(table) &&
-            tables.getTableProp(table, "stats_cols").isEmpty)
-          try tables.declareStatsColumns(table, Seq("id"), refresh = false)
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[ingest] stats-manifest declare skipped for $table: ${e.getMessage}")
-          }
+        // the manifest exists for — maxId runs every trigger and the
+        // DocumentStore point reads prune on id/document_id, and a
+        // manifest makes their footer pass O(appends since this
+        // cadence)). Upgrade-aware: a table declared in an earlier
+        // lifetime with a SUBSET of the wanted columns (rounds ≤11
+        // declared only `id`) is re-declared with the union, preserving
+        // any extra operator-declared columns. Declared WITHOUT an
+        // immediate refresh: compactIncremental rebuilds the manifest
+        // right below. Advisory — a failure here must never fail the
+        // cadence
+        StatsDeclarations.get(table).foreach { want =>
+          val declared = tables.getTableProp(table, "stats_cols").toSeq
+            .flatMap(_.split(",").toSeq)
+            .flatMap(_.split(":", 2).headOption).filter(_.nonEmpty)
+          if (!want.forall(declared.contains))
+            try tables.declareStatsColumns(table,
+              (declared ++ want).distinct, refresh = false)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[ingest] stats-manifest declare skipped for $table: ${e.getMessage}")
+            }
+        }
         tables.compactIncremental(table, smallThreshold = cfg.compactSmallBytes,
           partitionCols = parts)
         ()
       }
     }
 
-  /** The owned tables whose `id` is SERIAL-allocated via `maxId`. */
-  private val SerialIdTables = Set("documents", "document_chunks", "chart_data")
+  /** The stats-manifest columns each owned table maintains: `id` feeds
+    * the SERIAL allocator's footer pass (maxId, every trigger) and the
+    * documents point read; `document_id` feeds the child-table serving
+    * reads (getChunks/getCharts — the reference's FK index,
+    * schema.py:14). `doc_bucket` is deliberately absent: it is a hive
+    * PARTITION column, which the reads resolve from directory names with
+    * no manifest at all.
+    */
+  private val StatsDeclarations: Map[String, Seq[String]] = Map(
+    "documents"       -> Seq("id"),
+    "document_chunks" -> Seq("id", "document_id"),
+    "chart_data"      -> Seq("id", "document_id"))
 
   /** Core of E8 (pdf_parser.py:201-253) over one batch of binary rows. */
   def ingestBinary(bin: DataFrame, now: Timestamp): IngestStats = {

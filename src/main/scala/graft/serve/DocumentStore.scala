@@ -58,33 +58,63 @@ final class DocumentStore(
     }
   }
 
+  private val DocDdl =
+    "id BIGINT, filename STRING, total_chunks INT, metainfo STRING, " +
+      "created_at TIMESTAMP, updated_at TIMESTAMP"
+  private val ChunkDdl =
+    "id BIGINT, document_id BIGINT, chunk_index INT, text_content STRING, " +
+      "entities STRING, chunk_metadata STRING, created_at TIMESTAMP, " +
+      "doc_bucket BIGINT"
+  private val ChartDdl =
+    "id BIGINT, document_id BIGINT, info STRING, image_path STRING, " +
+      "created_at TIMESTAMP"
+
+  private def emptyDf(ddl: String): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   // a store can legitimately be queried before its first batch commits
   // (HttpShim starts with the stream) — a missing table is an EMPTY
   // table to the serving surface (api.py returns 200 [] / 404 there),
   // never a 500 from a nonexistent path
   private def readOr(table: String, ddl: String): DataFrame =
-    if (tables.exists(table)) tables.read(table)
-    else spark.createDataFrame(java.util.Collections.emptyList[Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    if (tables.exists(table)) tables.read(table) else emptyDf(ddl)
 
-  def documents: DataFrame = readOr("documents",
-    "id BIGINT, filename STRING, total_chunks INT, metainfo STRING, " +
-      "created_at TIMESTAMP, updated_at TIMESTAMP")
-  def chunks: DataFrame = readOr("document_chunks",
-    "id BIGINT, document_id BIGINT, chunk_index INT, text_content STRING, " +
-      "entities STRING, chunk_metadata STRING, created_at TIMESTAMP, " +
-      "doc_bucket BIGINT")
-  def charts: DataFrame = readOr("chart_data",
-    "id BIGINT, document_id BIGINT, info STRING, image_path STRING, " +
-      "created_at TIMESTAMP")
+  def documents: DataFrame = readOr("documents", DocDdl)
+  def chunks: DataFrame = readOr("document_chunks", ChunkDdl)
+  def charts: DataFrame = readOr("chart_data", ChartDdl)
 
-  /** Foldable bucket predicate: filtering on the partition column turns a
-    * per-document chunk read into a 1-of-N partition-pruned scan
-    * (SURVEY §7.4.7; must use the same bucket count as the ingest config).
+  /** Stats-pruned single-key read: the serving analogue of the
+    * reference's PK/FK index scan (api.py:106-147 → a Postgres index
+    * lookup). A plain `read(table).filter(key === v)` pushes the
+    * predicate into every scan task, but still PLANS a task and opens a
+    * footer for every file of the table — at corpus scale the hottest
+    * endpoint would schedule ~800k tasks to return one row. `readRange`
+    * prunes the FILE LIST first (manifest-covered footer min/max — the
+    * ingest declares id/document_id at its compaction cadence), so the
+    * plan is O(matched files). Exactness is readRange's contract: the
+    * row filter always applies, unusable stats are scanned.
     */
-  private def inBucket(documentId: Long) =
-    col("doc_bucket") ===
-      graft.pipeline.IngestPipeline.chunkBucket(lit(documentId), chunkBuckets)
+  private def prunedEq(table: String, ddl: String,
+                       column: String, v: Long): DataFrame =
+    if (tables.exists(table)) tables.readRange(table, column, v, v)
+    else emptyDf(ddl)
+
+  /** One document's chunks as a two-tier pruned read: the doc_bucket
+    * conjunct prunes to 1-of-N hive partition DIRECTORIES from the
+    * directory names alone (SURVEY §7.4.7 — the bucket is derived
+    * driver-side by the scalar mirror of the ingest's bucket column),
+    * and the document_id conjunct prunes the surviving files by footer
+    * min/max. Must use the same bucket count as the ingest config.
+    */
+  private def chunksOf(documentId: Long): DataFrame =
+    if (!tables.exists("document_chunks")) emptyDf(ChunkDdl)
+    else {
+      val b = graft.pipeline.IngestPipeline
+        .chunkBucketScalar(documentId, chunkBuckets)
+      tables.readRangeAll("document_chunks",
+        Seq(("doc_bucket", b, b), ("document_id", documentId, documentId)))
+    }
 
   /** S6+P1 — paginated listing, defaults per base.py:31. */
   def listDocuments(skip: Int = 0, limit: Int = 100): DataFrame =
@@ -96,13 +126,13 @@ final class DocumentStore(
     * (repository.py:45-80).
     */
   def getDocument(id: Long): DataFrame = {
-    val doc = documents.filter(col("id") === id)
-    val nestedChunks = chunks.filter(inBucket(id) && col("document_id") === id)
+    val doc = prunedEq("documents", DocDdl, "id", id)
+    val nestedChunks = chunksOf(id)
       .groupBy("document_id")
       .agg(sort_array(collect_list(struct(
         col("chunk_index"), col("text_content"), col("entities"),
         col("chunk_metadata"), col("created_at")))).as("chunks"))
-    val nestedCharts = charts.filter(col("document_id") === id)
+    val nestedCharts = prunedEq("chart_data", ChartDdl, "document_id", id)
       .groupBy("document_id")
       .agg(collect_list(struct(
         col("id").as("chart_id"), col("info"), col("image_path"),
@@ -121,7 +151,7 @@ final class DocumentStore(
     */
   def getChunks(documentId: Long, startChunk: Option[Int] = None,
                 endChunk: Option[Int] = None): DataFrame = {
-    var df = chunks.filter(inBucket(documentId) && col("document_id") === documentId)
+    var df = chunksOf(documentId)
     startChunk.foreach(s => df = df.filter(col("chunk_index") >= s))
     endChunk.foreach(e => df = df.filter(col("chunk_index") <= e))
     df.orderBy("chunk_index")
@@ -130,7 +160,7 @@ final class DocumentStore(
 
   /** S7+J2+P3+F5 — charts of one document (api.py:174-195). */
   def getCharts(documentId: Long): DataFrame =
-    charts.filter(col("document_id") === documentId)
+    prunedEq("chart_data", ChartDdl, "document_id", documentId)
       .orderBy("id")
       .select("id", "info", "image_path", "created_at")
 
@@ -142,9 +172,12 @@ final class DocumentStore(
     // ownership is part of the KEY, not a post-hoc check: filtering by id
     // alone + limit(1) could pick the wrong row if duplicate chart ids
     // ever exist (the defect state Audit.chart_ids_duplicated watches
-    // for) and 404 a chart that is actually present
-    val rows = charts.filter(col("id") === chartId &&
-      col("document_id") === documentId).limit(1).collect()
+    // for) and 404 a chart that is actually present. Both conjuncts are
+    // manifest columns, so the read prunes to the files straddling BOTH
+    val rows = (if (tables.exists("chart_data"))
+        tables.readRangeAll("chart_data", Seq(
+          ("id", chartId, chartId), ("document_id", documentId, documentId)))
+      else emptyDf(ChartDdl)).limit(1).collect()
     rows.headOption
       .flatMap { row =>
         objects.get(objects.chartKey(documentId, chartId))
@@ -168,7 +201,7 @@ final class DocumentStore(
     * exist.
     */
   def deleteDocument(id: Long): Unit = {
-    val chartIds = charts.filter(col("document_id") === id)
+    val chartIds = prunedEq("chart_data", ChartDdl, "document_id", id)
       .select("id").collect().map(_.getLong(0))
     if (tables.exists("chart_data"))
       tables.deleteWhere("chart_data", col("document_id") === id)
@@ -189,8 +222,10 @@ final class DocumentStore(
     * 169-187; same rows-before-blobs ordering as [[deleteDocument]]).
     */
   def deleteChart(documentId: Long, chartId: Long): Boolean = {
-    val owned = charts.filter(col("id") === chartId &&
-      col("document_id") === documentId).limit(1).collect().nonEmpty
+    val owned = tables.exists("chart_data") &&
+      tables.readRangeAll("chart_data", Seq(
+        ("id", chartId, chartId), ("document_id", documentId, documentId)))
+        .limit(1).collect().nonEmpty
     if (owned) {
       tables.deleteWhere("chart_data",
         col("id") === chartId && col("document_id") === documentId)
