@@ -223,16 +223,50 @@ final class IngestPipeline(
   private def recoverOwnedTables(): Unit =
     tables.recoverSwapDebrisScoped(Some(ownedTables.map(_._1).toSet))
 
+  /** Acquire (or renew) the writer lease on every owned table, refusing
+    * the whole ingest if ANY is held live by a foreign writer — two
+    * concurrent ingest drivers interleaving swaps would corrupt
+    * silently, and a partial hold (3 of 5 tables) would let the refused
+    * tables drift from the acquired ones. Runs BEFORE the startup
+    * recovery so recovery executes under our own lease, and again at
+    * every streamed batch (renewal): a writer that lost its lease to a
+    * stale-TTL takeover fails its next batch loudly instead of racing
+    * the usurper.
+    */
+  private def acquireOwnedLeases(): Unit =
+    ownedTables.foreach { case (t, _) =>
+      if (!tables.acquireWriterLease(t))
+        throw new IllegalStateException(
+          s"ingest refused: a live writer lease exists on '$t' — another " +
+            "ingest driver owns these tables (stop it, or wait out " +
+            "spark.graft.writerLeaseTtlMs after its crash)")
+    }
+
+  /** Clean-shutdown release so the next writer starts without waiting
+    * out the TTL. Advisory — never throws (a failed release just costs
+    * the successor one TTL).
+    */
+  private def releaseOwnedLeases(): Unit =
+    ownedTables.foreach { case (t, _) =>
+      try tables.releaseWriterLease(t)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** S2-style batch ingest of every file in a directory (main.py:41-49). */
   def ingest(inputDir: String, now: Timestamp = new Timestamp(System.currentTimeMillis())): IngestStats = {
-    // auto-heal any crashed swap BEFORE writing (the reference's
-    // rollback-on-error, base.py:19-22): appending to a mid-swap-absent
-    // table would fork it into a fresh directory
-    recoverOwnedTables()
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
-      .load(inputDir)
-    ingestBinary(bin, now)
+    // single-writer lease first, then auto-heal any crashed swap BEFORE
+    // writing (the reference's rollback-on-error, base.py:19-22):
+    // appending to a mid-swap-absent table would fork it into a fresh
+    // directory — and recovery itself must run under OUR lease, never
+    // against a live foreign writer's in-flight swap
+    acquireOwnedLeases()
+    try {
+      recoverOwnedTables()
+      val bin = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
+        .load(inputDir)
+      ingestBinary(bin, now)
+    } finally releaseOwnedLeases()
   }
 
   /** S1 — streaming ingest: new files appear as rows per micro-batch.
@@ -250,9 +284,12 @@ final class IngestPipeline(
                    archiveDir: Option[String] = None,
                    maxFilesPerBatch: Option[Int] = None)
   : StreamingQuery = {
-    // auto-heal any crashed swap before the stream's first write — the
-    // restarted-stream analogue of ingest()'s startup recovery (a prior
-    // run may have died inside a compaction-cadence swap window)
+    // lease, then auto-heal any crashed swap before the stream's first
+    // write — the restarted-stream analogue of ingest()'s startup
+    // recovery (a prior run may have died inside a compaction-cadence
+    // swap window). The lease is renewed at every batch below and
+    // released when the query terminates.
+    acquireOwnedLeases()
     recoverOwnedTables()
     val reader = spark.readStream.format("binaryFile")
       .schema(new org.apache.spark.sql.types.StructType()
@@ -268,7 +305,7 @@ final class IngestPipeline(
     // resolved on the driver at first use, once per query run: Spark has
     // written `<checkpoint>/metadata` by the time any batch executes
     lazy val ckptId = IngestPipeline.checkpointIdentity(spark, checkpointDir)
-    bin.writeStream
+    val query = bin.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -291,6 +328,10 @@ final class IngestPipeline(
           }
         }
         if (!skip) {
+          // per-batch lease renewal: a writer that lost its tables to a
+          // stale-TTL takeover (it stalled past the TTL) fails HERE,
+          // loudly, before writing a byte against the usurper
+          acquireOwnedLeases()
           ingestBinary(batch, now())
           if (tables.exists("documents"))
             tables.setTableProp("documents", "last_batch", s"$ckptId:$batchId")
@@ -305,6 +346,26 @@ final class IngestPipeline(
         ()
       }
       .start()
+    // release the leases when the query terminates (stop() or failure),
+    // so a successor writer starts immediately instead of waiting out
+    // the TTL. Registered after start() — the id exists then; if the
+    // query could somehow terminate before registration, the TTL expiry
+    // is the (best-effort) fallback
+    val qId = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qId) {
+          releaseOwnedLeases()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 
   /** Bin-pack each ingest table's small-file tail into ~128 MB parquet

@@ -525,6 +525,7 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def overwriteAtomic(table: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {
+    checkNoForeignLease(table, "atomic overwrite") // single-writer gate
     val dest = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
     val old = new Path(tablePath(table) + s".old-${System.nanoTime()}")
@@ -536,6 +537,9 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    // carry the runner's OWN lease across the swap (foreign refused above)
+    Sidecar.read(leasePath(table), spark.sparkContext.hadoopConfiguration)
+      .foreach(t => writePropFile(new Path(tmp, WriterLease), t))
     writeSwapMarkers(tmp, Nil) // staging complete — recovery may roll forward
     failpoint("tmp-written")
     val f = fs
@@ -1584,6 +1588,9 @@ final class TableStore(spark: SparkSession, root: String) {
   private def stageAndSwapWithKept(table: String, df: DataFrame,
                                    keptRels: Seq[String],
                                    partitionCols: Seq[String]): Unit = {
+    // the single-writer gate: EVERY swap path (overwrite, compaction,
+    // pruned CRUD, merge) funnels through here, so one check covers all
+    checkNoForeignLease(table, "atomic swap")
     val f = fs
     val dest = new Path(tablePath(table))
     val tmp = new Path(tablePath(table) + s".tmp-${System.nanoTime()}")
@@ -1600,6 +1607,11 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution while dest is still live
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
+    // carry the swap-runner's OWN lease into the staged dir (a foreign
+    // one was refused above) so writer protection is continuous across
+    // the swap instead of lapsing until the holder's next renewal
+    Sidecar.read(leasePath(table), spark.sparkContext.hadoopConfiguration)
+      .foreach(t => writePropFile(new Path(tmp, WriterLease), t))
     // staged/kept collision guard: if the staged write produced a path a
     // kept rel would later be renamed onto (e.g. a rendering-class bug
     // mapping an affected partition to the wrong directory name), the
@@ -1718,6 +1730,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * refuse loudly rather than guess at someone else's debris.
     */
   def recoverSwapDebris(table: String): SwapRecovery = {
+    // a live FOREIGN lease means this "debris" may be a live writer's
+    // in-flight swap — healing it would yank a directory out from under
+    // the owner mid-commit. Refuse; the owner heals its own tables, and
+    // an expired lease (crashed owner) recovers normally. The lookup
+    // covers the swap siblings: mid-window the lease rides inside them.
+    checkNoForeignLease(table, "swap recovery")
     val f = fs
     val parent = new Path(root)
     val dest = new Path(tablePath(table))
@@ -1868,6 +1886,110 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     outcomes.result()
   }
+
+  // -------------------------------------------------------------------
+  // Best-effort single-writer lease: an epoch-stamped `_writer_lease`
+  // sidecar inside the table dir. The storage layer's crash story is
+  // complete (atomic swaps + recovery), but its concurrency contract was
+  // only documentation — two writers interleaving swaps would corrupt
+  // silently, and startup recovery would happily "heal" a LIVE writer's
+  // in-flight swap. The lease makes both refuse loudly: every swap and
+  // every recovery checks for a live FOREIGN lease first, and the ingest
+  // acquires + renews per batch (Postgres gave the reference this for
+  // free via connection-level locking, db.py:24-33). BEST-EFFORT by
+  // design: acquisition is read-then-write without a filesystem CAS, so
+  // two writers racing the same expiry window can both believe they won
+  // — the lease narrows the corruption window from "always" to "a
+  // same-millisecond race after an expiry", it is not a distributed lock
+  // manager. Clock skew between writers eats into the TTL margin; size
+  // the TTL (spark.graft.writerLeaseTtlMs) well above both skew and the
+  // longest batch.
+  // -------------------------------------------------------------------
+
+  private val WriterLease = "_writer_lease"
+
+  /** This store instance's writer identity — the lease owner id. Two
+    * components sharing one TableStore instance (the demo wiring: ingest
+    * + serving over the same store) share the identity and never refuse
+    * each other; separate instances are separate writers.
+    */
+  val writerId: String = java.util.UUID.randomUUID().toString
+
+  private def leaseTtlMs: Long =
+    spark.conf.get("spark.graft.writerLeaseTtlMs", "60000").toLong
+
+  private def leasePath(table: String) = new Path(tablePath(table), WriterLease)
+
+  private def parseLease(text: String): Option[(String, Long)] =
+    text.split("\t", -1) match {
+      case Array("v1", owner, exp) =>
+        scala.util.Try(exp.toLong).toOption.map(owner -> _)
+      case _ => None
+    }
+
+  /** The lease governing `table`, looked up where a crash could have
+    * left it: the live dir when present, else the swap siblings (a
+    * mid-swap crash leaves the lease inside `.old-*`/`.tmp-*` — exactly
+    * the state recovery must not touch while its owner lives). Several
+    * candidate leases (one per sibling) resolve to the latest expiry —
+    * the conservative read for every caller.
+    */
+  private def currentLease(table: String): Option[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def at(dir: Path): Option[(String, Long)] =
+      Sidecar.read(new Path(dir, WriterLease), conf).flatMap(parseLease)
+    val f = fs
+    if (f.exists(new Path(tablePath(table)))) at(new Path(tablePath(table)))
+    else {
+      val parent = new Path(root)
+      if (!f.exists(parent)) None
+      else f.listStatus(parent).map(_.getPath).toSeq
+        .filter(p => TableStore.isSwapSibling(p.getName, table))
+        .flatMap(at(_)).maxByOption(_._2)
+    }
+  }
+
+  private def liveForeignLease(table: String): Option[(String, Long)] =
+    currentLease(table).filter { case (owner, exp) =>
+      owner != writerId && exp > System.currentTimeMillis()
+    }
+
+  /** Acquire (or renew — the call is idempotent for the holder) the
+    * writer lease on `table` for `ttlMs` from now. False when a live
+    * foreign lease exists — the caller must NOT write. A missing table
+    * acquires vacuously (nothing to protect yet; the first renewal after
+    * the table materializes writes the file). Stale-lease takeover is
+    * implicit: an expired lease is no lease.
+    */
+  def acquireWriterLease(table: String, ttlMs: Long = leaseTtlMs): Boolean = {
+    if (liveForeignLease(table).isDefined) return false
+    if (exists(table))
+      writePropFile(leasePath(table),
+        s"v1\t$writerId\t${System.currentTimeMillis() + ttlMs}")
+    true
+  }
+
+  /** Drop this writer's own lease (no-op on a foreign or absent one) —
+    * the clean-shutdown path that lets the next writer start without
+    * waiting out the TTL.
+    */
+  def releaseWriterLease(table: String): Unit =
+    currentLease(table) match {
+      case Some((owner, _)) if owner == writerId =>
+        fs.delete(leasePath(table), false); ()
+      case _ => ()
+    }
+
+  /** Refuse `op` while a FOREIGN writer's lease is live. The gate every
+    * swap and recovery passes through; own and expired leases pass.
+    */
+  private[store] def checkNoForeignLease(table: String, op: String): Unit =
+    liveForeignLease(table).foreach { case (owner, exp) =>
+      throw new IllegalStateException(
+        s"$op refused for '$table': writer lease of $owner is live until " +
+          s"${new java.sql.Timestamp(exp)} — a concurrent writer would " +
+          "corrupt the swap protocol; stop it or retry after expiry")
+    }
 
   // -------------------------------------------------------------------
   // Table properties: tiny `_graft_<key>` sidecar files inside the table
