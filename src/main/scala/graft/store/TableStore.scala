@@ -1908,6 +1908,14 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private val WriterLease = "_writer_lease"
 
+  /** Serializes THIS instance's lease file operations: a stream's async
+    * termination-listener release (bus thread) must not interleave with
+    * the successor query's acquire (batch thread) mid-create — observed
+    * as a chmod-after-create failure on the local filesystem. Cross-JVM
+    * interleavings remain best-effort as documented above.
+    */
+  private val leaseLock = new Object
+
   /** This store instance's writer identity — the lease owner id. Two
     * components sharing one TableStore instance (the demo wiring: ingest
     * + serving over the same store) share the identity and never refuse
@@ -1961,23 +1969,26 @@ final class TableStore(spark: SparkSession, root: String) {
     * the table materializes writes the file). Stale-lease takeover is
     * implicit: an expired lease is no lease.
     */
-  def acquireWriterLease(table: String, ttlMs: Long = leaseTtlMs): Boolean = {
-    if (liveForeignLease(table).isDefined) return false
-    if (exists(table))
-      writePropFile(leasePath(table),
-        s"v1\t$writerId\t${System.currentTimeMillis() + ttlMs}")
-    true
-  }
+  def acquireWriterLease(table: String, ttlMs: Long = leaseTtlMs): Boolean =
+    leaseLock.synchronized {
+      if (liveForeignLease(table).isDefined) return false
+      if (exists(table))
+        writePropFile(leasePath(table),
+          s"v1\t$writerId\t${System.currentTimeMillis() + ttlMs}")
+      true
+    }
 
   /** Drop this writer's own lease (no-op on a foreign or absent one) —
     * the clean-shutdown path that lets the next writer start without
     * waiting out the TTL.
     */
   def releaseWriterLease(table: String): Unit =
-    currentLease(table) match {
-      case Some((owner, _)) if owner == writerId =>
-        fs.delete(leasePath(table), false); ()
-      case _ => ()
+    leaseLock.synchronized {
+      currentLease(table) match {
+        case Some((owner, _)) if owner == writerId =>
+          fs.delete(leasePath(table), false); ()
+        case _ => ()
+      }
     }
 
   /** Refuse `op` while a FOREIGN writer's lease is live. The gate every
