@@ -42,9 +42,23 @@ object Parse {
     *     pdf_parser.py:158);
     *   - a line starting with "FIGURE:" is a picture element likewise;
     *   - consecutive other non-blank lines form one text block.
+    *
+    * REAL PDF bytes (`%PDF-` magic) first try the native [[MiniPdf]]
+    * subset reader, so the default jar-free pipeline parses simple
+    * actual PDFs structurally instead of as UTF-8 soup; a document
+    * outside the subset (encrypted, object streams, CID fonts — or the
+    * text-labeled-as-pdf payloads the test corpus uses, which carry no
+    * magic) falls back to the text view unchanged. Deterministic either
+    * way — both branches are pure functions of (path, content).
     */
   final class TextDocParser extends DocParser {
     override def parse(path: String, content: Array[Byte]): ParsedDoc = {
+      if (MiniPdf.isPdf(content)) {
+        MiniPdf.parse(path, content) match {
+          case Some(doc) => return doc
+          case None      => () // outside the subset — text view below
+        }
+      }
       val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
       val pages = text.split('\f')
       val elements = Seq.newBuilder[DocElement]
