@@ -491,6 +491,35 @@ object SelectionProbes {
         .agg(count(lit(1)).as("n"),
           min(unix_micros(col("ts"))).as("ts_min"),
           max(unix_micros(col("ts"))).as("ts_max"))
+    },
+
+    // Two-tier pruned read over a HIVE-PARTITIONED layout (r12): the
+    // partition conjunct resolves from directory names alone (partition
+    // columns have no footer stats — before r12 they cost a useless
+    // footer open per file and never pruned), and the data-column
+    // conjunct footer-prunes only the surviving directory's files.
+    // RangeReadSpec pins the file/footer accounting; the oracle here is
+    // the plain two-predicate filter.
+    Probe(
+      "layout_part_read",
+      "WITH m AS (SELECT l_linenumber AS pk, l_orderkey AS ka, l_quantity FROM lineitem) " +
+        "SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty, " +
+        "CAST(min(ka) AS BIGINT) AS ka_min FROM m " +
+        "WHERE pk = 3 AND ka BETWEEN 10000 AND 60000"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-part-probe")
+      val ts = new graft.store.TableStore(s, root)
+      PhaseTimer.timed("layout_part_read", "partitioned_write") {
+        t(s, d, "lineitem").select(
+          col("l_linenumber").cast("long").as("pk"),
+          col("l_orderkey").as("ka"), col("l_quantity"))
+          .repartitionByRange(8, col("ka")).sortWithinPartitions("ka")
+          .write.mode("overwrite").partitionBy("pk").parquet(s"$root/li")
+      }
+      ts.readRangeAll("li", Seq(("pk", 3L, 3L), ("ka", 10000L, 60000L)))
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("qty"),
+          min("ka").cast("long").as("ka_min"))
     }
   )
 }
