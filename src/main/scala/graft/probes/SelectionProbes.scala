@@ -520,6 +520,54 @@ object SelectionProbes {
         .agg(count(lit(1)).as("n"),
           sum("l_quantity").cast("long").as("qty"),
           min("ka").cast("long").as("ka_min"))
+    },
+
+    // Stats-pruned point-SET read (r12): scattered ids over a clustered
+    // layout plan O(k) files (per-file test = binary search of the
+    // sorted id set against the footer band). Oracle is the plain IN.
+    Probe(
+      "layout_in_read",
+      s"SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem " +
+        s"WHERE l_orderkey IN (${InReadIds.mkString(", ")})"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-inread-probe")
+      val ts = new graft.store.TableStore(s, root)
+      PhaseTimer.timed("layout_in_read", "clustered_write") {
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(s"$root/li")
+      }
+      ts.readIn("li", "l_orderkey", InReadIds)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("qty"))
+    },
+
+    // Keyset pagination (r12): anchor on the last seen key instead of
+    // OFFSET — page N is a pruned tail read + top-k, not a whole-table
+    // sort discarding skip rows. Oracle is the literal keyset query.
+    Probe(
+      "layout_keyset_page",
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents " +
+        "WHERE doc_id > 20 ORDER BY doc_id LIMIT 100"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-keyset-probe")
+      val ts = new graft.store.TableStore(s, root)
+      PhaseTimer.timed("layout_keyset_page", "clustered_write") {
+        t(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+          .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$root/docs")
+      }
+      ts.readRange("docs", "doc_id", 21L, Long.MaxValue)
+        .orderBy("doc_id").limit(100)
+        .select("doc_id", "n_chars")
     }
   )
+
+  /** Deterministic scattered id set shared by the layout_in_read probe
+    * and its oracle SQL (both render from this one list). Lazy: `all`
+    * initializes first in this object and builds its SQL from it.
+    */
+  private lazy val InReadIds: Seq[Long] =
+    (1 to 48).map(i => (i.toLong * 2654435761L) % 60000L).distinct.sorted
 }

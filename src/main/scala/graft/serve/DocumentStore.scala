@@ -122,6 +122,36 @@ final class DocumentStore(
       .select("id", "filename", "total_chunks", "metainfo", "created_at", "updated_at")
       .orderBy("id").offset(skip).limit(limit)
 
+  /** [EXT] Keyset pagination — the deep-pagination scale path. OFFSET
+    * pagination (the reference's base.py:31 shape, [[listDocuments]])
+    * must compute the top `skip + limit` rows over the WHOLE table to
+    * discard the first `skip`: page 10,000 of a corpus-scale listing
+    * scans everything before it. Anchoring on the last seen id instead
+    * turns every page into the same stats-pruned read as a point lookup
+    * — files whose footer max ≤ `afterId` never plan, so page N costs
+    * O(files past the anchor), constant-ish per page on an id-clustered
+    * (SERIAL-appended) table. Pages are gap-proof and stable under
+    * concurrent appends with increasing ids — the anchor is a VALUE,
+    * not a row count.
+    */
+  def listDocumentsAfter(afterId: Long, limit: Int = 100): DataFrame =
+    (if (afterId == Long.MaxValue || !tables.exists("documents")) emptyDf(DocDdl)
+     else tables.readRange("documents", "id", afterId + 1, Long.MaxValue))
+      .select("id", "filename", "total_chunks", "metainfo", "created_at", "updated_at")
+      .orderBy("id").limit(limit)
+
+  /** [EXT] Batch point lookup — the "hydrate these N documents" read a
+    * training pipeline issues constantly (join results, curation queues,
+    * eval samples). One stats-pruned [[graft.store.TableStore.readIn]]
+    * pass: k scattered ids plan O(k) files on a clustered table, not one
+    * scan per id and not the whole table.
+    */
+  def getDocuments(ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty || !tables.exists("documents")) emptyDf(DocDdl)
+    else tables.readIn("documents", "id", ids)
+      .select("id", "filename", "total_chunks", "metainfo", "created_at", "updated_at")
+      .orderBy("id")
+
   /** S7+J1+J2+O2 — one document with ordered nested chunks and charts
     * (repository.py:45-80).
     */

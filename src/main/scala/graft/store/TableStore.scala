@@ -1140,6 +1140,34 @@ final class TableStore(spark: SparkSession, root: String) {
     })
   }
 
+  /** Stats-pruned point-SET read: the table filtered to `column IN
+    * values` (integral column), keeping only files whose footer
+    * [min, max] contains AT LEAST ONE of the values — the batch-lookup
+    * shape ("fetch these 500 documents by id") that a range cannot
+    * express when the keys are scattered. On a clustered layout each
+    * file's band is narrow, so k scattered keys plan O(k) files instead
+    * of the whole table. Per-file test is a binary search over the
+    * sorted value set (O(log k), not O(k)); same conservative-keep
+    * exactness rules as [[readRange]] (the IN row filter always applies;
+    * IN is null-rejecting, so provably all-null files drop).
+    */
+  def readIn(table: String, column: String, values: Seq[Long]): DataFrame = {
+    if (values.isEmpty) return read(table).filter(lit(false))
+    val sorted = values.distinct.sorted
+    val arr = sorted.toArray
+    statsPrunedRead(table, col(column).isInCollection(sorted),
+      column, TableStore.IntegralUnit, {
+        case (0, _, _) => true
+        case (2, mn, mx) =>
+          val lo = mn.toLong
+          val hi = mx.toLong
+          val i = java.util.Arrays.binarySearch(arr, lo)
+          val at = if (i >= 0) i else -i - 1 // first value >= lo
+          at < arr.length && arr(at) <= hi
+        case _ => false
+      })
+  }
+
   /** [[readRange]] for DATE columns — parquet stores DATE as INT32 days
     * since the epoch, so the footer bounds compare against day counts
     * while the row filter stays a Date BETWEEN. `java.sql.Date.toLocalDate

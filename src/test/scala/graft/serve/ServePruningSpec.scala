@@ -113,6 +113,25 @@ class ServePruningSpec extends AnyFunSuite with SharedSpark {
     assert(ts.read("chart_data").filter(col("id") === 1750L).count() == 0)
   }
 
+  test("keyset pagination and batch lookup plan pruned tails, exact rows") {
+    val (ds, _) = fixture()
+    // page anchored past the second band: only the 201-300 file plans
+    val page = ds.listDocumentsAfter(200L, limit = 10)
+    assert(page.inputFiles.count(_.contains("/documents/")) == 1,
+      "files entirely at or below the anchor must not plan")
+    assert(page.collect().map(_.getAs[Long]("id")).toSeq == (201L to 210L))
+    // anchor past the end → empty; MaxValue anchor must not overflow
+    assert(ds.listDocumentsAfter(300L).count() == 0)
+    assert(ds.listDocumentsAfter(Long.MaxValue).count() == 0)
+    // batch lookup: ids from bands 1 and 3 → the middle file is pruned
+    val batch = ds.getDocuments(Seq(5L, 42L, 250L))
+    assert(batch.inputFiles.count(_.contains("/documents/")) == 2)
+    assert(batch.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("filename"))).toSeq ==
+      Seq((5L, "doc5.pdf"), (42L, "doc42.pdf"), (250L, "doc250.pdf")))
+    assert(ds.getDocuments(Nil).count() == 0)
+  }
+
   test("a store with no tables serves empty frames through the pruned paths") {
     val root = tmpDir("serve-prune-empty")
     val ds = new DocumentStore(spark,
@@ -122,5 +141,7 @@ class ServePruningSpec extends AnyFunSuite with SharedSpark {
     assert(ds.getChunks(1L).count() == 0)
     assert(ds.getCharts(1L).count() == 0)
     assert(ds.getChartWithImage(1L, 2L).isEmpty)
+    assert(ds.listDocumentsAfter(0L).count() == 0)
+    assert(ds.getDocuments(Seq(1L, 2L)).count() == 0)
   }
 }

@@ -191,6 +191,28 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
     assert(TableStore.hivePartitionValues("part-0.parquet").isEmpty)
   }
 
+  test("readIn plans only the files whose band holds a requested id") {
+    import spark.implicits._
+    val root = tmpDir("range-in")
+    val ts = threeBatches(root) // bands 1-100 / 101-200 / 201-300
+    // ids from bands 1 and 3 only — the middle file must not plan
+    val got = ts.readIn("t", "id", Seq(42L, 7L, 250L, 299L, 42L))
+    assert(got.inputFiles.length == 2, "band 101-200 must be pruned")
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((7L, "v7"), (42L, "v42"), (250L, "v250"), (299L, "v299")))
+    // ids that exist in no band: nothing planned, empty result
+    assert(ts.readIn("t", "id", Seq(500L, -3L)).isEmpty)
+    // empty id set: empty result, no scan
+    assert(ts.readIn("t", "id", Nil).isEmpty)
+    // boundary ids (file min/max themselves) stay exact
+    assert(ts.readIn("t", "id", Seq(100L, 101L)).count() == 2)
+    // and the result is always exactly the plain IN filter
+    val ids = Seq(1L, 150L, 222L, 301L)
+    assert(ts.readIn("t", "id", ids).as[(Long, String)].collect().toSet ==
+      ts.read("t").filter(col("id").isInCollection(ids))
+        .as[(Long, String)].collect().toSet)
+  }
+
   test("timestamp range read prunes time-clustered files, micro-exact") {
     import spark.implicits._
     import java.sql.Timestamp
