@@ -212,6 +212,20 @@ final class IngestPipeline(
     "documents" -> Nil, "document_chunks" -> Seq("doc_bucket"),
     "chart_data" -> Nil, "minhash_bands" -> Nil, "near_dup_flags" -> Nil)
 
+  /** Clustering keys the compaction cadence sorts each table's packed
+    * tail by — the columns the SERVING point reads prune on, so the
+    * stats-pruned file skipping keeps working on the append tail
+    * instead of degrading as one whole-key-range file lands per batch:
+    * documents answers `id` lookups, the child tables answer
+    * `document_id` (chunks inside their bucket dir, ordered by
+    * chunk_index for the range endpoint). Band tables have no pruned
+    * read — left unsorted.
+    */
+  private val ClusterKeys: Map[String, Seq[String]] = Map(
+    "documents"       -> Seq("id"),
+    "document_chunks" -> Seq("document_id", "chunk_index"),
+    "chart_data"      -> Seq("document_id", "id"))
+
   /** Auto-heal the owned tables before writing. Scoped HERE, not
     * store-wide: other tables under the same root belong to other
     * writers, and their debris (or a refusal on it) is not this
@@ -410,7 +424,8 @@ final class IngestPipeline(
             }
         }
         tables.compactIncremental(table, smallThreshold = cfg.compactSmallBytes,
-          partitionCols = parts)
+          partitionCols = parts,
+          sortCols = ClusterKeys.getOrElse(table, Nil))
         ()
       }
     }

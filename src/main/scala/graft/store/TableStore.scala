@@ -1566,11 +1566,25 @@ final class TableStore(spark: SparkSession, root: String) {
     * No-op (returns 0 packed, touches nothing) when fewer than two small
     * parquet files exist — so a second pass over an already-packed table
     * rewrites zero bytes (pinned by `CompactionSpec`).
+    *
+    * `sortCols` (r12): cluster the PACKED OUTPUT while packing. A
+    * sorted/Z-ordered table degrades as appends accumulate — each new
+    * tail file spans the whole key range, so the stats-pruned reads
+    * stop skipping the tail. Passing the clustering key makes the
+    * cadence re-establish tight per-file [min, max] bands for free (the
+    * tail is being rewritten anyway — sorting it costs one extra
+    * exchange over ONLY the tail bytes): unpartitioned tables
+    * range-repartition + sort the packed subset, partitioned tables
+    * keep the ≈1-file-per-directory hash distribution and sort within
+    * each output task. Already-compacted files are untouched either
+    * way; this is the incremental-maintenance analogue of the IVF
+    * index's `ivfCompact`.
     */
   def compactIncremental(table: String,
                          smallThreshold: Long = 32L * 1024 * 1024,
                          targetBytes: Long = 128L * 1024 * 1024,
-                         partitionCols: Seq[String] = Nil): CompactStats = {
+                         partitionCols: Seq[String] = Nil,
+                         sortCols: Seq[String] = Nil): CompactStats = {
     if (!exists(table)) return CompactStats(0, 0L, 0)
     val visible = listVisibleFiles(table)
     val (small, kept) = visible.partition { case (rel, len) =>
@@ -1592,9 +1606,15 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(smallPaths: _*)
     val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
+    val sc = sortCols.map(col)
     val packed =
-      if (partitionCols.isEmpty) packedSrc.coalesce(n)
-      else packedSrc.repartition(n, partitionCols.map(col): _*)
+      if (partitionCols.isEmpty) {
+        if (sc.isEmpty) packedSrc.coalesce(n)
+        else packedSrc.repartitionByRange(n, sc: _*).sortWithinPartitions(sc: _*)
+      } else {
+        val dist = packedSrc.repartition(n, partitionCols.map(col): _*)
+        if (sc.isEmpty) dist else dist.sortWithinPartitions(sc: _*)
+      }
     stageAndSwapWithKept(table, packed, kept.map(_._1), partitionCols)
     // the swap drops the (file-identity-keyed) stats manifest by design;
     // compaction is the cadence that reshapes the file set, so it is

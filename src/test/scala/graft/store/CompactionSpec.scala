@@ -195,4 +195,52 @@ class CompactionSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("sortCols re-clusters the packed tail so pruned reads keep skipping") {
+    import spark.implicits._
+    val root = tmpDir("compact-sorted")
+    val ts = new TableStore(spark, root)
+    // eight append batches, each spanning the WHOLE id range — exactly
+    // the degradation mode: every tail file's [min, max] covers
+    // everything, so a range read can prune nothing
+    val rnd = new scala.util.Random(7)
+    for (b <- 0 until 8)
+      ts.append("t", rnd.shuffle((0 until 1000).toList)
+        .map(i => (i.toLong * 8 + b, s"v$b-$i")).toDF("id", "v").coalesce(1))
+    val before = ts.readRange("t", "id", 100L, 200L)
+    assert(before.inputFiles.length == 8, "unsorted tail: nothing prunable")
+    // materialize NOW — the compaction below swaps these files away
+    val beforeRows = before.as[(Long, String)].collect().toSet
+    // pack WITH the clustering key, small target to force several files
+    val stats = ts.compactIncremental("t",
+      smallThreshold = 10L * 1024 * 1024, targetBytes = 16L * 1024,
+      sortCols = Seq("id"))
+    assert(stats.packedFiles == 8)
+    val total = ts.read("t").inputFiles.length
+    assert(total >= 3, s"want several packed files, got $total")
+    val after = ts.readRange("t", "id", 100L, 200L)
+    assert(after.inputFiles.length < total,
+      "sorted packing must restore file-level skipping")
+    // rows are exactly the plain filter, before and after
+    assert(after.as[(Long, String)].collect().toSet == beforeRows)
+    assert(ts.read("t").count() == 8000)
+
+    // partitioned form: sort within the per-directory packed output
+    val root2 = tmpDir("compact-sorted-part")
+    val ts2 = new TableStore(spark, root2)
+    for (b <- 0 until 6)
+      ts2.appendPartitioned("t", rnd.shuffle((0 until 500).toList)
+        .map(i => (i.toLong * 6 + b, i % 2, s"v$b-$i")).toDF("id", "p", "v")
+        .coalesce(1), Seq("p"))
+    ts2.compactIncremental("t", smallThreshold = 10L * 1024 * 1024,
+      targetBytes = 8L * 1024, partitionCols = Seq("p"), sortCols = Seq("id"))
+    val t2 = ts2.read("t")
+    assert(t2.count() == 3000)
+    val conj = ts2.readRangeAll("t", Seq(("p", 1L, 1L), ("id", 0L, 300L)))
+    assert(conj.count() ==
+      t2.filter(col("p") === 1 && col("id").between(0L, 300L)).count())
+    assert(conj.inputFiles.nonEmpty &&
+      conj.inputFiles.forall(_.contains("p=1")),
+      "partition dirs still prune after a sorted pack")
+  }
 }
