@@ -1168,6 +1168,38 @@ final class TableStore(spark: SparkSession, root: String) {
       })
   }
 
+  /** [[readIn]] for STRING keys — the batch-lookup read the engine's own
+    * content-hash id design needs (SURVEY §7.4.2: ids are hash strings,
+    * so "hydrate these 500 documents" arrives as scattered string keys).
+    * A file is kept when its footer byte-bounds contain at least one
+    * requested key (binary search of the sorted UTF-8 byte set per file
+    * — unsigned byte order IS Spark's string order, the [[readPrefix]]
+    * invariant). Same conservative-keep exactness rules.
+    */
+  def readInStrings(table: String, column: String, values: Seq[String]): DataFrame = {
+    if (values.isEmpty) return read(table).filter(lit(false))
+    val sorted = values.distinct.sorted
+    val arr: Array[Array[Byte]] = sorted
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val dec = java.util.Base64.getUrlDecoder
+    statsPrunedRead(table, col(column).isInCollection(sorted),
+      column, TableStore.Utf8Unit, {
+        case (0, _, _) => true
+        case (2, mn, mx) =>
+          val lo = dec.decode(mn)
+          val hi = dec.decode(mx)
+          // first key >= lo (binary search over the sorted byte arrays)
+          var a = 0
+          var b = arr.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (TableStore.cmpBytes(arr(m), lo) < 0) a = m + 1 else b = m
+          }
+          a < arr.length && TableStore.cmpBytes(arr(a), hi) <= 0
+        case _ => false
+      })
+  }
+
   /** [[readRange]] for DATE columns — parquet stores DATE as INT32 days
     * since the epoch, so the footer bounds compare against day counts
     * while the row filter stays a Date BETWEEN. `java.sql.Date.toLocalDate

@@ -213,6 +213,35 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
         .as[(Long, String)].collect().toSet)
   }
 
+  test("readInStrings plans only files whose byte band holds a requested key") {
+    import spark.implicits._
+    val root = tmpDir("range-instr")
+    val ts = new TableStore(spark, root)
+    for (b <- 0 until 3)
+      ts.append("t", (b * 100 to b * 100 + 99)
+        .map(i => (f"doc$i%09d", i)).toDF("key", "v").coalesce(1))
+    // keys from bands 1 and 3 only — the middle file must not plan
+    val got = ts.readInStrings("t", "key",
+      Seq("doc000000042", "doc000000250", "doc000000007"))
+    assert(got.inputFiles.length == 2, "band doc…100-199 must be pruned")
+    assert(got.as[(String, Int)].collect().toSet ==
+      Set(("doc000000007", 7), ("doc000000042", 42), ("doc000000250", 250)))
+    // absent keys: nothing planned; empty set: empty result
+    assert(ts.readInStrings("t", "key", Seq("zzz", "aaa")).isEmpty)
+    assert(ts.readInStrings("t", "key", Nil).isEmpty)
+    // multi-byte UTF-8 keys stay exact (byte order = string order)
+    val root2 = tmpDir("range-instr-utf8")
+    val ts2 = new TableStore(spark, root2)
+    ts2.append("t", Seq(("aé1", 1), ("añ2", 2)).toDF("key", "v").coalesce(1))
+    ts2.append("t", Seq(("b早1", 3), ("zz", 4)).toDF("key", "v").coalesce(1))
+    for (keys <- Seq(Seq("añ2"), Seq("b早1", "aé1"), Seq("zz", "nope"))) {
+      val want = ts2.read("t").filter(col("key").isInCollection(keys))
+        .as[(String, Int)].collect().toSet
+      assert(ts2.readInStrings("t", "key", keys)
+        .as[(String, Int)].collect().toSet == want, s"keys $keys")
+    }
+  }
+
   test("timestamp range read prunes time-clustered files, micro-exact") {
     import spark.implicits._
     import java.sql.Timestamp
