@@ -443,8 +443,10 @@ final class TableStore(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
 
   /** S9 — append-only insert (base.py:13-22). */
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
     df.write.mode("append").parquet(tablePath(table))
+    invalidateListing(table)
+  }
 
   /** Append with hive-style partitioning. At 100 TB, child tables are
     * partitioned by a bounded hash bucket of the parent key (SURVEY
@@ -496,11 +498,13 @@ final class TableStore(spark: SparkSession, root: String) {
         df.write.mode("append").partitionBy(partitionCols: _*)
           .parquet(tablePath(table))
         props.foreach { case (k, v) => setTableProp(table, k, v) }
+        invalidateListing(table)
         return
       }
     }
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
+    invalidateListing(table)
   }
 
   /** Replace a table's contents atomically: materialize to a temp dir
@@ -553,6 +557,7 @@ final class TableStore(spark: SparkSession, root: String) {
     failpoint("swapped")
     f.delete(old, true)
     deleteSwapMarkers(dest)
+    invalidateListing(table)
   }
 
   /** Crash-injection seam for the swap's property test: called at the
@@ -946,8 +951,50 @@ final class TableStore(spark: SparkSession, root: String) {
     * rewrites swap whole directories — so (rel, len, mtime) matching
     * means the footer bytes are the ones the manifest summarized).
     */
-  private def listVisibleFilesMeta(table: String): Seq[(String, Long, Long)] =
-    listVisibleFilesAt(new Path(tablePath(table)))
+  /** Opt-in TTL cache for [[listVisibleFilesMeta]]
+    * (`spark.graft.listingCacheTtlMs`, default 0 = off). The pruned
+    * reads made point lookups plan O(matched files), but every lookup
+    * still paid an O(#files) recursive directory listing on the driver
+    * — at ~800k files that listing IS the serving latency. With a TTL,
+    * repeated lookups amortize one listing per window. Consistency
+    * contract: every MUTATION through THIS instance invalidates its
+    * entry (appends, swaps, recovery), so the owning writer-and-server
+    * process — the demo wiring — always reads its own writes exactly;
+    * only a FOREIGN writer's files can be invisible, for at most the
+    * TTL (the same bounded staleness any cross-process cache has). A
+    * stale entry can also name files a foreign swap just removed — the
+    * scan then fails loudly (retryable), never returns wrong rows
+    * silently. Single-writer deployments (the lease's contract) are
+    * exact; leave the TTL at 0 when foreign writers must be visible
+    * instantly.
+    */
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[(String, Long, Long)])]()
+
+  private def listingTtlMs: Long =
+    spark.conf.get("spark.graft.listingCacheTtlMs", "0").toLong
+
+  /** Test-visible count of REAL (uncached) listings. */
+  private[store] val listingsPerformed = new java.util.concurrent.atomic.AtomicLong
+
+  private[store] def invalidateListing(table: String): Unit = {
+    listingCache.remove(table); ()
+  }
+
+  private def listVisibleFilesMeta(table: String): Seq[(String, Long, Long)] = {
+    val ttl = listingTtlMs
+    if (ttl <= 0) {
+      listingsPerformed.incrementAndGet()
+      return listVisibleFilesAt(new Path(tablePath(table)))
+    }
+    val now = System.nanoTime()
+    val hit = listingCache.get(table)
+    if (hit != null && now - hit._1 < ttl * 1000000L) return hit._2
+    listingsPerformed.incrementAndGet()
+    val fresh = listVisibleFilesAt(new Path(tablePath(table)))
+    listingCache.put(table, (now, fresh))
+    fresh
+  }
 
   private def listVisibleFilesAt(dir: Path): Seq[(String, Long, Long)] = {
     val f = fs
@@ -1750,6 +1797,7 @@ final class TableStore(spark: SparkSession, root: String) {
     failpoint("swapped")
     f.delete(old, true)
     deleteSwapMarkers(dest)
+    invalidateListing(table)
   }
 
   // -------------------------------------------------------------------
@@ -1816,6 +1864,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // an expired lease (crashed owner) recovers normally. The lookup
     // covers the swap siblings: mid-window the lease rides inside them.
     checkNoForeignLease(table, "swap recovery")
+    invalidateListing(table) // any outcome below may reshape the file set
     val f = fs
     val parent = new Path(root)
     val dest = new Path(tablePath(table))
