@@ -146,6 +146,12 @@ final class DocumentStore(
     * pass: k scattered ids plan O(k) files on a clustered table, not one
     * scan per id and not the whole table.
     */
+  /** Existence probe (the 404 guard behind child routes, api.py:110-112)
+    * through the same pruned plan as the point reads.
+    */
+  def documentExists(id: Long): Boolean =
+    !prunedEq("documents", DocDdl, "id", id).limit(1).isEmpty
+
   def getDocuments(ids: Seq[Long]): DataFrame =
     if (ids.isEmpty || !tables.exists("documents")) emptyDf(DocDdl)
     else tables.readIn("documents", "id", ids)

@@ -90,6 +90,25 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
     (method, segs) match {
       case ("POST", List("documents", "upload")) =>
         upload(ex, query)
+      // [EXT] keyset pagination: ?after_id anchors on the last seen id —
+      // a pruned tail read + top-k instead of OFFSET's whole-table
+      // top-(skip+limit); the deep-pagination scale path. skip is
+      // rejected alongside it (mixing both silently ignores one).
+      case ("GET", List("documents")) if query.contains("after_id") =>
+        (query("after_id").toLongOption, query.contains("skip")) match {
+          case (None, _) =>
+            validationGate[Int](ex, List(Left(
+              "after_id" -> "value is not a valid integer")))(_ => ())
+          case (_, true) =>
+            validationGate[Int](ex, List(Left(
+              "after_id" -> "cannot be combined with skip")))(_ => ())
+          case (Some(a), false) =>
+            withInts(ex, query, List(("limit", 100, Some(0)))) {
+              case List(limit) =>
+                jsonArray(ex, store.listDocumentsAfter(a, limit))
+              case other => sys.error(s"internal: expected 1 param, got $other")
+            }
+        }
       case ("GET", List("documents")) =>
         withInts(ex, query, List(("skip", 0, Some(0)), ("limit", 100, Some(0)))) {
           case List(skip, limit) =>
@@ -321,7 +340,7 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
   }
 
   private def documentAbsent(id: Long): Boolean =
-    store.documents.filter(col("id") === id).limit(1).isEmpty
+    !store.documentExists(id) // pruned plan, not a whole-table filter
 
   /** Rows → one JSON array, streamed to the client chunked via Spark's
     * own row serialization: the driver holds ONE row's JSON at a time

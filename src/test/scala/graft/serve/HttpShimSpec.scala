@@ -110,6 +110,17 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(get("/documents/999999").statusCode() == 404)
     assert(get("/documents/999999/chunks").statusCode() == 404)
     assert(get(s"/documents/999999/charts/$chartId").statusCode() == 404)
+
+    // [EXT] keyset pagination: anchor below the id → the row returns;
+    // anchor at/above it → empty page; malformed/mixed params → 422
+    val page = get(s"/documents?after_id=${docId - 1}&limit=5")
+    assert(page.statusCode() == 200 &&
+      page.body().contains("\"filename\":\"report.pdf\""))
+    assert(get(s"/documents?after_id=$docId").body() == "[]")
+    assert(get("/documents?after_id=abc").statusCode() == 422)
+    assert(get(s"/documents?after_id=0&skip=1").statusCode() == 422,
+      "after_id and skip must not silently combine")
+    assert(get(s"/documents?after_id=0&limit=-1").statusCode() == 422)
   }
 
   test("multipart upload lands the file part byte-identical in the watch dir") {
