@@ -191,4 +191,19 @@ object Audit {
       n
     } finally orphans.unpersist()
   }
+
+  /** Operational storage report — one row per named table with the
+    * numbers a corpus-scale operator polls ([[TableStore.tableReport]]:
+    * files, bytes, the small-file tail the next compaction cadence
+    * rewrites, partition dirs, manifest declaration + coverage, writer
+    * lease state, swap-debris flag). Metadata only: one listing and one
+    * sidecar read per table, no Spark job per check — pollable from a
+    * dashboard at any cadence.
+    */
+  def storageReport(spark: SparkSession, tables: TableStore,
+                    names: Seq[String],
+                    smallThreshold: Long = 32L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    names.map(tables.tableReport(_, smallThreshold)).toDF()
+  }
 }

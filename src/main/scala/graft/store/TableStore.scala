@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 final case class CompactStats(packedFiles: Int, packedBytes: Long, keptFiles: Int)
 
+/** Outcome of [[TableStore.tableReport]] — one table's operational
+  * summary (file/byte counts, small-file tail, partition dirs, manifest
+  * declaration + coverage, lease state `none|live-own|live-foreign|
+  * expired-own|expired-foreign`, swap-debris flag).
+  */
+final case class TableReport(
+    table: String, files: Int, bytes: Long, smallFiles: Int,
+    partitionDirs: Int, statsCols: String, manifestCovered: Int,
+    leaseState: String, swapDebris: Boolean)
+
 /** Outcome of [[TableStore.recoverSwapDebris]]. */
 sealed trait SwapRecovery
 object SwapRecovery {
@@ -2130,6 +2140,44 @@ final class TableStore(spark: SparkSession, root: String) {
           s"${new java.sql.Timestamp(exp)} — a concurrent writer would " +
           "corrupt the swap protocol; stop it or retry after expiry")
     }
+
+  /** Operational summary of one table — the numbers an operator watches
+    * at corpus scale: file count and bytes (is compaction keeping up?),
+    * the sub-threshold small-file tail (what the next cadence will
+    * rewrite), partition directory count, the declared stats columns
+    * and how many files the manifest currently covers (pruned reads pay
+    * live footers for the rest), the writer-lease state, and whether
+    * swap debris awaits recovery. One listing + one manifest read; no
+    * data I/O, no Spark job — safe to poll.
+    */
+  def tableReport(table: String,
+                  smallThreshold: Long = 32L * 1024 * 1024): TableReport = {
+    val debris = hasSwapDebris(table)
+    val lease = currentLease(table) match {
+      case None => "none"
+      case Some((owner, exp)) =>
+        val state = if (exp > System.currentTimeMillis()) "live" else "expired"
+        val who = if (owner == writerId) "own" else "foreign"
+        s"$state-$who"
+    }
+    if (!exists(table))
+      return TableReport(table, 0, 0L, 0, 0, "", 0, lease, debris)
+    val files = listVisibleFilesMeta(table).filter(_._1.endsWith(".parquet"))
+    val dirs = files.map(_._1.split("/").dropRight(1).mkString("/"))
+      .filter(_.nonEmpty).distinct.size
+    val specs = declaredStatsSpecs(table)
+    val covered =
+      if (specs.isEmpty) 0
+      else {
+        val cache = manifestVerdictsAll(table, specs)
+        files.count(v => specs.forall { case (cn, u) =>
+          cache((cn, TableStore.unitTag(u))).contains((v._1, v._2, v._3))
+        })
+      }
+    TableReport(table, files.size, files.map(_._2).sum,
+      files.count(_._2 < smallThreshold), dirs,
+      specs.map(_._1).mkString(","), covered, lease, debris)
+  }
 
   // -------------------------------------------------------------------
   // Table properties: tiny `_graft_<key>` sidecar files inside the table
