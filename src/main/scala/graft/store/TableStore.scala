@@ -450,10 +450,105 @@ final class TableStore(spark: SparkSession, root: String) {
       .exists(n => TableStore.isSwapSibling(n, table))
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(tablePath(table))
+  def read(table: String): DataFrame = evolvedDdl(table) match {
+    // an evolved table reads under its DECLARED schema: files written
+    // before a column existed simply yield nulls for it (parquet's
+    // name-based projection), so evolution never rewrites a byte
+    case Some(ddl) => spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(tablePath(table))
+    case None => spark.read.parquet(tablePath(table))
+  }
+
+  private val SchemaProp = "schema_ddl"
+
+  private def evolvedDdl(table: String): Option[String] =
+    getTableProp(table, SchemaProp)
+
+  /** The table's EFFECTIVE schema — the evolved declaration when one
+    * exists, else the files' own. None for a missing table, and None
+    * when nothing readable exists to infer from (a dir wedged by a
+    * crashed write's `_temporary` debris — effectively schema-less, so
+    * there is nothing for an append to fork).
+    */
+  def tableSchema(table: String): Option[org.apache.spark.sql.types.StructType] =
+    if (!exists(table)) None
+    else evolvedDdl(table)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .orElse(
+        try Some(spark.read.parquet(tablePath(table)).schema)
+        catch { case _: org.apache.spark.sql.AnalysisException => None })
+
+  /** Zero-rewrite ADDITIVE schema evolution: declare new (nullable)
+    * columns in the table's sidecar schema. Existing files are never
+    * touched — [[read]] supplies the declared schema, so pre-evolution
+    * rows yield null for the new columns and post-evolution appends
+    * carry them. Name clashes refuse (this is ADD, not ALTER — a type
+    * change needs a rewrite, which [[overwriteAtomic]] expresses
+    * explicitly). The declaration is a `_graft_` prop, so it survives
+    * every swap. This is the schema-drift story a corpus accumulates
+    * over years of ingest without ever paying an O(100 TB) rewrite.
+    */
+  def evolveSchema(table: String, addDdl: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val add = StructType.fromDDL(addDdl)
+    val cur = tableSchema(table).getOrElse(throw new IllegalArgumentException(
+      s"evolveSchema: no table '$table'"))
+    val clash = add.fieldNames.filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"evolveSchema on '$table': column(s) ${clash.mkString(", ")} already " +
+        "exist — additive evolution cannot redefine a column")
+    setTableProp(table, SchemaProp, StructType(cur.fields ++ add.fields).toDDL)
+  }
+
+  /** Refuse appends that would FORK the table's schema. Without this, a
+    * frame with an extra column writes mixed-schema files that a plain
+    * parquet read resolves from one arbitrary footer — the column (or
+    * worse, pre-existing ones) silently vanishes from some reads. Rules:
+    * unknown columns refuse (declare first via [[evolveSchema]]); same
+    * name with a different type refuses; ABSENT columns are allowed only
+    * on an evolved table (whose reads supply the declared schema and
+    * null-fill) — on an undeclared table they would fork the footer
+    * schemas, so they refuse too.
+    */
+  private def validateAppendSchema(table: String, df: DataFrame,
+                                   partitionCols: Seq[String] = Nil): Unit = {
+    val declared = evolvedDdl(table).isDefined
+    tableSchema(table).foreach { ts =>
+      val eff = ts.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val extra = df.schema.fields.filterNot(f => eff.contains(f.name.toLowerCase))
+      if (extra.nonEmpty) throw new IllegalArgumentException(
+        s"append to '$table' refused: column(s) " +
+          s"${extra.map(_.name).mkString(", ")} are not in the table " +
+          "schema — declare them first (TableStore.evolveSchema is " +
+          "additive and zero-rewrite)")
+      // hive PARTITION columns are stored as directory strings and read
+      // back through value inference (a bigint bucket re-infers as int)
+      // — a type difference there is an inference artifact, not a
+      // schema fork; names still participate in the checks
+      val exempt = partitionCols.map(_.toLowerCase).toSet
+      val mismatched = df.schema.fields.filter(f =>
+        !exempt.contains(f.name.toLowerCase) &&
+          eff.get(f.name.toLowerCase).exists(_ != f.dataType))
+      if (mismatched.nonEmpty) throw new IllegalArgumentException(
+        s"append to '$table' refused: type mismatch on " +
+          mismatched.map(f => s"${f.name} (${f.dataType.simpleString} vs " +
+            s"${eff(f.name.toLowerCase).simpleString})").mkString(", "))
+      if (!declared) {
+        val dfCols = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = ts.fields.filterNot(f => dfCols.contains(f.name.toLowerCase))
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"append to '$table' refused: column(s) " +
+            s"${missing.map(_.name).mkString(", ")} are missing and the " +
+            "table has no declared schema to null-fill them on read — " +
+            "include the columns or declare the schema via evolveSchema")
+      }
+    }
+  }
 
   /** S9 — append-only insert (base.py:13-22). */
   def append(table: String, df: DataFrame): Unit = {
+    validateAppendSchema(table, df)
     df.write.mode("append").parquet(tablePath(table))
     invalidateListing(table)
   }
@@ -468,6 +563,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // appending nothing is a no-op — and an empty partitioned write would
     // create a file-less directory that poisons schema inference
     if (df.isEmpty) return
+    validateAppendSchema(table, df, partitionCols)
     // clear an empty-table schema marker (see overwriteAtomic) so the
     // layout stays uniformly partitioned; an unreadable (file-less) dir
     // counts as empty
@@ -1403,7 +1499,13 @@ final class TableStore(spark: SparkSession, root: String) {
       if (keepRels.isEmpty) return read(table).filter(lit(false))
     }
     if (keepRels == null || keepRels.size == files.size) return fallback
-    spark.read.option("basePath", tablePath(table))
+    val reader = spark.read.option("basePath", tablePath(table))
+    // an evolved table's pruned read must supply the declared schema
+    // exactly like [[read]] does, or the kept subset's footers would
+    // resolve a pre-evolution shape
+    evolvedDdl(table).foreach(ddl =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    reader
       .parquet(keepRels.toSeq.sorted.map(r => tablePath(table) + "/" + r): _*)
       .filter(rowFilter)
   }
@@ -1690,9 +1792,14 @@ final class TableStore(spark: SparkSession, root: String) {
 
     val smallBytes = small.map(_._2).sum
     val smallPaths = small.map { case (rel, _) => s"${tablePath(table)}/$rel" }
-    // basePath keeps hive partition columns in the projected rows
-    val packedSrc = spark.read.option("basePath", tablePath(table))
-      .parquet(smallPaths: _*)
+    // basePath keeps hive partition columns in the projected rows; an
+    // evolved table packs under its DECLARED schema, so the packed
+    // output materializes the evolved columns (as nulls for
+    // pre-evolution rows) and the file set converges on one shape
+    val smallReader = spark.read.option("basePath", tablePath(table))
+    evolvedDdl(table).foreach(ddl =>
+      smallReader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    val packedSrc = smallReader.parquet(smallPaths: _*)
     val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
     val sc = sortCols.map(col)
