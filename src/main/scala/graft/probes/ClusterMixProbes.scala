@@ -185,6 +185,34 @@ object ClusterMixProbes {
         .filter(col("p_size") > col("a"))
         .groupBy("p_brand").agg(count(lit(1)).as("n_above"))
         .orderBy("p_brand")
+    },
+
+    // JSONL shard export round trip (r12): write the corpus as gzipped
+    // JSONL shards, read it back with spark.read.json, and aggregate —
+    // matching the oracle's direct aggregation over the source table
+    // proves the export is lossless (every row, every value) and the
+    // shard math right (n_shards = ceil(rows / 64)). Read-back supplies
+    // the schema explicitly, as a large export should (inference is a
+    // full pre-scan).
+    Probe(
+      "pack_jsonl_export",
+      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars, " +
+        "CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_shards " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-jsonl-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select("doc_id", "text")
+      val shards = PhaseTimer.timed("pack_jsonl_export", "shard_write") {
+        graft.ops.Export.writeJsonlShards(src, Seq(col("doc_id")), 64L, s"$root/out")
+      }
+      graft.ops.Export.readJsonlShards(s, s"$root/out",
+          Some("doc_id BIGINT, text STRING"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          lit(shards).as("n_shards"))
     }
   )
 }
