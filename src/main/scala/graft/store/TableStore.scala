@@ -465,6 +465,24 @@ final class TableStore(spark: SparkSession, root: String) {
   private def evolvedDdl(table: String): Option[String] =
     getTableProp(table, SchemaProp)
 
+  /** Inferred-schema cache behind [[tableSchema]]: inference lists the
+    * whole directory, and the append fence consults the schema on EVERY
+    * append — at corpus file counts an uncached fence would turn each
+    * streamed batch into five O(#files) listings. Appends themselves
+    * cannot change a schema (that is what the fence forbids), so the
+    * cache invalidates only where a schema CAN change: evolution, the
+    * swap paths, recovery, and the empty-marker rewrite. Coherent under
+    * the single-writer lease; a foreign writer's out-of-band schema
+    * change surfaces on this instance's next swap/recovery (which
+    * invalidates) — and is already outside the lease contract.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def invalidateSchema(table: String): Unit = {
+    schemaCache.remove(table); ()
+  }
+
   /** The table's EFFECTIVE schema — the evolved declaration when one
     * exists, else the files' own. None for a missing table, and None
     * when nothing readable exists to infer from (a dir wedged by a
@@ -475,9 +493,13 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(table)) None
     else evolvedDdl(table)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .orElse(Option(schemaCache.get(table)))
       .orElse(
-        try Some(spark.read.parquet(tablePath(table)).schema)
-        catch { case _: org.apache.spark.sql.AnalysisException => None })
+        try {
+          val s = spark.read.parquet(tablePath(table)).schema
+          schemaCache.put(table, s)
+          Some(s)
+        } catch { case _: org.apache.spark.sql.AnalysisException => None })
 
   /** Zero-rewrite ADDITIVE schema evolution: declare new (nullable)
     * columns in the table's sidecar schema. Existing files are never
@@ -499,6 +521,7 @@ final class TableStore(spark: SparkSession, root: String) {
       s"evolveSchema on '$table': column(s) ${clash.mkString(", ")} already " +
         "exist — additive evolution cannot redefine a column")
     setTableProp(table, SchemaProp, StructType(cur.fields ++ add.fields).toDDL)
+    invalidateSchema(table)
   }
 
   /** Refuse appends that would FORK the table's schema. Without this, a
@@ -605,6 +628,7 @@ final class TableStore(spark: SparkSession, root: String) {
           .parquet(tablePath(table))
         props.foreach { case (k, v) => setTableProp(table, k, v) }
         invalidateListing(table)
+        invalidateSchema(table)
         return
       }
     }
@@ -664,6 +688,7 @@ final class TableStore(spark: SparkSession, root: String) {
     f.delete(old, true)
     deleteSwapMarkers(dest)
     invalidateListing(table)
+    invalidateSchema(table)
   }
 
   /** Crash-injection seam for the swap's property test: called at the
@@ -1915,6 +1940,7 @@ final class TableStore(spark: SparkSession, root: String) {
     f.delete(old, true)
     deleteSwapMarkers(dest)
     invalidateListing(table)
+    invalidateSchema(table)
   }
 
   // -------------------------------------------------------------------
@@ -1982,6 +2008,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // covers the swap siblings: mid-window the lease rides inside them.
     checkNoForeignLease(table, "swap recovery")
     invalidateListing(table) // any outcome below may reshape the file set
+    invalidateSchema(table)
     val f = fs
     val parent = new Path(root)
     val dest = new Path(tablePath(table))
