@@ -23,6 +23,12 @@ object Export {
     * (must be a total order for a deterministic export) and serialized
     * with `to_json` over exactly the input columns.
     *
+    * Input-determinism precondition (the [[GlobalOrder.denseIds]]
+    * contract): `df` is evaluated more than once while ordinals are
+    * assigned, so a nondeterministic frame (rand(), an unstable limit)
+    * must be persisted or checkpointed by the caller first — the same
+    * rule every denseIds consumer follows.
+    *
     * @return the number of shards written (0 for an empty frame —
     *         nothing is written, there is no empty-JSONL convention)
     */

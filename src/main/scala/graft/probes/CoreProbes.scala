@@ -340,6 +340,39 @@ object CoreProbes {
       ts.read("orders_m").orderBy("o_orderkey")
     },
 
+    // [EXT] M5 — additive schema evolution through the REAL storage path
+    // (r12): a table written pre-evolution, evolved with one sidecar
+    // write, then appended post-evolution with the new column. The
+    // read-back aggregate proves old rows null-fill, new rows carry
+    // values, and nothing is lost — the oracle re-derives every figure
+    // from the source table and the doc_id<250 phase split in closed
+    // form.
+    Probe(
+      "m4_schema_evolution",
+      "SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang, " +
+        "CAST(count(DISTINCT CASE WHEN doc_id >= 250 THEN source END) AS BIGINT) AS n_langs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-evolve-probe")
+      val ts = new graft.store.TableStore(s, root)
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      PhaseTimer.timed("m4_schema_evolution", "writes_evolve") {
+        ts.append("docs", src.filter(col("doc_id") < 250)
+          .select("doc_id", "text"))
+        ts.evolveSchema("docs", "lang STRING")
+        ts.append("docs", src.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"), col("source").as("lang")))
+      }
+      ts.read("docs").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text"))).cast("long").as("chars"))
+    },
+
     // M2/J4 — cascade delete as left-anti rewrite (schema.py:43-44).
     Probe(
       "m2_delete_count",
