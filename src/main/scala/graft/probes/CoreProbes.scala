@@ -340,6 +340,54 @@ object CoreProbes {
       ts.read("orders_m").orderBy("o_orderkey")
     },
 
+    // [EXT] M6 — CDC apply through the REAL storage path (r12): one
+    // changefeed of upserts + inserts + tombstones (incl. tombstones for
+    // absent keys, which must no-op) applied by mergeCdc's pruned
+    // machinery; the oracle is the FULL OUTER JOIN with the delete
+    // filter — the declarative definition of MERGE-with-DELETE.
+    Probe(
+      "m5_merge_cdc",
+      "WITH src AS (" +
+        "SELECT o_orderkey, 'MERGED' AS o_orderpriority, false AS del FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999 AND o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED', false FROM orders WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT o_orderkey, NULL, true FROM orders WHERE o_orderkey BETWEEN 5000 AND 7999 AND o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 2000000, NULL, true FROM orders WHERE o_orderkey % 501 = 0) " +
+        "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
+        "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
+        "WHERE NOT coalesce(s.del, false) ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-cdc-probe")
+      val ts = new graft.store.TableStore(s, root)
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      PhaseTimer.timed("m5_merge_cdc", "table_setup_write") {
+        ts.overwriteAtomic("orders_c",
+          orders.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"))
+      }
+      val nullS = lit(null).cast("string")
+      val feed = orders
+        .filter(col("o_orderkey").between(1000L, 2999L) &&
+          col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+          lit(false).as("_deleted"))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), lit(false).as("_deleted")))
+        .unionByName(orders
+          .filter(col("o_orderkey").between(5000L, 7999L) &&
+            col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), nullS.as("o_orderpriority"),
+            lit(true).as("_deleted")))
+        .unionByName(orders.filter(col("o_orderkey") % 501 === 0)
+          .select((col("o_orderkey") + 2000000L).as("o_orderkey"),
+            nullS.as("o_orderpriority"), lit(true).as("_deleted")))
+      PhaseTimer.timed("m5_merge_cdc", "cdc_apply") {
+        ts.mergeCdc("orders_c", feed, Seq("o_orderkey"))
+      }
+      ts.read("orders_c").orderBy("o_orderkey")
+    },
+
     // [EXT] M5 — additive schema evolution through the REAL storage path
     // (r12): a table written pre-evolution, evolved with one sidecar
     // write, then appended post-evolution with the new column. The

@@ -819,12 +819,74 @@ final class TableStore(spark: SparkSession, root: String) {
     // union) — an expensively-derived patch batch must compute once
     val src = source.select(targetCols.map(col): _*).persist()
     try {
-    requireUniqueKeys(src, keyCols)
+      requireUniqueKeys(src, keyCols)
+      mergeImpl(table, src, src, keyCols, partitionCols)
+    } finally { src.unpersist(); () }
+  }
+
+  /** [EXT] CDC apply — [[merge]] completed with a DELETE clause: the
+    * source is a CHANGEFEED whose `deleteCol` (boolean; null = false)
+    * marks tombstones. Semantics per row, keyed on `keyCols`:
+    *  - matched + tombstone    → target row DELETED
+    *  - matched + not          → target row replaced with source values
+    *  - unmatched + not        → inserted
+    *  - unmatched + tombstone  → no-op (deleting the absent is idempotent)
+    * One pruned pass over the same machinery as merge — files/dirs
+    * holding matched keys rewrite, insert-target dirs join them, the
+    * rest cross by rename — so applying a day's changefeed to a 100 TB
+    * corpus costs the affected slice, not the table. Tombstones need
+    * only their KEY columns populated (other target columns may be
+    * null); insert-target partition dirs derive from the non-tombstone
+    * rows alone, so a tombstone's null partition values never mislead
+    * dir discovery. Keys must be unique across the WHOLE feed (a key
+    * cannot be both upserted and deleted in one apply — collapse the
+    * feed to last-writer-wins first). Idempotent: re-applying the same
+    * feed converges (deletes of the already-deleted are no-ops, upserts
+    * re-apply the same values).
+    */
+  def mergeCdc(table: String, source: DataFrame, keyCols: Seq[String],
+               deleteCol: String = "_deleted",
+               partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "mergeCdc requires at least one key column")
+    val delField = source.columns.find(_.equalsIgnoreCase(deleteCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"mergeCdc source must carry the '$deleteCol' tombstone column"))
+    val notDeleted = !coalesce(col(delField).cast("boolean"), lit(false))
+    if (!exists(table)) {
+      val ins = source.filter(notDeleted).drop(delField)
+      validateMergeColumns(ins.columns.toSeq, ins.columns.toSeq, keyCols)
+      requireUniqueKeys(source, keyCols)
+      if (!ins.isEmpty) overwriteAtomic(table, ins, partitionCols)
+      return
+    }
+    val targetCols = read(table).columns.toSeq
+    validateMergeColumns(source.columns.filterNot(_ == delField).toSeq,
+      targetCols, keyCols)
+    val changes = source.persist()
+    try {
+      requireUniqueKeys(changes, keyCols)
+      val srcAll = changes.select(targetCols.map(col): _*)
+      val insertDf = changes.filter(notDeleted).select(targetCols.map(col): _*)
+      mergeImpl(table, srcAll, insertDf, keyCols, partitionCols)
+    } finally { changes.unpersist(); () }
+  }
+
+  /** Shared engine of [[merge]] and [[mergeCdc]]. `src` carries EVERY
+    * change row (its keys drive matched-file/dir discovery and the
+    * anti-join that removes old versions AND deleted rows); `insertDf`
+    * carries only the rows that re-enter the table. For plain merge the
+    * two are the same frame; for CDC the tombstones are in `src` but
+    * not `insertDf`. Both must be derived from a persisted frame (the
+    * plans evaluate several times).
+    */
+  private def mergeImpl(table: String, src: DataFrame, insertDf: DataFrame,
+                        keyCols: Seq[String],
+                        partitionCols: Seq[String]): Unit = {
     val srcKeys = src.select(keyCols.map(col): _*)
-    // new content of the affected slice: its unmatched rows + ALL source
-    // rows (matched rows re-enter with source values; the rest insert)
+    // new content of the affected slice: its rows minus every CHANGED
+    // key (old versions and deletions drop), plus the re-entering rows
     def stagedFrom(affected: DataFrame): DataFrame =
-      affected.join(srcKeys, keyCols, "left_anti").unionByName(src)
+      affected.join(srcKeys, keyCols, "left_anti").unionByName(insertDf)
     def full(): Unit =
       overwriteAtomic(table, stagedFrom(read(table)), partitionCols)
 
@@ -841,7 +903,10 @@ final class TableStore(spark: SparkSession, root: String) {
         .join(srcKeys, keyCols, "left_semi")
         .select(fileCol).distinct().limit(4097).collect()
         .map(_.getString(0))
-      if (affectedRaw.isEmpty) { append(table, src); return }
+      if (affectedRaw.isEmpty) {
+        if (!insertDf.isEmpty) append(table, insertDf)
+        return
+      }
       if (affectedRaw.length > 4096) return full()
       val rels = affectedRaw.map(relativizer(table))
       if (rels.exists(_.isEmpty)) return full()
@@ -869,8 +934,10 @@ final class TableStore(spark: SparkSession, root: String) {
       val dirRel = hiveDirRel(partitionCols) _
       val matchedTuples = read(table).join(srcKeys, keyCols, "left_semi")
         .select(partitionCols.map(col): _*).distinct().limit(257).collect()
-      if (matchedTuples.isEmpty) { appendPartitioned(table, src, partitionCols); return }
-      val sourceTuples = src
+      if (matchedTuples.isEmpty) { appendPartitioned(table, insertDf, partitionCols); return }
+      // insert-target dirs derive from the RE-ENTERING rows only — a
+      // tombstone's partition values may legitimately be null/garbage
+      val sourceTuples = insertDf
         .select(partitionCols.map(col): _*).distinct().limit(257).collect()
       if (matchedTuples.length > 256 || sourceTuples.length > 256) return full()
 
@@ -901,7 +968,6 @@ final class TableStore(spark: SparkSession, root: String) {
       stageAndSwapWithKept(table,
         stagedFrom(read(table).filter(prunePred)), kept, partitionCols)
     }
-    } finally { src.unpersist(); () }
   }
 
   /** The structural half of the [[merge]] source contract (no Spark job):
