@@ -51,6 +51,10 @@ final case class ProcessingConfig(
     // number of hash buckets partitioning document_chunks by document_id
     // (SURVEY §7.4.7); chunk reads prune to one bucket
     chunkBuckets: Int = 16,
+    // [EXT] inbox extension filter; the reference hardcodes *.pdf
+    // (main.py:22,48) and that stays the default — a text/HTML/markdown
+    // corpus widens it (the DocParser boundary already handles any bytes)
+    fileGlob: String = "*.pdf",
     // [EXT] SURVEY §2.10: drop re-ingested content by sha-256 — the
     // reference re-processes duplicate drops (no dedup key); opt-in here
     // because it diverges from reference behavior
@@ -277,7 +281,7 @@ final class IngestPipeline(
     try {
       recoverOwnedTables()
       val bin = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.pdf") // extension filter (main.py:22,48)
+        .option("pathGlobFilter", cfg.fileGlob) // extension filter (main.py:22,48)
         .load(inputDir)
       ingestBinary(bin, now)
     } finally releaseOwnedLeases()
@@ -309,7 +313,7 @@ final class IngestPipeline(
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")
         .add("length", "long").add("content", "binary"))
-      .option("pathGlobFilter", "*.pdf")
+      .option("pathGlobFilter", cfg.fileGlob)
       .option("recursiveFileLookup", "false") // recursive=False (main.py:156)
     maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
     archiveDir.foreach { dir =>

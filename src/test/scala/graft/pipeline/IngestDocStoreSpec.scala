@@ -53,6 +53,23 @@ class IngestDocStoreSpec extends AnyFunSuite with SharedSpark {
     (new DocumentStore(spark, tables, objects), tables, objects, stats)
   }
 
+  test("fileGlob widens the inbox filter beyond the reference's *.pdf") {
+    val inbox = tmpDir("inbox-glob")
+    writeDoc(inbox, "keep.txt", "Title:\nA text corpus document with plenty of words here.\n")
+    writeDoc(inbox, "skip.pdf", "Other:\nThis pdf must be ignored under the txt glob.\n")
+    val root = tmpDir("store-glob")
+    val tables = new TableStore(spark, s"$root/tables")
+    val pipe = new IngestPipeline(spark, tables,
+      new ObjectStore(spark, s"$root/bucket"),
+      ProcessingConfig(fileGlob = "*.txt",
+        chunker = ChunkerConfig(minTokens = 5, maxTokens = 2000)))
+    val stats = pipe.ingest(inbox, now)
+    assert(stats.documents == 1)
+    val names = tables.read("documents").select("filename")
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("keep.txt"))
+  }
+
   test("a custom DocParser plugs into the pipeline (codec boundary)") {
     import graft.etl.Parse
     import graft.model.{DocElement, ParsedDoc}
