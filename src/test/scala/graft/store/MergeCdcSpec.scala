@@ -102,6 +102,33 @@ class MergeCdcSpec extends AnyFunSuite with SharedSpark {
     assert(out.filter(col("id") === 200L && col("p") === 1).count() == 1)
   }
 
+  test("randomized changefeed rounds agree with an in-memory CDC model") {
+    import spark.implicits._
+    val root = tmpDir("cdc-fuzz")
+    val ts = new TableStore(spark, root)
+    val rnd = new scala.util.Random(20260814L)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    // seed state
+    val seed = (1L to 50L).map(i => i -> s"s$i")
+    seed.foreach { case (k, v) => model(k) = v }
+    ts.append("t", seed.toDF("id", "v"))
+    for (round <- 1 to 6) {
+      // a feed of ~15 unique keys over a 1..80 key space: mixes matched
+      // and unmatched keys with ~1/3 tombstones
+      val keys = rnd.shuffle((1L to 80L).toList).take(15)
+      val feed = keys.map { k =>
+        val del = rnd.nextInt(3) == 0
+        (k, if (del) null else s"r$round-$k", del)
+      }
+      feed.foreach { case (k, v, del) =>
+        if (del) model.remove(k) else model(k) = v
+      }
+      ts.mergeCdc("t", feed.toDF("id", "v", "_deleted"), Seq("id"))
+      val got = ts.read("t").as[(Long, String)].collect().toMap
+      assert(got == model.toMap, s"state diverged after round $round")
+    }
+  }
+
   test("contract failures refuse before any write") {
     import spark.implicits._
     val root = tmpDir("cdc-contract")

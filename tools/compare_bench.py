@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Cross-round bench comparison over the committed bench_full_r*.json
+captures (dev-only tooling, mirrors the judge's per-query diff).
+
+Usage: python3 tools/compare_bench.py OLD.json NEW.json [--top N]
+
+Prints totals, the median per-query ratio, the biggest absolute moves in
+both directions, and new/removed queries. When both captures carry a
+"runs" field (round 12+ best-of-2), also reports each side's in-capture
+spread so host noise is visible next to the deltas.
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def spread(cap):
+    runs = cap.get("runs") or {}
+    rel = [max(v) / min(v) for v in runs.values()
+           if isinstance(v, list) and len(v) > 1 and min(v) > 0]
+    return statistics.median(rel) if rel else None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 8
+    if "--top" in sys.argv:
+        top = int(sys.argv[sys.argv.index("--top") + 1])
+    old, new = load(args[0]), load(args[1])
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    print(f"old: {len(qo)} queries, {old['value']:.1f} s "
+          f"({old['value']/len(qo):.3f} s/q)  [{args[0]}]")
+    print(f"new: {len(qn)} queries, {new['value']:.1f} s "
+          f"({new['value']/len(qn):.3f} s/q)  [{args[1]}]")
+    for name, cap in (("old", old), ("new", new)):
+        s = spread(cap)
+        if s is not None:
+            print(f"{name} in-capture run spread (median max/min): {s:.2f}")
+    if common:
+        ratios = [qn[k] / qo[k] for k in common if qo[k] > 0]
+        print(f"median ratio new/old over {len(common)} common: "
+              f"{statistics.median(ratios):.3f}")
+        by_delta = sorted(common, key=lambda k: qn[k] - qo[k])
+        print("\nbiggest regressions (new - old):")
+        for k in by_delta[-top:][::-1]:
+            print(f"  {k:30s} {qo[k]:7.2f} -> {qn[k]:7.2f}  ({qn[k]-qo[k]:+.2f})")
+        print("biggest improvements:")
+        for k in by_delta[:top]:
+            print(f"  {k:30s} {qo[k]:7.2f} -> {qn[k]:7.2f}  ({qn[k]-qo[k]:+.2f})")
+    added = sorted(set(qn) - set(qo))
+    removed = sorted(set(qo) - set(qn))
+    if added:
+        print("\nnew queries:", ", ".join(f"{k} ({qn[k]:.2f}s)" for k in added))
+    if removed:
+        print("removed queries:", ", ".join(removed))
+    if new.get("failed"):
+        print("FAILED in new capture:", new["failed"])
+
+
+if __name__ == "__main__":
+    main()
