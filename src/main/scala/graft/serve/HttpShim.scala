@@ -90,6 +90,25 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
     (method, segs) match {
       case ("POST", List("documents", "upload")) =>
         upload(ex, query)
+      // [EXT] batch hydrate: ?ids=1,2,3 returns the named documents via
+      // the point-set pruned read (O(k) planned files on a clustered
+      // table); absent ids are simply absent from the result, the same
+      // contract as the per-id 404 spread across a batch. Bounded at
+      // 1024 ids (the URL is the wrong transport past that), and not
+      // combinable with the pagination params.
+      case ("GET", List("documents")) if query.contains("ids") =>
+        val raw = query("ids").split(",").map(_.trim).filter(_.nonEmpty)
+        if (raw.isEmpty || raw.exists(_.toLongOption.isEmpty))
+          validationGate[Int](ex, List(Left(
+            "ids" -> "value is not a valid integer list")))(_ => ())
+        else if (raw.length > 1024)
+          validationGate[Int](ex, List(Left(
+            "ids" -> "at most 1024 ids per request")))(_ => ())
+        else if (query.contains("skip") || query.contains("after_id") ||
+                 query.contains("limit"))
+          validationGate[Int](ex, List(Left(
+            "ids" -> "cannot be combined with pagination params")))(_ => ())
+        else jsonArray(ex, store.getDocuments(raw.map(_.toLong).toSeq))
       // [EXT] keyset pagination: ?after_id anchors on the last seen id —
       // a pruned tail read + top-k instead of OFFSET's whole-table
       // top-(skip+limit); the deep-pagination scale path. skip is

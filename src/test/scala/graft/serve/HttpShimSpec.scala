@@ -111,6 +111,15 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(get("/documents/999999/chunks").statusCode() == 404)
     assert(get(s"/documents/999999/charts/$chartId").statusCode() == 404)
 
+    // [EXT] batch hydrate: present ids return, absent ids just don't;
+    // malformed or pagination-mixed params are 422s
+    val batch = get(s"/documents?ids=$docId,999999")
+    assert(batch.statusCode() == 200 &&
+      batch.body().contains("\"filename\":\"report.pdf\""))
+    assert(spark.read.json(Seq(batch.body()).toDS()).count() == 1)
+    assert(get("/documents?ids=1,abc").statusCode() == 422)
+    assert(get(s"/documents?ids=$docId&skip=0").statusCode() == 422)
+
     // [EXT] keyset pagination: anchor below the id → the row returns;
     // anchor at/above it → empty page; malformed/mixed params → 422
     val page = get(s"/documents?after_id=${docId - 1}&limit=5")
