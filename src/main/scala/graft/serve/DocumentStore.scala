@@ -152,6 +152,24 @@ final class DocumentStore(
   def documentExists(id: Long): Boolean =
     !prunedEq("documents", DocDdl, "id", id).limit(1).isEmpty
 
+  /** [EXT] Batch chunk hydration — the chunks of N documents in ONE
+    * two-tier pruned read: the doc_bucket conjunct prunes to the ids'
+    * bucket DIRECTORIES from dir names alone, the document_id conjunct
+    * prunes the survivors by footer band. The dataloader shape ("the
+    * text of this training batch") at O(matched files), not N separate
+    * queries and not a table scan.
+    */
+  def getChunksForDocuments(documentIds: Seq[Long]): DataFrame =
+    if (documentIds.isEmpty || !tables.exists("document_chunks")) emptyDf(ChunkDdl)
+    else {
+      val b = chunkBuckets
+      val buckets = documentIds
+        .map(graft.pipeline.IngestPipeline.chunkBucketScalar(_, b)).distinct
+      tables.readInAll("document_chunks",
+        Seq(("doc_bucket", buckets), ("document_id", documentIds)))
+        .orderBy("document_id", "chunk_index")
+    }
+
   def getDocuments(ids: Seq[Long]): DataFrame =
     if (ids.isEmpty || !tables.exists("documents")) emptyDf(DocDdl)
     else tables.readIn("documents", "id", ids)

@@ -1412,6 +1412,39 @@ final class TableStore(spark: SparkSession, root: String) {
       })
   }
 
+  /** Conjunctive point-SET read — [[readIn]]'s sibling of
+    * [[readRangeAll]]: the table filtered to `AND_i (col_i IN values_i)`,
+    * keeping only files whose footer band intersects EVERY conjunct's
+    * value set. The batch-serving shape: "all chunks of these 500
+    * documents" prunes the doc_bucket PARTITION directories to the ids'
+    * bucket set (dir-name verdicts, zero footer opens) and the surviving
+    * files by document_id footer bands. Same exactness rules; a file
+    * proved disjoint from ANY conjunct holds no matching row.
+    */
+  def readInAll(table: String,
+                conjuncts: Seq[(String, Seq[Long])]): DataFrame = {
+    require(conjuncts.nonEmpty, "readInAll needs at least one conjunct")
+    if (conjuncts.exists(_._2.isEmpty))
+      return read(table).filter(lit(false))
+    val rowFilter = conjuncts.map { case (c, vs) =>
+      col(c).isInCollection(vs.distinct)
+    }.reduce(_ && _)
+    statsPrunedReadMulti(table, rowFilter, conjuncts.map { case (c, vs) =>
+      val arr = vs.distinct.sorted.toArray
+      (c, TableStore.IntegralUnit,
+        (v: (Int, String, String)) => v match {
+          case (0, _, _) => true
+          case (2, mn, mx) =>
+            val lo = mn.toLong
+            val hi = mx.toLong
+            val i = java.util.Arrays.binarySearch(arr, lo)
+            val at = if (i >= 0) i else -i - 1
+            at < arr.length && arr(at) <= hi
+          case _ => false
+        })
+    })
+  }
+
   /** [[readIn]] for STRING keys — the batch-lookup read the engine's own
     * content-hash id design needs (SURVEY §7.4.2: ids are hash strings,
     * so "hydrate these 500 documents" arrives as scattered string keys).

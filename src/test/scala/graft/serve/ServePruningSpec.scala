@@ -132,6 +132,25 @@ class ServePruningSpec extends AnyFunSuite with SharedSpark {
     assert(ds.getDocuments(Nil).count() == 0)
   }
 
+  test("batch chunk hydration confines itself to the ids' bucket dirs") {
+    val (ds, _) = fixture()
+    val ids = Seq(10L, 42L, 250L)
+    val chunks = ds.getChunksForDocuments(ids)
+    val buckets = ids.map(IngestPipeline.chunkBucketScalar(_, 16)).distinct
+    assert(chunks.inputFiles.nonEmpty &&
+      chunks.inputFiles.forall(f =>
+        buckets.exists(b => f.contains(s"doc_bucket=$b/"))),
+      "only the requested ids' bucket directories may plan")
+    val rows = chunks.collect()
+    assert(rows.map(_.getAs[Long]("document_id")).toSet == ids.toSet)
+    assert(rows.length == ids.length * 2, "two chunks per fixture document")
+    // ordered by (document_id, chunk_index) — the dataloader contract
+    assert(rows.map(r => (r.getAs[Long]("document_id"),
+      r.getAs[Int]("chunk_index"))).toSeq ==
+      ids.sorted.flatMap(d => Seq((d, 0), (d, 1))))
+    assert(ds.getChunksForDocuments(Nil).count() == 0)
+  }
+
   test("a store with no tables serves empty frames through the pruned paths") {
     val root = tmpDir("serve-prune-empty")
     val ds = new DocumentStore(spark,

@@ -213,6 +213,35 @@ class RangeReadSpec extends AnyFunSuite with SharedSpark {
         .as[(Long, String)].collect().toSet)
   }
 
+  test("readInAll intersects set conjuncts across partition and footer tiers") {
+    import spark.implicits._
+    val root = tmpDir("range-inall")
+    val ts = new TableStore(spark, root)
+    // 3 partitions × 3 id bands, one file each — the readRangeAll
+    // composition fixture, now with SET predicates
+    for (p <- 0 until 3; b <- 0 until 3)
+      ts.appendPartitioned("t",
+        (b * 100L + 1 to b * 100L + 100).map(i => (i, s"v$p-$i", p.toLong))
+          .toDF("id", "v", "p").coalesce(1),
+        Seq("p"))
+    val opensBefore = TableStore.footerOpens.get()
+    val got = ts.readInAll("t", Seq(("p", Seq(1L)), ("id", Seq(42L, 250L))))
+    val rows = got.collect()
+    val opened = TableStore.footerOpens.get() - opensBefore
+    assert(opened == 3, s"footers only inside the p=1 dir, got $opened")
+    assert(got.inputFiles.length == 2, "bands 1-100 and 201-300 of p=1 only")
+    assert(rows.map(_.getString(1)).toSet == Set("v1-42", "v1-250"))
+    // empty value set anywhere empties the read
+    assert(ts.readInAll("t", Seq(("p", Seq(1L)), ("id", Nil))).isEmpty)
+    // result always equals the plain conjunctive IN filter
+    val want = ts.read("t")
+      .filter(col("p").isInCollection(Seq(0L, 2L)) &&
+        col("id").isInCollection(Seq(5L, 150L, 299L)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(ts.readInAll("t", Seq(("p", Seq(0L, 2L)), ("id", Seq(5L, 150L, 299L))))
+      .as[(Long, String, Long)].collect().toSet == want)
+  }
+
   test("readInStrings plans only files whose byte band holds a requested key") {
     import spark.implicits._
     val root = tmpDir("range-instr")
