@@ -50,6 +50,21 @@ object MiniPdf {
   private val ObjRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
   private val PageTypeRe = """/Type\s*/Page\b""".r
   private val RefRe = """(\d+)\s+\d+\s+R\b""".r
+  /** The `stream` KEYWORD as a standalone token followed by its
+    * spec-mandated EOL (ISO 32000-1 §7.3.8.1: CRLF or LF; a bare CR is
+    * tolerated for robustness). A raw `indexOf("stream")` also matched
+    * the substring inside names or literal strings (`/MyStreamKind`,
+    * `(a stream)`), mis-slicing dict vs payload into garbage page text
+    * instead of the intended refuse-and-fallback.
+    */
+  private val StreamKwRe = """(?<![A-Za-z0-9])stream(\r\n|\n|\r)""".r
+
+  /** Index of the stream keyword in `body` (dict ends there) and of the
+    * first payload byte (just past the keyword's EOL); None when no
+    * well-formed stream keyword exists.
+    */
+  private def streamKeywordAt(body: String): Option[(Int, Int)] =
+    StreamKwRe.findFirstMatchIn(body).map(m => (m.start, m.end))
 
   private def parseUnsafe(path: String, content: Array[Byte]): Option[ParsedDoc] = {
     if (!isPdf(content)) return None
@@ -92,10 +107,8 @@ object MiniPdf {
   /** The object's dictionary text — everything before its stream keyword
     * (stream bytes may contain anything, including `/Type /Page`).
     */
-  private def dictOf(body: String): String = {
-    val s = body.indexOf("stream")
-    if (s < 0) body else body.substring(0, s)
-  }
+  private def dictOf(body: String): String =
+    streamKeywordAt(body).fold(body) { case (s, _) => body.substring(0, s) }
 
   /** Refs listed under /Contents: `/Contents 4 0 R` or
     * `/Contents [4 0 R 6 0 R]`.
@@ -117,12 +130,8 @@ object MiniPdf {
     * when declared. None for filter chains outside the subset.
     */
   private def streamData(body: String): Option[String] = {
-    val s = body.indexOf("stream")
-    if (s < 0) return None
+    val (s, lo) = streamKeywordAt(body).getOrElse(return None)
     val dict = body.substring(0, s)
-    var lo = s + "stream".length
-    if (lo < body.length && body.charAt(lo) == '\r') lo += 1
-    if (lo < body.length && body.charAt(lo) == '\n') lo += 1
     val hi = body.lastIndexOf("endstream")
     if (hi < lo) return None
     var data = body.substring(lo, hi)

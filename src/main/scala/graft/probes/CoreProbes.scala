@@ -347,11 +347,17 @@ object CoreProbes {
     // filter — the declarative definition of MERGE-with-DELETE.
     Probe(
       "m5_merge_cdc",
-      "WITH src AS (" +
+      // the two synthetic key spaces (inserted keys, absent-key
+      // tombstones) are offset by max(o_orderkey) and 2*max so they stay
+      // disjoint from the table AND each other at EVERY scale factor —
+      // fixed +1e6/+2e6 offsets collided at sf>=1 (o%97==0 shifted by
+      // 1e6 can equal o'%501==0 shifted by 2e6), tripping the feed's
+      // key-uniqueness contract on a probe bug, not an engine bug
+      "WITH mx AS (SELECT max(o_orderkey) AS m FROM orders), src AS (" +
         "SELECT o_orderkey, 'MERGED' AS o_orderpriority, false AS del FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999 AND o_orderkey % 10 = 0 " +
-        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED', false FROM orders WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT o_orderkey + (SELECT m FROM mx), 'INSERTED', false FROM orders WHERE o_orderkey % 97 = 0 " +
         "UNION ALL SELECT o_orderkey, NULL, true FROM orders WHERE o_orderkey BETWEEN 5000 AND 7999 AND o_orderkey % 7 = 0 " +
-        "UNION ALL SELECT o_orderkey + 2000000, NULL, true FROM orders WHERE o_orderkey % 501 = 0) " +
+        "UNION ALL SELECT o_orderkey + 2 * (SELECT m FROM mx), NULL, true FROM orders WHERE o_orderkey % 501 = 0) " +
         "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
         "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
         "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
@@ -366,13 +372,15 @@ object CoreProbes {
             .sortWithinPartitions("o_orderkey"))
       }
       val nullS = lit(null).cast("string")
+      // same max-derived offsets as the oracle's mx CTE (see above)
+      val mx = orders.agg(max(col("o_orderkey")).cast("long")).head().getLong(0)
       val feed = orders
         .filter(col("o_orderkey").between(1000L, 2999L) &&
           col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
           lit(false).as("_deleted"))
         .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + mx).as("o_orderkey"),
             lit("INSERTED").as("o_orderpriority"), lit(false).as("_deleted")))
         .unionByName(orders
           .filter(col("o_orderkey").between(5000L, 7999L) &&
@@ -380,7 +388,7 @@ object CoreProbes {
           .select(col("o_orderkey"), nullS.as("o_orderpriority"),
             lit(true).as("_deleted")))
         .unionByName(orders.filter(col("o_orderkey") % 501 === 0)
-          .select((col("o_orderkey") + 2000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 2 * mx).as("o_orderkey"),
             nullS.as("o_orderpriority"), lit(true).as("_deleted")))
       PhaseTimer.timed("m5_merge_cdc", "cdc_apply") {
         ts.mergeCdc("orders_c", feed, Seq("o_orderkey"))

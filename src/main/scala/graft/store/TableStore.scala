@@ -1163,7 +1163,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * scan then fails loudly (retryable), never returns wrong rows
     * silently. Single-writer deployments (the lease's contract) are
     * exact; leave the TTL at 0 when foreign writers must be visible
-    * instantly.
+    * instantly. The SERIAL id allocator ([[maxId]]) BYPASSES this cache
+    * unconditionally — appends are not lease-gated, and an allocator
+    * answered from a stale listing would mint colliding ids (see
+    * [[listVisibleFilesMetaFresh]]).
     */
   private val listingCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[(String, Long, Long)])]()
@@ -1180,16 +1183,29 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def listVisibleFilesMeta(table: String): Seq[(String, Long, Long)] = {
     val ttl = listingTtlMs
-    if (ttl <= 0) {
-      listingsPerformed.incrementAndGet()
-      return listVisibleFilesAt(new Path(tablePath(table)))
-    }
+    if (ttl <= 0) return listVisibleFilesMetaFresh(table)
     val now = System.nanoTime()
     val hit = listingCache.get(table)
     if (hit != null && now - hit._1 < ttl * 1000000L) return hit._2
+    val fresh = listVisibleFilesMetaFresh(table)
+    listingCache.put(table, (now, fresh))
+    fresh
+  }
+
+  /** Always-live listing, refreshing the cache entry as a side effect.
+    * The SERIAL id allocator ([[maxId]] → [[footerMaxId]]) must use this
+    * tier: appends are deliberately NOT lease-gated (they cannot corrupt
+    * the swap protocol), so a foreign writer's fresh append is a
+    * legitimate concurrent event even in a leased deployment — an
+    * id-allocation answered from a TTL-stale listing could under-report
+    * the max and silently mint COLLIDING ids. Bounded staleness is fine
+    * for reads (a query sees the table as of ≤TTL ago — ordinary
+    * snapshot semantics); it is never fine for an allocator.
+    */
+  private def listVisibleFilesMetaFresh(table: String): Seq[(String, Long, Long)] = {
     listingsPerformed.incrementAndGet()
     val fresh = listVisibleFilesAt(new Path(tablePath(table)))
-    listingCache.put(table, (now, fresh))
+    if (listingTtlMs > 0) listingCache.put(table, (System.nanoTime(), fresh))
     fresh
   }
 
@@ -1253,7 +1269,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * ([[compactIncremental]] holds it at O(table bytes / threshold)).
     */
   private[store] def footerMaxId(table: String, idCol: String): Option[Long] = try {
-    val meta = listVisibleFilesMeta(table)
+    // FRESH listing, never the TTL cache: see [[listVisibleFilesMetaFresh]]
+    val meta = listVisibleFilesMetaFresh(table)
     if (meta.exists(v => !v._1.endsWith(".parquet"))) return None
     val files = meta.filter(_._2 > 0)
     if (files.isEmpty) return Some(0L)

@@ -74,6 +74,26 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(txt.elements.exists(e => e.elemType == "heading" && e.text == "Title"))
   }
 
+  test("a 'stream' substring inside dict tokens does not mis-slice the payload") {
+    // /Kind /streamy puts the substring "stream" INSIDE a dict name,
+    // BEFORE the real keyword: a raw indexOf match sliced the dict there
+    // and rendered the tail of the dict as page text (round-12 bug). The
+    // keyword must match only as a standalone token followed by EOL.
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n" +
+      "2 0 obj << /Length 41 /Kind /streamy >>\n" +
+      "stream\n" +
+      "BT (Decoy dict parsed right.) Tj ET\n" +
+      "endstream\nendobj\n").getBytes("UTF-8")
+    val doc = parser.parse("/x/decoy.pdf", pdf)
+    assert(doc.pageCount == 1)
+    val texts = doc.elements.map(_.text).filter(_ != null)
+    assert(texts.exists(_.contains("Decoy dict parsed right.")),
+      s"payload must slice at the keyword, got: $texts")
+    assert(!texts.exists(_.contains(">>")),
+      "no dict fragment may leak into the page text")
+  }
+
   test("truncated or corrupt streams refuse rather than half-parse") {
     val good = PdfFixtures.twoPageWithImage(flate = true)
     // chop the file mid-body: whatever MiniPdf cannot prove complete

@@ -63,6 +63,24 @@ class ListingCacheSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("the id allocator bypasses the cache: a foreign append is visible at once") {
+    import spark.implicits._
+    val root = tmpDir("lcache-maxid")
+    val ts = mk(root)
+    withTtl(60000L) {
+      assert(ts.maxId("t", "id") == 300L) // also warms the cache entry
+      // a FOREIGN writer appends higher ids inside the TTL window; the
+      // next allocation must see them — a cached answer would mint
+      // colliding SERIAL ids (appends are deliberately not lease-gated)
+      new TableStore(spark, root).append("t",
+        (301L to 350L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+      assert(ts.maxId("t", "id") == 350L,
+        "maxId must list fresh, never through the TTL cache")
+      // plain reads may still serve the (now refreshed-by-maxId) cache
+      assert(ts.readRange("t", "id", 1L, 1000L).count() == 350)
+    }
+  }
+
   test("foreign files appear after the TTL window") {
     import spark.implicits._
     val root = tmpDir("lcache-foreign")

@@ -27,10 +27,21 @@ def spread(cap):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # consume --top together with its VALUE so the number never leaks
+    # into the positional capture paths (load("8") would crash)
+    argv = sys.argv[1:]
     top = 8
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--top":
+            top = int(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     old, new = load(args[0]), load(args[1])
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
