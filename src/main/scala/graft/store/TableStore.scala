@@ -2324,27 +2324,50 @@ final class TableStore(spark: SparkSession, root: String) {
       case _ => None
     }
 
-  /** The lease governing `table`, looked up where a crash could have
-    * left it: the live dir when present, else the swap siblings (a
-    * mid-swap crash leaves the lease inside `.old-*`/`.tmp-*` — exactly
-    * the state recovery must not touch while its owner lives). Several
-    * candidate leases (one per sibling) resolve to the latest expiry —
-    * the conservative read for every caller.
+  /** Home of a PRE-TABLE lease: a table that does not exist yet has no
+    * directory to carry `_writer_lease`, but its creating writer still
+    * needs fencing — two streams started concurrently on a fresh table
+    * would otherwise both pass the gate and interleave the CREATING
+    * swaps. The hidden root-level dir holds one file per table name;
+    * underscore-prefixed so data readers ignore it, and shaped to match
+    * no swap-sibling pattern so recovery's root listings skip it. Once
+    * the table materializes, the holder's next renewal writes the
+    * canonical in-dir lease and retires this file.
     */
-  private def currentLease(table: String): Option[(String, Long)] = {
+  private val PreLeaseDir = "_graft_pre_leases"
+  private def preLeasePath(table: String) =
+    new Path(new Path(root, PreLeaseDir), table)
+
+  /** Every readable lease record governing `table`, with the path it
+    * lives at: the in-dir lease when the table exists, the swap-sibling
+    * leases when it is mid-swap absent (a crash leaves the lease inside
+    * `.old-*`/`.tmp-*` — exactly the state recovery must not touch while
+    * its owner lives), and the pre-table file either way.
+    */
+  private def leaseCandidates(table: String): Seq[(Path, String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def at(dir: Path): Option[(String, Long)] =
-      Sidecar.read(new Path(dir, WriterLease), conf).flatMap(parseLease)
+    def at(p: Path): Seq[(Path, String, Long)] =
+      Sidecar.read(p, conf).flatMap(parseLease).toSeq
+        .map { case (o, e) => (p, o, e) }
     val f = fs
-    if (f.exists(new Path(tablePath(table)))) at(new Path(tablePath(table)))
-    else {
-      val parent = new Path(root)
-      if (!f.exists(parent)) None
-      else f.listStatus(parent).map(_.getPath).toSeq
-        .filter(p => TableStore.isSwapSibling(p.getName, table))
-        .flatMap(at(_)).maxByOption(_._2)
-    }
+    val primary =
+      if (f.exists(new Path(tablePath(table)))) at(leasePath(table))
+      else {
+        val parent = new Path(root)
+        if (!f.exists(parent)) Nil
+        else f.listStatus(parent).map(_.getPath).toSeq
+          .filter(p => TableStore.isSwapSibling(p.getName, table))
+          .flatMap(d => at(new Path(d, WriterLease)))
+      }
+    primary ++ at(preLeasePath(table))
   }
+
+  /** The lease governing `table`. Several candidate records resolve to
+    * the latest expiry — the conservative read for every caller.
+    */
+  private def currentLease(table: String): Option[(String, Long)] =
+    leaseCandidates(table)
+      .map { case (_, o, e) => (o, e) }.maxByOption(_._2)
 
   private def liveForeignLease(table: String): Option[(String, Long)] =
     currentLease(table).filter { case (owner, exp) =>
@@ -2354,30 +2377,135 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Acquire (or renew — the call is idempotent for the holder) the
     * writer lease on `table` for `ttlMs` from now. False when a live
     * foreign lease exists — the caller must NOT write. A missing table
-    * acquires vacuously (nothing to protect yet; the first renewal after
-    * the table materializes writes the file). Stale-lease takeover is
-    * implicit: an expired lease is no lease.
+    * acquires via the pre-table lease file (see [[PreLeaseDir]]), so the
+    * fencing is real from the first call, not only after the table
+    * materializes. Stale-lease takeover is implicit: an expired lease is
+    * no lease.
+    *
+    * Cross-PROCESS atomicity (two driver JVMs racing the same grab):
+    *  - a fresh acquisition CREATE-EXCLUSIVEs the lease file — atomic on
+    *    the local filesystem (O_EXCL) and on HDFS (namenode create);
+    *    exactly one of N racers owns the path;
+    *  - an expired-lease takeover first RETIRES the stale file with an
+    *    atomic rename — exactly one of N renamers succeeds, and only the
+    *    winner proceeds to the exclusive create;
+    *  - after creating, the winner RE-READS the file and returns true
+    *    only if the surviving owner field is its own — on stores whose
+    *    create is check-then-write rather than atomic (some object
+    *    stores), two racers can both "create", but the re-read crowns at
+    *    most the one whose bytes survived; the residual window (A
+    *    verifies before B overwrites) is documented best-effort there,
+    *    and closed on filesystems with atomic create.
+    * Renewals by the VERIFIED current owner overwrite in place — the
+    * holder cannot race itself (per-instance ops serialize on
+    * [[leaseLock]]), and any foreign live lease was already refused.
     */
   def acquireWriterLease(table: String, ttlMs: Long = leaseTtlMs): Boolean =
     leaseLock.synchronized {
-      if (liveForeignLease(table).isDefined) return false
-      if (exists(table))
-        writePropFile(leasePath(table),
-          s"v1\t$writerId\t${System.currentTimeMillis() + ttlMs}")
+      val now = System.currentTimeMillis()
+      val cands = leaseCandidates(table)
+      if (cands.exists { case (_, o, e) => o != writerId && e > now })
+        return false
+      val active = if (exists(table)) leasePath(table) else preLeasePath(table)
+      val content = s"v1\t$writerId\t${now + ttlMs}"
+      val ownLive = cands.exists { case (_, o, e) => o == writerId && e > now }
+      val ok =
+        if (ownLive) { writePropFile(active, content); true }
+        else {
+          // fresh grab or expired takeover: clear the active path with an
+          // atomic rename iff THE STALE RECORD WE VALIDATED still sits
+          // there, then create-exclusive
+          val conf = spark.sparkContext.hadoopConfiguration
+          val staleAtActive = Sidecar.read(active, conf)
+          (staleAtActive.isEmpty || retireLeaseFile(active, staleAtActive.get)) &&
+            createLeaseExclusive(active, content) &&
+            Sidecar.read(active, conf)
+              .flatMap(parseLease).exists(_._1 == writerId)
+        }
+      // the pre-table file is superseded the moment the in-dir lease is
+      // ours — retire our own copy so it cannot outlive a later release
+      if (ok && (active != preLeasePath(table)))
+        Sidecar.read(preLeasePath(table), spark.sparkContext.hadoopConfiguration)
+          .flatMap(parseLease).filter(_._1 == writerId)
+          .foreach(_ => fs.delete(preLeasePath(table), false))
+      ok
+    }
+
+  /** Retire a stale lease file with an ATOMIC rename to a unique hidden
+    * name; exactly one of N concurrent retirers succeeds, and only when
+    * the retired bytes are STILL the stale record the caller validated.
+    * Without the content check a slow racer could rename the fresh
+    * winner's just-created lease away and crown itself a second owner;
+    * with it, a mis-renamed file (the record changed inside the
+    * read→rename window) is restored and the retire reports failure.
+    * The retired copy is deleted best-effort (nothing reads
+    * non-canonical names; an expired leftover is harmless).
+    */
+  private def retireLeaseFile(at: Path, expectedRaw: String): Boolean = {
+    // validate BEFORE touching anything: a live foreign record must
+    // never be renamed on purpose
+    val now = System.currentTimeMillis()
+    val staleOrOwn = parseLease(expectedRaw)
+      .exists { case (o, e) => o == writerId || e <= now }
+    if (!staleOrOwn) return false
+    val aside = new Path(at.getParent,
+      s".retired-${System.nanoTime()}-${at.getName}")
+    val renamed = try fs.rename(at, aside)
+    catch { case _: java.io.IOException => false }
+    if (!renamed) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val got = Sidecar.read(aside, conf)
+    if (got.contains(expectedRaw)) {
+      try fs.delete(aside, false) catch { case _: java.io.IOException => () }
       true
+    } else {
+      // renamed a DIFFERENT record (replaced inside our window) — put it
+      // back and lose; the current holder keeps its lease
+      try fs.rename(aside, at) catch { case _: java.io.IOException => () }
+      false
+    }
+  }
+
+  /** Create `at` with EXCLUSIVE semantics and write `content`. On the
+    * local filesystem Hadoop's create is check-then-write, so the nio
+    * O_EXCL create is used instead (atomic); elsewhere the filesystem's
+    * own `create(overwrite = false)` contract applies (atomic on HDFS;
+    * best-effort on stores without it — the caller's re-read-and-verify
+    * narrows that residual window). False when the path already exists.
+    */
+  private def createLeaseExclusive(at: Path, content: String): Boolean =
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val nio = java.nio.file.Paths.get(fs.makeQualified(at).toUri.getPath)
+          java.nio.file.Files.createDirectories(nio.getParent)
+          java.nio.file.Files.createFile(nio) // O_CREAT|O_EXCL — atomic
+          java.nio.file.Files.write(nio, content.getBytes("UTF-8"))
+          true
+        case f =>
+          val out = f.create(at, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
     }
 
   /** Drop this writer's own lease (no-op on a foreign or absent one) —
     * the clean-shutdown path that lets the next writer start without
-    * waiting out the TTL.
+    * waiting out the TTL. Both homes are cleared: the in-dir file and
+    * any pre-table file this writer left behind.
     */
   def releaseWriterLease(table: String): Unit =
     leaseLock.synchronized {
-      currentLease(table) match {
-        case Some((owner, _)) if owner == writerId =>
-          fs.delete(leasePath(table), false); ()
-        case _ => ()
-      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (p <- Seq(leasePath(table), preLeasePath(table)))
+        Sidecar.read(p, conf).flatMap(parseLease).foreach { case (owner, _) =>
+          if (owner == writerId) { fs.delete(p, false); () }
+        }
     }
 
   /** Refuse `op` while a FOREIGN writer's lease is live. The gate every

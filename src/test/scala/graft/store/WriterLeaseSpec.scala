@@ -117,12 +117,89 @@ class WriterLeaseSpec extends AnyFunSuite with SharedSpark {
     assert(!b.acquireWriterLease("t"))
   }
 
-  test("a missing table acquires vacuously; release is a safe no-op") {
+  test("a missing table fences from the FIRST acquire via the pre-table lease") {
+    // round-12 hole: acquire on a not-yet-existing table returned true
+    // without persisting anything, so two streams starting concurrently
+    // on a fresh table both passed the gate and could interleave the
+    // CREATING swaps
     val root = tmpDir("lease-missing")
     val a = new TableStore(spark, root)
     val b = new TableStore(spark, root)
     assert(a.acquireWriterLease("nope"))
-    assert(b.acquireWriterLease("nope"), "nothing exists to protect yet")
+    assert(!b.acquireWriterLease("nope"),
+      "the pre-table lease must fence a second creator immediately")
     a.releaseWriterLease("nope")
+    assert(b.acquireWriterLease("nope"), "release must clear the pre-table file")
+    b.releaseWriterLease("nope")
+  }
+
+  test("the pre-table lease follows the holder into the materialized table") {
+    import spark.implicits._
+    val root = tmpDir("lease-pre-follow")
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    assert(a.acquireWriterLease("t"))
+    a.append("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // renewal after materialization moves the lease in-dir; B still out
+    assert(a.acquireWriterLease("t"))
+    assert(!b.acquireWriterLease("t"))
+    // and a clean release clears BOTH homes, letting B in
+    a.releaseWriterLease("t")
+    assert(b.acquireWriterLease("t"))
+  }
+
+  /** `n` racers (one TableStore instance each — separate writer ids, so
+    * the per-instance lock is NOT what serializes them, exactly the two-
+    * process shape) all call acquire at a latch; returns the winners.
+    */
+  private def race(root: String, table: String, n: Int): Seq[TableStore] = {
+    val stores = Seq.fill(n)(new TableStore(spark, root))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val won = java.util.concurrent.ConcurrentHashMap.newKeySet[TableStore]()
+    val threads = stores.map { ts =>
+      new Thread(() => {
+        start.await()
+        if (ts.acquireWriterLease(table)) { won.add(ts); () }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000L))
+    import scala.jdk.CollectionConverters._
+    won.asScala.toSeq
+  }
+
+  test("racing acquisition on an existing table: exactly one instance wins") {
+    // the round-12 check-then-write window: two separate processes racing
+    // inside it could BOTH pass the foreign-lease check and both write.
+    // create-exclusive (O_EXCL on the local fs) + owner re-verify closes
+    // it: of 8 simultaneous acquirers, exactly one may win
+    val root = tmpDir("lease-race")
+    freshTable(root)
+    val winners = race(root, "t", 8)
+    assert(winners.size == 1, s"expected exactly 1 winner, got ${winners.size}")
+    // the winner's lease is real: everyone else refuses swaps
+    val loser = new TableStore(spark, root)
+    assert(!loser.acquireWriterLease("t"))
+  }
+
+  test("racing acquisition on a MISSING table: exactly one creator wins") {
+    val root = tmpDir("lease-race-pre")
+    val winners = race(root, "fresh", 8)
+    assert(winners.size == 1, s"expected exactly 1 winner, got ${winners.size}")
+  }
+
+  test("racing TAKEOVER of an expired lease: exactly one usurper wins") {
+    // the stale file is retired with an atomic rename before the
+    // exclusive create — of N concurrent renamers exactly one succeeds,
+    // so expired-lease takeover has the same single-winner guarantee
+    val root = tmpDir("lease-race-takeover")
+    val a = freshTable(root)
+    assert(a.acquireWriterLease("t", ttlMs = 100L))
+    Thread.sleep(250L)
+    val winners = race(root, "t", 8)
+    assert(winners.size == 1, s"expected exactly 1 winner, got ${winners.size}")
+    // the old holder stays locked out until the new lease lapses
+    assert(!a.acquireWriterLease("t"))
   }
 }

@@ -75,4 +75,35 @@ class CdcStreamSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("lease"))
     foreign.releaseWriterLease("t")
   }
+
+  test("two streams on a NOT-YET-EXISTING table: the second refuses at startup") {
+    // round-12 hole: acquire on a missing table was vacuous, so two
+    // streams racing to CREATE the same table both passed the gate; the
+    // pre-table lease now fences from the first call
+    import spark.implicits._
+    val root = tmpDir("cdc-stream-fresh")
+    val ts = new TableStore(spark, s"$root/tables")
+    val other = new TableStore(spark, s"$root/tables")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/feed"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _deleted BOOLEAN")
+    Seq((1L, "a", false)).toDF("id", "v", "_deleted").coalesce(1)
+      .write.mode("append").parquet(s"$root/feed")
+    val q = CdcStream(ts, "fresh_t",
+      spark.readStream.schema(schema).parquet(s"$root/feed"),
+      Seq("id"), s"$root/ckpt1",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      val e = intercept[IllegalStateException] {
+        CdcStream(other, "fresh_t",
+          spark.readStream.schema(schema).parquet(s"$root/feed"),
+          Seq("id"), s"$root/ckpt2")
+      }
+      assert(e.getMessage.contains("lease"))
+    } finally q.awaitTermination()
+    assert(ts.read("fresh_t").count() == 1,
+      "the fenced winner's creating swap must complete normally")
+    // termination released the lease; a successor may start now
+    assert(other.acquireWriterLease("fresh_t"))
+  }
 }
