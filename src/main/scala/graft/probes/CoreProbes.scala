@@ -396,6 +396,70 @@ object CoreProbes {
       ts.read("orders_c").orderBy("o_orderkey")
     },
 
+    // [EXT] M6 streaming form (r13): the SAME changefeed as m5, split
+    // into three key-disjoint micro-batches delivered through a real
+    // file-source CdcStream (maxFilesPerTrigger=1, AvailableNow) — the
+    // at-least-once foreachBatch apply under the writer lease must
+    // converge to the SAME full-outer-join oracle as the batch verb.
+    // Key-disjoint batches make the final state order-independent, so
+    // one oracle covers every trigger interleaving.
+    Probe(
+      "m6_cdc_stream",
+      "WITH mx AS (SELECT max(o_orderkey) AS m FROM orders), src AS (" +
+        "SELECT o_orderkey, 'MERGED' AS o_orderpriority, false AS del FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999 AND o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + (SELECT m FROM mx), 'INSERTED', false FROM orders WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT o_orderkey, NULL, true FROM orders WHERE o_orderkey BETWEEN 5000 AND 7999 AND o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 2 * (SELECT m FROM mx), NULL, true FROM orders WHERE o_orderkey % 501 = 0) " +
+        "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
+        "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
+        "WHERE NOT coalesce(s.del, false) ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-cdcstream-probe")
+      val ts = new graft.store.TableStore(s, root + "/tables")
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      PhaseTimer.timed("m6_cdc_stream", "table_setup_write") {
+        ts.overwriteAtomic("orders_s",
+          orders.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"))
+      }
+      val nullS = lit(null).cast("string")
+      val mx = orders.agg(max(col("o_orderkey")).cast("long")).head().getLong(0)
+      // three KEY-DISJOINT slices of the m5 feed, one file each → three
+      // micro-batches under maxFilesPerTrigger=1
+      val batches = Seq(
+        orders.filter(col("o_orderkey").between(1000L, 2999L) &&
+            col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+            lit(false).as("_deleted")),
+        orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + mx).as("o_orderkey"),
+            lit("INSERTED").as("o_orderpriority"), lit(false).as("_deleted")),
+        orders.filter(col("o_orderkey").between(5000L, 7999L) &&
+            col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), nullS.as("o_orderpriority"),
+            lit(true).as("_deleted"))
+          .unionByName(orders.filter(col("o_orderkey") % 501 === 0)
+            .select((col("o_orderkey") + 2 * mx).as("o_orderkey"),
+              nullS.as("o_orderpriority"), lit(true).as("_deleted"))))
+      val feedDir = root + "/feed"
+      PhaseTimer.timed("m6_cdc_stream", "feed_write") {
+        batches.foreach(_.coalesce(1).write.mode("append").parquet(feedDir))
+      }
+      PhaseTimer.timed("m6_cdc_stream", "cdc_stream_apply") {
+        val feed = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "o_orderkey BIGINT, o_orderpriority STRING, _deleted BOOLEAN"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feedDir)
+        val q = graft.streaming.CdcStream(ts, "orders_s", feed,
+          Seq("o_orderkey"), root + "/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      ts.read("orders_s").orderBy("o_orderkey")
+    },
+
     // [EXT] M5 — additive schema evolution through the REAL storage path
     // (r12): a table written pre-evolution, evolved with one sidecar
     // write, then appended post-evolution with the new column. The

@@ -521,7 +521,40 @@ final class TableStore(spark: SparkSession, root: String) {
       s"evolveSchema on '$table': column(s) ${clash.mkString(", ")} already " +
         "exist — additive evolution cannot redefine a column")
     setTableProp(table, SchemaProp, StructType(cur.fields ++ add.fields).toDDL)
+    // record WHICH columns evolution added (accumulating across calls):
+    // merge/CDC sources may omit exactly these — they null-fill, the same
+    // semantics reads already give old files — while omitting an
+    // ORIGINAL column stays a loud refusal (a forgotten column in a
+    // patch batch is a caller bug, not schema drift)
+    val prev = getTableProp(table, EvolvedColsProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    setTableProp(table, EvolvedColsProp,
+      (prev ++ add.fieldNames).mkString(","))
     invalidateSchema(table)
+  }
+
+  private val EvolvedColsProp = "evolved_cols"
+
+  /** Null-fill DECLARED-EVOLVED columns absent from a merge/CDC source
+    * frame. After [[evolveSchema]] a changefeed that predates the
+    * evolution keeps flowing: the evolved columns are nullable by
+    * construction and null-fill on READ for every pre-evolution file, so
+    * supplying the same nulls for a pre-evolution source row is
+    * identical semantics — without this, a live [[graft.streaming.CdcStream]]
+    * died loudly at its first post-evolution batch until the feed was
+    * redeployed. Only evolution-added columns qualify; original columns
+    * missing from a source still refuse in [[validateMergeColumns]].
+    */
+  private def nullFillEvolvedColumns(table: String, source: DataFrame): DataFrame = {
+    val evolved = getTableProp(table, EvolvedColsProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    if (evolved.isEmpty) return source
+    val have = source.columns.map(_.toLowerCase).toSet
+    val schema = tableSchema(table).getOrElse(return source)
+    schema.fields
+      .filter(f => evolved.exists(_.equalsIgnoreCase(f.name)) &&
+        !have.contains(f.name.toLowerCase))
+      .foldLeft(source)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   /** Refuse appends that would FORK the table's schema. Without this, a
@@ -813,11 +846,14 @@ final class TableStore(spark: SparkSession, root: String) {
       return
     }
     val targetCols = read(table).columns.toSeq
-    validateMergeColumns(source.columns.toSeq, targetCols, keyCols)
+    // a source that predates a schema evolution may omit the evolved
+    // columns — they null-fill here exactly as reads null-fill old files
+    val filled = nullFillEvolvedColumns(table, source)
+    validateMergeColumns(filled.columns.toSeq, targetCols, keyCols)
     // persisted: the source plan evaluates up to five times otherwise
     // (key-uniqueness aggregation, discovery join(s), the staged write's
     // union) — an expensively-derived patch batch must compute once
-    val src = source.select(targetCols.map(col): _*).persist()
+    val src = filled.select(targetCols.map(col): _*).persist()
     try {
       requireUniqueKeys(src, keyCols)
       mergeImpl(table, src, src, keyCols, partitionCols)
@@ -860,9 +896,13 @@ final class TableStore(spark: SparkSession, root: String) {
       return
     }
     val targetCols = read(table).columns.toSeq
-    validateMergeColumns(source.columns.filterNot(_ == delField).toSeq,
+    // pre-evolution changefeeds keep flowing: evolved-only columns
+    // null-fill (see nullFillEvolvedColumns) — a live CdcStream survives
+    // a mid-feed evolveSchema without a feed redeploy
+    val filled = nullFillEvolvedColumns(table, source)
+    validateMergeColumns(filled.columns.filterNot(_ == delField).toSeq,
       targetCols, keyCols)
-    val changes = source.persist()
+    val changes = filled.persist()
     try {
       requireUniqueKeys(changes, keyCols)
       val srcAll = changes.select(targetCols.map(col): _*)
@@ -914,9 +954,7 @@ final class TableStore(spark: SparkSession, root: String) {
       if (!affected.subsetOf(visible.toSet)) return full()
       if (affected.size * 2 > visible.size) return full()
       val kept = visible.filterNot(affected)
-      val stagedDf = stagedFrom(
-        spark.read.option("basePath", tablePath(table))
-          .parquet(affected.map(r => s"${tablePath(table)}/$r").toSeq: _*))
+      val stagedDf = stagedFrom(readFilesUnder(table, affected.toSeq))
       stageAndSwapWithKept(table, stagedDf, kept, Nil)
     } else {
       if (!partitionTypesRenderable(read(table).schema, partitionCols))
@@ -1044,10 +1082,21 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!affected.subsetOf(visible.toSet)) return full()
     if (affected.size * 2 > visible.size) return full()
     val kept = visible.filterNot(affected)
-    val transformed = transform(
-      spark.read.option("basePath", tablePath(table))
-        .parquet(affected.map(r => s"${tablePath(table)}/$r").toSeq: _*))
+    val transformed = transform(readFilesUnder(table, affected.toSeq))
     stageAndSwapWithKept(table, transformed, kept, Nil)
+  }
+
+  /** Read a SUBSET of a table's files under its base path, serving the
+    * evolved declared schema when one exists — every partial read
+    * (merge's affected slice, the pruned rewrites) must see exactly what
+    * [[read]] serves, or a pre-evolution file subset would resolve the
+    * old footer shape and break unions with evolved frames.
+    */
+  private def readFilesUnder(table: String, rels: Seq[String]): DataFrame = {
+    val reader = spark.read.option("basePath", tablePath(table))
+    evolvedDdl(table).foreach(ddl =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    reader.parquet(rels.sorted.map(r => s"${tablePath(table)}/$r"): _*)
   }
 
   /** Copy-on-write rewrite of ONLY the hive partition directories holding

@@ -129,6 +129,31 @@ class MergeCdcSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("a changefeed that predates a schema evolution keeps applying") {
+    import spark.implicits._
+    val root = tmpDir("cdc-evolve")
+    val ts = freshFlat(root)
+    // evolve MID-FEED: the table gains lang, but the (long-running)
+    // changefeed still ships the old shape — the apply must null-fill
+    // the evolved column rather than die at validateMergeColumns
+    ts.evolveSchema("t", "lang STRING")
+    val oldShape = Seq(
+      (5L, "updated", false),
+      (42L, null.asInstanceOf[String], true),
+      (400L, "inserted", false)
+    ).toDF("id", "v", "_deleted")
+    ts.mergeCdc("t", oldShape, Seq("id"))
+    val out = ts.read("t")
+    assert(out.count() == 300)
+    assert(out.filter(col("id") === 5L).head().getString(1) == "updated")
+    assert(out.filter(col("id") === 5L).head().isNullAt(2))
+    assert(out.filter(col("id") === 42L).count() == 0)
+    // a redeployed feed carrying the evolved column lands values
+    ts.mergeCdc("t", Seq((400L, "inserted", "en", false))
+      .toDF("id", "v", "lang", "_deleted"), Seq("id"))
+    assert(ts.read("t").filter(col("lang") === "en").count() == 1)
+  }
+
   test("contract failures refuse before any write") {
     import spark.implicits._
     val root = tmpDir("cdc-contract")

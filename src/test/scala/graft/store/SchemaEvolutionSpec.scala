@@ -74,6 +74,33 @@ class SchemaEvolutionSpec extends AnyFunSuite with SharedSpark {
     assert(clash.getMessage.contains("score"))
   }
 
+  test("merge accepts pre-evolution sources: evolved-only columns null-fill") {
+    import spark.implicits._
+    val root = tmpDir("evo-merge")
+    val ts = mk(root)
+    ts.evolveSchema("t", "lang STRING")
+    // a patch batch SHAPED BEFORE the evolution (no lang column) must
+    // keep applying — the evolved column null-fills, exactly as reads
+    // null-fill pre-evolution files (round-12 refused here, killing any
+    // long-running feed at its first post-evolution batch)
+    ts.merge("t", Seq((5L, "patched"), (300L, "inserted")).toDF("id", "v"),
+      Seq("id"))
+    val t = ts.read("t")
+    assert(t.filter(col("id") === 5L).head().getString(1) == "patched")
+    assert(t.filter(col("id") === 5L).head().isNullAt(2),
+      "the merged row's evolved column must read null, like an old file")
+    assert(t.filter(col("id") === 300L).count() == 1)
+    // a post-evolution source carrying the column still lands its values
+    ts.merge("t", Seq((6L, "six", "en")).toDF("id", "v", "lang"), Seq("id"))
+    assert(ts.read("t").filter(col("lang") === "en").count() == 1)
+    // an ORIGINAL column missing still refuses — null-fill is scoped to
+    // evolution-added columns, not caller mistakes
+    val e = intercept[IllegalArgumentException] {
+      ts.merge("t", Seq(Tuple1(7L)).toDF("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
   test("evolution survives swaps, pruned reads, and sorted packing") {
     import spark.implicits._
     val root = tmpDir("evo-swap")
