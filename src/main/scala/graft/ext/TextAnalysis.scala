@@ -152,7 +152,41 @@ object TextAnalysis {
     * SQL system.
     */
   val KrMod: Long = 1073741789L
-  def rollingFingerprint(text: Column): Column =
+
+  /** Scalar one-pass form of the recurrence — the hot-path choice, for
+    * the same reason as [[Dedup.simhash60Scalar]]: the Column form is an
+    * INTERPRETED higher-order expression whose per-token step pays an
+    * md5-to-hex render plus a string base-16 `conv` parse; this fold
+    * reuses the thread-local digest and stays in long arithmetic.
+    * Arithmetic stays exact: acc < 2^30, so acc*131 + h%p < 2^38.
+    */
+  private[ext] def rollingFingerprintScalar(tokens: Array[String]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < tokens.length) {
+      acc = (acc * 131L + Dedup.md5Hash60(tokens(i)) % KrMod) % KrMod
+      i += 1
+    }
+    acc
+  }
+
+  private lazy val rollingFingerprintUdf =
+    udf((text: String) =>
+      if (text == null) null
+      else java.lang.Long.valueOf(rollingFingerprintScalar(text.split(" ", -1))))
+
+  /** Per-row JVM fold (one black-box call per DOCUMENT, not an
+    * interpreted expression per token). `ExtSpec` pins bit-equality
+    * against [[rollingFingerprintSql]] so the stored signatures stay
+    * auditable outside the engine.
+    */
+  def rollingFingerprint(text: Column): Column = rollingFingerprintUdf(text)
+
+  /** Codegen'd-builtins form for SQL-level composition (and the parity
+    * oracle of the scalar path). Prefer [[rollingFingerprint]] in data
+    * paths — interpreted higher-order expressions are the slow tier.
+    */
+  def rollingFingerprintSql(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 131 + pmod(Dedup.md5Hash60Col(t), lit(KrMod)), lit(KrMod)))
 
