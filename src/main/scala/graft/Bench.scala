@@ -44,6 +44,18 @@ object Bench {
     // values are kept in "runs" so a cross-round diff can see the spread.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    // host-load context per run: min-of-2 filters SPIKES but not
+    // SUSTAINED contention (round 12: same-commit captures disagreed 8×
+    // on single queries with both runs slow together). Recording the
+    // 1-minute loadavg around each run lets a cross-round diff separate
+    // "host was busy" from "plan regressed" without cross-capture
+    // forensics. -1 when /proc/loadavg is unavailable (non-Linux).
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.US_ASCII)
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // periodic full GC outside the timer: lets the ContextCleaner drop
@@ -57,6 +69,7 @@ object Bench {
         // timer opens (a correctness pass, aborted run, or the previous
         // iteration) — else a query's phases map can exceed its sec
         graft.probes.PhaseTimer.drain(name)
+        val loadBefore = loadAvg()
         val t0 = System.nanoTime()
         // a failed query must NOT silently contribute a misleadingly fast
         // timing (a broken analysis "runs" in milliseconds): record it in
@@ -77,13 +90,13 @@ object Bench {
         // manager state across 100+ queries and tax later queries with GC
         // pauses (observed as multi-second outliers on mid-alphabet joins)
         spark.catalog.clearCache()
-        (t, ok, phases)
+        (t, ok, phases, (loadBefore, loadAvg()))
       }
       val okRuns = runs.filter(_._2)
       val ok = okRuns.nonEmpty
       // min over the SUCCESSFUL runs; phases from that same run so the
       // sub-phase sum stays consistent with the reported second count
-      val (t, _, phases) =
+      val (t, _, phases, _) =
         if (ok) okRuns.minBy(_._1) else runs.minBy(_._1)
       val phasesJson = phases
         .map { case (p, s) => s"\"" + p + "\":" + s }.mkString("{", ",", "}")
@@ -93,23 +106,29 @@ object Bench {
       // so the JSON stays valid on comma-decimal default locales
       val phaseField = if (phases.isEmpty) "" else s""","phases":$phasesJson"""
       val runsField = runs.map(_._1).mkString("[", ",", "]")
-      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok,"runs":$runsField$phaseField}""")
-      (name, t, ok, phases, runs.map(_._1))
+      val loadsField = runs
+        .map { case (_, _, _, (b, a)) => s"[$b,$a]" }.mkString("[", ",", "]")
+      println(s"""[bench] {"query":"$name","sec":$t,"ok":$ok,"runs":$runsField,"loads":$loadsField$phaseField}""")
+      (name, t, ok, phases, runs.map(_._1), loadsField)
     }
-    val qs = results.collect { case (k, v, true, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val runsAll = results.map { case (k, _, _, _, rs) =>
+    val runsAll = results.map { case (k, _, _, _, rs, _) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val phasesAll = results.collect { case (k, _, _, ph, _) if ph.nonEmpty =>
+    val phasesAll = results.collect { case (k, _, _, ph, _, _) if ph.nonEmpty =>
       s"\"" + k + "\":" + ph.map { case (p, s) => s"\"" + p + "\":" + s }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // per-run (before, after) 1-min loadavg — the contention adjudicator
+    val loadsAll = results.map { case (k, _, _, _, _, lf) =>
+      s"\"" + k + "\":" + lf
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"runs":$runsAll,"phases":$phasesAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"runs":$runsAll,"loads":$loadsAll,"phases":$phasesAll,"sf":"$sfDir"}"""
     // the full JSON also goes to a file: the driver's stdout capture has
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact
