@@ -493,6 +493,44 @@ object CoreProbes {
         sum(length(col("text"))).cast("long").as("chars"))
     },
 
+    // [EXT] ops surface (r13): the metadata-only table report, with
+    // every field recomputed in CLOSED FORM by the oracle from the same
+    // fixture writes — the partitioned write puts each hash bucket in
+    // exactly one task, so files = small_files = partition_dirs =
+    // manifest_covered = count(DISTINCT doc_id % 8); the lease is held
+    // by this instance ("live-own") and a freshly-written table carries
+    // no swap debris. The report itself costs one listing + one sidecar
+    // read (no Spark job) — the poll-safety claim TableReportSpec pins.
+    Probe(
+      "ops_table_report",
+      "SELECT CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS files, " +
+        "CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS small_files, " +
+        "CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS partition_dirs, " +
+        "'doc_id' AS stats_cols, " +
+        "CAST(count(DISTINCT doc_id % 8) AS BIGINT) AS manifest_covered, " +
+        "'live-own' AS lease_state, false AS swap_debris " +
+        "FROM documents WHERE doc_id IS NOT NULL"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-report-probe")
+      val ts = new graft.store.TableStore(s, root)
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .withColumn("bucket", col("doc_id") % 8)
+      PhaseTimer.timed("ops_table_report", "table_setup_write") {
+        // each bucket hashes into exactly ONE of the 8 tasks, so every
+        // partition dir is written by one task → one file per dir
+        ts.appendPartitioned("docs_r",
+          docs.repartition(8, col("bucket")), Seq("bucket"))
+        ts.declareStatsColumns("docs_r", Seq("doc_id"))
+      }
+      require(ts.acquireWriterLease("docs_r"), "fresh scratch table")
+      val r = ts.tableReport("docs_r")
+      import s.implicits._
+      Seq((r.files.toLong, r.smallFiles.toLong, r.partitionDirs.toLong,
+        r.statsCols, r.manifestCovered.toLong, r.leaseState, r.swapDebris))
+        .toDF("files", "small_files", "partition_dirs", "stats_cols",
+          "manifest_covered", "lease_state", "swap_debris")
+    },
+
     // M2/J4 — cascade delete as left-anti rewrite (schema.py:43-44).
     Probe(
       "m2_delete_count",

@@ -275,6 +275,20 @@ final class DocumentStore(
   /** M3 — delete one chart row + its blob, row first (repository.py:
     * 169-187; same rows-before-blobs ordering as [[deleteDocument]]).
     */
+  /** [EXT] Operational summary of one backing table — the dashboard the
+    * corpus operator polls ([[graft.store.TableStore.tableReport]]:
+    * metadata-only, one listing + one sidecar read, no Spark job — so
+    * exposing it on the serving surface is safe at any poll rate).
+    */
+  def tableReport(table: String): graft.store.TableReport =
+    tables.tableReport(table)
+
+  /** Whether the backing table exists (the ops route's 404 discriminator
+    * — an existing-but-empty table reports zeros, a never-created one
+    * 404s).
+    */
+  def tableExists(table: String): Boolean = tables.exists(table)
+
   def deleteChart(documentId: Long, chartId: Long): Boolean = {
     val owned = tables.exists("chart_data") &&
       tables.readRangeAll("chart_data", Seq(

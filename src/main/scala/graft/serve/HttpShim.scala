@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions.col
   *   - `GET /documents/{id}/charts`              (:174)
   *   - `GET /documents/{id}/charts/{chartId}`    (:197) — PNG bytes with
   *     the stored content type.
+  *   - `GET /ops/tables/{table}` — [EXT] the table's operational report
+  *     (file/byte counts, small-file tail, partition dirs, manifest
+  *     coverage, lease state, swap debris); metadata-only upstream, so
+  *     it is the endpoint a corpus dashboard polls.
   *
   * Malformed numeric query params return 422 with a FastAPI-shaped
   * validation body (the same contract the reference's framework emits for
@@ -159,6 +163,28 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
           case Some((_, bytes, contentType)) =>
             send(ex, 200, contentType, bytes)
           case None => notFound(ex, "Chart not found") // wrong owner too
+        }
+      // [EXT] ops surface: one table's operational report — file/byte
+      // counts, small-file tail, partition dirs, manifest coverage,
+      // lease state, swap debris. Metadata-only upstream (no Spark job),
+      // so an operator dashboard can poll it freely. 404s only on a
+      // table that neither exists nor has swap debris (a mid-swap-absent
+      // table still reports — exactly when an operator most needs it).
+      case ("GET", List("ops", "tables", t)) =>
+        val r = store.tableReport(t)
+        if (r.files == 0 && r.bytes == 0 && !r.swapDebris &&
+            r.leaseState == "none" && !store.tableExists(t))
+          notFound(ex, "Table not found")
+        else {
+          val body = s"""{"table":${jsonStr(r.table)},"files":${r.files},""" +
+            s""""bytes":${r.bytes},"small_files":${r.smallFiles},""" +
+            s""""partition_dirs":${r.partitionDirs},""" +
+            s""""stats_cols":${jsonStr(r.statsCols)},""" +
+            s""""manifest_covered":${r.manifestCovered},""" +
+            s""""lease_state":${jsonStr(r.leaseState)},""" +
+            s""""swap_debris":${r.swapDebris}}"""
+          send(ex, 200, "application/json",
+            body.getBytes(StandardCharsets.UTF_8))
         }
       // FastAPI validates path param TYPES before routing: a non-integer
       // id is a 422 validation error, not a 404 (api.py:106,149,174,197)

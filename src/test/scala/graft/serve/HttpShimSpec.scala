@@ -132,6 +132,25 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(get(s"/documents?after_id=0&limit=-1").statusCode() == 422)
   }
 
+  test("the ops route serves a table report; unknown tables 404") {
+    import spark.implicits._
+    val r = get("/ops/tables/documents")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/json")
+    val rep = spark.read.json(Seq(r.body()).toDS()).head()
+    assert(rep.getAs[String]("table") == "documents")
+    assert(rep.getAs[Long]("files") >= 1 && rep.getAs[Long]("bytes") > 0)
+    assert(rep.getAs[Boolean]("swap_debris") == false)
+    assert(Set("none", "live-own", "expired-own")
+      .contains(rep.getAs[String]("lease_state")),
+      "the ingest pipeline's own lease may still be visible, a foreign one never")
+    // the chunks table is hive-partitioned: partition_dirs > 0
+    val chunks = spark.read.json(Seq(get("/ops/tables/document_chunks").body()).toDS()).head()
+    assert(chunks.getAs[Long]("partition_dirs") >= 1)
+    // a table that never existed (and has no debris) is a 404
+    assert(get("/ops/tables/no_such_table").statusCode() == 404)
+  }
+
   test("multipart upload lands the file part byte-identical in the watch dir") {
     // binary payload with CRLFs, a boundary-lookalike NOT at line start,
     // AND a line that BEGINS with the exact delimiter but continues with
