@@ -170,6 +170,13 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
       // so an operator dashboard can poll it freely. 404s only on a
       // table that neither exists nor has swap debris (a mid-swap-absent
       // table still reports — exactly when an operator most needs it).
+      // a path-shaped "table name" (dot-dot, hidden/internal prefixes)
+      // must not address anything outside the store's table namespace —
+      // ".." would make the report list the PARENT directory
+      case ("GET", List("ops", "tables", t))
+          if t.isEmpty || t.contains("..") || t.startsWith(".") ||
+            t.startsWith("_") =>
+        notFound(ex, "Table not found")
       case ("GET", List("ops", "tables", t)) =>
         val r = store.tableReport(t)
         if (r.files == 0 && r.bytes == 0 && !r.swapDebris &&

@@ -1086,6 +1086,24 @@ final class TableStore(spark: SparkSession, root: String) {
     stageAndSwapWithKept(table, transformed, kept, Nil)
   }
 
+  /** A provably-EMPTY result in the table's effective schema. The pruned
+    * reads return this when no file can hold a matching row (key past
+    * every footer band, inverted range, empty key set) — the common
+    * "404" shape of a serving point lookup. `read(table).filter(false)`
+    * would be semantically identical but PLANS the whole table: at
+    * corpus file counts the absent-key lookup would pay an O(#files)
+    * Spark listing to return zero rows. A local empty relation plans
+    * nothing; the schema comes from the cached [[tableSchema]] (the
+    * evolved declaration when one exists), with the filtered read kept
+    * as fallback for a table whose schema is momentarily uninferrable.
+    */
+  private def emptyResult(table: String): DataFrame =
+    tableSchema(table) match {
+      case Some(schema) => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case None => read(table).filter(lit(false))
+    }
+
   /** Read a SUBSET of a table's files under its base path, serving the
     * evolved declared schema when one exists — every partial read
     * (merge's affected slice, the pruned rewrites) must see exactly what
@@ -1388,7 +1406,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * executor-side job above it, same two-tier shape as [[footerMaxId]].
     */
   def readRange(table: String, column: String, lo: Long, hi: Long): DataFrame = {
-    if (lo > hi) return read(table).filter(lit(false))
+    if (lo > hi) return emptyResult(table)
     statsPrunedRead(table, col(column).between(lo, hi),
       column, TableStore.IntegralUnit, {
         case (0, _, _)   => true
@@ -1413,7 +1431,7 @@ final class TableStore(spark: SparkSession, root: String) {
                 lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
-    if (lo.after(hi)) return read(table).filter(lit(false))
+    if (lo.after(hi)) return emptyResult(table)
     val (loU, hiU) = (micros(lo), micros(hi))
     statsPrunedRead(table, col(column).between(lit(lo), lit(hi)),
       column, TableStore.TimestampMicrosUnit, {
@@ -1436,7 +1454,7 @@ final class TableStore(spark: SparkSession, root: String) {
                    ranges: Seq[(String, Long, Long)]): DataFrame = {
     require(ranges.nonEmpty, "readRangeAll needs at least one range")
     if (ranges.exists { case (_, lo, hi) => lo > hi })
-      return read(table).filter(lit(false))
+      return emptyResult(table)
     val rowFilter = ranges.map { case (c, lo, hi) =>
       col(c).between(lo, hi)
     }.reduce(_ && _)
@@ -1462,7 +1480,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * IN is null-rejecting, so provably all-null files drop).
     */
   def readIn(table: String, column: String, values: Seq[Long]): DataFrame = {
-    if (values.isEmpty) return read(table).filter(lit(false))
+    if (values.isEmpty) return emptyResult(table)
     val sorted = values.distinct.sorted
     val arr = sorted.toArray
     statsPrunedRead(table, col(column).isInCollection(sorted),
@@ -1491,7 +1509,7 @@ final class TableStore(spark: SparkSession, root: String) {
                 conjuncts: Seq[(String, Seq[Long])]): DataFrame = {
     require(conjuncts.nonEmpty, "readInAll needs at least one conjunct")
     if (conjuncts.exists(_._2.isEmpty))
-      return read(table).filter(lit(false))
+      return emptyResult(table)
     val rowFilter = conjuncts.map { case (c, vs) =>
       col(c).isInCollection(vs.distinct)
     }.reduce(_ && _)
@@ -1520,7 +1538,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * invariant). Same conservative-keep exactness rules.
     */
   def readInStrings(table: String, column: String, values: Seq[String]): DataFrame = {
-    if (values.isEmpty) return read(table).filter(lit(false))
+    if (values.isEmpty) return emptyResult(table)
     val sorted = values.distinct.sorted
     val arr: Array[Array[Byte]] = sorted
       .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
@@ -1552,7 +1570,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def readRange(table: String, column: String,
                 lo: java.sql.Date, hi: java.sql.Date): DataFrame = {
     def days(d: java.sql.Date): Long = d.toLocalDate.toEpochDay
-    if (lo.after(hi)) return read(table).filter(lit(false))
+    if (lo.after(hi)) return emptyResult(table)
     val (loD, hiD) = (days(lo), days(hi))
     statsPrunedRead(table, col(column).between(lit(lo), lit(hi)),
       column, TableStore.DateDaysUnit, {
@@ -1650,7 +1668,7 @@ final class TableStore(spark: SparkSession, root: String) {
           .forall(keepsBy(keepVerdict))
       }
     }
-    if (survivors.isEmpty) return read(table).filter(lit(false))
+    if (survivors.isEmpty) return emptyResult(table)
     // a surviving file missing ANY spec's partition-derived or cached
     // entry is read live — once, for every spec, via the multi-column
     // canonical reader
@@ -1686,7 +1704,7 @@ final class TableStore(spark: SparkSession, root: String) {
           .forall(keepsBy(keepVerdict)) // absent verdict → conservative keep
       }.map(_._1).toSet
       keepRels = if (keepRels == null) kept else keepRels.intersect(kept)
-      if (keepRels.isEmpty) return read(table).filter(lit(false))
+      if (keepRels.isEmpty) return emptyResult(table)
     }
     if (keepRels == null || keepRels.size == files.size) return fallback
     val reader = spark.read.option("basePath", tablePath(table))
@@ -2468,8 +2486,7 @@ final class TableStore(spark: SparkSession, root: String) {
           val staleAtActive = Sidecar.read(active, conf)
           (staleAtActive.isEmpty || retireLeaseFile(active, staleAtActive.get)) &&
             createLeaseExclusive(active, content) &&
-            Sidecar.read(active, conf)
-              .flatMap(parseLease).exists(_._1 == writerId)
+            verifyOwnLease(active)
         }
       // the pre-table file is superseded the moment the in-dir lease is
       // ours — retire our own copy so it cannot outlive a later release
@@ -2479,6 +2496,30 @@ final class TableStore(spark: SparkSession, root: String) {
           .foreach(_ => fs.delete(preLeasePath(table), false))
       ok
     }
+
+  /** Post-create owner verification, tolerant of TRANSIENT absence: a
+    * LOSING usurper that mis-renamed this writer's fresh lease (the
+    * record changed inside its read→rename window) restores it within
+    * microseconds ([[retireLeaseFile]]'s rename-back), but a single
+    * verify read landing inside that window would see no file and make
+    * the rightful winner report failure — with every other racer also
+    * losing, NOBODY would hold the lease. Retrying through short absence
+    * is safe: once a readable record exists, its owner field is the
+    * verdict, and no second retire of the already-retired stale record
+    * can succeed (its source is gone), so retries can never crown two
+    * owners.
+    */
+  private def verifyOwnLease(active: Path): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var tries = 0
+    while (tries < 40) {
+      Sidecar.read(active, conf).flatMap(parseLease) match {
+        case Some((owner, _)) => return owner == writerId
+        case None => tries += 1; Thread.sleep(5L)
+      }
+    }
+    false // persistently absent — treat as lost, never as owned
+  }
 
   /** Retire a stale lease file with an ATOMIC rename to a unique hidden
     * name; exactly one of N concurrent retirers succeeds, and only when

@@ -149,6 +149,9 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     assert(chunks.getAs[Long]("partition_dirs") >= 1)
     // a table that never existed (and has no debris) is a 404
     assert(get("/ops/tables/no_such_table").statusCode() == 404)
+    // path-shaped names must not address outside the table namespace
+    assert(get("/ops/tables/%2e%2e").statusCode() == 404)
+    assert(get("/ops/tables/_graft_pre_leases").statusCode() == 404)
   }
 
   test("multipart upload lands the file part byte-identical in the watch dir") {

@@ -78,6 +78,14 @@ class ServeScaleSpec extends AnyFunSuite with SharedSpark {
         f"${ids.size} point lookups took $wallSec%.1f s on a $fileCount-file table")
       info(f"${ids.size} lookups in $wallSec%.2f s over $fileCount files " +
         f"(${wallSec / ids.size}%.3f s/lookup)")
+      // the 404 shape: an id past every footer band must not fall back
+      // to a whole-table plan — a local empty relation plans NOTHING
+      // (r13; previously read(table).filter(false) listed all 5k files
+      // at action time to return zero rows)
+      val absent = ds.getDocument(nRows + 12345L)
+      assert(absent.count() == 0)
+      assert(absent.inputFiles.isEmpty,
+        "an absent-key lookup must plan zero files, not the table")
       // keyset pagination rides the same machinery: a deep page plans
       // only the files past its anchor
       val page = ds.listDocumentsAfter(99000L, limit = 20)
