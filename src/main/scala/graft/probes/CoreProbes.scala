@@ -311,9 +311,13 @@ object CoreProbes {
     // form of the reference's read-mutate-flush session, base.py:38-52).
     Probe(
       "m3_merge_upsert",
-      "WITH src AS (" +
+      // insert keys offset by max(o_orderkey) — the same sf-robust key
+      // derivation as m5/m6: a fixed +1e6 lands inside the real key
+      // space at sf>=1 (well-defined but a different query than
+      // intended — inserts silently become updates)
+      "WITH mx AS (SELECT max(o_orderkey) AS m FROM orders), src AS (" +
         "SELECT o_orderkey, 'MERGED' AS o_orderpriority FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999 AND o_orderkey % 10 = 0 " +
-        "UNION ALL SELECT o_orderkey + 1000000, 'INSERTED' FROM orders WHERE o_orderkey % 97 = 0) " +
+        "UNION ALL SELECT o_orderkey + (SELECT m FROM mx), 'INSERTED' FROM orders WHERE o_orderkey % 97 = 0) " +
         "SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey, " +
         "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority " +
         "FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey " +
@@ -327,12 +331,13 @@ object CoreProbes {
           orders.repartitionByRange(16, col("o_orderkey"))
             .sortWithinPartitions("o_orderkey"))
       }
+      val mx = orders.agg(max(col("o_orderkey")).cast("long")).head().getLong(0)
       val src = orders
         .filter(col("o_orderkey").between(1000L, 2999L) &&
           col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"))
         .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + mx).as("o_orderkey"),
             lit("INSERTED").as("o_orderpriority")))
       PhaseTimer.timed("m3_merge_upsert", "merge") {
         ts.merge("orders_m", src, Seq("o_orderkey"))
