@@ -167,9 +167,13 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
       // [EXT] ops surface: one table's operational report — file/byte
       // counts, small-file tail, partition dirs, manifest coverage,
       // lease state, swap debris. Metadata-only upstream (no Spark job),
-      // so an operator dashboard can poll it freely. 404s only on a
-      // table that neither exists nor has swap debris (a mid-swap-absent
-      // table still reports — exactly when an operator most needs it).
+      // so an operator dashboard can poll it freely. 404s on a table
+      // that does not exist, has no swap debris, and holds no LIVE
+      // lease: a mid-swap-absent table still reports (exactly when an
+      // operator most needs it), and so does one being created under a
+      // live pre-table lease — but an EXPIRED lease on a never-created
+      // name (a crashed creator, a typo'd stream target) must not make
+      // the name answer 200-with-zeros forever.
       // a path-shaped "table name" (dot-dot, hidden/internal prefixes)
       // must not address anything outside the store's table namespace —
       // ".." would make the report list the PARENT directory
@@ -179,8 +183,8 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         notFound(ex, "Table not found")
       case ("GET", List("ops", "tables", t)) =>
         val r = store.tableReport(t)
-        if (r.files == 0 && r.bytes == 0 && !r.swapDebris &&
-            r.leaseState == "none" && !store.tableExists(t))
+        if (!r.swapDebris && !r.leaseState.startsWith("live") &&
+            !store.tableExists(t))
           notFound(ex, "Table not found")
         else {
           val body = s"""{"table":${jsonStr(r.table)},"files":${r.files},""" +

@@ -1707,15 +1707,9 @@ final class TableStore(spark: SparkSession, root: String) {
       if (keepRels.isEmpty) return emptyResult(table)
     }
     if (keepRels == null || keepRels.size == files.size) return fallback
-    val reader = spark.read.option("basePath", tablePath(table))
-    // an evolved table's pruned read must supply the declared schema
-    // exactly like [[read]] does, or the kept subset's footers would
-    // resolve a pre-evolution shape
-    evolvedDdl(table).foreach(ddl =>
-      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-    reader
-      .parquet(keepRels.toSeq.sorted.map(r => tablePath(table) + "/" + r): _*)
-      .filter(rowFilter)
+    // ONE copy of the "partial read serves the evolved declared schema"
+    // invariant — shared with the merge/rewrite paths
+    readFilesUnder(table, keepRels.toSeq).filter(rowFilter)
   }
 
   // -------------------------------------------------------------------
@@ -2417,8 +2411,9 @@ final class TableStore(spark: SparkSession, root: String) {
       Sidecar.read(p, conf).flatMap(parseLease).toSeq
         .map { case (o, e) => (p, o, e) }
     val f = fs
+    val tableExists = f.exists(new Path(tablePath(table)))
     val primary =
-      if (f.exists(new Path(tablePath(table)))) at(leasePath(table))
+      if (tableExists) at(leasePath(table))
       else {
         val parent = new Path(root)
         if (!f.exists(parent)) Nil
@@ -2426,7 +2421,17 @@ final class TableStore(spark: SparkSession, root: String) {
           .filter(p => TableStore.isSwapSibling(p.getName, table))
           .flatMap(d => at(new Path(d, WriterLease)))
       }
-    primary ++ at(preLeasePath(table))
+    // with the table PRESENT and an in-dir record parsed, the pre-table
+    // file is at most expired leftover (an in-dir lease is only ever
+    // written after any live pre lease was refused or migrated), so its
+    // read is skipped — sparing every guarded write and report poll one
+    // filesystem round trip in the steady state. Every other state reads
+    // it: the table-just-materialized window (table present, no in-dir
+    // record — the pre lease IS the protection there) and the absent
+    // table (sibling debris records may be expired leftovers of an OLD
+    // writer while a NEW creator's live pre lease must still fence).
+    if (tableExists && primary.nonEmpty) primary
+    else primary ++ at(preLeasePath(table))
   }
 
   /** The lease governing `table`. Several candidate records resolve to
@@ -2533,10 +2538,13 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def retireLeaseFile(at: Path, expectedRaw: String): Boolean = {
     // validate BEFORE touching anything: a live foreign record must
-    // never be renamed on purpose
+    // never be renamed on purpose. An UNPARSEABLE record (a torn or
+    // empty file from a crash mid-write) is retirable — it is not a
+    // lease at all, and refusing it would wedge acquisition for every
+    // writer forever (no expiry to wait out)
     val now = System.currentTimeMillis()
     val staleOrOwn = parseLease(expectedRaw)
-      .exists { case (o, e) => o == writerId || e <= now }
+      .forall { case (o, e) => o == writerId || e <= now }
     if (!staleOrOwn) return false
     val aside = new Path(at.getParent,
       s".retired-${System.nanoTime()}-${at.getName}")
@@ -2549,12 +2557,43 @@ final class TableStore(spark: SparkSession, root: String) {
       try fs.delete(aside, false) catch { case _: java.io.IOException => () }
       true
     } else {
-      // renamed a DIFFERENT record (replaced inside our window) — put it
-      // back and lose; the current holder keeps its lease
-      try fs.rename(aside, at) catch { case _: java.io.IOException => () }
+      // renamed a DIFFERENT record (replaced inside our window): put it
+      // back ONLY if the path is still vacant and lose. The restore must
+      // never REPLACE — a third racer may have create-exclusived its own
+      // lease meanwhile, and a replacing rename would clobber that
+      // winner's record and crown two owners (its rightful verify and
+      // the restored record's owner would both pass)
+      if (!renameIfAbsent(aside, at)) {
+        // a newer record occupies the path — the mis-renamed copy is
+        // orphaned; its owner's verify will see the newer record and
+        // report the loss
+        try fs.delete(aside, false) catch { case _: java.io.IOException => () }
+      }
       false
     }
   }
+
+  /** Rename `src` to `dst` only if `dst` is absent — never replacing.
+    * Hadoop's FileSystem contract already fails a rename onto an
+    * existing file, but RawLocalFileSystem delegates to POSIX rename(2),
+    * which silently replaces; the nio move without REPLACE_EXISTING
+    * restores fail-if-present semantics there.
+    */
+  private def renameIfAbsent(src: Path, dst: Path): Boolean =
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+          val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+          java.nio.file.Files.move(s, d)
+          true
+        case f => f.rename(src, dst)
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
 
   /** Create `at` with EXCLUSIVE semantics and write `content`. On the
     * local filesystem Hadoop's create is check-then-write, so the nio

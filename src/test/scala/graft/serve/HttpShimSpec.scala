@@ -27,7 +27,7 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
   private val now = Timestamp.valueOf("2026-01-15 08:30:00")
 
   // one ingested corpus + running shim shared by every test in the suite
-  private lazy val (port, uploadDir): (Int, String) = {
+  private lazy val (port, uploadDir, shimTablesRoot): (Int, String, String) = {
     val inbox = tmpDir("shim-inbox")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(inbox, "report.pdf"),
@@ -46,7 +46,7 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     val shim = new HttpShim(store, dir, maxUploadBytes = 64 * 1024)
     val p = shim.start()
     sys.addShutdownHook(shim.stop())
-    (p, dir)
+    (p, dir, s"$root/tables")
   }
 
   private val client = HttpClient.newHttpClient()
@@ -152,6 +152,18 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     // path-shaped names must not address outside the table namespace
     assert(get("/ops/tables/%2e%2e").statusCode() == 404)
     assert(get("/ops/tables/_graft_pre_leases").statusCode() == 404)
+    // a table BEING CREATED (live pre-table lease, no dir yet) reports —
+    // that is the moment an operator watches a new stream come up...
+    val creator = new TableStore(spark, shimTablesRoot)
+    assert(creator.acquireWriterLease("ghost_table", ttlMs = 60000L))
+    val creating = get("/ops/tables/ghost_table")
+    assert(creating.statusCode() == 200 &&
+      creating.body().contains("\"lease_state\":\"live-foreign\""))
+    // ...but once that lease DIES without the table ever materializing
+    // (crashed creator, typo'd target), the name must return to 404 —
+    // not answer 200-with-zeros forever (r13 review finding)
+    creator.releaseWriterLease("ghost_table")
+    assert(get("/ops/tables/ghost_table").statusCode() == 404)
   }
 
   test("multipart upload lands the file part byte-identical in the watch dir") {

@@ -148,6 +148,22 @@ class WriterLeaseSpec extends AnyFunSuite with SharedSpark {
     assert(b.acquireWriterLease("t"))
   }
 
+  test("a torn lease file heals instead of wedging every writer forever") {
+    // a crash between create and write (or ENOSPC mid-write) leaves an
+    // empty/garbage _writer_lease: not a lease at all, so it must be
+    // retirable — refusing it would lock the table with no TTL to wait
+    // out (r13 review finding)
+    val root = tmpDir("lease-torn")
+    val a = freshTable(root)
+    for (garbage <- Seq("", "not a lease at all")) {
+      val p = java.nio.file.Paths.get(s"$root/t/_writer_lease")
+      java.nio.file.Files.write(p, garbage.getBytes("UTF-8"))
+      assert(a.acquireWriterLease("t"),
+        s"an unparseable record (${garbage.length} bytes) must be retirable")
+      a.releaseWriterLease("t")
+    }
+  }
+
   /** `n` racers (one TableStore instance each — separate writer ids, so
     * the per-instance lock is NOT what serializes them, exactly the two-
     * process shape) all call acquire at a latch; returns the winners.
