@@ -213,6 +213,45 @@ object ClusterMixProbes {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
           sum(length(col("text"))).cast("long").as("chars"),
           lit(shards).as("n_shards"))
+    },
+
+    // [EXT] WebDataset-style tar shard export (r13): write the corpus as
+    // POSIX ustar sample shards (one `<key>.txt` entry per document, 100
+    // samples per shard, deterministic bytes), then READ THE TARS BACK —
+    // a real header walk, the same parse any training loader does — and
+    // aggregate per shard. The oracle recomputes every figure in closed
+    // form from the source table with the identical shard-assignment
+    // rule (dense ordinal over doc_id // 100), so a single flipped size
+    // field, lost entry, or misassigned sample hash-mismatches.
+    Probe(
+      "pack_tar_export",
+      "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) " +
+        "SELECT CAST(ord // 100 AS BIGINT) AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_entries, " +
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id " +
+        "FROM o GROUP BY 1 ORDER BY shard"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select("doc_id", "text")
+      PhaseTimer.timed("pack_tar_export", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L,
+          s"$root/out").collect()
+      }
+      graft.ops.TarExport.readTarShards(s, s"$root/out")
+        .select(col("shard"),
+          expr("cast(split(name, '\\\\.')[0] as bigint)").as("key"),
+          length(col("content")).cast("long").as("bytes"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(col("bytes")).as("payload_bytes"),
+          min(col("key")).as("min_id"), max(col("key")).as("max_id"))
+        .orderBy("shard")
     }
   )
 }
