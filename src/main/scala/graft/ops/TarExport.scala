@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Sample-sharded TAR export — the WebDataset convention most
-  * multimodal training loaders consume: each shard is one POSIX ustar
+  * multimodal training loaders consume: each shard is one POSIX tar
   * file, each sample's entries sit CONTIGUOUSLY inside it under names
   * `<key>.<ext>` (e.g. `000017.txt` + `000017.json`), and a loader
   * streams a shard sequentially with zero seeks. The JSONL export
@@ -18,14 +18,22 @@ import org.apache.spark.sql.functions._
   * STREAMED entry-by-entry to its own `shard-NNNNN.tar` by the one task
   * that owns it (no whole-shard buffering in memory), and the job's
   * result is the bounded per-shard accounting frame. One corpus exchange
-  * total. Output is byte-deterministic: fixed mtime/uid/gid, ordinal
-  * entry order — two exports of the same frame are identical files, so
-  * shard bytes can be content-addressed and diffed.
+  * total. Output is byte-deterministic — fixed mtime/uid/gid/mode,
+  * ordinal entry order — so two exports of the same frame are identical
+  * files and shard bytes can be content-addressed and diffed.
   *
-  * Writer-side ustar subset (ISO/IEC 9945 / pax "ustar\0" + "00"): plain
-  * regular-file entries, names ≤ 100 bytes (enforced — training keys
-  * are short ids; long-name extensions are out of scope), sizes ≤ 8 GiB
-  * (the 11-octal-digit header limit, far above any sane sample).
+  * Tar framing is commons-compress (`TarArchiveOutputStream` /
+  * `TarArchiveInputStream`, already on every Spark classpath): checksums
+  * are verified on read, truncated archives fail loudly, and names
+  * longer than the 100-byte ustar field carry via POSIX pax extension
+  * headers instead of refusing.
+  *
+  * Commit protocol: a shard streams to a hidden attempt-unique temp
+  * name and RENAMES into place only when complete, so a reader's
+  * `shard-*.tar` glob never sees a half-written file and two racing
+  * task attempts (speculation, a zombie surviving a stage retry) cannot
+  * interleave bytes in one file — each renames its own complete,
+  * deterministic (hence identical) copy, and either winner is correct.
   */
 object TarExport {
 
@@ -40,9 +48,11 @@ object TarExport {
     * nondeterministic-input caveat applies, see [[Export]]).
     *
     * Returns the per-shard accounting frame `(shard, n_samples,
-    * n_entries, payload_bytes)` — bounded at one row per shard. Task
-    * retries converge: a shard's bytes are a pure function of its rows,
-    * and the file is created with overwrite.
+    * n_entries, payload_bytes)` — bounded at one row per shard, and the
+    * operator's sizing signal: [[readTarShards]] and most
+    * whole-file-at-once consumers cap a shard around 2 GB, so pick
+    * `samplesPerShard` to keep `payload_bytes` well under that (the
+    * usual WebDataset practice is ~100 MB-1 GB shards).
     */
   def writeTarShards(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
                      entries: Seq[(String, Column)],
@@ -51,10 +61,9 @@ object TarExport {
       s"samplesPerShard must be positive, got $samplesPerShard")
     require(entries.nonEmpty, "at least one (extension, column) entry")
     val spark = df.sparkSession
-    val hconf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
     val confMap = {
-      val it = hconf.iterator(); val b = Map.newBuilder[String, String]
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
@@ -81,7 +90,7 @@ object TarExport {
     val sharded = GlobalOrder.denseIds(base, orderCols, kOrd, 0L)
       .withColumn(kShard, expr(s"(`$kOrd` - 1) div ${samplesPerShard}L"))
     import spark.implicits._
-    val stats = sharded
+    sharded
       .repartition(col(kShard))
       .sortWithinPartitions(kShard, kOrd)
       .select(col(kShard), col(kKey), col(kEntries))
@@ -91,135 +100,129 @@ object TarExport {
       }
       .toDF("shard", "n_samples", "n_entries", "payload_bytes")
       // the accounting frame is the ACTION that runs the export; bounded
-      // at one row per shard, so persisting it driver-side is safe
+      // at one row per shard, so collecting it driver-side is safe
       .orderBy("shard")
-    stats
   }
 
   /** Executor-side shard writer: rows arrive sorted by (shard, ordinal);
     * contiguous runs of one shard stream to `shard-NNNNN.tar`. A task
     * may own several shards (hash exchange), each becomes its own file.
+    * Failures close and delete the in-flight temp before propagating —
+    * no leaked stream, no visible partial shard.
     */
   private def writePartition(
       rows: Iterator[(Long, String, Seq[(String, Array[Byte])])],
       path: String, confMap: Map[String, String])
       : Iterator[(Long, Long, Long, Long)] = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val conf = new org.apache.hadoop.conf.Configuration()
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val attempt = java.util.UUID.randomUUID().toString
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var cur = -1L
-    var stream: org.apache.hadoop.fs.FSDataOutputStream = null
+    var tmp: org.apache.hadoop.fs.Path = null
+    var tar: TarArchiveOutputStream = null
     var nSamples = 0L; var nEntries = 0L; var nBytes = 0L
-    def close(): Unit = if (stream != null) {
-      stream.write(new Array[Byte](1024)) // two zero end-of-archive blocks
-      stream.close(); stream = null
+    def finishShard(): Unit = if (tar != null) {
+      tar.finish(); tar.close(); tar = null
+      val dest = new org.apache.hadoop.fs.Path(dir, f"shard-$cur%05d.tar")
+      // commit by rename; a pre-existing dest (an earlier attempt's
+      // identical, deterministic copy) is replaced, never interleaved
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"could not commit $tmp -> $dest")
+      tmp = null
       out += ((cur, nSamples, nEntries, nBytes))
     }
-    for ((shard, key, entries) <- rows) {
-      if (shard != cur) {
-        close()
-        cur = shard; nSamples = 0L; nEntries = 0L; nBytes = 0L
-        stream = fs.create(
-          new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar"), true)
-      }
-      nSamples += 1
-      for ((ext, bytes) <- entries if bytes != null) {
-        val name = s"$key.$ext"
-        stream.write(ustarHeader(name, bytes.length.toLong))
-        stream.write(bytes)
-        val pad = ((512 - bytes.length % 512) % 512)
-        if (pad > 0) stream.write(new Array[Byte](pad))
-        nEntries += 1; nBytes += bytes.length
-      }
+    def abort(): Unit = {
+      if (tar != null) { try tar.close() catch { case _: java.io.IOException => () } }
+      if (tmp != null) { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
     }
-    close()
+    try {
+      for ((shard, key, entries) <- rows) {
+        if (shard != cur) {
+          finishShard()
+          cur = shard; nSamples = 0L; nEntries = 0L; nBytes = 0L
+          tmp = new org.apache.hadoop.fs.Path(dir,
+            f".shard-$shard%05d.tar.$attempt")
+          tar = new TarArchiveOutputStream(fs.create(tmp, true))
+          // names past the 100-byte ustar field travel as pax headers
+          tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          tar.setAddPaxHeadersForNonAsciiNames(true)
+        }
+        nSamples += 1
+        for ((ext, bytes) <- entries if bytes != null) {
+          val e = new TarArchiveEntry(s"$key.$ext")
+          // deterministic metadata: bytes depend only on the data
+          e.setSize(bytes.length.toLong)
+          e.setModTime(0L)
+          e.setIds(0, 0)
+          e.setMode(TarArchiveEntry.DEFAULT_FILE_MODE)
+          tar.putArchiveEntry(e)
+          tar.write(bytes)
+          tar.closeArchiveEntry()
+          nEntries += 1; nBytes += bytes.length
+        }
+      }
+      finishShard()
+    } catch { case t: Throwable => abort(); throw t }
     out.iterator
   }
 
-  /** One 512-byte POSIX ustar header for a regular file. Deterministic:
-    * mode 0644, uid/gid 0, mtime 0 — export bytes depend only on the
-    * data.
-    */
-  private[ops] def ustarHeader(name: String, size: Long): Array[Byte] = {
-    val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    require(nameB.length <= 100, s"tar entry name exceeds 100 bytes: $name")
-    require(size >= 0 && size <= 0x1FFFFFFFFL, s"entry too large: $size")
-    val h = new Array[Byte](512)
-    def put(off: Int, s: String): Unit = {
-      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      System.arraycopy(b, 0, h, off, b.length)
-    }
-    System.arraycopy(nameB, 0, h, 0, nameB.length)
-    put(100, "0000644")       // mode (NUL-terminated by the zero fill)
-    put(108, "0000000")       // uid
-    put(116, "0000000")       // gid
-    put(124, f"$size%011o")   // size, 11 octal digits
-    put(136, "00000000000")   // mtime 0
-    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces while summing
-    h(156) = '0'              // typeflag: regular file
-    put(257, "ustar")         // magic + NUL (zero fill) ...
-    put(263, "00")            // ... + version
-    var sum = 0
-    var i = 0
-    while (i < 512) { sum += h(i) & 0xFF; i += 1 }
-    put(148, f"$sum%06o")
-    h(154) = 0
-    h(155) = ' '.toByte
-    h
-  }
-
   /** Read tar shards back as one row per ENTRY: `(shard, name, content)`
-    * — the Spark-side loader (and the round-trip verifier). Each task
-    * parses whole shard files from the binaryFile source; headers are
-    * walked sequentially, exactly as a training loader would.
+    * — the Spark-side loader (and the round-trip verifier). Shards are
+    * STREAMED entry-by-entry straight off the filesystem (never one
+    * whole shard as a single byte array), with commons-compress
+    * verifying each header checksum and failing loudly on a truncated
+    * archive; only a single ENTRY must fit in memory. One task per
+    * shard file.
     */
   def readTarShards(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$path/shard-*.tar")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(p)
+    val confMap = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "shard-*.tar"))
+      .map(_.getPath.toString).toSeq.sorted
+    spark.createDataset(shards)
+      .repartition(math.max(1, math.min(shards.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { p =>
+        import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(hp.getName)
           .map(_.group(1).toLong).getOrElse(-1L)
-        parseTar(bytes).map { case (name, content) => (shard, name, content) }
+        val in = new TarArchiveInputStream(hp.getFileSystem(conf).open(hp))
+        // iterator wrapper keeps the streaming shape (flatMap pulls
+        // lazily); the stream closes when the last entry is consumed or
+        // the walk fails
+        new Iterator[(Long, String, Array[Byte])] {
+          private var nextEntry = advance()
+          private def advance() = {
+            val e = in.getNextEntry
+            if (e == null) { in.close(); null } else e
+          }
+          def hasNext: Boolean = nextEntry != null
+          def next(): (Long, String, Array[Byte]) = {
+            val e = nextEntry
+            val bytes = try in.readAllBytes()
+            catch { case t: Throwable => in.close(); throw t }
+            val row = (shard, e.getName, bytes)
+            nextEntry = advance()
+            row
+          }
+        }
       }
       .toDF("shard", "name", "content")
-  }
-
-  /** Walk a ustar archive's headers; returns (name, content) per entry.
-    * Refuses (throws) on a malformed header rather than returning a
-    * silently-partial archive.
-    */
-  private[ops] def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = Seq.newBuilder[(String, Array[Byte])]
-    var off = 0
-    while (off + 512 <= bytes.length) {
-      if (bytes.slice(off, off + 512).forall(_ == 0)) {
-        off = bytes.length // end-of-archive zero block
-      } else {
-        val nameEnd = {
-          var i = off
-          while (i < off + 100 && bytes(i) != 0) i += 1
-          i
-        }
-        val name = new String(bytes, off, nameEnd - off,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val sizeStr = new String(bytes, off + 124, 12,
-          java.nio.charset.StandardCharsets.US_ASCII)
-          .takeWhile(c => c >= '0' && c <= '7')
-        require(sizeStr.nonEmpty, s"malformed tar header at offset $off")
-        val size = java.lang.Long.parseLong(sizeStr, 8)
-        val dataOff = off + 512
-        require(dataOff + size <= bytes.length,
-          s"truncated tar entry '$name' at offset $off")
-        out += ((name, java.util.Arrays.copyOfRange(
-          bytes, dataOff, (dataOff + size).toInt)))
-        off = dataOff + ((size + 511) / 512 * 512).toInt
-      }
-    }
-    out.result()
   }
 }

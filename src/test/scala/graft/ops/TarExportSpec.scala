@@ -8,10 +8,10 @@ import graft.SharedSpark
 /** Pins the WebDataset-style tar shard export (round 13): byte-exact
   * round trip through a REAL tar parse, sample contiguity inside a
   * shard, deterministic (content-addressable) output, the missing-
-  * modality null convention, and the ustar subset's guard rails. An
-  * external check matters for an interchange format, so the header
-  * layout is also verified field-by-field against the ustar spec
-  * offsets rather than only through our own reader.
+  * modality null convention, pax long names, loud truncation failure,
+  * and the commit protocol (no visible partial shards). Framing is
+  * commons-compress — already on every Spark classpath — so checksums
+  * are verified on read rather than trusted.
   */
 class TarExportSpec extends AnyFunSuite with SharedSpark {
 
@@ -31,6 +31,13 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     assert(stats.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), "23 samples / 10 → 3 shards")
     assert(stats.map(_.getLong(1)).sum == 23L)
     assert(stats.map(_.getLong(2)).sum == 46L, "two entries per sample")
+    // no temp debris among VISIBLE files: the commit rename leaves
+    // exactly the shard files (hidden Hadoop .crc sidecars may ride
+    // along — they are invisible to the shard-*.tar glob and carry a
+    // valid checksum for the committed bytes)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq ==
+      Seq("shard-00000.tar", "shard-00001.tar", "shard-00002.tar"))
     val back = TarExport.readTarShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]]("content")))
     assert(back.length == 46)
@@ -61,7 +68,9 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     for (d <- Seq(d1, d2))
       TarExport.writeTarShards(sampleDf, col("id"), Seq(col("id")),
         Seq("txt" -> col("txt"), "bin" -> col("payload")), 10L, d).collect()
-    for (f <- new java.io.File(d1).listFiles().filter(_.getName.endsWith(".tar"))) {
+    val files = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(files.nonEmpty)
+    for (f <- files) {
       val a = java.nio.file.Files.readAllBytes(f.toPath)
       val b = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(d2, f.getName))
@@ -81,40 +90,38 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     assert(names == Set("1.txt", "1.cap", "2.txt"))
   }
 
-  test("ustar header fields sit at the spec offsets with a valid checksum") {
-    val h = TarExport.ustarHeader("0042.txt", 1234L)
-    assert(h.length == 512)
-    assert(new String(h, 0, 8, "US-ASCII") == "0042.txt")
-    assert(h(8) == 0, "name is NUL-terminated")
-    assert(new String(h, 100, 7, "US-ASCII") == "0000644") // mode
-    assert(new String(h, 124, 11, "US-ASCII") == f"${1234L}%011o") // size
-    assert(h(156) == '0', "regular-file typeflag")
-    assert(new String(h, 257, 5, "US-ASCII") == "ustar" && h(262) == 0)
-    assert(new String(h, 263, 2, "US-ASCII") == "00")
-    // recompute the checksum the way any tar reader does
-    val copy = h.clone()
-    java.util.Arrays.fill(copy, 148, 156, ' '.toByte)
-    val sum = copy.map(_ & 0xFF).sum
-    assert(new String(h, 148, 6, "US-ASCII") == f"$sum%06o")
-    // guard rails refuse rather than corrupt
-    intercept[IllegalArgumentException] {
-      TarExport.ustarHeader("x" * 101, 1L)
-    }
-    intercept[IllegalArgumentException] {
-      TarExport.ustarHeader("ok", -1L)
-    }
+  test("names past the 100-byte ustar field ride pax headers, not refusals") {
+    import spark.implicits._
+    val dir = tmpDir("tar-longname")
+    val longKey = "source/very/deep/namespace/" + ("x" * 90)
+    val df = Seq((longKey, "payload")).toDF("k", "txt")
+    TarExport.writeTarShards(df, col("k"), Seq(col("k")),
+      Seq("txt" -> col("txt")), 10L, dir).collect()
+    val back = TarExport.readTarShards(spark, dir).collect()
+    assert(back.length == 1 && back.head.getString(1) == s"$longKey.txt")
   }
 
-  test("empty frame exports nothing; parse refuses truncated archives") {
+  test("a truncated shard fails the read loudly, never silently partial") {
+    val dir = tmpDir("tar-trunc")
+    TarExport.writeTarShards(sampleDf, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt"), "bin" -> col("payload")), 100L, dir).collect()
+    val f = java.nio.file.Paths.get(dir, "shard-00000.tar")
+    val full = java.nio.file.Files.readAllBytes(f)
+    // cut mid-archive: a partially-copied shard must not read as a
+    // smaller-but-healthy archive
+    java.nio.file.Files.write(f, full.take(full.length / 2))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarExport.readTarShards(spark, dir).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")
     val stats = TarExport.writeTarShards(
       Seq.empty[(Long, String)].toDF("id", "txt"),
       col("id"), Seq(col("id")), Seq("txt" -> col("txt")), 10L, dir)
     assert(stats.collect().isEmpty)
-    // header promises 600 bytes but only 100 follow → refuse, never a
-    // silently-partial archive
-    val truncated = TarExport.ustarHeader("a.txt", 600L) ++ Array.fill[Byte](100)(7)
-    intercept[IllegalArgumentException] { TarExport.parseTar(truncated) }
   }
 }
