@@ -2609,8 +2609,17 @@ final class TableStore(spark: SparkSession, root: String) {
              _: org.apache.hadoop.fs.RawLocalFileSystem =>
           val nio = java.nio.file.Paths.get(fs.makeQualified(at).toUri.getPath)
           java.nio.file.Files.createDirectories(nio.getParent)
-          java.nio.file.Files.createFile(nio) // O_CREAT|O_EXCL — atomic
-          java.nio.file.Files.write(nio, content.getBytes("UTF-8"))
+          // ONE open with O_CREAT|O_EXCL writing through ITS OWN handle —
+          // a separate path-addressed write after createFile would be a
+          // hole: a racer that retired this writer's still-empty file
+          // (empty parses as torn debris, which is retirable) and
+          // installed its own lease would then be clobbered by the
+          // descheduled loser's late write landing at the PATH; a write
+          // through the exclusive handle follows the retired inode
+          // harmlessly instead
+          java.nio.file.Files.write(nio, content.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
           true
         case f =>
           val out = f.create(at, false)
