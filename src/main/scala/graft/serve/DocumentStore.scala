@@ -289,6 +289,11 @@ final class DocumentStore(
     */
   def tableExists(table: String): Boolean = tables.exists(table)
 
+  /** The store's table names, mid-swap-absent ones included — the ops
+    * index (`GET /ops/tables`). One root listing upstream.
+    */
+  def listTables(): Seq[String] = tables.listTables()
+
   def deleteChart(documentId: Long, chartId: Long): Boolean = {
     val owned = tables.exists("chart_data") &&
       tables.readRangeAll("chart_data", Seq(

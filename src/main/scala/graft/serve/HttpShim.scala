@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions.col
   *     (file/byte counts, small-file tail, partition dirs, manifest
   *     coverage, lease state, swap debris); metadata-only upstream, so
   *     it is the endpoint a corpus dashboard polls.
+  *   - `GET /ops/tables` — [EXT] every table's report in one response
+  *     (mid-swap-absent tables included via their debris names).
   *
   * Malformed numeric query params return 422 with a FastAPI-shaped
   * validation body (the same contract the reference's framework emits for
@@ -186,17 +188,17 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         if (!r.swapDebris && !r.leaseState.startsWith("live") &&
             !store.tableExists(t))
           notFound(ex, "Table not found")
-        else {
-          val body = s"""{"table":${jsonStr(r.table)},"files":${r.files},""" +
-            s""""bytes":${r.bytes},"small_files":${r.smallFiles},""" +
-            s""""partition_dirs":${r.partitionDirs},""" +
-            s""""stats_cols":${jsonStr(r.statsCols)},""" +
-            s""""manifest_covered":${r.manifestCovered},""" +
-            s""""lease_state":${jsonStr(r.leaseState)},""" +
-            s""""swap_debris":${r.swapDebris}}"""
-          send(ex, 200, "application/json",
-            body.getBytes(StandardCharsets.UTF_8))
-        }
+        else send(ex, 200, "application/json",
+          reportJson(r).getBytes(StandardCharsets.UTF_8))
+      // [EXT] the ops INDEX: every table's report in one response — the
+      // dashboard's single poll. Upstream: one root listing + one
+      // listing per table; mid-swap-absent tables are included (their
+      // names recover from the swap debris).
+      case ("GET", List("ops", "tables")) =>
+        val body = store.listTables()
+          .map(t => reportJson(store.tableReport(t))).mkString("[", ",", "]")
+        send(ex, 200, "application/json",
+          body.getBytes(StandardCharsets.UTF_8))
       // FastAPI validates path param TYPES before routing: a non-integer
       // id is a 422 validation error, not a 404 (api.py:106,149,174,197)
       case ("GET", List("documents", AsLong(_), "charts", bad))
@@ -208,6 +210,15 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
       case _ => notFound(ex, "Not found")
     }
   }
+
+  private def reportJson(r: graft.store.TableReport): String =
+    s"""{"table":${jsonStr(r.table)},"files":${r.files},""" +
+      s""""bytes":${r.bytes},"small_files":${r.smallFiles},""" +
+      s""""partition_dirs":${r.partitionDirs},""" +
+      s""""stats_cols":${jsonStr(r.statsCols)},""" +
+      s""""manifest_covered":${r.manifestCovered},""" +
+      s""""lease_state":${jsonStr(r.leaseState)},""" +
+      s""""swap_debris":${r.swapDebris}}"""
 
   private def pathTypeError(ex: HttpExchange, name: String): Unit =
     send(ex, 422, "application/json",

@@ -2657,6 +2657,27 @@ final class TableStore(spark: SparkSession, root: String) {
           "corrupt the swap protocol; stop it or retry after expiry")
     }
 
+  /** Names of the store's tables: root-level visible directories, plus
+    * names recoverable only from swap debris — a mid-swap-absent table
+    * is exactly the one an operator's index must not lose. Hidden and
+    * internal entries (`_graft_*`, dot-files) are excluded. One root
+    * listing, no data I/O.
+    */
+  def listTables(): Seq[String] = {
+    val parent = new Path(root)
+    val f = fs
+    if (!f.exists(parent)) return Nil
+    val sib = "(.+)\\.(?:old|tmp)-\\d+".r
+    f.listStatus(parent).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory || n.startsWith("_") || n.startsWith(".")) Nil
+      else n match {
+        case sib(t) => Seq(t) // debris names its table
+        case _      => Seq(n)
+      }
+    }.distinct.sorted
+  }
+
   /** Operational summary of one table — the numbers an operator watches
     * at corpus scale: file count and bytes (is compaction keeping up?),
     * the sub-threshold small-file tail (what the next cadence will

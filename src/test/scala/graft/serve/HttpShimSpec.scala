@@ -152,6 +152,13 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     // path-shaped names must not address outside the table namespace
     assert(get("/ops/tables/%2e%2e").statusCode() == 404)
     assert(get("/ops/tables/_graft_pre_leases").statusCode() == 404)
+    // the INDEX: one response, every table's report
+    val idx = get("/ops/tables")
+    assert(idx.statusCode() == 200 && idx.body().startsWith("["))
+    val tables = spark.read.json(Seq(idx.body()).toDS())
+      .select("table").as[String].collect().toSet
+    assert(Set("documents", "document_chunks", "chart_data").subsetOf(tables),
+      s"index must list the corpus tables, got $tables")
     // a table BEING CREATED (live pre-table lease, no dir yet) reports —
     // that is the moment an operator watches a new stream come up...
     val creator = new TableStore(spark, shimTablesRoot)

@@ -275,4 +275,22 @@ class StoresSpec extends AnyFunSuite with SharedSpark {
     assert(Audit.gcOrphanBlobs(tables, objects) == 0L,
       "recovered table: nothing orphaned")
   }
+
+  test("listTables: visible dirs + debris-derived names, internals excluded") {
+    import spark.implicits._
+    val root = tmpDir("list-tables")
+    val ts = new TableStore(spark, root)
+    ts.append("alpha", Seq((1L, "a")).toDF("id", "v"))
+    ts.append("beta", Seq((1L, "b")).toDF("id", "v"))
+    // a mid-swap-absent table is recoverable only from its debris name —
+    // the ops index must not lose it
+    assert(new java.io.File(s"$root/gamma.old-12345").mkdirs())
+    // internals and hidden entries never read as tables
+    assert(new java.io.File(s"$root/_graft_pre_leases").mkdirs())
+    assert(new java.io.File(s"$root/.hidden").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "stray.txt"), "x".getBytes)
+    assert(ts.listTables() == Seq("alpha", "beta", "gamma"))
+    assert(new TableStore(spark, tmpDir("list-empty")).listTables().isEmpty)
+  }
 }
