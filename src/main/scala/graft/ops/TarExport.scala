@@ -48,11 +48,14 @@ object TarExport {
     * nondeterministic-input caveat applies, see [[Export]]).
     *
     * Returns the per-shard accounting frame `(shard, n_samples,
-    * n_entries, payload_bytes)` — bounded at one row per shard, and the
-    * operator's sizing signal: [[readTarShards]] and most
-    * whole-file-at-once consumers cap a shard around 2 GB, so pick
-    * `samplesPerShard` to keep `payload_bytes` well under that (the
-    * usual WebDataset practice is ~100 MB-1 GB shards).
+    * n_entries, payload_bytes, sha256)` — bounded at one row per shard.
+    * `sha256` is the hash of the COMMITTED tar bytes, computed while
+    * streaming (no re-read): with deterministic output it is the
+    * shard's content address, so a downloader can verify its copy and a
+    * cache can key on it. `payload_bytes` is the operator's sizing
+    * signal: most whole-file-at-once consumers cap a shard around 2 GB,
+    * so pick `samplesPerShard` to keep shards well under that (the
+    * usual WebDataset practice is ~100 MB-1 GB).
     */
   def writeTarShards(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
                      entries: Seq[(String, Column)],
@@ -98,7 +101,7 @@ object TarExport {
       .mapPartitions { rows =>
         TarExport.writePartition(rows, path, confMap)
       }
-      .toDF("shard", "n_samples", "n_entries", "payload_bytes")
+      .toDF("shard", "n_samples", "n_entries", "payload_bytes", "sha256")
       // the accounting frame is the ACTION that runs the export; bounded
       // at one row per shard, so collecting it driver-side is safe
       .orderBy("shard")
@@ -113,7 +116,7 @@ object TarExport {
   private def writePartition(
       rows: Iterator[(Long, String, Seq[(String, Array[Byte])])],
       path: String, confMap: Map[String, String])
-      : Iterator[(Long, Long, Long, Long)] = {
+      : Iterator[(Long, Long, Long, Long, String)] = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val conf = new org.apache.hadoop.conf.Configuration()
     confMap.foreach { case (k, v) => conf.set(k, v) }
@@ -121,10 +124,11 @@ object TarExport {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val attempt = java.util.UUID.randomUUID().toString
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
     var cur = -1L
     var tmp: org.apache.hadoop.fs.Path = null
     var tar: TarArchiveOutputStream = null
+    var digest: java.security.MessageDigest = null
     var nSamples = 0L; var nEntries = 0L; var nBytes = 0L
     def finishShard(): Unit = if (tar != null) {
       tar.finish(); tar.close(); tar = null
@@ -135,7 +139,8 @@ object TarExport {
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"could not commit $tmp -> $dest")
       tmp = null
-      out += ((cur, nSamples, nEntries, nBytes))
+      out += ((cur, nSamples, nEntries, nBytes,
+        digest.digest().map("%02x".format(_)).mkString))
     }
     def abort(): Unit = {
       if (tar != null) { try tar.close() catch { case _: java.io.IOException => () } }
@@ -148,7 +153,11 @@ object TarExport {
           cur = shard; nSamples = 0L; nEntries = 0L; nBytes = 0L
           tmp = new org.apache.hadoop.fs.Path(dir,
             f".shard-$shard%05d.tar.$attempt")
-          tar = new TarArchiveOutputStream(fs.create(tmp, true))
+          // hash the exact committed bytes while streaming — the shard's
+          // content address rides the accounting frame with no re-read
+          digest = java.security.MessageDigest.getInstance("SHA-256")
+          tar = new TarArchiveOutputStream(
+            new java.security.DigestOutputStream(fs.create(tmp, true), digest))
           // names past the 100-byte ustar field travel as pax headers
           tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
           tar.setAddPaxHeadersForNonAsciiNames(true)

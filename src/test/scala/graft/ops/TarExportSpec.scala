@@ -61,6 +61,16 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
       sum(length(encode(col("txt"), "UTF-8")) + length(col("payload"))))
       .head().getLong(0)
     assert(stats.map(_.getLong(3)).sum == expectedBytes)
+    // the accounting sha256 IS the committed file's hash — a downloader
+    // can verify its copy against the manifest row
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for (s <- stats) {
+      val f = java.nio.file.Paths.get(dir, f"shard-${s.getLong(0)}%05d.tar")
+      val fileSha = md.digest(java.nio.file.Files.readAllBytes(f))
+        .map("%02x".format(_)).mkString
+      assert(s.getString(4) == fileSha,
+        s"shard ${s.getLong(0)} content address must match its bytes")
+    }
   }
 
   test("the export is byte-deterministic — shards are content-addressable") {
