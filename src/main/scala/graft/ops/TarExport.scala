@@ -133,11 +133,7 @@ object TarExport {
     def finishShard(): Unit = if (tar != null) {
       tar.finish(); tar.close(); tar = null
       val dest = new org.apache.hadoop.fs.Path(dir, f"shard-$cur%05d.tar")
-      // commit by rename; a pre-existing dest (an earlier attempt's
-      // identical, deterministic copy) is replaced, never interleaved
-      if (fs.exists(dest)) fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"could not commit $tmp -> $dest")
+      commitShard(fs, conf, tmp, dest)
       tmp = null
       out += ((cur, nSamples, nEntries, nBytes,
         digest.digest().map("%02x".format(_)).mkString))
@@ -181,6 +177,60 @@ object TarExport {
     out.iterator
   }
 
+  /** Commit a complete temp shard over its destination with NO window
+    * where the destination is absent: a concurrently-reading
+    * `shard-*.tar` glob (a loader starting mid-re-export) must see the
+    * old copy or the new copy, never a gap — and both copies are
+    * byte-identical (deterministic output), so either is correct.
+    * Local filesystems get nio's ATOMIC_MOVE rename-over; HDFS-likes
+    * the namenode-atomic `FileContext.rename(OVERWRITE)`. A store with
+    * neither falls back to rename-if-absent + accept-existing (the
+    * pre-existing copy IS this attempt's bytes), which still never
+    * deletes a visible shard.
+    */
+  private def commitShard(fs: org.apache.hadoop.fs.FileSystem,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          tmp: org.apache.hadoop.fs.Path,
+                          dest: org.apache.hadoop.fs.Path): Unit = {
+    val replaced =
+      try {
+        fs match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            val s = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+            val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+            java.nio.file.Files.move(s, d,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          case f =>
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, conf)
+            fc.rename(f.makeQualified(tmp), f.makeQualified(dest),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            true
+        }
+      } catch {
+        case _: java.io.IOException => false
+        case _: UnsupportedOperationException => false
+        case _: java.nio.file.AtomicMoveNotSupportedException => false
+      }
+    if (replaced) return
+    // no atomic replace on this store: never delete-then-rename (that
+    // opens the absence window) — take the path if vacant, else accept
+    // the existing identical copy
+    if (!fs.exists(dest) && fs.rename(tmp, dest)) return
+    if (fs.exists(dest)) { fs.delete(tmp, false); () }
+    else throw new java.io.IOException(s"could not commit $tmp -> $dest")
+  }
+
+  /** Test-visible count of tar shard streams currently open in this JVM
+    * — [[readTarShards]] increments on open and decrements exactly once
+    * on close (eager end-of-archive close, failure close, or the task
+    * completion listener), so a spec can assert a partially-consumed
+    * read leaks nothing.
+    */
+  private[ops] val openTarStreams = new java.util.concurrent.atomic.AtomicLong
+
   /** Read tar shards back as one row per ENTRY: `(shard, name, content)`
     * — the Spark-side loader (and the round-trip verifier). Shards are
     * STREAMED entry-by-entry straight off the filesystem (never one
@@ -188,9 +238,26 @@ object TarExport {
     * verifying each header checksum and failing loudly on a truncated
     * archive; only a single ENTRY must fit in memory. One task per
     * shard file.
+    *
+    * Two defenses against hostile/corrupt shards and early-exiting
+    * consumers:
+    *  - an entry whose HEADER claims more than `maxEntryBytes` (default
+    *    `spark.graft.tarMaxEntryBytes`, 1 GiB) is REFUSED loudly before
+    *    any allocation — one flipped size field must fail the task, not
+    *    OOM the executor;
+    *  - the stream closes on EVERY task exit path: eagerly at
+    *    end-of-archive, on a read failure, and via a
+    *    `TaskContext.addTaskCompletionListener` when the downstream
+    *    query stops mid-shard (`limit`/`take`, a cancelled stage) — a
+    *    partially-consumed iterator cannot strand an open filesystem
+    *    handle for the executor's lifetime.
     */
-  def readTarShards(spark: SparkSession, path: String): DataFrame = {
+  def readTarShards(spark: SparkSession, path: String,
+                    maxEntryBytes: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val entryCap = maxEntryBytes.getOrElse(
+      spark.conf.get("spark.graft.tarMaxEntryBytes", (1L << 30).toString).toLong)
+    require(entryCap > 0, s"maxEntryBytes must be positive, got $entryCap")
     val confMap = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val b = Map.newBuilder[String, String]
@@ -212,20 +279,47 @@ object TarExport {
         val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(hp.getName)
           .map(_.group(1).toLong).getOrElse(-1L)
         val in = new TarArchiveInputStream(hp.getFileSystem(conf).open(hp))
+        TarExport.openTarStreams.incrementAndGet()
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) {
+            TarExport.openTarStreams.decrementAndGet()
+            try in.close() catch { case _: java.io.IOException => () }
+          }
+        // the task completion listener is the backstop for every exit
+        // the iterator cannot see: a downstream limit() that stops
+        // pulling mid-shard, a sibling task's failure cancelling the
+        // stage — without it the open handle would live until executor
+        // GC. closeOnce is idempotent, so the eager closes below and
+        // the listener compose safely.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         // iterator wrapper keeps the streaming shape (flatMap pulls
-        // lazily); the stream closes when the last entry is consumed or
-        // the walk fails
+        // lazily); the stream also closes EAGERLY when the last entry
+        // is consumed or the walk fails — not only at task end, so a
+        // task that owns several shards holds one handle at a time
         new Iterator[(Long, String, Array[Byte])] {
           private var nextEntry = advance()
           private def advance() = {
             val e = in.getNextEntry
-            if (e == null) { in.close(); null } else e
+            if (e == null) { closeOnce(); null } else e
           }
           def hasNext: Boolean = nextEntry != null
           def next(): (Long, String, Array[Byte]) = {
             val e = nextEntry
+            // refuse the allocation BEFORE making it: the header size is
+            // untrusted input, and readAllBytes would grow a buffer
+            // toward whatever it claims
+            if (e.getSize > entryCap) {
+              closeOnce()
+              throw new java.io.IOException(
+                s"tar entry '${e.getName}' in $p claims ${e.getSize} bytes " +
+                  s"— over the $entryCap-byte cap " +
+                  "(spark.graft.tarMaxEntryBytes / maxEntryBytes); " +
+                  "refusing the allocation on a corrupt or hostile header")
+            }
             val bytes = try in.readAllBytes()
-            catch { case t: Throwable => in.close(); throw t }
+            catch { case t: Throwable => closeOnce(); throw t }
             val row = (shard, e.getName, bytes)
             nextEntry = advance()
             row

@@ -704,9 +704,11 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode("overwrite").partitionBy(effectiveParts: _*)
       .parquet(tmp.toString) // forces execution first
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
-    // carry the runner's OWN lease across the swap (foreign refused above)
+    // carry the runner's OWN lease across the swap (foreign refused
+    // above) — crc-free like every lease write, so renewal's raw
+    // rename-over never strands a mismatching checksum sidecar
     Sidecar.read(leasePath(table), spark.sparkContext.hadoopConfiguration)
-      .foreach(t => writePropFile(new Path(tmp, WriterLease), t))
+      .foreach(t => writeLeaseRecordRaw(new Path(tmp, WriterLease), t))
     writeSwapMarkers(tmp, Nil) // staging complete — recovery may roll forward
     failpoint("tmp-written")
     val f = fs
@@ -2055,9 +2057,10 @@ final class TableStore(spark: SparkSession, root: String) {
     props.foreach { case (k, v) => writePropFile(new Path(tmp, s"_graft_$k"), v) }
     // carry the swap-runner's OWN lease into the staged dir (a foreign
     // one was refused above) so writer protection is continuous across
-    // the swap instead of lapsing until the holder's next renewal
+    // the swap instead of lapsing until the holder's next renewal —
+    // crc-free like every lease write (see writeLeaseRecordRaw)
     Sidecar.read(leasePath(table), spark.sparkContext.hadoopConfiguration)
-      .foreach(t => writePropFile(new Path(tmp, WriterLease), t))
+      .foreach(t => writeLeaseRecordRaw(new Path(tmp, WriterLease), t))
     // staged/kept collision guard: if the staged write produced a path a
     // kept rel would later be renamed onto (e.g. a rendering-class bug
     // mapping an affected partition to the wrong directory name), the
@@ -2177,6 +2180,29 @@ final class TableStore(spark: SparkSession, root: String) {
     * neither dir) is not one a crash of this protocol can produce —
     * refuse loudly rather than guess at someone else's debris.
     */
+  /** Drop a NOT-LIVE `_writer_lease` record from a directory recovery
+    * just materialized. Swap staging copies the writer's lease into the
+    * staged dir, so both roll-forward (committing `.tmp-*`) and
+    * roll-back (restoring `.old-*`) rematerialize the CRASHED writer's
+    * record in-dir — and an expired record reappearing there would let
+    * a later acquirer see "only an expired lease" while the RECOVERING
+    * creator's pre-table lease is still live (acquisition now reads the
+    * pre file unconditionally, [[leaseCandidates]]; this scrub closes
+    * the same hole from the other end so the stale record never
+    * reappears at all). A LIVE record is kept: recovery only runs after
+    * [[checkNoForeignLease]], so a live record here can only be this
+    * writer's own — or a foreign renewal racing under clock skew, which
+    * must win conservatively. Torn/unparseable bytes are debris and go.
+    */
+  private def scrubRestoredLease(dest: Path): Unit = {
+    val p = new Path(dest, WriterLease)
+    val rec = Sidecar.read(p, spark.sparkContext.hadoopConfiguration)
+    if (rec.isEmpty) return // no file — nothing to scrub
+    val live = rec.flatMap(parseLease)
+      .exists(_._2 > System.currentTimeMillis())
+    if (!live) { try fs.delete(p, false) catch { case _: java.io.IOException => () }; () }
+  }
+
   def recoverSwapDebris(table: String): SwapRecovery = {
     // a live FOREIGN lease means this "debris" may be a live writer's
     // in-flight swap — healing it would yank a directory out from under
@@ -2233,6 +2259,7 @@ final class TableStore(spark: SparkSession, root: String) {
             throw new java.io.IOException(s"recovery commit failed for $table")
           failpoint("recovery-committed")
           deleteSwapMarkers(dest)
+          scrubRestoredLease(dest)
           SwapRecovery.RolledForward
         } else if (!stagedComplete(tmp)) {
           f.delete(tmp, true) // incomplete staging of a never-extant table
@@ -2245,6 +2272,7 @@ final class TableStore(spark: SparkSession, root: String) {
           if (!f.rename(old, dest))
             throw new java.io.IOException(s"recovery restore failed for $table")
           f.delete(tmp, true)
+          scrubRestoredLease(dest)
           SwapRecovery.RolledBack
         } else {
           val manifest = keptManifest(tmp)
@@ -2259,6 +2287,7 @@ final class TableStore(spark: SparkSession, root: String) {
             failpoint("recovery-committed")
             deleteSwapMarkers(dest)
             f.delete(old, true)
+            scrubRestoredLease(dest)
             SwapRecovery.RolledForward
           } else if (pending.forall(r => f.exists(new Path(old, r)))) {
             for (rel <- moved) {
@@ -2272,6 +2301,7 @@ final class TableStore(spark: SparkSession, root: String) {
             if (!f.rename(old, dest))
               throw new java.io.IOException(s"recovery restore failed for $table")
             f.delete(tmp, true)
+            scrubRestoredLease(dest)
             SwapRecovery.RolledBack
           } else throw new IllegalStateException(
             s"table $table: manifest file(s) present in neither sibling: " +
@@ -2346,13 +2376,16 @@ final class TableStore(spark: SparkSession, root: String) {
   // in-flight swap. The lease makes both refuse loudly: every swap and
   // every recovery checks for a live FOREIGN lease first, and the ingest
   // acquires + renews per batch (Postgres gave the reference this for
-  // free via connection-level locking, db.py:24-33). BEST-EFFORT by
-  // design: acquisition is read-then-write without a filesystem CAS, so
-  // two writers racing the same expiry window can both believe they won
-  // — the lease narrows the corruption window from "always" to "a
-  // same-millisecond race after an expiry", it is not a distributed lock
-  // manager. Clock skew between writers eats into the TTL margin; size
-  // the TTL (spark.graft.writerLeaseTtlMs) well above both skew and the
+  // free via connection-level locking, db.py:24-33). Acquisition is
+  // ATOMIC cross-process on filesystems with an atomic exclusive create
+  // (local O_EXCL, HDFS namenode create): fresh grabs create-exclusive,
+  // expired takeovers retire-by-rename then create-exclusive, renewals
+  // rename-replace, and every winner re-verifies its own record — see
+  // acquireWriterLease. On object stores without atomic create the
+  // re-verify narrows (not closes) the race window — documented
+  // best-effort there, it is not a distributed lock manager. Clock skew
+  // between writers eats into the TTL margin; size the TTL
+  // (spark.graft.writerLeaseTtlMs) well above both skew and the
   // longest batch.
   // -------------------------------------------------------------------
 
@@ -2404,8 +2437,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * leases when it is mid-swap absent (a crash leaves the lease inside
     * `.old-*`/`.tmp-*` — exactly the state recovery must not touch while
     * its owner lives), and the pre-table file either way.
+    *
+    * `readPreAlways` splits the callers into two tiers. WRITE-GUARD
+    * callers (acquisition, [[checkNoForeignLease]]) pass true: the
+    * pre-table file is read UNCONDITIONALLY, because "an in-dir lease is
+    * only written after any live pre lease was refused or migrated" is
+    * not an invariant recovery preserves — [[recoverSwapDebris]] can
+    * rematerialize a table whose directory carries a crashed writer's
+    * EXPIRED in-dir record while the RECOVERING creator's pre-table
+    * lease is still live; skipping the pre read there would let a third
+    * writer retire the expired record and win against the live holder.
+    * Read-only POLLERS ([[currentLease]] → [[tableReport]]) pass false
+    * and keep the steady-state one-RPC skip: a report that misses a
+    * just-recovered table's pre lease for one poll is harmless.
     */
-  private def leaseCandidates(table: String): Seq[(Path, String, Long)] = {
+  private def leaseCandidates(table: String,
+                              readPreAlways: Boolean): Seq[(Path, String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def at(p: Path): Seq[(Path, String, Long)] =
       Sidecar.read(p, conf).flatMap(parseLease).toSeq
@@ -2421,30 +2468,36 @@ final class TableStore(spark: SparkSession, root: String) {
           .filter(p => TableStore.isSwapSibling(p.getName, table))
           .flatMap(d => at(new Path(d, WriterLease)))
       }
-    // with the table PRESENT and an in-dir record parsed, the pre-table
-    // file is at most expired leftover (an in-dir lease is only ever
-    // written after any live pre lease was refused or migrated), so its
-    // read is skipped — sparing every guarded write and report poll one
-    // filesystem round trip in the steady state. Every other state reads
-    // it: the table-just-materialized window (table present, no in-dir
-    // record — the pre lease IS the protection there) and the absent
-    // table (sibling debris records may be expired leftovers of an OLD
-    // writer while a NEW creator's live pre lease must still fence).
-    if (tableExists && primary.nonEmpty) primary
+    // with the table PRESENT and an in-dir record parsed, a POLLING
+    // caller skips the pre-table read — in the steady state the pre file
+    // is at most expired leftover, and the skip spares every report poll
+    // one filesystem round trip. Write-guard callers never skip (see the
+    // scaladoc above); and every caller reads the pre file in the other
+    // states: the table-just-materialized window (table present, no
+    // in-dir record — the pre lease IS the protection there) and the
+    // absent table (sibling debris records may be expired leftovers of
+    // an OLD writer while a NEW creator's live pre lease must fence).
+    if (!readPreAlways && tableExists && primary.nonEmpty) primary
     else primary ++ at(preLeasePath(table))
   }
 
   /** The lease governing `table`. Several candidate records resolve to
-    * the latest expiry — the conservative read for every caller.
+    * the latest expiry — the conservative read for every caller. A
+    * READ-ONLY summary ([[tableReport]] polling): takes the steady-state
+    * pre-table skip; anything deciding whether to WRITE must use
+    * [[liveForeignLease]] / [[acquireWriterLease]], which read the full
+    * candidate set.
     */
   private def currentLease(table: String): Option[(String, Long)] =
-    leaseCandidates(table)
+    leaseCandidates(table, readPreAlways = false)
       .map { case (_, o, e) => (o, e) }.maxByOption(_._2)
 
   private def liveForeignLease(table: String): Option[(String, Long)] =
-    currentLease(table).filter { case (owner, exp) =>
-      owner != writerId && exp > System.currentTimeMillis()
-    }
+    leaseCandidates(table, readPreAlways = true)
+      .map { case (_, o, e) => (o, e) }.maxByOption(_._2)
+      .filter { case (owner, exp) =>
+        owner != writerId && exp > System.currentTimeMillis()
+      }
 
   /** Acquire (or renew — the call is idempotent for the holder) the
     * writer lease on `table` for `ttlMs` from now. False when a live
@@ -2468,21 +2521,30 @@ final class TableStore(spark: SparkSession, root: String) {
     *    most the one whose bytes survived; the residual window (A
     *    verifies before B overwrites) is documented best-effort there,
     *    and closed on filesystems with atomic create.
-    * Renewals by the VERIFIED current owner overwrite in place — the
-    * holder cannot race itself (per-instance ops serialize on
-    * [[leaseLock]]), and any foreign live lease was already refused.
+    * Renewals by the VERIFIED current owner replace the record with an
+    * ATOMIC rename-over ([[renewLeaseAtomic]]): a parseable record is
+    * visible at every instant, so a foreign poller racing the renewal
+    * can never read the path as empty/torn and retire the LIVE holder
+    * mid-renewal (truncate-then-write had exactly that torn window —
+    * the same class the exclusive create closed for fresh grabs). On a
+    * store without an atomic replace the renewal falls back to the
+    * takeover protocol itself (retire own record → create-exclusive →
+    * verify), which crowns at most one owner by construction.
     */
   def acquireWriterLease(table: String, ttlMs: Long = leaseTtlMs): Boolean =
     leaseLock.synchronized {
       val now = System.currentTimeMillis()
-      val cands = leaseCandidates(table)
+      // write-guard tier: the pre-table file is ALWAYS in the set (a
+      // recovery-restored dir can carry an expired in-dir record while
+      // a live pre-table lease still fences — see leaseCandidates)
+      val cands = leaseCandidates(table, readPreAlways = true)
       if (cands.exists { case (_, o, e) => o != writerId && e > now })
         return false
       val active = if (exists(table)) leasePath(table) else preLeasePath(table)
       val content = s"v1\t$writerId\t${now + ttlMs}"
       val ownLive = cands.exists { case (_, o, e) => o == writerId && e > now }
       val ok =
-        if (ownLive) { writePropFile(active, content); true }
+        if (ownLive) renewLeaseAtomic(active, content)
         else {
           // fresh grab or expired takeover: clear the active path with an
           // atomic rename iff THE STALE RECORD WE VALIDATED still sits
@@ -2525,6 +2587,125 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     false // persistently absent — treat as lost, never as owned
   }
+
+  /** Renew the VERIFIED holder's lease without ever exposing a torn or
+    * absent record: the new record is written complete to a hidden
+    * temp sibling and ATOMICALLY renamed over the lease path, so every
+    * read that lands during the renewal sees either the old record or
+    * the new one — both parseable, both this writer's. (The previous
+    * truncate-then-write left a window where the path read as empty;
+    * [[retireLeaseFile]] deliberately treats unparseable bytes as
+    * retirable torn debris, so a foreign poller in that window could
+    * retire the LIVE holder and crown a second owner.) Renaming over an
+    * ABSENT path also works, which is exactly the pre-table → in-dir
+    * migration (the holder's live record sits in the pre file; the
+    * canonical in-dir path is still vacant). On a store without an
+    * atomic replace the renewal routes through the takeover protocol
+    * instead — retire own record, create-exclusive, verify — which can
+    * lose the lease to a racer but can never crown two owners.
+    */
+  private def renewLeaseAtomic(active: Path, content: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(active.getParent,
+      s".lease-renew-${System.nanoTime()}-${writerId.take(8)}")
+    val wrote =
+      try { writeLeaseRecordRaw(tmp, content); true }
+      catch { case _: java.io.IOException => false }
+    // a checksum sidecar left at the DESTINATION by an older
+    // fs.create-written record would mismatch the nio-renamed bytes and
+    // fail every later Hadoop read with a ChecksumException — drop it
+    // first (readers between the drop and the rename see the old record
+    // un-verified, which still parses)
+    dropLeaseCrcSidecar(active)
+    val replaced = wrote && renameReplace(tmp, active)
+    if (wrote && !replaced) {
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+      // no atomic replace here (exotic store): fall back to the takeover
+      // protocol — our own record is a legal retire target
+      Sidecar.read(active, conf) match {
+        case Some(raw) =>
+          retireLeaseFile(active, raw) &&
+            createLeaseExclusive(active, content) && verifyOwnLease(active)
+        case None =>
+          createLeaseExclusive(active, content) && verifyOwnLease(active)
+      }
+    } else if (replaced) {
+      // belt-and-braces: the surviving owner field is the verdict (a
+      // one-read cost per renewal; renewals are per-batch, not per-row)
+      verifyOwnLease(active)
+    } else false
+  }
+
+  /** Write a lease record CRC-SIDECAR-FREE. Lease paths are the one
+    * place this store mutates files with RAW renames (nio ATOMIC_MOVE —
+    * the only atomic replace the local filesystem offers), and a raw
+    * rename moves the data file but not Hadoop's `.name.crc` checksum
+    * sidecar: a sidecar surviving a rename-over would make every later
+    * read of the fresh record fail with a ChecksumException. So on the
+    * (checksummed) local filesystem lease records are written through
+    * nio — no sidecar is ever created — matching [[createLeaseExclusive]],
+    * and any sidecar left by an OLDER `fs.create`-written record is
+    * dropped. Non-local filesystems keep no client-side sidecar files
+    * and go through the ordinary create.
+    */
+  private def writeLeaseRecordRaw(at: Path, value: String): Unit =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val nio = java.nio.file.Paths.get(fs.makeQualified(at).toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.write(nio, value.getBytes("UTF-8"))
+        dropLeaseCrcSidecar(at)
+      case f =>
+        val out = f.create(at, true)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Remove a stale Hadoop checksum sidecar next to a lease path (see
+    * [[writeLeaseRecordRaw]]); no-op on non-checksummed filesystems.
+    */
+  private def dropLeaseCrcSidecar(at: Path): Unit =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val nio = java.nio.file.Paths.get(fs.makeQualified(at).toUri.getPath)
+        val crc = nio.getParent.resolve("." + nio.getFileName.toString + ".crc")
+        try { java.nio.file.Files.deleteIfExists(crc); () }
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+
+  /** Rename `src` over `dst`, REPLACING an existing `dst` atomically —
+    * a reader polling `dst` sees the old bytes or the new bytes, never
+    * absence or a prefix. Local filesystems get nio's ATOMIC_MOVE
+    * (POSIX rename(2) replaces atomically); HDFS-likes get the
+    * FileContext rename with Options.Rename.OVERWRITE (namenode-atomic).
+    * False when the store supports neither — callers must then fall
+    * back to a protocol that tolerates a visibility gap.
+    */
+  private def renameReplace(src: Path, dst: Path): Boolean =
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+          val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+          java.nio.file.Files.move(s, d,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        case f =>
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            f.getUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(f.makeQualified(src), f.makeQualified(dst),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+      }
+    } catch {
+      case _: java.io.IOException => false
+      case _: UnsupportedOperationException => false
+      case _: java.nio.file.AtomicMoveNotSupportedException => false
+    }
 
   /** Retire a stale lease file with an ATOMIC rename to a unique hidden
     * name; exactly one of N concurrent retirers succeeds, and only when

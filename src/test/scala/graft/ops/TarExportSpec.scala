@@ -126,6 +126,73 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage != null)
   }
 
+  test("a limit() that stops mid-shard leaves no open tar stream (r14)") {
+    val dir = tmpDir("tar-limit")
+    // one 23-sample, 46-entry shard: limit(1) must abandon 45 entries
+    TarExport.writeTarShards(sampleDf, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt"), "bin" -> col("payload")), 100L, dir).collect()
+    assert(TarExport.openTarStreams.get() == 0L, "counter must start clean")
+    val one = TarExport.readTarShards(spark, dir).limit(1).collect()
+    assert(one.length == 1)
+    // the task completion listener closes the abandoned stream at task
+    // exit; collect() returns after the tasks complete, so the counter
+    // is already drained (small grace loop for scheduler teardown)
+    val deadline = System.currentTimeMillis() + 5000
+    while (TarExport.openTarStreams.get() != 0L &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(TarExport.openTarStreams.get() == 0L,
+      "a partially-consumed shard iterator must not leak its stream")
+  }
+
+  test("an entry over the size cap is refused loudly before allocation (r14)") {
+    val dir = tmpDir("tar-cap")
+    TarExport.writeTarShards(sampleDf, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), 100L, dir).collect()
+    val e = intercept[org.apache.spark.SparkException] {
+      TarExport.readTarShards(spark, dir, maxEntryBytes = Some(5L)).count()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("refusing the allocation"),
+      s"cap refusal must be loud and attributed, got: $msg")
+    // and the refused stream is closed, not stranded
+    val deadline = System.currentTimeMillis() + 5000
+    while (TarExport.openTarStreams.get() != 0L &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(TarExport.openTarStreams.get() == 0L)
+  }
+
+  test("re-exporting over existing shards never exposes an absence window (r14)") {
+    val dir = tmpDir("tar-recommit")
+    def export(): Unit =
+      TarExport.writeTarShards(sampleDf, col("id"), Seq(col("id")),
+        Seq("txt" -> col("txt"), "bin" -> col("payload")), 10L, dir).collect()
+    export()
+    val shard = java.nio.file.Paths.get(dir, "shard-00000.tar")
+    assert(java.nio.file.Files.exists(shard), "dest exists before re-commit")
+    val before = java.nio.file.Files.readAllBytes(shard)
+    // poll the shard's existence continuously while a second export
+    // commits over it: the rename-over must leave a readable copy
+    // visible at every instant (delete-then-rename had a gap here)
+    @volatile var stop = false
+    @volatile var absences = 0L
+    @volatile var polls = 0L
+    val poller = new Thread(() => {
+      while (!stop) {
+        if (!java.nio.file.Files.exists(shard)) absences += 1
+        polls += 1
+      }
+    })
+    poller.start()
+    try { export(); export() } finally { stop = true; poller.join(10000) }
+    assert(polls > 0, "the poller must have actually observed the window")
+    assert(absences == 0L,
+      s"shard read as absent $absences/$polls polls during re-commit")
+    assert(java.nio.file.Files.exists(shard), "dest exists after re-commit")
+    assert(java.util.Arrays.equals(before,
+      java.nio.file.Files.readAllBytes(shard)),
+      "deterministic bytes: either attempt's copy is the same copy")
+  }
+
   test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")

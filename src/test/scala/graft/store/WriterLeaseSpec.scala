@@ -164,6 +164,94 @@ class WriterLeaseSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("renewal keeps a parseable record visible at every instant (r14)") {
+    // the r13 renewal was truncate-then-write: a poller landing inside
+    // the truncation window read an EMPTY file, which retireLeaseFile
+    // deliberately treats as retirable torn debris — a foreign writer
+    // could retire the LIVE holder mid-renewal. Renewal is now a temp
+    // write + atomic rename-over, so every read sees a whole record.
+    val root = tmpDir("lease-renew-atomic")
+    val a = freshTable(root)
+    assert(a.acquireWriterLease("t"))
+    val p = java.nio.file.Paths.get(s"$root/t/_writer_lease")
+    @volatile var stop = false
+    @volatile var torn = 0L
+    @volatile var polls = 0L
+    val poller = new Thread(() => {
+      while (!stop) {
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (!s.startsWith("v1\t") || s.split("\t", -1).length != 3) torn += 1
+        } catch { case _: java.io.IOException => torn += 1 } // absent = torn
+        polls += 1
+      }
+    })
+    poller.start()
+    try for (_ <- 1 to 500)
+      assert(a.acquireWriterLease("t"), "the live holder's renewal must win")
+    finally { stop = true; poller.join(10000L) }
+    assert(polls > 0, "the poller must have actually observed the window")
+    assert(torn == 0L,
+      s"lease file read torn/absent on $torn of $polls polls mid-renewal")
+    a.releaseWriterLease("t")
+  }
+
+  test("a foreign acquirer racing renewals never crowns a second owner (r14)") {
+    val root = tmpDir("lease-renew-race")
+    val a = freshTable(root)
+    assert(a.acquireWriterLease("t"))
+    val b = new TableStore(spark, root)
+    @volatile var stop = false
+    @volatile var bWon = false
+    val thief = new Thread(() => {
+      while (!stop && !bWon) if (b.acquireWriterLease("t")) bWon = true
+    })
+    thief.start()
+    try for (_ <- 1 to 400)
+      assert(a.acquireWriterLease("t"), "renewal must not lose to a racer")
+    finally { stop = true; thief.join(10000L) }
+    assert(!bWon, "no renewal instant may read as 'no live lease' to a racer")
+    a.releaseWriterLease("t")
+  }
+
+  test("recovery cannot resurrect an expired in-dir record against a live pre-table lease (r14)") {
+    import scala.util.control.NonFatal
+    // the r13 hole: recoverSwapDebris restored `.old-*` wholesale —
+    // including the CRASHED writer's now-expired `_writer_lease` — and
+    // acquisition skipped the pre-table read whenever an in-dir record
+    // parsed, so a third writer saw only the expired record and won
+    // while the recovering creator's pre-table lease was still live
+    val root = tmpDir("lease-recover-pre")
+    val w = freshTable(root)
+    assert(w.acquireWriterLease("t", ttlMs = 200L))
+    w.failpoint = p => if (p == "old-aside") sys.error("boom")
+    try w.deleteWhere("t", col("id") <= 10L)
+    catch { case NonFatal(_) => () }
+    w.failpoint = _ => ()
+    assert(!new java.io.File(s"$root/t").exists(), "crash must be mid-window")
+    Thread.sleep(400L) // W's lease expires inside the debris
+    val b = new TableStore(spark, root)
+    assert(b.acquireWriterLease("t"),
+      "B acquires the pre-table lease on the mid-swap-absent table")
+    val outcome = b.recoverSwapDebris("t")
+    assert(outcome == SwapRecovery.RolledForward ||
+      outcome == SwapRecovery.RolledBack)
+    assert(new java.io.File(s"$root/t").exists())
+    // fix half 1: the stale record never reappears in the restored dir
+    assert(!new java.io.File(s"$root/t/_writer_lease").exists(),
+      "recovery must scrub the crashed writer's expired lease record")
+    // fix half 2: acquisition reads the pre-table file UNCONDITIONALLY,
+    // so even a resurrected in-dir record could not hide B's live lease
+    val c = new TableStore(spark, root)
+    assert(!c.acquireWriterLease("t"),
+      "B's live pre-table lease must fence C after recovery")
+    // B's renewal migrates in-dir and keeps fencing; release lets C in
+    assert(b.acquireWriterLease("t"))
+    assert(!c.acquireWriterLease("t"))
+    b.releaseWriterLease("t")
+    assert(c.acquireWriterLease("t"))
+  }
+
   /** `n` racers (one TableStore instance each — separate writer ids, so
     * the per-instance lock is NOT what serializes them, exactly the two-
     * process shape) all call acquire at a latch; returns the winners.

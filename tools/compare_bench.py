@@ -35,7 +35,12 @@ def main():
     i = 0
     while i < len(argv):
         if argv[i] == "--top":
-            top = int(argv[i + 1])
+            if i + 1 >= len(argv):
+                sys.exit("--top needs a value (usage: --top N)")
+            try:
+                top = int(argv[i + 1])
+            except ValueError:
+                sys.exit(f"--top needs an integer, got {argv[i + 1]!r}")
             i += 2
         elif argv[i].startswith("--"):
             i += 1
