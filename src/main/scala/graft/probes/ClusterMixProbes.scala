@@ -252,6 +252,56 @@ object ClusterMixProbes {
           sum(col("bytes")).as("payload_bytes"),
           min(col("key")).as("min_id"), max(col("key")).as("max_id"))
         .orderBy("shard")
+    },
+
+    // [EXT] MULTI-modality WebDataset contract (r14): three entry
+    // columns per sample — `.txt` (always), `.json` (a deterministic
+    // metadata string, always), `.cap` (null for 2 of 3 samples → the
+    // missing-modality skip). The tars are read BACK and the per-shard
+    // entry census is split BY EXTENSION, so the oracle's closed-form
+    // recount catches a dropped modality, a phantom entry for a NULL
+    // column, or a misassigned sample — the loader-facing guarantees
+    // that were previously only spec'd.
+    Probe(
+      "pack_tar_multimodal",
+      "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) " +
+        "SELECT CAST(ord // 50 AS BIGINT) AS shard, " +
+        "CAST(2 * count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries, " +
+        "CAST(count(*) AS BIGINT) AS n_txt, " +
+        "CAST(count(*) AS BIGINT) AS n_json, " +
+        "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cap, " +
+        "CAST(sum(octet_length(encode(text))) " +
+        " + sum(octet_length(encode('meta:' || doc_id || ':' || length(text)))) " +
+        " + sum(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode('cap-' || doc_id)) ELSE 0 END) AS BIGINT) AS payload_bytes " +
+        "FROM o GROUP BY 1 ORDER BY shard"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-mm-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          concat(lit("meta:"), col("doc_id"), lit(":"),
+            length(col("text"))).as("meta"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("cap-"), col("doc_id"))).as("cap"))
+      PhaseTimer.timed("pack_tar_multimodal", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")),
+          Seq("txt" -> col("text"), "json" -> col("meta"),
+            "cap" -> col("cap")),
+          50L, s"$root/out").collect()
+      }
+      graft.ops.TarExport.readTarShards(s, s"$root/out")
+        .select(col("shard"),
+          expr("split(name, '\\\\.')[1]").as("ext"),
+          length(col("content")).cast("long").as("bytes"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when(col("ext") === "txt", 1L).otherwise(0L)).as("n_txt"),
+          sum(when(col("ext") === "json", 1L).otherwise(0L)).as("n_json"),
+          sum(when(col("ext") === "cap", 1L).otherwise(0L)).as("n_cap"),
+          sum(col("bytes")).as("payload_bytes"))
+        .orderBy("shard")
     }
   )
 }

@@ -465,6 +465,51 @@ object CoreProbes {
       ts.read("orders_s").orderBy("o_orderkey")
     },
 
+    // [EXT] M7 — writer-lease TAKEOVER liveness through the probe tier
+    // (r14): the recovery path a 100 TB operator actually hits after a
+    // driver crash. Writer A acquires the lease with a short TTL and
+    // "crashes" (never releases); after expiry writer B takes over via
+    // the atomic retire+create-exclusive+verify protocol, the usurped A
+    // is refused, and B COMPLETES a merge — whose post-takeover table
+    // state must hash-match the closed-form oracle. The 8-racer
+    // WriterLeaseSpec cases pin mutual exclusion; this row pins the
+    // LIVENESS half: an expired lease never wedges the table, and the
+    // new holder's writes land whole.
+    Probe(
+      "m7_lease_takeover",
+      "SELECT o_orderkey, CASE WHEN o_orderkey BETWEEN 2000 AND 3999 " +
+        "AND o_orderkey % 13 = 0 THEN 'TAKEN_OVER' ELSE o_orderpriority " +
+        "END AS o_orderpriority FROM orders ORDER BY o_orderkey"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-takeover-probe")
+      val a = new graft.store.TableStore(s, root)
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      PhaseTimer.timed("m7_lease_takeover", "table_setup_write") {
+        a.overwriteAtomic("orders_t",
+          orders.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"))
+      }
+      PhaseTimer.timed("m7_lease_takeover", "takeover_merge") {
+        // A holds, then crashes without releasing
+        require(a.acquireWriterLease("orders_t", ttlMs = 250L),
+          "writer A must acquire the fresh lease")
+        Thread.sleep(450L) // the TTL lapses with no renewal — A is dead
+        val b = new graft.store.TableStore(s, root)
+        require(b.acquireWriterLease("orders_t"),
+          "an expired lease is no lease: B must take over, not wedge")
+        require(!a.acquireWriterLease("orders_t"),
+          "the usurped writer must be refused while B's lease is live")
+        b.merge("orders_t",
+          orders.filter(col("o_orderkey").between(2000L, 3999L) &&
+              col("o_orderkey") % 13 === 0)
+            .select(col("o_orderkey"), lit("TAKEN_OVER").as("o_orderpriority")),
+          Seq("o_orderkey"))
+        b.releaseWriterLease("orders_t")
+      }
+      new graft.store.TableStore(s, root).read("orders_t")
+        .orderBy("o_orderkey")
+    },
+
     // [EXT] M5 — additive schema evolution through the REAL storage path
     // (r12): a table written pre-evolution, evolved with one sidecar
     // write, then appended post-evolution with the new column. The

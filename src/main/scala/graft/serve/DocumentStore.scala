@@ -289,10 +289,18 @@ final class DocumentStore(
     */
   def tableExists(table: String): Boolean = tables.exists(table)
 
-  /** The store's table names, mid-swap-absent ones included — the ops
-    * index (`GET /ops/tables`). One root listing upstream.
+  /** The store's table names, mid-swap-absent ones included. One root
+    * listing upstream.
     */
   def listTables(): Seq[String] = tables.listTables()
+
+  /** [EXT] Every table's report — the ops index (`GET /ops/tables`).
+    * ONE recursive root walk shared across all tables
+    * ([[graft.store.TableStore.storageReportAll]]), so the poll cost is
+    * O(1) listings regardless of table count.
+    */
+  def storageReportAll(): Seq[graft.store.TableReport] =
+    tables.storageReportAll()
 
   def deleteChart(documentId: Long, chartId: Long): Boolean = {
     val owned = tables.exists("chart_data") &&

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions.col
   *     coverage, lease state, swap debris); metadata-only upstream, so
   *     it is the endpoint a corpus dashboard polls.
   *   - `GET /ops/tables` — [EXT] every table's report in one response
-  *     (mid-swap-absent tables included via their debris names).
+  *     (mid-swap-absent tables included via their debris names), from
+  *     ONE shared root walk — O(1) listings per poll, not O(tables).
   *
   * Malformed numeric query params return 422 with a FastAPI-shaped
   * validation body (the same contract the reference's framework emits for
@@ -191,12 +192,14 @@ final class HttpShim(store: DocumentStore, uploadDir: String, port: Int = 0,
         else send(ex, 200, "application/json",
           reportJson(r).getBytes(StandardCharsets.UTF_8))
       // [EXT] the ops INDEX: every table's report in one response — the
-      // dashboard's single poll. Upstream: one root listing + one
-      // listing per table; mid-swap-absent tables are included (their
-      // names recover from the swap debris).
+      // dashboard's single poll. Upstream: ONE recursive root walk
+      // shared across every table (storageReportAll) instead of one
+      // listing per table — O(1) listings per poll however many tables
+      // the store holds; mid-swap-absent tables are included (their
+      // names recover from the swap debris in the same walk).
       case ("GET", List("ops", "tables")) =>
-        val body = store.listTables()
-          .map(t => reportJson(store.tableReport(t))).mkString("[", ",", "]")
+        val body = store.storageReportAll()
+          .map(reportJson(_)).mkString("[", ",", "]")
         send(ex, 200, "application/json",
           body.getBytes(StandardCharsets.UTF_8))
       // FastAPI validates path param TYPES before routing: a non-integer

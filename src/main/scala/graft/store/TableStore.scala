@@ -1244,7 +1244,7 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.conf.get("spark.graft.listingCacheTtlMs", "0").toLong
 
   /** Test-visible count of REAL (uncached) listings. */
-  private[store] val listingsPerformed = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val listingsPerformed = new java.util.concurrent.atomic.AtomicLong
 
   private[store] def invalidateListing(table: String): Unit = {
     listingCache.remove(table); ()
@@ -2870,7 +2870,24 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def tableReport(table: String,
                   smallThreshold: Long = 32L * 1024 * 1024): TableReport = {
-    val debris = hasSwapDebris(table)
+    val present = exists(table)
+    val files =
+      if (present) listVisibleFilesMeta(table).filter(_._1.endsWith(".parquet"))
+      else Nil
+    reportFromFiles(table, present, files, hasSwapDebris(table), smallThreshold)
+  }
+
+  /** The [[tableReport]] computation from ALREADY-ENUMERATED file
+    * metadata — shared by the per-table report (which pays its own
+    * listing) and [[storageReportAll]] (which bucketed one root walk).
+    * Everything here is bounded per-table sidecar READS: the lease
+    * record, the declared stats specs, one manifest — point GETs, never
+    * listings.
+    */
+  private def reportFromFiles(table: String, present: Boolean,
+                              files: Seq[(String, Long, Long)],
+                              debris: Boolean,
+                              smallThreshold: Long): TableReport = {
     val lease = currentLease(table) match {
       case None => "none"
       case Some((owner, exp)) =>
@@ -2878,9 +2895,8 @@ final class TableStore(spark: SparkSession, root: String) {
         val who = if (owner == writerId) "own" else "foreign"
         s"$state-$who"
     }
-    if (!exists(table))
+    if (!present)
       return TableReport(table, 0, 0L, 0, 0, "", 0, lease, debris)
-    val files = listVisibleFilesMeta(table).filter(_._1.endsWith(".parquet"))
     val dirs = files.map(_._1.split("/").dropRight(1).mkString("/"))
       .filter(_.nonEmpty).distinct.size
     val specs = declaredStatsSpecs(table)
@@ -2895,6 +2911,71 @@ final class TableStore(spark: SparkSession, root: String) {
     TableReport(table, files.size, files.map(_._2).sum,
       files.count(_._2 < smallThreshold), dirs,
       specs.map(_._1).mkString(","), covered, lease, debris)
+  }
+
+  /** Every table's [[tableReport]] from ONE recursive root walk — the
+    * ops-index tier (`GET /ops/tables`). Mapping `tableReport` over
+    * [[listTables]] pays one LIST per table: fine at tens of tables,
+    * O(tables) namenode/object-store LIST calls per dashboard poll at
+    * corpus scale (a 10k-table store would pay 10k listings per poll).
+    * Here the store root is enumerated ONCE (`listFiles(root,
+    * recursive)` — one paged LIST on object stores, one streamed
+    * namenode walk on HDFS), files bucket by their top-level directory,
+    * debris-only table names fall out of the same sibling-name parse the
+    * per-table path uses, and every report is computed from the bucketed
+    * metadata via [[reportFromFiles]]. What remains per table is bounded
+    * point READS (lease record, stats specs, manifest) — GETs an ops
+    * poll can afford, not listings. Counted as ONE entry in
+    * [[listingsPerformed]]; when the listing cache is on, each table's
+    * bucket refreshes its cache entry, so a following pruned read pays
+    * no relisting either.
+    *
+    * Ordering and row shape match `listTables().map(tableReport)`
+    * exactly, including zero-file rows for mid-swap-absent tables (their
+    * debris flagged) — `TableReportSpec` pins the equivalence.
+    */
+  def storageReportAll(smallThreshold: Long = 32L * 1024 * 1024): Seq[TableReport] = {
+    val parent = new Path(root)
+    val f = fs
+    if (!f.exists(parent)) return Nil
+    val sib = "(.+)\\.(?:old|tmp)-\\d+".r
+    // one top-level listing discovers the table names (incl. EMPTY table
+    // dirs, which a file walk cannot see) and the debris siblings...
+    val tops = f.listStatus(parent).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val live = tops.filterNot(n => sib.matches(n)).toSet
+    val debrisFor = tops.collect { case sib(t) => t }.toSet
+    // ...and one recursive walk supplies every live table's file
+    // metadata (the walk descends debris/hidden dirs too on some
+    // filesystems — bucketing by top name discards those entries)
+    listingsPerformed.incrementAndGet()
+    val rootPath = f.makeQualified(parent).toUri.getPath
+    val byTable = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.ArrayBuffer[(String, Long, Long)]]
+    val it = f.listFiles(parent, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      val cut = rel.indexOf('/')
+      if (cut > 0) {
+        val top = rel.substring(0, cut)
+        val inner = rel.substring(cut + 1)
+        if (live.contains(top) && !isHiddenRel(inner))
+          byTable.getOrElseUpdate(top,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((inner, st.getLen, st.getModificationTime))
+      }
+    }
+    val now = System.nanoTime()
+    (live ++ debrisFor).toSeq.sorted.map { t =>
+      val all = byTable.get(t).map(_.toSeq).getOrElse(Nil)
+      if (live.contains(t) && listingTtlMs > 0)
+        listingCache.put(t, (now, all))
+      reportFromFiles(t, live.contains(t),
+        all.filter(_._1.endsWith(".parquet")),
+        debrisFor.contains(t), smallThreshold)
+    }
   }
 
   // -------------------------------------------------------------------

@@ -27,7 +27,8 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
   private val now = Timestamp.valueOf("2026-01-15 08:30:00")
 
   // one ingested corpus + running shim shared by every test in the suite
-  private lazy val (port, uploadDir, shimTablesRoot): (Int, String, String) = {
+  private lazy val (port, uploadDir, shimTablesRoot, shimTables)
+      : (Int, String, String, TableStore) = {
     val inbox = tmpDir("shim-inbox")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(inbox, "report.pdf"),
@@ -46,7 +47,7 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     val shim = new HttpShim(store, dir, maxUploadBytes = 64 * 1024)
     val p = shim.start()
     sys.addShutdownHook(shim.stop())
-    (p, dir, s"$root/tables")
+    (p, dir, s"$root/tables", tables)
   }
 
   private val client = HttpClient.newHttpClient()
@@ -171,6 +172,23 @@ class HttpShimSpec extends AnyFunSuite with SharedSpark {
     // not answer 200-with-zeros forever (r13 review finding)
     creator.releaseWriterLease("ghost_table")
     assert(get("/ops/tables/ghost_table").statusCode() == 404)
+  }
+
+  test("the ops index shares ONE root walk — O(1) listings, not O(tables) (r14)") {
+    import spark.implicits._
+    // warm the route (lazy caches, first-touch schema reads), then
+    // measure: the index must grow the REAL-listing counter by at most
+    // one per poll however many tables the store holds — the r13 form
+    // paid one listing per table per poll
+    assert(get("/ops/tables").statusCode() == 200)
+    val before = shimTables.listingsPerformed.get()
+    val idx = get("/ops/tables")
+    assert(idx.statusCode() == 200)
+    val nTables = spark.read.json(Seq(idx.body()).toDS()).count()
+    assert(nTables >= 3, "the corpus fixture has at least 3 tables")
+    val grew = shimTables.listingsPerformed.get() - before
+    assert(grew <= 1,
+      s"index poll must share one root walk; did $grew listings for $nTables tables")
   }
 
   test("multipart upload lands the file part byte-identical in the watch dir") {

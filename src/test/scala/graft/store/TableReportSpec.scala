@@ -68,4 +68,36 @@ class TableReportSpec extends AnyFunSuite with SharedSpark {
     assert(r.partitionDirs == 3)
     assert(r.files >= 3 && r.bytes > 0)
   }
+
+  test("storageReportAll matches the per-table reports from ONE root walk (r14)") {
+    import spark.implicits._
+    val root = tmpDir("report-all")
+    val ts = new TableStore(spark, root)
+    assert(ts.storageReportAll().isEmpty, "empty store → empty index")
+    // a mixed store: plain, partitioned+stats-declared, leased, and a
+    // debris-only (mid-swap-absent) name — every row shape the index
+    // must reproduce
+    ts.append("a", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.appendPartitioned("p",
+      (1L to 60L).map(i => (i, (i % 3).toInt, s"v$i")).toDF("id", "p", "v"),
+      Seq("p"))
+    ts.declareStatsColumns("a", Seq("id"))
+    assert(ts.acquireWriterLease("a"))
+    assert(new java.io.File(s"$root/ghost.old-7").mkdirs())
+    val all = ts.storageReportAll()
+    val perTable = ts.listTables().map(t => ts.tableReport(t))
+    assert(all == perTable,
+      s"index rows must equal the per-table reports\nall:      $all\nperTable: $perTable")
+    assert(all.map(_.table) == Seq("a", "ghost", "p"))
+    assert(all.find(_.table == "ghost").get.swapDebris,
+      "a debris-only name reports zero files with the debris flagged")
+    assert(all.find(_.table == "a").get.leaseState == "live-own")
+    // the whole index cost exactly ONE counted listing — the r13 form
+    // paid one per table
+    val before = ts.listingsPerformed.get()
+    ts.storageReportAll()
+    assert(ts.listingsPerformed.get() - before == 1,
+      "the index must share a single root walk across every table")
+    ts.releaseWriterLease("a")
+  }
 }
