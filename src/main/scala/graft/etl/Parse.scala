@@ -138,13 +138,15 @@ object Parse {
     * reflective method lookups happen once per instance (init-once,
     * pdf_parser.py:63-71), not per document.
     */
-  final class PdfBoxDocParser extends DocParser {
-    @transient private lazy val api = PdfBoxDocParser.cachedApi
+  final class PdfBoxDocParser(prefix: String) extends DocParser {
+    def this() = this(PdfBoxDocParser.DefaultPrefix)
+
+    @transient private lazy val api = PdfBoxDocParser.apiFor(prefix)
 
     override def parse(path: String, content: Array[Byte]): ParsedDoc = {
       val a = api.getOrElse(throw new IllegalStateException(
         "PdfBoxDocParser requires Apache PDFBox on the classpath " +
-          "(org.apache.pdfbox.text.PDFTextStripper not found); " +
+          s"($prefix.text.PDFTextStripper not found); " +
           "use TextDocParser or add the pdfbox jar"))
       val doc = a.load(content)
       try {
@@ -180,14 +182,29 @@ object Parse {
   }
 
   object PdfBoxDocParser {
-    /** The reflective lookup, resolved once per JVM — `available`,
-      * `orFallback` and every parser instance share it (the classpath
-      * does not change under a running executor).
+    /** The package prefix a REAL PDFBox jar puts its classes under. The
+      * constructor's `prefix` parameter exists so the adapter's
+      * reflective plumbing (version dispatch, error isolation, close
+      * discipline, the resource walk) is executable against a
+      * test-classpath STUB exposing the identical surface — the real
+      * jar has never been present in any build sandbox, and untestable
+      * plumbing is unfinished plumbing. Production callers never pass a
+      * prefix.
       */
-    @transient private lazy val cachedApi: Option[Api] = Api.load()
+    private[etl] val DefaultPrefix = "org.apache.pdfbox"
+
+    /** The reflective lookup, resolved once per (JVM, prefix) —
+      * `available`, `orFallback` and every parser instance share it
+      * (the classpath does not change under a running executor).
+      */
+    private val apiCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[Api]]()
+
+    private def apiFor(prefix: String): Option[Api] =
+      apiCache.computeIfAbsent(prefix, p => Api.load(p))
 
     /** True when a PDFBox 2.x/3.x jar is on the classpath. */
-    def available: Boolean = cachedApi.isDefined
+    def available: Boolean = apiFor(DefaultPrefix).isDefined
 
     /** The best parser this classpath supports: real PDFBox decode when
       * the jar is present, the deterministic text stand-in otherwise.
@@ -200,6 +217,7 @@ object Parse {
       * 2.x via `PDDocument.load(byte[])`.
       */
     private final class Api(
+        prefix: String,
         loadFn: Array[Byte] => AnyRef,
         getNumberOfPages: java.lang.reflect.Method,
         stripperCls: Class[_],
@@ -226,7 +244,7 @@ object Parse {
         val pd = getPage.invoke(doc, Int.box(page - 1))
         val res = pd.getClass.getMethod("getResources").invoke(pd)
         if (res == null) return 0
-        val cosName = Class.forName("org.apache.pdfbox.cos.COSName")
+        val cosName = Class.forName(s"$prefix.cos.COSName")
         val names = res.getClass.getMethod("getXObjectNames").invoke(res)
           .asInstanceOf[java.lang.Iterable[AnyRef]]
         val isImage = res.getClass.getMethod("isImageXObject", cosName)
@@ -258,11 +276,11 @@ object Parse {
     }
 
     private object Api {
-      def load(): Option[Api] = try {
-        val pdDoc = Class.forName("org.apache.pdfbox.pdmodel.PDDocument")
+      def load(prefix: String): Option[Api] = try {
+        val pdDoc = Class.forName(s"$prefix.pdmodel.PDDocument")
         val loadFn: Array[Byte] => AnyRef =
           try { // 3.x
-            val m = Class.forName("org.apache.pdfbox.Loader")
+            val m = Class.forName(s"$prefix.Loader")
               .getMethod("loadPDF", classOf[Array[Byte]])
             bytes => m.invoke(null, bytes)
           } catch {
@@ -270,15 +288,16 @@ object Parse {
               val m = pdDoc.getMethod("load", classOf[Array[Byte]])
               bytes => m.invoke(null, bytes)
           }
-        val stripper = Class.forName("org.apache.pdfbox.text.PDFTextStripper")
+        val stripper = Class.forName(s"$prefix.text.PDFTextStripper")
         // the renderer is optional WITHIN an available build: a pdfbox
         // jar stripped of the rendering package still parses text
         val renderer = try {
-          val rc = Class.forName("org.apache.pdfbox.rendering.PDFRenderer")
+          val rc = Class.forName(s"$prefix.rendering.PDFRenderer")
           Some((rc.getConstructor(pdDoc),
             rc.getMethod("renderImage", classOf[Int], classOf[Float])))
         } catch { case scala.util.control.NonFatal(_) => None }
         Some(new Api(
+          prefix,
           loadFn,
           pdDoc.getMethod("getNumberOfPages"),
           stripper,

@@ -130,13 +130,19 @@ object CurationProbes {
       "mix_quantile_buckets",
       s"""WITH s AS (SELECT doc_id, round(least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN (${ExtProbes.markersSql}))) * 1.0 / len(string_split(text, ' '))) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' '))) / 8.0) * 0.2, 9) AS score FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), t AS (SELECT round(quantile_cont(score, 0.25), 6) AS t1, round(quantile_cont(score, 0.5), 6) AS t2, round(quantile_cont(score, 0.75), 6) AS t3 FROM s) SELECT doc_id, score, CAST((CASE WHEN score > t1 THEN 1 ELSE 0 END) + (CASE WHEN score > t2 THEN 1 ELSE 0 END) + (CASE WHEN score > t3 THEN 1 ELSE 0 END) AS INTEGER) AS q_bucket FROM s, t ORDER BY doc_id"""
     ) { (s, d) =>
-      Mixing.quantileBuckets(
-          t(s, d, "documents")
-            .filter(col("doc_id").isNotNull && col("text").isNotNull)
-            .select(col("doc_id"),
-              round(TA.qualityScore(col("text")), 9).as("score")),
+      // phase split (r14 attribution): the probe is inherently TWO
+      // corpus passes — the exact percentile THRESHOLD row (the eager
+      // head() inside quantileBuckets, timed here) and the lazy
+      // assignment pass that runs when the caller collects. sec minus
+      // threshold_row is the assignment+collect side.
+      val scored = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          round(TA.qualityScore(col("text")), 9).as("score"))
+      PhaseTimer.timed("mix_quantile_buckets", "threshold_row") {
+        Mixing.quantileBuckets(scored,
           col("score"), nBuckets = 4, bucketName = "q_bucket")
-        .orderBy("doc_id")
+      }.orderBy("doc_id")
     }
   )
 }
