@@ -328,4 +328,68 @@ object TarExport {
       }
       .toDF("shard", "name", "content")
   }
+
+  /** Read tar shards back at the SAMPLE grain: one row per training
+    * sample, `(shard, key, entries)` with `entries` the
+    * extension→bytes map — exactly what a WebDataset loader hands the
+    * collate step after grouping a sample's files. `123.txt` +
+    * `123.json` become one row keyed `"123"` with entries
+    * `{"txt": …, "json": …}`; a modality skipped at write time (NULL
+    * column) is simply absent from the map.
+    *
+    * Scale shape: NO shuffle. [[writeTarShards]] guarantees a sample's
+    * entries are CONTIGUOUS inside their shard and shards are read one
+    * task per file, so the regrouping is a per-partition fold over
+    * adjacent entries — `mapPartitions` state of ONE sample, never a
+    * `groupBy(key)` exchange of the corpus. The extension is taken
+    * after the LAST '.' (entry extensions never contain dots — the
+    * writer's `<key>.<ext>` naming; keys themselves may contain dots
+    * and survive whole). Adjacent entries sharing a key coalesce into
+    * one sample — the WebDataset grouping rule; feed the writer unique
+    * keys (duplicate keys with the same extension keep the LAST bytes,
+    * like any loader's dict-build would). Inherits [[readTarShards]]'s
+    * defenses: checksum-verified framing, loud truncation, the
+    * entry-size cap, and close-on-every-task-exit.
+    */
+  def readTarSamples(spark: SparkSession, path: String,
+                     maxEntryBytes: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    readTarShards(spark, path, maxEntryBytes)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { entries =>
+        // contiguity makes this a streaming fold: buffer ONE sample,
+        // emit it when the key (or shard) changes
+        new Iterator[(Long, String, Map[String, Array[Byte]])] {
+          private var pending: Option[(Long, String)] = None
+          private val buf = scala.collection.mutable.LinkedHashMap
+            .empty[String, Array[Byte]]
+          private var out: (Long, String, Map[String, Array[Byte]]) = null
+          private def splitName(name: String): (String, String) = {
+            val dot = name.lastIndexOf('.')
+            if (dot <= 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+          }
+          private def flush(): Unit = pending match {
+            case Some((sh, k)) => out = (sh, k, buf.toMap); buf.clear()
+            case None          => ()
+          }
+          @annotation.tailrec
+          private def advance(): Boolean =
+            if (out != null) true
+            else if (!entries.hasNext) { flush(); pending = None; out != null }
+            else {
+              val (sh, name, bytes) = entries.next()
+              val (k, ext) = splitName(name)
+              if (!pending.contains((sh, k))) { flush(); pending = Some((sh, k)) }
+              buf.put(ext, bytes)
+              advance()
+            }
+          def hasNext: Boolean = advance()
+          def next(): (Long, String, Map[String, Array[Byte]]) = {
+            if (!advance()) throw new NoSuchElementException
+            val r = out; out = null; r
+          }
+        }
+      }
+      .toDF("shard", "key", "entries")
+  }
 }

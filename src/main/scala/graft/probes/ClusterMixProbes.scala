@@ -302,6 +302,48 @@ object ClusterMixProbes {
           sum(when(col("ext") === "cap", 1L).otherwise(0L)).as("n_cap"),
           sum(col("bytes")).as("payload_bytes"))
         .orderBy("shard")
+    },
+
+    // [EXT] loader-side SAMPLE regrouping (r14): readTarSamples folds a
+    // shard's contiguous `<key>.<ext>` entries back into one row per
+    // training sample (extension→bytes map) WITHOUT a shuffle — the
+    // contiguity the writer guarantees makes it a per-partition fold.
+    // Oracled at the per-SAMPLE grain: every sample's entry count and
+    // byte total recomputed in closed form, so a sample split across
+    // rows, a lost modality, or bytes landed under the wrong key all
+    // hash-mismatch.
+    Probe(
+      "pack_tar_samples",
+      "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) " +
+        "SELECT CAST(ord // 50 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
+        "CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_entries, " +
+        "CAST(octet_length(encode(text)) " +
+        " + octet_length(encode('meta:' || doc_id || ':' || length(text))) " +
+        " + CASE WHEN doc_id % 3 = 0 THEN octet_length(encode('cap-' || doc_id)) ELSE 0 END AS BIGINT) AS sample_bytes " +
+        "FROM o ORDER BY shard, key"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-samples-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          concat(lit("meta:"), col("doc_id"), lit(":"),
+            length(col("text"))).as("meta"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("cap-"), col("doc_id"))).as("cap"))
+      PhaseTimer.timed("pack_tar_samples", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")),
+          Seq("txt" -> col("text"), "json" -> col("meta"),
+            "cap" -> col("cap")),
+          50L, s"$root/out").collect()
+      }
+      graft.ops.TarExport.readTarSamples(s, s"$root/out")
+        .select(col("shard"), col("key"),
+          size(col("entries")).cast("long").as("n_entries"),
+          aggregate(map_values(col("entries")), lit(0L),
+            (acc, x) => acc + length(x)).as("sample_bytes"))
+        .orderBy("shard", "key")
     }
   )
 }

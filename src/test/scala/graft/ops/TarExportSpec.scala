@@ -193,6 +193,45 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
       "deterministic bytes: either attempt's copy is the same copy")
   }
 
+  test("readTarSamples regroups contiguous entries into samples without a shuffle (r14)") {
+    import spark.implicits._
+    val dir = tmpDir("tar-samples")
+    // 23 samples, 10/shard → samples cross shard boundaries at 9|10 and
+    // 19|20; a dotted key must survive whole; the null modality must be
+    // ABSENT from the map, not null-valued
+    val df = (0 until 23).map { i =>
+      (f"k.$i%02d", s"text $i", if (i % 4 == 0) s"cap $i" else null)
+    }.toDF("id", "txt", "cap")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt"), "cap" -> col("cap")), 10L, dir).collect()
+    val samples = TarExport.readTarSamples(spark, dir)
+    // exactly ONE exchange in the plan — the round-robin shard
+    // distribution inherited from readTarShards; the regrouping itself
+    // is a per-partition fold, never a groupBy(key) shuffle of the
+    // corpus (string form because AQE's AdaptiveSparkPlanExec hides
+    // physical children from TreeNode.collect)
+    val p = samples.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sample regrouping must not add a shuffle:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no key-hash exchange — the fold rides the shard distribution:\n$p")
+    val rows = samples
+      .as[(Long, String, Map[String, Array[Byte]])].collect()
+    assert(rows.length == 23, "one row per sample")
+    assert(rows.map(_._2).toSet == (0 until 23).map(i => f"k.$i%02d").toSet,
+      "dotted keys survive whole (extension split is at the LAST dot)")
+    for ((shard, key, entries) <- rows) {
+      val i = key.stripPrefix("k.").toInt
+      assert(shard == i / 10, s"sample $key must sit in its ordinal shard")
+      val expected = if (i % 4 == 0) Set("txt", "cap") else Set("txt")
+      assert(entries.keySet == expected,
+        s"sample $key: a skipped modality is absent, got ${entries.keySet}")
+      assert(new String(entries("txt"), "UTF-8") == s"text $i")
+      if (i % 4 == 0)
+        assert(new String(entries("cap"), "UTF-8") == s"cap $i")
+    }
+  }
+
   test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")
