@@ -188,10 +188,10 @@ object TarExport {
     * pre-existing copy IS this attempt's bytes), which still never
     * deletes a visible shard.
     */
-  private def commitShard(fs: org.apache.hadoop.fs.FileSystem,
-                          conf: org.apache.hadoop.conf.Configuration,
-                          tmp: org.apache.hadoop.fs.Path,
-                          dest: org.apache.hadoop.fs.Path): Unit = {
+  private[ops] def commitShard(fs: org.apache.hadoop.fs.FileSystem,
+                               conf: org.apache.hadoop.conf.Configuration,
+                               tmp: org.apache.hadoop.fs.Path,
+                               dest: org.apache.hadoop.fs.Path): Unit = {
     val replaced =
       try {
         fs match {

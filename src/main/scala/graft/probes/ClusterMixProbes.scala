@@ -344,6 +344,55 @@ object ClusterMixProbes {
           aggregate(map_values(col("entries")), lit(0L),
             (acc, x) => acc + length(x)).as("sample_bytes"))
         .orderBy("shard", "key")
+    },
+
+    // [EXT] export manifest + integrity verification (r14): publish
+    // _manifest.jsonl for a tar export, then DETERMINISTICALLY break the
+    // delivery three ways — flip one byte in shard 1, delete the last
+    // shard, drop an alien file into the glob — and oracle verify()'s
+    // full classification in closed form: the untouched shards are 'ok',
+    // the tampered one 'modified', the deleted one 'missing', the alien
+    // 'unlisted'. Hash cost is one streaming task per shard file; the
+    // diff joins two O(files)-row frames, never the corpus.
+    Probe(
+      "pack_export_verify",
+      "WITH o AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "s AS (SELECT DISTINCT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 20 AS BIGINT) AS shard FROM o), " +
+        "m AS (SELECT MAX(shard) AS mx FROM s) " +
+        "SELECT * FROM (" +
+        "SELECT 'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.tar' AS file, " +
+        "CASE WHEN shard = (SELECT mx FROM m) THEN 'missing' " +
+        "WHEN shard = 1 THEN 'modified' ELSE 'ok' END AS status FROM s " +
+        "UNION ALL SELECT 'shard-99999.tar' AS file, 'unlisted' AS status" +
+        ") ORDER BY file"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-export-verify-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      PhaseTimer.timed("pack_export_verify", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 20L,
+          s"$root/out").collect()
+      }
+      PhaseTimer.timed("pack_export_verify", "manifest") {
+        graft.ops.ExportIntegrity.writeManifest(s, s"$root/out", "shard-*.tar").collect()
+      }
+      // the three deterministic delivery faults
+      val out = new java.io.File(s"$root/out")
+      val shards = out.listFiles().map(_.getName)
+        .filter(_.matches("shard-\\d{5}\\.tar")).sorted
+      assert(shards.length >= 3,
+        s"probe anchors tamper/delete to distinct shards, got ${shards.toSeq}")
+      val raf = new java.io.RandomAccessFile(new java.io.File(out, "shard-00001.tar"), "rw")
+      try { raf.seek(100); val b = raf.read(); raf.seek(100); raf.write(b ^ 0x01) }
+      finally raf.close()
+      assert(new java.io.File(out, shards.last).delete())
+      val alien = new java.io.FileOutputStream(new java.io.File(out, "shard-99999.tar"))
+      try alien.write("alien payload".getBytes("UTF-8")) finally alien.close()
+      graft.ops.ExportIntegrity.verify(s, s"$root/out", "shard-*.tar")
+        .select(col("file"), col("status"))
+        .orderBy("file")
     }
   )
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Pins the export-integrity surface (round 14): the manifest records
+  * exactly the export's files with the SAME sha256 the tar exporter
+  * streamed at write time (no trust in the write path), a manifest is
+  * byte-deterministic, and `verify` classifies every corruption a
+  * delivery hop can introduce — a flipped byte (`modified`), a lost
+  * shard (`missing`), an alien file (`unlisted`) — while an intact
+  * tree verifies clean. Also covers the JSONL exporter through the
+  * same format-agnostic code path.
+  */
+class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
+
+  private def tarExport(dir: String) = {
+    import spark.implicits._
+    val df = (0 until 23).map { i =>
+      (i.toLong, s"doc $i " * (i + 1))
+    }.toDF("id", "txt")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), 10L, dir).collect()
+  }
+
+  test("manifest matches the exporter's streamed hashes; intact tree verifies ok") {
+    val dir = tmpDir("integrity-ok")
+    val accounting = tarExport(dir)
+    val manifest = ExportIntegrity.writeManifest(spark, dir, "shard-*.tar").collect()
+    assert(manifest.map(_.getString(0)).toSeq ==
+      Seq("shard-00000.tar", "shard-00001.tar", "shard-00002.tar"),
+      "manifest lists exactly the shard files, sorted")
+    // the independently-computed file hash equals the sha256 the writer
+    // streamed while producing the shard — write path and verify path
+    // agree bit-for-bit
+    val bySha = accounting.map(r => f"shard-${r.getLong(0)}%05d.tar" -> r.getString(4)).toMap
+    for (m <- manifest)
+      assert(m.getString(2) == bySha(m.getString(0)),
+        s"${m.getString(0)}: manifest sha must equal the accounting sha")
+    val bad = ExportIntegrity.verify(spark, dir, "shard-*.tar")
+      .filter(col("status") =!= "ok")
+    assert(bad.isEmpty, "an untouched export verifies clean")
+  }
+
+  test("verify classifies modified, missing, and unlisted files") {
+    val dir = tmpDir("integrity-tamper")
+    tarExport(dir)
+    ExportIntegrity.writeManifest(spark, dir, "shard-*.tar")
+    // modified: flip one payload byte in shard 1 (size unchanged)
+    val f1 = new java.io.File(dir, "shard-00001.tar")
+    val raf = new java.io.RandomAccessFile(f1, "rw")
+    try {
+      raf.seek(600); val b = raf.read(); raf.seek(600); raf.write(b ^ 0x01)
+    } finally raf.close()
+    // a stale Hadoop checksum sidecar would fail the re-read before the
+    // sha comparison; drop it like any non-Hadoop tamperer would
+    new java.io.File(dir, ".shard-00001.tar.crc").delete()
+    // missing: remove shard 2 (and its sidecar)
+    assert(new java.io.File(dir, "shard-00002.tar").delete())
+    new java.io.File(dir, ".shard-00002.tar.crc").delete()
+    // unlisted: an alien file matching the shard glob
+    val alien = new java.io.File(dir, "shard-00099.tar")
+    val w = new java.io.FileOutputStream(alien)
+    try w.write("not a shard".getBytes("UTF-8")) finally w.close()
+    val statuses = ExportIntegrity.verify(spark, dir, "shard-*.tar")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses == Map(
+      "shard-00000.tar" -> "ok",
+      "shard-00001.tar" -> "modified",
+      "shard-00002.tar" -> "missing",
+      "shard-00099.tar" -> "unlisted"))
+  }
+
+  test("manifest bytes are deterministic and the commit leaves no temp debris") {
+    val dir = tmpDir("integrity-det")
+    tarExport(dir)
+    def manifestBytes(): Seq[Byte] = {
+      ExportIntegrity.writeManifest(spark, dir, "shard-*.tar")
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, ExportIntegrity.ManifestName)).toSeq
+    }
+    val first = manifestBytes()
+    assert(first.nonEmpty)
+    assert(manifestBytes() == first, "re-publishing an unchanged export is byte-identical")
+    val visible = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(visible.count(_ == ExportIntegrity.ManifestName) == 1)
+    assert(!visible.exists(n => n.contains(ExportIntegrity.ManifestName) &&
+      n != ExportIntegrity.ManifestName), "no manifest temp debris")
+  }
+
+  test("the same surface covers JSONL shard exports (format-agnostic)") {
+    import spark.implicits._
+    val dir = tmpDir("integrity-jsonl")
+    val df = (0 until 40).map(i => (i.toLong, s"line $i")).toDF("id", "s")
+    assert(Export.writeJsonlShards(df, Seq(col("id")), 15L, dir) == 3L)
+    val glob = "_shard=*/part-*"
+    val manifest = ExportIntegrity.writeManifest(spark, dir, glob)
+    assert(manifest.count() == 3L, "one gzipped part file per shard")
+    assert(ExportIntegrity.verify(spark, dir, glob)
+      .filter(col("status") =!= "ok").isEmpty)
+  }
+
+  test("verify without a published manifest refuses loudly") {
+    val dir = tmpDir("integrity-nomanifest")
+    tarExport(dir)
+    val e = intercept[java.io.IOException] {
+      ExportIntegrity.verify(spark, dir, "shard-*.tar")
+    }
+    assert(e.getMessage.contains(ExportIntegrity.ManifestName))
+  }
+}
