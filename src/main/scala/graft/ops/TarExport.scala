@@ -251,9 +251,19 @@ object TarExport {
     *    query stops mid-shard (`limit`/`take`, a cancelled stage) — a
     *    partially-consumed iterator cannot strand an open filesystem
     *    handle for the executor's lifetime.
+    *
+    * With `verifyManifest=true` the read also ENFORCES the published
+    * [[ExportIntegrity]] manifest at zero extra passes: the same bytes
+    * the tar parse consumes stream through a SHA-256 digest, and a
+    * fully-read shard that does not hash to its manifest entry (or is
+    * absent from the manifest) fails the task loudly — the loader-side
+    * delivery check, without the separate [[ExportIntegrity.verify]]
+    * sweep. Only a fully-consumed shard verifies; an early-exiting
+    * `limit()` neither checks nor spuriously fails.
     */
   def readTarShards(spark: SparkSession, path: String,
-                    maxEntryBytes: Option[Long] = None): DataFrame = {
+                    maxEntryBytes: Option[Long] = None,
+                    verifyManifest: Boolean = false): DataFrame = {
     import spark.implicits._
     val entryCap = maxEntryBytes.getOrElse(
       spark.conf.get("spark.graft.tarMaxEntryBytes", (1L << 30).toString).toLong)
@@ -268,6 +278,17 @@ object TarExport {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shards = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "shard-*.tar"))
       .map(_.getPath.toString).toSeq.sorted
+    // verify-on-read: the loader-side enforcement of the published
+    // manifest, at zero extra passes — the SAME bytes the tar parse
+    // consumes stream through a digest, and a FULLY-read shard that
+    // does not hash to its manifest entry fails the task loudly.
+    // O(files)-small map, broadcast once; missing manifest entries for
+    // a read shard also refuse (an unlisted shard is not a delivery).
+    val expectedShas: Option[org.apache.spark.broadcast.Broadcast[Map[String, String]]] =
+      if (!verifyManifest) None
+      else Some(spark.sparkContext.broadcast(
+        ExportIntegrity.readManifest(spark, path).collect()
+          .map(r => r.getString(0) -> r.getString(2)).toMap))
     spark.createDataset(shards)
       .repartition(math.max(1, math.min(shards.size,
         spark.sparkContext.defaultParallelism)))
@@ -278,7 +299,14 @@ object TarExport {
         val hp = new org.apache.hadoop.fs.Path(p)
         val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(hp.getName)
           .map(_.group(1).toLong).getOrElse(-1L)
-        val in = new TarArchiveInputStream(hp.getFileSystem(conf).open(hp))
+        val digest = expectedShas.map(_ =>
+          java.security.MessageDigest.getInstance("SHA-256"))
+        val raw: java.io.InputStream = digest match {
+          case Some(d) => new java.security.DigestInputStream(
+            hp.getFileSystem(conf).open(hp), d)
+          case None => hp.getFileSystem(conf).open(hp)
+        }
+        val in = new TarArchiveInputStream(raw)
         TarExport.openTarStreams.incrementAndGet()
         val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
         def closeOnce(): Unit =
@@ -300,9 +328,31 @@ object TarExport {
         // task that owns several shards holds one handle at a time
         new Iterator[(Long, String, Array[Byte])] {
           private var nextEntry = advance()
+          // only a FULLY-consumed shard verifies (an early-exiting
+          // limit() never reaches end-of-archive, so it neither checks
+          // nor spuriously fails); the tar parse stops before the
+          // trailing padding, so drain the raw stream to EOF first —
+          // the manifest sha covers the whole file
+          private def verifyAtEof(): Unit =
+            for (d <- digest; bc <- expectedShas) {
+              val buf = new Array[Byte](8192)
+              while (raw.read(buf) >= 0) ()
+              val actual = d.digest().map("%02x".format(_)).mkString
+              val expected = bc.value.get(hp.getName)
+              if (!expected.contains(actual)) {
+                closeOnce()
+                throw new java.io.IOException(expected match {
+                  case Some(sha) => s"shard $p read fully but hashes to " +
+                    s"$actual, not the published manifest sha $sha — " +
+                    "refusing a corrupt delivery"
+                  case None => s"shard $p is not in ${ExportIntegrity.ManifestName}" +
+                    " — refusing an unlisted file under verifyManifest"
+                })
+              }
+            }
           private def advance() = {
             val e = in.getNextEntry
-            if (e == null) { closeOnce(); null } else e
+            if (e == null) { verifyAtEof(); closeOnce(); null } else e
           }
           def hasNext: Boolean = nextEntry != null
           def next(): (Long, String, Array[Byte]) = {
@@ -349,12 +399,14 @@ object TarExport {
     * keys (duplicate keys with the same extension keep the LAST bytes,
     * like any loader's dict-build would). Inherits [[readTarShards]]'s
     * defenses: checksum-verified framing, loud truncation, the
-    * entry-size cap, and close-on-every-task-exit.
+    * entry-size cap, close-on-every-task-exit, and (opt-in)
+    * manifest-enforced shard hashes.
     */
   def readTarSamples(spark: SparkSession, path: String,
-                     maxEntryBytes: Option[Long] = None): DataFrame = {
+                     maxEntryBytes: Option[Long] = None,
+                     verifyManifest: Boolean = false): DataFrame = {
     import spark.implicits._
-    readTarShards(spark, path, maxEntryBytes)
+    readTarShards(spark, path, maxEntryBytes, verifyManifest)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { entries =>
         // contiguity makes this a streaming fold: buffer ONE sample,

@@ -103,6 +103,38 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
       .filter(col("status") =!= "ok").isEmpty)
   }
 
+  test("verify-on-read enforces the manifest sha while streaming (r14)") {
+    val dir = tmpDir("integrity-onread")
+    tarExport(dir)
+    ExportIntegrity.writeManifest(spark, dir, "shard-*.tar")
+    // intact: verified read returns every entry
+    assert(TarExport.readTarShards(spark, dir, verifyManifest = true)
+      .count() == 23L)
+    // flip a byte in shard 0's TRAILING PADDING: the tar parse cannot
+    // see it (framing checksums cover headers, padding is dead bytes),
+    // but the whole-file sha must — exactly the corruption class only
+    // the manifest catches
+    val f0 = new java.io.File(dir, "shard-00000.tar")
+    val raf = new java.io.RandomAccessFile(f0, "rw")
+    try {
+      raf.seek(f0.length() - 1)
+      val b = raf.read(); raf.seek(f0.length() - 1); raf.write(b ^ 0x01)
+    } finally raf.close()
+    // unverified read still parses clean — the corruption is invisible
+    // to tar framing
+    assert(TarExport.readTarShards(spark, dir).count() == 23L)
+    val e = intercept[org.apache.spark.SparkException] {
+      TarExport.readTarShards(spark, dir, verifyManifest = true).count()
+    }
+    assert(e.getMessage.contains("manifest sha") ||
+      Option(e.getCause).exists(_.getMessage.contains("manifest sha")),
+      s"expected the loud manifest-sha refusal, got: ${e.getMessage}")
+    // an early-exiting read never reaches end-of-archive on the bad
+    // shard's siblings: limit(1) neither checks nor spuriously fails
+    assert(TarExport.readTarShards(spark, dir, verifyManifest = true)
+      .limit(1).count() == 1L)
+  }
+
   test("verify without a published manifest refuses loudly") {
     val dir = tmpDir("integrity-nomanifest")
     tarExport(dir)
