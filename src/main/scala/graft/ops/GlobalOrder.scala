@@ -257,25 +257,7 @@ object GlobalOrder {
         .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
     }
 
-    val width = math.max(1, sample.length / nB)
-    val boundaries = sample.sorted(rowOrdering(sortCols.length))
-      .zipWithIndex.collect { case (r, i) if i % width == width - 1 => r }
-      .take(nB - 1)
-
-    // bucket = #{boundaries < key}: a flat sum of literal lexicographic
-    // comparisons (null keys sort first, as in the engine's ordering)
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      val gt = sortCols.zipWithIndex.foldRight(lit(false)) {
-        case ((c, i), rest) =>
-          val v = b.get(i)
-          val (g, e) =
-            if (v == null) (c.isNotNull, c.isNull)
-            else (c > lit(v), c <=> lit(v))
-          g || (e && rest)
-      }
-      acc + when(coalesce(gt, lit(false)), 1).otherwise(0)
-    }
-    val marked = df.withColumn(bucketC, bucket)
+    val marked = df.withColumn(bucketC, bucketExpr(sample, sortCols, nB))
 
     // ≤nB rows to the driver; prefix-sum into per-bucket base offsets
     // embedded as a literal map (rankByHexKey's bases scheme) — the
@@ -303,6 +285,115 @@ object GlobalOrder {
         lit(base) + element_at(typedLit(bases), col(bucketC)) +
           row_number().over(wRank).cast("long"))
       .select(df.columns.map(col).toIndexedSeq :+ col(idName): _*)
+  }
+
+  /** Bucket assignment from a driver-held boundary sample:
+    * bucket = #{boundaries < key}, a flat sum of literal lexicographic
+    * comparisons (null keys sort first, as in the engine's ordering).
+    * Shared by [[denseIds]] and [[prefixSums]] — for ANY fixed boundary
+    * set the count is monotone in the engine's key order, so a skewed
+    * sample only unbalances bucket sizes, never the order.
+    */
+  private def bucketExpr(sample: Array[org.apache.spark.sql.Row],
+                         sortCols: Seq[Column], nB: Int): Column = {
+    val width = math.max(1, sample.length / nB)
+    val boundaries = sample.sorted(rowOrdering(sortCols.length))
+      .zipWithIndex.collect { case (r, i) if i % width == width - 1 => r }
+      .take(nB - 1)
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      val gt = sortCols.zipWithIndex.foldRight(lit(false)) {
+        case ((c, i), rest) =>
+          val v = b.get(i)
+          val (g, e) =
+            if (v == null) (c.isNotNull, c.isNull)
+            else (c > lit(v), c <=> lit(v))
+          g || (e && rest)
+      }
+      acc + when(coalesce(gt, lit(false)), 1).otherwise(0)
+    }
+  }
+
+  /** Corpus-wide EXCLUSIVE prefix sums in a total order, without the
+    * one-task funnel: `outName` = Σ value over all rows STRICTLY before
+    * this row under `sortCols` — the running-total primitive behind
+    * byte-budget sharding ([[TarExport.writeTarShardsByBytes]]) and any
+    * "split where a cumulative quantity crosses a threshold" layout.
+    *
+    * Same two-level scheme as [[denseIds]] (boundary sample embedded as
+    * literals → per-bucket SUM to the driver → literal base map + a
+    * within-bucket running-sum window), so the same scale shape: one
+    * slim sample pass, one tiny aggregate (≤buckets rows), ONE corpus
+    * exchange (hash by bucket for the window). Long arithmetic — at
+    * 100 TB of byte-sized values the total is ~2^47, far inside Long.
+    *
+    * Same preconditions as [[denseIds]]: deterministic `df` (scanned
+    * more than once), `sortCols` a unique key over atomic orderable
+    * types, and `valueCol` non-null (a null value poisons every later
+    * prefix — refused loudly via the per-bucket sum's null check).
+    * Small frames take the same proven-bounded single-window fast path
+    * (gated off for binary-bearing frames — a blob batch must not
+    * funnel through one window task).
+    */
+  def prefixSums(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                 outName: String, numPartitions: Option[Int] = None,
+                 onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sortCols.nonEmpty, "prefixSums needs >=1 sort column")
+    require(!df.columns.exists(_.equalsIgnoreCase(outName)),
+      s"prefixSums adds '$outName'; rename the existing column")
+    val bucketC = Cols.fresh(df, "_go_bucket")
+    val valC = Cols.fresh(df, "_go_val")
+    val nB = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .max(1).min(256)
+    val withVal = df.withColumn(valC, valueCol.cast("long"))
+
+    val rC = Cols.fresh(df, "_go_r")
+    val sampleN = math.max(nB * 64, 1024)
+    val tSample = System.nanoTime()
+    val sample = df.select(sortCols: _*).withColumn(rC, rand(42))
+      .orderBy(col(rC)).limit(sampleN).drop(rC).collect()
+    onPhase("boundary_sample", (System.nanoTime() - tSample) / 1e9)
+
+    def exclusive(w: org.apache.spark.sql.expressions.WindowSpec) =
+      coalesce(sum(valC).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+
+    if (sample.length < sampleN && !hasBinaryColumn(df.schema)) {
+      require(withVal.filter(col(valC).isNull).limit(1).isEmpty,
+        "prefixSums: valueCol is null on some row — a null value would " +
+          "silently vanish from every later prefix")
+      val wSmall = Window.partitionBy(lit(0)).orderBy(sortCols: _*)
+      return withVal
+        .withColumn(outName, exclusive(wSmall))
+        .select(df.columns.map(col).toIndexedSeq :+ col(outName): _*)
+    }
+
+    val marked = withVal.withColumn(bucketC, bucketExpr(sample, sortCols, nB))
+    val nullC = Cols.fresh(df, "_go_nulls")
+    val tCounts = System.nanoTime()
+    // nulls are counted in the SAME tiny aggregate — sum() skips them
+    // silently, and a skipped value would corrupt every later prefix
+    val sums = marked.groupBy(bucketC)
+      .agg(sum(valC).as(valC), count(when(col(valC).isNull, 1)).as(nullC))
+      .collect().map { r =>
+        require(r.getLong(2) == 0L,
+          s"prefixSums: ${r.getLong(2)} row(s) carry a null valueCol — " +
+            "a null value would silently vanish from every later prefix")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
+    onPhase("bucket_sums", (System.nanoTime() - tCounts) / 1e9)
+    var acc = 0L
+    val bases: Map[Int, Long] = sums.keys.toSeq.sorted.map { b =>
+      val e = b -> acc
+      acc += sums(b)
+      e
+    }.toMap
+    val wRank = Window.partitionBy(bucketC).orderBy(sortCols: _*)
+    marked
+      .withColumn(outName,
+        element_at(typedLit(bases), col(bucketC)) + exclusive(wRank))
+      .select(df.columns.map(col).toIndexedSeq :+ col(outName): _*)
   }
 
   /** True when the schema carries a binary column anywhere (top level or

@@ -92,18 +92,99 @@ object TarExport {
     val kShard = Cols.fresh(base, "_tar_shard")
     val sharded = GlobalOrder.denseIds(base, orderCols, kOrd, 0L)
       .withColumn(kShard, expr(s"(`$kOrd` - 1) div ${samplesPerShard}L"))
+    writeSharded(spark, sharded, kShard, kOrd, kKey, kEntries, path, confMap)
+  }
+
+  /** As [[writeTarShards]], but shards are sized by BYTES, not sample
+    * count — the sizing contract operators actually state ("keep shards
+    * under 1 GB"): with skewed document lengths a fixed sample count
+    * yields wildly uneven shards, while a byte budget keeps every shard
+    * near the loader-friendly target regardless of the length
+    * distribution.
+    *
+    * Assignment is next-fit by running total: each sample's FRAMED size
+    * (per present entry: one 512-byte ustar header + payload rounded up
+    * to the 512-byte record; keys longer than the 100-byte ustar name
+    * field add pax overhead the budget does not count) accumulates in
+    * `orderCols` order, and a sample lands in shard
+    * `floor(exclusivePrefix / maxShardBytes)` — the shard where it
+    * STARTS. So a shard's bytes stay under `maxShardBytes` plus its
+    * last sample's size, samples stay whole and contiguous, and an
+    * oversized single sample takes a shard alone (skipping the shard
+    * numbers its bytes span — numbering is monotone, not necessarily
+    * dense). The per-shard end-of-archive blocks (two zero records plus
+    * block padding) are a constant per shard outside the budget.
+    *
+    * Scale shape: the running total is [[GlobalOrder.prefixSums]] —
+    * boundary-sampled buckets, one tiny per-bucket aggregate, ONE
+    * corpus exchange — and the prefix itself (strictly increasing:
+    * framed sizes are ≥512) orders samples within their shard, so the
+    * write tail is identical to [[writeTarShards]]. Same accounting
+    * frame, same commit protocol, same determinism.
+    */
+  def writeTarShardsByBytes(df: DataFrame, keyCol: Column,
+                            orderCols: Seq[Column],
+                            entries: Seq[(String, Column)],
+                            maxShardBytes: Long, path: String): DataFrame = {
+    require(maxShardBytes > 0,
+      s"maxShardBytes must be positive, got $maxShardBytes")
+    require(entries.nonEmpty, "at least one (extension, column) entry")
+    val spark = df.sparkSession
+    val confMap = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val entryCols = entries.map { case (ext, c) =>
+      val dt = df.select(c).schema.head.dataType
+      struct(lit(ext).as("_1"),
+        (dt match {
+          case org.apache.spark.sql.types.BinaryType => c
+          case _ => encode(c.cast("string"), "UTF-8")
+        }).as("_2"))
+    }
+    val kKey = Cols.fresh(df, "_tar_key")
+    val kEntries = Cols.fresh(df, "_tar_entries")
+    val kSize = Cols.fresh(df, "_tar_size")
+    val kPre = Cols.fresh(df, "_tar_prefix")
+    val base = df
+      .withColumn(kKey, keyCol.cast("string"))
+      .withColumn(kEntries, array(entryCols: _*))
+      // framed sample size: Σ over present entries of header + padded
+      // payload — 512 * (1 + ceil(len/512)); the shift keeps the
+      // arithmetic integral (Column./ is double division)
+      .withColumn(kSize,
+        aggregate(col(kEntries), lit(0L), (acc, e) =>
+          acc + when(e.getField("_2").isNull, 0L)
+            .otherwise(lit(512L) * (lit(1L) +
+              shiftright(length(e.getField("_2")) + 511, 9).cast("long")))))
+    val kShard = Cols.fresh(base, "_tar_shard")
+    val sharded = GlobalOrder
+      .prefixSums(base, orderCols, col(kSize), kPre)
+      .withColumn(kShard, expr(s"`$kPre` div ${maxShardBytes}L"))
+    writeSharded(spark, sharded, kShard, kPre, kKey, kEntries, path, confMap)
+  }
+
+  /** Shared write tail: exchange ON the shard id, stream each shard's
+    * contiguous run to its file, return the bounded accounting frame
+    * (the ACTION that runs the export; one row per shard, so collecting
+    * it driver-side is safe).
+    */
+  private def writeSharded(spark: SparkSession, sharded: DataFrame,
+                           kShard: String, kOrder: String, kKey: String,
+                           kEntries: String, path: String,
+                           confMap: Map[String, String]): DataFrame = {
     import spark.implicits._
     sharded
       .repartition(col(kShard))
-      .sortWithinPartitions(kShard, kOrd)
+      .sortWithinPartitions(kShard, kOrder)
       .select(col(kShard), col(kKey), col(kEntries))
       .as[(Long, String, Seq[(String, Array[Byte])])]
       .mapPartitions { rows =>
         TarExport.writePartition(rows, path, confMap)
       }
       .toDF("shard", "n_samples", "n_entries", "payload_bytes", "sha256")
-      // the accounting frame is the ACTION that runs the export; bounded
-      // at one row per shard, so collecting it driver-side is safe
       .orderBy("shard")
   }
 

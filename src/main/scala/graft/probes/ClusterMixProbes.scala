@@ -393,6 +393,46 @@ object ClusterMixProbes {
       graft.ops.ExportIntegrity.verify(s, s"$root/out", "shard-*.tar")
         .select(col("file"), col("status"))
         .orderBy("file")
+    },
+
+    // [EXT] byte-budget tar sharding (r14): shards sized by BYTES via
+    // the distributed prefix-sum primitive — next-fit on the exclusive
+    // running total of each sample's framed size (512-byte ustar header
+    // + payload padded to 512), shard = floor(prefix / budget). The
+    // oracle re-derives the entire assignment in closed form with a
+    // window running total, so a single sample in the wrong shard (an
+    // off-by-one in the prefix, a wrong framed size) hash-mismatches.
+    Probe(
+      "pack_tar_bybytes",
+      "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload, " +
+        "CAST(512 * (1 + (octet_length(encode(text)) + 511) // 512) AS BIGINT) AS framed FROM o), " +
+        "p AS (SELECT doc_id, payload, framed, " +
+        "COALESCE(SUM(framed) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM f) " +
+        "SELECT CAST(pre // 65536 AS BIGINT) AS shard, " +
+        "COUNT(*) AS n_samples, COUNT(*) AS n_entries, " +
+        "SUM(payload) AS payload_bytes " +
+        "FROM p GROUP BY 1 ORDER BY shard"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-bybytes-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      PhaseTimer.timed("pack_tar_bybytes", "shard_write") {
+        graft.ops.TarExport.writeTarShardsByBytes(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 65536L,
+          s"$root/out").collect()
+      }
+      // re-read the committed tars: the per-shard census comes from the
+      // FILES, not the writer's accounting
+      graft.ops.TarExport.readTarSamples(s, s"$root/out")
+        .select(col("shard"), col("key"),
+          aggregate(map_values(col("entries")), lit(0L),
+            (acc, x) => acc + length(x)).as("payload"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_samples"), count(lit(1)).as("n_entries"),
+          sum(col("payload")).as("payload_bytes"))
+        .orderBy("shard")
     }
   )
 }

@@ -241,4 +241,46 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(a != c)
     assert(a.sorted == (0L until 300L))
   }
+
+  test("prefixSums equals the single-window running total on the bucketed path (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    // > sampleN rows (32 shuffle partitions → 2048-row sample cap)
+    // forces the bucketed path; unsorted skewed-ish keys and values
+    val df = (0L until 5000L).map(i => ((i * 7919) % 5000, (i % 97) + 1))
+      .toDF("k", "v").repartition(13)
+    val got = GlobalOrder.prefixSums(df, Seq(col("k")), col("v"), "pre")
+    val want = df.withColumn("pre",
+      coalesce(sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.select("k", "v", "pre").exceptAll(want.select("k", "v", "pre")).isEmpty)
+    // the plan windows by bucket, never the one-task global window
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("_go_bucket"), plan)
+  }
+
+  test("prefixSums small-frame fast path matches and null values refuse loudly (r14)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 100L).map(i => ((i * 37) % 100, i + 1)).toDF("k", "v")
+    val got = GlobalOrder.prefixSums(df, Seq(col("k")), col("v"), "pre")
+    val want = df.withColumn("pre",
+      coalesce(sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.select("k", "v", "pre").exceptAll(want.select("k", "v", "pre")).isEmpty)
+    // a null value would silently vanish from every later prefix — the
+    // fast path refuses it up front
+    val withNull = df.withColumn("v",
+      when(col("k") === 50L, lit(null)).otherwise(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.prefixSums(withNull, Seq(col("k")), col("v"), "pre").collect()
+    }
+    assert(e.getMessage.contains("null"))
+    // and the bucketed path catches it inside its tiny aggregate
+    val big = (0L until 5000L).map(i => (i, i + 1)).toDF("k", "v")
+      .withColumn("v", when(col("k") === 4999L, lit(null)).otherwise(col("v")))
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalOrder.prefixSums(big, Seq(col("k")), col("v"), "pre").collect()
+    }
+    assert(e2.getMessage.contains("null"))
+  }
 }

@@ -232,6 +232,43 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("writeTarShardsByBytes packs next-fit under the byte budget (r14)") {
+    import spark.implicits._
+    val dir = tmpDir("tar-bybytes")
+    // skewed lengths: most docs frame to 1024 bytes, every 7th to 2560,
+    // and doc 20 is OVERSIZED (frames past the whole budget)
+    def text(i: Int): String =
+      if (i == 20) "y" * 10000 else if (i % 7 == 0) "x" * 2000 else "z" * 100
+    val df = (0 until 40).map(i => (i.toLong, text(i))).toDF("id", "txt")
+    val budget = 4096L
+    def framed(i: Int): Long = 512L * (1 + (text(i).length + 511) / 512)
+    // the contract, re-derived: next-fit on the exclusive running total
+    val expectedShard = (0 until 40).scanLeft(0L)((acc, i) => acc + framed(i))
+      .init.map(_ / budget)
+    val stats = TarExport.writeTarShardsByBytes(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), budget, dir).collect()
+    val samples = TarExport.readTarSamples(spark, dir)
+      .select(col("shard"), col("key")).as[(Long, String)].collect()
+      .map { case (sh, k) => k.toInt -> sh }.toMap
+    for (i <- 0 until 40)
+      assert(samples(i) == expectedShard(i),
+        s"doc $i: expected shard ${expectedShard(i)}, got ${samples(i)}")
+    // the oversized doc sits alone, and the numbering skips the shard
+    // ids its bytes span (monotone, not dense)
+    val oversizedShard = expectedShard(20)
+    assert(expectedShard.count(_ == oversizedShard) == 1, "oversized doc is alone")
+    assert(expectedShard(21) - oversizedShard >= 2, "numbering skips past it")
+    // every shard's FRAMED payload stays under budget + its last sample
+    val perShard = (0 until 40).groupBy(expectedShard(_))
+    for ((sh, docs) <- perShard) {
+      val total = docs.map(framed).sum
+      assert(total <= budget + framed(docs.max),
+        s"shard $sh framed total $total breaks the next-fit bound")
+    }
+    assert(stats.map(_.getLong(1)).sum == 40L, "accounting covers every sample")
+    assert(stats.map(_.getLong(0)).toSeq == stats.map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")
