@@ -2578,11 +2578,20 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def verifyOwnLease(active: Path): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // the happy path returns on the FIRST read; the retry budget only
+    // paces the rare mis-rename window, where the restoring racer must
+    // get scheduled before we give up. 2 s (200 × 10 ms) instead of the
+    // earlier 200 ms: on a loaded host (a full test suite, a busy
+    // driver) a descheduled restorer can easily exceed 200 ms, and a
+    // timed-out verify turns an N-racer grab into ZERO winners — a
+    // liveness flake. Budget-capped, so a truly lost lease still
+    // reports lost, just 2 s later (acquisition is per-batch, not
+    // per-row — the extra patience costs nothing in steady state).
     var tries = 0
-    while (tries < 40) {
+    while (tries < 200) {
       Sidecar.read(active, conf).flatMap(parseLease) match {
         case Some((owner, _)) => return owner == writerId
-        case None => tries += 1; Thread.sleep(5L)
+        case None => tries += 1; Thread.sleep(10L)
       }
     }
     false // persistently absent — treat as lost, never as owned
