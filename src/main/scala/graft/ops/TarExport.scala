@@ -344,7 +344,8 @@ object TarExport {
     */
   def readTarShards(spark: SparkSession, path: String,
                     maxEntryBytes: Option[Long] = None,
-                    verifyManifest: Boolean = false): DataFrame = {
+                    verifyManifest: Boolean = false,
+                    glob: String = "shard-*.tar"): DataFrame = {
     import spark.implicits._
     val entryCap = maxEntryBytes.getOrElse(
       spark.conf.get("spark.graft.tarMaxEntryBytes", (1L << 30).toString).toLong)
@@ -357,8 +358,10 @@ object TarExport {
     }
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "shard-*.tar"))
-      .map(_.getPath.toString).toSeq.sorted
+    val rootUri = fs.makeQualified(dir).toUri
+    val shards = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted
     // verify-on-read: the loader-side enforcement of the published
     // manifest, at zero extra passes — the SAME bytes the tar parse
     // consumes stream through a digest, and a FULLY-read shard that
@@ -380,6 +383,10 @@ object TarExport {
         val hp = new org.apache.hadoop.fs.Path(p)
         val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(hp.getName)
           .map(_.group(1).toLong).getOrElse(-1L)
+        // manifest keys are paths RELATIVE to the export root — the
+        // same id [[ExportIntegrity.fingerprintFiles]] writes — so
+        // nested layouts (batch-*/shard-*.tar) verify too
+        val relName = rootUri.relativize(hp.toUri).getPath
         val digest = expectedShas.map(_ =>
           java.security.MessageDigest.getInstance("SHA-256"))
         val raw: java.io.InputStream = digest match {
@@ -419,7 +426,7 @@ object TarExport {
               val buf = new Array[Byte](8192)
               while (raw.read(buf) >= 0) ()
               val actual = d.digest().map("%02x".format(_)).mkString
-              val expected = bc.value.get(hp.getName)
+              val expected = bc.value.get(relName)
               if (!expected.contains(actual)) {
                 closeOnce()
                 throw new java.io.IOException(expected match {
@@ -485,9 +492,10 @@ object TarExport {
     */
   def readTarSamples(spark: SparkSession, path: String,
                      maxEntryBytes: Option[Long] = None,
-                     verifyManifest: Boolean = false): DataFrame = {
+                     verifyManifest: Boolean = false,
+                     glob: String = "shard-*.tar"): DataFrame = {
     import spark.implicits._
-    readTarShards(spark, path, maxEntryBytes, verifyManifest)
+    readTarShards(spark, path, maxEntryBytes, verifyManifest, glob)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { entries =>
         // contiguity makes this a streaming fold: buffer ONE sample,

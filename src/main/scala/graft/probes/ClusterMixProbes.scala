@@ -433,6 +433,57 @@ object ClusterMixProbes {
         .agg(count(lit(1)).as("n_samples"), count(lit(1)).as("n_entries"),
           sum(col("payload")).as("payload_bytes"))
         .orderBy("shard")
+    },
+
+    // [EXT] continuous verified delivery (r14): the documents corpus
+    // split into three key-disjoint micro-batches (doc_id mod 3)
+    // through a REAL checkpointed file-source stream; each batch lands
+    // as its own batch-<id>/ tar shard set and the root manifest is
+    // republished after every batch. The read-back runs WITH
+    // verifyManifest=true over the nested layout — so a wrong manifest,
+    // a missing shard, or a corrupt byte fails the probe, not just the
+    // census. Oracle is trigger-order-independent: a sample's shard
+    // ordinal depends only on its rank WITHIN its residue class, never
+    // on which batch id its file drew.
+    Probe(
+      "stream_tar_delivery",
+      "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "r AS (SELECT doc_id, text, row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1 AS rk FROM o) " +
+        "SELECT CAST(rk // 50 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
+        "CAST(1 AS BIGINT) AS n_entries, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS sample_bytes " +
+        "FROM r ORDER BY key"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-stream-tar-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      // three KEY-DISJOINT residue classes, one file each → three
+      // micro-batches under maxFilesPerTrigger=1
+      val feedDir = s"$root/feed"
+      PhaseTimer.timed("stream_tar_delivery", "feed_write") {
+        (0 until 3).foreach(b => src.filter(col("doc_id") % 3 === b)
+          .coalesce(1).write.mode("append").parquet(feedDir))
+      }
+      PhaseTimer.timed("stream_tar_delivery", "stream_export") {
+        val feed = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feedDir)
+        val q = graft.streaming.StreamingExport.tarShards(feed,
+          col("doc_id"), Seq(col("doc_id")), Seq("txt" -> col("text")),
+          50L, s"$root/out", s"$root/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      graft.ops.TarExport.readTarSamples(s, s"$root/out",
+          verifyManifest = true, glob = "batch-*/shard-*.tar")
+        .select(col("shard"), col("key"),
+          size(col("entries")).cast("long").as("n_entries"),
+          aggregate(map_values(col("entries")), lit(0L),
+            (acc, x) => acc + length(x)).as("sample_bytes"))
+        .orderBy("key")
     }
   )
 }
