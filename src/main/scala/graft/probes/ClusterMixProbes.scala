@@ -266,7 +266,7 @@ object ClusterMixProbes {
       "pack_tar_multimodal",
       "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
         "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) " +
-        "SELECT CAST(ord // 50 AS BIGINT) AS shard, " +
+        "SELECT CAST(ord // 250 AS BIGINT) AS shard, " +
         "CAST(2 * count(*) + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries, " +
         "CAST(count(*) AS BIGINT) AS n_txt, " +
         "CAST(count(*) AS BIGINT) AS n_json, " +
@@ -289,7 +289,7 @@ object ClusterMixProbes {
           Seq(col("doc_id")),
           Seq("txt" -> col("text"), "json" -> col("meta"),
             "cap" -> col("cap")),
-          50L, s"$root/out").collect()
+          250L, s"$root/out").collect()
       }
       graft.ops.TarExport.readTarShards(s, s"$root/out")
         .select(col("shard"),
@@ -316,7 +316,7 @@ object ClusterMixProbes {
       "pack_tar_samples",
       "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
         "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) " +
-        "SELECT CAST(ord // 50 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
+        "SELECT CAST(ord // 250 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
         "CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_entries, " +
         "CAST(octet_length(encode(text)) " +
         " + octet_length(encode('meta:' || doc_id || ':' || length(text))) " +
@@ -336,7 +336,7 @@ object ClusterMixProbes {
           Seq(col("doc_id")),
           Seq("txt" -> col("text"), "json" -> col("meta"),
             "cap" -> col("cap")),
-          50L, s"$root/out").collect()
+          250L, s"$root/out").collect()
       }
       graft.ops.TarExport.readTarSamples(s, s"$root/out")
         .select(col("shard"), col("key"),
@@ -357,7 +357,7 @@ object ClusterMixProbes {
     Probe(
       "pack_export_verify",
       "WITH o AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
-        "s AS (SELECT DISTINCT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 20 AS BIGINT) AS shard FROM o), " +
+        "s AS (SELECT DISTINCT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT) AS shard FROM o), " +
         "m AS (SELECT MAX(shard) AS mx FROM s) " +
         "SELECT * FROM (" +
         "SELECT 'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.tar' AS file, " +
@@ -372,7 +372,7 @@ object ClusterMixProbes {
         .select(col("doc_id"), col("text"))
       PhaseTimer.timed("pack_export_verify", "shard_write") {
         graft.ops.TarExport.writeTarShards(src, col("doc_id"),
-          Seq(col("doc_id")), Seq("txt" -> col("text")), 20L,
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L,
           s"$root/out").collect()
       }
       PhaseTimer.timed("pack_export_verify", "manifest") {
@@ -409,7 +409,7 @@ object ClusterMixProbes {
         "CAST(512 * (1 + (octet_length(encode(text)) + 511) // 512) AS BIGINT) AS framed FROM o), " +
         "p AS (SELECT doc_id, payload, framed, " +
         "COALESCE(SUM(framed) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM f) " +
-        "SELECT CAST(pre // 65536 AS BIGINT) AS shard, " +
+        "SELECT CAST(pre // 131072 AS BIGINT) AS shard, " +
         "COUNT(*) AS n_samples, COUNT(*) AS n_entries, " +
         "SUM(payload) AS payload_bytes " +
         "FROM p GROUP BY 1 ORDER BY shard"
@@ -420,7 +420,7 @@ object ClusterMixProbes {
         .select(col("doc_id"), col("text"))
       PhaseTimer.timed("pack_tar_bybytes", "shard_write") {
         graft.ops.TarExport.writeTarShardsByBytes(src, col("doc_id"),
-          Seq(col("doc_id")), Seq("txt" -> col("text")), 65536L,
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 131072L,
           s"$root/out").collect()
       }
       // re-read the committed tars: the per-shard census comes from the
@@ -449,7 +449,7 @@ object ClusterMixProbes {
       "stream_tar_delivery",
       "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
         "r AS (SELECT doc_id, text, row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1 AS rk FROM o) " +
-        "SELECT CAST(rk // 50 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
+        "SELECT CAST(rk // 200 AS BIGINT) AS shard, CAST(doc_id AS VARCHAR) AS key, " +
         "CAST(1 AS BIGINT) AS n_entries, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS sample_bytes " +
         "FROM r ORDER BY key"
@@ -473,7 +473,7 @@ object ClusterMixProbes {
           .parquet(feedDir)
         val q = graft.streaming.StreamingExport.tarShards(feed,
           col("doc_id"), Seq(col("doc_id")), Seq("txt" -> col("text")),
-          50L, s"$root/out", s"$root/ckpt",
+          200L, s"$root/out", s"$root/ckpt",
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
         q.awaitTermination()
       }
