@@ -60,16 +60,7 @@ object TarExport {
   def writeTarShards(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
                      entries: Seq[(String, Column)],
                      samplesPerShard: Long, path: String): DataFrame = {
-    require(samplesPerShard > 0,
-      s"samplesPerShard must be positive, got $samplesPerShard")
     require(entries.nonEmpty, "at least one (extension, column) entry")
-    val spark = df.sparkSession
-    val confMap = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
     val entryCols = entries.map { case (ext, c) =>
       // resolve the entry column's type against df (Column.expr is
       // unresolved here); tuple-shaped struct fields so the typed
@@ -81,18 +72,112 @@ object TarExport {
           case _ => encode(c.cast("string"), "UTF-8")
         }).as("_2"))
     }
+    writePrepared(df, keyCol, array(entryCols: _*), orderCols,
+      Left(samplesPerShard), path)
+  }
+
+  /** As [[writeTarShards]], but each row's entries come as ONE
+    * `map<string,binary>` column — exactly the shape [[readTarSamples]]
+    * returns, making "read a delivery back at the sample grain and
+    * re-export it" a two-call pipeline (see [[compactTarShards]]).
+    * Entries are written in EXTENSION order (a map carries no reliable
+    * order; sorting makes the re-export byte-deterministic), and a key
+    * absent from a sample's map is simply not written — the same
+    * missing-modality convention as a NULL entry column.
+    */
+  def writeTarSamples(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+                      entriesMap: Column, samplesPerShard: Long,
+                      path: String): DataFrame =
+    writePrepared(df, keyCol, mapAsEntries(entriesMap), orderCols,
+      Left(samplesPerShard), path)
+
+  /** [[writeTarShardsByBytes]] over a `map<string,binary>` entries
+    * column — the byte-budget twin of [[writeTarSamples]].
+    */
+  def writeTarSamplesByBytes(df: DataFrame, keyCol: Column,
+                             orderCols: Seq[Column], entriesMap: Column,
+                             maxShardBytes: Long, path: String): DataFrame =
+    writePrepared(df, keyCol, mapAsEntries(entriesMap), orderCols,
+      Right(maxShardBytes), path)
+
+  /** Re-shard a committed delivery into size-targeted shards: read the
+    * samples back (optionally enforcing the source manifest while
+    * streaming), re-export them under `destPath` at `maxShardBytes`
+    * next-fit, ordered by (key, source shard). The shape a long-running
+    * [[graft.streaming.StreamingExport]] needs once its history is many
+    * small batch-<id>/ shard sets: one compaction pass turns them into
+    * a clean epoch snapshot a loader mounts with far fewer opens —
+    * publish a fresh manifest on the new root to hand it off. Cost is
+    * one streaming read + ONE corpus exchange (the re-shard), same as
+    * any export.
+    */
+  def compactTarShards(spark: SparkSession, srcPath: String,
+                       destPath: String, maxShardBytes: Long,
+                       glob: String = "shard-*.tar",
+                       verifyManifest: Boolean = false): DataFrame = {
+    val samples = readTarSamples(spark, srcPath,
+      verifyManifest = verifyManifest, glob = glob)
+    writeTarSamplesByBytes(samples, col("key"),
+      Seq(col("key"), col("shard")), col("entries"), maxShardBytes, destPath)
+  }
+
+  /** `map<string,binary>` → the writer's sorted entry array (see
+    * [[writeTarSamples]] for why the sort).
+    */
+  private def mapAsEntries(entriesMap: Column): Column =
+    array_sort(transform(map_entries(entriesMap), e =>
+      struct(e.getField("key").cast("string").as("_1"),
+        e.getField("value").as("_2"))))
+
+  /** Common writer pipeline: stamp key + entry array, assign shards by
+    * sample count (`Left`) or byte budget (`Right`), stream-write.
+    */
+  private def writePrepared(df: DataFrame, keyCol: Column,
+                            entriesCol: Column, orderCols: Seq[Column],
+                            sizing: Either[Long, Long],
+                            path: String): DataFrame = {
+    sizing.fold(
+      n => require(n > 0, s"samplesPerShard must be positive, got $n"),
+      b => require(b > 0, s"maxShardBytes must be positive, got $b"))
+    val spark = df.sparkSession
+    val confMap = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     // derived columns ride NEXT TO df's own (orderCols must still
     // resolve); fresh names so no user column is shadowed
     val kKey = Cols.fresh(df, "_tar_key")
     val kEntries = Cols.fresh(df, "_tar_entries")
-    val kOrd = Cols.fresh(df, "_tar_ord")
     val base = df
       .withColumn(kKey, keyCol.cast("string"))
-      .withColumn(kEntries, array(entryCols: _*))
+      .withColumn(kEntries, entriesCol)
     val kShard = Cols.fresh(base, "_tar_shard")
-    val sharded = GlobalOrder.denseIds(base, orderCols, kOrd, 0L)
-      .withColumn(kShard, expr(s"(`$kOrd` - 1) div ${samplesPerShard}L"))
-    writeSharded(spark, sharded, kShard, kOrd, kKey, kEntries, path, confMap)
+    val sharded = sizing match {
+      case Left(samplesPerShard) =>
+        val kOrd = Cols.fresh(base, "_tar_ord")
+        (GlobalOrder.denseIds(base, orderCols, kOrd, 0L)
+          .withColumn(kShard, expr(s"(`$kOrd` - 1) div ${samplesPerShard}L")),
+          kOrd)
+      case Right(maxShardBytes) =>
+        val kSize = Cols.fresh(base, "_tar_size")
+        val kPre = Cols.fresh(base, "_tar_prefix")
+        val withSize = base
+          // framed sample size: Σ over present entries of header +
+          // padded payload — 512 * (1 + ceil(len/512)); the shift keeps
+          // the arithmetic integral (Column./ is double division)
+          .withColumn(kSize,
+            aggregate(col(kEntries), lit(0L), (acc, e) =>
+              acc + when(e.getField("_2").isNull, 0L)
+                .otherwise(lit(512L) * (lit(1L) +
+                  shiftright(length(e.getField("_2")) + 511, 9).cast("long")))))
+        (GlobalOrder.prefixSums(withSize, orderCols, col(kSize), kPre)
+          .withColumn(kShard, expr(s"`$kPre` div ${maxShardBytes}L")),
+          kPre)
+    }
+    writeSharded(spark, sharded._1, kShard, sharded._2, kKey, kEntries,
+      path, confMap)
   }
 
   /** As [[writeTarShards]], but shards are sized by BYTES, not sample
@@ -126,16 +211,7 @@ object TarExport {
                             orderCols: Seq[Column],
                             entries: Seq[(String, Column)],
                             maxShardBytes: Long, path: String): DataFrame = {
-    require(maxShardBytes > 0,
-      s"maxShardBytes must be positive, got $maxShardBytes")
     require(entries.nonEmpty, "at least one (extension, column) entry")
-    val spark = df.sparkSession
-    val confMap = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
     val entryCols = entries.map { case (ext, c) =>
       val dt = df.select(c).schema.head.dataType
       struct(lit(ext).as("_1"),
@@ -144,26 +220,8 @@ object TarExport {
           case _ => encode(c.cast("string"), "UTF-8")
         }).as("_2"))
     }
-    val kKey = Cols.fresh(df, "_tar_key")
-    val kEntries = Cols.fresh(df, "_tar_entries")
-    val kSize = Cols.fresh(df, "_tar_size")
-    val kPre = Cols.fresh(df, "_tar_prefix")
-    val base = df
-      .withColumn(kKey, keyCol.cast("string"))
-      .withColumn(kEntries, array(entryCols: _*))
-      // framed sample size: Σ over present entries of header + padded
-      // payload — 512 * (1 + ceil(len/512)); the shift keeps the
-      // arithmetic integral (Column./ is double division)
-      .withColumn(kSize,
-        aggregate(col(kEntries), lit(0L), (acc, e) =>
-          acc + when(e.getField("_2").isNull, 0L)
-            .otherwise(lit(512L) * (lit(1L) +
-              shiftright(length(e.getField("_2")) + 511, 9).cast("long")))))
-    val kShard = Cols.fresh(base, "_tar_shard")
-    val sharded = GlobalOrder
-      .prefixSums(base, orderCols, col(kSize), kPre)
-      .withColumn(kShard, expr(s"`$kPre` div ${maxShardBytes}L"))
-    writeSharded(spark, sharded, kShard, kPre, kKey, kEntries, path, confMap)
+    writePrepared(df, keyCol, array(entryCols: _*), orderCols,
+      Right(maxShardBytes), path)
   }
 
   /** Shared write tail: exchange ON the shard id, stream each shard's

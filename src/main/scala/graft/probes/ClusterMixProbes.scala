@@ -484,6 +484,60 @@ object ClusterMixProbes {
           aggregate(map_values(col("entries")), lit(0L),
             (acc, x) => acc + length(x)).as("sample_bytes"))
         .orderBy("key")
+    },
+
+    // [EXT] delivery compaction (r14): the multimodal export re-sharded
+    // at the SAMPLE grain into byte-budget shards — read back, regroup,
+    // re-export, one corpus exchange. The oracle re-derives the entire
+    // compacted layout from the source table in closed form: framed
+    // sizes per modality (with the null-skip), the running total in the
+    // compactor's (string-key, shard) order, and the next-fit shard
+    // split — so a lost modality, a wrong framed size, or a misplaced
+    // sample all hash-mismatch.
+    Probe(
+      "pack_tar_compact",
+      "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "f AS (SELECT doc_id, octet_length(encode(text)) AS b_txt, " +
+        "octet_length(encode('meta:' || doc_id || ':' || length(text))) AS b_json, " +
+        "CASE WHEN doc_id % 3 = 0 THEN octet_length(encode('cap-' || doc_id)) END AS b_cap FROM o), " +
+        "g AS (SELECT doc_id, CAST(b_txt + b_json + COALESCE(b_cap, 0) AS BIGINT) AS payload, " +
+        "CAST(2 + CASE WHEN b_cap IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_e, " +
+        "CAST(512 * (1 + (b_txt + 511) // 512) + 512 * (1 + (b_json + 511) // 512) " +
+        " + COALESCE(512 * (1 + (b_cap + 511) // 512), 0) AS BIGINT) AS framed FROM f), " +
+        "p AS (SELECT doc_id, payload, n_e, " +
+        "COALESCE(SUM(framed) OVER (ORDER BY CAST(doc_id AS VARCHAR) ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM g) " +
+        "SELECT CAST(pre // 262144 AS BIGINT) AS shard, COUNT(*) AS n_samples, " +
+        "SUM(n_e) AS n_entries, SUM(payload) AS payload_bytes " +
+        "FROM p GROUP BY 1 ORDER BY shard"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-compact-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          concat(lit("meta:"), col("doc_id"), lit(":"),
+            length(col("text"))).as("meta"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("cap-"), col("doc_id"))).as("cap"))
+      PhaseTimer.timed("pack_tar_compact", "source_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")),
+          Seq("txt" -> col("text"), "json" -> col("meta"),
+            "cap" -> col("cap")),
+          250L, s"$root/src").collect()
+      }
+      PhaseTimer.timed("pack_tar_compact", "compact") {
+        graft.ops.TarExport.compactTarShards(s, s"$root/src",
+          s"$root/dst", 262144L).collect()
+      }
+      graft.ops.TarExport.readTarSamples(s, s"$root/dst")
+        .select(col("shard"), col("key"),
+          size(col("entries")).cast("long").as("n_e"),
+          aggregate(map_values(col("entries")), lit(0L),
+            (acc, x) => acc + length(x)).as("payload"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_samples"), sum(col("n_e")).as("n_entries"),
+          sum(col("payload")).as("payload_bytes"))
+        .orderBy("shard")
     }
   )
 }

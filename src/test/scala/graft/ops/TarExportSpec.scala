@@ -269,6 +269,49 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     assert(stats.map(_.getLong(0)).toSeq == stats.map(_.getLong(0)).toSeq.sorted)
   }
 
+  test("compactTarShards re-shards a batch delivery into budget shards (r14)") {
+    import spark.implicits._
+    val src = tmpDir("tar-compact-src")
+    // a 3-batch streaming-style delivery, multimodal with null skips
+    for (b <- 0 until 3) {
+      val df = (0 until 30).filter(_ % 3 == b).map { i =>
+        (i.toLong, s"text body $i " * (i + 1),
+          if (i % 4 == 0) s"cap $i" else null)
+      }.toDF("id", "txt", "cap")
+      TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+        Seq("txt" -> col("txt"), "cap" -> col("cap")), 4L,
+        s"$src/batch-$b").collect()
+    }
+    def samplesOf(path: String, glob: String) =
+      TarExport.readTarSamples(spark, path, glob = glob)
+        .as[(Long, String, Map[String, Array[Byte]])].collect()
+        .map(r => r._2 -> r._3.view.mapValues(_.toSeq).toMap).toMap
+    val before = samplesOf(src, "batch-*/shard-*.tar")
+    val dest = tmpDir("tar-compact-dst")
+    val stats = TarExport.compactTarShards(spark, src, dest, 4096L,
+      glob = "batch-*/shard-*.tar").collect()
+    assert(stats.length > 1, "the budget must actually split the corpus")
+    val after = samplesOf(dest, "shard-*.tar")
+    assert(after == before, "compaction preserves every sample byte-for-byte")
+    // entries inside a compacted sample are extension-sorted ("cap"
+    // before "txt"): the map column carries no order, the writer makes
+    // the re-export deterministic by sorting
+    val entryNames = TarExport.readTarShards(spark, dest)
+      .select("name").as[String].collect()
+    val byKey = entryNames.grouped(1).flatten.toSeq
+      .groupBy(_.split("\\.").head)
+    for ((k, names) <- byKey if names.length == 2)
+      assert(names.map(_.split("\\.").last).toSeq == Seq("cap", "txt"),
+        s"sample $k entries must stream extension-sorted, got $names")
+    // byte-determinism: a second compaction writes the identical tree
+    val dest2 = tmpDir("tar-compact-dst2")
+    TarExport.compactTarShards(spark, src, dest2, 4096L,
+      glob = "batch-*/shard-*.tar").collect()
+    def shas(p: String) = ExportIntegrity.fingerprintFiles(spark, p)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(shas(dest) == shas(dest2), "compaction is byte-deterministic")
+  }
+
   test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")
