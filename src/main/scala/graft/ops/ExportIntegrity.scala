@@ -181,6 +181,50 @@ object ExportIntegrity {
     spark.createDataset(rows).toDF("file", "bytes", "sha256")
   }
 
+  /** Deterministic shard→worker assignment for a distributed loader —
+    * the `split_by_node` / `split_by_worker` step of the WebDataset
+    * convention, driven by the published manifest so every node
+    * computes the SAME split with no coordination: round-robin over the
+    * manifest's sorted file order, `worker = rank mod workers`. O(files)
+    * driver-side arithmetic over the already-small manifest frame.
+    * Round-robin is the loader default (shard sizes are already
+    * near-uniform when the export used a byte budget); use
+    * [[assignShardsBalanced]] when sizes are skewed.
+    */
+  def assignShardsRoundRobin(manifest: DataFrame, workers: Int): DataFrame = {
+    require(workers > 0, s"workers must be positive, got $workers")
+    import org.apache.spark.sql.expressions.Window
+    // the manifest is O(files) small — a single bounded window is the
+    // right plan here, not the corpus-scale bucket machinery
+    val w = Window.partitionBy(lit(0)).orderBy("file")
+    manifest.select(col("file"), col("bytes"),
+      ((row_number().over(w) - 1) % workers).as("worker"))
+  }
+
+  /** Size-balanced shard→worker assignment: greedy longest-processing-
+    * time — files descending by size, each to the currently-lightest
+    * worker — so a skewed delivery (an oversized straggler shard, a
+    * short tail batch) still loads evenly. Deterministic: ties in size
+    * break by file name, ties in load by worker index. The classic LPT
+    * bound applies (max load ≤ avg + largest file). Driver-side fold
+    * over the O(files) manifest.
+    */
+  def assignShardsBalanced(manifest: DataFrame, workers: Int): DataFrame = {
+    require(workers > 0, s"workers must be positive, got $workers")
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val files = manifest.select(col("file"), col("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (f, b) => (-b, f) }
+    val loads = Array.fill(workers)(0L)
+    val out = files.map { case (f, b) =>
+      val w = loads.indices.minBy(i => (loads(i), i))
+      loads(w) += b
+      (f, b, w)
+    }
+    spark.createDataset(out.toSeq).toDF("file", "bytes", "worker")
+  }
+
   /** Diff the tree against its manifest: one row per file,
     * `(file, status, expected_bytes, actual_bytes, expected_sha256,
     * actual_sha256)` ordered by file; `status` is `ok`, `modified`,

@@ -538,6 +538,34 @@ object ClusterMixProbes {
         .agg(count(lit(1)).as("n_samples"), sum(col("n_e")).as("n_entries"),
           sum(col("payload")).as("payload_bytes"))
         .orderBy("shard")
+    },
+
+    // [EXT] loader shard assignment (r14): the split_by_node step —
+    // every node derives the SAME worker split from the published
+    // manifest with zero coordination. Round-robin over sorted manifest
+    // order, so the oracle re-derives worker = shard index mod N from
+    // the corpus alone.
+    Probe(
+      "pack_shard_assign",
+      "WITH o AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "s AS (SELECT DISTINCT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT) AS shard FROM o) " +
+        "SELECT 'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.tar' AS file, " +
+        "CAST(shard % 3 AS INTEGER) AS worker FROM s ORDER BY file"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-shard-assign-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      PhaseTimer.timed("pack_shard_assign", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L,
+          s"$root/out").collect()
+      }
+      val manifest = graft.ops.ExportIntegrity.writeManifest(
+        s, s"$root/out", "shard-*.tar")
+      graft.ops.ExportIntegrity.assignShardsRoundRobin(manifest, 3)
+        .select(col("file"), col("worker"))
+        .orderBy("file")
     }
   )
 }

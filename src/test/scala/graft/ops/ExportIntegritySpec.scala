@@ -135,6 +135,34 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
       .limit(1).count() == 1L)
   }
 
+  test("shard assignment: round-robin order and LPT balance (r14)") {
+    import spark.implicits._
+    val dir = tmpDir("integrity-assign")
+    tarExport(dir) // 23 samples / 10 → 3 shards
+    val manifest = ExportIntegrity.writeManifest(spark, dir, "shard-*.tar")
+    val rr = ExportIntegrity.assignShardsRoundRobin(manifest, 2)
+      .orderBy("file").collect().map(r => r.getString(0) -> r.getInt(2))
+    assert(rr.toSeq == Seq("shard-00000.tar" -> 0, "shard-00001.tar" -> 1,
+      "shard-00002.tar" -> 0), "round-robin over sorted manifest order")
+    // LPT on a skewed synthetic manifest: worker loads stay within the
+    // classic bound (max <= avg + largest), every file lands exactly once,
+    // and the assignment is deterministic
+    val skewed = Seq(("a", 100L), ("b", 10L), ("c", 10L), ("d", 10L),
+      ("e", 10L), ("f", 60L), ("g", 50L)).map { case (f, b) =>
+      (f + ".tar", b, "x" * 64) }.toDF("file", "bytes", "sha256")
+    val bal = ExportIntegrity.assignShardsBalanced(skewed, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(bal.map(_._1).sorted.toSeq ==
+      skewed.collect().map(_.getString(0)).sorted.toSeq, "every file once")
+    val loads = bal.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val total = bal.map(_._2).sum
+    assert(loads.values.max <= total / 3 + bal.map(_._2).max,
+      s"LPT bound violated: $loads")
+    val again = ExportIntegrity.assignShardsBalanced(skewed, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(bal.toSeq == again.toSeq, "assignment is deterministic")
+  }
+
   test("verify without a published manifest refuses loudly") {
     val dir = tmpDir("integrity-nomanifest")
     tarExport(dir)
