@@ -23,4 +23,16 @@ private[graft] object Cols {
     Iterator.iterate(base)(_ + "_")
       .dropWhile(n => taken(n.toLowerCase)).next()
   }
+
+  /** Minimal JSON string escaping for the sidecar files this package
+    * writes by hand (manifest, shard indexes) — symmetric with any JSON
+    * reader, including the package's own parsers.
+    */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
 }

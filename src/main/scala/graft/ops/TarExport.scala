@@ -59,7 +59,8 @@ object TarExport {
     */
   def writeTarShards(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
                      entries: Seq[(String, Column)],
-                     samplesPerShard: Long, path: String): DataFrame = {
+                     samplesPerShard: Long, path: String,
+                     index: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "at least one (extension, column) entry")
     val entryCols = entries.map { case (ext, c) =>
       // resolve the entry column's type against df (Column.expr is
@@ -73,7 +74,7 @@ object TarExport {
         }).as("_2"))
     }
     writePrepared(df, keyCol, array(entryCols: _*), orderCols,
-      Left(samplesPerShard), path)
+      Left(samplesPerShard), path, index)
   }
 
   /** As [[writeTarShards]], but each row's entries come as ONE
@@ -87,18 +88,19 @@ object TarExport {
     */
   def writeTarSamples(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
                       entriesMap: Column, samplesPerShard: Long,
-                      path: String): DataFrame =
+                      path: String, index: Boolean = false): DataFrame =
     writePrepared(df, keyCol, mapAsEntries(entriesMap), orderCols,
-      Left(samplesPerShard), path)
+      Left(samplesPerShard), path, index)
 
   /** [[writeTarShardsByBytes]] over a `map<string,binary>` entries
     * column — the byte-budget twin of [[writeTarSamples]].
     */
   def writeTarSamplesByBytes(df: DataFrame, keyCol: Column,
                              orderCols: Seq[Column], entriesMap: Column,
-                             maxShardBytes: Long, path: String): DataFrame =
+                             maxShardBytes: Long, path: String,
+                             index: Boolean = false): DataFrame =
     writePrepared(df, keyCol, mapAsEntries(entriesMap), orderCols,
-      Right(maxShardBytes), path)
+      Right(maxShardBytes), path, index)
 
   /** Re-shard a committed delivery into size-targeted shards: read the
     * samples back (optionally enforcing the source manifest while
@@ -135,7 +137,7 @@ object TarExport {
   private def writePrepared(df: DataFrame, keyCol: Column,
                             entriesCol: Column, orderCols: Seq[Column],
                             sizing: Either[Long, Long],
-                            path: String): DataFrame = {
+                            path: String, index: Boolean = false): DataFrame = {
     sizing.fold(
       n => require(n > 0, s"samplesPerShard must be positive, got $n"),
       b => require(b > 0, s"maxShardBytes must be positive, got $b"))
@@ -177,7 +179,7 @@ object TarExport {
           kPre)
     }
     writeSharded(spark, sharded._1, kShard, sharded._2, kKey, kEntries,
-      path, confMap)
+      path, confMap, index)
   }
 
   /** As [[writeTarShards]], but shards are sized by BYTES, not sample
@@ -210,7 +212,8 @@ object TarExport {
   def writeTarShardsByBytes(df: DataFrame, keyCol: Column,
                             orderCols: Seq[Column],
                             entries: Seq[(String, Column)],
-                            maxShardBytes: Long, path: String): DataFrame = {
+                            maxShardBytes: Long, path: String,
+                            index: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "at least one (extension, column) entry")
     val entryCols = entries.map { case (ext, c) =>
       val dt = df.select(c).schema.head.dataType
@@ -221,7 +224,7 @@ object TarExport {
         }).as("_2"))
     }
     writePrepared(df, keyCol, array(entryCols: _*), orderCols,
-      Right(maxShardBytes), path)
+      Right(maxShardBytes), path, index)
   }
 
   /** Shared write tail: exchange ON the shard id, stream each shard's
@@ -232,7 +235,8 @@ object TarExport {
   private def writeSharded(spark: SparkSession, sharded: DataFrame,
                            kShard: String, kOrder: String, kKey: String,
                            kEntries: String, path: String,
-                           confMap: Map[String, String]): DataFrame = {
+                           confMap: Map[String, String],
+                           index: Boolean = false): DataFrame = {
     import spark.implicits._
     sharded
       .repartition(col(kShard))
@@ -240,7 +244,7 @@ object TarExport {
       .select(col(kShard), col(kKey), col(kEntries))
       .as[(Long, String, Seq[(String, Array[Byte])])]
       .mapPartitions { rows =>
-        TarExport.writePartition(rows, path, confMap)
+        TarExport.writePartition(rows, path, confMap, index)
       }
       .toDF("shard", "n_samples", "n_entries", "payload_bytes", "sha256")
       .orderBy("shard")
@@ -254,7 +258,8 @@ object TarExport {
     */
   private def writePartition(
       rows: Iterator[(Long, String, Seq[(String, Array[Byte])])],
-      path: String, confMap: Map[String, String])
+      path: String, confMap: Map[String, String],
+      index: Boolean = false)
       : Iterator[(Long, Long, Long, Long, String)] = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -268,18 +273,30 @@ object TarExport {
     var tmp: org.apache.hadoop.fs.Path = null
     var tar: TarArchiveOutputStream = null
     var digest: java.security.MessageDigest = null
+    var idxTmp: org.apache.hadoop.fs.Path = null
+    var idx: java.io.OutputStream = null
     var nSamples = 0L; var nEntries = 0L; var nBytes = 0L
     def finishShard(): Unit = if (tar != null) {
       tar.finish(); tar.close(); tar = null
       val dest = new org.apache.hadoop.fs.Path(dir, f"shard-$cur%05d.tar")
       commitShard(fs, conf, tmp, dest)
       tmp = null
+      // the index commits AFTER its tar: a reader that finds the index
+      // can trust the shard is already visible
+      if (idx != null) {
+        idx.close(); idx = null
+        commitShard(fs, conf, idxTmp,
+          new org.apache.hadoop.fs.Path(dir, f"shard-$cur%05d.tar.idx.jsonl"))
+        idxTmp = null
+      }
       out += ((cur, nSamples, nEntries, nBytes,
         digest.digest().map("%02x".format(_)).mkString))
     }
     def abort(): Unit = {
       if (tar != null) { try tar.close() catch { case _: java.io.IOException => () } }
       if (tmp != null) { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
+      if (idx != null) { try idx.close() catch { case _: java.io.IOException => () } }
+      if (idxTmp != null) { try fs.delete(idxTmp, false) catch { case _: java.io.IOException => () } }
     }
     try {
       for ((shard, key, entries) <- rows) {
@@ -296,8 +313,18 @@ object TarExport {
           // names past the 100-byte ustar field travel as pax headers
           tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
           tar.setAddPaxHeadersForNonAsciiNames(true)
+          if (index) {
+            idxTmp = new org.apache.hadoop.fs.Path(dir,
+              f".shard-$shard%05d.tar.idx.jsonl.$attempt")
+            idx = fs.create(idxTmp, true)
+          }
         }
         nSamples += 1
+        // the sample's byte offset inside its shard — recorded BEFORE
+        // its first header, straight off the tar stream's own counter,
+        // so pax extensions and padding are always accounted exactly
+        val sampleOffset = tar.getBytesWritten
+        var sEntries = 0L; var sBytes = 0L
         for ((ext, bytes) <- entries if bytes != null) {
           val e = new TarArchiveEntry(s"$key.$ext")
           // deterministic metadata: bytes depend only on the data
@@ -308,7 +335,13 @@ object TarExport {
           tar.putArchiveEntry(e)
           tar.write(bytes)
           tar.closeArchiveEntry()
-          nEntries += 1; nBytes += bytes.length
+          sEntries += 1; sBytes += bytes.length
+        }
+        nEntries += sEntries; nBytes += sBytes
+        if (idx != null) {
+          val line = s"""{"key":"${Cols.jsonEscape(key)}",""" +
+            s""""offset":$sampleOffset,"entries":$sEntries,"bytes":$sBytes}""" + "\n"
+          idx.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       }
       finishShard()
@@ -587,6 +620,114 @@ object TarExport {
             if (!advance()) throw new NoSuchElementException
             val r = out; out = null; r
           }
+        }
+      }
+      .toDF("shard", "key", "entries")
+  }
+
+  /** The per-sample index of an `index = true` export:
+    * `(shard, key, offset, entries, bytes)` — one row per SAMPLE, with
+    * `offset` the sample's first header byte inside its shard. This is
+    * the wids-style random-access companion the WebDataset ecosystem
+    * publishes next to sequential tar shards: sequential training reads
+    * stream the tars; evaluation, debugging, and per-sample serving
+    * seek straight to a sample instead of scanning its shard. The index
+    * is sample-grain DATA (a 10⁹-sample corpus has 10⁹ rows), so it is
+    * read DISTRIBUTED — one jsonl sidecar per shard, scanned in
+    * parallel like any data source, never collected.
+    */
+  def readTarIndex(spark: SparkSession, path: String,
+                   glob: String = "shard-*.tar"): DataFrame = {
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, offset BIGINT, entries BIGINT, bytes BIGINT"))
+      .json(new org.apache.hadoop.fs.Path(path, glob + ".idx.jsonl").toString)
+      .withColumn("shard",
+        regexp_extract(input_file_name(), "shard-(\\d+)\\.tar\\.idx\\.jsonl", 1)
+          .cast("long"))
+      .withColumn("file",
+        regexp_replace(input_file_name(), "\\.idx\\.jsonl$", ""))
+      .select("shard", "key", "offset", "entries", "bytes", "file")
+  }
+
+  /** Random-access point lookup into an indexed tar delivery: join the
+    * requested `keys` frame (a `key` string column) against the
+    * [[readTarIndex]] sidecars, then SEEK straight to each hit — one
+    * open per (task, shard file), offsets read in ascending order, only
+    * the matched samples' bytes ever leave the disk. Returns the
+    * [[readTarSamples]] shape `(shard, key, entries)`. The scale story
+    * of the serving point-lookup applied to deliveries: cost is
+    * O(index scan) + O(matched samples), never O(corpus bytes) — the
+    * shard tars themselves are touched only at the matched offsets.
+    * Absent keys return no row. Inherits the entry-size cap.
+    */
+  def lookupTarSamples(spark: SparkSession, path: String, keys: DataFrame,
+                       glob: String = "shard-*.tar",
+                       maxEntryBytes: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val entryCap = maxEntryBytes.getOrElse(
+      spark.conf.get("spark.graft.tarMaxEntryBytes", (1L << 30).toString).toLong)
+    val confMap = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val hits = readTarIndex(spark, path, glob)
+      .join(keys.select(col("key").cast("string").as("key")).distinct(), "key")
+    hits
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "offset")
+      .select(col("file"), col("shard"), col("key"), col("offset"))
+      .as[(String, Long, String, Long)]
+      .mapPartitions { rows =>
+        import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        var curFile: String = null
+        var raw: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeRaw(): Unit = if (raw != null) {
+          try raw.close() catch { case _: java.io.IOException => () }
+          raw = null; curFile = null
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeRaw()))
+        val it = rows.map { case (file, shard, key, offset) =>
+          if (file != curFile) {
+            closeRaw()
+            val hp = new org.apache.hadoop.fs.Path(file)
+            raw = hp.getFileSystem(conf).open(hp)
+            curFile = file
+          }
+          raw.seek(offset)
+          // a fresh tar decoder per seek (tar framing is stateful); it
+          // must NOT close the underlying file stream — more offsets of
+          // the same shard may follow
+          val tin = new TarArchiveInputStream(
+            new java.io.FilterInputStream(raw) { override def close(): Unit = () })
+          val buf = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+          var e = tin.getNextEntry
+          while (e != null && {
+            val dot = e.getName.lastIndexOf('.')
+            (if (dot <= 0) e.getName else e.getName.take(dot)) == key
+          }) {
+            if (e.getSize > entryCap)
+              throw new java.io.IOException(
+                s"tar entry '${e.getName}' in $file claims ${e.getSize} bytes " +
+                  s"— over the $entryCap-byte cap " +
+                  "(spark.graft.tarMaxEntryBytes / maxEntryBytes)")
+            val dot = e.getName.lastIndexOf('.')
+            buf.put(if (dot <= 0) "" else e.getName.drop(dot + 1),
+              tin.readAllBytes())
+            e = tin.getNextEntry
+          }
+          (shard, key, buf.toMap)
+        }
+        // eager close when the last hit is consumed (the listener is the
+        // backstop for early exits)
+        new Iterator[(Long, String, Map[String, Array[Byte]])] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) closeRaw(); h }
+          def next(): (Long, String, Map[String, Array[Byte]]) = it.next()
         }
       }
       .toDF("shard", "key", "entries")

@@ -566,6 +566,69 @@ object ClusterMixProbes {
       graft.ops.ExportIntegrity.assignShardsRoundRobin(manifest, 3)
         .select(col("file"), col("worker"))
         .orderBy("file")
+    },
+
+    // [EXT] wids-style sample index (r14): the writer records every
+    // sample's byte offset inside its shard while streaming (one jsonl
+    // sidecar per shard, committed after its tar). The oracle re-derives
+    // each offset in CLOSED FORM from tar framing arithmetic — 512-byte
+    // header + payload padded to 512 per entry, running total within the
+    // shard — so a single misplaced header byte hash-mismatches.
+    Probe(
+      "pack_tar_index",
+      "WITH o AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS ord " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "f AS (SELECT doc_id, ord, CAST(ord // 100 AS BIGINT) AS shard, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS payload, " +
+        "CAST(512 * (1 + (octet_length(encode(text)) + 511) // 512) AS BIGINT) AS framed FROM o) " +
+        "SELECT shard, CAST(doc_id AS VARCHAR) AS key, " +
+        "COALESCE(SUM(framed) OVER (PARTITION BY shard ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sample_offset, " +
+        "CAST(1 AS BIGINT) AS n_entries, payload AS sample_bytes " +
+        "FROM f ORDER BY shard, sample_offset"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-index-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      PhaseTimer.timed("pack_tar_index", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L,
+          s"$root/out", index = true).collect()
+      }
+      graft.ops.TarExport.readTarIndex(s, s"$root/out")
+        .select(col("shard"), col("key"),
+          col("offset").as("sample_offset"),
+          col("entries").as("n_entries"), col("bytes").as("sample_bytes"))
+        .orderBy("shard", "sample_offset")
+    },
+
+    // [EXT] random-access point lookup into a delivery (r14): a key
+    // subset seeks straight to its samples via the index — cost is
+    // O(index scan) + O(matched bytes), never O(corpus). The oracle is
+    // the strongest kind: the DECODED text of every looked-up sample
+    // must equal the source table's — a wrong offset, a misread entry,
+    // or a boundary slip produces different bytes.
+    Probe(
+      "pack_tar_lookup",
+      "SELECT CAST(doc_id AS VARCHAR) AS key, text " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "AND doc_id % 17 = 0 ORDER BY key"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-tar-lookup-probe")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      PhaseTimer.timed("pack_tar_lookup", "shard_write") {
+        graft.ops.TarExport.writeTarShards(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L,
+          s"$root/out", index = true).collect()
+      }
+      val wanted = src.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").cast("string").as("key"))
+      graft.ops.TarExport.lookupTarSamples(s, s"$root/out", wanted)
+        .select(col("key"),
+          element_at(col("entries"), "txt").cast("string").as("text"))
+        .orderBy("key")
     }
   )
 }

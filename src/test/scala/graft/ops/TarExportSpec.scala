@@ -312,6 +312,59 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
     assert(shas(dest) == shas(dest2), "compaction is byte-deterministic")
   }
 
+  test("indexed export writes per-sample offsets; lookups seek straight to a sample (r14)") {
+    import spark.implicits._
+    val dir = tmpDir("tar-index")
+    val df = (0 until 23).map { i =>
+      (f"k.$i%02d", s"text $i " * (i + 1), if (i % 4 == 0) s"cap $i" else null)
+    }.toDF("id", "txt", "cap")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt"), "cap" -> col("cap")), 10L, dir,
+      index = true).collect()
+    // one sidecar per shard, committed next to it
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.count(_.endsWith(".tar")) == 3 &&
+      names.count(_.endsWith(".tar.idx.jsonl")) == 3, names)
+    val idx = TarExport.readTarIndex(spark, dir)
+      .orderBy("shard", "offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(idx.length == 23, "one index row per sample")
+    // offsets: first sample of every shard at 0, strictly increasing,
+    // and each equals the previous offset plus the previous sample's
+    // exact framed size (512 header + padded payload per entry)
+    for (sh <- 0L to 2L) {
+      val rows = idx.filter(_._1 == sh)
+      assert(rows.head._3 == 0L, s"shard $sh starts at offset 0")
+      val expected = rows.scanLeft(0L) { (acc, r) =>
+        val i = r._2.stripPrefix("k.").toInt
+        val txt = 512L * (1 + ((s"text $i " * (i + 1)).length + 511) / 512)
+        val cap = if (i % 4 == 0) 512L * (1 + (s"cap $i".length + 511) / 512) else 0L
+        acc + txt + cap
+      }.init
+      assert(rows.map(_._3).toSeq == expected.toSeq,
+        s"shard $sh offsets must equal the framed running total")
+    }
+    // random access: a key subset comes back byte-identical to the
+    // sequential read, absent keys return no row, dotted keys survive
+    val wanted = Seq("k.03", "k.08", "k.20", "nope").toDF("key")
+    val got = TarExport.lookupTarSamples(spark, dir, wanted)
+      .as[(Long, String, Map[String, Array[Byte]])].collect()
+      .map(r => r._2 -> r._3.view.mapValues(_.toSeq).toMap).toMap
+    val seq = TarExport.readTarSamples(spark, dir)
+      .as[(Long, String, Map[String, Array[Byte]])].collect()
+      .map(r => r._2 -> r._3.view.mapValues(_.toSeq).toMap).toMap
+    assert(got.keySet == Set("k.03", "k.08", "k.20"), "absent keys return no row")
+    for (k <- got.keySet)
+      assert(got(k) == seq(k), s"lookup of $k must equal the sequential read")
+    // the default (unindexed) export stays sidecar-free
+    val dir2 = tmpDir("tar-noindex")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), 10L, dir2).collect()
+    assert(!new java.io.File(dir2).listFiles()
+      .exists(_.getName.endsWith(".idx.jsonl")))
+  }
+
   test("empty frame exports nothing") {
     import spark.implicits._
     val dir = tmpDir("tar-empty")
