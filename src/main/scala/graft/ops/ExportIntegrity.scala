@@ -193,12 +193,17 @@ object ExportIntegrity {
     */
   def assignShardsRoundRobin(manifest: DataFrame, workers: Int): DataFrame = {
     require(workers > 0, s"workers must be positive, got $workers")
-    import org.apache.spark.sql.expressions.Window
-    // the manifest is O(files) small — a single bounded window is the
-    // right plan here, not the corpus-scale bucket machinery
-    val w = Window.partitionBy(lit(0)).orderBy("file")
-    manifest.select(col("file"), col("bytes"),
-      ((row_number().over(w) - 1) % workers).as("worker"))
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    // the manifest is O(files) small — a driver-side fold is the right
+    // plan (no corpus machinery, and no global window for the scale
+    // sweep to squint at), exactly like [[assignShardsBalanced]]
+    val out = manifest.select(col("file"), col("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((f, b), i) => (f, b, i % workers) }
+    spark.createDataset(out.toSeq).toDF("file", "bytes", "worker")
   }
 
   /** Size-balanced shard→worker assignment: greedy longest-processing-

@@ -43,8 +43,8 @@ object StreamingExport {
   def tarShards(stream: DataFrame, keyCol: Column, orderCols: Seq[Column],
                 entries: Seq[(String, Column)], samplesPerShard: Long,
                 path: String, checkpointDir: String,
-                trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
-      : StreamingQuery = {
+                trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                index: Boolean = false): StreamingQuery = {
     require(stream.isStreaming, "StreamingExport needs a streaming frame")
     val spark = stream.sparkSession
     stream.writeStream
@@ -57,11 +57,14 @@ object StreamingExport {
           val pinned = batch.localCheckpoint()
           try {
             TarExport.writeTarShards(pinned, keyCol, orderCols, entries,
-              samplesPerShard, s"$path/batch-$id").collect()
+              samplesPerShard, s"$path/batch-$id", index).collect()
             // commit pointer: every shard of this batch is on disk —
-            // only now does the manifest make the batch visible
+            // only now does the manifest make the batch visible (the
+            // trailing * also covers the .idx.jsonl sidecars of an
+            // indexed delivery — they are part of what a loader fetches)
             ExportIntegrity.writeManifest(spark, path,
-              "batch-*/shard-*.tar").collect()
+              if (index) "batch-*/shard-*.tar*"
+              else "batch-*/shard-*.tar").collect()
           } finally pinned.unpersist()
           ()
         }

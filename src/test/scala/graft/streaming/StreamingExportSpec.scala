@@ -17,7 +17,7 @@ import graft.ops.{ExportIntegrity, TarExport}
 class StreamingExportSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
-  private def runDelivery(root: String): Unit = {
+  private def runDelivery(root: String, index: Boolean = false): Unit = {
     val feedDir = s"$root/feed"
     (0 until 3).foreach { b =>
       (0 until 30).filter(_ % 3 == b).map(i => (i.toLong, s"doc text $i"))
@@ -30,7 +30,7 @@ class StreamingExportSpec extends AnyFunSuite with SharedSpark {
       .parquet(feedDir)
     StreamingExport.tarShards(feed, col("id"), Seq(col("id")),
       Seq("txt" -> col("txt")), 4L, s"$root/out", s"$root/ckpt",
-      trigger = Trigger.AvailableNow()).awaitTermination()
+      trigger = Trigger.AvailableNow(), index = index).awaitTermination()
   }
 
   test("each micro-batch lands under batch-<id>/ and the manifest covers the delivery") {
@@ -54,6 +54,26 @@ class StreamingExportSpec extends AnyFunSuite with SharedSpark {
         verifyManifest = true, glob = "batch-*/shard-*.tar")
       .select("key").as[String].collect().map(_.toInt).sorted
     assert(samples.toSeq == (0 until 30), "all samples delivered, none twice")
+  }
+
+  test("an indexed delivery serves random access and manifests its sidecars (r14)") {
+    import spark.implicits._
+    val root = tmpDir("stream-export-indexed")
+    runDelivery(root, index = true)
+    // the manifest covers tars AND their index sidecars — both are part
+    // of what a loader downloads
+    val manifest = ExportIntegrity.readManifest(spark, s"$root/out")
+      .collect().map(_.getString(0))
+    assert(manifest.count(_.endsWith(".tar")) == 9 &&
+      manifest.count(_.endsWith(".tar.idx.jsonl")) == 9, manifest.toSeq)
+    assert(ExportIntegrity.verify(spark, s"$root/out", "batch-*/shard-*.tar*")
+      .filter(col("status") =!= "ok").isEmpty)
+    // random access across the nested layout
+    val got = TarExport.lookupTarSamples(spark, s"$root/out",
+        Seq("7", "22").toDF("key"), glob = "batch-*/shard-*.tar")
+      .as[(Long, String, Map[String, Array[Byte]])].collect()
+      .map(r => r._2 -> new String(r._3("txt"), "UTF-8")).toMap
+    assert(got == Map("7" -> "doc text 7", "22" -> "doc text 22"))
   }
 
   test("replaying a delivery converges byte-identically (exactly-once from at-least-once)") {
