@@ -237,18 +237,53 @@ object ExportIntegrity {
     * file; the diff is a full-outer join of two O(files)-row frames.
     */
   def verify(spark: SparkSession, path: String,
-             glob: String = "*"): DataFrame = {
+             glob: String = "*"): DataFrame =
+    verifyAgainst(spark, path,
+      fingerprintFiles(spark, path, glob)
+        .select(col("file"), col("bytes").as("actual_bytes"),
+          col("sha256").as("actual_sha256")))
+
+  /** Size-only verification: ONE listing, zero reads — the first-pass
+    * an operator actually runs over a 100 TB delivery before paying for
+    * the full hash sweep. Catches truncation, missing files, and alien
+    * files (the common delivery faults — a partial copy is almost never
+    * the same length); by construction it CANNOT see a same-size
+    * corruption (a flipped bit), which `actual_sha256 = NULL` in the
+    * output makes explicit. Escalate to [[verify]] when quick comes
+    * back clean but the delivery matters.
+    */
+  def verifyQuick(spark: SparkSession, path: String,
+                  glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(dir).toUri
+    val matched = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile)
+      .map(st => (rootUri.relativize(st.getPath.toUri).getPath, st.getLen))
+      .filterNot { case (rel, _) => excluded(rel.split('/').last) }
+      .sortBy(_._1)
+    verifyAgainst(spark, path,
+      spark.createDataset(matched).toDF("file", "actual_bytes")
+        .withColumn("actual_sha256", lit(null).cast("string")))
+  }
+
+  /** Shared diff: manifest LEFT FULL-OUTER actual, status per file. A
+    * null actual sha (quick mode) compares bytes only — `modified`
+    * then means the LENGTH changed.
+    */
+  private def verifyAgainst(spark: SparkSession, path: String,
+                            actual: DataFrame): DataFrame = {
     val expected = readManifest(spark, path)
       .select(col("file"), col("bytes").as("expected_bytes"),
         col("sha256").as("expected_sha256"))
-    val actual = fingerprintFiles(spark, path, glob)
-      .select(col("file"), col("bytes").as("actual_bytes"),
-        col("sha256").as("actual_sha256"))
     expected.join(actual, Seq("file"), "full_outer")
       .select(col("file"),
         when(col("expected_sha256").isNull, lit("unlisted"))
-          .when(col("actual_sha256").isNull, lit("missing"))
-          .when(col("expected_sha256") =!= col("actual_sha256") ||
+          .when(col("actual_bytes").isNull, lit("missing"))
+          .when((col("actual_sha256").isNotNull &&
+            col("expected_sha256") =!= col("actual_sha256")) ||
             col("expected_bytes") =!= col("actual_bytes"), lit("modified"))
           .otherwise(lit("ok")).as("status"),
         col("expected_bytes"), col("actual_bytes"),

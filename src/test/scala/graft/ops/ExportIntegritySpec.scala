@@ -135,6 +135,31 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
       .limit(1).count() == 1L)
   }
 
+  test("verifyQuick is one listing: sizes catch truncation, not same-size flips (r14)") {
+    val dir = tmpDir("integrity-quick")
+    tarExport(dir)
+    ExportIntegrity.writeManifest(spark, dir, "shard-*.tar")
+    // same-size flip in shard 0 — quick mode's DOCUMENTED blind spot
+    val f0 = new java.io.File(dir, "shard-00000.tar")
+    val raf = new java.io.RandomAccessFile(f0, "rw")
+    try { raf.seek(600); val b = raf.read(); raf.seek(600); raf.write(b ^ 0x01) }
+    finally raf.close()
+    // truncation of shard 1 — the common delivery fault quick DOES catch
+    val f1 = new java.io.File(dir, "shard-00001.tar")
+    val ch = new java.io.FileOutputStream(f1, true).getChannel
+    try ch.truncate(f1.length() - 512) finally ch.close()
+    val quick = ExportIntegrity.verifyQuick(spark, dir, "shard-*.tar")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(quick == Map("shard-00000.tar" -> "ok",
+      "shard-00001.tar" -> "modified", "shard-00002.tar" -> "ok"),
+      s"quick mode sees lengths only: $quick")
+    // the full sweep still catches the flip
+    val full = ExportIntegrity.verify(spark, dir, "shard-*.tar")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full("shard-00000.tar") == "modified" &&
+      full("shard-00001.tar") == "modified")
+  }
+
   test("shard assignment: round-robin order and LPT balance (r14)") {
     import spark.implicits._
     val dir = tmpDir("integrity-assign")
