@@ -56,8 +56,11 @@ object ExportIntegrity {
     name == ManifestName || name == "_SUCCESS" ||
       name.startsWith(".") || name.endsWith(".crc")
 
+  /** One LIST call: `(relative path, length)` for every non-excluded
+    * file under `path` matching `glob`, sorted by path.
+    */
   private def listRelative(spark: SparkSession, path: String,
-                           glob: String): Seq[String] = {
+                           glob: String): Seq[(String, Long)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(dir).toUri
@@ -65,9 +68,9 @@ object ExportIntegrity {
     if (matched == null) Seq.empty
     else matched.toSeq
       .filter(_.isFile)
-      .map(st => rootUri.relativize(st.getPath.toUri).getPath)
-      .filterNot(rel => excluded(rel.split('/').last))
-      .sorted
+      .map(st => (rootUri.relativize(st.getPath.toUri).getPath, st.getLen))
+      .filterNot { case (rel, _) => excluded(rel.split('/').last) }
+      .sortBy(_._1)
   }
 
   /** `(file, bytes, sha256)` for every file under `path` matching
@@ -77,7 +80,7 @@ object ExportIntegrity {
   def fingerprintFiles(spark: SparkSession, path: String,
                        glob: String = "*"): DataFrame = {
     import spark.implicits._
-    val rels = listRelative(spark, path, glob)
+    val rels = listRelative(spark, path, glob).map(_._1)
     val confMap = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val b = Map.newBuilder[String, String]
@@ -255,17 +258,9 @@ object ExportIntegrity {
   def verifyQuick(spark: SparkSession, path: String,
                   glob: String = "*"): DataFrame = {
     import spark.implicits._
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootUri = fs.makeQualified(dir).toUri
-    val matched = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob)))
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile)
-      .map(st => (rootUri.relativize(st.getPath.toUri).getPath, st.getLen))
-      .filterNot { case (rel, _) => excluded(rel.split('/').last) }
-      .sortBy(_._1)
     verifyAgainst(spark, path,
-      spark.createDataset(matched).toDF("file", "actual_bytes")
+      spark.createDataset(listRelative(spark, path, glob))
+        .toDF("file", "actual_bytes")
         .withColumn("actual_sha256", lit(null).cast("string")))
   }
 
