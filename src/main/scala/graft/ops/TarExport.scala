@@ -116,11 +116,13 @@ object TarExport {
   def compactTarShards(spark: SparkSession, srcPath: String,
                        destPath: String, maxShardBytes: Long,
                        glob: String = "shard-*.tar",
-                       verifyManifest: Boolean = false): DataFrame = {
+                       verifyManifest: Boolean = false,
+                       index: Boolean = false): DataFrame = {
     val samples = readTarSamples(spark, srcPath,
       verifyManifest = verifyManifest, glob = glob)
     writeTarSamplesByBytes(samples, col("key"),
-      Seq(col("key"), col("shard")), col("entries"), maxShardBytes, destPath)
+      Seq(col("key"), col("shard")), col("entries"), maxShardBytes, destPath,
+      index)
   }
 
   /** `map<string,binary>` → the writer's sorted entry array (see

@@ -259,6 +259,29 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("_go_bucket"), plan)
   }
 
+  test("prefixSums matches a driver-side scan on seeded random frames (r14)") {
+    for (seed <- Seq(7L, 41L, 1913L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 3000 + rnd.nextInt(2000) // > sample cap → bucketed path
+      val rows = Seq.tabulate(n) { i =>
+        // unique keys in shuffled order; sizes include ZEROS (a zero-
+        // cost row must not perturb its neighbours' prefixes)
+        (s"k${i}x${rnd.nextInt(1 << 20)}", rnd.nextInt(4) match {
+          case 0 => 0L
+          case _ => rnd.nextInt(100000).toLong
+        })
+      }
+      val df = rows.toDF("k", "v").repartition(7)
+      val got = GlobalOrder.prefixSums(df, Seq(col("k")), col("v"), "pre")
+        .select("k", "pre").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.sortBy(_._1)
+        .scanLeft(("", 0L, 0L)) { case ((_, acc, _), (k, v)) => (k, acc + v, v) }
+        .tail.map { case (k, cum, v) => k -> (cum - v) }.toMap
+      assert(got == expect, s"seed $seed: prefix sums diverge from the scan")
+    }
+  }
+
   test("prefixSums small-frame fast path matches and null values refuse loudly (r14)") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 100L).map(i => ((i * 37) % 100, i + 1)).toDF("k", "v")

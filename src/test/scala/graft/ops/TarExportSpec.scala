@@ -304,12 +304,20 @@ class TarExportSpec extends AnyFunSuite with SharedSpark {
       assert(names.map(_.split("\\.").last).toSeq == Seq("cap", "txt"),
         s"sample $k entries must stream extension-sorted, got $names")
     // byte-determinism: a second compaction writes the identical tree
+    // (this one indexed — the tar bytes must not change, and the epoch
+    // snapshot then serves random access directly)
     val dest2 = tmpDir("tar-compact-dst2")
     TarExport.compactTarShards(spark, src, dest2, 4096L,
-      glob = "batch-*/shard-*.tar").collect()
-    def shas(p: String) = ExportIntegrity.fingerprintFiles(spark, p)
+      glob = "batch-*/shard-*.tar", index = true).collect()
+    def shas(p: String) = ExportIntegrity.fingerprintFiles(spark, p, "shard-*.tar")
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(shas(dest) == shas(dest2), "compaction is byte-deterministic")
+    assert(shas(dest) == shas(dest2),
+      "compaction is byte-deterministic (and indexing never alters tar bytes)")
+    val hit = TarExport.lookupTarSamples(spark, dest2, Seq("8").toDF("key"))
+      .as[(Long, String, Map[String, Array[Byte]])].collect()
+    assert(hit.length == 1 &&
+      new String(hit.head._3("txt"), "UTF-8") == "text body 8 " * 9,
+      "random access into the compacted epoch snapshot")
   }
 
   test("indexed export writes per-sample offsets; lookups seek straight to a sample (r14)") {
