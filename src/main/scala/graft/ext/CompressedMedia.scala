@@ -420,12 +420,14 @@ object CompressedMedia {
       case _ =>
         s.tracks.find(_.trackType == 2).flatMap { a =>
           // SamplingFrequency is a raw float from the container: NaN
-          // passes a `<= 0` comparison and a huge value overflows toInt
-          // — both must read as undecodable, never a garbage rate
-          val r = a.sampleRate
-          if (!java.lang.Double.isFinite(r) || r <= 0 ||
-              r > Int.MaxValue || a.channels <= 0) None
-          else Some(MediaMeta("audio", math.round(r).toInt,
+          // passes a `<= 0` comparison, a huge value overflows toInt,
+          // and a sub-half-hertz value ROUNDS to zero — all must read
+          // as undecodable, never a garbage rate (the bound is checked
+          // on the rounded Hz, the value that actually lands in the row)
+          val hz = math.round(a.sampleRate)
+          if (!java.lang.Double.isFinite(a.sampleRate) || hz < 1 ||
+              hz > Int.MaxValue || a.channels <= 0) None
+          else Some(MediaMeta("audio", hz.toInt,
             a.channels, 0, payload))
         }
     }
