@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] REAL PCM sample decode for the audio containers the JDK ships
+  * readers for (WAV/AIFF/AU) — the sample-level counterpart of
+  * [[Multimodal]]'s header-only `audioMeta`. With this, "sample decode is
+  * a stub" is true only of COMPRESSED codecs (MP3/AAC/Opus/Vorbis — the
+  * JDK ships none); uncompressed corpora get real waveform features.
+  *
+  * One streaming pass per blob computes the features an audio curation
+  * pipeline filters on: duration (decoded frame count — counted from the
+  * samples, never trusted from the header), RMS energy, peak amplitude,
+  * and zero-crossing count of the channel-mixed signal. All integer/
+  * exact arithmetic up to the final RMS square root, so fixtures with
+  * closed-form waveforms (square waves) oracle the whole container
+  * parse + sample decode + feature fold end to end.
+  *
+  * Scale story: a per-row scalar pass — zero shuffle, O(64 KiB) decode
+  * buffer per task regardless of blob size; the scan parallelism is the
+  * feature-extraction parallelism.
+  */
+object AudioFeatures {
+
+  final case class AudioStats(sampleRate: Int, channels: Int, frames: Long,
+                              rms: Double, peak: Int, zeroCrossings: Long)
+
+  /** Decode 16-bit signed PCM (either endianness — WAV is LE, AIFF/AU are
+    * BE) and fold the features in one pass. Channels mix to mono by
+    * integer mean (truncation toward zero, exact when channels carry the
+    * same signal). Zero-crossing convention: a crossing is a strict SIGN
+    * CHANGE of the mixed signal with exact zeros transparent — the run
+    * `+A, 0, -A` is one crossing, leading zeros precede no sign and never
+    * count (AudioFeaturesSpec pins both edges). Returns None for
+    * containers javax.sound cannot parse or sample widths other than
+    * 16-bit signed PCM (8-bit, float, and compressed payloads are not
+    * silently approximated).
+    */
+  def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val ok = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && f.getChannels >= 1 &&
+          f.getSampleRate > 0 && f.getFrameSize == 2 * f.getChannels
+        if (!ok) None
+        else {
+          val ch = f.getChannels
+          val frameSize = f.getFrameSize
+          val big = f.isBigEndian
+          val buf = new Array[Byte](frameSize * 1024)
+          var carry = 0 // bytes of a partial frame held at buf start
+          var frames = 0L
+          var sumSq = 0.0
+          var peak = 0
+          var crossings = 0L
+          var prev = 0 // last mixed sample (0 until the first frame)
+          var first = true
+          var eof = false
+          while (!eof) {
+            val n = in.read(buf, carry, buf.length - carry)
+            if (n < 0) eof = true
+            else {
+              val avail = carry + n
+              val whole = (avail / frameSize) * frameSize
+              var off = 0
+              while (off < whole) {
+                var sum = 0
+                var c = 0
+                while (c < ch) {
+                  val i = off + 2 * c
+                  val s =
+                    if (big) (buf(i) << 8) | (buf(i + 1) & 0xFF)
+                    else (buf(i + 1) << 8) | (buf(i) & 0xFF)
+                  sum += s
+                  c += 1
+                }
+                val mix = sum / ch
+                sumSq += mix.toDouble * mix
+                val abs = math.abs(mix)
+                if (abs > peak) peak = abs
+                if (!first && prev * mix < 0) crossings += 1
+                if (mix != 0) { prev = mix; first = false }
+                frames += 1
+                off += frameSize
+              }
+              carry = avail - whole
+              if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+            }
+          }
+          val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames)
+          Some(AudioStats(math.round(f.getSampleRate), ch, frames, rms,
+            peak, crossings))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
+  /** Per-blob waveform features over a (`media_id`, `content` binary)
+    * frame: (media_id, sample_rate, channels, frames, rms, peak,
+    * zero_crossings). Per-row isolation — undecodable rows drop, same
+    * contract as [[Multimodal.decodeMeta]].
+    */
+  def audioFeatures(media: DataFrame, idCol: String = "media_id",
+                    contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeStats(bytes) match {
+            case Some(s) => Iterator.single((id, s.sampleRate, s.channels,
+              s.frames, s.rms, s.peak, s.zeroCrossings))
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "frames", "rms", "peak",
+        "zero_crossings")
+  }
+}

@@ -177,4 +177,85 @@ object MediaFixtures {
           box("mdia", mdhd(rate.toLong, 0L), hdlr("soun"),
             box("minf", box("stbl", audioStsd(channels, rate)))))) ++
       box("mdat", payload)
+
+  // ---- real raster + PCM fixtures (pixel/sample-level, not header) ----
+
+  /** Render a 64-bit dHash signature as a REAL PNG whose
+    * [[ImageFeatures.dhash64]] is exactly `sig`: a 9x8 grid of
+    * `block`x`block` constant-gray cells where each row walks from
+    * `base` by +-`step` per bit — bit (row*8 + col) set means cell
+    * (row, col+1) is `step` brighter than cell (row, col). Block
+    * alignment (width = 9*block) makes the area-average downsample
+    * exact, so encode -> real PNG decode -> hash round-trips bit-for-bit
+    * and a probe oracle can re-derive both the hash and the image's
+    * exact luma sum in closed form from `sig` alone.
+    */
+  def dhashPng(sig: Long, block: Int = 3, base: Int = 120,
+               step: Int = 10): Array[Byte] = {
+    require(block >= 1 && step >= 1 && base - 8 * step >= 0 &&
+      base + 8 * step <= 255,
+      s"dhashPng walk must stay in [0,255]: block=$block base=$base step=$step")
+    val img = new java.awt.image.BufferedImage(
+      9 * block, 8 * block, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var l = base
+      var c = 0
+      while (c < 9) {
+        val rgb = (l << 16) | (l << 8) | l
+        var y = r * block
+        while (y < (r + 1) * block) {
+          var x = c * block
+          while (x < (c + 1) * block) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        if (c < 8) l += (if (((sig >>> (r * 8 + c)) & 1L) == 1L) step else -step)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  /** RIFF/WAVE container with REAL 16-bit signed little-endian PCM:
+    * `samples` are interleaved frames (length a multiple of `channels`).
+    * Written byte-by-byte from the public RIFF layout — deliberately NOT
+    * via javax.sound, so [[AudioFeatures]]' decode path is exercised
+    * against an independent encoder.
+    */
+  def wavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && samples.length % channels == 0,
+      s"bad wav fixture: rate=$rate channels=$channels n=${samples.length}")
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    out.write(ascii("RIFF")); out.write(le32(36L + dataLen))
+    out.write(ascii("WAVE")); out.write(ascii("fmt ")); out.write(le32(16L))
+    out.write(le16(1)); out.write(le16(channels)) // PCM, channel count
+    out.write(le32(rate.toLong)); out.write(le32(rate.toLong * channels * 2))
+    out.write(le16(channels * 2)); out.write(le16(16)) // block align, bits
+    out.write(ascii("data")); out.write(le32(dataLen.toLong))
+    samples.foreach { s => out.write(s & 0xFF); out.write((s >> 8) & 0xFF) }
+    out.toByteArray
+  }
+
+  /** Sun AU container (".snd") with REAL 16-bit signed BIG-endian PCM —
+    * the JDK's other PCM container, covering the opposite endianness of
+    * [[wavPcm16]] through the same decode path.
+    */
+  def auPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && samples.length % channels == 0,
+      s"bad au fixture: rate=$rate channels=$channels n=${samples.length}")
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(24 + dataLen)
+    out.write(ascii(".snd")); out.write(be32(24L)) // header offset
+    out.write(be32(dataLen.toLong)); out.write(be32(3L)) // 16-bit linear PCM
+    out.write(be32(rate.toLong)); out.write(be32(channels.toLong))
+    samples.foreach { s => out.write((s >> 8) & 0xFF); out.write(s & 0xFF) }
+    out.toByteArray
+  }
 }

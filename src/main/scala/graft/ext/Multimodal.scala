@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * sample decode); COMPRESSED containers (MP3, ADTS-AAC, FLAC, Ogg
   * Vorbis/Opus, MP4/M4A, WebM/Matroska — incl. video dims + frame counts) decode
   * their headers for real via [[CompressedMedia]]'s pure byte parsers.
-  * Only SAMPLE/PIXEL decode of compressed media remains a declared STUB
-  * (the JDK ships no such codecs and none are available in this
-  * environment) behind a deterministic container format, exactly like
-  * the pluggable `Parse.DocParser` boundary.
+  * PIXEL decode of the JDK raster formats is REAL too ([[ImageFeatures]]
+  * hashes fully-decoded rasters; `resizeImages` below re-encodes them),
+  * as is SAMPLE decode of the uncompressed audio containers
+  * ([[AudioFeatures]] folds waveform features over real PCM frames).
+  * Only sample decode of COMPRESSED codecs remains a declared STUB (the
+  * JDK ships no such codecs and none are available in this environment)
+  * behind a deterministic container format, exactly like the pluggable
+  * `Parse.DocParser` boundary.
   *
   * STUB FORMAT ("GMM1"): ascii header `GMM1|<kind>|<width>|<height>|<fps>|`
   * followed by payload bytes. A production build replaces the GMM1 branch

@@ -2,7 +2,7 @@ package graft.probes
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{MediaFixtures, Multimodal}
+import graft.ext.{AudioFeatures, Dedup, ImageFeatures, MediaFixtures, Multimodal}
 
 /** Probes for the multimodal binary-column operators. Media blobs are
   * synthesized deterministically from the documents table, so the stub
@@ -107,6 +107,112 @@ object MultimodalProbes {
         .select(col("mediaId").as("media_id"), col("meta.kind").as("kind"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.fps").as("fps"), col("meta.payloadBytes").as("payload_bytes"))
+        .orderBy("media_id")
+    },
+
+    // REAL pixel decode, end to end: each doc's md5-derived 60-bit value
+    // is rendered as a real PNG (MediaFixtures.dhashPng), then
+    // ImageFeatures decodes the raster with the JDK codec and recomputes
+    // the dHash + the exact pixel luma sum. The oracle re-derives BOTH in
+    // closed form from the md5 arithmetic alone — so one flipped bit
+    // anywhere in encode -> PNG -> decode -> downsample -> hash mismatches.
+    Probe(
+      "media_image_dhash",
+      "WITH s AS (SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sig FROM documents) " +
+        "SELECT doc_id AS media_id, CAST(27 AS INT) AS width, CAST(24 AS INT) AS height, sig AS dhash, " +
+        "CAST(9 * (72 * 120 + 10 * list_sum([(8 - (i % 8)) * (CASE WHEN (sig >> i) & 1 = 1 THEN 1 ELSE -1 END) for i in range(0, 64)])) AS BIGINT) AS sum_luma " +
+        "FROM s ORDER BY media_id"
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, MediaFixtures.dhashPng(Dedup.md5Hash60(id.toString))))
+        .toDF("media_id", "content")
+      ImageFeatures.imageFeatures(media)
+        .select("media_id", "width", "height", "dhash", "sum_luma")
+        .orderBy("media_id")
+    },
+
+    // Image near-dup over REAL decoded rasters: groups of 4 docs share an
+    // md5-derived base signature with planted bit flips (0 / 1 / 2 / 7
+    // bits), so each group yields exactly the pairs at Hamming 1, 2, 3
+    // while the 7-flip member stays outside the radius. The engine goes
+    // image bytes -> real decode -> dHash -> 16-bit band join -> popcount
+    // verify; the oracle replays signature arithmetic + ALL-pairs Hamming
+    // in pure SQL.
+    Probe(
+      "dedup_image_neardup",
+      "WITH s AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents), " +
+        "b AS (SELECT doc_id, g, m, CAST('0x' || substring(md5(CAST(g AS VARCHAR) || '_base'), 1, 15) AS BIGINT) AS base FROM s), " +
+        "sg AS (SELECT doc_id, CASE m WHEN 0 THEN base " +
+        "WHEN 1 THEN xor(base, 1::BIGINT << CAST(g % 60 AS INT)) " +
+        "WHEN 2 THEN xor(base, (1::BIGINT << CAST((g + 17) % 60 AS INT)) | (1::BIGINT << CAST((g + 31) % 60 AS INT))) " +
+        "ELSE xor(base, CAST(list_sum([1::BIGINT << CAST((g + 1 + 7 * j) % 60 AS INT) for j in range(0, 7)]) AS BIGINT)) END AS sig FROM b) " +
+        "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming " +
+        "FROM sg a JOIN sg b2 ON a.doc_id < b2.doc_id " +
+        "WHERE bit_count(xor(a.sig, b2.sig)) <= 3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 4
+          var sig = Dedup.md5Hash60(s"${g}_base")
+          (id % 4) match {
+            case 1 => sig ^= 1L << ((g % 60).toInt)
+            case 2 => sig ^= (1L << (((g + 17) % 60).toInt)) |
+              (1L << (((g + 31) % 60).toInt))
+            case 3 => (0 until 7).foreach(j =>
+              sig ^= 1L << (((g + 1 + 7 * j) % 60).toInt))
+            case _ =>
+          }
+          (id, MediaFixtures.dhashPng(sig))
+        }
+        .toDF("media_id", "content")
+      ImageFeatures.imageNearDupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // REAL waveform decode (javax.sound, 16-bit PCM): each doc becomes a
+    // WAV square wave whose amplitude / half-period / length derive from
+    // doc_id, so RMS (= amplitude, exactly), peak, decoded frame count,
+    // and zero crossings are all closed-form. The engine decodes the
+    // actual samples — a header-only shortcut cannot produce rms/peak/zc.
+    Probe(
+      "media_audio_features",
+      "SELECT doc_id AS media_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS INT) AS channels, " +
+        "CAST(400 + doc_id % 200 AS BIGINT) AS frames, " +
+        "round(CAST(1000 + (doc_id % 100) * 10 AS DOUBLE), 4) AS rms, " +
+        "CAST(1000 + (doc_id % 100) * 10 AS INT) AS peak, " +
+        "CAST((400 + doc_id % 200 - 1) // (5 + doc_id % 7) AS BIGINT) AS zero_crossings " +
+        "FROM documents ORDER BY media_id"
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val a = (1000 + (id % 100) * 10).toInt
+          val p = (5 + id % 7).toInt
+          val n = (400 + id % 200).toInt
+          val ch = (1 + id % 2).toInt
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          val samples = new Array[Short](n * ch)
+          var i = 0
+          while (i < n) {
+            val v = (if ((i / p) % 2 == 0) a else -a).toShort
+            var c = 0
+            while (c < ch) { samples(i * ch + c) = v; c += 1 }
+            i += 1
+          }
+          (id, MediaFixtures.wavPcm16(rate, ch, samples))
+        }
+        .toDF("media_id", "content")
+      AudioFeatures.audioFeatures(media)
+        .withColumn("rms", round(col("rms"), 4))
         .orderBy("media_id")
     }
   )
