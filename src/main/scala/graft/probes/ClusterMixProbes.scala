@@ -346,6 +346,44 @@ object ClusterMixProbes {
         .orderBy("shard", "key")
     },
 
+    // [EXT] incremental delta delivery (r15): bootstrap a delivery with
+    // the EVEN documents as increment delta-000, then delta-export the
+    // WHOLE corpus as delta-001 — the key anti-join against the index
+    // sidecars must ship exactly the odd documents, nothing twice. Both
+    // increments read back through the MANIFEST-VERIFIED sample reader,
+    // so the republished commit pointer is enforced too. The oracle is
+    // the parity split itself, at the per-sample grain.
+    Probe(
+      "pack_delta_export",
+      "SELECT CAST(doc_id % 2 AS INT) AS increment, CAST(doc_id AS VARCHAR) AS key, " +
+        "CAST(1 AS BIGINT) AS n_entries, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "ORDER BY increment, key"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-delta-probe") + "/delivery"
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select("doc_id", "text")
+      PhaseTimer.timed("pack_delta_export", "bootstrap_write") {
+        graft.ops.DeltaExport.exportDelta(src.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), Seq(col("doc_id")), Seq("txt" -> col("text")),
+          100L, root, "delta-000").collect()
+      }
+      PhaseTimer.timed("pack_delta_export", "delta_write") {
+        graft.ops.DeltaExport.exportDelta(src, col("doc_id"),
+          Seq(col("doc_id")), Seq("txt" -> col("text")), 100L, root,
+          "delta-001").collect()
+      }
+      Seq(0, 1).map { b =>
+        graft.ops.TarExport.readTarSamples(s, root, verifyManifest = true,
+            glob = s"delta-00$b/shard-*.tar")
+          .select(lit(b).as("increment"), col("key"),
+            size(col("entries")).cast("long").as("n_entries"),
+            length(element_at(col("entries"), "txt")).cast("long").as("txt_bytes"))
+      }.reduce(_.union(_)).orderBy("increment", "key")
+    },
+
     // [EXT] export manifest + integrity verification (r14): publish
     // _manifest.jsonl for a tar export, then DETERMINISTICALLY break the
     // delivery three ways — flip one byte in shard 1, delete the last
