@@ -448,8 +448,8 @@ object ClusterMixProbes {
         "p AS (SELECT doc_id, payload, framed, " +
         "COALESCE(SUM(framed) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM f) " +
         "SELECT CAST(pre // 131072 AS BIGINT) AS shard, " +
-        "COUNT(*) AS n_samples, COUNT(*) AS n_entries, " +
-        "SUM(payload) AS payload_bytes " +
+        "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(COUNT(*) AS BIGINT) AS n_entries, " +
+        "CAST(SUM(payload) AS BIGINT) AS payload_bytes " +
         "FROM p GROUP BY 1 ORDER BY shard"
     ) { (s, d) =>
       val root = Probe.scratchDir("graft-tar-bybytes-probe")
@@ -544,8 +544,8 @@ object ClusterMixProbes {
         " + COALESCE(512 * (1 + (b_cap + 511) // 512), 0) AS BIGINT) AS framed FROM f), " +
         "p AS (SELECT doc_id, payload, n_e, " +
         "COALESCE(SUM(framed) OVER (ORDER BY CAST(doc_id AS VARCHAR) ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM g) " +
-        "SELECT CAST(pre // 262144 AS BIGINT) AS shard, COUNT(*) AS n_samples, " +
-        "SUM(n_e) AS n_entries, SUM(payload) AS payload_bytes " +
+        "SELECT CAST(pre // 262144 AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_samples, " +
+        "CAST(SUM(n_e) AS BIGINT) AS n_entries, CAST(SUM(payload) AS BIGINT) AS payload_bytes " +
         "FROM p GROUP BY 1 ORDER BY shard"
     ) { (s, d) =>
       val root = Probe.scratchDir("graft-tar-compact-probe")
@@ -620,7 +620,7 @@ object ClusterMixProbes {
         "CAST(octet_length(encode(text)) AS BIGINT) AS payload, " +
         "CAST(512 * (1 + (octet_length(encode(text)) + 511) // 512) AS BIGINT) AS framed FROM o) " +
         "SELECT shard, CAST(doc_id AS VARCHAR) AS key, " +
-        "COALESCE(SUM(framed) OVER (PARTITION BY shard ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sample_offset, " +
+        "CAST(COALESCE(SUM(framed) OVER (PARTITION BY shard ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sample_offset, " +
         "CAST(1 AS BIGINT) AS n_entries, payload AS sample_bytes " +
         "FROM f ORDER BY shard, sample_offset"
     ) { (s, d) =>
