@@ -303,7 +303,7 @@ object Dedup {
     * engine (see [[md5Hash60]]); 60 well-mixed bits lose nothing material
     * versus 64 for near-duplicate detection.
     */
-  private[ext] def simhash60Scalar(tokens: Array[String]): Long = {
+  private[graft] def simhash60Scalar(tokens: Array[String]): Long = {
     val votes = new Array[Int](60)
     var i = 0
     while (i < tokens.length) {

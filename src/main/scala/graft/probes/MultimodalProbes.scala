@@ -123,12 +123,16 @@ object MultimodalProbes {
         "CAST(9 * (72 * 120 + 10 * list_sum([(8 - (i % 8)) * (CASE WHEN (sig >> i) & 1 = 1 THEN 1 ELSE -1 END) for i in range(0, 64)])) AS BIGINT) AS sum_luma " +
         "FROM s ORDER BY media_id"
     ) { (s, d) =>
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
-        .map(id => (id, MediaFixtures.dhashPng(Dedup.md5Hash60(id.toString))))
-        .toDF("media_id", "content")
-      ImageFeatures.imageFeatures(media)
+      val path = PhaseTimer.timed("media_image_dhash", "fixture_ensure") {
+        Probe.mediaFixtureFor(d, "dhash-png") {
+          import s.implicits._
+          Tables.load(s, d, "documents")
+            .select(col("doc_id")).as[Long]
+            .map(id => (id, MediaFixtures.dhashPng(Dedup.md5Hash60(id.toString))))
+            .toDF("media_id", "content")
+        }
+      }
+      ImageFeatures.imageFeatures(s.read.parquet(path))
         .select("media_id", "width", "height", "dhash", "sum_luma")
         .orderBy("media_id")
     },
@@ -152,24 +156,28 @@ object MultimodalProbes {
         "FROM sg a JOIN sg b2 ON a.doc_id < b2.doc_id " +
         "WHERE bit_count(xor(a.sig, b2.sig)) <= 3 ORDER BY id_a, id_b"
     ) { (s, d) =>
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = id / 4
-          var sig = Dedup.md5Hash60(s"${g}_base")
-          (id % 4) match {
-            case 1 => sig ^= 1L << ((g % 60).toInt)
-            case 2 => sig ^= (1L << (((g + 17) % 60).toInt)) |
-              (1L << (((g + 31) % 60).toInt))
-            case 3 => (0 until 7).foreach(j =>
-              sig ^= 1L << (((g + 1 + 7 * j) % 60).toInt))
-            case _ =>
-          }
-          (id, MediaFixtures.dhashPng(sig))
+      val path = PhaseTimer.timed("dedup_image_neardup", "fixture_ensure") {
+        Probe.mediaFixtureFor(d, "neardup-png") {
+          import s.implicits._
+          Tables.load(s, d, "documents")
+            .select(col("doc_id")).as[Long]
+            .map { id =>
+              val g = id / 4
+              var sig = Dedup.md5Hash60(s"${g}_base")
+              (id % 4) match {
+                case 1 => sig ^= 1L << ((g % 60).toInt)
+                case 2 => sig ^= (1L << (((g + 17) % 60).toInt)) |
+                  (1L << (((g + 31) % 60).toInt))
+                case 3 => (0 until 7).foreach(j =>
+                  sig ^= 1L << (((g + 1 + 7 * j) % 60).toInt))
+                case _ =>
+              }
+              (id, MediaFixtures.dhashPng(sig))
+            }
+            .toDF("media_id", "content")
         }
-        .toDF("media_id", "content")
-      ImageFeatures.imageNearDupPairs(media, maxHamming = 3)
+      }
+      ImageFeatures.imageNearDupPairs(s.read.parquet(path), maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
@@ -189,29 +197,33 @@ object MultimodalProbes {
         "CAST((400 + doc_id % 200 - 1) // (5 + doc_id % 7) AS BIGINT) AS zero_crossings " +
         "FROM documents ORDER BY media_id"
     ) { (s, d) =>
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val a = (1000 + (id % 100) * 10).toInt
-          val p = (5 + id % 7).toInt
-          val n = (400 + id % 200).toInt
-          val ch = (1 + id % 2).toInt
-          val rate = (id % 3) match {
-            case 0 => 8000; case 1 => 16000; case _ => 44100
-          }
-          val samples = new Array[Short](n * ch)
-          var i = 0
-          while (i < n) {
-            val v = (if ((i / p) % 2 == 0) a else -a).toShort
-            var c = 0
-            while (c < ch) { samples(i * ch + c) = v; c += 1 }
-            i += 1
-          }
-          (id, MediaFixtures.wavPcm16(rate, ch, samples))
+      val path = PhaseTimer.timed("media_audio_features", "fixture_ensure") {
+        Probe.mediaFixtureFor(d, "audio-wav") {
+          import s.implicits._
+          Tables.load(s, d, "documents")
+            .select(col("doc_id")).as[Long]
+            .map { id =>
+              val a = (1000 + (id % 100) * 10).toInt
+              val p = (5 + id % 7).toInt
+              val n = (400 + id % 200).toInt
+              val ch = (1 + id % 2).toInt
+              val rate = (id % 3) match {
+                case 0 => 8000; case 1 => 16000; case _ => 44100
+              }
+              val samples = new Array[Short](n * ch)
+              var i = 0
+              while (i < n) {
+                val v = (if ((i / p) % 2 == 0) a else -a).toShort
+                var c = 0
+                while (c < ch) { samples(i * ch + c) = v; c += 1 }
+                i += 1
+              }
+              (id, MediaFixtures.wavPcm16(rate, ch, samples))
+            }
+            .toDF("media_id", "content")
         }
-        .toDF("media_id", "content")
-      AudioFeatures.audioFeatures(media)
+      }
+      AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
         .orderBy("media_id")
     }

@@ -65,6 +65,25 @@ object Probe {
     else ivfIndexes.computeIfAbsent(key, _ => build())
   }
 
+  /** Per-JVM synthetic-media fixture cache: rendering 5k real PNGs/WAVs
+    * is corpus SYNTHESIS, not the engine's decode/feature operator — the
+    * same lifecycle argument as [[ivfIndexFor]]. The first probe run per
+    * (sf dir, kind) materializes the fixture blobs to a scratch parquet
+    * (visible as the probe's `fixture_ensure` phase); later iterations
+    * re-read the parquet, so min-of-2 bench timings report the decode
+    * path the probe actually claims to measure.
+    */
+  private val mediaFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def mediaFixtureFor(sfDir: String, kind: String)
+                     (build: => DataFrame): String =
+    mediaFixtures.computeIfAbsent(s"$sfDir#$kind", _ => {
+      val path = scratchDir(s"graft-media-$kind") + "/media"
+      build.write.parquet(path)
+      path
+    })
+
   /** Shared DuckDB oracle prelude re-deriving the engine's md5-derived
     * random-hyperplane signatures over the 64-dim embeddings table:
     * CTEs e (vectors as doubles), g (plane components), proj

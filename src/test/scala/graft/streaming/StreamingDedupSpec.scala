@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.ext.Dedup
+
+/** Streaming stateful near-dup: pairs emit when the later member arrives,
+  * state survives restarts via the checkpoint, replayed ids re-emit
+  * nothing, and the accumulated pair SET equals the batch
+  * [[Dedup.simhashNearDupPairs]] over everything fed.
+  */
+class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
+
+  /** One parquet "arrival" with a forced mtime so the file source
+    * processes arrivals in order (same idiom as StreamingSpec).
+    */
+  private def arrive(dir: String, seq: Int, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val sub = s"$dir/batch$seq"
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(sub)
+    val t = FileTime.fromMillis(1700000000000L + seq * 60000L)
+    Files.list(Paths.get(sub)).forEach(p => Files.setLastModifiedTime(p, t))
+    Files.list(Paths.get(sub))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .forEach { p =>
+        Files.move(p, Paths.get(dir, s"b$seq-${p.getFileName}"))
+        ()
+      }
+  }
+
+  private def runDetector(feedDir: String, out: String, ckpt: String): Unit = {
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+    val q = StreamingDedup.simhashNearDupStream(feed,
+      col("doc_id"), col("text"), maxHamming = 3,
+      path = out, checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private def readPairs(out: String) = spark.read
+    .schema(org.apache.spark.sql.types.StructType.fromDDL(
+      "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
+    .parquet(out)
+
+  // identical texts → Hamming 0 (always a pair); distinct texts below are
+  // far apart in signature space, so the only expected pairs are planted
+  private val tA = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val tB = "india juliett kilo lima mike november oscar papa"
+  private val tC = "quebec romeo sierra tango uniform victor whiskey xray"
+
+  test("pairs emit on the later arrival, state survives restarts, replay is silent") {
+    val feed = tmpDir("sdedup-feed")
+    val out = tmpDir("sdedup-out")
+    val ckpt = tmpDir("sdedup-ckpt")
+
+    // batch 1: docs 1 (A) and 2 (A) — same-batch pair (1,2)
+    arrive(feed, 1, Seq((1L, tA), (2L, tA)))
+    runDetector(feed, out, ckpt)
+    val after1 = readPairs(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after1 === Set((1L, 2L, 0L)))
+
+    // RESTART (new query, same checkpoint): doc 3 (A) must pair with BOTH
+    // 1 and 2 — the state store carried their signatures across runs.
+    // Doc 4 (B) pairs with nothing.
+    arrive(feed, 2, Seq((3L, tA), (4L, tB)))
+    runDetector(feed, out, ckpt)
+    val after2 = readPairs(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after2 === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+
+    // identical signatures agree on all four bands → the raw (pre-
+    // DISTINCT) feed carries the documented per-band multiplicity
+    val raw13 = readPairs(out)
+      .filter(col("id_a") === 1L && col("id_b") === 3L).count()
+    assert(raw13 === 4L, s"expected one emission per agreeing band, got $raw13")
+
+    // replayed row (doc 3 re-delivered byte-identical, the at-least-once
+    // source case) + a fresh loner: no new pairs — the replay hashes to
+    // the same buckets, where its id is recognized and re-emits nothing
+    arrive(feed, 3, Seq((3L, tA), (5L, tC)))
+    runDetector(feed, out, ckpt)
+    val after3 = readPairs(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after3 === after2)
+  }
+
+  test("streamed pair set equals the batch near-dup answer for any interleaving") {
+    import spark.implicits._
+    // a corpus with planted near-dups: clusters of identical texts plus
+    // singletons; fed in an arbitrary 3-way split
+    val docs = (0L until 30L).map { id =>
+      val text = (id % 7) match {
+        case 0 => tA
+        case 1 => tB
+        case 2 => tC
+        case k => s"unique $id token$k " + ("x" * (id % 5).toInt)
+      }
+      (id, text)
+    }
+    val feed = tmpDir("sdedup-par-feed")
+    val out = tmpDir("sdedup-par-out")
+    val ckpt = tmpDir("sdedup-par-ckpt")
+    arrive(feed, 1, docs.filter(_._1 % 3 == 2))
+    arrive(feed, 2, docs.filter(_._1 % 3 == 0))
+    arrive(feed, 3, docs.filter(_._1 % 3 == 1))
+    runDetector(feed, out, ckpt)
+
+    val streamed = readPairs(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.simhashNearDupPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must plant at least one near-dup pair")
+  }
+
+  test("batch-mode evaluation of the stateful core matches the banded join") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(id => (id, if (id % 5 == 0) tA else s"solo $id doc" + id))
+      .toDF("doc_id", "text")
+    val core = StreamingDedup.nearDupPairs(docs, col("doc_id"), col("text"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(core === banded)
+    assert(banded.nonEmpty)
+  }
+}
