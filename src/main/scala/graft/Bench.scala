@@ -157,6 +157,13 @@ object Bench {
       if (round > 0) writeJson(f"bench_full_r$round%02d.json")
     }
     println(json)
+    // the driver's stdout capture keeps only ~2 KB of tail, which has
+    // truncated the full line above every round since the suite outgrew
+    // it (BENCH_r12+ all record parsed: null). A compact summary as the
+    // LAST line fits inside any tail window, so the driver's parse gets
+    // the headline number even when the full map must come from the
+    // bench_full_r*.json committed alongside.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,10 @@ import graft.ext.Dedup
   *  - a new document's work is O(its bucket occupancy), the streaming
   *    analog of the batch band equi-join — never all-pairs, never a
   *    corpus rescan;
+  *  - a bucket whose occupancy passes `maxBucketDocs` fails LOUDLY
+  *    instead of silently degrading recall or quietly going quadratic —
+  *    that many documents sharing one 15-bit band chunk is boilerplate
+  *    saturation, which wants pre-filtering, not near-dup pairing;
   *  - state per bucket stores two longs per document (id + signature):
   *    16 bytes × corpus per band, 64 bytes/doc total across the four
   *    bands — a billion-document history is ~64 GB of state cluster-wide,
@@ -80,10 +84,12 @@ object StreamingDedup {
     * id_a < id_b and hamming <= maxHamming.
     */
   def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketDocs: Int = 100000): DataFrame = {
     // 4-band pigeonhole only guarantees recall to Hamming distance 3
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee (3)")
+    require(maxBucketDocs >= 1, s"maxBucketDocs=$maxBucketDocs")
     val spark = docs.sparkSession
     import spark.implicits._
     bandedSignatures(docs, idCol, textCol)
@@ -113,6 +119,19 @@ object StreamingDedup {
               seen.update(id, sig)
             }
           }
+          // state-growth guard: a bucket past the cap means one band
+          // chunk is shared by maxBucketDocs documents — boilerplate
+          // saturation, where per-arrival compare cost and state size
+          // stop being "near-dup density" and start being quadratic
+          // corpus mass. Degrading recall silently is not an option
+          // (the pigeonhole guarantee would quietly break); fail the
+          // query loudly so the operator pre-filters the boilerplate.
+          if (seen.size > maxBucketDocs)
+            throw new IllegalStateException(
+              s"StreamingDedup bucket exceeds maxBucketDocs=$maxBucketDocs " +
+                s"(${seen.size} docs share one 15-bit band chunk): the feed " +
+                "carries boilerplate-grade duplication; pre-filter it or " +
+                "raise maxBucketDocs")
           val ids = new Array[Long](seen.size)
           val sigs = new Array[Long](seen.size)
           var j = 0
@@ -131,10 +150,11 @@ object StreamingDedup {
   def simhashNearDupStream(stream: DataFrame, idCol: Column, textCol: Column,
                            maxHamming: Int, path: String,
                            checkpointDir: String,
-                           trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+                           trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                           maxBucketDocs: Int = 100000)
       : StreamingQuery = {
     require(stream.isStreaming, "simhashNearDupStream needs a streaming frame")
-    nearDupPairs(stream, idCol, textCol, maxHamming)
+    nearDupPairs(stream, idCol, textCol, maxHamming, maxBucketDocs)
       .writeStream
       .format("parquet")
       .option("path", path)

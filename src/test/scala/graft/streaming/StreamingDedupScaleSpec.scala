@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.ext.Dedup
+
+/** Scale shape of the streaming near-dup detector, pinned with machine-
+  * checked numbers rather than prose: at a 20k-document history the state
+  * store holds EXACTLY four rows per unique document (the four band
+  * buckets — state is the banded index, nothing more), planted duplicate
+  * pairs all surface with batch-identical results, and a final single-
+  * document trigger against the full history emits exactly its planted
+  * matches — the per-arrival path touches its own buckets, not the
+  * corpus.
+  */
+class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
+
+  test("30k-doc history: state = occupied buckets exactly, late arrival pairs against it") {
+    import spark.implicits._
+    val n = 20000L
+    // ~5% planted duplicates: doc i and i+n share a text when i % 20 == 0;
+    // everything else is unique prose
+    // cluster texts differ pairwise in four of six tokens (and unique
+    // texts in at least three of eight), so inter-cluster signature
+    // distance behaves like random 60-bit points (~30 bits) — no
+    // accidental <=3-Hamming pair can contaminate the planted counts
+    def text(id: Long): String = {
+      val base = if (id >= n) id - n else id
+      if (base % 20 == 0) s"planted c${base} d${base} e${base} f${base} cluster"
+      else s"unique document ${id} with tokens t${id % 997} u${id % 331} v${id % 73}"
+    }
+    val first = (0L until n).map(id => (id, text(id)))
+    val second = (n until n + n / 2).map(id => (id, text(id)))
+
+    val feed = tmpDir("sdedup-scale-feed")
+    val out = tmpDir("sdedup-scale-out")
+    val ckpt = tmpDir("sdedup-scale-ckpt")
+    first.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
+    second.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
+
+    def run(): Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = out, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      Option(q.lastProgress)
+    }
+    val progress = run()
+
+    // state size is the banded index and nothing more: exactly one state
+    // row per OCCUPIED (band, chunk) bucket — machine-checked against the
+    // batch band explode of the same corpus, not an approximation
+    val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val expectedBuckets = StreamingDedup.bandedSignatures(
+      (first ++ second).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .select("bucket").distinct().count()
+    assert(stateRows.contains(expectedBuckets),
+      s"expected $expectedBuckets state rows (occupied buckets), got $stateRows")
+
+    // the emitted pair set is exactly the batch answer over the union
+    val streamed = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
+      .parquet(out).distinct()
+    val batch = Dedup.simhashNearDupPairs(
+      (first ++ second).toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every planted cross-batch duplicate surfaced (clusters with a
+    // second member exist for base < n/2 — the second feed's range)
+    val planted = streamed
+      .filter(col("id_a") % 20 === 0 && col("id_b") === col("id_a") + n)
+      .count()
+    assert(planted === n / 40,
+      s"expected ${n / 40} planted cross-batch pairs, got $planted")
+
+    // a single late arrival pairs against the 30k-doc history: exactly
+    // its own planted cluster, found through its four buckets
+    val lateId = 7L * n
+    Seq((lateId, text(0L))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(feed)
+    run()
+    val lateRows = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
+      .parquet(out).distinct()
+      .filter(col("id_b") === lateId)
+    // cluster 0 has members 0 and n (both text(0)) → exactly two matches
+    val got = lateRows.select("id_a").as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, n),
+      s"late arrival should pair with its cluster only, got ${got.toSeq}")
+  }
+}

@@ -124,6 +124,19 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty, "fixture must plant at least one near-dup pair")
   }
 
+  test("a bucket past maxBucketDocs fails loudly, never silently degrades") {
+    import spark.implicits._
+    val docs = Seq((1L, tA), (2L, tA), (3L, tA)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      StreamingDedup.nearDupPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3, maxBucketDocs = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucketDocs")),
+      s"expected the loud bucket-cap refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("batch-mode evaluation of the stateful core matches the banded join") {
     import spark.implicits._
     val docs = (0L until 40L)
