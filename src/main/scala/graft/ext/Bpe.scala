@@ -165,6 +165,134 @@ object Bpe {
       .toDF(idCol, "n_words", "n_subwords")
   }
 
+  /** End-of-word marker appended (at ENCODE time) to a word's final
+    * subword, so a flat token-id sequence stays losslessly decodable —
+    * the Sennrich et al. `</w>` convention. Merges are learned and
+    * applied on unmarked symbols; the marker only distinguishes
+    * vocabulary entries ("e" mid-word vs "e</w>" word-final).
+    */
+  val EndOfWord = "</w>"
+
+  /** The marked subwords of one word under the learned merges. */
+  private def markedSubwords(word: String,
+                             merges: Seq[(String, String)]): Vector[String] = {
+    val syms = encodeWord(word, merges)
+    syms.updated(syms.length - 1, syms(syms.length - 1) + EndOfWord)
+  }
+
+  /** Deterministic subword-id VOCABULARY under the learned merges: one
+    * distributed pass reduces the corpus to its distinct-word counts
+    * (the same model-sized frame the trainer aggregates), each distinct
+    * word is encoded once, and ids are assigned by (count desc, token
+    * lex) — a total order, so the id table is a pure function of the
+    * corpus like the merge list itself. Driver-sized by the same
+    * argument as [[learnMerges]]: it IS the tokenizer model.
+    *
+    * @return tokens in id order (id = index), marked word-final forms
+    *         included as distinct entries
+    */
+  def subwordVocab(docs: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(textCol))
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.flatMap { case (w, c) => markedSubwords(w, ms).map(s => (s, c)) }
+      }
+      .toDF("t", "c")
+      .groupBy("t").agg(sum(col("c")).as("c"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }
+      .map(_._1).toSeq
+  }
+
+  /** Encode every document into its flat token-id sequence — the
+    * corpus-scale APPLICATION of the trained tokenizer (train →
+    * [[subwordVocab]] → encode is the production loop; the ids are what
+    * packing and shard export actually ship to a trainer). Broadcast
+    * merges + id table, ONE zero-shuffle scalar pass, per-partition
+    * word memoization (Zipfian corpora re-encode distinct words, not
+    * tokens).
+    *
+    * A subword absent from the vocabulary (encoding a NEW corpus with an
+    * old model) maps to `unkId` when given and otherwise fails LOUDLY,
+    * naming the subword — silently dropping tokens would corrupt the
+    * training stream.
+    *
+    * @return (idCol, token_ids: Array[Int], n_tokens)
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)], vocab: Seq[String],
+                 unkId: Option[Int] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(merges)
+    val bcV = spark.sparkContext.broadcast(
+      vocab.zipWithIndex.toMap)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bcM.value
+        val ids = bcV.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        def encode(w: String): Array[Int] =
+          cache.getOrElseUpdate(w, markedSubwords(w, ms).map { s =>
+            ids.getOrElse(s, unkId.getOrElse(throw new IllegalArgumentException(
+              s"BPE subword '$s' (from word '$w') is not in the vocabulary " +
+                "and no unkId was given — encode with the model's corpus " +
+                "or pass an unknown-token id")))
+          }.toArray)
+        it.map { case (id, text) =>
+          val out = Array.newBuilder[Int]
+          text.split(" ", -1).foreach(w => if (w.nonEmpty) out ++= encode(w))
+          val arr = out.result()
+          (id, arr, arr.length.toLong)
+        }
+      }
+      .toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Decode token-id sequences back to text — the lossless inverse of
+    * [[encodeDocs]] up to whitespace normalization (words joined by
+    * single spaces; the split convention drops empty words). Broadcast
+    * id table, one scalar pass.
+    *
+    * @return (idCol, text)
+    */
+  def decodeDocs(encoded: DataFrame, idCol: String, idsCol: String,
+                 vocab: Seq[String]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcV = spark.sparkContext.broadcast(vocab.toArray)
+    encoded.select(col(idCol).cast("long"), col(idsCol))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val toks = bcV.value
+        it.map { case (id, ids) =>
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < ids.length) {
+            val t = toks(ids(i))
+            if (t.endsWith(EndOfWord)) {
+              sb.append(t, 0, t.length - EndOfWord.length)
+              if (i < ids.length - 1) sb.append(' ')
+            } else sb.append(t)
+            i += 1
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF(idCol, "text")
+  }
+
   /** Learn the top-`vocabSize` token vocabulary (by corpus frequency,
     * ties to the lexicographically smallest token — a total, reproducible
     * order) in one aggregation. The result is driver-sized by

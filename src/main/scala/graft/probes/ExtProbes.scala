@@ -99,6 +99,30 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] corpus-scale BPE tokenizer APPLICATION (r16): train merges,
+    // derive the deterministic subword-id vocabulary, ENCODE every
+    // document to its flat token-id sequence, then DECODE the ids back —
+    // the probe hands the decoded text to the oracle, so any defect in
+    // merge application, id assignment, end-of-word marking, or decode
+    // (one swapped id, one misplaced marker) corrupts some document and
+    // hash-mismatches. The oracle is closed-form from the source table:
+    // lossless roundtrip up to single-space word joining.
+    Probe(
+      "bpe_encode_roundtrip",
+      "SELECT doc_id, array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ') AS text " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val (merges, vocab) = PhaseTimer.timed("bpe_encode_roundtrip", "train") {
+        val m = graft.ext.Bpe.learnMerges(docs, "text", numMerges = 80)
+        (m, graft.ext.Bpe.subwordVocab(docs, "text", m))
+      }
+      val enc = graft.ext.Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
+      graft.ext.Bpe.decodeDocs(enc, "doc_id", "token_ids", vocab)
+        .orderBy("doc_id")
+    },
+
     Probe(
       "text_quality_score",
       s"""WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents) SELECT doc_id, round(least(1.0, (len(list_filter(ts, x -> x IN ($markersSql))) * 1.0 / len(ts)) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(ts) - 1)) * 1.0 / len(ts)) / 8.0) * 0.2, 9) AS quality FROM q ORDER BY doc_id"""

@@ -60,4 +60,60 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       Vector("ab", "ab", "ab"))
     assert(Bpe.encodeWord("x", merges) == Vector("x"))
   }
+
+  test("subwordVocab ids are deterministic and encodeDocs produces exact ids") {
+    // corpus: "ab ab c" ×2 and "ab c c" — merge (a,b) learned first
+    val docs = Seq((1L, "ab ab c"), (2L, "ab ab c"), (3L, "ab c c"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 1)
+    assert(merges == Seq(("a", "b")))
+    // marked subwords: every word is a single subword here → all
+    // word-final: "ab</w>" ×6, "c</w>" ×4 → ids by (count desc, lex)
+    val vocab = Bpe.subwordVocab(docs, "text", merges)
+    assert(vocab == Seq("ab</w>", "c</w>"))
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+    assert(enc.toList == List(
+      (1L, List(0, 0, 1), 3L), (2L, List(0, 0, 1), 3L), (3L, List(0, 1, 1), 3L)))
+  }
+
+  test("encode/decode roundtrip is lossless; n_tokens matches subwordCounts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val merges = Bpe.learnMerges(docs, "text", 30)
+    val vocab = Bpe.subwordVocab(docs, "text", merges)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
+    // decoded text equals the single-space-normalized source, every doc
+    val decoded = Bpe.decodeDocs(enc, "doc_id", "token_ids", vocab)
+    val src = docs.select(col("doc_id"),
+      array_join(filter(split(col("text"), " ", -1),
+        w => length(w) > 0), " ").as("text"))
+    assert(decoded.join(src, "doc_id")
+      .filter(decoded("text") =!= src("text")).isEmpty)
+    // the id-sequence length IS the subword count (marker changes
+    // nothing about cardinality)
+    val counts = Bpe.subwordCounts(docs, "doc_id", "text", merges)
+    assert(enc.select(col("doc_id"), col("n_tokens"))
+      .join(counts, "doc_id")
+      .filter(col("n_tokens") =!= col("n_subwords")).isEmpty)
+  }
+
+  test("an out-of-vocabulary subword fails loudly unless unkId is given") {
+    val train = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(train, "text", 1)
+    val vocab = Bpe.subwordVocab(train, "text", merges)
+    val fresh = Seq((2L, "zq")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encodeDocs(fresh, "doc_id", "text", merges, vocab).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("not in the vocabulary")))
+    // with an unknown id, the stream survives and marks the gap
+    val unk = vocab.size
+    val got = Bpe.encodeDocs(fresh, "doc_id", "text", merges, vocab,
+      unkId = Some(unk)).collect()
+    assert(got.head.getSeq[Int](1).forall(_ == unk))
+  }
 }
