@@ -85,6 +85,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("BPE corpus encode stays shuffle-free; streaming dedup pays one exchange") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val merges = graft.ext.Bpe.learnMerges(docs, "text", 10)
+    val vocab = graft.ext.Bpe.subwordVocab(docs, "text", merges)
+    val enc = graft.ext.Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
+    assert(!plan(enc).contains("Exchange"), plan(enc))
+    // the stateful band index costs exactly the one hash exchange on the
+    // bucket key — the streaming analog of the batch band equi-join
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      docs, col("doc_id"), col("text"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan(pairs)).size == 1,
+      plan(pairs))
+  }
+
   test("hash split and weighted sample stay shuffle-free") {
     val docs = Tables.load(spark, sf, "documents")
     val split = graft.ext.Mixing.hashSplit(docs, "doc_id", "s",
