@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Large-blocklist phrase matching (Aho & Corasick, "Efficient
+  * String Matching: An Aid to Bibliographic Search", CACM 1975) — the
+  * operator behind blocklist filtering, contamination phrase screens,
+  * and brand/PII term audits once the list outgrows what a regex
+  * alternation survives: matching a 100k-phrase list per document is
+  * O(chars + matches) against the automaton, vs O(chars × phrases) for
+  * per-phrase scans (what a naive `contains` loop or an alternation
+  * that RE2/Java regex compiles into effectively costs at this shape).
+  *
+  * Semantics: every OVERLAPPING occurrence of every phrase counts, as
+  * cross-phrase substring containment does ("scan" inside "table scan"
+  * reports both) — blocklist screens want the superset; dedupe at the
+  * policy layer if a policy wants maximal matches only.
+  *
+  * Scale story: the automaton builds once on the DRIVER in O(total
+  * phrase chars) and ships as ONE broadcast (it is the model, like a
+  * vocabulary or centroid table); matching is a zero-shuffle scalar
+  * pass, embarrassingly parallel with the scan.
+  */
+object Blocklist {
+
+  /** Immutable, serializable Aho-Corasick automaton. Node 0 is the root;
+    * goto edges are per-node char maps; fail links and match outputs are
+    * BFS-precomputed. `outCount(n)` aggregates the phrase-endings
+    * reachable from n through the whole fail chain, so the hot loop adds
+    * one int per position; per-phrase attribution walks `outLink` chains
+    * only at actual match sites (O(matches)).
+    */
+  final class Automaton private[Blocklist] (
+      val goto_ : Array[Map[Char, Int]],
+      val fail: Array[Int],
+      val endsHere: Array[Array[Int]], // phrase ids ending exactly at node
+      val outCount: Array[Int],        // endings through the fail chain
+      val outLink: Array[Int],         // nearest fail-ancestor with endings
+      val nPhrases: Int) extends Serializable {
+
+    private def step(state: Int, c: Char): Int = {
+      var s = state
+      while (s != 0 && !goto_(s).contains(c)) s = fail(s)
+      goto_(s).getOrElse(c, 0)
+    }
+
+    /** (total overlapping occurrences, distinct phrase ids hit). */
+    def matchStats(text: String): (Long, java.util.BitSet) = {
+      val hit = new java.util.BitSet(nPhrases)
+      var total = 0L
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        if (outCount(s) > 0) {
+          total += outCount(s)
+          var o = if (endsHere(s).nonEmpty) s else outLink(s)
+          while (o != 0) {
+            endsHere(o).foreach(hit.set)
+            o = outLink(o)
+          }
+        }
+        i += 1
+      }
+      (total, hit)
+    }
+
+    /** First-match short circuit for pure filtering. */
+    def containsAny(text: String): Boolean = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        if (outCount(s) > 0) return true
+        i += 1
+      }
+      false
+    }
+  }
+
+  /** Build the automaton on the driver: trie insert + BFS fail links. */
+  def automaton(phrases: Seq[String]): Automaton = {
+    require(phrases.nonEmpty, "empty blocklist")
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      require(p != null && p.nonEmpty, s"blocklist phrase $i is null/empty")
+    }
+    val goto_ = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    phrases.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        s = goto_(s).getOrElseUpdate(c, {
+          goto_ += scala.collection.mutable.HashMap.empty[Char, Int]
+          ends += Nil
+          goto_.length - 1
+        })
+      }
+      ends(s) = pi :: ends(s)
+    }
+    val n = goto_.length
+    val fail = new Array[Int](n)
+    val outCount = new Array[Int](n)
+    val outLink = new Array[Int](n)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    goto_(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      outCount(u) = ends(u).size + outCount(fail(u))
+      outLink(u) = if (ends(fail(u)).nonEmpty) fail(u) else outLink(fail(u))
+      goto_(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !goto_(f).contains(c)) f = fail(f)
+        fail(v) = if (goto_(f).contains(c) && goto_(f)(c) != v) goto_(f)(c) else 0
+        queue += v
+      }
+    }
+    new Automaton(goto_.map(_.toMap).toArray, fail,
+      ends.map(_.toArray.sorted).toArray, outCount, outLink, phrases.length)
+  }
+
+  /** Per-document match census against the blocklist: one broadcast, one
+    * zero-shuffle scalar pass.
+    *
+    * @return (idCol, n_matches, n_phrases) — total overlapping
+    *         occurrences and distinct phrases hit
+    */
+  def matchCounts(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(automaton(phrases))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.map { case (id, text) =>
+          val (total, hit) = ac.matchStats(text)
+          (id, total, hit.cardinality().toLong)
+        }
+      }
+      .toDF(idCol, "n_matches", "n_phrases")
+  }
+
+  /** Documents with zero blocklist hits — the filter a curation pipeline
+    * composes; first match short-circuits the row.
+    */
+  def filterClean(docs: DataFrame, textCol: String,
+                  phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(automaton(phrases))
+    docs.filter(col(textCol).isNotNull)
+      .filter(r => !bc.value.containsAny(
+        r.getString(r.fieldIndex(textCol))))
+  }
+}

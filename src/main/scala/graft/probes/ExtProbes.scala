@@ -99,6 +99,27 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] large-blocklist phrase screen (r16): every OVERLAPPING
+    // occurrence of every phrase, counted by the broadcast Aho-Corasick
+    // automaton in one O(chars + matches) pass — while the oracle pays
+    // the O(chars × phrases) naive position scan the automaton exists to
+    // avoid, re-deriving every count from scratch (substring containment
+    // included: 'scan' hits inside 'table scan', 'an' inside both).
+    Probe(
+      "text_blocklist_match",
+      "WITH m AS (SELECT d.doc_id, t.p, len(list_filter(generate_series(1, length(d.text) - length(t.p) + 1), " +
+        "i -> substring(d.text, i, length(t.p)) = t.p)) AS c " +
+        "FROM documents d CROSS JOIN (VALUES ('scan'), ('order'), ('table scan'), ('an'), ('me')) AS t(p) " +
+        "WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches, CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phrases " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Blocklist.matchCounts(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("scan", "order", "table scan", "an", "me"))
+        .orderBy("doc_id")
+    },
+
     // [EXT] corpus-scale BPE tokenizer APPLICATION (r16): train merges,
     // derive the deterministic subword-id vocabulary, ENCODE every
     // document to its flat token-id sequence, then DECODE the ids back —

@@ -98,6 +98,10 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       docs, col("doc_id"), col("text"))
     assert("Exchange hashpartitioning".r.findAllIn(plan(pairs)).size == 1,
       plan(pairs))
+    // blocklist screening: one broadcast automaton, zero-shuffle scan
+    val bl = graft.ext.Blocklist.matchCounts(docs, "doc_id", "text",
+      Seq("scan", "order"))
+    assert(!plan(bl).contains("Exchange"), plan(bl))
   }
 
   test("hash split and weighted sample stay shuffle-free") {

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class BlocklistSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  /** Naive reference: every overlapping occurrence of every phrase. */
+  private def naive(text: String, phrases: Seq[String]): (Long, Long) = {
+    val perPhrase = phrases.map { p =>
+      (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+    }
+    (perPhrase.sum, perPhrase.count(_ > 0).toLong)
+  }
+
+  test("automaton counts overlapping and nested occurrences exactly") {
+    val ac = Blocklist.automaton(Seq("aa", "aaa", "ab", "table scan", "scan", "an"))
+    // "aaaa": aa at 0,1,2 (overlapping) + aaa at 0,1
+    val (t1, h1) = ac.matchStats("aaaa")
+    assert(t1 === 5L && h1.cardinality() === 2)
+    // nested + cross-space phrases: table scan x1, scan x1, an x1
+    // (inside scan), ab x2 (inside 'table' and standalone)
+    val (t2, h2) = ac.matchStats("table scan ab")
+    assert(t2 === 5L && h2.cardinality() === 4)
+    assert(ac.containsAny("xxscanxx") && !ac.containsAny("xyz"))
+    val (t3, _) = ac.matchStats("")
+    assert(t3 === 0L)
+  }
+
+  test("automaton agrees with the naive scan on adversarial strings") {
+    val phrases = Seq("ab", "ba", "aba", "bab", "abab", "a", "bb")
+    val ac = Blocklist.automaton(phrases)
+    // exhaustive over all strings of length <= 8 on {a, b}: every fail
+    // link and output chain gets exercised
+    def strings(n: Int): Iterator[String] =
+      if (n == 0) Iterator("")
+      else strings(n - 1).flatMap(s => Iterator(s + "a", s + "b"))
+    (0 to 8).foreach { n =>
+      strings(n).foreach { s =>
+        val (total, hit) = ac.matchStats(s)
+        val (nt, nh) = naive(s, phrases)
+        assert(total === nt && hit.cardinality().toLong === nh,
+          s"mismatch on '$s': ac=($total,${hit.cardinality()}) naive=($nt,$nh)")
+      }
+    }
+  }
+
+  test("matchCounts and filterClean over a frame; empty phrases refuse") {
+    val docs = Seq((1L, "clean text here"), (2L, "the table scan plan"),
+      (3L, "nothing"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val phrases = Seq("table scan", "scan", "plan")
+    val got = Blocklist.matchCounts(docs, "doc_id", "text", phrases)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 3L, 3L), (3L, 0L, 0L)))
+    val clean = Blocklist.filterClean(docs, "text", phrases)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(1L, 3L))
+    intercept[IllegalArgumentException](Blocklist.automaton(Nil))
+    intercept[IllegalArgumentException](Blocklist.automaton(Seq("ok", "")))
+  }
+
+  test("a 50k-phrase blocklist matches in one pass (the list regex dies on)") {
+    // phrase list far beyond alternation scale; only a handful hit
+    val phrases = (0 until 50000).map(i => s"blocked_term_$i")
+    val ac = Blocklist.automaton(phrases)
+    val (total, hit) = ac.matchStats(
+      "prefix blocked_term_42 middle blocked_term_49999 blocked_term_4 end")
+    // numeric-prefix phrases nest: _49999 contains _4,_49,_499,_4999;
+    // _42 contains _4 — 8 occurrences over 6 distinct phrases
+    assert(hit.cardinality() === 6)
+    assert(total === 8L)
+    assert(!ac.containsAny("no blocked terms at all"))
+  }
+}

@@ -80,4 +80,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `| head` closing early is not an error
+        import os
+        os._exit(0)
