@@ -578,6 +578,11 @@ final class IngestPipeline(
       // rendering would otherwise bill to the blob-put that evaluates
       // the cache; the count doubles as the stats figure.
       val (chartsWithId, chartCount) = timed("ids_charts") {
+        // checkpoint BEFORE denseIds: the binary png column routes
+        // denseIds down its 3-pass general path (boundary sample, bucket
+        // counts, stamp), and each pass would re-run this flatMap — i.e.
+        // re-render every chart PNG three times. One eager render into
+        // cached blocks; the id passes then read bytes, not ImageIO.
         val chartPayloads = docsWithId
           .select(col("id").as("document_id"), col("doc"))
           .as[(Long, ParsedDoc)]
@@ -586,6 +591,8 @@ final class IngestPipeline(
               (docId, p.chartType, p.typeIndex, p.level, p.caption, p.png))
           }
           .toDF("document_id", "chart_type", "type_index", "level", "caption", "png")
+          .localCheckpoint()
+        toUnpersist += chartPayloads
         val baseChartId =
           if (cfg.idStrategy == "dense") tables.maxId("chart_data", "id") else 0L
         val df =
