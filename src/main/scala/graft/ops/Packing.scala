@@ -272,6 +272,36 @@ object Packing {
           expr(s"(token_start + tok - 1) div ${seqLen}L")).as("seq_end"))
   }
 
+  /** The loader-facing SPAN TABLE of a packed corpus: one row per
+    * (sequence, document) overlap — which slice of training sequence
+    * `seq` belongs to which document. This is exactly what a trainer
+    * needs to build block-diagonal attention masks / position-id resets
+    * across packed boundaries, and what an eval harness needs to map a
+    * sequence position back to its source document.
+    *
+    * Derived from [[packSequences]] placements by pure per-row
+    * arithmetic plus one `explode(sequence(seq_start, seq_end))` — the
+    * output adds O(sequences) rows to O(documents), no extra shuffle
+    * beyond the packing's own prefix sum. Zero-token documents occupy no
+    * span and emit no row.
+    *
+    * @return (seq, doc_id, offset, len): document `doc_id` occupies
+    *         `[offset, offset + len)` within sequence `seq`; per-seq
+    *         offsets partition `[0, seqLen)` except in the final,
+    *         possibly short, sequence
+    */
+  def sequenceSpans(df: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, buckets: Int = 0): DataFrame =
+    packSequences(df, idCol, tokenCol, seqLen, buckets)
+      .filter(col("token_count") > 0)
+      .withColumn("seq", explode(sequence(col("seq_start"), col("seq_end"))))
+      .select(col("seq"), col("doc_id"),
+        greatest(col("token_start") - col("seq") * seqLen, lit(0L))
+          .as("offset"),
+        (least(col("token_start") + col("token_count"),
+            (col("seq") + 1) * seqLen) -
+          greatest(col("token_start"), col("seq") * seqLen)).as("len"))
+
   /** Length-bucketed batch assignment, the inference/eval counterpart of
     * sequence packing: documents are grouped into length buckets
     * (bucket = tokens div bucketWidth) so every batch pads at most

@@ -433,6 +433,32 @@ object ClusterMixProbes {
         .orderBy("file")
     },
 
+    // [EXT] packed-sequence span table (r16): the loader-facing map of
+    // which slice of each fixed-length training sequence belongs to
+    // which document — the row set attention-mask construction and
+    // position-id resets consume. The oracle re-derives every span in
+    // closed form (running token total → overlapped sequence range →
+    // clipped offsets), so one off-by-one in the prefix sum, the
+    // sequence explode, or the clipping arithmetic hash-mismatches.
+    Probe(
+      "pack_sequence_spans",
+      "WITH o AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "p AS (SELECT doc_id, tok, CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts FROM o), " +
+        "s AS (SELECT doc_id, tok, ts, UNNEST(generate_series(ts // 512, (ts + tok - 1) // 512)) AS seq FROM p WHERE tok > 0) " +
+        "SELECT CAST(seq AS BIGINT) AS seq, doc_id, CAST(GREATEST(ts - seq * 512, 0) AS BIGINT) AS span_offset, " +
+        "CAST(LEAST(ts + tok, (seq + 1) * 512) - GREATEST(ts, seq * 512) AS BIGINT) AS span_len " +
+        "FROM s ORDER BY seq, doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("tok"))
+      graft.ops.Packing.sequenceSpans(docs, "doc_id", "tok", seqLen = 512)
+        .select(col("seq"), col("doc_id"),
+          col("offset").as("span_offset"), col("len").as("span_len"))
+        .orderBy("seq", "doc_id")
+    },
+
     // [EXT] byte-budget tar sharding (r14): shards sized by BYTES via
     // the distributed prefix-sum primitive — next-fit on the exclusive
     // running total of each sample's framed size (512-byte ustar header

@@ -26,6 +26,37 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       (5L, 16L, 1L, 6L, 2L))) // tokens [16,26) — straddles seq 1 -> 2
   }
 
+  test("sequenceSpans: clipped per-sequence slices, exact coverage, no 0-tok rows") {
+    import spark.implicits._
+    val docs = Seq((3L, 4L), (1L, 5L), (2L, 0L), (4L, 7L), (5L, 10L))
+      .toDF("doc_id", "tok")
+    val got = Packing.sequenceSpans(docs, "doc_id", "tok", 10)
+      .orderBy("seq", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    //                  seq  id  off len
+    assert(got == List(
+      (0L, 1L, 0L, 5L),   // [0,5) of seq 0
+      (0L, 3L, 5L, 4L),   // [5,9)
+      (0L, 4L, 9L, 1L),   // head of the straddler
+      (1L, 4L, 0L, 6L),   // its tail opens seq 1
+      (1L, 5L, 6L, 4L),   // next doc fills to the boundary
+      (2L, 5L, 0L, 6L)))  // and finishes in seq 2
+    // invariant on a larger frame: every sequence's spans tile [0, L)
+    // exactly (the last may be short), offsets dense, no overlaps
+    val big = (0L until 500L).map(i => (i, 1L + (i * 7) % 23)).toDF("doc_id", "tok")
+    val spans = Packing.sequenceSpans(big, "doc_id", "tok", 64)
+    val bySeq = spans.groupBy("seq")
+      .agg(sum("len").as("cover"), min("offset").as("mn"),
+        max(col("offset") + col("len")).as("mx"), count(lit(1)).as("n"))
+      .orderBy("seq").collect()
+    bySeq.dropRight(1).foreach { r =>
+      assert(r.getLong(1) === 64L && r.getLong(2) === 0L && r.getLong(3) === 64L, r)
+    }
+    val total = big.agg(sum("tok")).head().getLong(0)
+    assert(bySeq.map(_.getLong(1)).sum === total)
+  }
+
   test("two-pass prefix sum matches the single-partition window reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
