@@ -302,6 +302,51 @@ object Packing {
             (col("seq") + 1) * seqLen) -
           greatest(col("token_start"), col("seq") * seqLen)).as("len"))
 
+  /** Materialize the ACTUAL packed training rows: each fixed-length
+    * sequence's token-id array, assembled from per-document slices in
+    * placement order — what [[sequenceSpans]] describes, this builds.
+    * The final sequence may be short; zero-token documents contribute
+    * nothing.
+    *
+    * Shuffle budget (all carrying ids, never text): the packing prefix
+    * sum's bucket exchange, one doc_id join of placements back to the
+    * token arrays, and one exchange on `seq` to co-locate each
+    * sequence's slices. Moving every token into its sequence once is the
+    * irreducible cost of materialization; per-sequence assembly is a
+    * sort_array over its ≤seqLen/1 + 2 slices, no window.
+    *
+    * @param tokensCol array column of per-document token ids (the
+    *   [[graft.ext.Bpe.encodeDocs]] output shape)
+    * @return (seq, ids) — ids.length == seqLen except the last sequence
+    */
+  def packTokenIds(df: DataFrame, idCol: String, tokensCol: String,
+                   seqLen: Long, buckets: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).as("_toks"))
+      .filter(col("doc_id").isNotNull && col("_toks").isNotNull)
+      .withColumn("_tok_n", size(col("_toks")).cast("long"))
+    packSequences(base.select("doc_id", "_tok_n"), "doc_id", "_tok_n", seqLen,
+        buckets)
+      .join(base, "doc_id")
+      .filter(col("token_count") > 0)
+      .withColumn("seq", explode(sequence(col("seq_start"), col("seq_end"))))
+      .select(col("seq"),
+        // this slice's offset inside the sequence (assembly sort key) …
+        greatest(col("token_start") - col("seq") * seqLen, lit(0L))
+          .as("_off"),
+        // … and the doc-local slice it carries
+        slice(col("_toks"),
+          (greatest(col("seq") * seqLen - col("token_start"), lit(0L)) + 1)
+            .cast("int"),
+          (least(col("token_start") + col("token_count"),
+              (col("seq") + 1) * seqLen) -
+            greatest(col("token_start"), col("seq") * seqLen)).cast("int"))
+          .as("_slice"))
+      .groupBy("seq")
+      .agg(flatten(sort_array(collect_list(struct(col("_off"), col("_slice"))))
+        .getField("_slice")).as("ids"))
+  }
+
   /** Length-bucketed batch assignment, the inference/eval counterpart of
     * sequence packing: documents are grouped into length buckets
     * (bucket = tokens div bucketWidth) so every batch pads at most

@@ -459,6 +459,39 @@ object ClusterMixProbes {
         .orderBy("seq", "doc_id")
     },
 
+    // [EXT] materialized packed training rows (r16): packTokenIds
+    // assembles each fixed-length sequence's ACTUAL token-id array from
+    // per-document slices. The oracle rebuilds the global hashed-token
+    // stream position by position (engine-wide md5-60bit convention) and
+    // checks a position-weighted checksum per sequence — one misplaced
+    // slice, swapped assembly order, or off-by-one clip shifts some
+    // token's in-sequence position and breaks the checksum.
+    Probe(
+      "pack_token_ids",
+      "WITH o AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "cnt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM o), " +
+        "p AS (SELECT doc_id, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts0 FROM cnt), " +
+        "g AS (SELECT o.doc_id, p.ts0 + u.i - 1 AS gpos, CAST('0x' || substring(md5(o.ts[u.i]), 1, 15) AS BIGINT) AS h FROM o JOIN p USING (doc_id), UNNEST(generate_series(1, len(o.ts))) AS u(i)), " +
+        "s AS (SELECT gpos // 512 AS seq, gpos % 512 AS lp, h FROM g) " +
+        "SELECT CAST(seq AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum((lp + 1) * (h % 1000003)) % 2147483647 AS BIGINT) AS checksum " +
+        "FROM s GROUP BY seq ORDER BY seq"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          transform(split(col("text"), " ", -1),
+            tk => graft.ext.Dedup.md5Hash60Col(tk)).as("tokens"))
+      graft.ops.Packing.packTokenIds(docs, "doc_id", "tokens", seqLen = 512)
+        .select(col("seq"), posexplode(col("ids")))
+        .toDF("seq", "p", "h")
+        .groupBy("seq")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum((col("p") + 1) * pmod(col("h"), lit(1000003L))) %
+            2147483647L).cast("long").as("checksum"))
+        .orderBy("seq")
+    },
+
     // [EXT] byte-budget tar sharding (r14): shards sized by BYTES via
     // the distributed prefix-sum primitive — next-fit on the exclusive
     // running total of each sample's framed size (512-byte ustar header

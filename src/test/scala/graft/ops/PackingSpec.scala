@@ -57,6 +57,24 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(bySeq.map(_.getLong(1)).sum === total)
   }
 
+  test("packTokenIds materializes exact sequence arrays across straddles") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, Seq(30L, 31L, 32L, 33L)),
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)),
+      (2L, Seq.empty[Long]),
+      (4L, Seq(40L, 41L, 42L, 43L, 44L, 45L, 46L)),
+      (5L, Seq(50L, 51L, 52L, 53L, 54L, 55L, 56L, 57L, 58L, 59L)))
+      .toDF("doc_id", "tokens")
+    val got = Packing.packTokenIds(docs, "doc_id", "tokens", 10)
+      .orderBy("seq")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    assert(got == List(
+      (0L, List(10L, 11L, 12L, 13L, 14L, 30L, 31L, 32L, 33L, 40L)),
+      (1L, List(41L, 42L, 43L, 44L, 45L, 46L, 50L, 51L, 52L, 53L)),
+      (2L, List(54L, 55L, 56L, 57L, 58L, 59L))))
+  }
+
   test("two-pass prefix sum matches the single-partition window reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
