@@ -428,6 +428,50 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Directional n-gram CONTAINMENT pairs (Broder, "On the resemblance
+    * and containment of documents", SEQUENCES 1997): containment(A in B)
+    * = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric
+    * companion to [[ngramJaccardPairs]] that catches what symmetric
+    * Jaccard structurally CANNOT: a 50-shingle document quoted whole
+    * inside a 5000-shingle page has Jaccard ≈ 0.01 but containment 1.0.
+    * This is the duplicate class of quote farms, scraped-with-chrome
+    * pages, and doc-in-doc boilerplate.
+    *
+    * Emits `(id_a, id_b, cont_a_in_b, cont_b_in_a)` (id_a < id_b, both
+    * directions reported, 4 dp) for pairs whose LARGER direction clears
+    * the threshold. Identical blocked posting-list machinery and cost
+    * shape as [[ngramJaccardPairs]] — same shuffles, same pair space;
+    * only the final normalization differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy("block", "s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.distinct.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("na").cast("double"), 4)
+          .as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 4)
+          .as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Prefix-filtered exact n-gram Jaccard (the All-Pairs/PPJoin principle
     * — Bayardo et al., "Scaling up all pairs similarity search", WWW 2007;
     * Xiao et al., "Efficient similarity joins for near duplicate

@@ -82,6 +82,35 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("containment finds doc-in-doc pairs symmetric jaccard cannot") {
+    import spark.implicits._
+    // doc 2's shingles are a strict subset of doc 1's (quoted whole);
+    // doc 3 is unrelated. 16-word host vs 5-word quote → Jaccard is low
+    // while containment(2 in 1) = 1.0
+    val host = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa"
+    val corpus = Seq(
+      (1L, host),
+      (2L, "echo foxtrot golf hotel india"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text").withColumn("blk", lit(1))
+    val cont = Dedup.ngramContainmentPairs(corpus, "doc_id", "text", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toList
+    // 3 shingles of doc 2, all inside doc 1's 14 → (1,2, 3/14, 1.0)
+    assert(cont == List((1L, 2L, 0.2143, 1.0)))
+    // symmetric jaccard at the same bar sees nothing
+    assert(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "blk", 0.9)
+      .collect().isEmpty)
+    // degenerate guard: identical docs are containment 1.0 both ways
+    val twins = Seq((7L, host), (8L, host)).toDF("doc_id", "text")
+      .withColumn("blk", lit(1))
+    val t2 = Dedup.ngramContainmentPairs(twins, "doc_id", "text", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toList
+    assert(t2 == List((7L, 8L, 1.0, 1.0)))
+  }
+
   test("prefix-filtered jaccard join returns exactly the naive index's pairs") {
     import spark.implicits._
     // corpus case: real planted near-dups from testdata
