@@ -130,6 +130,36 @@ object Similarity {
     topKPerGroup(scored, "query_id", "id", "cos", k, "id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * most-similar corpus vectors with a DIFFERENT label — the "looks
+    * maximally alike, is labeled apart" rows a contrastive or reranker
+    * objective trains against. Same one-scan shape as
+    * [[bruteForceTopKBatch]] (broadcast anchors, codegen cosine,
+    * map-side-truncated top-k — shuffle scales with k × anchors, never
+    * the corpus), plus the label-exclusion predicate pushed before
+    * scoring so excluded rows never enter the aggregate.
+    *
+    * @return (query_id, id, cos) — per anchor, its k hardest negatives
+    */
+  def hardNegativesBatch(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, queries: DataFrame,
+                         qIdCol: String, qVecCol: String, qLabelCol: String,
+                         k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<double>").as("_q_v"),
+      col(qLabelCol).as("_q_label"))
+    val scored = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("_c_v"),
+        col(labelCol).as("_c_label"))
+      .crossJoin(broadcast(q))
+      .filter(col("_c_label") =!= col("_q_label"))
+      .select(col("query_id"), col("id"),
+        round(cosineAuto(spark, col("_c_v"), col("_q_v")), 6).as("cos"))
+    topKPerGroup(scored, "query_id", "id", "cos", k, "id", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane component g(plane, dim) in
     * [-1, 1] (pmod yields 0..2000, so both endpoints are reachable),
     * derived from the engine-wide 60-bit md5 convention

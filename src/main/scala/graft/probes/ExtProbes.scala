@@ -406,6 +406,25 @@ object ExtProbes {
         .orderBy(col("query_id"), col("cos").desc, col("id"))
     },
 
+    // [EXT] hard-negative mining (r16): each anchor's top-k most-similar
+    // vectors with a DIFFERENT label — the contrastive-training negatives
+    // a reranker/embedding objective consumes. One corpus scan, broadcast
+    // anchors, label exclusion pushed BEFORE scoring, map-side-truncated
+    // top-k. Oracle replays the full labeled Q x N scoring.
+    Probe(
+      "sim_hard_negatives",
+      "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5), " +
+        "p AS (SELECT q.query_id, e.vec_id AS id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos FROM e CROSS JOIN q WHERE e.label <> q.qlabel) " +
+        "SELECT query_id, id, cos FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn FROM p) t WHERE rn <= 8 " +
+        "ORDER BY query_id, cos DESC, id"
+    ) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegativesBatch(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 8)
+        .orderBy(col("query_id"), col("cos").desc, col("id"))
+    },
+
     // LSH-bucketed ANN, fully oracled: the md5-derived hyperplanes make
     // the ENTIRE pipeline engine-independent, so the oracle re-derives the
     // 32 planes, every element-ordered projection, the 32-bit signatures,

@@ -82,6 +82,35 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("hard negatives exclude the anchor's label and match the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = embs.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegativesBatch(embs, "vec_id", "embedding",
+      "label", anchors, "vec_id", "embedding", "label", k = 8)
+    // exclusion is absolute: no mined negative carries its anchor's label
+    val labeled = got
+      .join(embs.select(col("vec_id").as("id"), col("label").as("nlabel")), "id")
+      .join(anchors.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), "query_id")
+    assert(labeled.count() === got.count())
+    assert(labeled.filter(col("nlabel") === col("qlabel")).count() === 0L)
+    // and the selection is exactly the windowed reference
+    val scored = embs.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("cv"), col("label").as("cl"))
+      .crossJoin(anchors.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"), col("label").as("ql")))
+      .filter(col("cl") =!= col("ql"))
+      .select(col("query_id"), col("id"),
+        round(Similarity.cosineAuto(spark, col("cv"), col("qv")), 6).as("cos"))
+    val ref = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rn") <= 8).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet === ref && ref.nonEmpty)
+  }
+
   test("containment finds doc-in-doc pairs symmetric jaccard cannot") {
     import spark.implicits._
     // doc 2's shingles are a strict subset of doc 1's (quoted whole);
