@@ -71,6 +71,41 @@ object Mixing {
     df.filter(bucket < threshold)
   }
 
+  /** EXACT-size weighted sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * draw exactly `k` rows with inclusion odds proportional to
+    * `weightCol`, by ranking on the A-ES key u^(1/w) (u the row's
+    * deterministic md5-derived uniform) and keeping the top k. The
+    * Bernoulli [[weightedSample]] cannot hit an exact count; this is the
+    * "pick exactly 10M docs, quality-weighted" selection a curated-crawl
+    * budget actually specifies.
+    *
+    * Deterministic and engine-replayable: u = (md5-60bit(salt ++ id) + 1)
+    * / 2^60 — same salt, same sample, on any engine with md5 (the
+    * engine-wide convention). New salt → a fresh independent draw.
+    *
+    * Scale shape: one zero-shuffle scalar pass computes keys; the global
+    * top-k runs as Spark's TakeOrdered (per-partition heads + driver
+    * merge of k×partitions rows) — no corpus sort, no single-task funnel.
+    * Rows with null/non-positive weight never qualify (loud is wrong
+    * here: a weight of zero legitimately means "never sample me").
+    *
+    * @return the k sampled rows (all input columns), plus `sample_key`
+    */
+  def weightedSampleExact(df: DataFrame, idCol: String, weightCol: String,
+                          k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (graft.ext.Dedup.md5Hash60Col(
+      concat(lit(salt), col(idCol).cast("string"))).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0.0)
+      .withColumn("sample_key",
+        pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle for training-order assignment: adds
     * `shuffle_pos`, the row's 0-based position in the corpus-wide order of
     * `md5(salt ++ id)` — a reproducible permutation (same salt → same

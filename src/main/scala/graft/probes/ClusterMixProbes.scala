@@ -433,6 +433,27 @@ object ClusterMixProbes {
         .orderBy("file")
     },
 
+    // [EXT] exact-size weighted sampling without replacement (r16,
+    // Efraimidis-Spirakis A-ES keys): exactly k rows, inclusion odds
+    // proportional to weight, from the deterministic md5 uniform — the
+    // "pick exactly N docs, quality-weighted" budget selection the
+    // Bernoulli sampler cannot hit. The oracle replays u, the A-ES key,
+    // and the global ranking from scratch; selection is float-robust
+    // (top-of-ranking adjacent key gaps ~1e-7 vs ~1e-15 pow error).
+    Probe(
+      "mix_weighted_exact",
+      "WITH o AS (SELECT doc_id, n_chars, (CAST('0x' || substring(md5('r16aes' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1) / 1152921504606846976.0 AS u " +
+        "FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0), " +
+        "r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS rn FROM o) " +
+        "SELECT doc_id, n_chars FROM r WHERE rn <= 50 ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Mixing.weightedSampleExact(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 50, salt = "r16aes")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // [EXT] packed-sequence span table (r16): the loader-facing map of
     // which slice of each fixed-length training sequence belongs to
     // which document — the row set attention-mask construction and

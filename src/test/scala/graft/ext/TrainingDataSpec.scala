@@ -65,6 +65,34 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(k1 == k2)
   }
 
+  test("weightedSampleExact draws exactly k, weight-proportionally, reproducibly") {
+    val df = (0L until 4000L)
+      .map(i => (i, if (i < 200) 50.0 else 1.0)) // 200 heavy rows at 50x
+      .toDF("doc_id", "w")
+    val s1 = Mixing.weightedSampleExact(df, "doc_id", "w", k = 400, salt = "e1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size === 400)
+    // same salt → identical draw; new salt → a different one
+    val s1b = Mixing.weightedSampleExact(df, "doc_id", "w", 400, "e1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1b === s1)
+    val s2 = Mixing.weightedSampleExact(df, "doc_id", "w", 400, "e2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 !== s1)
+    // 50x-weighted rows must be drastically over-represented vs their
+    // 5% population share (expected inclusion near-certain at this k)
+    val heavy = s1.count(_ < 200L)
+    assert(heavy > 150, s"expected heavy rows to dominate, got $heavy/200")
+    // zero/negative/null weights never qualify
+    import org.apache.spark.sql.functions.lit
+    val withZero = df.withColumn("w",
+      org.apache.spark.sql.functions.when(col("doc_id") < 3900L, lit(0.0))
+        .otherwise(col("w")))
+    val z = Mixing.weightedSampleExact(withZero, "doc_id", "w", 400, "e1")
+      .select("doc_id").as[Long].collect()
+    assert(z.length === 100 && z.forall(_ >= 3900L))
+  }
+
   test("bm25TopK matches a hand-computed score and ranks by term density") {
     val docs = Seq(
       (1L, "data data data pad pad pad pad pad"),
