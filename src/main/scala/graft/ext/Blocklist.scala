@@ -37,6 +37,7 @@ object Blocklist {
       val endsHere: Array[Array[Int]], // phrase ids ending exactly at node
       val outCount: Array[Int],        // endings through the fail chain
       val outLink: Array[Int],         // nearest fail-ancestor with endings
+      val phraseLen: Array[Int],       // code-unit length per phrase id
       val nPhrases: Int) extends Serializable {
 
     private def step(state: Int, c: Char): Int = {
@@ -64,6 +65,46 @@ object Blocklist {
         i += 1
       }
       (total, hit)
+    }
+
+    /** Merged character intervals covered by ANY phrase occurrence:
+      * half-open `[start, end)`, overlapping/adjacent-nested matches
+      * coalesced — the redaction geometry. O(chars + matches) like
+      * [[matchStats]]; the merge is a single backward-extend pass over
+      * matches, which arrive in nondecreasing END order.
+      */
+    def matchIntervals(text: String): Array[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        if (outCount(s) > 0) {
+          // longest phrase ending here defines the widest new interval
+          var minStart = Int.MaxValue
+          var o = if (endsHere(s).nonEmpty) s else outLink(s)
+          while (o != 0) {
+            endsHere(o).foreach { pid =>
+              val st = i + 1 - phraseLen(pid)
+              if (st < minStart) minStart = st
+            }
+            o = outLink(o)
+          }
+          // a long phrase ending late can reach back across SEVERAL
+          // earlier intervals — pop and absorb every one it touches
+          // (overlap or abut), then push the union
+          var curS = minStart
+          var curE = i + 1
+          while (out.nonEmpty && out.last._2 >= curS) {
+            val (ps, pe) = out.remove(out.length - 1)
+            curS = math.min(ps, curS)
+            curE = math.max(pe, curE)
+          }
+          out += ((curS, curE))
+        }
+        i += 1
+      }
+      out.toArray
     }
 
     /** First-match short circuit for pure filtering. */
@@ -117,7 +158,8 @@ object Blocklist {
       }
     }
     new Automaton(goto_.map(_.toMap).toArray, fail,
-      ends.map(_.toArray.sorted).toArray, outCount, outLink, phrases.length)
+      ends.map(_.toArray.sorted).toArray, outCount, outLink,
+      phrases.map(_.length).toArray, phrases.length)
   }
 
   /** Per-document match census against the blocklist: one broadcast, one
@@ -142,6 +184,56 @@ object Blocklist {
         }
       }
       .toDF(idCol, "n_matches", "n_phrases")
+  }
+
+  /** Merged match spans per document: one row per maximal covered
+    * character interval `[span_start, span_end)` — the redaction
+    * geometry, as data (audit trails, span-level policy decisions).
+    */
+  def matchSpans(docs: DataFrame, idCol: String, textCol: String,
+                 phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(automaton(phrases))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.flatMap { case (id, text) =>
+          ac.matchIntervals(text).iterator.map { case (s, e) =>
+            (id, s.toLong, e.toLong)
+          }
+        }
+      }
+      .toDF(idCol, "span_start", "span_end")
+  }
+
+  /** Length-preserving redaction: every covered character masked, the
+    * rest byte-identical — downstream token/offset arithmetic (chunk
+    * boundaries, span labels) survives the scrub. One broadcast, one
+    * zero-shuffle pass.
+    */
+  def redact(docs: DataFrame, textCol: String, phrases: Seq[String],
+             mask: Char = '*'): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(automaton(phrases))
+    val fn = udf { text: String =>
+      if (text == null) null
+      else {
+        val iv = bc.value.matchIntervals(text)
+        if (iv.isEmpty) text
+        else {
+          val cs = text.toCharArray
+          iv.foreach { case (s, e) =>
+            var i = s
+            while (i < e) { cs(i) = mask; i += 1 }
+          }
+          new String(cs)
+        }
+      }
+    }
+    docs.withColumn(textCol, fn(col(textCol)))
   }
 
   /** Documents with zero blocklist hits — the filter a curation pipeline

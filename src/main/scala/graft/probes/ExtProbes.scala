@@ -120,6 +120,29 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] blocklist redaction geometry (r16): the merged covered
+    // character intervals every phrase occurrence contributes — what
+    // Blocklist.redact masks. The oracle derives the covered CHARACTER
+    // SET by brute force and re-merges it into maximal islands, so a
+    // missed nested match, a wrong phrase length, or a broken interval
+    // merge (e.g. a long phrase bridging several earlier spans)
+    // hash-mismatches.
+    Probe(
+      "text_blocklist_spans",
+      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "m AS (SELECT d.doc_id, u.i - 1 AS s, u.i - 1 + length(t.p) AS e FROM d CROSS JOIN (VALUES ('table scan'), ('scan'), ('an'), ('me')) t(p), " +
+        "UNNEST(generate_series(1, length(d.text) - length(t.p) + 1)) AS u(i) WHERE substring(d.text, u.i, length(t.p)) = t.p), " +
+        "cov AS (SELECT DISTINCT doc_id, u2.c AS pos FROM m, UNNEST(generate_series(s, e - 1)) AS u2(c)), " +
+        "i AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1 THEN 1 ELSE 0 END AS brk FROM cov), " +
+        "j AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM i) " +
+        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 1 AS BIGINT) AS span_end FROM j GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+    ) { (s, d) =>
+      graft.ext.Blocklist.matchSpans(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("table scan", "scan", "an", "me"))
+        .orderBy("doc_id", "span_start")
+    },
+
     // [EXT] corpus-scale BPE tokenizer APPLICATION (r16): train merges,
     // derive the deterministic subword-id vocabulary, ENCODE every
     // document to its flat token-id sequence, then DECODE the ids back —

@@ -47,6 +47,54 @@ class BlocklistSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  /** Naive covered-set islands: the interval reference. */
+  private def naiveIntervals(text: String,
+                             phrases: Seq[String]): List[(Int, Int)] = {
+    val covered = Array.fill(text.length)(false)
+    phrases.foreach { p =>
+      (0 to text.length - p.length).foreach { i =>
+        if (text.startsWith(p, i)) (i until i + p.length).foreach(covered(_) = true)
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      if (covered(i)) {
+        val s = i
+        while (i < text.length && covered(i)) i += 1
+        out += ((s, i))
+      } else i += 1
+    }
+    out.toList
+  }
+
+  test("matchIntervals equals covered-set islands, including long-phrase bridging") {
+    // a long phrase reaching back across two earlier intervals must
+    // produce ONE merged span
+    val ac = Blocklist.automaton(Seq("ab", "ef", "abcdefgh"))
+    assert(ac.matchIntervals("xxabcdefghyy").toList === List((2, 10)))
+    assert(ac.matchIntervals("ab__ef").toList === List((0, 2), (4, 6)))
+    // exhaustive over {a,b} strings vs the naive reference
+    val phrases = Seq("ab", "ba", "aba", "bab", "abab", "a", "bb")
+    val acx = Blocklist.automaton(phrases)
+    def strings(n: Int): Iterator[String] =
+      if (n == 0) Iterator("")
+      else strings(n - 1).flatMap(s => Iterator(s + "a", s + "b"))
+    (0 to 8).foreach(n => strings(n).foreach { s =>
+      assert(acx.matchIntervals(s).toList === naiveIntervals(s, phrases),
+        s"interval mismatch on '$s'")
+    })
+  }
+
+  test("redact masks exactly the covered characters, length-preserving") {
+    val docs = Seq((1L, "the table scan plan runs"), (2L, "untouched"))
+      .toDF("doc_id", "text")
+    val out = Blocklist.redact(docs, "text", Seq("table scan", "scan", "plan"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toList
+    assert(out === List("the ********** **** runs", "untouched"))
+    assert(out.head.length === "the table scan plan runs".length)
+  }
+
   test("matchCounts and filterClean over a frame; empty phrases refuse") {
     val docs = Seq((1L, "clean text here"), (2L, "the table scan plan"),
       (3L, "nothing"), (4L, null.asInstanceOf[String]))
