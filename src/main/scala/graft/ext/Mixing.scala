@@ -81,29 +81,38 @@ object Mixing {
     * budget actually specifies.
     *
     * Deterministic and engine-replayable: u = (md5-60bit(salt ++ id) + 1)
-    * / 2^60 — same salt, same sample, on any engine with md5 (the
+    * / 2^60 — the +1 happens in INTEGER space before the double cast (so
+    * the value matches an oracle's `(BIGINT + 1) / 2^60` bit-for-bit;
+    * adding 1.0 after the cast is absorbed by rounding for ~1/128 of
+    * ids). Same salt, same sample, on any engine with md5 (the
     * engine-wide convention). New salt → a fresh independent draw.
     *
     * Scale shape: one zero-shuffle scalar pass computes keys; the global
-    * top-k runs as Spark's TakeOrdered (per-partition heads + driver
-    * merge of k×partitions rows) — no corpus sort, no single-task funnel.
-    * Rows with null/non-positive weight never qualify (loud is wrong
-    * here: a weight of zero legitimately means "never sample me").
+    * top-k runs through [[graft.ops.OrderStat.topKByKeyDesc]] — Spark's
+    * TakeOrdered for k <= `cutover` (per-partition heads + a driver merge
+    * bounded by cutover×partitions rows), distributed threshold selection
+    * above it (approx-quantile bracket + one exact boundary count + a
+    * zero-shuffle filter), so "pick exactly 10M docs" never rides the
+    * driver. Rows with null/non-positive weight never qualify (loud is
+    * wrong here: a weight of zero legitimately means "never sample me").
     *
     * @return the k sampled rows (all input columns), plus `sample_key`
     */
   def weightedSampleExact(df: DataFrame, idCol: String, weightCol: String,
-                          k: Int, salt: String): DataFrame = {
+                          k: Int, salt: String,
+                          cutover: Int = 65536): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!hasColumn(df, "sample_key"),
+      "weightedSampleExact adds 'sample_key'; rename the existing column")
     val u = (graft.ext.Dedup.md5Hash60Col(
-      concat(lit(salt), col(idCol).cast("string"))).cast("double") + 1.0) /
-      math.pow(2.0, 60)
-    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+      concat(lit(salt), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / math.pow(2.0, 60)
+    val keyed = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0.0)
       .withColumn("sample_key",
         pow(u, lit(1.0) / col(weightCol).cast("double")))
-      .orderBy(col("sample_key").desc, col(idCol))
-      .limit(k)
+    graft.ops.OrderStat.topKByKeyDesc(keyed, "sample_key", idCol, k, cutover)
   }
 
   /** Deterministic global shuffle for training-order assignment: adds

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed order statistics: EXACT global top-k selection
+  * without a driver-side merge — the primitive behind "pick exactly 10M
+  * documents by score" selections where Spark's own
+  * `orderBy(...).limit(k)` (TakeOrderedAndProject) would merge up to
+  * k × partitions rows on the driver.
+  *
+  * Algorithm (threshold selection, the classic distributed k-th order
+  * statistic): bracket the k-th largest key with ONE approx-quantile pass
+  * (Greenwald-Khanna sketch, `df.stat.approxQuantile`), pin the bracket
+  * with ONE exact conditional-count aggregate, then
+  *   - everything strictly above the upper bracket value is in the top k
+  *     (a zero-shuffle filter — the corpus never moves), and
+  *   - the boundary band between the bracket values (~relErr · n rows) is
+  *     recursed on for the remaining need, terminating in a TakeOrdered
+  *     whose limit is <= `cutover` — a driver merge bounded by the
+  *     cutover, never by k.
+  * Each recursion level shrinks the candidate set by ~6·relErr, so depth
+  * is 2-3 in practice; a depth cap fails loudly rather than looping.
+  *
+  * The selected SET is exact and deterministic — the top k rows by
+  * (key desc, tiebreak asc) — regardless of where the (non-deterministic,
+  * sketch-derived) bracket values land: bracket placement only moves work
+  * between the filter and the band, never changes membership.
+  *
+  * Degenerate-tie refusal: if more than `cutover` rows share the exact
+  * boundary key value (the bracket cannot shrink), selection would need a
+  * distributed rank over the tie set's tiebreak column — a different
+  * operator. That only happens when keys have collapsed (e.g. extreme
+  * weights driving u^(1/w) to 1.0 in double precision); the engine's
+  * loud-refusal idiom applies.
+  *
+  * This is an EAGER operator (it runs the quantile/count actions when
+  * called, like `Mixing.temperatureWeights`); the returned DataFrame is a
+  * union of filters on `df` plus one bounded TakeOrdered. `df` is
+  * re-scanned a handful of times (quantile, counts, final filters) — all
+  * passes read only the key column until the final output, so columnar
+  * sources pay narrow scans; persist upstream if `df` is expensive to
+  * recompute.
+  */
+object OrderStat {
+
+  /** Exact top-`k` rows of `df` by (`keyCol` desc, `tieCol` asc).
+    *
+    * Rows with a null key never qualify. For `k <= cutover` this is
+    * exactly `orderBy(desc(keyCol), asc(tieCol)).limit(k)` (TakeOrdered —
+    * optimal at small k); above the cutover the distributed threshold
+    * selection runs and no driver structure ever holds more than
+    * ~`cutover` rows.
+    *
+    * @param cutover largest k (and largest boundary band) still routed
+    *                through TakeOrdered; also bounds the tie refusal
+    * @param relErr  Greenwald-Khanna sketch relative error (band width)
+    */
+  def topKByKeyDesc(df: DataFrame, keyCol: String, tieCol: String, k: Long,
+                    cutover: Int = 65536, relErr: Double = 1e-4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cutover >= 1, s"cutover must be >= 1, got $cutover")
+    require(relErr > 0.0 && relErr < 0.5,
+      s"relErr must be in (0, 0.5), got $relErr")
+    val base = df.filter(col(keyCol).isNotNull)
+    if (k <= cutover)
+      base.orderBy(col(keyCol).desc, col(tieCol)).limit(k.toInt)
+    else {
+      val total = base.count()
+      if (total <= k) base
+      else select(base, keyCol, tieCol, total, k, cutover, relErr, depth = 0)
+    }
+  }
+
+  /** Recursive threshold selection: `frame` has exactly `total` rows
+    * (all keys non-null), `cutover < need <= total`.
+    */
+  private def select(frame: DataFrame, keyCol: String, tieCol: String,
+                     total: Long, need: Long, cutover: Int, relErr: Double,
+                     depth: Int): DataFrame = {
+    require(depth < 8,
+      s"top-k threshold selection failed to converge after $depth levels " +
+        s"(band still ${total} rows for need=$need) — key distribution is " +
+        "degenerate; raise cutover or widen relErr")
+    // bracket the need-th largest key: the value at quantile q has rank
+    // within relErr*total of q*total, so quantiles at q -/+ margin bound
+    // the boundary from both sides once exact counts confirm them
+    val q = 1.0 - need.toDouble / total
+    var margin = 2.0 * relErr
+    var vLow = 0.0; var vHigh = 0.0; var above = 0L; var atLeast = 0L
+    var bracketed = false
+    while (!bracketed) {
+      val pLow = math.max(0.0, q - margin)
+      val pHigh = math.min(1.0, q + margin)
+      val vs = frame.stat.approxQuantile(keyCol, Array(pLow, pHigh), relErr)
+      vLow = vs(0); vHigh = vs(1)
+      // ONE exact pass pins both sides of the bracket
+      val r = frame.agg(
+        sum(when(col(keyCol) > vHigh, 1L).otherwise(0L)).as("above"),
+        sum(when(col(keyCol) >= vLow, 1L).otherwise(0L)).as("at_least"))
+        .head()
+      above = r.getLong(0); atLeast = r.getLong(1)
+      if (above <= need && need <= atLeast) bracketed = true
+      // sketch rank error exceeded the margin — widen geometrically;
+      // terminates because at margin >= 1 the bracket is [min, max],
+      // where above = 0 <= need and atLeast = total >= need always hold
+      else margin *= 4.0
+    }
+    val kept = frame.filter(col(keyCol) > vHigh)
+    val remaining = need - above
+    if (remaining == 0L) kept
+    else {
+      val band = frame.filter(col(keyCol) >= vLow && col(keyCol) <= vHigh)
+      val bandSize = atLeast - above
+      if (bandSize <= cutover)
+        kept.unionAll(
+          band.orderBy(col(keyCol).desc, col(tieCol)).limit(remaining.toInt))
+      else {
+        require(vLow < vHigh,
+          s"$bandSize rows tie at the boundary key value $vLow (> cutover " +
+            s"$cutover): the key has collapsed (e.g. extreme weights " +
+            "rounding to one double) — rescale the key or raise cutover")
+        kept.unionAll(
+          select(band, keyCol, tieCol, bandSize, remaining, cutover, relErr,
+            depth + 1))
+      }
+    }
+  }
+}

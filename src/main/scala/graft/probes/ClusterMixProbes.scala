@@ -454,6 +454,29 @@ object ClusterMixProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] LARGE-k exact weighted sampling (r17): same A-ES semantics,
+    // but k far above the TakeOrdered cutover so the selection runs the
+    // distributed threshold path (ops.OrderStat: approx-quantile bracket
+    // + one exact boundary count + zero-shuffle filter + a band
+    // TakeOrdered bounded by the cutover, never by k). The oracle replays
+    // the identical global ranking — one wrong row at the threshold
+    // boundary hash-mismatches. cutover=16 forces the distributed path
+    // even at sf0.01; PlanSpec pins that no driver merge above the
+    // cutover appears in the selected plan.
+    Probe(
+      "mix_weighted_exact_large",
+      "WITH o AS (SELECT doc_id, n_chars, (CAST('0x' || substring(md5('r17aes' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1) / 1152921504606846976.0 AS u " +
+        "FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0), " +
+        "r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS rn FROM o) " +
+        "SELECT doc_id, n_chars FROM r WHERE rn <= 500 ORDER BY doc_id"
+    ) { (s, d) =>
+      graft.ext.Mixing.weightedSampleExact(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 500, salt = "r17aes", cutover = 16)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // [EXT] packed-sequence span table (r16): the loader-facing map of
     // which slice of each fixed-length training sequence belongs to
     // which document — the row set attention-mask construction and

@@ -288,4 +288,21 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
       docs, "doc_id", "text", model))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("weightedSampleExact above the cutover: no k-sized driver merge") {
+    // r16 weak mark: orderBy().limit(k) at the operator's advertised 10M
+    // scale was a TakeOrdered merge of k×partitions rows on the driver.
+    // Above the cutover the plan must be threshold filters plus at most a
+    // cutover-bounded band TakeOrdered — never a limit-k one.
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars")
+    val cutover = 16
+    val out = graft.ext.Mixing.weightedSampleExact(
+      docs, "doc_id", "n_chars", k = 120, salt = "plan17", cutover = cutover)
+    val p = out.queryExecution.executedPlan.toString
+    val limits = "TakeOrderedAndProject\\(limit=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toList
+    assert(limits.forall(_ <= cutover), s"k-sized TakeOrdered survived:\n$p")
+    assert(out.count() === 120L)
+  }
 }

@@ -93,6 +93,23 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
     assert(z.length === 100 && z.forall(_ >= 3900L))
   }
 
+  test("weightedSampleExact large-k distributed path matches TakeOrdered") {
+    // k = 25% of corpus, cutover forced below k: the threshold-selection
+    // path (ops.OrderStat) must reproduce the TakeOrdered draw EXACTLY —
+    // same salt, same k, membership decided by the same (key desc, id)
+    // global order regardless of which physical path ran
+    val df = (0L until 4000L)
+      .map(i => (i, 1.0 + (i % 7).toDouble))
+      .toDF("doc_id", "w").repartition(17)
+    val small = Mixing.weightedSampleExact(df, "doc_id", "w", 1000, "e3")
+      .select("doc_id").as[Long].collect().toSet
+    val dist = Mixing.weightedSampleExact(df, "doc_id", "w", 1000, "e3",
+        cutover = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.size === 1000)
+    assert(dist === small)
+  }
+
   test("bm25TopK matches a hand-computed score and ranks by term density") {
     val docs = Seq(
       (1L, "data data data pad pad pad pad pad"),

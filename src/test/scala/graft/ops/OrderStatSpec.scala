@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class OrderStatSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // deterministic pseudo-random-ish keys: md5-derived doubles in [0,1)
+  private def keyedFrame(n: Long) =
+    spark.range(n).toDF("id")
+      .withColumn("key",
+        graft.ext.Dedup.md5Hash60Col(concat(lit("os"),
+          col("id").cast("string"))).cast("double") / math.pow(2.0, 60))
+
+  test("distributed path matches the TakeOrdered path exactly") {
+    val df = keyedFrame(5000L).repartition(13)
+    val viaTakeOrdered = OrderStat
+      .topKByKeyDesc(df, "key", "id", k = 1200, cutover = 65536)
+      .select("id").as[Long].collect().toSet
+    val viaThreshold = OrderStat
+      .topKByKeyDesc(df, "key", "id", k = 1200, cutover = 32)
+      .select("id").as[Long].collect().toSet
+    assert(viaTakeOrdered.size === 1200)
+    assert(viaThreshold === viaTakeOrdered)
+  }
+
+  test("boundary ties break by the tiebreak column, ascending") {
+    // 400 rows share key 1.0, 400 share 0.5; k=600 must take ALL of the
+    // 1.0 tier plus the 200 smallest ids of the 0.5 tier. The cutover
+    // must admit the 400-row boundary tie set (the contract: tie sets
+    // larger than the cutover refuse — covered by the next test)
+    val df = (0L until 800L).map(i => (i, if (i % 2 == 0) 1.0 else 0.5))
+      .toDF("id", "key").repartition(7)
+    val got = OrderStat.topKByKeyDesc(df, "key", "id", k = 600, cutover = 512,
+        relErr = 0.01)
+      .select("id", "key").as[(Long, Double)].collect()
+    assert(got.length === 600)
+    val (top, rest) = got.partition(_._2 == 1.0)
+    assert(top.length === 400)
+    // the 0.5 tier kept exactly the 200 smallest odd ids
+    assert(rest.map(_._1).sorted.toSeq ===
+      (1L until 800L by 2).take(200).toSeq)
+  }
+
+  test("k >= row count returns every non-null-key row") {
+    val df = keyedFrame(100L)
+      .withColumn("key", when(col("id") < 10L, lit(null)).otherwise(col("key")))
+    val got = OrderStat.topKByKeyDesc(df, "key", "id", k = 500, cutover = 8)
+    assert(got.count() === 90L)
+  }
+
+  test("degenerate tie set above cutover refuses loudly") {
+    val df = (0L until 2000L).map(i => (i, 1.0)).toDF("id", "key")
+    val e = intercept[IllegalArgumentException] {
+      OrderStat.topKByKeyDesc(df, "key", "id", k = 700, cutover = 16,
+        relErr = 0.01).count()
+    }
+    assert(e.getMessage.contains("collapsed"), e.getMessage)
+  }
+
+  test("no TakeOrdered above the cutover in the selected plan") {
+    val df = keyedFrame(4000L).repartition(11)
+    val plan = OrderStat.topKByKeyDesc(df, "key", "id", k = 900, cutover = 32)
+      .queryExecution.executedPlan.toString
+    // every TakeOrderedAndProject in the plan is the bounded band merge:
+    // its limit must be <= cutover — the k-sized driver merge is gone
+    val limits = "TakeOrderedAndProject\\(limit=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+    assert(limits.forall(_ <= 32), s"oversized TakeOrdered in:\n$plan")
+  }
+
+  test("small k routes through plain TakeOrdered") {
+    val df = keyedFrame(1000L)
+    val plan = OrderStat.topKByKeyDesc(df, "key", "id", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject(limit=10"), plan)
+  }
+}
