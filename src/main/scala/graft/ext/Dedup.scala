@@ -546,6 +546,72 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Prefix-filtered directional CONTAINMENT pairs — identical result to
+    * [[ngramContainmentPairs]], with the All-Pairs prefix bound adapted
+    * to the asymmetric measure: a pair qualifies iff its larger-direction
+    * containment clears t, i.e. iff the intersection covers at least
+    * ceil(t · n_small) shingles of the SMALLER side — so, under a global
+    * shingle order, the smaller side's first
+    * n_small - ceil(t · n_small) + 1 shingles must hit the other side's
+    * FULL set (if the prefix misses B entirely, at most n_small - prefix
+    * = ceil(t·n_small) - 1 shingles can intersect). Candidate generation
+    * is therefore an asymmetric index: each document indexes only its own
+    * prefix (in ascending document-frequency order, so corpus boilerplate
+    * drops out of the index) and probes with full postings; candidates
+    * are verified exactly.
+    *
+    * This kills the quadratic bucket the naive [[ngramContainmentPairs]]
+    * pays on boilerplate: a shingle shared by n docs in a block yields
+    * O(n²) posting pairs there, but here only (prefix occupancy) × n —
+    * and ubiquitous shingles have near-zero prefix occupancy by the DF
+    * ordering. Same two extra shuffles as [[ngramJaccardPairsPrefix]]
+    * (DF computation + per-doc ordering).
+    */
+  def ngramContainmentPairsPrefix(docs: DataFrame, idCol: String,
+                                  textCol: String, blockCol: String,
+                                  threshold: Double): DataFrame = {
+    val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
+    val dfreq = sh.groupBy("block", "s").agg(count(lit(1)).as("dfreq"))
+    val perDoc = sh.join(dfreq, Seq("block", "s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("s")))).as("ss"),
+        first(col("block")).as("block"))
+    // the final filter accepts ROUNDED containment >= t, so prune with a
+    // threshold relaxed by the rounding slack (same guard as the Jaccard
+    // prefix): needed overlap c = ceil(n * tPrune), prefix = n - c + 1
+    val tPrune = threshold - 5e-5
+    val prefix = perDoc
+      .select(col("doc_id").as("id_p"), col("block"),
+        explode(slice(col("ss.s"), lit(1),
+          size(col("ss")) - ceil(size(col("ss")) * tPrune).cast("int") + 1))
+          .as("s"))
+    // asymmetric candidate join: prefix index × FULL postings. The full
+    // side of a boilerplate shingle is long, but its prefix side is
+    // (near-)empty, so the join output stays near-linear where the naive
+    // posting-list pairing is quadratic.
+    val cands = prefix
+      .join(sh.select(col("doc_id").as("id_f"), col("block"), col("s")),
+        Seq("block", "s"))
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    val sets = perDoc.select(col("doc_id"), col("ss.s").as("arr"),
+      size(col("ss")).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("arr").as("arr_a"), col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("arr").as("arr_b"), col("n").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("na").cast("double"), 4)
+          .as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 4)
+          .as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Cross-document repeated n-gram SPANS (the substring-level dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", 2022 — doc-level MinHash misses boilerplate shared by

@@ -301,6 +301,25 @@ object ExtProbes {
         .orderBy("id_a", "id_b")
     },
 
+    // [EXT] prefix-filtered containment (r17): the SAME naive oracle at
+    // the SAME threshold — the asymmetric prefix bound (smaller side's
+    // first n-ceil(t*n)+1 shingles in DF order, probed against full
+    // postings) must change nothing but the candidate count.
+    Probe(
+      "dedup_ngram_containment_prefix",
+      "WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM sh a JOIN sh b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(inter * 1.0 / ca.n, 4) AS cont_a_in_b, round(inter * 1.0 / cb.n, 4) AS cont_b_in_a " +
+        "FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id " +
+        "WHERE GREATEST(round(inter * 1.0 / ca.n, 4), round(inter * 1.0 / cb.n, 4)) >= 0.8 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      Dedup.ngramContainmentPairsPrefix(t(s, d, "documents"), "doc_id",
+        "text", "source", 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash+LSH is exact-VERIFIED (candidates are re-checked with exact
     // Jaccard), so its output is oracle-able as the exact all-pairs SQL:
     // with 8 bands of 4 rows at threshold 0.5, a true pair at similarity s

@@ -167,6 +167,39 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(p2.exists { case (a, b, _) => a == 100L && b == 101L })
   }
 
+  test("prefix-filtered containment join returns exactly the naive pairs") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    // corpus case: real planted containments from testdata
+    val naive = rows(Dedup.ngramContainmentPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.6))
+    val prefix = rows(Dedup.ngramContainmentPairsPrefix(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.6))
+    assert(naive.nonEmpty && prefix == naive)
+    // asymmetric skew case: every doc shares a boilerplate shingle run
+    // (the quadratic posting lists), plus a SHORT doc quoted whole inside
+    // a long one — the doc-in-doc class only containment catches, which
+    // must survive the prefix filter via the smaller side's prefix
+    val boiler = "generated by export tool"
+    val quoted = "alpha beta gamma delta epsilon"
+    val skewed = (1L to 40L)
+      .map(i => (i, s"$boiler unique$i filler$i body$i text$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, quoted),
+        (101L, s"$boiler long page starts here $quoted and keeps going on"))
+        .toDF("doc_id", "text"))
+      .withColumn("blk", lit(1))
+    val n2 = rows(Dedup.ngramContainmentPairs(skewed, "doc_id", "text",
+      "blk", 0.9))
+    val p2 = rows(Dedup.ngramContainmentPairsPrefix(skewed, "doc_id",
+      "text", "blk", 0.9))
+    assert(p2 == n2)
+    assert(p2.exists { case (a, b, cab, _) =>
+      a == 100L && b == 101L && cab == 1.0 })
+  }
+
   test("identical texts give identical minhash signatures and simhash 0 distance") {
     import spark.implicits._
     val df = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
