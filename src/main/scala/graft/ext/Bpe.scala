@@ -152,11 +152,13 @@ object Bpe {
         val ms = bc.value
         // word repetition is Zipfian: memoize per partition so encode
         // work scales with the partition's DISTINCT words, not tokens
+        // — bounded by MemoCap (clear-on-full, degrade to recompute)
         val cache = scala.collection.mutable.HashMap.empty[String, Long]
         it.map { case (id, text) =>
           val words = text.split(" ", -1).filter(_.nonEmpty)
           var subs = 0L
           words.foreach { w =>
+            if (cache.size >= MemoCap) cache.clear()
             subs += cache.getOrElseUpdate(w, encodeWord(w, ms).length.toLong)
           }
           (id, words.length.toLong, subs)
@@ -173,12 +175,29 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
-  /** The marked subwords of one word under the learned merges. */
+  /** The marked subwords of one word under the learned merges. Words
+    * literally containing the marker refuse LOUDLY: a mid-word '</w>'
+    * would produce a subword that collides with a marked word-final
+    * vocabulary entry, and decode would insert a spurious word break —
+    * a silent break of the documented lossless roundtrip.
+    */
   private def markedSubwords(word: String,
                              merges: Seq[(String, String)]): Vector[String] = {
+    require(!word.contains(EndOfWord),
+      s"word '$word' contains the end-of-word marker '$EndOfWord' " +
+        "literally — encoding it would corrupt the lossless roundtrip; " +
+        "strip or escape the marker upstream")
     val syms = encodeWord(word, merges)
     syms.updated(syms.length - 1, syms(syms.length - 1) + EndOfWord)
   }
+
+  /** Per-partition word-memo bound for the encode passes: Zipfian
+    * corpora hit the head constantly, so a bounded cache keeps the
+    * recompute rate negligible while a high-distinct-word corpus (URLs,
+    * ids) degrades to recompute instead of growing executor memory
+    * without bound.
+    */
+  private val MemoCap = 1 << 16
 
   /** Deterministic subword-id VOCABULARY under the learned merges: one
     * distributed pass reduces the corpus to its distinct-word counts
@@ -188,15 +207,25 @@ object Bpe {
     * corpus like the merge list itself. Driver-sized by the same
     * argument as [[learnMerges]]: it IS the tokenizer model.
     *
+    * `seedChars` declares a coverage charset (production tokenizers'
+    * byte/char fallback, e.g. printable ASCII): every codepoint in it is
+    * guaranteed a vocabulary entry in BOTH forms (bare and word-final
+    * marked), so [[encodeDocs]]'s single-character fallback can encode
+    * ANY word over the charset — new corpora never throw and the
+    * roundtrip stays lossless. Corpus-derived entries keep their
+    * (count desc, lex) ids; seed-only symbols append after them in lex
+    * order, so seeding never perturbs the corpus-derived id table.
+    *
     * @return tokens in id order (id = index), marked word-final forms
     *         included as distinct entries
     */
   def subwordVocab(docs: DataFrame, textCol: String,
-                   merges: Seq[(String, String)]): Seq[String] = {
+                   merges: Seq[(String, String)],
+                   seedChars: String = ""): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
-    docs.select(col(textCol))
+    val corpus = docs.select(col(textCol))
       .filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
@@ -211,6 +240,11 @@ object Bpe {
       .as[(String, Long)].collect()
       .sortBy { case (t, c) => (-c, t) }
       .map(_._1).toSeq
+    val seen = corpus.toSet
+    val seeds = symbolize(seedChars)
+      .flatMap(c => Seq(c, c + EndOfWord))
+      .distinct.filterNot(seen).sorted
+    corpus ++ seeds
   }
 
   /** Encode every document into its flat token-id sequence — the
@@ -222,9 +256,15 @@ object Bpe {
     * tokens).
     *
     * A subword absent from the vocabulary (encoding a NEW corpus with an
-    * old model) maps to `unkId` when given and otherwise fails LOUDLY,
-    * naming the subword — silently dropping tokens would corrupt the
-    * training stream.
+    * old model) falls back to its SINGLE-CODEPOINT symbols (the marker
+    * staying on the last one) — the char-level fallback production
+    * tokenizers guarantee coverage with; when the vocabulary was seeded
+    * via [[subwordVocab]]'s `seedChars`, encoding any word over the
+    * charset succeeds and the roundtrip stays LOSSLESS. A codepoint
+    * outside the seeded charset maps to `unkId` when given (lossy,
+    * caller's explicit choice) and otherwise fails LOUDLY, naming the
+    * subword — silently dropping tokens would corrupt the training
+    * stream.
     *
     * @return (idCol, token_ids: Array[Int], n_tokens)
     */
@@ -242,14 +282,33 @@ object Bpe {
       .mapPartitions { it =>
         val ms = bcM.value
         val ids = bcV.value
+        def charId(sym: String, from: String): Int =
+          ids.getOrElse(sym, unkId.getOrElse(throw new IllegalArgumentException(
+            s"BPE symbol '$sym' (from word '$from') is not in the " +
+              "vocabulary even after single-character fallback — seed " +
+              "subwordVocab with a charset covering the corpus or pass " +
+              "an unknown-token id")))
+        def idsOf(s: String, w: String): Iterator[Int] = ids.get(s) match {
+          case Some(i) => Iterator.single(i)
+          case None =>
+            // char fallback: decompose the unseen subword into single
+            // codepoints, the word-final marker staying on the last
+            val marked = s.endsWith(EndOfWord)
+            val base = if (marked) s.dropRight(EndOfWord.length) else s
+            val cps = symbolize(base)
+            cps.iterator.zipWithIndex.map { case (c, i) =>
+              charId(if (marked && i == cps.length - 1) c + EndOfWord else c, w)
+            }
+        }
+        // bounded per-partition word memo (clear-on-full): encode work
+        // scales with DISTINCT words on Zipfian corpora, degrades to
+        // recompute instead of unbounded growth on high-cardinality ones
         val cache = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        def encode(w: String): Array[Int] =
-          cache.getOrElseUpdate(w, markedSubwords(w, ms).map { s =>
-            ids.getOrElse(s, unkId.getOrElse(throw new IllegalArgumentException(
-              s"BPE subword '$s' (from word '$w') is not in the vocabulary " +
-                "and no unkId was given — encode with the model's corpus " +
-                "or pass an unknown-token id")))
-          }.toArray)
+        def encode(w: String): Array[Int] = {
+          if (cache.size >= MemoCap) cache.clear()
+          cache.getOrElseUpdate(w,
+            markedSubwords(w, ms).iterator.flatMap(idsOf(_, w)).toArray)
+        }
         it.map { case (id, text) =>
           val out = Array.newBuilder[Int]
           text.split(" ", -1).foreach(w => if (w.nonEmpty) out ++= encode(w))

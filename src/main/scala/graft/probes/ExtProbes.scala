@@ -167,6 +167,30 @@ object ExtProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] BPE char-fallback coverage (r17): the tokenizer model is
+    // trained on ONE source but applied to the WHOLE corpus — words
+    // absent from training decompose into the charset-seeded
+    // single-codepoint symbols instead of throwing, and the roundtrip
+    // stays lossless (same closed-form oracle as bpe_encode_roundtrip).
+    // This is the production shape: a frozen tokenizer meeting new data.
+    Probe(
+      "bpe_encode_fallback",
+      "SELECT doc_id, array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ') AS text " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY doc_id"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val train = docs.filter(col("source") === "src0")
+      val ascii = (33 to 126).map(_.toChar).mkString
+      val (merges, vocab) = PhaseTimer.timed("bpe_encode_fallback", "train") {
+        val m = graft.ext.Bpe.learnMerges(train, "text", numMerges = 40)
+        (m, graft.ext.Bpe.subwordVocab(train, "text", m, seedChars = ascii))
+      }
+      val enc = graft.ext.Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
+      graft.ext.Bpe.decodeDocs(enc, "doc_id", "token_ids", vocab)
+        .orderBy("doc_id")
+    },
+
     Probe(
       "text_quality_score",
       s"""WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents) SELECT doc_id, round(least(1.0, (len(list_filter(ts, x -> x IN ($markersSql))) * 1.0 / len(ts)) * 2.0) * 0.5 + (1.0 - (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text))) * 0.3 + least(1.0, ((length(text) - (len(ts) - 1)) * 1.0 / len(ts)) / 8.0) * 0.2, 9) AS quality FROM q ORDER BY doc_id"""

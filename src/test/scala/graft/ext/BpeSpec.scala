@@ -116,4 +116,43 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       unkId = Some(unk)).collect()
     assert(got.head.getSeq[Int](1).forall(_ == unk))
   }
+
+  test("charset-seeded vocab gives lossless char fallback on unseen words") {
+    val train = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(train, "text", 2)
+    val ascii = (33 to 126).map(_.toChar).mkString
+    val seeded = Bpe.subwordVocab(train, "text", merges, seedChars = ascii)
+    // seeding appends, never perturbs the corpus-derived id table
+    val unseeded = Bpe.subwordVocab(train, "text", merges)
+    assert(seeded.take(unseeded.size) == unseeded)
+    assert(seeded.contains("z") && seeded.contains("z" + Bpe.EndOfWord))
+    // words (and even merged-pair fragments) absent from training encode
+    // via single-codepoint fallback and decode back exactly
+    val fresh = Seq((2L, "zq abX cdcd x!y")).toDF("doc_id", "text")
+    val enc = Bpe.encodeDocs(fresh, "doc_id", "text", merges, seeded)
+    val dec = Bpe.decodeDocs(enc, "doc_id", "token_ids", seeded).collect()
+    assert(dec.head.getString(1) == "zq abX cdcd x!y")
+    // a codepoint OUTSIDE the seeded charset still refuses loudly
+    val alien = Seq((3L, "café")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encodeDocs(alien, "doc_id", "text", merges, seeded).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("single-character fallback")))
+  }
+
+  test("a word containing the end-of-word marker refuses loudly") {
+    val train = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(train, "text", 1)
+    val vocab = Bpe.subwordVocab(train, "text", merges)
+    val bad = Seq((2L, "foo</w>bar ok")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encodeDocs(bad, "doc_id", "text", merges, vocab,
+        unkId = Some(0)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("end-of-word marker")))
+  }
 }
