@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
 object Blocklist {
 
   /** Immutable, serializable Aho-Corasick automaton. Node 0 is the root;
-    * goto edges are per-node char maps; fail links and match outputs are
-    * BFS-precomputed. `outCount(n)` aggregates the phrase-endings
-    * reachable from n through the whole fail chain, so the hot loop adds
-    * one int per position; per-phrase attribution walks `outLink` chains
-    * only at actual match sites (O(matches)).
+    * goto edges are per-node SORTED parallel char/next arrays (binary
+    * searched — primitive compares, no per-character boxing or hash
+    * probes, the constant factor that dominates 100k-phrase workloads);
+    * fail links and match outputs are BFS-precomputed. `outCount(n)`
+    * aggregates the phrase-endings reachable from n through the whole
+    * fail chain, so the hot loop adds one int per position; per-phrase
+    * attribution walks `outLink` chains only at actual match sites
+    * (O(matches)).
     */
   final class Automaton private[Blocklist] (
-      val goto_ : Array[Map[Char, Int]],
+      val nodeChars: Array[Array[Char]], // sorted transition chars per node
+      val nodeNext: Array[Array[Int]],   // parallel next-state ids
       val fail: Array[Int],
       val endsHere: Array[Array[Int]], // phrase ids ending exactly at node
       val outCount: Array[Int],        // endings through the fail chain
@@ -40,10 +44,28 @@ object Blocklist {
       val phraseLen: Array[Int],       // code-unit length per phrase id
       val nPhrases: Int) extends Serializable {
 
+    /** Transition lookup: binary search of the node's sorted edge array;
+      * -1 when the node has no edge on c.
+      */
+    private def next(state: Int, c: Char): Int = {
+      val cs = nodeChars(state)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = cs(mid)
+        if (v == c) return nodeNext(state)(mid)
+        else if (v < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
     private def step(state: Int, c: Char): Int = {
       var s = state
-      while (s != 0 && !goto_(s).contains(c)) s = fail(s)
-      goto_(s).getOrElse(c, 0)
+      var n = next(s, c)
+      while (s != 0 && n < 0) { s = fail(s); n = next(s, c) }
+      if (n < 0) 0 else n
     }
 
     /** (total overlapping occurrences, distinct phrase ids hit). */
@@ -120,16 +142,21 @@ object Blocklist {
     }
   }
 
-  /** Build the automaton on the driver: trie insert + BFS fail links. */
+  /** Build the automaton on the driver: trie insert + BFS fail links.
+    * Duplicate phrases are deduplicated (distinct-phrase semantics:
+    * listing a phrase twice must not double-count its occurrences —
+    * phrase ids index the DISTINCT list).
+    */
   def automaton(phrases: Seq[String]): Automaton = {
     require(phrases.nonEmpty, "empty blocklist")
     phrases.zipWithIndex.foreach { case (p, i) =>
       require(p != null && p.nonEmpty, s"blocklist phrase $i is null/empty")
     }
+    val ps = phrases.distinct
     val goto_ = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.HashMap.empty[Char, Int])
     val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-    phrases.zipWithIndex.foreach { case (p, pi) =>
+    ps.zipWithIndex.foreach { case (p, pi) =>
       var s = 0
       p.foreach { c =>
         s = goto_(s).getOrElseUpdate(c, {
@@ -157,9 +184,19 @@ object Blocklist {
         queue += v
       }
     }
-    new Automaton(goto_.map(_.toMap).toArray, fail,
+    // freeze the trie into sorted parallel edge arrays
+    val nodeChars = new Array[Array[Char]](n)
+    val nodeNext = new Array[Array[Int]](n)
+    var u = 0
+    while (u < n) {
+      val edges = goto_(u).toArray.sortBy(_._1)
+      nodeChars(u) = edges.map(_._1)
+      nodeNext(u) = edges.map(_._2)
+      u += 1
+    }
+    new Automaton(nodeChars, nodeNext, fail,
       ends.map(_.toArray.sorted).toArray, outCount, outLink,
-      phrases.map(_.length).toArray, phrases.length)
+      ps.map(_.length).toArray, ps.length)
   }
 
   /** Per-document match census against the blocklist: one broadcast, one
@@ -237,14 +274,16 @@ object Blocklist {
   }
 
   /** Documents with zero blocklist hits — the filter a curation pipeline
-    * composes; first match short-circuits the row.
+    * composes; first match short-circuits the row. The predicate is a
+    * single-column UDF (not a Row lambda), so the stage stays inside
+    * codegen and column pruning survives: only `textCol` is materialized
+    * for the check, whatever width the document rows carry.
     */
   def filterClean(docs: DataFrame, textCol: String,
                   phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(automaton(phrases))
-    docs.filter(col(textCol).isNotNull)
-      .filter(r => !bc.value.containsAny(
-        r.getString(r.fieldIndex(textCol))))
+    val dirty = udf { text: String => bc.value.containsAny(text) }
+    docs.filter(col(textCol).isNotNull && !dirty(col(textCol)))
   }
 }

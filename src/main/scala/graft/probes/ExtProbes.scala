@@ -114,6 +114,19 @@ object ExtProbes {
         "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches, CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phrases " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"
     ) { (s, d) =>
+      // bench-visible LIST-SCALE phase (r17): build a 100k-phrase
+      // automaton and sweep the corpus through it — the workload the
+      // operator exists for; the sorted-edge-array hot loop is what this
+      // times. Synthetic phrases mostly miss (pure traversal cost) with
+      // the real phrases mixed in so match sites exercise too. The
+      // probe's ORACLED result stays the small-list census below.
+      PhaseTimer.timed("text_blocklist_match", "match_100k") {
+        val big = (0 until 100000).map(i => s"zq${i}x${i % 97}") ++
+          Seq("scan", "order", "table scan", "an", "me")
+        graft.ext.Blocklist.matchCounts(
+            t(s, d, "documents"), "doc_id", "text", big)
+          .agg(sum(col("n_matches"))).head()
+      }
       graft.ext.Blocklist.matchCounts(
         t(s, d, "documents"), "doc_id", "text",
         Seq("scan", "order", "table scan", "an", "me"))

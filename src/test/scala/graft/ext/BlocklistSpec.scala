@@ -123,4 +123,28 @@ class BlocklistSpec extends AnyFunSuite with SharedSpark {
     assert(total === 8L)
     assert(!ac.containsAny("no blocked terms at all"))
   }
+
+  test("duplicate phrases dedupe: counts follow distinct-phrase semantics") {
+    val docs = Seq((1L, "a table scan here")).toDF("doc_id", "text")
+    val once = Blocklist.matchCounts(docs, "doc_id", "text",
+      Seq("scan", "table scan")).collect().head
+    val duped = Blocklist.matchCounts(docs, "doc_id", "text",
+      Seq("scan", "table scan", "scan", "scan")).collect().head
+    assert((duped.getLong(1), duped.getLong(2)) ===
+      (once.getLong(1), once.getLong(2)))
+    assert(once.getLong(1) === 2L && once.getLong(2) === 2L)
+  }
+
+  test("filterClean is a column predicate: pruning and codegen survive") {
+    val docs = Seq((1L, "clean", "x"), (2L, "has scan", "y"))
+      .toDF("doc_id", "text", "other")
+    val out = Blocklist.filterClean(docs, "text", Seq("scan"))
+      .select("doc_id")
+    assert(out.as[Long].collect().toSeq === Seq(1L))
+    // a Row-lambda filter would force object (de)serialization of the
+    // whole row and kill downstream pruning — pin its absence
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("DeserializeToObject") &&
+      !p.contains("SerializeFromObject"), p)
+  }
 }
