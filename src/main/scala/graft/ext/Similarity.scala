@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Loud refusal when a frame that is about to BROADCAST exceeds its
+    * declared bound — counting stops at cap+1 (limit-pushed), so the
+    * check costs O(cap) even against a corpus-sized frame, instead of
+    * letting the broadcast become an executor OOM or a de-facto
+    * cartesian join.
+    */
+  private def requireDriverBounded(frame: DataFrame, cap: Int,
+                                   op: String): Unit = {
+    val n = frame.limit(cap + 1).count()
+    require(n <= cap,
+      s"$op broadcasts its query/anchor frame, which has > $cap rows — " +
+        "this would be a broadcast OOM or a de-facto cartesian at corpus " +
+        "scale; mine in driver-bounded batches (or raise the cap " +
+        "explicitly if the executors are sized for it)")
+  }
+
   /** Dot product of two array<double> columns (sequential fold — the same
     * evaluation order DuckDB uses, so oracles match bit-for-bit).
     */
@@ -116,8 +132,10 @@ object Similarity {
     */
   def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
                           queries: DataFrame, qIdCol: String,
-                          qVecCol: String, k: Int): DataFrame = {
+                          qVecCol: String, k: Int,
+                          maxQueries: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
+    requireDriverBounded(queries, maxQueries, "bruteForceTopKBatch")
     val q = queries.select(col(qIdCol).cast("long").as("query_id"),
       col(qVecCol).cast("array<double>").as("_q_v"))
     val scored = emb
@@ -139,13 +157,19 @@ object Similarity {
     * the corpus), plus the label-exclusion predicate pushed before
     * scoring so excluded rows never enter the aggregate.
     *
+    * The anchor frame must be driver-bounded (it broadcasts): a
+    * corpus-sized `queries` would silently become a broadcast OOM or a
+    * de-facto cartesian, so counts above `maxAnchors` refuse LOUDLY —
+    * mine corpus-scale anchor sets in batches, or via the IVF/LSH paths.
+    *
     * @return (query_id, id, cos) — per anchor, its k hardest negatives
     */
   def hardNegativesBatch(emb: DataFrame, idCol: String, vecCol: String,
                          labelCol: String, queries: DataFrame,
                          qIdCol: String, qVecCol: String, qLabelCol: String,
-                         k: Int): DataFrame = {
+                         k: Int, maxAnchors: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
+    requireDriverBounded(queries, maxAnchors, "hardNegativesBatch")
     val q = queries.select(col(qIdCol).cast("long").as("query_id"),
       col(qVecCol).cast("array<double>").as("_q_v"),
       col(qLabelCol).as("_q_label"))

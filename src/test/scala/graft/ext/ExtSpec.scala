@@ -111,6 +111,25 @@ class ExtSpec extends AnyFunSuite with SharedSpark {
     assert(gotSet === ref && ref.nonEmpty)
   }
 
+  test("batch mining refuses a broadcast-unsafe anchor frame loudly") {
+    // a corpus-sized anchor frame would broadcast-OOM / go cartesian;
+    // the guard counts at most cap+1 rows and refuses before any scan
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegativesBatch(embs, "vec_id", "embedding", "label",
+        embs, "vec_id", "embedding", "label", k = 4, maxAnchors = 10)
+    }
+    assert(e.getMessage.contains("broadcasts"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKBatch(embs, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 4, maxQueries = 10)
+    }
+    assert(e2.getMessage.contains("broadcasts"), e2.getMessage)
+    // under the cap, both mine normally
+    assert(Similarity.hardNegativesBatch(embs, "vec_id", "embedding",
+      "label", embs.filter(col("vec_id") < 3), "vec_id", "embedding",
+      "label", k = 2, maxAnchors = 10).count() > 0L)
+  }
+
   test("containment finds doc-in-doc pairs symmetric jaccard cannot") {
     import spark.implicits._
     // doc 2's shingles are a strict subset of doc 1's (quoted whole);
