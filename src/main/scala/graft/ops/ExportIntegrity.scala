@@ -56,11 +56,11 @@ object ExportIntegrity {
     name == ManifestName || name == "_SUCCESS" ||
       name.startsWith(".") || name.endsWith(".crc")
 
-  /** One LIST call: `(relative path, length)` for every non-excluded
-    * file under `path` matching `glob`, sorted by path.
+  /** One LIST call: `(relative path, length, mtime)` for every
+    * non-excluded file under `path` matching `glob`, sorted by path.
     */
-  private def listRelative(spark: SparkSession, path: String,
-                           glob: String): Seq[(String, Long)] = {
+  private def listRelativeFull(spark: SparkSession, path: String,
+                               glob: String): Seq[(String, Long, Long)] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(dir).toUri
@@ -68,19 +68,31 @@ object ExportIntegrity {
     if (matched == null) Seq.empty
     else matched.toSeq
       .filter(_.isFile)
-      .map(st => (rootUri.relativize(st.getPath.toUri).getPath, st.getLen))
-      .filterNot { case (rel, _) => excluded(rel.split('/').last) }
+      .map(st => (rootUri.relativize(st.getPath.toUri).getPath, st.getLen,
+        st.getModificationTime))
+      .filterNot { case (rel, _, _) => excluded(rel.split('/').last) }
       .sortBy(_._1)
   }
+
+  private def listRelative(spark: SparkSession, path: String,
+                           glob: String): Seq[(String, Long)] =
+    listRelativeFull(spark, path, glob).map { case (r, n, _) => (r, n) }
 
   /** `(file, bytes, sha256)` for every file under `path` matching
     * `glob` (relative paths, sorted). One LIST call; one task per file;
     * each file streamed through SHA-256 in 64 KiB chunks.
     */
   def fingerprintFiles(spark: SparkSession, path: String,
-                       glob: String = "*"): DataFrame = {
+                       glob: String = "*"): DataFrame =
+    hashRels(spark, path, listRelative(spark, path, glob).map(_._1))
+
+  /** The per-file streaming-hash pass over an EXPLICIT relative-path
+    * list (the fingerprint machinery minus the listing — what the
+    * incremental republish calls on just the new files).
+    */
+  private def hashRels(spark: SparkSession, path: String,
+                       rels: Seq[String]): DataFrame = {
     import spark.implicits._
-    val rels = listRelative(spark, path, glob).map(_._1)
     val confMap = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val b = Map.newBuilder[String, String]
@@ -112,15 +124,14 @@ object ExportIntegrity {
       .orderBy("file")
   }
 
-  /** Fingerprint the tree and commit `_manifest.jsonl` at the export
-    * root (sorted, one JSON object per line, atomic rename — see
-    * object doc). Returns the manifest frame just written.
+  /** Serialize sorted `(file, bytes, sha256, mtime)` rows as
+    * `_manifest.jsonl` and commit by atomic rename. The `mtime` field
+    * (epoch ms, r17) is what lets the INCREMENTAL republish validate a
+    * carried-forward row without re-reading the file — readers that
+    * follow the `SHA256SUMS`-style contract ignore it.
     */
-  def writeManifest(spark: SparkSession, path: String,
-                    glob: String = "*"): DataFrame = {
-    val frame = fingerprintFiles(spark, path, glob)
-    // bounded: one row per export file (see object doc)
-    val rows = frame.collect()
+  private def commitManifest(spark: SparkSession, path: String,
+                             rows: Seq[(String, Long, String, Long)]): Unit = {
     def esc(s: String): String =
       s.flatMap {
         case '"'  => "\\\""
@@ -136,14 +147,76 @@ object ExportIntegrity {
       s".$ManifestName.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try {
-      for (r <- rows) {
-        val line = s"""{"file":"${esc(r.getString(0))}","bytes":${r.getLong(1)},""" +
-          s""""sha256":"${r.getString(2)}"}""" + "\n"
+      for ((f, n, sha, mt) <- rows.sortBy(_._1)) {
+        val line = s"""{"file":"${esc(f)}","bytes":$n,""" +
+          s""""sha256":"$sha","mtime":$mt}""" + "\n"
         out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
-    TarExport.commitShard(fs, conf, tmp, new org.apache.hadoop.fs.Path(dir, ManifestName))
-    frame
+    TarExport.commitShard(fs, conf, tmp,
+      new org.apache.hadoop.fs.Path(dir, ManifestName))
+  }
+
+  /** Fingerprint the tree and commit `_manifest.jsonl` at the export
+    * root (sorted, one JSON object per line, atomic rename — see
+    * object doc). Returns the manifest frame just written.
+    */
+  def writeManifest(spark: SparkSession, path: String,
+                    glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    val listing = listRelativeFull(spark, path, glob)
+    val mtimes = listing.map { case (r, _, mt) => r -> mt }.toMap
+    // bounded: one row per export file (see object doc)
+    val hashed = hashRels(spark, path, listing.map(_._1))
+      .as[(String, Long, String)].collect()
+    commitManifest(spark, path,
+      hashed.toSeq.map { case (f, n, sha) => (f, n, sha, mtimes(f)) })
+    spark.createDataset(hashed.toSeq.sortBy(_._1))
+      .toDF("file", "bytes", "sha256")
+  }
+
+  /** INCREMENTAL manifest republish — the per-batch commit step of a
+    * long-running streaming delivery. Entries under an export root are
+    * immutable (batches only ever ADD files; a replayed batch rewrites
+    * identical bytes), so re-hashing the whole delivered history on
+    * every micro-batch — O(history) reads per trigger — buys nothing:
+    * this variant carries forward every prior manifest row whose
+    * (file, bytes, mtime) still matches the ONE fresh listing, and
+    * hashes only files that are new (or whose stats changed, e.g. a
+    * replayed batch re-committed over a torn write). Per-trigger cost:
+    * one LIST + hash reads proportional to the BATCH, not the history.
+    *
+    * Validation is the stats-manifest idiom (rel + length + mtime):
+    * a same-length same-mtime silent rewrite is invisible to it —
+    * that is the fingerprint sweep [[verify]] exists for; run it at
+    * delivery handoff, not per trigger. Manifests published before the
+    * mtime field carry no mtime → their rows re-hash ONCE, then ride.
+    *
+    * @return the full manifest frame just committed
+    */
+  def writeManifestIncremental(spark: SparkSession, path: String,
+                               glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    val listing = listRelativeFull(spark, path, glob)
+    val prior: Map[String, (Long, String, Option[Long])] =
+      readManifestEntries(spark, path)
+        .map { case (f, n, sha, mt) => f -> (n, sha, mt) }.toMap
+    val (carried, fresh) = listing.partition { case (rel, len, mt) =>
+      prior.get(rel).exists { case (pn, _, pmt) =>
+        pn == len && pmt.contains(mt)
+      }
+    }
+    val carriedRows = carried.map { case (rel, len, mt) =>
+      (rel, len, prior(rel)._2, mt)
+    }
+    val freshMt = fresh.map { case (r, _, mt) => r -> mt }.toMap
+    val freshRows = hashRels(spark, path, fresh.map(_._1))
+      .as[(String, Long, String)].collect().toSeq
+      .map { case (f, n, sha) => (f, n, sha, freshMt(f)) }
+    val rows = (carriedRows ++ freshRows).sortBy(_._1)
+    commitManifest(spark, path, rows)
+    spark.createDataset(rows.map { case (f, n, sha, _) => (f, n, sha) })
+      .toDF("file", "bytes", "sha256")
   }
 
   /** The committed manifest as a frame (`file`, `bytes`, `sha256`).
@@ -159,12 +232,28 @@ object ExportIntegrity {
     if (!fs.exists(m))
       throw new java.io.IOException(
         s"no $ManifestName under $path — publish one with writeManifest before verifying")
+    spark.createDataset(
+      readManifestEntries(spark, path)
+        .map { case (f, n, sha, _) => (f, n, sha) })
+      .toDF("file", "bytes", "sha256")
+  }
+
+  /** Driver-side manifest entries including the optional mtime field
+    * (absent on pre-r17 manifests); empty when no manifest exists —
+    * the incremental republish's bootstrap case.
+    */
+  private def readManifestEntries(
+      spark: SparkSession,
+      path: String): Seq[(String, Long, String, Option[Long])] = {
+    val m = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) return Seq.empty
     val in = fs.open(m)
     val text = try {
       new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val line = ("""\{"file":"((?:[^"\\]|\\.)*)","bytes":(\d+),""" +
-      """"sha256":"([0-9a-f]{64})"\}""").r
+      """"sha256":"([0-9a-f]{64})"(?:,"mtime":(\d+))?\}""").r
     def unesc(s: String): String = {
       val b = new StringBuilder
       var i = 0
@@ -176,12 +265,12 @@ object ExportIntegrity {
       }
       b.result()
     }
-    val rows = text.split('\n').filter(_.nonEmpty).toSeq.map {
-      case line(f, n, sha) => (unesc(f), n.toLong, sha)
+    text.split('\n').filter(_.nonEmpty).toSeq.map {
+      case line(f, n, sha, mt) =>
+        (unesc(f), n.toLong, sha, Option(mt).map(_.toLong))
       case other => throw new java.io.IOException(
         s"unparseable $ManifestName line under $path: $other")
     }
-    spark.createDataset(rows).toDF("file", "bytes", "sha256")
   }
 
   /** Deterministic shard→worker assignment for a distributed loader —

@@ -33,10 +33,15 @@ import graft.ops.{ExportIntegrity, TarExport}
   * `shard` column repeats across batch dirs, as it does across any two
   * exports.
   *
-  * Manifest republish cost is one re-hash of the delivered files; the
-  * per-batch work stays O(batch) + O(delivered bytes) hashing. For a
-  * long-running delivery whose history vastly outgrows its increments,
-  * cut a new export root per epoch — the manifest contract is per root.
+  * Manifest republish is INCREMENTAL (r17,
+  * [[ExportIntegrity.writeManifestIncremental]]): delivered entries are
+  * immutable, so prior manifest rows carry forward when the fresh
+  * listing's (file, bytes, mtime) still matches, and only the new
+  * batch's files are hashed — per-trigger cost is one LIST + O(batch)
+  * reads, not O(history). A replayed batch re-commits its files (new
+  * mtime), so its rows re-hash to the identical sha — replay still
+  * converges. Run the full [[ExportIntegrity.verify]] sweep at delivery
+  * handoff; the per-trigger validation is the stats-manifest idiom.
   */
 object StreamingExport {
 
@@ -61,8 +66,10 @@ object StreamingExport {
             // commit pointer: every shard of this batch is on disk —
             // only now does the manifest make the batch visible (the
             // trailing * also covers the .idx.jsonl sidecars of an
-            // indexed delivery — they are part of what a loader fetches)
-            ExportIntegrity.writeManifest(spark, path,
+            // indexed delivery — they are part of what a loader fetches).
+            // Incremental: prior batches' rows carry forward validated
+            // against the fresh listing; only this batch's files hash.
+            ExportIntegrity.writeManifestIncremental(spark, path,
               if (index) "batch-*/shard-*.tar*"
               else "batch-*/shard-*.tar").collect()
           } finally pinned.unpersist()

@@ -196,4 +196,60 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
     }
     assert(e.getMessage.contains(ExportIntegrity.ManifestName))
   }
+
+  test("incremental republish hashes only new files; history rides (r17)") {
+    import spark.implicits._
+    val root = tmpDir("integrity-incr")
+    def batch(id: Int, docs: Int): Unit = {
+      val df = (0 until docs).map(i => (i.toLong, s"b$id doc $i payload"))
+        .toDF("id", "txt")
+      TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+        Seq("txt" -> col("txt")), 4L, s"$root/batch-$id").collect()
+    }
+    batch(0, 9)
+    val m0 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "batch-*/shard-*.tar").collect()
+    assert(m0.length === 3)
+    // corrupt a delivered batch-0 shard SAME-LENGTH and restore its
+    // mtime: if the next republish re-hashed history, the new sha would
+    // surface — carrying the ORIGINAL sha forward proves the file was
+    // never re-read (per-batch hash opens are O(batch files))
+    val victim = new java.io.File(s"$root/batch-0", m0.head.getString(0)
+      .stripPrefix("batch-0/"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(victim.getAbsolutePath)
+    val mt0 = fs.getFileStatus(vPath).getModificationTime
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try { raf.seek(600); val b = raf.read(); raf.seek(600); raf.write(b ^ 0x7f) }
+    finally raf.close()
+    fs.setTimes(vPath, mt0, -1)
+    batch(1, 5)
+    val m1 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "batch-*/shard-*.tar").collect()
+    assert(m1.length === 5, "prior rows carried + new batch hashed")
+    val sha0 = m0.map(r => r.getString(0) -> r.getString(2)).toMap
+    val sha1 = m1.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(sha0.forall { case (f, s) => sha1(f) == s },
+      "history rows carried forward verbatim (files not re-read)")
+    // ...and the full fingerprint sweep still catches what the stats
+    // validation cannot — the division of labor the docstring declares
+    val modified = ExportIntegrity.verify(spark, root, "batch-*/shard-*.tar")
+      .filter(col("status") === "modified").collect()
+    assert(modified.map(_.getString(0)).toSeq === Seq(m0.head.getString(0)))
+    // a LENGTH change IS caught by the carry validation: that row
+    // re-hashes on the next republish
+    val grown = new java.io.FileOutputStream(victim, true)
+    try grown.write("tail".getBytes) finally grown.close()
+    val m2 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "batch-*/shard-*.tar").collect()
+    val changedRow = m2.find(_.getString(0) == m0.head.getString(0)).get
+    assert(changedRow.getString(2) != sha0(changedRow.getString(0)),
+      "stat-changed file re-hashed")
+    // incremental ≡ full republish on the final tree
+    val full = ExportIntegrity.writeManifest(spark, root,
+      "batch-*/shard-*.tar").collect()
+    assert(m2.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      === full.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+  }
 }
