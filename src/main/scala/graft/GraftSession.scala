@@ -31,6 +31,14 @@ object GraftSession {
       // capping parse parallelism; a 16MB cost quarters the bin size so
       // small-file corpora fan out across executors
       .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
+      // RocksDB state store for ALL streaming state (r17): required by
+      // transformWithState (StreamingDedup's per-entry MapState — O(1)
+      // writes per arrival instead of full-value rewrites), and the
+      // production choice for the other stateful ops too (changelog
+      // checkpointing, state spills to local disk instead of executor
+      // heap)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** The CLI mains' shared session: core count from SPARK_GRAFT_CPUS

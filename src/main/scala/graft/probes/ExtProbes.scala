@@ -443,6 +443,62 @@ object ExtProbes {
         .orderBy("id_a", "id_b")
     },
 
+    // [EXT] streaming dedup RESTART (r17): the crash-resume path an
+    // always-on deduper actually exercises — the feed splits across TWO
+    // SEPARATE simhashNearDupStream invocations sharing one checkpoint
+    // (stop after the first half, resume with new files). The resumed
+    // query must pick up the band-index state, pair the second half
+    // against the FULL history, and re-emit NOTHING from the first half
+    // (asserted on the raw pre-DISTINCT feed: first-half-only emission
+    // count is unchanged by the resume). Same batch oracle — the union
+    // of both runs must land exactly the whole-corpus answer.
+    Probe(
+      "stream_neardup_restart",
+      "WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), sh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 60)]) AS BIGINT) AS sim FROM th), banded AS (SELECT doc_id, sim, u.b, (sim >> (u.b*15)) & 32767 AS chunk FROM sh, UNNEST([0,1,2,3]) AS u(b)), pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-stream-neardup-restart")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val feedDir = s"$root/feed"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT")
+      def runOnce(): Unit = {
+        val feed = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(feedDir)
+        val q = graft.streaming.StreamingDedup.simhashNearDupStream(feed,
+          col("doc_id"), col("text"), maxHamming = 3,
+          path = s"$root/out", checkpointDir = s"$root/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      PhaseTimer.timed("stream_neardup_restart", "first_run") {
+        src.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+        runOnce()
+      }
+      // raw (pre-DISTINCT) emissions whose BOTH members are first-half
+      // docs: the resumed run must add zero of these
+      def firstHalfEmissions(): Long =
+        s.read.schema(schema).parquet(s"$root/out")
+          .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0).count()
+      val afterFirst = firstHalfEmissions()
+      PhaseTimer.timed("stream_neardup_restart", "resume_run") {
+        src.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+        runOnce()
+      }
+      assert(firstHalfEmissions() == afterFirst,
+        "resumed invocation re-emitted first-half pairs — checkpointed " +
+          "band-index state was not reused")
+      s.read.schema(schema).parquet(s"$root/out")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+
     Probe(
       "dedup_cosine_neardup",
       "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3 ORDER BY id_a, id_b"

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 
 import graft.ext.Dedup
 
@@ -38,10 +38,20 @@ import graft.ext.Dedup
   *    16 bytes × corpus per band, 64 bytes/doc total across the four
   *    bands — a billion-document history is ~64 GB of state cluster-wide,
   *    checkpointed incrementally by the state store;
+  *  - state writes are PER ENTRY, not per bucket (r17): the core runs on
+  *    `transformWithState` with a RocksDB-backed `MapState` — each (id,
+  *    signature) is its own state-store key, so an arrival into a hot
+  *    100k-doc bucket writes ONE 16-byte entry per band instead of
+  *    re-serializing the whole 1.6 MB bucket value (the
+  *    flatMapGroupsWithState shape this replaces); per-trigger state
+  *    write volume is O(new documents), whatever the occupancy;
   *  - exactly-once: signatures ride the checkpoint, replayed source rows
   *    are recognized by id inside their bucket and re-emit nothing, and
   *    the parquet sink's manifest log makes replayed batch outputs
-  *    idempotent.
+  *    idempotent. IDs must be CONTENT-STABLE: re-ingesting an id with a
+  *    DIFFERENT signature fails loudly (mixed old/new signatures across
+  *    a doc's four bands would silently corrupt recall) — re-ingested
+  *    changed documents need a new id (the content-hash id convention).
   *
   * Emission contract: a qualifying pair is emitted exactly when its
   * later member first arrives, once PER AGREEING BAND (up to four rows);
@@ -54,10 +64,85 @@ import graft.ext.Dedup
   */
 object StreamingDedup {
 
-  /** Per-bucket state: ids and signatures of every document that hashed
-    * into this (band, chunk) bucket, parallel arrays (two longs/doc).
+  /** The bucket detection loop shared by the streaming processor and the
+    * batch path: `seen` holds the bucket's prior (id → signature)
+    * entries; arrivals process in ascending id order so a same-batch
+    * pair is emitted by its later member, exactly as if the two had
+    * arrived apart; `persist` is called once per NEW document (the
+    * streaming path's O(1) per-entry state write; a no-op in batch,
+    * where there is no later trigger to serve).
     */
-  final case class BucketState(ids: Array[Long], sigs: Array[Long])
+  private def detectInBucket(seen: scala.collection.mutable.LongMap[Long],
+                             rows: Iterator[(Long, Long, Long)],
+                             maxHamming: Int, maxBucketDocs: Int,
+                             persist: (Long, Long) => Unit)
+      : Iterator[(Long, Long, Long)] = {
+    val out = List.newBuilder[(Long, Long, Long)]
+    for ((id, sig, _) <- rows.toArray.sortBy(_._1)) {
+      if (seen.contains(id)) {
+        // replayed id: re-emit nothing. An id REUSED for different
+        // content is a feed defect — its other bands would index the
+        // new signature while this one keeps the old, silently mixing
+        // state — refuse loudly (ids must be content-stable).
+        if (seen(id) != sig)
+          throw new IllegalStateException(
+            s"doc_id $id re-ingested with a DIFFERENT signature " +
+              s"(stored ${seen(id)}, arriving $sig): StreamingDedup ids " +
+              "must be content-stable — assign changed documents a new " +
+              "id (content-hash ids) instead of reusing one")
+      } else {
+        seen.foreach { case (oid, osig) =>
+          val h = java.lang.Long.bitCount(sig ^ osig)
+          if (h <= maxHamming)
+            out += ((math.min(id, oid), math.max(id, oid), h.toLong))
+        }
+        seen.update(id, sig)
+        persist(id, sig)
+      }
+    }
+    // state-growth guard: a bucket past the cap means one band
+    // chunk is shared by maxBucketDocs documents — boilerplate
+    // saturation, where per-arrival compare cost and state size
+    // stop being "near-dup density" and start being quadratic
+    // corpus mass. Degrading recall silently is not an option
+    // (the pigeonhole guarantee would quietly break); fail the
+    // query loudly so the operator pre-filters the boilerplate.
+    if (seen.size > maxBucketDocs)
+      throw new IllegalStateException(
+        s"StreamingDedup bucket exceeds maxBucketDocs=$maxBucketDocs " +
+          s"(${seen.size} docs share one 15-bit band chunk): the feed " +
+          "carries boilerplate-grade duplication; pre-filter it or " +
+          "raise maxBucketDocs")
+    out.result().iterator
+  }
+
+  /** The per-bucket stateful core: a RocksDB `MapState` maps doc_id →
+    * signature, one state-store entry per document, so appending a
+    * document costs one 16-byte write per band — never a rewrite of the
+    * bucket. Comparisons load the bucket's entries once per trigger
+    * (read cost is inherent: an arrival must compare against its
+    * bucket's history).
+    */
+  private final class BucketProcessor(maxHamming: Int, maxBucketDocs: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+
+    @transient private var docs: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      docs = getHandle.getMapState[Long, Long]("docs",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timers: TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val seen = scala.collection.mutable.LongMap.empty[Long]
+      docs.iterator().foreach { case (id, sig) => seen.update(id, sig) }
+      detectInBucket(seen, rows, maxHamming, maxBucketDocs,
+        // ONE entry write per new doc — never the bucket
+        (id, sig) => docs.updateValue(id, sig))
+    }
+  }
 
   /** Signature + band explode shared by the streaming path and its spec:
     * (doc_id, simhash, bucket) with bucket = band << 15 | chunk.
@@ -92,54 +177,24 @@ object StreamingDedup {
     require(maxBucketDocs >= 1, s"maxBucketDocs=$maxBucketDocs")
     val spark = docs.sparkSession
     import spark.implicits._
-    bandedSignatures(docs, idCol, textCol)
+    val grouped = bandedSignatures(docs, idCol, textCol)
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
-      .flatMapGroupsWithState[BucketState, (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[BucketState]) =>
-          val prior = state.getOption.getOrElse(
-            BucketState(Array.empty, Array.empty))
-          val seen = scala.collection.mutable.LongMap.empty[Long]
-          var i = 0
-          while (i < prior.ids.length) {
-            seen.update(prior.ids(i), prior.sigs(i)); i += 1
-          }
-          val out = List.newBuilder[(Long, Long, Long)]
-          // ascending id within the batch: a same-batch pair is emitted
-          // by its later member, exactly as if the two arrived apart
-          for ((id, sig, _) <- rows.toArray.sortBy(_._1)) {
-            if (!seen.contains(id)) { // replayed/duplicate id: no re-emit
-              seen.foreach { case (oid, osig) =>
-                val h = java.lang.Long.bitCount(sig ^ osig)
-                if (h <= maxHamming)
-                  out += ((math.min(id, oid), math.max(id, oid), h.toLong))
-              }
-              seen.update(id, sig)
-            }
-          }
-          // state-growth guard: a bucket past the cap means one band
-          // chunk is shared by maxBucketDocs documents — boilerplate
-          // saturation, where per-arrival compare cost and state size
-          // stop being "near-dup density" and start being quadratic
-          // corpus mass. Degrading recall silently is not an option
-          // (the pigeonhole guarantee would quietly break); fail the
-          // query loudly so the operator pre-filters the boilerplate.
-          if (seen.size > maxBucketDocs)
-            throw new IllegalStateException(
-              s"StreamingDedup bucket exceeds maxBucketDocs=$maxBucketDocs " +
-                s"(${seen.size} docs share one 15-bit band chunk): the feed " +
-                "carries boilerplate-grade duplication; pre-filter it or " +
-                "raise maxBucketDocs")
-          val ids = new Array[Long](seen.size)
-          val sigs = new Array[Long](seen.size)
-          var j = 0
-          seen.foreach { case (id, sig) => ids(j) = id; sigs(j) = sig; j += 1 }
-          state.update(BucketState(ids, sigs))
-          out.result().iterator
-      }
-      .toDF("id_a", "id_b", "hamming")
+    val mh = maxHamming
+    val mb = maxBucketDocs
+    val pairs =
+      if (docs.isStreaming)
+        grouped.transformWithState(new BucketProcessor(mh, mb),
+          TimeMode.None(), OutputMode.Append())
+      else
+        // batch evaluation sees the whole input at once: prior state is
+        // empty by definition, so the same bucket loop runs statelessly
+        // (no state store spin-up for a one-shot answer)
+        grouped.flatMapGroups { (_: Long, rows: Iterator[(Long, Long, Long)]) =>
+          detectInBucket(scala.collection.mutable.LongMap.empty[Long],
+            rows, mh, mb, (_, _) => ())
+        }
+    pairs.toDF("id_a", "id_b", "hamming")
   }
 
   /** Run the detector over a streaming frame and land the pair feed as

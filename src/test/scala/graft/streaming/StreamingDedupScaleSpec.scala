@@ -7,17 +7,20 @@ import graft.SharedSpark
 import graft.ext.Dedup
 
 /** Scale shape of the streaming near-dup detector, pinned with machine-
-  * checked numbers rather than prose: at a 20k-document history the state
-  * store holds EXACTLY four rows per unique document (the four band
-  * buckets — state is the banded index, nothing more), planted duplicate
-  * pairs all surface with batch-identical results, and a final single-
-  * document trigger against the full history emits exactly its planted
-  * matches — the per-arrival path touches its own buckets, not the
-  * corpus.
+  * checked numbers rather than prose: the state store holds EXACTLY one
+  * row per (document, band) entry (the r17 per-entry MapState — state is
+  * the banded index at ENTRY granularity, which is what makes a write
+  * O(entry) instead of O(bucket)), planted duplicate pairs all surface
+  * with batch-identical results, a final single-document trigger against
+  * the full history emits exactly its planted matches — the per-arrival
+  * path touches its own buckets, not the corpus — and that trigger
+  * UPDATES exactly the arrival's four entries while the store holds
+  * 120k+ rows: per-trigger state write work is O(arrivals), independent
+  * of occupancy (the r16 full-bucket-rewrite amplification is gone).
   */
 class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
 
-  test("30k-doc history: state = occupied buckets exactly, late arrival pairs against it") {
+  test("30k-doc history: per-entry state rows exactly, O(arrivals) writes, late arrival pairs") {
     import spark.implicits._
     val n = 20000L
     // ~5% planted duplicates: doc i and i+n share a text when i % 20 == 0;
@@ -40,7 +43,7 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
     first.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
     second.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feed)
 
-    def run(): Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    def run(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
       val src = spark.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING"))
@@ -51,19 +54,21 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
         path = out, checkpointDir = ckpt,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
-      Option(q.lastProgress)
+      q.recentProgress.toSeq
     }
     val progress = run()
 
-    // state size is the banded index and nothing more: exactly one state
-    // row per OCCUPIED (band, chunk) bucket — machine-checked against the
-    // batch band explode of the same corpus, not an approximation
-    val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
-    val expectedBuckets = StreamingDedup.bandedSignatures(
+    // state size is the banded index at ENTRY granularity: exactly one
+    // state row per (document, band) entry — machine-checked against the
+    // batch band explode of the same corpus, not an approximation. Entry
+    // rows are what make an append O(entry): the bucket never rewrites.
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    val expectedEntries = StreamingDedup.bandedSignatures(
       (first ++ second).toDF("doc_id", "text"), col("doc_id"), col("text"))
-      .select("bucket").distinct().count()
-    assert(stateRows.contains(expectedBuckets),
-      s"expected $expectedBuckets state rows (occupied buckets), got $stateRows")
+      .count()
+    assert(stateRows.contains(expectedEntries),
+      s"expected $expectedEntries state entry rows, got $stateRows")
 
     // the emitted pair set is exactly the batch answer over the union
     val streamed = spark.read
@@ -87,7 +92,15 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
     val lateId = 7L * n
     Seq((lateId, text(0L))).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(feed)
-    run()
+    val lateProgress = run()
+    // write amplification is gone (r17): the late trigger UPDATES exactly
+    // the one arrival's four (band, doc) entries — while the store holds
+    // 120k rows — so per-trigger state write work is O(arrivals) entries,
+    // never O(bucket occupancy) re-serialization
+    val updatedRows = lateProgress
+      .map(_.stateOperators.map(_.numRowsUpdated).sum)
+    assert(updatedRows.nonEmpty && updatedRows.max === 4L,
+      s"late trigger should update exactly 4 state entries, got $updatedRows")
     val lateRows = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "id_a BIGINT, id_b BIGINT, hamming BIGINT"))

@@ -137,6 +137,33 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
       s"expected the loud bucket-cap refusal, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("id reused for DIFFERENT content refuses loudly; exact replay is silent") {
+    import spark.implicits._
+    // same id, same text twice: replay — silent, no re-emit, no failure
+    val replay = Seq((1L, tA), (2L, tB), (1L, tA)).toDF("doc_id", "text")
+    assert(StreamingDedup.nearDupPairs(replay, col("doc_id"), col("text"))
+      .collect().isEmpty)
+    // same id, different text: a content-unstable id would index mixed
+    // old/new signatures across the doc's four bands — refuse loudly.
+    // The conflict is detectable exactly when old and new signature
+    // share a band bucket, so pick a variant that provably does.
+    val sigA = Dedup.simhash60Scalar(tA.split(" ", -1))
+    def bands(s: Long) = (0 until 4).map(b => (s >> (b * 15)) & 0x7FFFL)
+    val variant = Iterator.from(1).map(i => tA + s" extra$i")
+      .find { t =>
+        val s2 = Dedup.simhash60Scalar(t.split(" ", -1))
+        s2 != sigA && bands(s2).zip(bands(sigA)).exists(p => p._1 == p._2)
+      }.get
+    val reused = Seq((1L, tA), (1L, variant)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      StreamingDedup.nearDupPairs(reused, col("doc_id"), col("text")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("content-stable")),
+      s"expected the content-stable-id refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("batch-mode evaluation of the stateful core matches the banded join") {
     import spark.implicits._
     val docs = (0L until 40L)
