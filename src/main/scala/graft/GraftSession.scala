@@ -39,6 +39,13 @@ object GraftSession {
       // heap)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // commit a per-trigger CHANGELOG instead of a full RocksDB snapshot
+      // (snapshots still happen, asynchronously, every N deltas) — the
+      // production setting that keeps trigger latency proportional to the
+      // trigger's updates, exactly the per-entry write story StreamingDedup
+      // relies on
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   /** The CLI mains' shared session: core count from SPARK_GRAFT_CPUS
