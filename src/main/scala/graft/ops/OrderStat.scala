@@ -72,6 +72,101 @@ object OrderStat {
     }
   }
 
+  /** The exact k-th LARGEST key value — the distributed order statistic
+    * as a VALUE query (no rows returned, no tiebreak needed: ties at the
+    * answer all carry the answer). This is the scale-safe exact quantile
+    * for high-cardinality columns: Spark's own exact `percentile`
+    * aggregates a value→count map (memory O(distinct values) on one
+    * reducer — an OOM on a continuous 10^10-row column), while this runs
+    * the same bracket loop as [[topKByKeyDesc]] — one approx-quantile
+    * pass + one exact boundary count per level, collecting at most
+    * `cutover` boundary keys at the end. Unlike the row-selection path,
+    * a degenerate tie band needs no refusal: if every band key equals
+    * the bracket value, that value IS the answer.
+    */
+  def kthLargestKey(df: DataFrame, keyCol: String, k: Long,
+                    cutover: Int = 65536, relErr: Double = 1e-4): Double = {
+    require(cutover >= 1, s"cutover must be >= 1, got $cutover")
+    require(relErr > 0.0 && relErr < 0.5,
+      s"relErr must be in (0, 0.5), got $relErr")
+    val base = df.select(col(keyCol).cast("double").as(keyCol))
+      .filter(col(keyCol).isNotNull)
+    val total = base.count()
+    require(k >= 1 && k <= total,
+      s"k must be in [1, $total (non-null rows)], got $k")
+    kthIn(base, keyCol, total, k, cutover, relErr, depth = 0)
+  }
+
+  /** DuckDB/Postgres `quantile_disc` semantics: the exact element at
+    * ascending rank max(1, ceil(q·n)) — the LOWER discrete quantile, no
+    * interpolation, so the answer is always a value that exists in the
+    * column and any engine recomputes it bit-identically.
+    */
+  def exactQuantileDisc(df: DataFrame, keyCol: String, q: Double,
+                        cutover: Int = 65536,
+                        relErr: Double = 1e-4): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val base = df.select(col(keyCol).cast("double").as(keyCol))
+      .filter(col(keyCol).isNotNull)
+    val total = base.count()
+    require(total > 0, "exactQuantileDisc over zero non-null rows")
+    val rankAsc = math.max(1L, math.ceil(q * total).toLong)
+    kthIn(base, keyCol, total, total - rankAsc + 1, cutover, relErr, 0)
+  }
+
+  /** Bracket loop for the k-th largest VALUE within `frame` (`total`
+    * rows, all keys non-null, 1 <= k <= total). Progress argument: each
+    * level either resolves the answer AT a bracket value (one exact
+    * count decides it — this is how heavy ties resolve without any
+    * refusal) or recurses on the strictly-INTERIOR band, which drops
+    * both boundary atoms and is ~6·relErr·total for a continuous key —
+    * so the depth cap only fires on genuinely pathological inputs.
+    */
+  private def kthIn(frame: DataFrame, keyCol: String, total: Long, k: Long,
+                    cutover: Int, relErr: Double, depth: Int): Double = {
+    require(depth < 16,
+      s"k-th-key selection failed to converge after $depth levels " +
+        s"(band still $total rows for k=$k) — widen relErr or raise cutover")
+    import frame.sparkSession.implicits._
+    if (total <= cutover) {
+      // bounded collect of the candidate keys; k-th largest directly
+      val keys = frame.select(col(keyCol)).as[Double].collect().sorted
+      keys(keys.length - k.toInt)
+    } else {
+      val q = 1.0 - k.toDouble / total
+      var margin = 2.0 * relErr
+      var vLow = 0.0; var vHigh = 0.0
+      var above = 0L; var atHi = 0L; var aboveLow = 0L; var atLeast = 0L
+      var bracketed = false
+      while (!bracketed) {
+        val vs = frame.stat.approxQuantile(keyCol,
+          Array(math.max(0.0, q - margin), math.min(1.0, q + margin)), relErr)
+        vLow = vs(0); vHigh = vs(1)
+        // ONE exact pass: counts above/at both bracket values
+        val r = frame.agg(
+          sum(when(col(keyCol) > vHigh, 1L).otherwise(0L)).as("above"),
+          sum(when(col(keyCol) >= vHigh, 1L).otherwise(0L)).as("at_hi"),
+          sum(when(col(keyCol) > vLow, 1L).otherwise(0L)).as("above_low"),
+          sum(when(col(keyCol) >= vLow, 1L).otherwise(0L)).as("at_least"))
+          .head()
+        above = r.getLong(0); atHi = r.getLong(1)
+        aboveLow = r.getLong(2); atLeast = r.getLong(3)
+        if (above < k && k <= atLeast) bracketed = true
+        else margin *= 4.0 // see topKByKeyDesc: [min, max] always brackets
+      }
+      // v_k is the value with count(> v_k) < k <= count(>= v_k)
+      if (k <= atHi) vHigh // count(>vHigh) < k <= count(>=vHigh)
+      else if (k > aboveLow) vLow // count(>vLow) < k <= count(>=vLow)
+      else {
+        // strictly interior: both boundary atoms excluded, so the band
+        // shrinks every level even on heavily tied keys
+        val band = frame.filter(col(keyCol) > vLow && col(keyCol) < vHigh)
+        kthIn(band, keyCol, aboveLow - atHi, k - atHi, cutover, relErr,
+          depth + 1)
+      }
+    }
+  }
+
   /** Recursive threshold selection: `frame` has exactly `total` rows
     * (all keys non-null), `cutover < need <= total`.
     */

@@ -477,6 +477,28 @@ object ClusterMixProbes {
         .orderBy("doc_id")
     },
 
+    // [EXT] exact distributed quantile (r17, ops.OrderStat): the
+    // discrete (lower, no-interpolation) quantile of a high-cardinality
+    // column via threshold selection — Spark's own exact `percentile`
+    // materializes a value→count map (OOM on a continuous 10^10-row
+    // column); this pays bracket passes and collects at most `cutover`
+    // boundary keys. cutover=64 forces the distributed path on the 60k
+    // lineitem rows; the oracle is DuckDB's quantile_disc, whose answer
+    // is an EXACT element of the column — any rank slip hash-mismatches.
+    Probe(
+      "order_exact_quantile",
+      "SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "UNION ALL SELECT CAST(0.5 AS DOUBLE), CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) FROM lineitem WHERE l_extendedprice IS NOT NULL ORDER BY q"
+    ) { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem").select("l_extendedprice")
+      Seq(0.25, 0.5, 0.9).map { q =>
+        (q, graft.ops.OrderStat.exactQuantileDisc(li, "l_extendedprice", q,
+          cutover = 64))
+      }.toDF("q", "v").orderBy("q")
+    },
+
     // [EXT] packed-sequence span table (r16): the loader-facing map of
     // which slice of each fixed-length training sequence belongs to
     // which document — the row set attention-mask construction and

@@ -72,6 +72,41 @@ class OrderStatSpec extends AnyFunSuite with SharedSpark {
     assert(limits.forall(_ <= 32), s"oversized TakeOrdered in:\n$plan")
   }
 
+  test("kthLargestKey matches the sorted reference at every rank regime") {
+    val df = keyedFrame(3000L).repartition(9)
+    val sorted = df.select("key").as[Double].collect().sorted.reverse
+    // small-total collect path, band path, and deep-rank band path
+    for (k <- Seq(1L, 7L, 500L, 1500L, 2999L, 3000L))
+      assert(OrderStat.kthLargestKey(df, "key", k, cutover = 64)
+        === sorted(k.toInt - 1), s"k=$k")
+  }
+
+  test("value query needs no tie refusal: collapsed keys return the value") {
+    val df = (0L until 5000L)
+      .map(i => (i, if (i < 100) 2.0 else 1.0)).toDF("id", "key")
+    // rank 300 sits inside 4900 tied keys — far beyond the cutover, but
+    // the answer IS the tie value, so no refusal, no driver funnel
+    assert(OrderStat.kthLargestKey(df, "key", 300L, cutover = 16,
+      relErr = 0.01) === 1.0)
+    assert(OrderStat.kthLargestKey(df, "key", 50L, cutover = 16,
+      relErr = 0.01) === 2.0)
+  }
+
+  test("exactQuantileDisc implements the ceil(q*n) lower-discrete rank") {
+    val df = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "key")
+    // pinned against DuckDB quantile_disc on 1..10:
+    // q=0.25→3, 0.5→5, 0.75→8, 0.9→9, 0.0→1, 1.0→10, 0.15→2
+    val cases = Seq(0.25 -> 3.0, 0.5 -> 5.0, 0.75 -> 8.0, 0.9 -> 9.0,
+      0.0 -> 1.0, 1.0 -> 10.0, 0.15 -> 2.0)
+    for ((q, want) <- cases)
+      assert(OrderStat.exactQuantileDisc(df, "key", q) === want, s"q=$q")
+    // distributed path agrees with the collect path on real-ish data
+    val big = keyedFrame(4000L)
+    for (q <- Seq(0.1, 0.5, 0.99))
+      assert(OrderStat.exactQuantileDisc(big, "key", q, cutover = 32)
+        === OrderStat.exactQuantileDisc(big, "key", q), s"q=$q")
+  }
+
   test("small k routes through plain TakeOrdered") {
     val df = keyedFrame(1000L)
     val plan = OrderStat.topKByKeyDesc(df, "key", "id", k = 10)
