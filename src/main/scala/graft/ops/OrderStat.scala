@@ -104,14 +104,62 @@ object OrderStat {
     */
   def exactQuantileDisc(df: DataFrame, keyCol: String, q: Double,
                         cutover: Int = 65536,
-                        relErr: Double = 1e-4): Double = {
-    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+                        relErr: Double = 1e-4): Double =
+    exactQuantilesDisc(df, keyCol, Seq(q), cutover, relErr).head
+
+  /** All of `qs` in ONE shared pass set (the multi-quantile shape an
+    * engine actually serves): one count, one approx-quantile sketch
+    * carrying every bracket probability, ONE conditional-count aggregate
+    * pinning all brackets, then per-quantile resolution — most answers
+    * resolve AT a bracket value with zero extra passes; only quantiles
+    * landing strictly inside their (tiny) band pay a per-q tail.
+    */
+  def exactQuantilesDisc(df: DataFrame, keyCol: String, qs: Seq[Double],
+                         cutover: Int = 65536,
+                         relErr: Double = 1e-4): Seq[Double] = {
+    require(qs.nonEmpty, "no quantiles requested")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0,
+      s"quantile must be in [0, 1], got $q"))
     val base = df.select(col(keyCol).cast("double").as(keyCol))
       .filter(col(keyCol).isNotNull)
     val total = base.count()
-    require(total > 0, "exactQuantileDisc over zero non-null rows")
-    val rankAsc = math.max(1L, math.ceil(q * total).toLong)
-    kthIn(base, keyCol, total, total - rankAsc + 1, cutover, relErr, 0)
+    require(total > 0, "exactQuantilesDisc over zero non-null rows")
+    val out = new Array[Double](qs.size)
+    // (output index, k-th largest rank) still unresolved
+    var pending: Seq[(Int, Long)] = qs.zipWithIndex.map { case (q, i) =>
+      (i, total - math.max(1L, math.ceil(q * total).toLong) + 1L)
+    }
+    var margin = 2.0 * relErr
+    while (pending.nonEmpty) {
+      val probs = pending.flatMap { case (_, k) =>
+        val p = 1.0 - k.toDouble / total
+        Seq(math.max(0.0, p - margin), math.min(1.0, p + margin))
+      }
+      val vs = base.stat.approxQuantile(keyCol, probs.toArray, relErr)
+      val sums = pending.indices.flatMap { i =>
+        Seq(sum(when(col(keyCol) > vs(2 * i + 1), 1L).otherwise(0L)),
+          sum(when(col(keyCol) >= vs(2 * i + 1), 1L).otherwise(0L)),
+          sum(when(col(keyCol) > vs(2 * i), 1L).otherwise(0L)),
+          sum(when(col(keyCol) >= vs(2 * i), 1L).otherwise(0L)))
+      }
+      val r = base.agg(sums.head, sums.tail: _*).head()
+      pending = pending.zipWithIndex.filter { case ((idx, k), i) =>
+        val vLow = vs(2 * i); val vHigh = vs(2 * i + 1)
+        val above = r.getLong(4 * i); val atHi = r.getLong(4 * i + 1)
+        val aboveLow = r.getLong(4 * i + 2); val atLeast = r.getLong(4 * i + 3)
+        if (above < k && k <= atLeast) {
+          out(idx) =
+            if (k <= atHi) vHigh
+            else if (k > aboveLow) vLow
+            else kthIn(
+              base.filter(col(keyCol) > vLow && col(keyCol) < vHigh),
+              keyCol, aboveLow - atHi, k - atHi, cutover, relErr, 1)
+          false // resolved
+        } else true // sketch missed this bracket: retry wider
+      }.map(_._1)
+      margin *= 4.0 // at margin >= 1 the bracket is [min, max]: always hits
+    }
+    out.toSeq
   }
 
   /** Bracket loop for the k-th largest VALUE within `frame` (`total`

@@ -493,10 +493,10 @@ object ClusterMixProbes {
     ) { (s, d) =>
       import s.implicits._
       val li = t(s, d, "lineitem").select("l_extendedprice")
-      Seq(0.25, 0.5, 0.9).map { q =>
-        (q, graft.ops.OrderStat.exactQuantileDisc(li, "l_extendedprice", q,
-          cutover = 64))
-      }.toDF("q", "v").orderBy("q")
+      val qs = Seq(0.25, 0.5, 0.9)
+      qs.zip(graft.ops.OrderStat.exactQuantilesDisc(li, "l_extendedprice",
+          qs, cutover = 64))
+        .toDF("q", "v").orderBy("q")
     },
 
     // [EXT] packed-sequence span table (r16): the loader-facing map of
