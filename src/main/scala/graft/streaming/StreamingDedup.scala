@@ -34,10 +34,13 @@ import graft.ext.Dedup
   *    instead of silently degrading recall or quietly going quadratic —
   *    that many documents sharing one 15-bit band chunk is boilerplate
   *    saturation, which wants pre-filtering, not near-dup pairing;
-  *  - state per bucket stores two longs per document (id + signature):
-  *    16 bytes × corpus per band, 64 bytes/doc total across the four
-  *    bands — a billion-document history is ~64 GB of state cluster-wide,
-  *    checkpointed incrementally by the state store;
+  *  - state per bucket stores three longs per document (id, signature,
+  *    first-seen batch timestamp): ~24 bytes × corpus per band, ~96
+  *    bytes/doc total across the four bands — a billion-document
+  *    history is ~96 GB of state cluster-wide, checkpointed
+  *    incrementally by the state store; with a `retention` window the
+  *    history term becomes the WINDOW's arrival volume (entries age
+  *    out and are reclaimed on their bucket's next visit);
   *  - state writes are PER ENTRY, not per bucket (r17): the core runs on
   *    `transformWithState` with a RocksDB-backed `MapState` — each (id,
   *    signature) is its own state-store key, so an arrival into a hot
@@ -117,30 +120,60 @@ object StreamingDedup {
   }
 
   /** The per-bucket stateful core: a RocksDB `MapState` maps doc_id →
-    * signature, one state-store entry per document, so appending a
-    * document costs one 16-byte write per band — never a rewrite of the
-    * bucket. Comparisons load the bucket's entries once per trigger
-    * (read cost is inherent: an arrival must compare against its
-    * bucket's history).
+    * (signature, first-seen batch timestamp), one state-store entry per
+    * document, so appending a document costs one small entry write per
+    * band — never a rewrite of the bucket. Comparisons load the
+    * bucket's entries once per trigger (read cost is inherent: an
+    * arrival must compare against its bucket's history).
+    *
+    * `retentionMs` (None = keep all history) is the long-run state
+    * lifecycle: entries older than the window RELATIVE TO THE ARRIVING
+    * BATCH's timestamp are evicted from the bucket before comparison —
+    * the "dedup against the last 30 days" contract, under which state
+    * tracks the window's arrival volume instead of all of time, and an
+    * id re-crawled after its window (changed content included) simply
+    * re-indexes. Eviction is opportunistic (a bucket reclaims on its
+    * next visit — the hot buckets that hold the state mass are exactly
+    * the frequently-visited ones); the clock is the micro-batch
+    * timestamp threaded through the rows, so the operator itself needs
+    * no timer machinery and stays restart- and replay-deterministic
+    * within a trigger.
     */
-  private final class BucketProcessor(maxHamming: Int, maxBucketDocs: Int)
-      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+  private final class BucketProcessor(maxHamming: Int, maxBucketDocs: Int,
+                                      retentionMs: Option[Long])
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        (Long, Long, Long)] {
 
-    @transient private var docs: MapState[Long, Long] = _
+    @transient private var docs: MapState[Long, (Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      docs = getHandle.getMapState[Long, Long]("docs",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      docs = getHandle.getMapState[Long, (Long, Long)]("docs",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
 
     override def handleInputRows(key: Long,
-                                 rows: Iterator[(Long, Long, Long)],
+                                 rows: Iterator[(Long, Long, Long, Long)],
                                  timers: TimerValues)
         : Iterator[(Long, Long, Long)] = {
+      val arr = rows.toArray
+      // all rows of one trigger share the batch timestamp; max() is
+      // defensive against mixed replays
+      val batchTs = arr.iterator.map(_._4).max
+      val cutoff = retentionMs.map(batchTs - _)
       val seen = scala.collection.mutable.LongMap.empty[Long]
-      docs.iterator().foreach { case (id, sig) => seen.update(id, sig) }
-      detectInBucket(seen, rows, maxHamming, maxBucketDocs,
+      val expired = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator().foreach { case (id, (sig, ts)) =>
+        if (cutoff.exists(ts < _)) expired += id
+        else seen.update(id, sig)
+      }
+      // reclaim AFTER iteration (no mutation under the store's iterator)
+      expired.foreach(docs.removeKey)
+      detectInBucket(seen,
+        arr.iterator.map { case (id, sig, bucket, _) => (id, sig, bucket) },
+        maxHamming, maxBucketDocs,
         // ONE entry write per new doc — never the bucket
-        (id, sig) => docs.updateValue(id, sig))
+        (id, sig) => docs.updateValue(id, (sig, batchTs)))
     }
   }
 
@@ -167,49 +200,75 @@ object StreamingDedup {
     * unified semantics let the spec drive it with MemoryStream and the
     * probe with a file feed): emits `(id_a, id_b, hamming)` with
     * id_a < id_b and hamming <= maxHamming.
+    *
+    * `retention` (None = dedup against ALL history) bounds the long-run
+    * state lifecycle to a window: a pair is detected iff, when the
+    * later member arrives, the earlier member's entry is still inside
+    * the window in at least one shared band — the window applies to
+    * the EARLIER document's age, which is exactly the "dedup against
+    * the last 30 days" retention contract; entries beyond it are
+    * evicted from a bucket on its next visit, and an id re-ingested
+    * after its window re-indexes (changed content included — the
+    * content-stable-id refusal applies only to LIVE entries). The
+    * clock is the micro-batch timestamp, not a timer, so AvailableNow
+    * runs terminate normally. Batch evaluation ignores the retention
+    * (a batch is one instant).
     */
   def nearDupPairs(docs: DataFrame, idCol: Column, textCol: Column,
                    maxHamming: Int = 3,
-                   maxBucketDocs: Int = 100000): DataFrame = {
+                   maxBucketDocs: Int = 100000,
+                   retention: Option[java.time.Duration] = None): DataFrame = {
     // 4-band pigeonhole only guarantees recall to Hamming distance 3
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee (3)")
     require(maxBucketDocs >= 1, s"maxBucketDocs=$maxBucketDocs")
+    require(retention.forall(d => !d.isNegative && !d.isZero),
+      s"retention must be positive when given, got $retention")
     val spark = docs.sparkSession
     import spark.implicits._
-    val grouped = bandedSignatures(docs, idCol, textCol)
-      .as[(Long, Long, Long)]
-      .groupByKey(_._3)
     val mh = maxHamming
     val mb = maxBucketDocs
     val pairs =
       if (docs.isStreaming)
-        grouped.transformWithState(new BucketProcessor(mh, mb),
-          TimeMode.None(), OutputMode.Append())
+        // the batch timestamp rides the rows (current_timestamp() is
+        // the trigger's planning time — one value per micro-batch)
+        bandedSignatures(docs, idCol, textCol)
+          .withColumn("ts", unix_millis(current_timestamp()))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._3)
+          .transformWithState(
+            new BucketProcessor(mh, mb, retention.map(_.toMillis)),
+            TimeMode.None(), OutputMode.Append())
       else
         // batch evaluation sees the whole input at once: prior state is
         // empty by definition, so the same bucket loop runs statelessly
         // (no state store spin-up for a one-shot answer)
-        grouped.flatMapGroups { (_: Long, rows: Iterator[(Long, Long, Long)]) =>
-          detectInBucket(scala.collection.mutable.LongMap.empty[Long],
-            rows, mh, mb, (_, _) => ())
-        }
+        bandedSignatures(docs, idCol, textCol)
+          .as[(Long, Long, Long)]
+          .groupByKey(_._3)
+          .flatMapGroups { (_: Long, rows: Iterator[(Long, Long, Long)]) =>
+            detectInBucket(scala.collection.mutable.LongMap.empty[Long],
+              rows, mh, mb, (_, _) => ())
+          }
     pairs.toDF("id_a", "id_b", "hamming")
   }
 
   /** Run the detector over a streaming frame and land the pair feed as
     * parquet under `path` (append; readers DISTINCT — see the emission
     * contract above). State lives in `checkpointDir` with the source
-    * offsets, so a restart resumes against the full ingested history.
+    * offsets, so a restart resumes against the full ingested history —
+    * or against the `retention` window when one is set (see
+    * [[nearDupPairs]]).
     */
   def simhashNearDupStream(stream: DataFrame, idCol: Column, textCol: Column,
                            maxHamming: Int, path: String,
                            checkpointDir: String,
                            trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-                           maxBucketDocs: Int = 100000)
+                           maxBucketDocs: Int = 100000,
+                           retention: Option[java.time.Duration] = None)
       : StreamingQuery = {
     require(stream.isStreaming, "simhashNearDupStream needs a streaming frame")
-    nearDupPairs(stream, idCol, textCol, maxHamming, maxBucketDocs)
+    nearDupPairs(stream, idCol, textCol, maxHamming, maxBucketDocs, retention)
       .writeStream
       .format("parquet")
       .option("path", path)

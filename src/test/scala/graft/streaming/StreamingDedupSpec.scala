@@ -164,6 +164,59 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
       s"expected the content-stable-id refusal, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("retention window: live twins pair, aged-out twins do not") {
+    def run(feed: String, out: String, ckpt: String,
+            retention: java.time.Duration): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = out, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        retention = Some(retention))
+      q.awaitTermination()
+    }
+    // generous window: the cross-run pair is still detected (the
+    // timestamped state changes nothing inside the window)
+    val (fB, oB, cB) = (tmpDir("sd-ret-live-feed"),
+      tmpDir("sd-ret-live-out"), tmpDir("sd-ret-live-ckpt"))
+    val wide = java.time.Duration.ofMinutes(10)
+    arrive(fB, 0, Seq((1L, tA)))
+    run(fB, oB, cB, wide)
+    arrive(fB, 1, Seq((2L, tA)))
+    run(fB, oB, cB, wide)
+    val live = readPairs(oB).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(live.toSeq == Seq((1L, 2L)))
+    // tiny window: the earlier document ages out of state, so its later
+    // twin arrives to an empty index — the retention contract; and the
+    // aged-out ID is free for reuse with NEW content (no refusal). The
+    // reused content must SHARE a band with tA (else the conflict check
+    // could never fire anyway) while sitting beyond maxHamming (else it
+    // would legitimately pair with doc 2's fresh tA).
+    val sigA = Dedup.simhash60Scalar(tA.split(" ", -1))
+    def bands(s: Long) = (0 until 4).map(b => (s >> (b * 15)) & 0x7FFFL)
+    val reuseText = Iterator.from(1).map(i => tA + s" swap$i more$i")
+      .find { t =>
+        val s2 = Dedup.simhash60Scalar(t.split(" ", -1))
+        java.lang.Long.bitCount(s2 ^ sigA) > 3 &&
+          bands(s2).zip(bands(sigA)).exists(p => p._1 == p._2)
+      }.get
+    val (fA, oA, cA) = (tmpDir("sd-ret-exp-feed"),
+      tmpDir("sd-ret-exp-out"), tmpDir("sd-ret-exp-ckpt"))
+    val narrow = java.time.Duration.ofMillis(800)
+    arrive(fA, 0, Seq((1L, tA)))
+    run(fA, oA, cA, narrow)
+    Thread.sleep(2500)
+    arrive(fA, 1, Seq((2L, tA), (1L, reuseText)))
+    run(fA, oA, cA, narrow) // would throw on id 1 were its entry live
+    assert(readPairs(oA).isEmpty,
+      "expired state must not pair against the aged-out twin")
+  }
+
   test("batch-mode evaluation of the stateful core matches the banded join") {
     import spark.implicits._
     val docs = (0L until 40L)
