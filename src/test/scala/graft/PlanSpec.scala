@@ -289,6 +289,17 @@ class PlanSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("containment prefix join: equi-join candidates, no cartesian") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ext.Dedup.ngramContainmentPairsPrefix(
+      docs, "doc_id", "text", "source", 0.8)).split("== Initial Plan ==")(0)
+    // the asymmetric prefix×full candidate generation must stay an
+    // EQUI-join on (block, shingle-hash) — a cartesian or nested-loop
+    // here is the quadratic blowup the prefix filter exists to kill
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("weightedSampleExact above the cutover: no k-sized driver merge") {
     // r16 weak mark: orderBy().limit(k) at the operator's advertised 10M
     // scale was a TakeOrdered merge of k×partitions rows on the driver.
