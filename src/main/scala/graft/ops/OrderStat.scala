@@ -89,8 +89,11 @@ object OrderStat {
     require(cutover >= 1, s"cutover must be >= 1, got $cutover")
     require(relErr > 0.0 && relErr < 0.5,
       s"relErr must be in (0, 0.5), got $relErr")
+    // NaN keys have no rank (every comparison is false — they would be
+    // invisible to the bracket counts but inflate `total`, silently
+    // shifting every rank): excluded like nulls
     val base = df.select(col(keyCol).cast("double").as(keyCol))
-      .filter(col(keyCol).isNotNull)
+      .filter(col(keyCol).isNotNull && !isnan(col(keyCol)))
     val total = base.count()
     require(k >= 1 && k <= total,
       s"k must be in [1, $total (non-null rows)], got $k")
@@ -120,8 +123,9 @@ object OrderStat {
     require(qs.nonEmpty, "no quantiles requested")
     qs.foreach(q => require(q >= 0.0 && q <= 1.0,
       s"quantile must be in [0, 1], got $q"))
+    // NaN exclusion: same argument as kthLargestKey
     val base = df.select(col(keyCol).cast("double").as(keyCol))
-      .filter(col(keyCol).isNotNull)
+      .filter(col(keyCol).isNotNull && !isnan(col(keyCol)))
     val total = base.count()
     require(total > 0, "exactQuantilesDisc over zero non-null rows")
     val out = new Array[Double](qs.size)

@@ -252,4 +252,34 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
     assert(m2.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
       === full.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
   }
+
+  test("pre-mtime manifests parse, re-hash once, then ride (r17)") {
+    import spark.implicits._
+    val root = tmpDir("integrity-oldfmt")
+    val df = (0 until 9).map(i => (i.toLong, s"legacy doc $i payload"))
+      .toDF("id", "txt")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), 4L, root).collect()
+    // publish in the r16 line format (no mtime field), bytes INTACT
+    val rows = ExportIntegrity.fingerprintFiles(spark, root, "shard-*.tar")
+      .collect()
+    val legacy = rows.map(r =>
+      s"""{"file":"${r.getString(0)}","bytes":${r.getLong(1)},""" +
+        s""""sha256":"${r.getString(2)}"}""").mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, ExportIntegrity.ManifestName), legacy)
+    // the optional-mtime parser reads it...
+    val parsed = ExportIntegrity.readManifest(spark, root).collect()
+    assert(parsed.map(_.getString(0)).toSeq === rows.map(_.getString(0)).toSeq)
+    // ...and the incremental republish cannot validate mtime-less rows,
+    // so it re-hashes them ONCE (same shas — the files are intact) and
+    // stamps mtimes; the NEXT republish carries everything forward
+    val m1 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "shard-*.tar").collect()
+    assert(m1.map(r => (r.getString(0), r.getString(2))).toSeq
+      === rows.map(r => (r.getString(0), r.getString(2))).toSeq)
+    val clean = ExportIntegrity.verify(spark, root, "shard-*.tar")
+      .filter(col("status") =!= "ok")
+    assert(clean.isEmpty)
+  }
 }

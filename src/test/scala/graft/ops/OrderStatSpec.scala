@@ -105,6 +105,11 @@ class OrderStatSpec extends AnyFunSuite with SharedSpark {
     for (q <- Seq(0.1, 0.5, 0.99))
       assert(OrderStat.exactQuantileDisc(big, "key", q, cutover = 32)
         === OrderStat.exactQuantileDisc(big, "key", q), s"q=$q")
+    // NaN keys are rankless: excluded like nulls, never shifting ranks
+    val withNan = df.withColumn("key",
+      when(col("id") <= 3L, lit(Double.NaN)).otherwise(col("key")))
+    assert(OrderStat.exactQuantileDisc(withNan, "key", 1.0) === 10.0)
+    assert(OrderStat.kthLargestKey(withNan, "key", 7L) === 4.0)
   }
 
   test("small k routes through plain TakeOrdered") {
