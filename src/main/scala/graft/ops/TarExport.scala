@@ -384,9 +384,11 @@ object TarExport {
             true
         }
       } catch {
+        // IOException subsumes AtomicMoveNotSupportedException (a
+        // FileSystemException): any store refusing the atomic path drops
+        // to the vacancy protocol below
         case _: java.io.IOException => false
         case _: UnsupportedOperationException => false
-        case _: java.nio.file.AtomicMoveNotSupportedException => false
       }
     if (replaced) return
     // no atomic replace on this store: never delete-then-rename (that

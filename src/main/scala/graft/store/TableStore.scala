@@ -2238,6 +2238,11 @@ final class TableStore(spark: SparkSession, root: String) {
           "produce this; refusing to guess which holds the live data")
     (olds.headOption.map(new Path(parent, _)),
      tmps.headOption.map(new Path(parent, _))) match {
+      case (None, None) =>
+        // unreachable: the both-empty case returned NoDebris above —
+        // spelled out so the match is provably exhaustive
+        throw new IllegalStateException(
+          s"table $table: sibling scan raced the empty-guard")
       case (Some(_), None) =>
         // the staged dir outlives the window on every protocol path, and
         // kept files may have been moved OUT of .old-* into it — restoring
@@ -2711,9 +2716,10 @@ final class TableStore(spark: SparkSession, root: String) {
           true
       }
     } catch {
+      // IOException subsumes AtomicMoveNotSupportedException (a
+      // FileSystemException); either way the caller falls back
       case _: java.io.IOException => false
       case _: UnsupportedOperationException => false
-      case _: java.nio.file.AtomicMoveNotSupportedException => false
     }
 
   /** Retire a stale lease file with an ATOMIC rename to a unique hidden
