@@ -36,7 +36,15 @@ object GraftSession {
       // writes per arrival instead of full-value rewrites), and the
       // production choice for the other stateful ops too (changelog
       // checkpointing, state spills to local disk instead of executor
-      // heap)
+      // heap).
+      // COMPATIBILITY: streaming checkpoints written before this change
+      // (HDFS-heap provider, and for StreamingDedup the
+      // flatMapGroupsWithState operator/state schema) are NOT resumable
+      // under it — Spark refuses a provider swap mid-checkpoint with a
+      // state-store error. Restarting a pre-r17 long-running query needs
+      // a FRESH checkpointDir (for StreamingDedup, seed the new
+      // checkpoint from the old corpus via nearDupPairsSeeded rather
+      // than replaying the feed).
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // commit a per-trigger CHANGELOG instead of a full RocksDB snapshot

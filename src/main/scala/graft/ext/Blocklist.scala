@@ -283,7 +283,12 @@ object Blocklist {
                   phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(automaton(phrases))
-    val dirty = udf { text: String => bc.value.containsAny(text) }
+    // the UDF must be null-safe on its own: Spark does not guarantee
+    // boolean short-circuit order in WHERE clauses, so the isNotNull
+    // conjunct (kept for pushdown/pruning) may evaluate AFTER the UDF
+    val dirty = udf { text: String =>
+      text != null && bc.value.containsAny(text)
+    }
     docs.filter(col(textCol).isNotNull && !dirty(col(textCol)))
   }
 }

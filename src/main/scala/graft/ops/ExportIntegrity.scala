@@ -186,25 +186,41 @@ object ExportIntegrity {
     * replayed batch re-committed over a torn write). Per-trigger cost:
     * one LIST + hash reads proportional to the BATCH, not the history.
     *
-    * Validation is the stats-manifest idiom (rel + length + mtime):
-    * a same-length same-mtime silent rewrite is invisible to it —
-    * that is the fingerprint sweep [[verify]] exists for; run it at
-    * delivery handoff, not per trigger. Manifests published before the
-    * mtime field carry no mtime → their rows re-hash ONCE, then ride.
+    * Validation is the stats-manifest idiom (rel + length + mtime),
+    * hardened against COARSE mtime granularity: object stores stamp
+    * 1-second timestamps, so a same-length rewrite landing inside the
+    * same tick as the original write (a replayed batch re-committed
+    * over a torn write) would be stat-invisible. Rows whose mtime is
+    * within `mtimeSlackMs` of the republish clock therefore re-hash
+    * even when their stats match — only rows at least one granularity
+    * tick OLD ride the carry. Beyond the slack, a same-length
+    * same-mtime silent rewrite is still invisible to stats — that is
+    * the fingerprint sweep [[verify]] exists for; run it at delivery
+    * handoff, not per trigger. Manifests published before the mtime
+    * field carry no mtime → their rows re-hash ONCE, then ride.
     *
+    * @param mtimeSlackMs re-hash horizon: files modified within this
+    *                     many ms of the republish clock never carry
+    *                     forward (default 2 s — two 1 s object-store
+    *                     ticks); the steady-state cost is re-hashing
+    *                     the most recent batch once more
     * @return the full manifest frame just committed
     */
   def writeManifestIncremental(spark: SparkSession, path: String,
-                               glob: String = "*"): DataFrame = {
+                               glob: String = "*",
+                               mtimeSlackMs: Long = 2000L): DataFrame = {
     import spark.implicits._
+    require(mtimeSlackMs >= 0L, s"mtimeSlackMs must be >= 0, got $mtimeSlackMs")
     val listing = listRelativeFull(spark, path, glob)
+    val now = System.currentTimeMillis()
     val prior: Map[String, (Long, String, Option[Long])] =
       readManifestEntries(spark, path)
         .map { case (f, n, sha, mt) => f -> (n, sha, mt) }.toMap
     val (carried, fresh) = listing.partition { case (rel, len, mt) =>
-      prior.get(rel).exists { case (pn, _, pmt) =>
-        pn == len && pmt.contains(mt)
-      }
+      mt + mtimeSlackMs <= now &&
+        prior.get(rel).exists { case (pn, _, pmt) =>
+          pn == len && pmt.contains(mt)
+        }
     }
     val carriedRows = carried.map { case (rel, len, mt) =>
       (rel, len, prior(rel)._2, mt)

@@ -207,6 +207,17 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
         Seq("txt" -> col("txt")), 4L, s"$root/batch-$id").collect()
     }
     batch(0, 9)
+    // backdate the delivered batch (an hour-old delivery): rows inside
+    // the republish's mtime-slack horizon deliberately never carry
+    // (the coarse-granularity guard) — carry-forward is for HISTORY
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldMt = System.currentTimeMillis() - 3600 * 1000L
+    ExportIntegrity.fingerprintFiles(spark, root, "batch-*/shard-*.tar")
+      .collect().foreach { r =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(
+          s"$root/${r.getString(0)}"), oldMt, -1)
+      }
     val m0 = ExportIntegrity.writeManifestIncremental(spark, root,
       "batch-*/shard-*.tar").collect()
     assert(m0.length === 3)
@@ -216,8 +227,6 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
     // never re-read (per-batch hash opens are O(batch files))
     val victim = new java.io.File(s"$root/batch-0", m0.head.getString(0)
       .stripPrefix("batch-0/"))
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vPath = new org.apache.hadoop.fs.Path(victim.getAbsolutePath)
     val mt0 = fs.getFileStatus(vPath).getModificationTime
     val raf = new java.io.RandomAccessFile(victim, "rw")
@@ -251,6 +260,41 @@ class ExportIntegritySpec extends AnyFunSuite with SharedSpark {
       "batch-*/shard-*.tar").collect()
     assert(m2.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
       === full.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+  }
+
+  test("a stat-identical rewrite inside the mtime-slack horizon re-hashes (r18)") {
+    import spark.implicits._
+    val root = tmpDir("integrity-slack")
+    val df = (0 until 9).map(i => (i.toLong, s"tick doc $i payload"))
+      .toDF("id", "txt")
+    TarExport.writeTarShards(df, col("id"), Seq(col("id")),
+      Seq("txt" -> col("txt")), 4L, root).collect()
+    val m0 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "shard-*.tar").collect()
+    // same-length corruption with the mtime RESTORED — on a 1 s-granular
+    // object store this is exactly "a replayed batch re-committed over a
+    // torn write inside one tick": stats cannot see it
+    val victim = new java.io.File(root, m0.head.getString(0))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(victim.getAbsolutePath)
+    val mt0 = fs.getFileStatus(vPath).getModificationTime
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try { raf.seek(600); val b = raf.read(); raf.seek(600); raf.write(b ^ 0x7f) }
+    finally raf.close()
+    fs.setTimes(vPath, mt0, -1)
+    // the file is recent (within the slack horizon) → the republish must
+    // NOT trust the carry: it re-hashes and surfaces the new sha
+    val m1 = ExportIntegrity.writeManifestIncremental(spark, root,
+      "shard-*.tar").collect()
+    val sha0 = m0.map(r => r.getString(0) -> r.getString(2)).toMap
+    val changed = m1.find(_.getString(0) == m0.head.getString(0)).get
+    assert(changed.getString(2) != sha0(changed.getString(0)),
+      "recent stat-identical rewrite must re-hash, not ride the carry")
+    // ...whereas with the slack disabled the same rewrite would ride
+    // (the trade the parameter exists to close)
+    assert(ExportIntegrity.verify(spark, root, "shard-*.tar")
+      .filter(col("status") =!= "ok").isEmpty)
   }
 
   test("pre-mtime manifests parse, re-hash once, then ride (r17)") {
