@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** [EXT] Distributed order statistics: EXACT global top-k selection
   * without a driver-side merge — the primitive behind "pick exactly 10M
@@ -27,22 +28,42 @@ import org.apache.spark.sql.functions._
   * sketch-derived) bracket values land: bracket placement only moves work
   * between the filter and the band, never changes membership.
   *
-  * Degenerate-tie refusal: if more than `cutover` rows share the exact
-  * boundary key value (the bracket cannot shrink), selection would need a
-  * distributed rank over the tie set's tiebreak column — a different
-  * operator. That only happens when keys have collapsed (e.g. extreme
-  * weights driving u^(1/w) to 1.0 in double precision); the engine's
-  * loud-refusal idiom applies.
+  * Degenerate boundary ties (r18): when more than `cutover` rows share
+  * the exact boundary key value (the bracket cannot shrink), selection
+  * falls through to a DISTRIBUTED RANK over the tie set's TIEBREAK
+  * column — numeric tiebreaks recurse through the same bracket loop on
+  * the tiebreak value (threshold selection again, never a funnel);
+  * lowercase-hex tiebreaks (the engine's md5-id convention) rank through
+  * [[GlobalOrder.rankByHexKey]]'s 256-bucket idiom. The loud refusal
+  * remains only for the genuinely unrankable pathologies: a tiebreak
+  * that ALSO collapses past the cutover, or one that is neither numeric
+  * nor hex.
   *
   * This is an EAGER operator (it runs the quantile/count actions when
   * called, like `Mixing.temperatureWeights`); the returned DataFrame is a
-  * union of filters on `df` plus one bounded TakeOrdered. `df` is
-  * re-scanned a handful of times (quantile, counts, final filters) — all
-  * passes read only the key column until the final output, so columnar
-  * sources pay narrow scans; persist upstream if `df` is expensive to
-  * recompute.
+  * union of filters on `df` plus one bounded TakeOrdered. To keep the
+  * handful of passes (quantile sketch, exact counts, band recursion) from
+  * recomputing an expensive upstream plan, the operator PINS ITS OWN
+  * working set (r18): the narrow `(key, tiebreak)` projection it derives
+  * is persisted (MEMORY_AND_DISK) before the first action and unpersisted
+  * on exit, so upstream evaluates ONCE however many bracket levels run —
+  * ~16 bytes × rows cluster-wide, spilling to local disk at corpus scale.
+  * When `df` is already cached the operator skips its own pin and rides
+  * the caller's. Only the final output filters re-touch `df` (the rows
+  * returned must carry every input column).
   */
 object OrderStat {
+
+  /** The narrow working-set pin: `cols` of `base`, persisted unless the
+    * caller already cached the input (then the projection just rides the
+    * existing cache). Returns the frame and whether WE pinned it.
+    */
+  private def pinStats(input: DataFrame, base: DataFrame,
+                       cols: Seq[Column]): (DataFrame, Boolean) = {
+    val narrow = base.select(cols: _*)
+    if (input.storageLevel != StorageLevel.NONE) (narrow, false)
+    else (narrow.persist(StorageLevel.MEMORY_AND_DISK), true)
+  }
 
   /** Exact top-`k` rows of `df` by (`keyCol` desc, `tieCol` asc).
     *
@@ -66,9 +87,17 @@ object OrderStat {
     if (k <= cutover)
       base.orderBy(col(keyCol).desc, col(tieCol)).limit(k.toInt)
     else {
-      val total = base.count()
-      if (total <= k) base
-      else select(base, keyCol, tieCol, total, k, cutover, relErr, depth = 0)
+      // every stats pass (count, sketch, exact counts, band recursion)
+      // runs on the pinned narrow projection; only the returned plan's
+      // output filters touch `base` (they must carry all columns)
+      val (stats, pinned) =
+        pinStats(df, base, Seq(col(keyCol), col(tieCol)))
+      try {
+        val total = stats.count()
+        if (total <= k) base
+        else select(stats, base, keyCol, tieCol, total, k, cutover, relErr,
+          depth = 0)
+      } finally if (pinned) stats.unpersist(blocking = false)
     }
   }
 
@@ -92,12 +121,15 @@ object OrderStat {
     // NaN keys have no rank (every comparison is false — they would be
     // invisible to the bracket counts but inflate `total`, silently
     // shifting every rank): excluded like nulls
-    val base = df.select(col(keyCol).cast("double").as(keyCol))
+    val proj = df.select(col(keyCol).cast("double").as(keyCol))
       .filter(col(keyCol).isNotNull && !isnan(col(keyCol)))
-    val total = base.count()
-    require(k >= 1 && k <= total,
-      s"k must be in [1, $total (non-null rows)], got $k")
-    kthIn(base, keyCol, total, k, cutover, relErr, depth = 0)
+    val (base, pinned) = pinStats(df, proj, Seq(col(keyCol)))
+    try {
+      val total = base.count()
+      require(k >= 1 && k <= total,
+        s"k must be in [1, $total (non-null rows)], got $k")
+      kthIn(base, keyCol, total, k, cutover, relErr, depth = 0)
+    } finally if (pinned) base.unpersist(blocking = false)
   }
 
   /** DuckDB/Postgres `quantile_disc` semantics: the exact element at
@@ -124,46 +156,49 @@ object OrderStat {
     qs.foreach(q => require(q >= 0.0 && q <= 1.0,
       s"quantile must be in [0, 1], got $q"))
     // NaN exclusion: same argument as kthLargestKey
-    val base = df.select(col(keyCol).cast("double").as(keyCol))
+    val proj = df.select(col(keyCol).cast("double").as(keyCol))
       .filter(col(keyCol).isNotNull && !isnan(col(keyCol)))
-    val total = base.count()
-    require(total > 0, "exactQuantilesDisc over zero non-null rows")
-    val out = new Array[Double](qs.size)
-    // (output index, k-th largest rank) still unresolved
-    var pending: Seq[(Int, Long)] = qs.zipWithIndex.map { case (q, i) =>
-      (i, total - math.max(1L, math.ceil(q * total).toLong) + 1L)
-    }
-    var margin = 2.0 * relErr
-    while (pending.nonEmpty) {
-      val probs = pending.flatMap { case (_, k) =>
-        val p = 1.0 - k.toDouble / total
-        Seq(math.max(0.0, p - margin), math.min(1.0, p + margin))
+    val (base, pinned) = pinStats(df, proj, Seq(col(keyCol)))
+    try {
+      val total = base.count()
+      require(total > 0, "exactQuantilesDisc over zero non-null rows")
+      val out = new Array[Double](qs.size)
+      // (output index, k-th largest rank) still unresolved
+      var pending: Seq[(Int, Long)] = qs.zipWithIndex.map { case (q, i) =>
+        (i, total - math.max(1L, math.ceil(q * total).toLong) + 1L)
       }
-      val vs = base.stat.approxQuantile(keyCol, probs.toArray, relErr)
-      val sums = pending.indices.flatMap { i =>
-        Seq(sum(when(col(keyCol) > vs(2 * i + 1), 1L).otherwise(0L)),
-          sum(when(col(keyCol) >= vs(2 * i + 1), 1L).otherwise(0L)),
-          sum(when(col(keyCol) > vs(2 * i), 1L).otherwise(0L)),
-          sum(when(col(keyCol) >= vs(2 * i), 1L).otherwise(0L)))
+      var margin = 2.0 * relErr
+      while (pending.nonEmpty) {
+        val probs = pending.flatMap { case (_, k) =>
+          val p = 1.0 - k.toDouble / total
+          Seq(math.max(0.0, p - margin), math.min(1.0, p + margin))
+        }
+        val vs = base.stat.approxQuantile(keyCol, probs.toArray, relErr)
+        val sums = pending.indices.flatMap { i =>
+          Seq(sum(when(col(keyCol) > vs(2 * i + 1), 1L).otherwise(0L)),
+            sum(when(col(keyCol) >= vs(2 * i + 1), 1L).otherwise(0L)),
+            sum(when(col(keyCol) > vs(2 * i), 1L).otherwise(0L)),
+            sum(when(col(keyCol) >= vs(2 * i), 1L).otherwise(0L)))
+        }
+        val r = base.agg(sums.head, sums.tail: _*).head()
+        pending = pending.zipWithIndex.filter { case ((idx, k), i) =>
+          val vLow = vs(2 * i); val vHigh = vs(2 * i + 1)
+          val above = r.getLong(4 * i); val atHi = r.getLong(4 * i + 1)
+          val aboveLow = r.getLong(4 * i + 2); val atLeast = r.getLong(4 * i + 3)
+          if (above < k && k <= atLeast) {
+            out(idx) =
+              if (k <= atHi) vHigh
+              else if (k > aboveLow) vLow
+              else kthIn(
+                base.filter(col(keyCol) > vLow && col(keyCol) < vHigh),
+                keyCol, aboveLow - atHi, k - atHi, cutover, relErr, 1)
+            false // resolved
+          } else true // sketch missed this bracket: retry wider
+        }.map(_._1)
+        margin *= 4.0 // at margin >= 1 the bracket is [min, max]: always hits
       }
-      val r = base.agg(sums.head, sums.tail: _*).head()
-      pending = pending.zipWithIndex.filter { case ((idx, k), i) =>
-        val vLow = vs(2 * i); val vHigh = vs(2 * i + 1)
-        val above = r.getLong(4 * i); val atHi = r.getLong(4 * i + 1)
-        val aboveLow = r.getLong(4 * i + 2); val atLeast = r.getLong(4 * i + 3)
-        if (above < k && k <= atLeast) {
-          out(idx) =
-            if (k <= atHi) vHigh
-            else if (k > aboveLow) vLow
-            else kthIn(
-              base.filter(col(keyCol) > vLow && col(keyCol) < vHigh),
-              keyCol, aboveLow - atHi, k - atHi, cutover, relErr, 1)
-          false // resolved
-        } else true // sketch missed this bracket: retry wider
-      }.map(_._1)
-      margin *= 4.0 // at margin >= 1 the bracket is [min, max]: always hits
-    }
-    out.toSeq
+      out.toSeq
+    } finally if (pinned) base.unpersist(blocking = false)
   }
 
   /** Bracket loop for the k-th largest VALUE within `frame` (`total`
@@ -219,12 +254,15 @@ object OrderStat {
     }
   }
 
-  /** Recursive threshold selection: `frame` has exactly `total` rows
-    * (all keys non-null), `cutover < need <= total`.
+  /** Recursive threshold selection. `stats` is the pinned narrow
+    * `(key, tiebreak)` working set and `out` the full-width frame; both
+    * hold exactly `total` rows (all keys non-null) under identical
+    * predicates — every action runs on `stats`, the returned plan is
+    * built from `out`. `cutover < need <= total`.
     */
-  private def select(frame: DataFrame, keyCol: String, tieCol: String,
-                     total: Long, need: Long, cutover: Int, relErr: Double,
-                     depth: Int): DataFrame = {
+  private def select(stats: DataFrame, out: DataFrame, keyCol: String,
+                     tieCol: String, total: Long, need: Long, cutover: Int,
+                     relErr: Double, depth: Int): DataFrame = {
     require(depth < 8,
       s"top-k threshold selection failed to converge after $depth levels " +
         s"(band still ${total} rows for need=$need) — key distribution is " +
@@ -239,10 +277,10 @@ object OrderStat {
     while (!bracketed) {
       val pLow = math.max(0.0, q - margin)
       val pHigh = math.min(1.0, q + margin)
-      val vs = frame.stat.approxQuantile(keyCol, Array(pLow, pHigh), relErr)
+      val vs = stats.stat.approxQuantile(keyCol, Array(pLow, pHigh), relErr)
       vLow = vs(0); vHigh = vs(1)
       // ONE exact pass pins both sides of the bracket
-      val r = frame.agg(
+      val r = stats.agg(
         sum(when(col(keyCol) > vHigh, 1L).otherwise(0L)).as("above"),
         sum(when(col(keyCol) >= vLow, 1L).otherwise(0L)).as("at_least"))
         .head()
@@ -253,24 +291,93 @@ object OrderStat {
       // where above = 0 <= need and atLeast = total >= need always hold
       else margin *= 4.0
     }
-    val kept = frame.filter(col(keyCol) > vHigh)
+    val kept = out.filter(col(keyCol) > vHigh)
     val remaining = need - above
     if (remaining == 0L) kept
     else {
-      val band = frame.filter(col(keyCol) >= vLow && col(keyCol) <= vHigh)
+      val bandPred = col(keyCol) >= vLow && col(keyCol) <= vHigh
       val bandSize = atLeast - above
       if (bandSize <= cutover)
+        kept.unionAll(out.filter(bandPred)
+          .orderBy(col(keyCol).desc, col(tieCol)).limit(remaining.toInt))
+      else if (vLow < vHigh)
         kept.unionAll(
-          band.orderBy(col(keyCol).desc, col(tieCol)).limit(remaining.toInt))
-      else {
-        require(vLow < vHigh,
-          s"$bandSize rows tie at the boundary key value $vLow (> cutover " +
-            s"$cutover): the key has collapsed (e.g. extreme weights " +
-            "rounding to one double) — rescale the key or raise cutover")
+          select(stats.filter(bandPred), out.filter(bandPred), keyCol,
+            tieCol, bandSize, remaining, cutover, relErr, depth + 1))
+      else
+        // the whole band ties at ONE key value (e.g. extreme weights
+        // rounding to one double): the bracket cannot shrink, so rank
+        // the tie set by its TIEBREAK, distributed (r18)
         kept.unionAll(
-          select(band, keyCol, tieCol, bandSize, remaining, cutover, relErr,
-            depth + 1))
-      }
+          tieSelect(stats.filter(bandPred), out.filter(bandPred), tieCol,
+            bandSize, remaining, cutover, relErr))
+    }
+  }
+
+  /** Distributed rank over a boundary TIE SET: every row of `statsTies` /
+    * `outTies` carries the same key value; keep exactly the `remaining`
+    * smallest rows by `tieCol` without a tie-set-sized driver merge.
+    *
+    *  - NUMERIC tiebreaks run the same bracket machinery on the tiebreak
+    *    value ([[kthIn]] on a monotone double surrogate): one threshold
+    *    value, a zero-shuffle strict filter, and the == atom resolved by
+    *    a TakeOrdered on the ORIGINAL tiebreak bounded by `cutover` —
+    *    surrogate rounding collapses distinct tiebreaks only INTO the
+    *    atom, where the original column re-orders them exactly.
+    *  - LOWERCASE-HEX tiebreaks (md5-style ids) rank through
+    *    [[GlobalOrder.rankByHexKey]]: 256 deterministic order-preserving
+    *    buckets, per-bucket windows — funnel-free.
+    *
+    * Refusal remains only for the unrankable: a tiebreak whose == atom
+    * ALSO exceeds `cutover` (both key and tiebreak collapsed), or a type
+    * that is neither numeric nor hex.
+    */
+  private def tieSelect(statsTies: DataFrame, outTies: DataFrame,
+                        tieCol: String, tieCount: Long, remaining: Long,
+                        cutover: Int, relErr: Double): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    statsTies.schema(tieCol).dataType match {
+      case _: NumericType =>
+        val tc = Cols.fresh(statsTies, "_os_tie")
+        // a null/NaN tiebreak has no defined rank inside a tie set this
+        // large — silently dropping it would shift every rank; refuse
+        val unranked = statsTies.filter(col(tieCol).isNull ||
+          isnan(col(tieCol).cast("double"))).count()
+        require(unranked == 0L,
+          s"cannot rank a $tieCount-row boundary tie set: tiebreak " +
+            s"'$tieCol' carries $unranked null/NaN value(s)")
+        val tiesD = statsTies.select(col(tieCol).cast("double").as(tc))
+        // the remaining-th SMALLEST tiebreak = (count - remaining + 1)-th
+        // largest; the surrogate is monotone, so the strict filter below
+        // is exact and the == atom absorbs any double collapse
+        val cutoff = kthIn(tiesD, tc, tieCount, tieCount - remaining + 1L,
+          cutover, relErr, depth = 0)
+        val below = statsTies
+          .filter(col(tieCol).cast("double") < cutoff).count()
+        val residual = remaining - below
+        require(residual <= cutover,
+          s"$residual rows needed from tiebreak value $cutoff whose tie " +
+            s"atom exceeds cutover $cutover: key AND tiebreak have both " +
+            "collapsed — select on a better-distributed tiebreak")
+        outTies.filter(col(tieCol).cast("double") < cutoff)
+          .unionAll(outTies.filter(col(tieCol).cast("double") === cutoff)
+            .orderBy(col(tieCol)).limit(residual.toInt))
+      case StringType =>
+        val nonHex = statsTies
+          .filter(!col(tieCol).rlike("^[0-9a-f]{2}")).count()
+        require(nonHex == 0L,
+          s"cannot rank a $tieCount-row boundary tie set: string tiebreak " +
+            s"'$tieCol' has $nonHex value(s) that are not lowercase hex " +
+            "(md5-style ids) — supply a numeric or hex tiebreak")
+        val pos = Cols.fresh(outTies, "_os_pos")
+        GlobalOrder.rankByHexKey(outTies, col(tieCol), Seq(col(tieCol)), pos)
+          .filter(col(pos) < remaining)
+          .drop(pos)
+      case other =>
+        throw new IllegalArgumentException(
+          s"cannot rank a $tieCount-row boundary tie set: tiebreak " +
+            s"'$tieCol' of type ${other.simpleString} is neither numeric " +
+            "nor a hex string — supply a rankable tiebreak or raise cutover")
     }
   }
 }

@@ -52,13 +52,75 @@ class OrderStatSpec extends AnyFunSuite with SharedSpark {
     assert(got.count() === 90L)
   }
 
-  test("degenerate tie set above cutover refuses loudly") {
+  test("boundary tie 100x the cutover resolves by distributed tiebreak rank (r18)") {
+    // ALL 2000 keys identical — the bracket can never shrink, so the
+    // r17 code refused; now the tie set ranks by its tiebreak without
+    // any k-sized driver merge
     val df = (0L until 2000L).map(i => (i, 1.0)).toDF("id", "key")
-    val e = intercept[IllegalArgumentException] {
-      OrderStat.topKByKeyDesc(df, "key", "id", k = 700, cutover = 16,
+      .repartition(7)
+    val got = OrderStat.topKByKeyDesc(df, "key", "id", k = 700, cutover = 16,
+        relErr = 0.01)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 700L), "sorted-reference mismatch")
+    // partial tie: 500 rows outrank the tie tier; the remaining 200
+    // come from the 2000-row boundary tie by tiebreak rank
+    val mixed = ((0L until 500L).map(i => (10000L + i, 2.0)) ++
+      (0L until 2000L).map(i => (i, 1.0))).toDF("id", "key").repartition(5)
+    val got2 = OrderStat.topKByKeyDesc(mixed, "key", "id", k = 700,
+        cutover = 16, relErr = 0.01)
+      .select("id").as[Long].collect().sorted
+    assert(got2.toSeq === ((0L until 200L) ++ (10000L until 10500L)).sorted)
+  }
+
+  test("hex-string tiebreaks rank through the 256-bucket idiom (r18)") {
+    val df = (0L until 1500L)
+      .map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"tie$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (hex, 1.0)
+      }
+      .toDF("id", "key").repartition(6)
+    val want = df.select("id").as[String].collect().sorted.take(600).toSet
+    val got = OrderStat.topKByKeyDesc(df, "key", "id", k = 600, cutover = 16,
+        relErr = 0.01)
+      .select("id").as[String].collect().toSet
+    assert(got === want)
+  }
+
+  test("unrankable tie sets still refuse loudly (r18)") {
+    // tiebreak collapsed too: every row identical in key AND tiebreak
+    val collapsed = (0L until 2000L).map(_ => (5L, 1.0)).toDF("id", "key")
+    val e1 = intercept[IllegalArgumentException] {
+      OrderStat.topKByKeyDesc(collapsed, "key", "id", k = 700, cutover = 16,
         relErr = 0.01).count()
     }
-    assert(e.getMessage.contains("collapsed"), e.getMessage)
+    assert(e1.getMessage.contains("collapsed"), e1.getMessage)
+    // non-hex string tiebreak: no defined distributed rank — refuse
+    val nonHex = (0L until 2000L).map(i => (s"DOC_$i", 1.0)).toDF("id", "key")
+    val e2 = intercept[IllegalArgumentException] {
+      OrderStat.topKByKeyDesc(nonHex, "key", "id", k = 700, cutover = 16,
+        relErr = 0.01).count()
+    }
+    assert(e2.getMessage.contains("hex"), e2.getMessage)
+  }
+
+  test("the pinned working set materializes upstream exactly once (r18)") {
+    // count upstream SCANS (partition task executions), not per-row
+    // evals — Catalyst legitimately inlines deterministic expressions
+    // into both a filter and its projection within one pass
+    val scans = spark.sparkContext.longAccumulator("os-upstream-scans")
+    val df = spark.range(3000L).as[Long].repartition(4)
+      .mapPartitions { it => scans.add(1L); it }
+      .toDF("id")
+      .withColumn("key", col("id").cast("double") / 4096.0)
+    // multi-level selection: tiny cutover + coarse sketch force the
+    // bracket loop through several levels — every pass after the pin
+    // must hit the cache, not re-run the upstream plan
+    val qs = OrderStat.exactQuantilesDisc(df, "key", Seq(0.1, 0.5, 0.9),
+      cutover = 16, relErr = 0.01)
+    assert(qs === Seq(299.0 / 4096.0, 1499.0 / 4096.0, 2699.0 / 4096.0))
+    assert(scans.value === 4L,
+      s"upstream scanned ${scans.value / 4} times — the working-set pin leaked")
   }
 
   test("no TakeOrdered above the cutover in the selected plan") {
