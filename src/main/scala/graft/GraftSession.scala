@@ -43,8 +43,8 @@ object GraftSession {
       // under it — Spark refuses a provider swap mid-checkpoint with a
       // state-store error. Restarting a pre-r17 long-running query needs
       // a FRESH checkpointDir (for StreamingDedup, seed the new
-      // checkpoint from the old corpus via nearDupPairsSeeded rather
-      // than replaying the feed).
+      // checkpoint from the old corpus via StreamingDedup.seedEntries +
+      // the initialEntries hook rather than replaying the feed).
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // commit a per-trigger CHANGELOG instead of a full RocksDB snapshot

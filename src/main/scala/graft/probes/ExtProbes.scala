@@ -499,6 +499,62 @@ object ExtProbes {
         .orderBy("id_a", "id_b")
     },
 
+    // [EXT] streaming dedup BOOTSTRAP (r18): the 100 TB migration path —
+    // half the corpus is an EXISTING archive whose banded signatures
+    // seed a fresh checkpoint's state as a BATCH frame
+    // (StatefulProcessorWithInitialState); only the other half ever
+    // rides the stream. The union of the seed half's own batch dedup
+    // (run once at migration) with the stream's emissions must equal
+    // the whole-corpus batch answer — the same closed-form oracle as
+    // stream_neardup_pairs — and the stream must emit no seed-internal
+    // pair (they were known before the stream existed).
+    Probe(
+      "stream_neardup_bootstrap",
+      "WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), sh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 60)]) AS BIGINT) AS sim FROM th), banded AS (SELECT doc_id, sim, u.b, (sim >> (u.b*15)) & 32767 AS chunk FROM sh, UNNEST([0,1,2,3]) AS u(b)), pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM banded a JOIN banded b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id) SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"
+    ) { (s, d) =>
+      val root = Probe.scratchDir("graft-stream-neardup-boot")
+      val src = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val seedDocs = src.filter(col("doc_id") % 2 === 0)
+      val streamDocs = src.filter(col("doc_id") % 2 === 1)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT")
+      // migration step 1: batch-dedup the existing corpus (its internal
+      // pairs are the batch path's answer, not the stream's)
+      val seedPairs = PhaseTimer.timed("stream_neardup_bootstrap", "seed_batch") {
+        Dedup.simhashNearDupPairs(seedDocs, "doc_id", "text", maxHamming = 3)
+          .localCheckpoint()
+      }
+      // migration step 2: seed the detector's state from the archive's
+      // banded signatures — one distributed write, zero feed replay
+      PhaseTimer.timed("stream_neardup_bootstrap", "feed_write") {
+        streamDocs.coalesce(1).write.mode("append").parquet(s"$root/feed")
+      }
+      PhaseTimer.timed("stream_neardup_bootstrap", "stream_detect") {
+        val feed = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/feed")
+        val q = graft.streaming.StreamingDedup.simhashNearDupStream(feed,
+          col("doc_id"), col("text"), maxHamming = 3,
+          path = s"$root/out", checkpointDir = s"$root/ckpt",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          initialEntries = Some(graft.streaming.StreamingDedup.seedEntries(
+            seedDocs, col("doc_id"), col("text"),
+            seedTs = 1700000000000L)))
+        q.awaitTermination()
+      }
+      val streamed = s.read.schema(schema).parquet(s"$root/out").distinct()
+      assert(streamed
+        .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0).isEmpty,
+        "stream must not emit seed-internal pairs — state was seeded, " +
+          "not replayed")
+      streamed.unionAll(seedPairs).distinct()
+        .orderBy("id_a", "id_b")
+    },
+
     Probe(
       "dedup_cosine_neardup",
       "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3 ORDER BY id_a, id_b"

@@ -59,9 +59,10 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
     val progress = run()
 
     // state size is the banded index at ENTRY granularity: exactly one
-    // state row per (document, band) entry — machine-checked against the
-    // batch band explode of the same corpus, not an approximation. Entry
-    // rows are what make an append O(entry): the bucket never rewrites.
+    // state row per (document, band) entry plus the per-document guard
+    // registration (r18) — machine-checked against the band+guard
+    // explode of the same corpus, not an approximation. Entry rows are
+    // what make an append O(entry): the bucket never rewrites.
     val stateRows = progress.lastOption
       .map(_.stateOperators.map(_.numRowsTotal).sum)
     val expectedEntries = StreamingDedup.bandedSignatures(
@@ -94,13 +95,14 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
       .coalesce(1).write.mode("append").parquet(feed)
     val lateProgress = run()
     // write amplification is gone (r17): the late trigger UPDATES exactly
-    // the one arrival's four (band, doc) entries — while the store holds
-    // 120k rows — so per-trigger state write work is O(arrivals) entries,
-    // never O(bucket occupancy) re-serialization
+    // the one arrival's five entries (four bands + its guard
+    // registration) — while the store holds 150k rows — so per-trigger
+    // state write work is O(arrivals) entries, never O(bucket
+    // occupancy) re-serialization
     val updatedRows = lateProgress
       .map(_.stateOperators.map(_.numRowsUpdated).sum)
-    assert(updatedRows.nonEmpty && updatedRows.max === 4L,
-      s"late trigger should update exactly 4 state entries, got $updatedRows")
+    assert(updatedRows.nonEmpty && updatedRows.max === 5L,
+      s"late trigger should update exactly 5 state entries, got $updatedRows")
     val lateRows = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
@@ -110,5 +112,72 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
     val got = lateRows.select("id_a").as[Long].collect().sorted
     assert(got.toSeq === Seq(0L, n),
       s"late arrival should pair with its cluster only, got ${got.toSeq}")
+  }
+
+  test("batch-seeded bootstrap: seed half the corpus as state, stream the rest, zero replay (r18)") {
+    import spark.implicits._
+    val n = 20000L
+    def text(id: Long): String = {
+      val base = id % (n / 2)
+      if (base % 20 == 0) s"seeded p${base} q${base} r${base} s${base} cluster"
+      else s"unique bootstrap doc ${id} tokens t${id % 997} u${id % 331}"
+    }
+    val docs = (0L until n).map(id => (id, text(id)))
+    val (seedHalf, streamHalf) = docs.partition(_._1 < n / 2)
+
+    // the migration path: the EXISTING corpus never rides the stream —
+    // its banded signatures seed the fresh checkpoint as a batch frame
+    val seed = StreamingDedup.seedEntries(seedHalf.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), seedTs = 1700000000000L)
+    val feed = tmpDir("sdedup-boot-scale-feed")
+    val out = tmpDir("sdedup-boot-scale-out")
+    val ckpt = tmpDir("sdedup-boot-scale-ckpt")
+    streamHalf.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(feed)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .parquet(feed)
+    val q = StreamingDedup.simhashNearDupStream(src,
+      col("doc_id"), col("text"), maxHamming = 3,
+      path = out, checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      initialEntries = Some(seed))
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+
+    // ZERO replay of the seed half: the stream ingested exactly the
+    // streamed half's rows
+    val inputRows = progress.map(_.numInputRows).sum
+    assert(inputRows === n / 2,
+      s"expected ${n / 2} streamed rows (no seed replay), got $inputRows")
+
+    // seeded state rows ≡ per-(doc, band|guard) entries for the WHOLE
+    // corpus: the seed half registered through initial state, the
+    // streamed half through arrivals — indistinguishable in state
+    val stateRows = progress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    val expectedEntries = StreamingDedup.bandedSignatures(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text")).count()
+    assert(stateRows.contains(expectedEntries),
+      s"expected $expectedEntries state entry rows, got $stateRows")
+
+    // emitted pairs = cross pairs + stream-internal pairs; union with
+    // the seed half's own batch dedup = the whole-corpus batch answer
+    val streamed = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
+      .parquet(out).distinct()
+    assert(streamed
+      .filter(col("id_a") < n / 2 && col("id_b") < n / 2).isEmpty,
+      "the stream must not re-emit seed-internal pairs")
+    val seedBatch = Dedup.simhashNearDupPairs(
+      seedHalf.toDF("doc_id", "text"), "doc_id", "text")
+    val whole = Dedup.simhashNearDupPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val union = streamed.unionAll(seedBatch).distinct()
+    assert(union.count() === whole.count())
+    assert(union.exceptAll(whole).isEmpty && whole.exceptAll(union).isEmpty)
+    assert(whole.count() > 0, "fixture must plant cross-half duplicates")
   }
 }

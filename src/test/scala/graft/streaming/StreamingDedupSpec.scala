@@ -143,25 +143,36 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
     val replay = Seq((1L, tA), (2L, tB), (1L, tA)).toDF("doc_id", "text")
     assert(StreamingDedup.nearDupPairs(replay, col("doc_id"), col("text"))
       .collect().isEmpty)
-    // same id, different text: a content-unstable id would index mixed
-    // old/new signatures across the doc's four bands — refuse loudly.
-    // The conflict is detectable exactly when old and new signature
-    // share a band bucket, so pick a variant that provably does.
-    val sigA = Dedup.simhash60Scalar(tA.split(" ", -1))
-    def bands(s: Long) = (0 until 4).map(b => (s >> (b * 15)) & 0x7FFFL)
-    val variant = Iterator.from(1).map(i => tA + s" extra$i")
-      .find { t =>
-        val s2 = Dedup.simhash60Scalar(t.split(" ", -1))
-        s2 != sigA && bands(s2).zip(bands(sigA)).exists(p => p._1 == p._2)
-      }.get
-    val reused = Seq((1L, tA), (1L, variant)).toDF("doc_id", "text")
-    val e = intercept[Exception] {
-      StreamingDedup.nearDupPairs(reused, col("doc_id"), col("text")).collect()
-    }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
-    assert(messages(e).exists(_.contains("content-stable")),
-      s"expected the content-stable-id refusal, got: ${messages(e).mkString(" | ")}")
+    def assertRefuses(second: String): Unit = {
+      val reused = Seq((1L, tA), (1L, second)).toDF("doc_id", "text")
+      val e = intercept[Exception] {
+        StreamingDedup.nearDupPairs(reused, col("doc_id"), col("text")).collect()
+      }
+      assert(messages(e).exists(_.contains("content-stable")),
+        s"expected the content-stable-id refusal, got: ${messages(e).mkString(" | ")}")
+    }
+    // same id, different text: a content-unstable id would index mixed
+    // old/new signatures across the doc's four bands — refuse loudly.
+    // The guard bucket is keyed by the ID, so the refusal is EXACT
+    // (r18): it must fire whether or not old and new signatures happen
+    // to share a band chunk. Exercise BOTH shapes.
+    val sigA = Dedup.simhash60Scalar(tA.split(" ", -1))
+    def bands(s: Long) = (0 until 4).map(b => (s >> (b * 15)) & 0x7FFFL)
+    def variantWhere(p: Long => Boolean): String =
+      Iterator.from(1).map(i => tA + s" extra$i")
+        .find { t =>
+          val s2 = Dedup.simhash60Scalar(t.split(" ", -1))
+          s2 != sigA && p(s2)
+        }.get
+    // (a) shares a band with the original — the pre-r18 detectable case
+    assertRefuses(variantWhere(s2 =>
+      bands(s2).zip(bands(sigA)).exists(p => p._1 == p._2)))
+    // (b) shares NO band — invisible to the in-band check (~99.99% of
+    // substantially changed content); only the guard registry sees it
+    assertRefuses(variantWhere(s2 =>
+      bands(s2).zip(bands(sigA)).forall(p => p._1 != p._2)))
   }
 
   test("retention window: live twins pair, aged-out twins do not") {
@@ -215,6 +226,131 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
     run(fA, oA, cA, narrow) // would throw on id 1 were its entry live
     assert(readPairs(oA).isEmpty,
       "expired state must not pair against the aged-out twin")
+  }
+
+  test("batch-seeded initial state: an existing corpus bootstraps without replay (r18)") {
+    import spark.implicits._
+    // the migration shape: docs 1 and 2 are an EXISTING corpus — their
+    // banded signatures seed a fresh checkpoint as a batch frame; only
+    // docs 3 (dup of the seeds) and 4 (loner) ever ride the stream
+    val corpus = Seq((1L, tA), (2L, tA)).toDF("doc_id", "text")
+    val seed = StreamingDedup.seedEntries(corpus, col("doc_id"), col("text"),
+      seedTs = 1700000000000L)
+    val feed = tmpDir("sdedup-boot-feed")
+    val out = tmpDir("sdedup-boot-out")
+    val ckpt = tmpDir("sdedup-boot-ckpt")
+    def runSeeded(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = out, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        initialEntries = Some(seed))
+      q.awaitTermination()
+    }
+    arrive(feed, 1, Seq((3L, tA), (4L, tB)))
+    runSeeded()
+    val got = readPairs(out).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the streamed dup pairs against BOTH seeded docs; the seed-internal
+    // pair (1,2) is the batch dedup's business, never re-emitted here
+    assert(got === Set((1L, 3L, 0L), (2L, 3L, 0L)))
+    // the seeded GUARD registrations enforce content-stable ids too:
+    // reusing seed id 2 for different content refuses loudly
+    arrive(feed, 2, Seq((2L, tC)))
+    val e = intercept[Exception] { runSeeded() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("content-stable")),
+      s"seeded guard must refuse id reuse, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("conflicting seed registrations for one id refuse loudly (r18)") {
+    import spark.implicits._
+    // one id, two different texts in the seed corpus: the initial-state
+    // write must refuse, not silently keep either signature
+    val corpus = Seq((1L, tA), (1L, tB)).toDF("doc_id", "text")
+    val seed = StreamingDedup.seedEntries(corpus, col("doc_id"), col("text"),
+      seedTs = 1700000000000L)
+    val feed = tmpDir("sdedup-bootbad-feed")
+    arrive(feed, 1, Seq((9L, tC)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .parquet(feed)
+    val q = StreamingDedup.simhashNearDupStream(src,
+      col("doc_id"), col("text"), maxHamming = 3,
+      path = tmpDir("sdedup-bootbad-out"),
+      checkpointDir = tmpDir("sdedup-bootbad-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      initialEntries = Some(seed))
+    val e = intercept[Exception] { q.awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("content-stable")),
+      s"expected the content-stable-id refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("offline sweep: expired state in never-revisited buckets reclaims via reseed (r18)") {
+    import spark.implicits._
+    val retention = java.time.Duration.ofSeconds(60)
+    def run(feed: String, out: String, ckpt: String,
+            seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = out, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        retention = Some(retention), initialEntries = seed)
+      q.awaitTermination()
+    }
+    val (f1, o1, c1) = (tmpDir("sd-sweep-feed"), tmpDir("sd-sweep-out"),
+      tmpDir("sd-sweep-ckpt"))
+    // doc 1 arrives, then doc 2 (DIFFERENT text — doc 1's buckets are
+    // never revisited, so in-stream eviction can never reclaim doc 1)
+    arrive(f1, 0, Seq((1L, tA)))
+    run(f1, o1, c1, None)
+    Thread.sleep(1000) // separate the two docs' batch timestamps
+    arrive(f1, 1, Seq((2L, tB)))
+    run(f1, o1, c1, None)
+    val all = StreamingDedup.stateEntries(spark, c1)
+    assert(all.count() === 10L, "two docs x (4 bands + guard) expected")
+    // the sweep, run "as of" the instant doc 1 just aged out of the
+    // window (derived from the recorded state clocks — no wall-clock
+    // race): doc 1's entries are expired while its buckets were never
+    // revisited, so visit-driven eviction could not reclaim them; doc 2
+    // is still live
+    val ts = all.groupBy("doc_id").agg(max("ts").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ts(2L) > ts(1L), "arrival clocks must be distinct")
+    val sweepAsOf = ts(1L) + retention.toMillis + 1L
+    val live = StreamingDedup.liveStateEntries(spark, c1, retention,
+      asOfMs = sweepAsOf)
+    val liveIds = live.select("doc_id").distinct().as[Long].collect().sorted
+    assert(liveIds.toSeq === Seq(2L),
+      s"sweep must drop never-revisited expired docs, kept ${liveIds.toSeq}")
+    assert(live.count() === 5L)
+    // handoff: a FRESH checkpoint seeded with the live set. Twins of
+    // both docs stream in: doc 2's twin pairs (live window), doc 1's
+    // twin does NOT (swept) — and doc 1's id is free for reuse
+    val (f2, o2, c2) = (tmpDir("sd-sweep-feed2"), tmpDir("sd-sweep-out2"),
+      tmpDir("sd-sweep-ckpt2"))
+    arrive(f2, 0, Seq((11L, tA), (12L, tB)))
+    run(f2, o2, c2, Some(live))
+    val got = readPairs(o2).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 12L)),
+      s"post-sweep resume must detect only live-window pairs, got $got")
+    // state after the handoff: 5 seeded + 10 streamed entries
+    assert(StreamingDedup.stateEntries(spark, c2).count() === 15L)
   }
 
   test("batch-mode evaluation of the stateful core matches the banded join") {
