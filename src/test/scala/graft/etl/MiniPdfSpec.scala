@@ -54,6 +54,52 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(text.contains("and a quoted line."), "' operator must show its string")
   }
 
+  test("PDF 1.5 xref-stream + object-stream plumbing parses identically (r18)") {
+    // same document, modern wiring: page/catalog/font dicts packed in a
+    // FlateDecode ObjStm, cross-reference as a /Type /XRef stream — with
+    // and without the PNG Up row predictor writers conventionally apply
+    val classic = parser.parse("/x/a.pdf", PdfFixtures.twoPageWithImage())
+    def shape(d: graft.model.ParsedDoc) =
+      d.elements.map(e => (e.elemType, e.level, e.caption, e.text, e.page))
+    for (pred <- Seq(true, false)) {
+      val modern = parser.parse("/x/a.pdf",
+        PdfFixtures.twoPageXref15(predictor12 = pred))
+      assert(modern.pageCount == 2, s"predictor12=$pred")
+      assert(shape(modern) == shape(classic),
+        s"modern wiring must not change parsed structure (predictor12=$pred)")
+    }
+  }
+
+  test("xref-stream integrity: an in-use entry with no object refuses (r18)") {
+    // the xref stream promises object 42 at a byte offset; the bytes do
+    // not contain it — a truncated/damaged file, never half-parsed
+    val bad = PdfFixtures.twoPageXref15(extraEntries = Seq(42))
+    assert(MiniPdf.parse("/x/bad.pdf", bad).isEmpty,
+      "a file promising objects it does not contain must refuse")
+    // the intact twin parses — the refusal is the integrity check, not
+    // an allergy to xref streams
+    assert(MiniPdf.parse("/x/ok.pdf", PdfFixtures.twoPageXref15()).isDefined)
+  }
+
+  test("single-byte corruption of the modern fixtures is total and sane (r18)") {
+    // every byte position x {0x00, 0xFF, bit-flip}: parse() must stay
+    // TOTAL (None or a sane document — never a throw, never a page
+    // count the bytes do not support)
+    for (fixture <- Seq(PdfFixtures.twoPageXref15(predictor12 = true),
+                        PdfFixtures.twoPageXref15(predictor12 = false));
+         pos <- fixture.indices;
+         v <- Seq(0x00.toByte, 0xFF.toByte, (fixture(pos) ^ 0x40).toByte)) {
+      val b = fixture.clone(); b(pos) = v
+      MiniPdf.parse("/x/corrupt.pdf", b) match {
+        case None => ()
+        case Some(d) =>
+          assert(d.pageCount >= 1 && d.pageCount <= 2 &&
+            d.fileSize == b.length.toLong,
+            s"insane parse at pos=$pos v=$v: pages=${d.pageCount}")
+      }
+    }
+  }
+
   test("outside-subset documents fall back to the text view, never throw") {
     // %PDF- magic with no parsable objects: the SwapRecoverySpec corpus
     // shape — must keep its historical text-view parse

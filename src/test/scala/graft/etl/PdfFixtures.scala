@@ -86,6 +86,117 @@ object PdfFixtures {
         "/ColorSpace /DeviceGray /BitsPerComponent 8", imageData)))
   }
 
+  /** Assemble a PDF 1.5 file whose cross-reference is a /Type /XRef
+    * STREAM (ISO 32000-1 §7.5.8) instead of a classic table: header,
+    * top-level objects, then the xref stream object carrying the
+    * trailer entries, `startxref` at its offset, no `trailer` keyword.
+    * `compressed` maps object numbers that live inside an object stream
+    * to (container, index) — they get type-2 entries. W = [1 4 2];
+    * `predictor12` wraps the rows in the PNG Up filter writers
+    * conventionally apply (§7.4.4.4). `extraEntries` appends in-use
+    * type-1 claims for objects that do NOT exist — the corruption shape
+    * the integrity check must refuse.
+    */
+  def assembleXref15(objects: Seq[(Int, Array[Byte])],
+                     compressed: Map[Int, (Int, Int)] = Map.empty,
+                     predictor12: Boolean = true,
+                     extraEntries: Seq[Int] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    out.write(ascii("%PDF-1.5\n"))
+    for ((num, body) <- objects) {
+      offsets(num) = out.size()
+      out.write(ascii(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(ascii("\nendobj\n"))
+    }
+    val xrefNum = (objects.map(_._1) ++ compressed.keys).max + 1
+    val xrefAt = out.size()
+    offsets(xrefNum) = xrefAt
+    val size = ((xrefNum +: extraEntries).max) + 1
+    // one row per object number 0..size-1: type byte, 4-byte field2,
+    // 2-byte field3
+    val rowLen = 7
+    val rows = (0 until size).map { n =>
+      val r = new Array[Byte](rowLen)
+      def put(off: Int, len: Int, v: Long): Unit =
+        for (j <- 0 until len)
+          r(off + j) = ((v >> (8 * (len - 1 - j))) & 0xFF).toByte
+      if (compressed.contains(n)) {
+        val (container, idx) = compressed(n)
+        r(0) = 2; put(1, 4, container.toLong); put(5, 2, idx.toLong)
+      } else if (offsets.contains(n) || extraEntries.contains(n)) {
+        r(0) = 1; put(1, 4, offsets.get(n).map(_.toLong).getOrElse(1L))
+      } else {
+        r(0) = 0; put(1, 4, 0L); put(5, 2, 65535L)
+      }
+      r
+    }
+    val payload =
+      if (!predictor12) rows.flatten.toArray
+      else {
+        // PNG Up filter (type 2): row minus previous row, filter byte 2
+        val enc = new java.io.ByteArrayOutputStream()
+        var prev = new Array[Byte](rowLen)
+        for (r <- rows) {
+          enc.write(2)
+          for (i <- 0 until rowLen) enc.write((r(i) - prev(i)) & 0xFF)
+          prev = r
+        }
+        enc.toByteArray
+      }
+    val deflated = deflate(payload)
+    val parms = if (predictor12)
+      s" /DecodeParms << /Predictor 12 /Columns $rowLen >>" else ""
+    out.write(ascii(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size " +
+      s"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode$parms " +
+      s"/Length ${deflated.length} >>\nstream\n"))
+    out.write(deflated)
+    out.write(ascii("\nendstream\nendobj\nstartxref\n" + xrefAt + "\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** The [[twoPageWithImage]] document re-plumbed the modern way: xref
+    * STREAM instead of a table, page/catalog/font dicts packed into a
+    * FlateDecode object stream (type-2 entries), content and image
+    * streams top-level (streams cannot nest in an ObjStm). Same pages,
+    * same text, same image — the golden expectations carry over.
+    */
+  def twoPageXref15(predictor12: Boolean = true,
+                    extraEntries: Seq[Int] = Nil): Array[Byte] = {
+    val contained = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 7 0 R >> >> >>"),
+      5 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 6 0 R /Resources << /Font << /F1 7 0 R >> " +
+        "/XObject << /Im0 8 0 R >> >> >>"),
+      7 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = contained.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = contained.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = ascii(header + bodies.mkString("\n") + "\n")
+    val deflated = deflate(payload)
+    val imageData = Array[Byte](0, 85, (170 & 0xFF).toByte, (255 & 0xFF).toByte)
+    val objStm = ascii(s"<< /Type /ObjStm /N ${contained.length} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${deflated.length} >>\nstream\n") ++ deflated ++
+      ascii("\nendstream")
+    assembleXref15(
+      objects = Seq(
+        4 -> streamObj("", ascii(Page1Content)),
+        6 -> streamObj("", ascii(Page2Content)),
+        8 -> streamObj(" /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+          "/ColorSpace /DeviceGray /BitsPerComponent 8", imageData),
+        9 -> objStm),
+      compressed = contained.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> (9, i) }.toMap,
+      predictor12 = predictor12,
+      extraEntries = extraEntries)
+  }
+
   /** Single page whose text arrives via a TJ kerning array, a hex
     * string, and the `'` next-line operator — the operator variants
     * beyond plain Tj.
