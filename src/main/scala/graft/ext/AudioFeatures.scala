@@ -4,10 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** [EXT] REAL PCM sample decode for the audio containers the JDK ships
-  * readers for (WAV/AIFF/AU) — the sample-level counterpart of
-  * [[Multimodal]]'s header-only `audioMeta`. With this, "sample decode is
-  * a stub" is true only of COMPRESSED codecs (MP3/AAC/Opus/Vorbis — the
-  * JDK ships none); uncompressed corpora get real waveform features.
+  * readers for (WAV/AIFF/AU) plus native FLAC ([[FlacCodec]], r18) — the
+  * sample-level counterpart of [[Multimodal]]'s header-only `audioMeta`.
+  * With this, "sample decode is a stub" is true only of LOSSY codecs
+  * (MP3/AAC/Opus/Vorbis — entropy decoders the JDK ships nothing for);
+  * uncompressed and losslessly-compressed corpora get real waveform
+  * features.
   *
   * One streaming pass per blob computes the features an audio curation
   * pipeline filters on: duration (decoded frame count — counted from the
@@ -36,8 +38,49 @@ object AudioFeatures {
     * containers javax.sound cannot parse or sample widths other than
     * 16-bit signed PCM (8-bit, float, and compressed payloads are not
     * silently approximated).
+    *
+    * FLAC payloads (sniffed on the fLaC magic) decode through the native
+    * [[FlacCodec]] and fold the SAME features over the same convention.
+    * Unlike the javax.sound fallbacks, a damaged or out-of-subset FLAC
+    * refuses LOUDLY (the decoder throws) — a file that declares itself
+    * FLAC and fails to decode is a data defect, not an unknown format.
     */
   def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+    if (FlacCodec.isFlac(bytes)) {
+      val pcm = FlacCodec.decode(bytes)
+      Some(foldStats(pcm.sampleRate, pcm.channels, pcm.samples))
+    } else decodeJavaSound(bytes)
+
+  /** The shared feature fold over interleaved integer samples — the
+    * exact conventions of the streaming WAV path (integer channel mean,
+    * sign-change crossings with transparent zeros).
+    */
+  private def foldStats(rate: Int, ch: Int, samples: Array[Int]): AudioStats = {
+    val frames = samples.length / ch
+    var sumSq = 0.0
+    var peak = 0
+    var crossings = 0L
+    var prev = 0
+    var first = true
+    var i = 0
+    while (i < frames) {
+      var sum = 0
+      var c = 0
+      while (c < ch) { sum += samples(i * ch + c); c += 1 }
+      val mix = sum / ch
+      sumSq += mix.toDouble * mix
+      val abs = math.abs(mix)
+      if (abs > peak) peak = abs
+      // Long product: FLAC samples may be wider than 16 bits
+      if (!first && prev.toLong * mix < 0) crossings += 1
+      if (mix != 0) { prev = mix; first = false }
+      i += 1
+    }
+    val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames)
+    AudioStats(rate, ch, frames.toLong, rms, peak, crossings)
+  }
+
+  private def decodeJavaSound(bytes: Array[Byte]): Option[AudioStats] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -243,6 +243,20 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** REAL subset FLAC carrying the same 16-bit PCM as [[wavPcm16]] —
+    * identical samples through the native [[FlacCodec]] decode path, so
+    * a WAV-derived oracle checks the FLAC decode bit for bit (r18).
+    * `stereoMode`/`subframeMode` pick the decorrelation and subframe
+    * toolbox to exercise (see [[FlacCodec.encode]]).
+    */
+  def flacPcm16(rate: Int, channels: Int, samples: Array[Short],
+                stereoMode: String = "independent",
+                subframeMode: String = "auto",
+                blockSize: Int = 4096): Array[Byte] =
+    FlacCodec.encode(rate, channels, samples.map(_.toInt),
+      blockSize = blockSize, stereoMode = stereoMode,
+      subframeMode = subframeMode)
+
   /** Sun AU container (".snd") with REAL 16-bit signed BIG-endian PCM —
     * the JDK's other PCM container, covering the opposite endianness of
     * [[wavPcm16]] through the same decode path.
