@@ -147,4 +147,41 @@ class BlocklistSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("DeserializeToObject") &&
       !p.contains("SerializeFromObject"), p)
   }
+
+  test("million-phrase tier: build and broadcast costs stay bounded (r18)") {
+    // the production-list measurement the CSR layout exists for: 1M
+    // two-word phrases over a 1000-term vocabulary (~4.4M trie nodes).
+    // Pinned numbers on the dev harness: build ~2.6 s; CSR serializes
+    // ~89 MB in ~0.3 s where the per-node Array[Array[_]] layout it
+    // replaced took 157 MB in 6.4 s — broadcast cost is object COUNT,
+    // and every executor pays the deserialization twin of this number.
+    // Bounds are ~4x the measurements: they catch a layout regression,
+    // not scheduler noise.
+    val vocab = Array.tabulate(1000)(i => f"term${i}%03d")
+    val phrases = (0 until 1000000).map { i =>
+      vocab(i / 1000) + " " + vocab(i % 1000) + f"x${i % 7}"
+    }
+    val t0 = System.nanoTime()
+    val ac = Blocklist.automaton(phrases)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ac); oos.close()
+    val serMs = (System.nanoTime() - t1) / 1e6
+    info(f"build=${buildMs}%.0f ms serialize=${serMs}%.0f ms " +
+      f"bytes=${bos.size()} nodes=${ac.nodeCount} edges=${ac.edgeCount}")
+    assert(buildMs < 12000.0, f"driver build regressed: $buildMs%.0f ms")
+    assert(serMs < 3000.0,
+      f"broadcast serialization regressed: $serMs%.0f ms — the flat CSR " +
+        "layout serializes a handful of primitive arrays, never millions " +
+        "of per-node objects")
+    assert(bos.size() < 120000000,
+      s"broadcast payload regressed: ${bos.size()} bytes")
+    // the automaton still matches correctly at this size
+    assert(ac.containsAny("prefix " + phrases(777777) + " suffix"))
+    assert(!ac.containsAny("term000 alone and term999 apart"))
+    val (total, hit) = ac.matchStats(phrases(1234) + " and " + phrases(999999))
+    assert(total === 2L && hit.cardinality() === 2)
+  }
 }
