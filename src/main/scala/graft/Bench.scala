@@ -44,6 +44,16 @@ object Bench {
     // values are kept in "runs" so a cross-round diff can see the spread.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    // STATEFUL stream probes (checkpointed micro-batch scheduling +
+    // RocksDB store spin-up) dominate capture-to-capture variance: r17's
+    // two same-tree captures disagreed 19% in aggregate almost entirely
+    // on this family. One extra iteration tightens their min at a cost
+    // of a few seconds per capture; stateless queries keep the global
+    // ITERS (r18, judge task 8)
+    def itersFor(name: String): Int =
+      if (name.startsWith("stream_") || name == "m6_cdc_stream" ||
+          name == "m7_lease_takeover") math.max(iters, 3)
+      else iters
     // host-load context per run: min-of-2 filters SPIKES but not
     // SUSTAINED contention (round 12: same-commit captures disagreed 8×
     // on single queries with both runs slow together). Recording the
@@ -64,7 +74,7 @@ object Bench {
       // arbitrary points INSIDE some unlucky query's timing window)
       sinceGc += 1
       if (sinceGc >= 10) { sinceGc = 0; System.gc() }
-      val runs = (1 to iters).map { _ =>
+      val runs = (1 to itersFor(name)).map { _ =>
         // discard any phase entries recorded under this name BEFORE the
         // timer opens (a correctness pass, aborted run, or the previous
         // iteration) — else a query's phases map can exceed its sec
