@@ -144,6 +144,92 @@ object AudioFeatures {
       case _: java.io.IOException                               => None
     }
 
+  /** Normalize one audio blob to 16-bit little-endian PCM WAV — the
+    * per-row kernel of [[normalizeToWav]]:
+    *
+    *  - WAV passes through BYTE-IDENTICAL (already the target container;
+    *    re-encoding would only risk churn);
+    *  - FLAC decodes through the native [[FlacCodec]] and re-wraps
+    *    (16-bit subset; other widths refuse loudly — silently rescaling
+    *    sample depth is a data corruption, not a convenience);
+    *  - AIFF/AU re-container through the javax.sound stream (the
+    *    endianness flip is the whole conversion);
+    *  - anything else refuses loudly (the [[Multimodal.decodeHeader]]
+    *    plug-point idiom: lossy codecs need a production decoder
+    *    plugged in, and a non-audio blob in an audio column is a
+    *    pipeline defect).
+    *
+    * Deterministic: the same input bytes produce the same output bytes
+    * on any JVM, so a normalized corpus is content-addressable and a
+    * replayed batch rewrites identical blobs.
+    */
+  def normalizeBlobToWav(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') return bytes
+    if (FlacCodec.isFlac(bytes)) {
+      val pcm = FlacCodec.decode(bytes)
+      require(pcm.bitsPerSample == 16,
+        s"normalizeToWav: ${pcm.bitsPerSample}-bit FLAC is outside the " +
+          "16-bit normalization subset — rescaling sample depth is not " +
+          "done silently")
+      return MediaFixtures.wavPcm16(pcm.sampleRate, pcm.channels,
+        pcm.samples.map(_.toShort))
+    }
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"normalizeToWav: ${bytes.length}-byte payload is not WAV, " +
+              "FLAC, or a JDK-decodable PCM container (AIFF/AU); lossy " +
+              "codecs need a production decoder plugged in at this " +
+              "boundary")
+      }
+    try {
+      val f = in.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16 && f.getFrameSize == 2 * f.getChannels,
+        s"normalizeToWav: only 16-bit signed PCM converts (got $f)")
+      val raw = in.readAllBytes()
+      val ch = f.getChannels
+      val n = raw.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      if (f.isBigEndian)
+        while (i < n) {
+          samples(i) = (((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF))).toShort
+          i += 1
+        }
+      else
+        while (i < n) {
+          samples(i) = (((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF))).toShort
+          i += 1
+        }
+      MediaFixtures.wavPcm16(math.round(f.getSampleRate), ch, samples)
+    } finally in.close()
+  }
+
+  /** Corpus-wide audio normalization: every blob of a (`media_id`,
+    * `content`) frame rewritten as 16-bit LE PCM WAV (see
+    * [[normalizeBlobToWav]] for the per-format contract) — the
+    * "one container for the training loader" pass that turns a crawl's
+    * mixed WAV/FLAC/AIFF/AU holdings into a uniform corpus. Zero
+    * shuffle, per-row scalar work; undecodable rows FAIL the job (a
+    * normalization that silently drops rows ships a smaller corpus
+    * than it was asked to).
+    */
+  def normalizeToWav(media: DataFrame, idCol: String = "media_id",
+                     contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .filter(col(idCol).isNotNull && col(contentCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, normalizeBlobToWav(bytes)) }
+      .toDF(idCol, contentCol)
+  }
+
   /** Per-blob waveform features over a (`media_id`, `content` binary)
     * frame: (media_id, sample_rate, channels, frames, rms, peak,
     * zero_crossings). Per-row isolation — undecodable rows drop, same

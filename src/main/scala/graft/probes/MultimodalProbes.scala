@@ -283,6 +283,67 @@ object MultimodalProbes {
       AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
         .orderBy("media_id")
+    },
+
+    // Audio-corpus NORMALIZATION (r18): the whole FLAC fixture corpus
+    // rewritten as 16-bit PCM WAV (AudioFeatures.normalizeToWav — the
+    // "one container for the training loader" pass), then features
+    // folded over the REWRAPPED bytes through the javax.sound WAV
+    // reader. Cross-implementation proof: samples leave through the
+    // native FLAC decoder + deterministic WAV writer and re-enter
+    // through the JDK's independent RIFF parser — the same closed-form
+    // oracle only hashes green if both agree bit-for-bit on every blob.
+    Probe(
+      "media_flac_transcode",
+      "SELECT doc_id AS media_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS INT) AS channels, " +
+        "CAST(400 + doc_id % 200 AS BIGINT) AS frames, " +
+        "round(CAST(1000 + (doc_id % 100) * 10 AS DOUBLE), 4) AS rms, " +
+        "CAST(1000 + (doc_id % 100) * 10 AS INT) AS peak, " +
+        "CAST((400 + doc_id % 200 - 1) // (5 + doc_id % 7) AS BIGINT) AS zero_crossings " +
+        "FROM documents ORDER BY media_id"
+    ) { (s, d) =>
+      val path = PhaseTimer.timed("media_flac_transcode", "fixture_ensure") {
+        Probe.mediaFixtureFor(d, "audio-flac") {
+          import s.implicits._
+          Tables.load(s, d, "documents")
+            .select(col("doc_id")).as[Long]
+            .map { id =>
+              val a = (1000 + (id % 100) * 10).toInt
+              val p = (5 + id % 7).toInt
+              val n = (400 + id % 200).toInt
+              val ch = (1 + id % 2).toInt
+              val rate = (id % 3) match {
+                case 0 => 8000; case 1 => 16000; case _ => 44100
+              }
+              val samples = new Array[Short](n * ch)
+              var i = 0
+              while (i < n) {
+                val v = (if ((i / p) % 2 == 0) a else -a).toShort
+                var c = 0
+                while (c < ch) { samples(i * ch + c) = v; c += 1 }
+                i += 1
+              }
+              val stereoMode =
+                if (ch == 1) "independent"
+                else Seq("independent", "left-side", "right-side",
+                  "mid-side")((id % 4).toInt)
+              val subframeMode =
+                Seq("auto", "verbatim", "lpc")((id % 5).toInt % 3)
+              (id, MediaFixtures.flacPcm16(rate, ch, samples,
+                stereoMode = stereoMode, subframeMode = subframeMode,
+                blockSize = 256))
+            }
+            .toDF("media_id", "content")
+        }
+      }
+      val normalized = PhaseTimer.timed("media_flac_transcode", "normalize") {
+        AudioFeatures.normalizeToWav(s.read.parquet(path)).localCheckpoint()
+      }
+      AudioFeatures.audioFeatures(normalized)
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("media_id")
     }
   )
 }

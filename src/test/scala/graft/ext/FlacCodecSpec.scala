@@ -132,6 +132,32 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(!FlacCodec.isFlac("RIFFxxxx".getBytes("US-ASCII")))
   }
 
+  test("normalizeToWav: FLAC rewraps byte-identical to the WAV writer, WAV passes through, AU converts, lossy refuses") {
+    val ch = 2
+    val n = 300
+    val samples = Array.tabulate[Short](n * ch)(i =>
+      (if ((i / (2 * 9)) % 2 == 0) 2500 else -2500).toShort)
+    val wav = MediaFixtures.wavPcm16(16000, ch, samples)
+    // FLAC → the EXACT bytes the WAV writer produces for these samples:
+    // decode is lossless and the writer is deterministic, so the
+    // normalized corpus is content-addressable
+    val viaFlac = AudioFeatures.normalizeBlobToWav(
+      MediaFixtures.flacPcm16(16000, ch, samples, stereoMode = "left-side"))
+    assert(java.util.Arrays.equals(viaFlac, wav))
+    // WAV passes through byte-identical (no re-encode churn)
+    assert(AudioFeatures.normalizeBlobToWav(wav) eq wav)
+    // AU (big-endian) re-containers to the same WAV bytes
+    val viaAu = AudioFeatures.normalizeBlobToWav(
+      MediaFixtures.auPcm16(16000, ch, samples))
+    assert(java.util.Arrays.equals(viaAu, wav))
+    // lossy payloads refuse loudly — normalization never silently drops
+    val e = intercept[IllegalArgumentException] {
+      AudioFeatures.normalizeBlobToWav(
+        MediaFixtures.mp3(1, stereo = true, Array.fill[Byte](64)(33)))
+    }
+    assert(e.getMessage.contains("production decoder"), e.getMessage)
+  }
+
   test("decode cost is one pass: 1M samples in well under a second of work") {
     val n = 1000000
     val samples = Array.tabulate(n)(i => ((i * 37) % 8000) - 4000)

@@ -114,6 +114,71 @@ class StreamingDedupScaleSpec extends AnyFunSuite with SharedSpark {
       s"late arrival should pair with its cluster only, got ${got.toSeq}")
   }
 
+  test("offline sweep at scale: never-revisited expired buckets reclaim via reseed (r18)") {
+    import spark.implicits._
+    // 8k docs arrive in two epochs with DISJOINT text spaces: epoch-A
+    // buckets are never revisited by epoch-B arrivals, so visit-driven
+    // eviction can never reclaim them — the leak class the offline
+    // sweep exists for
+    val n = 4000L
+    def textA(id: Long) = s"alpha epoch doc ${id} tok${id % 631} u${id % 97}"
+    def textB(id: Long) = s"beta window doc ${id} tok${id % 613} v${id % 89}"
+    val retention = java.time.Duration.ofSeconds(60)
+    val (feed, out, ckpt) = (tmpDir("sd-sweepscale-feed"),
+      tmpDir("sd-sweepscale-out"), tmpDir("sd-sweepscale-ckpt"))
+    def run(f: String, o: String, c: String,
+            seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = o, checkpointDir = c,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        retention = Some(retention), initialEntries = seed)
+      q.awaitTermination()
+    }
+    (0L until n).map(id => (id, textA(id))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(feed)
+    run(feed, out, ckpt, None)
+    Thread.sleep(1000) // separate the epochs' batch clocks
+    (n until 2 * n).map(id => (id, textB(id))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(feed)
+    run(feed, out, ckpt, None)
+    val all = StreamingDedup.stateEntries(spark, ckpt)
+    assert(all.count() === 2 * n * 5,
+      "both epochs' (4 bands + guard) entries expected in state")
+    // sweep as of the instant epoch A just aged out (clock derived from
+    // the recorded state, not the wall)
+    val maxTsA = all.filter(col("doc_id") < n).agg(max("ts")).head().getLong(0)
+    val minTsB = all.filter(col("doc_id") >= n).agg(min("ts")).head().getLong(0)
+    assert(minTsB > maxTsA, "epoch clocks must be distinct")
+    val live = StreamingDedup.liveStateEntries(spark, ckpt, retention,
+      asOfMs = maxTsA + retention.toMillis + 1L)
+    assert(live.count() === n * 5,
+      "sweep must keep exactly the live epoch's entries")
+    assert(live.filter(col("doc_id") < n).isEmpty,
+      "never-revisited expired buckets must be gone")
+    // handoff: fresh checkpoint seeded with the live set; twins of one
+    // expired and one live doc stream in — only the live twin pairs
+    val (f2, o2, c2) = (tmpDir("sd-sweepscale-feed2"),
+      tmpDir("sd-sweepscale-out2"), tmpDir("sd-sweepscale-ckpt2"))
+    Seq((90001L, textA(7L)), (90002L, textB(n + 7L))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(f2)
+    run(f2, o2, c2, Some(live))
+    val got = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id_a BIGINT, id_b BIGINT, hamming BIGINT"))
+      .parquet(o2).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((n + 7L, 90002L)),
+      s"post-sweep resume must pair only against the live window, got $got")
+    // state after handoff: the live seed + the two new arrivals
+    assert(StreamingDedup.stateEntries(spark, c2).count() === n * 5 + 10)
+  }
+
   test("batch-seeded bootstrap: seed half the corpus as state, stream the rest, zero replay (r18)") {
     import spark.implicits._
     val n = 20000L
