@@ -150,8 +150,13 @@ object Bench {
       System.err.println(f"[bench] WARNING: capture ran under load up to " +
         f"$maxLoad%.2f (ceiling $ceil%.1f) — treat per-query regressions " +
         "as suspect until reproduced on a calm host")
+    // iters is the GLOBAL floor; the stateful stream family runs
+    // itersFor(...) >= 3 — report both so cross-round tooling never
+    // attributes a tighter stream min to a plan change (per-query run
+    // counts are also visible as the "runs" array lengths)
+    val itersStream = math.max(iters, 3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"max_load":$maxLoad,"queries":$qs,"failed":$failed,"runs":$runsAll,"loads":$loadsAll,"phases":$phasesAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"iters_stream":$itersStream,"max_load":$maxLoad,"queries":$qs,"failed":$failed,"runs":$runsAll,"loads":$loadsAll,"phases":$phasesAll,"sf":"$sfDir"}"""
     // the full JSON also goes to a file: the driver's stdout capture has
     // been observed to keep only the tail of very long lines (BENCH_r04
     // lost the first ~67 per-query timings), and a file survives intact
@@ -186,7 +191,7 @@ object Bench {
     // LAST line fits inside any tail window, so the driver's parse gets
     // the headline number even when the full map must come from the
     // bench_full_r*.json committed alongside.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"max_load":$maxLoad,"n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"iters_stream":$itersStream,"max_load":$maxLoad,"n_queries":${results.size},"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

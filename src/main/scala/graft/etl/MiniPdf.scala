@@ -203,10 +203,13 @@ object MiniPdf {
     ("/Type\\s*/" + t + "\\b").r.findFirstIn(dict).isDefined
 
   /** First `/Key <int>` entry of a dict (direct integers only — an
-    * indirect ref here is outside the subset and reads as absent).
+    * indirect ref here is outside the subset and reads as absent). The
+    * `\b` after the digits is load-bearing: without it the regex engine
+    * BACKTRACKS on an indirect ref (`/N 25 0 R` would "match" a
+    * truncated 2 instead of reading as absent — a silently wrong count).
     */
   private def intEntry(dict: String, key: String): Option[Int] =
-    ("/" + key + "\\s+(\\d+)(?!\\s+0\\s+R\\b)").r
+    ("/" + key + "\\s+(\\d+)\\b(?!\\s+0\\s+R\\b)").r
       .findFirstMatchIn(dict).map(_.group(1).toInt)
 
   /** Contained objects of an object stream (ISO 32000-1 §7.5.7): the

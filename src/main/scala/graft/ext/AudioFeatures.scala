@@ -58,26 +58,29 @@ object AudioFeatures {
   private def foldStats(rate: Int, ch: Int, samples: Array[Int]): AudioStats = {
     val frames = samples.length / ch
     var sumSq = 0.0
-    var peak = 0
+    var peak = 0L
     var crossings = 0L
-    var prev = 0
+    var prev = 0L
     var first = true
     var i = 0
     while (i < frames) {
-      var sum = 0
+      // Long arithmetic throughout: FLAC samples may be 32-bit, where an
+      // Int channel sum (up to 8 x 2^31) and abs(Int.MinValue) both wrap
+      var sum = 0L
       var c = 0
       while (c < ch) { sum += samples(i * ch + c); c += 1 }
       val mix = sum / ch
       sumSq += mix.toDouble * mix
       val abs = math.abs(mix)
       if (abs > peak) peak = abs
-      // Long product: FLAC samples may be wider than 16 bits
-      if (!first && prev.toLong * mix < 0) crossings += 1
+      if (!first && prev * mix < 0) crossings += 1
       if (mix != 0) { prev = mix; first = false }
       i += 1
     }
+    require(peak <= Int.MaxValue,
+      s"peak amplitude $peak exceeds the 32-bit stats contract")
     val rms = if (frames == 0) 0.0 else math.sqrt(sumSq / frames)
-    AudioStats(rate, ch, frames.toLong, rms, peak, crossings)
+    AudioStats(rate, ch, frames.toLong, rms, peak.toInt, crossings)
   }
 
   private def decodeJavaSound(bytes: Array[Byte]): Option[AudioStats] =
@@ -165,7 +168,28 @@ object AudioFeatures {
     */
   def normalizeBlobToWav(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == 'F') return bytes
+        bytes(2) == 'F' && bytes(3) == 'F') {
+      // VALIDATED passthrough: the target container, but only after the
+      // javax parse proves it is 16-bit PCM WAV — 'RIFF' alone also
+      // opens WEBP/AVI/float-WAV, which must refuse, not ride through
+      // a "normalized" corpus
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "normalizeToWav: RIFF payload is not a parseable WAV " +
+                "(WEBP/AVI and friends share the magic)")
+        }
+      try {
+        val f = in.getFormat
+        require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"normalizeToWav: only 16-bit signed PCM WAV passes through (got $f)")
+      } finally in.close()
+      return bytes
+    }
     if (FlacCodec.isFlac(bytes)) {
       val pcm = FlacCodec.decode(bytes)
       require(pcm.bitsPerSample == 16,
@@ -232,8 +256,12 @@ object AudioFeatures {
 
   /** Per-blob waveform features over a (`media_id`, `content` binary)
     * frame: (media_id, sample_rate, channels, frames, rms, peak,
-    * zero_crossings). Per-row isolation — undecodable rows drop, same
-    * contract as [[Multimodal.decodeMeta]].
+    * zero_crossings). Per-row isolation for UNKNOWN formats —
+    * containers javax.sound cannot parse drop, same contract as
+    * [[Multimodal.decodeMeta]] — but a blob that DECLARES itself FLAC
+    * (fLaC magic) and fails to decode fails the JOB loudly (see
+    * [[decodeStats]]): a self-identified-but-corrupt file is a data
+    * defect to surface, not an unknown format to skip.
     */
   def audioFeatures(media: DataFrame, idCol: String = "media_id",
                     contentCol: String = "content"): DataFrame = {

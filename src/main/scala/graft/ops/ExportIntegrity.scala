@@ -203,7 +203,14 @@ object ExportIntegrity {
     *                     many ms of the republish clock never carry
     *                     forward (default 2 s — two 1 s object-store
     *                     ticks); the steady-state cost is re-hashing
-    *                     the most recent batch once more
+    *                     the most recent batch once more. The clock
+    *                     reference is the NEWEST LISTED MTIME, not the
+    *                     driver clock: store-stamped mtimes compare
+    *                     against store-stamped time, so a store clock
+    *                     that lags or leads the driver cannot silently
+    *                     re-open the same-tick window — the newest
+    *                     file (where a torn-write re-commit lands by
+    *                     construction) is always inside the horizon
     * @return the full manifest frame just committed
     */
   def writeManifestIncremental(spark: SparkSession, path: String,
@@ -212,7 +219,10 @@ object ExportIntegrity {
     import spark.implicits._
     require(mtimeSlackMs >= 0L, s"mtimeSlackMs must be >= 0, got $mtimeSlackMs")
     val listing = listRelativeFull(spark, path, glob)
-    val now = System.currentTimeMillis()
+    // skew-immune slack reference: store-stamped mtimes compare against
+    // store-stamped time (the newest listed file) — see the param doc
+    val now = listing.iterator.map(_._3).maxOption
+      .getOrElse(System.currentTimeMillis())
     val prior: Map[String, (Long, String, Option[Long])] =
       readManifestEntries(spark, path)
         .map { case (f, n, sha, mt) => f -> (n, sha, mt) }.toMap

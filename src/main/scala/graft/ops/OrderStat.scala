@@ -259,59 +259,97 @@ object OrderStat {
     * hold exactly `total` rows (all keys non-null) under identical
     * predicates — every action runs on `stats`, the returned plan is
     * built from `out`. `cutover < need <= total`.
+    *
+    * Progress argument (the kthIn structure, r18): each level's exact
+    * pass counts both sides of BOTH bracket values, so the boundary key
+    * either IS a bracket value — resolved immediately through its tie
+    * atom (TakeOrdered under the cutover, distributed tiebreak rank
+    * above it) — or sits strictly INTERIOR, where the recursion drops
+    * both boundary atoms and the band shrinks every level even on
+    * heavily tied keys (the r17 shape recursed on the CLOSED band,
+    * which never shrinks on two-point distributions — a convergence
+    * failure the depth cap turned into a spurious refusal).
     */
   private def select(stats: DataFrame, out: DataFrame, keyCol: String,
                      tieCol: String, total: Long, need: Long, cutover: Int,
                      relErr: Double, depth: Int): DataFrame = {
-    require(depth < 8,
+    require(depth < 16,
       s"top-k threshold selection failed to converge after $depth levels " +
-        s"(band still ${total} rows for need=$need) — key distribution is " +
-        "degenerate; raise cutover or widen relErr")
+        s"(band still ${total} rows for need=$need) — widen relErr or " +
+        "raise cutover")
     // bracket the need-th largest key: the value at quantile q has rank
     // within relErr*total of q*total, so quantiles at q -/+ margin bound
     // the boundary from both sides once exact counts confirm them
     val q = 1.0 - need.toDouble / total
     var margin = 2.0 * relErr
-    var vLow = 0.0; var vHigh = 0.0; var above = 0L; var atLeast = 0L
+    var vLow = 0.0; var vHigh = 0.0
+    var above = 0L; var atHi = 0L; var aboveLow = 0L; var atLeast = 0L
     var bracketed = false
     while (!bracketed) {
       val pLow = math.max(0.0, q - margin)
       val pHigh = math.min(1.0, q + margin)
       val vs = stats.stat.approxQuantile(keyCol, Array(pLow, pHigh), relErr)
       vLow = vs(0); vHigh = vs(1)
-      // ONE exact pass pins both sides of the bracket
+      // ONE exact pass pins all four counts around the bracket
       val r = stats.agg(
         sum(when(col(keyCol) > vHigh, 1L).otherwise(0L)).as("above"),
+        sum(when(col(keyCol) >= vHigh, 1L).otherwise(0L)).as("at_hi"),
+        sum(when(col(keyCol) > vLow, 1L).otherwise(0L)).as("above_low"),
         sum(when(col(keyCol) >= vLow, 1L).otherwise(0L)).as("at_least"))
         .head()
-      above = r.getLong(0); atLeast = r.getLong(1)
+      above = r.getLong(0); atHi = r.getLong(1)
+      aboveLow = r.getLong(2); atLeast = r.getLong(3)
       if (above <= need && need <= atLeast) bracketed = true
       // sketch rank error exceeded the margin — widen geometrically;
       // terminates because at margin >= 1 the bracket is [min, max],
       // where above = 0 <= need and atLeast = total >= need always hold
       else margin *= 4.0
     }
-    val kept = out.filter(col(keyCol) > vHigh)
-    val remaining = need - above
-    if (remaining == 0L) kept
-    else {
-      val bandPred = col(keyCol) >= vLow && col(keyCol) <= vHigh
-      val bandSize = atLeast - above
+    if (need <= atHi) {
+      // the boundary key IS vHigh: everything above it qualifies plus
+      // `remaining` rows of vHigh's tie atom
+      val kept = out.filter(col(keyCol) > vHigh)
+      val remaining = need - above
+      if (remaining == 0L) kept
+      else kept.unionAll(resolveAtom(stats, out, keyCol, tieCol, vHigh,
+        atHi - above, remaining, cutover, relErr))
+    } else if (need > aboveLow) {
+      // the boundary key IS vLow
+      val kept = out.filter(col(keyCol) > vLow)
+      kept.unionAll(resolveAtom(stats, out, keyCol, tieCol, vLow,
+        atLeast - aboveLow, need - aboveLow, cutover, relErr))
+    } else {
+      // strictly interior: both boundary atoms excluded, so the band
+      // shrinks every level (~6·relErr·total for a continuous key)
+      val kept = out.filter(col(keyCol) >= vHigh)
+      val bandPred = col(keyCol) > vLow && col(keyCol) < vHigh
+      val bandSize = aboveLow - atHi
+      val bandNeed = need - atHi
       if (bandSize <= cutover)
         kept.unionAll(out.filter(bandPred)
-          .orderBy(col(keyCol).desc, col(tieCol)).limit(remaining.toInt))
-      else if (vLow < vHigh)
+          .orderBy(col(keyCol).desc, col(tieCol)).limit(bandNeed.toInt))
+      else
         kept.unionAll(
           select(stats.filter(bandPred), out.filter(bandPred), keyCol,
-            tieCol, bandSize, remaining, cutover, relErr, depth + 1))
-      else
-        // the whole band ties at ONE key value (e.g. extreme weights
-        // rounding to one double): the bracket cannot shrink, so rank
-        // the tie set by its TIEBREAK, distributed (r18)
-        kept.unionAll(
-          tieSelect(stats.filter(bandPred), out.filter(bandPred), tieCol,
-            bandSize, remaining, cutover, relErr))
+            tieCol, bandSize, bandNeed, cutover, relErr, depth + 1))
     }
+  }
+
+  /** `remaining` rows out of the `tieCount`-row atom at exactly
+    * `key == v`, ordered by the tiebreak: whole-atom and
+    * cutover-bounded cases resolve directly, larger atoms rank their
+    * tiebreak distributed ([[tieSelect]]).
+    */
+  private def resolveAtom(stats: DataFrame, out: DataFrame, keyCol: String,
+                          tieCol: String, v: Double, tieCount: Long,
+                          remaining: Long, cutover: Int,
+                          relErr: Double): DataFrame = {
+    val atom = col(keyCol) === v
+    if (remaining == tieCount) out.filter(atom)
+    else if (tieCount <= cutover)
+      out.filter(atom).orderBy(col(tieCol)).limit(remaining.toInt)
+    else tieSelect(stats.filter(atom), out.filter(atom), tieCol,
+      tieCount, remaining, cutover, relErr)
   }
 
   /** Distributed rank over a boundary TIE SET: every row of `statsTies` /
@@ -336,6 +374,9 @@ object OrderStat {
                         tieCol: String, tieCount: Long, remaining: Long,
                         cutover: Int, relErr: Double): DataFrame = {
     import org.apache.spark.sql.types.{NumericType, StringType}
+    // the whole tie set qualifies: no rank needed, and no refusal even
+    // for an unrankable tiebreak — the answer is simply every tie row
+    if (remaining == tieCount) return outTies
     statsTies.schema(tieCol).dataType match {
       case _: NumericType =>
         val tc = Cols.fresh(statsTies, "_os_tie")

@@ -1,5 +1,6 @@
 package graft.probes
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{AudioFeatures, Dedup, ImageFeatures, MediaFixtures, Multimodal}
@@ -11,6 +12,47 @@ import graft.ext.{AudioFeatures, Dedup, ImageFeatures, MediaFixtures, Multimodal
   * MultimodalSpec pins the codec-boundary semantics.
   */
 object MultimodalProbes {
+
+  /** The shared FLAC fixture corpus of media_flac_pcm and
+    * media_flac_transcode: ONE builder under ONE mediaFixtureFor cache
+    * key, so both probes provably consume identical blobs whatever the
+    * probe selection or run order (square waves with closed-form
+    * features; stereo decorrelation and subframe strategy cycle by
+    * doc_id so every decoder path faces the oracle).
+    */
+  private def flacFixture(s: SparkSession, d: String): String =
+    Probe.mediaFixtureFor(d, "audio-flac") {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val a = (1000 + (id % 100) * 10).toInt
+          val p = (5 + id % 7).toInt
+          val n = (400 + id % 200).toInt
+          val ch = (1 + id % 2).toInt
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100
+          }
+          val samples = new Array[Short](n * ch)
+          var i = 0
+          while (i < n) {
+            val v = (if ((i / p) % 2 == 0) a else -a).toShort
+            var c = 0
+            while (c < ch) { samples(i * ch + c) = v; c += 1 }
+            i += 1
+          }
+          val stereoMode =
+            if (ch == 1) "independent"
+            else Seq("independent", "left-side", "right-side",
+              "mid-side")((id % 4).toInt)
+          val subframeMode =
+            Seq("auto", "verbatim", "lpc")((id % 5).toInt % 3)
+          (id, MediaFixtures.flacPcm16(rate, ch, samples,
+            stereoMode = stereoMode, subframeMode = subframeMode,
+            blockSize = 256))
+        }
+        .toDF("media_id", "content")
+    }
 
   val all: Seq[Probe] = Seq(
 
@@ -247,38 +289,7 @@ object MultimodalProbes {
         "FROM documents ORDER BY media_id"
     ) { (s, d) =>
       val path = PhaseTimer.timed("media_flac_pcm", "fixture_ensure") {
-        Probe.mediaFixtureFor(d, "audio-flac") {
-          import s.implicits._
-          Tables.load(s, d, "documents")
-            .select(col("doc_id")).as[Long]
-            .map { id =>
-              val a = (1000 + (id % 100) * 10).toInt
-              val p = (5 + id % 7).toInt
-              val n = (400 + id % 200).toInt
-              val ch = (1 + id % 2).toInt
-              val rate = (id % 3) match {
-                case 0 => 8000; case 1 => 16000; case _ => 44100
-              }
-              val samples = new Array[Short](n * ch)
-              var i = 0
-              while (i < n) {
-                val v = (if ((i / p) % 2 == 0) a else -a).toShort
-                var c = 0
-                while (c < ch) { samples(i * ch + c) = v; c += 1 }
-                i += 1
-              }
-              val stereoMode =
-                if (ch == 1) "independent"
-                else Seq("independent", "left-side", "right-side",
-                  "mid-side")((id % 4).toInt)
-              val subframeMode =
-                Seq("auto", "verbatim", "lpc")((id % 5).toInt % 3)
-              (id, MediaFixtures.flacPcm16(rate, ch, samples,
-                stereoMode = stereoMode, subframeMode = subframeMode,
-                blockSize = 256))
-            }
-            .toDF("media_id", "content")
-        }
+        flacFixture(s, d)
       }
       AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
@@ -305,38 +316,7 @@ object MultimodalProbes {
         "FROM documents ORDER BY media_id"
     ) { (s, d) =>
       val path = PhaseTimer.timed("media_flac_transcode", "fixture_ensure") {
-        Probe.mediaFixtureFor(d, "audio-flac") {
-          import s.implicits._
-          Tables.load(s, d, "documents")
-            .select(col("doc_id")).as[Long]
-            .map { id =>
-              val a = (1000 + (id % 100) * 10).toInt
-              val p = (5 + id % 7).toInt
-              val n = (400 + id % 200).toInt
-              val ch = (1 + id % 2).toInt
-              val rate = (id % 3) match {
-                case 0 => 8000; case 1 => 16000; case _ => 44100
-              }
-              val samples = new Array[Short](n * ch)
-              var i = 0
-              while (i < n) {
-                val v = (if ((i / p) % 2 == 0) a else -a).toShort
-                var c = 0
-                while (c < ch) { samples(i * ch + c) = v; c += 1 }
-                i += 1
-              }
-              val stereoMode =
-                if (ch == 1) "independent"
-                else Seq("independent", "left-side", "right-side",
-                  "mid-side")((id % 4).toInt)
-              val subframeMode =
-                Seq("auto", "verbatim", "lpc")((id % 5).toInt % 3)
-              (id, MediaFixtures.flacPcm16(rate, ch, samples,
-                stereoMode = stereoMode, subframeMode = subframeMode,
-                blockSize = 256))
-            }
-            .toDF("media_id", "content")
-        }
+        flacFixture(s, d)
       }
       val normalized = PhaseTimer.timed("media_flac_transcode", "normalize") {
         AudioFeatures.normalizeToWav(s.read.parquet(path)).localCheckpoint()

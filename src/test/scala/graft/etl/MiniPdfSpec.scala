@@ -79,6 +79,16 @@ class MiniPdfSpec extends AnyFunSuite {
     // the intact twin parses — the refusal is the integrity check, not
     // an allergy to xref streams
     assert(MiniPdf.parse("/x/ok.pdf", PdfFixtures.twoPageXref15()).isDefined)
+    // an INDIRECT /N in the ObjStm dict is outside the subset and must
+    // read as ABSENT (whole-doc refusal) — never as a backtracked,
+    // truncated integer that silently drops contained pages
+    val raw = new String(PdfFixtures.twoPageXref15(),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val indirect = raw.replace("/N 5 /First", "/N 25 0 R /First")
+    assert(indirect != raw, "fixture must contain the ObjStm /N entry")
+    assert(MiniPdf.parse("/x/indirect.pdf",
+      indirect.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).isEmpty,
+      "an indirect ObjStm /N must refuse, not truncate to a wrong count")
   }
 
   test("single-byte corruption of the modern fixtures is total and sane (r18)") {

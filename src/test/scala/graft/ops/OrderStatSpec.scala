@@ -87,6 +87,22 @@ class OrderStatSpec extends AnyFunSuite with SharedSpark {
     assert(got === want)
   }
 
+  test("a tie set needed WHOLE short-circuits the rank — even unrankable tiebreaks (r18)") {
+    // 500 rows outrank the tie tier, the FULL 2000-row tie tier is
+    // needed, and 100 rows fall below: remaining == tieCount, so no
+    // rank (and no refusal) even though the tiebreak is a non-hex
+    // string no distributed rank exists for
+    val df = ((0L until 500L).map(i => (s"TOP_$i", 2.0)) ++
+      (0L until 2000L).map(i => (s"TIE_$i", 1.0)) ++
+      (0L until 100L).map(i => (s"LOW_$i", 0.5)))
+      .toDF("id", "key").repartition(9)
+    val got = OrderStat.topKByKeyDesc(df, "key", "id", k = 2500,
+        cutover = 16, relErr = 0.01)
+      .select("key").as[Double].collect()
+    assert(got.length === 2500)
+    assert(got.count(_ == 2.0) === 500 && got.count(_ == 1.0) === 2000)
+  }
+
   test("unrankable tie sets still refuse loudly (r18)") {
     // tiebreak collapsed too: every row identical in key AND tiebreak
     val collapsed = (0L until 2000L).map(_ => (5L, 1.0)).toDF("id", "key")
