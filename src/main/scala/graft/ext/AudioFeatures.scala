@@ -4,12 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** [EXT] REAL PCM sample decode for the audio containers the JDK ships
-  * readers for (WAV/AIFF/AU) plus native FLAC ([[FlacCodec]], r18) — the
-  * sample-level counterpart of [[Multimodal]]'s header-only `audioMeta`.
-  * With this, "sample decode is a stub" is true only of LOSSY codecs
-  * (MP3/AAC/Opus/Vorbis — entropy decoders the JDK ships nothing for);
-  * uncompressed and losslessly-compressed corpora get real waveform
-  * features.
+  * readers for (WAV/AIFF/AU) plus native FLAC ([[FlacCodec]], r18) and
+  * native G.711 mu-law/A-law + IMA ADPCM ([[TelephonyAudio]], r18) —
+  * the sample-level counterpart of [[Multimodal]]'s header-only
+  * `audioMeta`. With this, "sample decode is a stub" is true only of
+  * the TABLE-DRIVEN lossy codecs (MP3/AAC/Opus/Vorbis — Huffman/window
+  * lookup data the spec ships as tables, unreproducible offline);
+  * uncompressed, losslessly-compressed, and companded/ADPCM corpora
+  * all get real waveform features.
   *
   * One streaming pass per blob computes the features an audio curation
   * pipeline filters on: duration (decoded frame count — counted from the
@@ -44,10 +46,16 @@ object AudioFeatures {
     * Unlike the javax.sound fallbacks, a damaged or out-of-subset FLAC
     * refuses LOUDLY (the decoder throws) — a file that declares itself
     * FLAC and fails to decode is a data defect, not an unknown format.
+    * Telephony payloads (WAV format tags 6/7/0x11, AU encodings 1/27 —
+    * G.711 mu-law/A-law and IMA ADPCM) decode through the native
+    * [[TelephonyAudio]] codecs under the same loud contract.
     */
   def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
     if (FlacCodec.isFlac(bytes)) {
       val pcm = FlacCodec.decode(bytes)
+      Some(foldStats(pcm.sampleRate, pcm.channels, pcm.samples))
+    } else if (TelephonyAudio.isTelephony(bytes)) {
+      val pcm = TelephonyAudio.decode(bytes)
       Some(foldStats(pcm.sampleRate, pcm.channels, pcm.samples))
     } else decodeJavaSound(bytes)
 
@@ -167,6 +175,16 @@ object AudioFeatures {
     * replayed batch rewrites identical blobs.
     */
   def normalizeBlobToWav(bytes: Array[Byte]): Array[Byte] = {
+    if (TelephonyAudio.isTelephony(bytes)) {
+      // G.711 / IMA ADPCM (WAV tags 6/7/0x11, AU encodings 1/27):
+      // decode natively and rewrap — the sniff runs BEFORE the RIFF
+      // passthrough because a G.711 WAV is a RIFF that must convert,
+      // not pass through. Decoded magnitudes fit 16 bits by codec
+      // construction (G.711 max 32256, ADPCM clamps to short).
+      val pcm = TelephonyAudio.decode(bytes)
+      return MediaFixtures.wavPcm16(pcm.sampleRate, pcm.channels,
+        pcm.samples.map(_.toShort))
+    }
     if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F') {
       // VALIDATED passthrough: the target container, but only after the

@@ -257,6 +257,81 @@ object MediaFixtures {
       blockSize = blockSize, stereoMode = stereoMode,
       subframeMode = subframeMode)
 
+  /** RIFF/WAVE container carrying REAL G.711 payload (format tag 0x0007
+    * mu-law / 0x0006 A-law, 8-bit, blockAlign == channels): `samples`
+    * are interleaved LINEAR frames, companded here through
+    * [[TelephonyAudio]]'s encoder — so a decode path that merely
+    * un-containers without expanding the log codes cannot match an
+    * amplitude oracle.
+    */
+  def wavG711(rate: Int, channels: Int, samples: Array[Short],
+              alaw: Boolean): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && samples.length % channels == 0,
+      s"bad g711 wav fixture: rate=$rate channels=$channels n=${samples.length}")
+    val payload = TelephonyAudio.g711EncodePayload(samples.map(_.toInt), alaw)
+    val pad = payload.length & 1
+    val out = new java.io.ByteArrayOutputStream(58 + payload.length + pad)
+    // RIFF size = WAVE(4) + fmt(8+18) + fact(8+4) + data(8+payload+pad)
+    out.write(ascii("RIFF")); out.write(le32(50L + payload.length + pad))
+    out.write(ascii("WAVE")); out.write(ascii("fmt ")); out.write(le32(18L))
+    out.write(le16(if (alaw) 0x0006 else 0x0007)); out.write(le16(channels))
+    out.write(le32(rate.toLong)); out.write(le32(rate.toLong * channels))
+    out.write(le16(channels)); out.write(le16(8)) // block align, bits
+    out.write(le16(0)) // cbSize: tag 6/7 carry an empty fmt extension
+    out.write(ascii("fact")); out.write(le32(4L))
+    out.write(le32((samples.length / channels).toLong))
+    out.write(ascii("data")); out.write(le32(payload.length.toLong))
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0) // RIFF word alignment
+    out.toByteArray
+  }
+
+  /** Sun AU container with REAL G.711 payload (encoding 1 mu-law / 27
+    * A-law) — the other container telephony corpora arrive in, through
+    * the same companding encoder as [[wavG711]].
+    */
+  def auG711(rate: Int, channels: Int, samples: Array[Short],
+             alaw: Boolean): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && samples.length % channels == 0,
+      s"bad g711 au fixture: rate=$rate channels=$channels n=${samples.length}")
+    val payload = TelephonyAudio.g711EncodePayload(samples.map(_.toInt), alaw)
+    val out = new java.io.ByteArrayOutputStream(24 + payload.length)
+    out.write(ascii(".snd")); out.write(be32(24L))
+    out.write(be32(payload.length.toLong))
+    out.write(be32(if (alaw) 27L else 1L))
+    out.write(be32(rate.toLong)); out.write(be32(channels.toLong))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE container with REAL IMA ADPCM blocks (format tag 0x0011,
+    * 4-bit, fmt extension carrying wSamplesPerBlock, fact chunk carrying
+    * the true frame count so partial final blocks decode exactly).
+    */
+  def wavImaAdpcm(rate: Int, channels: Int, samples: Array[Short],
+                  samplesPerBlock: Int = 505): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && samples.length % channels == 0,
+      s"bad ima wav fixture: rate=$rate channels=$channels n=${samples.length}")
+    val (blocks, blockAlign, spb) = TelephonyAudio.adpcmEncodeBlocks(
+      samples.map(_.toInt), channels, samplesPerBlock)
+    val frames = samples.length / channels
+    val byteRate = // average: blockAlign bytes per spb frames
+      math.max(1L, rate.toLong * blockAlign / spb)
+    val out = new java.io.ByteArrayOutputStream(60 + blocks.length)
+    // RIFF size = WAVE(4) + fmt(8+20) + fact(8+4) + data(8+blocks)
+    out.write(ascii("RIFF")); out.write(le32(52L + blocks.length))
+    out.write(ascii("WAVE")); out.write(ascii("fmt ")); out.write(le32(20L))
+    out.write(le16(0x0011)); out.write(le16(channels))
+    out.write(le32(rate.toLong)); out.write(le32(byteRate))
+    out.write(le16(blockAlign)); out.write(le16(4)) // block align, bits
+    out.write(le16(2)); out.write(le16(spb)) // cbSize, wSamplesPerBlock
+    out.write(ascii("fact")); out.write(le32(4L))
+    out.write(le32(frames.toLong))
+    out.write(ascii("data")); out.write(le32(blocks.length.toLong))
+    out.write(blocks)
+    out.toByteArray
+  }
+
   /** Sun AU container (".snd") with REAL 16-bit signed BIG-endian PCM —
     * the JDK's other PCM container, covering the opposite endianness of
     * [[wavPcm16]] through the same decode path.

@@ -54,6 +54,62 @@ object MultimodalProbes {
         .toDF("media_id", "content")
     }
 
+  /** The shared G.711 fixture corpus of media_g711_pcm and
+    * media_g711_transcode: square waves whose amplitudes are EXACT
+    * G.711 codepoints (mu-law `(q*8+132)*2^e - 132`, A-law `seg==0 ?
+    * 16q+8 : (16q+264)*2^(seg-1)`), so companding round-trips them
+    * bit-exactly and the oracle re-derives every amplitude in closed
+    * form. Law, container (WAV tag 6/7 vs AU encoding 1/27), channel
+    * count, and segment/quant cycle by doc_id so every decode path
+    * faces the oracle.
+    */
+  private def g711Fixture(s: SparkSession, d: String): String =
+    Probe.mediaFixtureFor(d, "audio-g711") {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val e = (id % 8).toInt
+          val q = (1 + (id / 8) % 15).toInt
+          val alaw = id % 2 != 0
+          val amp =
+            if (!alaw) ((q * 8 + 132) << e) - 132
+            else if (e == 0) 16 * q + 8
+            else (16 * q + 264) << (e - 1)
+          val n = (400 + id % 200).toInt
+          val p = (5 + id % 7).toInt
+          val ch = (1 + (id / 4) % 2).toInt
+          val rate = if (id % 3 == 0) 8000 else 16000
+          val samples = new Array[Short](n * ch)
+          var i = 0
+          while (i < n) {
+            val v = (if ((i / p) % 2 == 0) amp else -amp).toShort
+            var c = 0
+            while (c < ch) { samples(i * ch + c) = v; c += 1 }
+            i += 1
+          }
+          val blob =
+            if ((id / 2) % 2 == 0) MediaFixtures.wavG711(rate, ch, samples, alaw)
+            else MediaFixtures.auG711(rate, ch, samples, alaw)
+          (id, blob)
+        }
+        .toDF("media_id", "content")
+    }
+
+  private val g711OracleSql: String =
+    "WITH p AS (SELECT doc_id, doc_id % 8 AS e, 1 + (doc_id // 8) % 15 AS q FROM documents), " +
+      "a AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 " +
+      "THEN (q*8 + 132) * CAST(POWER(2, e) AS BIGINT) - 132 " +
+      "ELSE CASE WHEN e = 0 THEN 16*q + 8 ELSE (16*q + 264) * CAST(POWER(2, e - 1) AS BIGINT) END END AS amp FROM p) " +
+      "SELECT doc_id AS media_id, " +
+      "CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 16000 END AS INT) AS sample_rate, " +
+      "CAST(1 + (doc_id // 4) % 2 AS INT) AS channels, " +
+      "CAST(400 + doc_id % 200 AS BIGINT) AS frames, " +
+      "round(CAST(amp AS DOUBLE), 4) AS rms, " +
+      "CAST(amp AS INT) AS peak, " +
+      "CAST((400 + doc_id % 200 - 1) // (5 + doc_id % 7) AS BIGINT) AS zero_crossings " +
+      "FROM a ORDER BY media_id"
+
   val all: Seq[Probe] = Seq(
 
     // The stub encode→decode roundtrip must hand back exactly the typed
@@ -319,6 +375,39 @@ object MultimodalProbes {
         flacFixture(s, d)
       }
       val normalized = PhaseTimer.timed("media_flac_transcode", "normalize") {
+        AudioFeatures.normalizeToWav(s.read.parquet(path)).localCheckpoint()
+      }
+      AudioFeatures.audioFeatures(normalized)
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("media_id")
+    },
+
+    // REAL G.711 sample decode (r18, native TelephonyAudio — the ITU
+    // companding laws are pure segment algebra, so the oracle computes
+    // every amplitude in closed form). Amplitudes are exact codepoints:
+    // RMS == amplitude EXACTLY requires the companded byte stream to
+    // expand bit-exactly — TelephonyAudioSpec additionally sweeps both
+    // laws code-for-code against the JDK's own independent converter.
+    Probe("media_g711_pcm", g711OracleSql) { (s, d) =>
+      val path = PhaseTimer.timed("media_g711_pcm", "fixture_ensure") {
+        g711Fixture(s, d)
+      }
+      AudioFeatures.audioFeatures(s.read.parquet(path))
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("media_id")
+    },
+
+    // G.711 corpus NORMALIZATION (r18): the whole mixed WAV/AU telephony
+    // corpus rewritten as 16-bit PCM WAV (normalizeToWav), features
+    // folded over the REWRAPPED bytes through the JDK's independent RIFF
+    // parser — companded bytes leave through the native expander and
+    // re-enter through javax.sound, so the closed-form oracle only
+    // hashes green if both agree on every decoded sample.
+    Probe("media_g711_transcode", g711OracleSql) { (s, d) =>
+      val path = PhaseTimer.timed("media_g711_transcode", "fixture_ensure") {
+        g711Fixture(s, d)
+      }
+      val normalized = PhaseTimer.timed("media_g711_transcode", "normalize") {
         AudioFeatures.normalizeToWav(s.read.parquet(path)).localCheckpoint()
       }
       AudioFeatures.audioFeatures(normalized)
