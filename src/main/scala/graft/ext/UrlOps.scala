@@ -1,0 +1,246 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] URL curation for crawl-scale corpora: canonicalization,
+  * tracking-parameter strip, host / registered-domain extraction, and
+  * URL-level dedup. Web-crawl training pipelines dedup and cap BY URL
+  * before any content pass (the same logical page arrives as
+  * `HTTP://WWW.Site.com:80/a/?utm_source=x` and `http://site.com/a` —
+  * content-level dedup would pay a full fetch+shingle to discover what
+  * the URL already says), and per-domain caps/mixing key on the
+  * registered domain ([[Mixing.perGroupCap]] composes directly).
+  *
+  * Canonical form (documented, deterministic — the dedup KEY contract,
+  * not a browser emulation):
+  *  1. trim; drop the `#fragment`;
+  *  2. lowercase scheme and host; strip userinfo; strip ONE leading
+  *     `www.` when a dot remains (www.example.com == example.com, but
+  *     `www.com` keeps its name);
+  *  3. drop the scheme's default port (http:80, https:443) — any other
+  *     port is identity-bearing and stays;
+  *  4. drop tracking parameters (`utm_*` prefix + the usual click-id
+  *     keys), sort the surviving `k=v` pairs bytewise (query-order
+  *     variance is almost never semantic; sites where it is lose a
+  *     little recall, never correctness of what IS merged);
+  *  5. empty path becomes `/`; trailing slashes strip down to the root
+  *     slash; path/query CASE is preserved (paths are case-sensitive
+  *     by spec — only scheme/host fold).
+  * URLs without a `://` scheme pass through steps 1 only (opaque ids —
+  * never guessed at).
+  *
+  * Registered domain: last two host labels, or three when the 2-label
+  * tail is a known multi-label public suffix (`co.uk`-style; the
+  * built-in set covers the high-traffic tails — the full Public Suffix
+  * List is a data file a deployment can ship, this heuristic is the
+  * documented offline default). IP literals return themselves.
+  *
+  * Scale story: ONE single-pass scalar parse per row (no regex, no
+  * allocation beyond the parts), exposed as a struct-returning UDF so
+  * canonical/host/domain all come from the same parse; zero shuffle.
+  * URL dedup then rides the exact-dedup path: hash groupBy on the
+  * canonical string with map-side partial aggregation.
+  */
+object UrlOps {
+
+  /** Query keys that never carry identity: dropped before sorting. */
+  private val TrackingKeys: Set[String] = Set(
+    "gclid", "fbclid", "msclkid", "dclid", "twclid", "igshid", "mc_eid",
+    "mc_cid", "yclid", "wbraid", "gbraid", "ref", "ref_src", "ref_url",
+    "referrer", "spm", "_hsenc", "_hsmi", "s_kwcid")
+
+  private def isTrackingKey(key: String): Boolean =
+    key.startsWith("utm_") || TrackingKeys.contains(key)
+
+  /** Multi-label public suffixes the registered-domain heuristic takes
+    * THREE labels for (high-traffic subset of the PSL; see module doc).
+    */
+  private val MultiLabelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "com.ar", "com.co", "com.pe", "com.ve",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "com.tw", "com.hk",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.sg", "com.my", "co.id", "co.th", "com.vn",
+    "co.za", "com.ng", "com.eg", "com.tr", "com.sa",
+    "com.pl", "com.ua", "com.ru")
+
+  final case class UrlParts(canonical: String, host: String,
+                            registeredDomain: String)
+
+  private def asciiLower(s: String): String = {
+    // locale-independent fold (String.toLowerCase("tr") would dot the I)
+    var i = 0
+    var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') needs = true
+      i += 1
+    }
+    if (!needs) s
+    else {
+      val b = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      }
+      b.toString
+    }
+  }
+
+  private def isDigits(s: String, from: Int): Boolean = {
+    if (from >= s.length) return false
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  /** The one-pass parse (see module doc for the canonical-form rules). */
+  def parse(raw: String): UrlParts = {
+    if (raw == null) return UrlParts(null, null, null)
+    var s = raw.trim
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    val sep = s.indexOf("://")
+    if (sep <= 0) return UrlParts(s, "", "")
+    val scheme = asciiLower(s.substring(0, sep))
+    val rest = s.substring(sep + 3)
+    var authEnd = rest.length
+    var i = 0
+    while (i < authEnd) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') { authEnd = i } else i += 1
+    }
+    var authority = rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd) // starts with '/' or '?', or empty
+    val at = authority.lastIndexOf('@')
+    if (at >= 0) authority = authority.substring(at + 1)
+    // host vs port: bracketed IPv6 first, else a trailing all-digit :port
+    var host: String = null
+    var port: String = ""
+    if (authority.startsWith("[")) {
+      val close = authority.indexOf(']')
+      if (close < 0) { host = authority }
+      else {
+        host = authority.substring(0, close + 1)
+        val after = authority.substring(close + 1)
+        if (after.startsWith(":") && isDigits(after, 1))
+          port = after.substring(1)
+      }
+    } else {
+      val colon = authority.lastIndexOf(':')
+      if (colon >= 0 && isDigits(authority, colon + 1)) {
+        host = authority.substring(0, colon)
+        port = authority.substring(colon + 1)
+      } else host = authority
+    }
+    host = asciiLower(host)
+    if (host.startsWith("www.") && host.indexOf('.', 4) >= 0)
+      host = host.substring(4)
+    val keepPort =
+      port.nonEmpty &&
+        !((scheme == "http" && port == "80") ||
+          (scheme == "https" && port == "443"))
+    // path / query
+    val q = tail.indexOf('?')
+    var path = if (q >= 0) tail.substring(0, q) else tail
+    val query = if (q >= 0) tail.substring(q + 1) else ""
+    if (path.isEmpty) path = "/"
+    else {
+      var end = path.length
+      while (end > 1 && path.charAt(end - 1) == '/') end -= 1
+      path = path.substring(0, end)
+    }
+    val keptParams: Array[String] =
+      if (query.isEmpty) Array.empty
+      else {
+        val parts = query.split("&", -1)
+        val kept = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+        var j = 0
+        while (j < parts.length) {
+          val p = parts(j)
+          if (p.nonEmpty) {
+            val eq = p.indexOf('=')
+            val key = if (eq >= 0) p.substring(0, eq) else p
+            if (!isTrackingKey(key)) kept += p
+          }
+          j += 1
+        }
+        val arr = kept.toArray
+        java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+        arr
+      }
+    val b = new java.lang.StringBuilder(s.length)
+    b.append(scheme).append("://").append(host)
+    if (keepPort) b.append(':').append(port)
+    b.append(path)
+    if (keptParams.nonEmpty) {
+      b.append('?')
+      var j = 0
+      while (j < keptParams.length) {
+        if (j > 0) b.append('&')
+        b.append(keptParams(j))
+        j += 1
+      }
+    }
+    UrlParts(b.toString, host, registeredDomainOf(host))
+  }
+
+  /** Registered domain of a (lowercased) host — see module doc. */
+  def registeredDomainOf(host: String): String = {
+    if (host == null || host.isEmpty) return ""
+    if (host.startsWith("[")) return host // IPv6 literal
+    val labels = host.split('.')
+    if (labels.length <= 2) {
+      // bare host or IPv4 check: all-numeric labels = IP, return as-is
+      return host
+    }
+    if (labels.forall(l => isDigits(l, 0))) return host // IPv4
+    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    val take = if (MultiLabelSuffixes.contains(lastTwo)) 3 else 2
+    labels.takeRight(take).mkString(".")
+  }
+
+  private val parseUdf = udf { raw: String =>
+    val p = parse(raw)
+    (p.canonical, p.host, p.registeredDomain)
+  }
+
+  /** Struct column `(canonical, host, registered_domain)` — ONE parse
+    * per row feeding all three outputs (select fields off this rather
+    * than calling three scalar functions).
+    */
+  def urlParts(url: Column): Column =
+    parseUdf(url).cast("struct<canonical:string,host:string," +
+      "registered_domain:string>")
+
+  /** Canonical dedup key of a URL column (see module doc for the form). */
+  def canonicalUrl(url: Column): Column = urlParts(url).getField("canonical")
+
+  /** URL-level dedup: keep the FIRST row per canonical URL by `orderCol`
+    * (ties broken by it; deterministic). The exact-dedup idiom: hash
+    * groupBy on the canonical key — min-by aggregation, map-side
+    * partial, one shuffle of (key, winner) pairs, never a window over
+    * the corpus.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String,
+                 orderCol: String): DataFrame = {
+    val keyed = df.withColumn("__canon", canonicalUrl(col(urlCol)))
+    val winners = keyed
+      .groupBy(col("__canon"))
+      .agg(min_by(struct(keyed.columns.map(col).toIndexedSeq: _*),
+        col(orderCol)).as("__row"))
+      .select(col("__row.*"))
+    winners.drop("__canon")
+  }
+}

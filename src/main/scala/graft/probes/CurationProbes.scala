@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Mixing, TextAnalysis => TA}
+import graft.ext.{Dedup, Mixing, TextAnalysis => TA, UrlOps}
 
 /** [EXT] Round-4 curation operators: canonical-survivor selection after
   * dedup clustering, temperature-scaled mixture weights, exact stratified
@@ -143,6 +143,93 @@ object CurationProbes {
         Mixing.quantileBuckets(scored,
           col("score"), nBuckets = 4, bucketName = "q_bucket")
       }.orderBy("doc_id")
+    },
+
+    // URL canonicalization (r18, UrlOps): five messy variants per
+    // logical page — www + tracking params + fragment + trailing slash,
+    // uppercase scheme/host + default port, click-id param, userinfo,
+    // and a NON-default port (identity-bearing: must NOT collapse) —
+    // built identically in Spark and SQL, so the oracle re-derives the
+    // canonical form, host, and registered domain in closed form. Host
+    // families cycle co.uk (multi-label public suffix: 3-label
+    // registered domain) and a deep .com subdomain (2-label).
+    Probe(
+      "url_canonicalize",
+      urlFixtureSql +
+        " SELECT doc_id, 'https://' || hc || CASE WHEN var = 4 THEN ':8443' ELSE '' END || '/Articles/' || CAST(g AS VARCHAR) || '?a=1&b=2' AS url_canon, " +
+        "hc AS host, " +
+        "CASE WHEN g % 2 = 0 THEN hc ELSE 'example' || CAST(g AS VARCHAR) || '.com' END AS registered_domain " +
+        "FROM v ORDER BY doc_id"
+    ) { (s, d) =>
+      val parts = UrlOps.urlParts(col("url"))
+      urlFixtureDf(t(s, d, "documents"))
+        .select(col("doc_id"), parts.getField("canonical").as("url_canon"),
+          parts.getField("host").as("host"),
+          parts.getField("registered_domain").as("registered_domain"))
+        .orderBy("doc_id")
+    },
+
+    // URL-level dedup (r18): keep the first row per canonical URL. The
+    // four collapsible variants of each page merge to one survivor (the
+    // lowest doc_id) while the non-default-port variant stays distinct.
+    // The oracle groups by the same closed-form canonical — no parsing
+    // in SQL, no assumption that doc_ids are contiguous.
+    Probe(
+      "url_dedup",
+      urlFixtureSql +
+        ", c AS (SELECT doc_id, url, 'https://' || hc || CASE WHEN var = 4 THEN ':8443' ELSE '' END || '/Articles/' || CAST(g AS VARCHAR) || '?a=1&b=2' AS canon FROM v)" +
+        ", w AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon) " +
+        "SELECT c.doc_id, c.url FROM c JOIN w ON c.doc_id = w.doc_id ORDER BY c.doc_id"
+    ) { (s, d) =>
+      UrlOps.dedupByUrl(urlFixtureDf(t(s, d, "documents")), "url", "doc_id")
+        .select(col("doc_id"), col("url"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The messy-URL fixture both url_* probes share: (doc_id, url) with
+    * variant `doc_id % 5` and host family `doc_id % 2` (see the
+    * url_canonicalize comment). Pure Column ops — the SQL twin is
+    * [[urlFixtureSql]].
+    */
+  private def urlFixtureDf(docs: DataFrame): DataFrame = {
+    val g = expr("doc_id DIV 5").cast("string")
+    val hc = when(pmod(expr("doc_id DIV 5"), lit(2)) === 0,
+      concat(lit("site"), g, lit(".co.uk")))
+      .otherwise(concat(lit("blog"), g, lit(".news.example"), g, lit(".com")))
+    val v = pmod(col("doc_id"), lit(5))
+    val url = when(v === 0,
+      concat(lit("https://www."), hc, lit("/Articles/"), g,
+        lit("/?utm_source=feed&b=2&a=1#top")))
+      .when(v === 1,
+        concat(lit("HTTPS://"), upper(hc), lit(":443/Articles/"), g,
+          lit("?a=1&b=2")))
+      .when(v === 2,
+        concat(lit("https://"), hc, lit("/Articles/"), g,
+          lit("?b=2&a=1&fbclid=x"), g))
+      .when(v === 3,
+        concat(lit("https://user:pw@"), hc, lit("/Articles/"), g,
+          lit("/?a=1&b=2")))
+      .otherwise(
+        concat(lit("https://"), hc, lit(":8443/Articles/"), g,
+          lit("?a=1&b=2")))
+    docs.filter(col("doc_id").isNotNull).select(col("doc_id"), url.as("url"))
+  }
+
+  /** SQL twin of [[urlFixtureDf]] as a WITH prefix defining `v(doc_id,
+    * g, var, hc, url)`. A def, not a val: `all` above initializes first
+    * and would capture a null.
+    */
+  private def urlFixtureSql: String =
+    "WITH v AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS var, " +
+      "CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' " +
+      "ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END AS hc, " +
+      "CASE doc_id % 5 " +
+      "WHEN 0 THEN 'https://www.' || (CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END) || '/Articles/' || CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#top' " +
+      "WHEN 1 THEN 'HTTPS://' || upper(CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END) || ':443/Articles/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2' " +
+      "WHEN 2 THEN 'https://' || (CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END) || '/Articles/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1&fbclid=x' || CAST(doc_id // 5 AS VARCHAR) " +
+      "WHEN 3 THEN 'https://user:pw@' || (CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END) || '/Articles/' || CAST(doc_id // 5 AS VARCHAR) || '/?a=1&b=2' " +
+      "ELSE 'https://' || (CASE WHEN (doc_id // 5) % 2 = 0 THEN 'site' || CAST(doc_id // 5 AS VARCHAR) || '.co.uk' ELSE 'blog' || CAST(doc_id // 5 AS VARCHAR) || '.news.example' || CAST(doc_id // 5 AS VARCHAR) || '.com' END) || ':8443/Articles/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2' " +
+      "END AS url " +
+      "FROM documents WHERE doc_id IS NOT NULL)"
 }
