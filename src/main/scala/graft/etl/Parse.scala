@@ -59,6 +59,22 @@ object Parse {
           case None      => () // outside the subset — text view below
         }
       }
+      if (graft.ext.HtmlText.isHtml(content)) {
+        // web payloads (r18): markup strips through the HtmlText state
+        // machine, then the extracted prose rides the SAME layout
+        // convention — one page, each HTML block a paragraph (blank-line
+        // separated: layoutElements merges adjacent non-blank lines)
+        val extracted = graft.ext.HtmlText.blocks(
+          new String(content, java.nio.charset.StandardCharsets.UTF_8))
+          .map(_.text).mkString("\n\n")
+        return ParsedDoc(
+          path = path,
+          filename = path.split('/').last,
+          pageCount = 1,
+          fileSize = content.length.toLong,
+          contentSha = sha256Hex(content),
+          elements = layoutElements(extracted, 1))
+      }
       val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
       val pages = text.split('\f')
       val elements = Seq.newBuilder[DocElement]

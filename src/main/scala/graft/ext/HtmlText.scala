@@ -1,0 +1,268 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** [EXT] HTML -> text extraction for web-crawl corpora — the parse step
+  * that turns raw crawl payloads into the plain text every downstream
+  * operator here consumes (dedup shingles, quality scores, langid, BPE).
+  * Pure JVM, single-pass state machine over the markup — no regex (no
+  * backtracking surface), no DOM (no allocation proportional to tree
+  * depth), O(chars) per document.
+  *
+  * Extraction convention (deterministic, documented):
+  *  - `script`/`style`/`noscript`/`template`/`head` subtrees are dropped
+  *    whole (their text is code or metadata, not prose);
+  *  - comments, doctypes, and processing instructions vanish;
+  *  - block-level elements (p, div, li, tr, h1-h6, nav, table, ...)
+  *    bound BLOCKS; inline elements (a, span, b, em, ...) do not;
+  *  - character/entity references decode (the common named set +
+  *    decimal/hex numeric); unknown entities pass through literally;
+  *    `&nbsp;` is whitespace, `&shy;` vanishes;
+  *  - whitespace runs collapse to one space inside a block; blocks trim;
+  *    empty blocks drop; blocks join with `\n`;
+  *  - a bare `<` not opening a tag is literal text (HTML5 tokenizer
+  *    rule);
+  *  - tag/attribute CASE is ignored; attribute values may contain `>`
+  *    inside quotes.
+  *
+  * Boilerplate removal ([[extractContent]]): each block carries its
+  * LINK DENSITY (non-whitespace chars inside `<a>` vs total) — the
+  * jusText/trafilatura-family heuristic: navigation, footers, and tag
+  * clouds are link-saturated, prose is not. Blocks above the threshold
+  * drop; no ML model, fully deterministic.
+  *
+  * Scale story: per-row scalar pass, zero shuffle — the scan
+  * parallelism is the parse parallelism (same contract as
+  * [[TextAnalysis]]). Integrated as a sniff in the E1 parse boundary:
+  * [[graft.etl.Parse.TextDocParser]] routes `<!doctype html`/`<html`
+  * payloads through [[extract]] before the layout pass.
+  */
+object HtmlText {
+
+  /** One extracted block: trimmed text, non-whitespace char count, and
+    * how many of those chars sat inside an `<a>` element.
+    */
+  final case class HtmlBlock(text: String, chars: Int, linkChars: Int)
+
+  private val SkipContainers = Set("script", "style", "noscript",
+    "template", "head")
+
+  private val BlockTags = Set(
+    "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "blockquote", "pre", "figure", "figcaption", "form", "fieldset",
+    "address", "details", "summary", "title", "body", "html")
+
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "shy" -> "",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+    "middot" -> "·", "bull" -> "•", "sect" -> "§",
+    "para" -> "¶", "laquo" -> "«", "raquo" -> "»",
+    "dagger" -> "†", "euro" -> "€", "pound" -> "£",
+    "cent" -> "¢", "yen" -> "¥")
+
+  /** Does this payload look like an HTML document? (leading whitespace/
+    * BOM tolerated; case-insensitive `<!doctype` or `<html`).
+    */
+  def isHtml(content: Array[Byte]): Boolean = {
+    var i = 0
+    // UTF-8 BOM
+    if (content.length >= 3 && (content(0) & 0xFF) == 0xEF &&
+        (content(1) & 0xFF) == 0xBB && (content(2) & 0xFF) == 0xBF) i = 3
+    while (i < content.length &&
+      (content(i) == ' ' || content(i) == '\t' || content(i) == '\n' ||
+        content(i) == '\r')) i += 1
+    def matches(s: String): Boolean =
+      content.length >= i + s.length && s.indices.forall { k =>
+        val c = content(i + k) & 0xFF
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        lc == s.charAt(k)
+      }
+    matches("<!doctype") || matches("<html")
+  }
+
+  /** Parse `html` into extraction blocks (see module doc for rules). */
+  def blocks(html: String): Vector[HtmlBlock] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[HtmlBlock]
+    val text = new java.lang.StringBuilder
+    var chars = 0
+    var linkChars = 0
+    var pendingSpace = false
+    var inLink = false
+
+    def flushBlock(): Unit = {
+      val t = text.toString
+      if (chars > 0) out += HtmlBlock(t, chars, linkChars)
+      text.setLength(0)
+      chars = 0
+      linkChars = 0
+      pendingSpace = false
+    }
+
+    def appendText(s: String): Unit = {
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+            c == '\u000B' || c == '\f') pendingSpace = true
+        else {
+          if (pendingSpace && text.length > 0) text.append(' ')
+          pendingSpace = false
+          text.append(c)
+          chars += 1
+          if (inLink) linkChars += 1
+        }
+        k += 1
+      }
+    }
+
+    val n = html.length
+    var i = 0
+
+    def lowerAt(at: Int): Char = {
+      val c = html.charAt(at)
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    }
+
+    def startsWithIgnoreCase(at: Int, s: String): Boolean =
+      at + s.length <= n && s.indices.forall(k => lowerAt(at + k) == s.charAt(k))
+
+    // scan an opening/closing tag from the '<'; returns (nameLower,
+    // isClosing, selfClosing, indexAfterGt)
+    def scanTag(lt: Int): (String, Boolean, Boolean, Int) = {
+      var j = lt + 1
+      val closing = j < n && html.charAt(j) == '/'
+      if (closing) j += 1
+      val nameStart = j
+      while (j < n && { val c = lowerAt(j)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') }) j += 1
+      val name = html.substring(nameStart, j).toLowerCase
+      // attributes: honor quotes so '>' inside a value does not end the tag
+      var quote: Char = 0
+      var lastNonWs: Char = 0
+      while (j < n) {
+        val c = html.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return (name, closing, lastNonWs == '/', j + 1)
+        if (c > ' ') lastNonWs = c
+        j += 1
+      }
+      (name, closing, false, n) // unterminated tag: consume the rest
+    }
+
+    def decodeEntity(amp: Int): (String, Int) = {
+      // bounded lookahead for ';' (entities are short; a bare '&' stays)
+      var j = amp + 1
+      val limit = math.min(n, amp + 12)
+      while (j < limit && html.charAt(j) != ';') j += 1
+      if (j >= limit || j >= n || html.charAt(j) != ';') return ("&", amp + 1)
+      val body = html.substring(amp + 1, j)
+      if (body.isEmpty) return ("&", amp + 1)
+      if (body.charAt(0) == '#') {
+        val cp =
+          try {
+            if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+              Integer.parseInt(body.substring(2), 16)
+            else Integer.parseInt(body.substring(1))
+          } catch { case _: NumberFormatException => -1 }
+        if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+          (new String(Character.toChars(cp)), j + 1)
+        else ("&", amp + 1)
+      } else NamedEntities.get(body) match {
+        case Some(s) => (s, j + 1)
+        case None    => ("&", amp + 1) // unknown entity: literal
+      }
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (startsWithIgnoreCase(i, "<!--")) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n &&
+            (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && {
+          val d = lowerAt(i + 1)
+          (d >= 'a' && d <= 'z') || d == '/'
+        }) {
+          val (name, closing, selfClosing, after) = scanTag(i)
+          i = after
+          if (name.isEmpty) {
+            // "</>" and friends: drop silently
+          } else if (!closing && !selfClosing && SkipContainers(name)) {
+            // drop the whole subtree: scan for the matching close tag
+            var j = i
+            var found = -1
+            while (found < 0 && j < n) {
+              val k = html.indexOf('<', j)
+              if (k < 0 || k + 1 >= n) j = n
+              else if (html.charAt(k + 1) == '/' &&
+                  startsWithIgnoreCase(k + 2, name)) {
+                val gt = html.indexOf('>', k)
+                found = if (gt < 0) n else gt + 1
+              } else j = k + 1
+            }
+            i = if (found < 0) n else found
+            flushBlock()
+          } else {
+            if (name == "a") {
+              if (closing) inLink = false
+              else if (!selfClosing) inLink = true
+            }
+            if (BlockTags(name)) flushBlock()
+          }
+        } else {
+          // bare '<' is literal text
+          appendText("<")
+          i += 1
+        }
+      } else if (c == '&') {
+        val (s, after) = decodeEntity(i)
+        if (s == " ") pendingSpace = true
+        else if (s.nonEmpty) appendText(s)
+        i = after
+      } else {
+        appendText(String.valueOf(c))
+        i += 1
+      }
+    }
+    flushBlock()
+    out.result()
+  }
+
+  /** All extracted text, blocks joined with `\n`. */
+  def extract(html: String): String =
+    blocks(html).map(_.text).mkString("\n")
+
+  /** Boilerplate-filtered text: blocks whose link density exceeds
+    * `maxLinkDensity` drop (navigation, footers, tag clouds — see
+    * module doc). 0.5 keeps prose with inline citations and drops
+    * link-saturated chrome.
+    */
+  def extractContent(html: String, maxLinkDensity: Double = 0.5): String =
+    blocks(html)
+      .filter(b => b.linkChars.toDouble / math.max(b.chars, 1) <= maxLinkDensity)
+      .map(_.text).mkString("\n")
+
+  private val extractUdf = udf { html: String => extract(html) }
+  private val contentUdf = udf { html: String => extractContent(html) }
+
+  /** Column form of [[extract]]. */
+  def htmlText(html: Column): Column = extractUdf(html)
+
+  /** Column form of [[extractContent]] at the default density. */
+  def htmlContent(html: Column): Column = contentUdf(html)
+}

@@ -285,6 +285,58 @@ object ExtProbes {
       t(s, d, "documents")
         .select(col("doc_id"), TA.rollingFingerprint(col("text")).as("fp_kr"))
         .orderBy("doc_id")
+    },
+
+    // HTML -> text extraction (r18, HtmlText): five markup shapes per
+    // doc_id — head/style wrap, entity decode, script/noscript junk,
+    // link-saturated nav chrome, paragraph split — built identically in
+    // Spark and SQL, so the oracle states the expected prose in closed
+    // form. text_full carries everything (nav text included, head
+    // dropped); text_content additionally drops the link-dense nav block
+    // (the jusText-style density heuristic) — the two columns differing
+    // EXACTLY on variant 3 is the boilerplate-filter contract.
+    Probe(
+      "text_html_extract",
+      "SELECT doc_id, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN text " +
+        "WHEN 1 THEN text || ' & more' " +
+        "WHEN 2 THEN text " +
+        "WHEN 3 THEN 'Home About Pages' || chr(10) || text " +
+        "ELSE trim(substr(text, 1, 10)) || chr(10) || trim(substr(text, 11)) " +
+        "END AS text_full, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN text " +
+        "WHEN 1 THEN text || ' & more' " +
+        "WHEN 2 THEN text " +
+        "WHEN 3 THEN text " +
+        "ELSE trim(substr(text, 1, 10)) || chr(10) || trim(substr(text, 11)) " +
+        "END AS text_content " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "ORDER BY doc_id"
+    ) { (s, d) =>
+      val v = pmod(col("doc_id"), lit(5))
+      val html = when(v === 0, concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style>" +
+          "</head><body><p>"), col("text"), lit("</p></body></html>")))
+        .when(v === 1, concat(
+          lit("<div>"), col("text"), lit(" &amp; more</div>")))
+        .when(v === 2, concat(
+          lit("<body><script>var x = '<p>nope</p>';</script><p>"),
+          col("text"), lit("</p><noscript>no js</noscript></body>")))
+        .when(v === 3, concat(
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About Pages</a>" +
+            "</nav><p>"), col("text"), lit("</p>")))
+        .otherwise(concat(
+          lit("<p>"), expr("substring(text, 1, 10)"),
+          lit("</p><!-- split --><p>"), expr("substring(text, 11)"),
+          lit("</p>")))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.HtmlText.htmlText(html).as("text_full"),
+          graft.ext.HtmlText.htmlContent(html).as("text_content"))
+        .orderBy("doc_id")
     }
   )
 

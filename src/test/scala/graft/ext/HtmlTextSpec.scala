@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML extraction (r18): the tokenizer rules case by case — entities,
+  * raw-text containers, quoted attributes, block boundaries, link
+  * density — plus malformed-input totality and the E1 parse routing.
+  */
+class HtmlTextSpec extends AnyFunSuite {
+  import HtmlText.{blocks, extract, extractContent, isHtml}
+
+  test("block boundaries, inline tags, whitespace collapse") {
+    assert(extract("<p>Hello   world</p><p>Second</p>") == "Hello world\nSecond")
+    assert(extract("<div>a<span>b</span>c</div>") == "abc")
+    assert(extract("<b>bold</b> and <i>italic</i>") == "bold and italic")
+    assert(extract("line<br>break<hr>rule") == "line\nbreak\nrule")
+    assert(extract("  \n\t<p>  padded  </p>  ") == "padded")
+    assert(extract("<ul><li>one</li><li>two</li></ul>") == "one\ntwo")
+    assert(extract("<table><tr><td>a</td><td>b</td></tr></table>") == "a\nb")
+    // uppercase tags fold
+    assert(extract("<P>x</P><DIV>y</DIV>") == "x\ny")
+  }
+
+  test("script/style/noscript/template/head subtrees are dropped whole") {
+    assert(extract("<head><title>T</title><meta x=y></head><p>body</p>") ==
+      "body")
+    assert(extract("<script>if (a < b) { x('<p>no</p>') }</script>yes") ==
+      "yes")
+    assert(extract("<style>p > a { color: red }</style>text") == "text")
+    assert(extract("<noscript><p>enable js</p></noscript>ok") == "ok")
+    assert(extract("<template><div>tpl</div></template>ok") == "ok")
+    // unterminated raw container swallows to EOF (totality, no throw)
+    assert(extract("before<script>var x = 1;") == "before")
+  }
+
+  test("entities: named, numeric, hex, nbsp/shy, unknown stays literal") {
+    assert(extract("<p>a &amp; b &lt;c&gt; &quot;d&quot;</p>") ==
+      "a & b <c> \"d\"")
+    assert(extract("<p>&#65;&#x42;c</p>") == "ABc")
+    assert(extract("<p>a&nbsp;&nbsp;b</p>") == "a b") // nbsp collapses
+    assert(extract("<p>hy&shy;phen</p>") == "hyphen")
+    assert(extract("<p>tom &jerry; &notanentity12; x</p>") ==
+      "tom &jerry; &notanentity12; x")
+    assert(extract("<p>50&#37; &euro;9</p>") == "50% €9")
+    // bare ampersand at EOF
+    assert(extract("<p>a &</p>") == "a &")
+    // invalid numeric reference stays literal
+    assert(extract("<p>&#x110000; &#abc;</p>") == "&#x110000; &#abc;")
+  }
+
+  test("tokenizer edges: bare '<', quoted '>', comments, doctype, PI") {
+    assert(extract("<p>a < b and c > d</p>") == "a < b and c > d")
+    assert(extract("<a href=\"x>y\" title='p>q'>link</a>") == "link")
+    assert(extract("<!-- a <p>comment</p> -->after") == "after")
+    assert(extract("<!DOCTYPE html><p>x</p>") == "x")
+    assert(extract("<?xml version=\"1.0\"?><p>x</p>") == "x")
+    assert(extract("<p>self<img src=x/>closing</p>") == "selfclosing")
+    // unterminated tag consumes the rest (totality)
+    assert(extract("ok<p attr=\"unclosed") == "ok")
+    assert(extract("</>stray") == "stray")
+    assert(extract("") == "")
+    assert(extract(null) == "")
+  }
+
+  test("link density: blocks carry counts; extractContent drops chrome") {
+    val html = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<p>Real prose with <a href=\"x\">one link</a> in the middle of a " +
+      "sentence that is mostly text.</p>" +
+      "<footer><a>Terms</a><a>Privacy</a></footer>"
+    val bs = blocks(html)
+    assert(bs.length == 3)
+    assert(bs(0).text == "Home About" && bs(0).linkChars == bs(0).chars)
+    assert(bs(1).linkChars.toDouble / bs(1).chars < 0.2)
+    assert(bs(2).linkChars == bs(2).chars)
+    assert(extractContent(html) == bs(1).text)
+    // full extraction keeps everything
+    assert(extract(html).split('\n').length == 3)
+    // threshold is inclusive-keep at <=
+    assert(extractContent("<p><a>half</a>half</p>", maxLinkDensity = 0.5) ==
+      "halfhalf")
+  }
+
+  test("isHtml sniff: doctype/html magics, BOM, whitespace, case; not text") {
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    assert(isHtml(b("<!DOCTYPE html><html></html>")))
+    assert(isHtml(b("  \n<html lang=en>")))
+    assert(isHtml(b("<HTML>")))
+    assert(isHtml(("﻿<!doctype html>").getBytes("UTF-8")))
+    assert(!isHtml(b("plain text with <html> later")))
+    assert(!isHtml(b("<div>fragment</div>")))
+    assert(!isHtml(Array.empty[Byte]))
+  }
+
+  test("E1 routing: TextDocParser extracts HTML payloads through HtmlText") {
+    val parser = new graft.etl.Parse.TextDocParser
+    val html = "<html><head><title>T</title></head><body>" +
+      "<p>First paragraph here</p><p>Second one</p>" +
+      "<script>skip()</script></body></html>"
+    val doc = parser.parse("/x/page.html", html.getBytes("UTF-8"))
+    assert(doc.pageCount == 1)
+    assert(doc.elements.map(_.text) == Seq("First paragraph here", "Second one"))
+    assert(doc.elements.forall(_.elemType == "text"))
+    // non-HTML payloads are untouched by the new sniff
+    val plain = parser.parse("/x/a.txt", "just words".getBytes("UTF-8"))
+    assert(plain.elements.map(_.text) == Seq("just words"))
+  }
+}
