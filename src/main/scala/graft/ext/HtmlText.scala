@@ -210,7 +210,13 @@ object HtmlText {
               val k = html.indexOf('<', j)
               if (k < 0 || k + 1 >= n) j = n
               else if (html.charAt(k + 1) == '/' &&
-                  startsWithIgnoreCase(k + 2, name)) {
+                  startsWithIgnoreCase(k + 2, name) && {
+                    // name boundary: "</script>" or "</script >" closes,
+                    // "</scriptfoo>" does not (HTML5 rawtext rule)
+                    val after = k + 2 + name.length
+                    after >= n || { val d = lowerAt(after)
+                      !((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')) }
+                  }) {
                 val gt = html.indexOf('>', k)
                 found = if (gt < 0) n else gt + 1
               } else j = k + 1

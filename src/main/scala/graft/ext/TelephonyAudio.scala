@@ -202,7 +202,10 @@ object TelephonyAudio {
   private def wavLayout(b: Array[Byte]): Option[WavLayout] = {
     if (!(magic(b, 0, "RIFF") && b.length >= 12 && magic(b, 8, "WAVE")))
       return None
-    var at = 12
+    // Long cursor: a corrupt 32-bit chunk length must neither wrap the
+    // walk backwards nor index out of bounds (sniff shares this walk and
+    // must stay total on arbitrary RIFF blobs)
+    var atL = 12L
     var fmtTag = -1
     var channels = 0
     var rate = 0
@@ -212,7 +215,8 @@ object TelephonyAudio {
     var factFrames = -1L
     var dataOff = -1
     var dataLen = -1
-    while (at + 8 <= b.length) {
+    while (atL + 8 <= b.length) {
+      val at = atL.toInt
       val id = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = u32le(b, at + 4)
       val body = at + 8
@@ -235,7 +239,7 @@ object TelephonyAudio {
             s"telephony WAV: data chunk declares $len bytes but only " +
               s"${b.length - body} remain — truncated blob")
       }
-      at = body + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      atL = body.toLong + len + (len & 1L) // chunks are word-aligned
     }
     if (fmtTag < 0 || dataOff < 0) None
     else Some(WavLayout(fmtTag, channels, rate, blockAlign, bits, spb,
@@ -251,19 +255,21 @@ object TelephonyAudio {
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (magic(bytes, 0, "RIFF") && bytes.length >= 12 &&
         magic(bytes, 8, "WAVE")) {
-      // fmt tag only — full layout parse deferred to decode()
-      var at = 12
+      // fmt tag only — full layout parse deferred to decode(). Long
+      // cursor: sniff must stay total on arbitrary corrupt RIFF blobs
+      var at = 12L
       while (at + 8 <= bytes.length) {
-        if (magic(bytes, at, "fmt ") && at + 10 <= bytes.length) {
-          return u16le(bytes, at + 8) match {
+        val a = at.toInt
+        if (magic(bytes, a, "fmt ") && a + 10 <= bytes.length) {
+          return u16le(bytes, a + 8) match {
             case 0x0006 => Some("wav-alaw")
             case 0x0007 => Some("wav-ulaw")
             case 0x0011 => Some("wav-ima")
             case _      => None
           }
         }
-        val len = u32le(bytes, at + 4)
-        at += 8 + len.toInt + (len.toInt & 1)
+        val len = u32le(bytes, a + 4)
+        at += 8L + len + (len & 1L)
       }
       None
     } else if (magic(bytes, 0, ".snd") && bytes.length >= 24) {

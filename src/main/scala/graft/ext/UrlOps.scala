@@ -228,10 +228,11 @@ object UrlOps {
   def canonicalUrl(url: Column): Column = urlParts(url).getField("canonical")
 
   /** URL-level dedup: keep the FIRST row per canonical URL by `orderCol`
-    * (ties broken by it; deterministic). The exact-dedup idiom: hash
-    * groupBy on the canonical key — min-by aggregation, map-side
-    * partial, one shuffle of (key, winner) pairs, never a window over
-    * the corpus.
+    * — deterministic when `orderCol` is unique per canonical key (an id
+    * or ingest sequence; with duplicates the winner among tied rows is
+    * engine-chosen). The exact-dedup idiom: hash groupBy on the
+    * canonical key — min-by aggregation, map-side partial, one shuffle
+    * of (key, winner) pairs, never a window over the corpus.
     */
   def dedupByUrl(df: DataFrame, urlCol: String,
                  orderCol: String): DataFrame = {

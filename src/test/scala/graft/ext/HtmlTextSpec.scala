@@ -31,6 +31,9 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(extract("<template><div>tpl</div></template>ok") == "ok")
     // unterminated raw container swallows to EOF (totality, no throw)
     assert(extract("before<script>var x = 1;") == "before")
+    // rawtext close needs a name BOUNDARY: </scriptfoo> does not close
+    assert(extract("<script>a</scriptfoo>b</script>c") == "c")
+    assert(extract("<style>x</style >y") == "y") // space before '>' closes
   }
 
   test("entities: named, numeric, hex, nbsp/shy, unknown stays literal") {
@@ -78,6 +81,20 @@ class HtmlTextSpec extends AnyFunSuite {
     // threshold is inclusive-keep at <=
     assert(extractContent("<p><a>half</a>half</p>", maxLinkDensity = 0.5) ==
       "halfhalf")
+  }
+
+  test("single-char corruption sweep: extraction is total on mangled markup") {
+    val base = "<html><head><title>x</title></head><body><p>a &amp; b &#65;" +
+      "</p><script>var s='<p>';</script><a href=\"y\">l</a><div>t</div>" +
+      "</body></html>"
+    for (pos <- base.indices; c <- 0 until 128) {
+      val s = base.updated(pos, c.toChar)
+      val full = extract(s)
+      val content = extractContent(s)
+      assert(full != null && content != null &&
+        full.length <= base.length && content.length <= full.length,
+        s"pos=$pos c=$c")
+    }
   }
 
   test("isHtml sniff: doctype/html magics, BOM, whitespace, case; not text") {

@@ -268,11 +268,54 @@ class TelephonyAudioSpec extends AnyFunSuite {
     badFact(factOff) = 7.toByte
     badFact(factOff + 1) = 0; badFact(factOff + 2) = 0; badFact(factOff + 3) = 0
     intercept[IllegalArgumentException] { TelephonyAudio.decode(badFact) }
+    // a corrupt 32-bit chunk length (top bit set: would wrap an Int
+    // cursor negative) must leave the sniff TOTAL — no throw, no loop.
+    // The poisoned chunk sits BEFORE any fmt, so the walk must step
+    // over it to terminate
+    val poison = new java.io.ByteArrayOutputStream()
+    poison.write("RIFF".getBytes("US-ASCII"))
+    poison.write(Array[Byte](36, 0, 0, 0))
+    poison.write("WAVE".getBytes("US-ASCII"))
+    poison.write("junk".getBytes("US-ASCII"))
+    poison.write(Array[Byte](0, 0, 0, 0x80.toByte)) // len 0x80000000 LE
+    poison.write(new Array[Byte](16))
+    assert(!TelephonyAudio.isTelephony(poison.toByteArray))
     // AU with an encoding this module does not own is NOT telephony
     val auPcm = MediaFixtures.auPcm16(8000, 1, samples)
     assert(!TelephonyAudio.isTelephony(auPcm))
     // a plain PCM WAV is NOT telephony (it rides the javax path)
     assert(!TelephonyAudio.isTelephony(MediaFixtures.wavPcm16(8000, 1, samples)))
+  }
+
+  test("exhaustive single-byte corruption sweep: total, sane, loud-only") {
+    // the CorruptionSweepSpec discipline on the telephony containers:
+    // every position x all 256 values. sniff must stay TOTAL; decode on
+    // a sniffed blob either returns structurally sane PCM or refuses
+    // with IllegalArgumentException — never any other throwable
+    val fixtures = Seq(
+      "wavUlaw" -> MediaFixtures.wavG711(8000, 1, square(40, 5, 1000, 1), alaw = false),
+      "wavAlaw" -> MediaFixtures.wavG711(8000, 2, square(20, 3, 500, 2), alaw = true),
+      "auUlaw" -> MediaFixtures.auG711(8000, 1, square(40, 5, 1000, 1), alaw = false),
+      "wavIma" -> MediaFixtures.wavImaAdpcm(8000, 1,
+        noise(19, "sweep", 2000), samplesPerBlock = 9))
+    var bad = List.empty[String]
+    for ((name, f) <- fixtures; pos <- f.indices; v <- 0 to 255) {
+      val b = f.clone(); b(pos) = v.toByte
+      try {
+        if (TelephonyAudio.isTelephony(b)) {
+          val pcm = TelephonyAudio.decode(b)
+          val sane = pcm.sampleRate > 0 && pcm.channels >= 1 &&
+            pcm.samples.length % pcm.channels == 0 &&
+            pcm.samples.forall(s => s >= -32768 && s <= 32767)
+          if (!sane) bad ::= s"$name pos=$pos v=$v -> insane decode"
+        }
+      } catch {
+        case _: IllegalArgumentException => // the loud contract
+        case t: Throwable =>
+          bad ::= s"$name pos=$pos v=$v -> threw ${t.getClass.getSimpleName}: ${t.getMessage}"
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} violations, e.g.\n${bad.take(5).mkString("\n")}")
   }
 
   test("normalizeToWav converts telephony blobs; features survive the rewrap") {
