@@ -89,6 +89,55 @@ object HtmlText {
     matches("<!doctype") || matches("<html")
   }
 
+  /** Decode one character/entity reference starting at the `&` in
+    * `html(amp)`: returns (replacement, indexAfter). Bounded lookahead
+    * for ';' — entities are short; a bare `&` stays literal, unknown
+    * names stay literal.
+    */
+  private def decodeEntityAt(html: String, amp: Int): (String, Int) = {
+    val n = html.length
+    var j = amp + 1
+    val limit = math.min(n, amp + 12)
+    while (j < limit && html.charAt(j) != ';') j += 1
+    if (j >= limit || j >= n || html.charAt(j) != ';') return ("&", amp + 1)
+    val body = html.substring(amp + 1, j)
+    if (body.isEmpty) return ("&", amp + 1)
+    if (body.charAt(0) == '#') {
+      val cp =
+        try {
+          if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+            Integer.parseInt(body.substring(2), 16)
+          else Integer.parseInt(body.substring(1))
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+        (new String(Character.toChars(cp)), j + 1)
+      else ("&", amp + 1)
+    } else NamedEntities.get(body) match {
+      case Some(s) => (s, j + 1)
+      case None    => ("&", amp + 1) // unknown entity: literal
+    }
+  }
+
+  /** Decode every entity in an ATTRIBUTE value (HTML5 decodes references
+    * in attribute values too — canonical hrefs routinely carry `&amp;`).
+    */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (rep, after) = decodeEntityAt(s, i)
+        b.append(rep)
+        i = after
+      } else {
+        b.append(s.charAt(i))
+        i += 1
+      }
+    }
+    b.toString
+  }
+
   /** Parse `html` into extraction blocks (see module doc for rules). */
   def blocks(html: String): Vector[HtmlBlock] = {
     if (html == null) return Vector.empty
@@ -160,29 +209,7 @@ object HtmlText {
       (name, closing, false, n) // unterminated tag: consume the rest
     }
 
-    def decodeEntity(amp: Int): (String, Int) = {
-      // bounded lookahead for ';' (entities are short; a bare '&' stays)
-      var j = amp + 1
-      val limit = math.min(n, amp + 12)
-      while (j < limit && html.charAt(j) != ';') j += 1
-      if (j >= limit || j >= n || html.charAt(j) != ';') return ("&", amp + 1)
-      val body = html.substring(amp + 1, j)
-      if (body.isEmpty) return ("&", amp + 1)
-      if (body.charAt(0) == '#') {
-        val cp =
-          try {
-            if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
-              Integer.parseInt(body.substring(2), 16)
-            else Integer.parseInt(body.substring(1))
-          } catch { case _: NumberFormatException => -1 }
-        if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
-          (new String(Character.toChars(cp)), j + 1)
-        else ("&", amp + 1)
-      } else NamedEntities.get(body) match {
-        case Some(s) => (s, j + 1)
-        case None    => ("&", amp + 1) // unknown entity: literal
-      }
-    }
+    def decodeEntity(amp: Int): (String, Int) = decodeEntityAt(html, amp)
 
     while (i < n) {
       val c = html.charAt(i)
@@ -263,8 +290,155 @@ object HtmlText {
       .filter(b => b.linkChars.toDouble / math.max(b.chars, 1) <= maxLinkDensity)
       .map(_.text).mkString("\n")
 
+  // ---------------------------------------------------------------------
+  // Page metadata: the crawl signals pages DECLARE about themselves
+  // ---------------------------------------------------------------------
+
+  /** Page-declared crawl signals: the first `<link rel=canonical>` href
+    * (entity-decoded, trimmed; None when absent/empty) and the union of
+    * `<meta name=robots content=...>` directives (lowercased, trimmed).
+    * A crawl pipeline keys dedup on the DECLARED canonical when present
+    * (compose with [[UrlOps.canonicalUrl]] for the final key) and drops
+    * `noindex` pages before any content pass.
+    */
+  final case class PageMeta(canonicalHref: Option[String],
+                            robots: Set[String])
+
+  /** Scan for `<link>`/`<meta>` head signals — a tag-only walk (no text
+    * accumulation) sharing the tokenizer's comment/rawtext/quote rules;
+    * unlike [[blocks]] it does NOT skip `<head>`, which is exactly where
+    * these live. Total on malformed input.
+    */
+  def pageMeta(html: String): PageMeta = {
+    if (html == null) return PageMeta(None, Set.empty)
+    val n = html.length
+    var canonical: Option[String] = None
+    var robots = Set.empty[String]
+    var i = 0
+
+    def lowerAt(at: Int): Char = {
+      val c = html.charAt(at)
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    }
+    def startsWithIgnoreCase(at: Int, s: String): Boolean =
+      at + s.length <= n && s.indices.forall(k => lowerAt(at + k) == s.charAt(k))
+
+    // parse the attribute span [from, gtExclusive) into a lowercase-name
+    // map (first occurrence wins, per HTML5 duplicate-attribute rule)
+    def parseAttrs(from: Int, to: Int): Map[String, String] = {
+      var m = Map.empty[String, String]
+      var j = from
+      while (j < to) {
+        while (j < to && (html.charAt(j) <= ' ' || html.charAt(j) == '/')) j += 1
+        if (j >= to) return m
+        val nameStart = j
+        while (j < to && html.charAt(j) > ' ' && html.charAt(j) != '=' &&
+          html.charAt(j) != '/' ) j += 1
+        val name = html.substring(nameStart, j).toLowerCase
+        while (j < to && html.charAt(j) <= ' ') j += 1
+        var value = ""
+        if (j < to && html.charAt(j) == '=') {
+          j += 1
+          while (j < to && html.charAt(j) <= ' ') j += 1
+          if (j < to && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+            val q = html.charAt(j)
+            j += 1
+            val vs = j
+            while (j < to && html.charAt(j) != q) j += 1
+            value = html.substring(vs, math.min(j, to))
+            if (j < to) j += 1
+          } else {
+            val vs = j
+            while (j < to && html.charAt(j) > ' ') j += 1
+            value = html.substring(vs, j)
+          }
+        }
+        if (name.nonEmpty && !m.contains(name)) m += name -> value
+      }
+      m
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) return PageMeta(canonical, robots)
+      if (startsWithIgnoreCase(lt, "<!--")) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+        val end = html.indexOf('>', lt + 1)
+        i = if (end < 0) n else end + 1
+      } else {
+        // tag name
+        var j = lt + 1
+        if (html.charAt(j) == '/') j += 1
+        val nameStart = j
+        while (j < n && { val c = lowerAt(j)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') }) j += 1
+        val name = html.substring(nameStart, j).toLowerCase
+        // find '>' honoring quotes
+        var gt = -1
+        var quote: Char = 0
+        var k = j
+        while (gt < 0 && k < n) {
+          val c = html.charAt(k)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          else if (c == '>') gt = k
+          k += 1
+        }
+        if (gt < 0) return PageMeta(canonical, robots)
+        if (name == "script" || name == "style") {
+          // rawtext: skip to the matching close (name-boundary rule)
+          var p = gt + 1
+          var found = -1
+          while (found < 0 && p < n) {
+            val c2 = html.indexOf('<', p)
+            if (c2 < 0 || c2 + 1 >= n) p = n
+            else if (html.charAt(c2 + 1) == '/' &&
+                startsWithIgnoreCase(c2 + 2, name) && {
+                  val after = c2 + 2 + name.length
+                  after >= n || { val d = lowerAt(after)
+                    !((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')) }
+                }) {
+              val g2 = html.indexOf('>', c2)
+              found = if (g2 < 0) n else g2 + 1
+            } else p = c2 + 1
+          }
+          i = if (found < 0) n else found
+        } else {
+          if (name == "link" && canonical.isEmpty) {
+            val attrs = parseAttrs(j, gt)
+            val rels = attrs.getOrElse("rel", "").toLowerCase
+              .split("\\s+").toSet
+            if (rels.contains("canonical")) {
+              val href = decodeEntities(attrs.getOrElse("href", "")).trim
+              if (href.nonEmpty) canonical = Some(href)
+            }
+          } else if (name == "meta") {
+            val attrs = parseAttrs(j, gt)
+            if (attrs.getOrElse("name", "").equalsIgnoreCase("robots"))
+              robots ++= decodeEntities(attrs.getOrElse("content", ""))
+                .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+          }
+          i = gt + 1
+        }
+      }
+    }
+    PageMeta(canonical, robots)
+  }
+
   private val extractUdf = udf { html: String => extract(html) }
   private val contentUdf = udf { html: String => extractContent(html) }
+  private val pageMetaUdf = udf { html: String =>
+    val m = pageMeta(html)
+    (m.canonicalHref.orNull, m.robots.contains("noindex"),
+      m.robots.contains("nofollow"))
+  }
+
+  /** Struct column `(canonical_href, noindex, nofollow)` from
+    * [[pageMeta]] — one scan per row.
+    */
+  def htmlPageMeta(html: Column): Column = pageMetaUdf(html)
 
   /** Column form of [[extract]]. */
   def htmlText(html: Column): Column = extractUdf(html)

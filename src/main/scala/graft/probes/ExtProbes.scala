@@ -337,6 +337,50 @@ object ExtProbes {
           graft.ext.HtmlText.htmlText(html).as("text_full"),
           graft.ext.HtmlText.htmlContent(html).as("text_content"))
         .orderBy("doc_id")
+    },
+
+    // Page-declared crawl signals (r18, HtmlText.pageMeta): canonical
+    // link + robots directives — the dedup key and drop filter a crawl
+    // pipeline reads BEFORE any content pass. Shapes cover entity-
+    // decoded hrefs, rel token lists with unquoted attributes, pages
+    // with no signals, and a canonical hidden inside a script string
+    // (must NOT count) next to an unquoted uppercase robots value.
+    Probe(
+      "text_html_pagemeta",
+      "SELECT doc_id, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN 'https://canon' || CAST(doc_id // 5 AS VARCHAR) || '.example.com/page?x=1&y=' || CAST(doc_id // 5 AS VARCHAR) " +
+        "WHEN 2 THEN '/p/' || CAST(doc_id // 5 AS VARCHAR) " +
+        "ELSE NULL END AS canonical_href, " +
+        "doc_id % 5 IN (0, 4) AS noindex, " +
+        "doc_id % 5 = 0 AS nofollow " +
+        "FROM documents WHERE doc_id IS NOT NULL " +
+        "ORDER BY doc_id"
+    ) { (s, d) =>
+      val g = expr("doc_id DIV 5").cast("string")
+      val v = pmod(col("doc_id"), lit(5))
+      val html = when(v === 0, concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://canon"), g,
+        lit(".example.com/page?x=1&amp;y="), g,
+        lit("\"><meta name=\"robots\" content=\"noindex, nofollow\">" +
+          "</head><body><p>b</p></body></html>")))
+        .when(v === 1, lit("<html><head><meta name=robots " +
+          "content=\"index, follow\"></head><body></body></html>"))
+        .when(v === 2, concat(
+          lit("<html><head><link rel='alternate canonical' href=/p/"), g,
+          lit("></head><body></body></html>")))
+        .when(v === 3, lit("<html><body><p>nothing declared</p></body></html>"))
+        .otherwise(lit("<html><head><script>var s='<link rel=canonical " +
+          "href=/no>';</script><meta name=robots content=NOINDEX>" +
+          "</head><body></body></html>"))
+      val meta = graft.ext.HtmlText.htmlPageMeta(html)
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          meta.getField("_1").as("canonical_href"),
+          meta.getField("_2").as("noindex"),
+          meta.getField("_3").as("nofollow"))
+        .orderBy("doc_id")
     }
   )
 

@@ -97,6 +97,38 @@ class HtmlTextSpec extends AnyFunSuite {
     }
   }
 
+  test("pageMeta: declared canonical + robots directives, tokenizer-safe") {
+    import HtmlText.{pageMeta, PageMeta}
+    val h = "<html><head>" +
+      "<link rel=\"canonical\" href=\"https://ex.com/a?x=1&amp;y=2\">" +
+      "<meta name=\"ROBOTS\" content=\"NOINDEX, nofollow\">" +
+      "</head><body><p>t</p></body></html>"
+    val m = pageMeta(h)
+    assert(m.canonicalHref.contains("https://ex.com/a?x=1&y=2")) // entity decode
+    assert(m.robots == Set("noindex", "nofollow"))
+    // first canonical wins; rel is a token LIST; unquoted attrs work
+    assert(pageMeta("<link rel='alternate canonical' href=/x>" +
+      "<link rel=canonical href=/y>").canonicalHref.contains("/x"))
+    // empty href does not claim the slot
+    assert(pageMeta("<link rel=canonical href=''>" +
+      "<link rel=canonical href=/z>").canonicalHref.contains("/z"))
+    // meta without name=robots contributes nothing
+    assert(pageMeta("<meta content=\"noindex\">" +
+      "<meta name=viewport content=\"noindex\">").robots.isEmpty)
+    // markup inside script strings is NOT a signal
+    assert(pageMeta("<script>var s='<link rel=canonical href=/no>';" +
+      "</script>").canonicalHref.isEmpty)
+    // rel=canonical on a non-link tag is ignored; totality edges
+    assert(pageMeta("<a rel=canonical href=/no>x</a>").canonicalHref.isEmpty)
+    assert(pageMeta("<p>no meta</p>") == PageMeta(None, Set.empty))
+    assert(pageMeta(null) == PageMeta(None, Set.empty))
+    assert(pageMeta("<link rel=canonical href=\"/unterminated") ==
+      PageMeta(None, Set.empty))
+    // quoted '>' inside an attribute does not end the tag
+    assert(pageMeta("<link rel=canonical href=\"/a>b\"><meta name=robots " +
+      "content=\"noindex\">").canonicalHref.contains("/a>b"))
+  }
+
   test("isHtml sniff: doctype/html magics, BOM, whitespace, case; not text") {
     def b(s: String): Array[Byte] = s.getBytes("UTF-8")
     assert(isHtml(b("<!DOCTYPE html><html></html>")))
