@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions.udf
   *    bound BLOCKS; inline elements (a, span, b, em, ...) do not;
   *  - character/entity references decode (the common named set +
   *    decimal/hex numeric); unknown entities pass through literally;
-  *    `&nbsp;` is whitespace, `&shy;` vanishes;
-  *  - whitespace runs collapse to one space inside a block; blocks trim;
-  *    empty blocks drop; blocks join with `\n`;
+  *    `&nbsp;` is whitespace, `&shy;` vanishes; numeric references to
+  *    NUL or surrogate code points yield U+FFFD (HTML5 rule — a lone
+  *    surrogate would make the output string ill-formed);
+  *  - whitespace runs (incl. U+FEFF, the BOM) collapse to one space
+  *    inside a block; blocks trim; empty blocks drop; blocks join with
+  *    `\n`;
   *  - a bare `<` not opening a tag is literal text (HTML5 tokenizer
   *    rule);
   *  - tag/attribute CASE is ignored; attribute values may contain `>`
@@ -31,6 +34,11 @@ import org.apache.spark.sql.functions.udf
   * jusText/trafilatura-family heuristic: navigation, footers, and tag
   * clouds are link-saturated, prose is not. Blocks above the threshold
   * drop; no ML model, fully deterministic.
+  *
+  * Page-declared crawl signals ([[pageMeta]]): the first
+  * `<link rel=canonical>` href and the `<meta name=robots>` directives —
+  * read through the SAME tag scanner as extraction (one tokenizer, two
+  * walks), so the two surfaces can never drift on tokenizer rules.
   *
   * Scale story: per-row scalar pass, zero shuffle — the scan
   * parallelism is the parse parallelism (same contract as
@@ -45,8 +53,25 @@ object HtmlText {
     */
   final case class HtmlBlock(text: String, chars: Int, linkChars: Int)
 
+  /** Page-declared crawl signals: the first `<link rel=canonical>` href
+    * (entity-decoded, trimmed; None when absent/empty) and the union of
+    * `<meta name=robots content=...>` directives (lowercased, trimmed).
+    * A crawl pipeline keys dedup on the DECLARED canonical when present
+    * (compose with [[UrlOps.canonicalUrl]] for the final key) and drops
+    * `noindex` pages before any content pass.
+    */
+  final case class PageMeta(canonicalHref: Option[String],
+                            robots: Set[String])
+
   private val SkipContainers = Set("script", "style", "noscript",
     "template", "head")
+
+  /** The containers whose RAW TEXT swallows markup until a boundary-
+    * checked close tag (HTML5 rawtext/script-data states). `pageMeta`
+    * skips only these — `head` it must enter (that's where its signals
+    * live), and the others cannot hold link/meta tags as markup.
+    */
+  private val RawTextContainers = Set("script", "style", "template")
 
   private val BlockTags = Set(
     "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
@@ -89,10 +114,97 @@ object HtmlText {
     matches("<!doctype") || matches("<html")
   }
 
+  // ---------------------------------------------------------------------
+  // The shared tokenizer: one tag scanner for both walks
+  // ---------------------------------------------------------------------
+
+  private def lowerCh(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def isNameChar(c: Char): Boolean = {
+    val d = lowerCh(c)
+    (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+  }
+
+  private def startsWithIC(html: String, at: Int, s: String): Boolean =
+    at + s.length <= html.length &&
+      s.indices.forall(k => lowerCh(html.charAt(at + k)) == s.charAt(k))
+
+  /** One scanned tag: lowercase name, closing/self-closing flags, the
+    * attribute span [attrStart, gt), and the index after the '>'.
+    */
+  private final case class TagEvent(name: String, closing: Boolean,
+                                    selfClosing: Boolean, attrStart: Int,
+                                    gt: Int, after: Int)
+
+  /** Scan the tag starting at `html(lt) == '<'`. Quote-aware: a '>'
+    * inside a quoted attribute value does not end the tag. Returns null
+    * for an unterminated tag (caller consumes to EOF).
+    */
+  private def scanTagAt(html: String, lt: Int): TagEvent = {
+    val n = html.length
+    var j = lt + 1
+    val closing = j < n && html.charAt(j) == '/'
+    if (closing) j += 1
+    val nameStart = j
+    while (j < n && isNameChar(html.charAt(j))) j += 1
+    val name = html.substring(nameStart, j).toLowerCase
+    val attrStart = j
+    var quote: Char = 0
+    var lastNonWs: Char = 0
+    while (j < n) {
+      val c = html.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>')
+        return TagEvent(name, closing, lastNonWs == '/', attrStart, j, j + 1)
+      if (c > ' ') lastNonWs = c
+      j += 1
+    }
+    null // unterminated
+  }
+
+  /** Skip a rawtext container's content: scan from `from` for the
+    * boundary-checked close tag (`</name` followed by a non-name char —
+    * `</scriptfoo>` does not close, HTML5 rule). Returns the index after
+    * the close tag's '>', or the end of input.
+    */
+  private def skipRawtextAfter(html: String, from: Int, name: String): Int = {
+    val n = html.length
+    var j = from
+    while (j < n) {
+      val k = html.indexOf('<', j)
+      if (k < 0 || k + 1 >= n) return n
+      if (html.charAt(k + 1) == '/' && startsWithIC(html, k + 2, name) && {
+        val after = k + 2 + name.length
+        after >= n || !isNameChar(html.charAt(after))
+      }) {
+        val gt = html.indexOf('>', k)
+        return if (gt < 0) n else gt + 1
+      }
+      j = k + 1
+    }
+    n
+  }
+
+  /** Skip a comment / doctype / processing instruction starting at the
+    * '<'. Returns the index after it (or end of input).
+    */
+  private def skipMarkupDecl(html: String, lt: Int): Int = {
+    val n = html.length
+    if (startsWithIC(html, lt, "<!--")) {
+      val end = html.indexOf("-->", lt + 4)
+      if (end < 0) n else end + 3
+    } else {
+      val end = html.indexOf('>', lt + 1)
+      if (end < 0) n else end + 1
+    }
+  }
+
   /** Decode one character/entity reference starting at the `&` in
     * `html(amp)`: returns (replacement, indexAfter). Bounded lookahead
     * for ';' — entities are short; a bare `&` stays literal, unknown
-    * names stay literal.
+    * names stay literal, NUL/surrogate code points become U+FFFD.
     */
   private def decodeEntityAt(html: String, amp: Int): (String, Int) = {
     val n = html.length
@@ -109,7 +221,9 @@ object HtmlText {
             Integer.parseInt(body.substring(2), 16)
           else Integer.parseInt(body.substring(1))
         } catch { case _: NumberFormatException => -1 }
-      if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+      if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF))
+        ("\uFFFD", j + 1) // HTML5: NUL / surrogate -> replacement char
+      else if (cp > 0 && cp <= 0x10FFFF)
         (new String(Character.toChars(cp)), j + 1)
       else ("&", amp + 1)
     } else NamedEntities.get(body) match {
@@ -138,6 +252,14 @@ object HtmlText {
     b.toString
   }
 
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      c == '\u000B' || c == '\f' || c == '\uFEFF'
+
+  // ---------------------------------------------------------------------
+  // Walk 1: text extraction
+  // ---------------------------------------------------------------------
+
   /** Parse `html` into extraction blocks (see module doc for rules). */
   def blocks(html: String): Vector[HtmlBlock] = {
     if (html == null) return Vector.empty
@@ -149,126 +271,61 @@ object HtmlText {
     var inLink = false
 
     def flushBlock(): Unit = {
-      val t = text.toString
-      if (chars > 0) out += HtmlBlock(t, chars, linkChars)
+      if (chars > 0) out += HtmlBlock(text.toString, chars, linkChars)
       text.setLength(0)
       chars = 0
       linkChars = 0
       pendingSpace = false
     }
 
-    def appendText(s: String): Unit = {
-      var k = 0
-      while (k < s.length) {
-        val c = s.charAt(k)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-            c == '\u000B' || c == '\f') pendingSpace = true
-        else {
-          if (pendingSpace && text.length > 0) text.append(' ')
-          pendingSpace = false
-          text.append(c)
-          chars += 1
-          if (inLink) linkChars += 1
-        }
-        k += 1
+    def appendChar(c: Char): Unit =
+      if (isWsChar(c)) pendingSpace = true
+      else {
+        if (pendingSpace && text.length > 0) text.append(' ')
+        pendingSpace = false
+        text.append(c)
+        chars += 1
+        if (inLink) linkChars += 1
       }
-    }
 
     val n = html.length
     var i = 0
-
-    def lowerAt(at: Int): Char = {
-      val c = html.charAt(at)
-      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-    }
-
-    def startsWithIgnoreCase(at: Int, s: String): Boolean =
-      at + s.length <= n && s.indices.forall(k => lowerAt(at + k) == s.charAt(k))
-
-    // scan an opening/closing tag from the '<'; returns (nameLower,
-    // isClosing, selfClosing, indexAfterGt)
-    def scanTag(lt: Int): (String, Boolean, Boolean, Int) = {
-      var j = lt + 1
-      val closing = j < n && html.charAt(j) == '/'
-      if (closing) j += 1
-      val nameStart = j
-      while (j < n && { val c = lowerAt(j)
-        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') }) j += 1
-      val name = html.substring(nameStart, j).toLowerCase
-      // attributes: honor quotes so '>' inside a value does not end the tag
-      var quote: Char = 0
-      var lastNonWs: Char = 0
-      while (j < n) {
-        val c = html.charAt(j)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return (name, closing, lastNonWs == '/', j + 1)
-        if (c > ' ') lastNonWs = c
-        j += 1
-      }
-      (name, closing, false, n) // unterminated tag: consume the rest
-    }
-
-    def decodeEntity(amp: Int): (String, Int) = decodeEntityAt(html, amp)
-
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
-        if (startsWithIgnoreCase(i, "<!--")) {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
+        if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipMarkupDecl(html, i)
         } else if (i + 1 < n &&
-            (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          val end = html.indexOf('>', i + 1)
-          i = if (end < 0) n else end + 1
-        } else if (i + 1 < n && {
-          val d = lowerAt(i + 1)
-          (d >= 'a' && d <= 'z') || d == '/'
-        }) {
-          val (name, closing, selfClosing, after) = scanTag(i)
-          i = after
-          if (name.isEmpty) {
-            // "</>" and friends: drop silently
-          } else if (!closing && !selfClosing && SkipContainers(name)) {
-            // drop the whole subtree: scan for the matching close tag
-            var j = i
-            var found = -1
-            while (found < 0 && j < n) {
-              val k = html.indexOf('<', j)
-              if (k < 0 || k + 1 >= n) j = n
-              else if (html.charAt(k + 1) == '/' &&
-                  startsWithIgnoreCase(k + 2, name) && {
-                    // name boundary: "</script>" or "</script >" closes,
-                    // "</scriptfoo>" does not (HTML5 rawtext rule)
-                    val after = k + 2 + name.length
-                    after >= n || { val d = lowerAt(after)
-                      !((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')) }
-                  }) {
-                val gt = html.indexOf('>', k)
-                found = if (gt < 0) n else gt + 1
-              } else j = k + 1
-            }
-            i = if (found < 0) n else found
-            flushBlock()
-          } else {
-            if (name == "a") {
-              if (closing) inLink = false
-              else if (!selfClosing) inLink = true
-            }
-            if (BlockTags(name)) flushBlock()
+            (isNameChar(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
+          scanTagAt(html, i) match {
+            case null => i = n // unterminated tag: consume the rest
+            case ev =>
+              i = ev.after
+              if (ev.name.isEmpty) {
+                // "</>" and friends: drop silently
+              } else if (!ev.closing && !ev.selfClosing &&
+                  SkipContainers(ev.name)) {
+                i = skipRawtextAfter(html, i, ev.name)
+                flushBlock()
+              } else {
+                if (ev.name == "a") {
+                  if (ev.closing) inLink = false
+                  else if (!ev.selfClosing) inLink = true
+                }
+                if (BlockTags(ev.name)) flushBlock()
+              }
           }
         } else {
-          // bare '<' is literal text
-          appendText("<")
+          appendChar('<') // bare '<' is literal text
           i += 1
         }
       } else if (c == '&') {
-        val (s, after) = decodeEntity(i)
-        if (s == " ") pendingSpace = true
-        else if (s.nonEmpty) appendText(s)
+        val (s, after) = decodeEntityAt(html, i)
+        var k = 0
+        while (k < s.length) { appendChar(s.charAt(k)); k += 1 }
         i = after
       } else {
-        appendText(String.valueOf(c))
+        appendChar(c)
         i += 1
       }
     }
@@ -291,23 +348,13 @@ object HtmlText {
       .map(_.text).mkString("\n")
 
   // ---------------------------------------------------------------------
-  // Page metadata: the crawl signals pages DECLARE about themselves
+  // Walk 2: page metadata (same tokenizer, no text accumulation)
   // ---------------------------------------------------------------------
 
-  /** Page-declared crawl signals: the first `<link rel=canonical>` href
-    * (entity-decoded, trimmed; None when absent/empty) and the union of
-    * `<meta name=robots content=...>` directives (lowercased, trimmed).
-    * A crawl pipeline keys dedup on the DECLARED canonical when present
-    * (compose with [[UrlOps.canonicalUrl]] for the final key) and drops
-    * `noindex` pages before any content pass.
-    */
-  final case class PageMeta(canonicalHref: Option[String],
-                            robots: Set[String])
-
-  /** Scan for `<link>`/`<meta>` head signals — a tag-only walk (no text
-    * accumulation) sharing the tokenizer's comment/rawtext/quote rules;
-    * unlike [[blocks]] it does NOT skip `<head>`, which is exactly where
-    * these live. Total on malformed input.
+  /** Scan for `<link>`/`<meta>` signals — a tag-only walk over the SAME
+    * scanner as [[blocks]]; it skips only true rawtext containers
+    * (script/style/template), never `head`, which is exactly where
+    * these signals live. Total on malformed input.
     */
   def pageMeta(html: String): PageMeta = {
     if (html == null) return PageMeta(None, Set.empty)
@@ -315,117 +362,79 @@ object HtmlText {
     var canonical: Option[String] = None
     var robots = Set.empty[String]
     var i = 0
-
-    def lowerAt(at: Int): Char = {
-      val c = html.charAt(at)
-      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-    }
-    def startsWithIgnoreCase(at: Int, s: String): Boolean =
-      at + s.length <= n && s.indices.forall(k => lowerAt(at + k) == s.charAt(k))
-
-    // parse the attribute span [from, gtExclusive) into a lowercase-name
-    // map (first occurrence wins, per HTML5 duplicate-attribute rule)
-    def parseAttrs(from: Int, to: Int): Map[String, String] = {
-      var m = Map.empty[String, String]
-      var j = from
-      while (j < to) {
-        while (j < to && (html.charAt(j) <= ' ' || html.charAt(j) == '/')) j += 1
-        if (j >= to) return m
-        val nameStart = j
-        while (j < to && html.charAt(j) > ' ' && html.charAt(j) != '=' &&
-          html.charAt(j) != '/' ) j += 1
-        val name = html.substring(nameStart, j).toLowerCase
-        while (j < to && html.charAt(j) <= ' ') j += 1
-        var value = ""
-        if (j < to && html.charAt(j) == '=') {
-          j += 1
-          while (j < to && html.charAt(j) <= ' ') j += 1
-          if (j < to && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
-            val q = html.charAt(j)
-            j += 1
-            val vs = j
-            while (j < to && html.charAt(j) != q) j += 1
-            value = html.substring(vs, math.min(j, to))
-            if (j < to) j += 1
-          } else {
-            val vs = j
-            while (j < to && html.charAt(j) > ' ') j += 1
-            value = html.substring(vs, j)
-          }
-        }
-        if (name.nonEmpty && !m.contains(name)) m += name -> value
-      }
-      m
-    }
-
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0 || lt + 1 >= n) return PageMeta(canonical, robots)
-      if (startsWithIgnoreCase(lt, "<!--")) {
-        val end = html.indexOf("-->", lt + 4)
-        i = if (end < 0) n else end + 3
-      } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
-        val end = html.indexOf('>', lt + 1)
-        i = if (end < 0) n else end + 1
-      } else {
-        // tag name
-        var j = lt + 1
-        if (html.charAt(j) == '/') j += 1
-        val nameStart = j
-        while (j < n && { val c = lowerAt(j)
-          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') }) j += 1
-        val name = html.substring(nameStart, j).toLowerCase
-        // find '>' honoring quotes
-        var gt = -1
-        var quote: Char = 0
-        var k = j
-        while (gt < 0 && k < n) {
-          val c = html.charAt(k)
-          if (quote != 0) { if (c == quote) quote = 0 }
-          else if (c == '"' || c == '\'') quote = c
-          else if (c == '>') gt = k
-          k += 1
-        }
-        if (gt < 0) return PageMeta(canonical, robots)
-        if (name == "script" || name == "style") {
-          // rawtext: skip to the matching close (name-boundary rule)
-          var p = gt + 1
-          var found = -1
-          while (found < 0 && p < n) {
-            val c2 = html.indexOf('<', p)
-            if (c2 < 0 || c2 + 1 >= n) p = n
-            else if (html.charAt(c2 + 1) == '/' &&
-                startsWithIgnoreCase(c2 + 2, name) && {
-                  val after = c2 + 2 + name.length
-                  after >= n || { val d = lowerAt(after)
-                    !((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')) }
-                }) {
-              val g2 = html.indexOf('>', c2)
-              found = if (g2 < 0) n else g2 + 1
-            } else p = c2 + 1
-          }
-          i = if (found < 0) n else found
-        } else {
-          if (name == "link" && canonical.isEmpty) {
-            val attrs = parseAttrs(j, gt)
-            val rels = attrs.getOrElse("rel", "").toLowerCase
-              .split("\\s+").toSet
-            if (rels.contains("canonical")) {
-              val href = decodeEntities(attrs.getOrElse("href", "")).trim
-              if (href.nonEmpty) canonical = Some(href)
+      if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+        i = skipMarkupDecl(html, lt)
+      } else if (isNameChar(html.charAt(lt + 1)) || html.charAt(lt + 1) == '/') {
+        scanTagAt(html, lt) match {
+          case null => return PageMeta(canonical, robots) // unterminated
+          case ev =>
+            i = ev.after
+            if (!ev.closing && !ev.selfClosing && RawTextContainers(ev.name)) {
+              i = skipRawtextAfter(html, i, ev.name)
+            } else if (!ev.closing && ev.name == "link" && canonical.isEmpty) {
+              val attrs = parseAttrs(html, ev.attrStart, ev.gt)
+              val rels = attrs.getOrElse("rel", "").toLowerCase
+                .split("\\s+").toSet
+              if (rels.contains("canonical")) {
+                val href = decodeEntities(attrs.getOrElse("href", "")).trim
+                if (href.nonEmpty) canonical = Some(href)
+              }
+            } else if (!ev.closing && ev.name == "meta") {
+              val attrs = parseAttrs(html, ev.attrStart, ev.gt)
+              if (attrs.getOrElse("name", "").equalsIgnoreCase("robots"))
+                robots ++= decodeEntities(attrs.getOrElse("content", ""))
+                  .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
             }
-          } else if (name == "meta") {
-            val attrs = parseAttrs(j, gt)
-            if (attrs.getOrElse("name", "").equalsIgnoreCase("robots"))
-              robots ++= decodeEntities(attrs.getOrElse("content", ""))
-                .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
-          }
-          i = gt + 1
         }
+      } else {
+        i = lt + 1 // bare '<': not a tag here
       }
     }
     PageMeta(canonical, robots)
   }
+
+  /** Parse the attribute span [from, to) into a lowercase-name map
+    * (first occurrence wins, per the HTML5 duplicate-attribute rule).
+    */
+  private def parseAttrs(html: String, from: Int, to: Int): Map[String, String] = {
+    var m = Map.empty[String, String]
+    var j = from
+    while (j < to) {
+      while (j < to && (html.charAt(j) <= ' ' || html.charAt(j) == '/')) j += 1
+      if (j >= to) return m
+      val nameStart = j
+      while (j < to && html.charAt(j) > ' ' && html.charAt(j) != '=' &&
+        html.charAt(j) != '/') j += 1
+      val name = html.substring(nameStart, j).toLowerCase
+      while (j < to && html.charAt(j) <= ' ') j += 1
+      var value = ""
+      if (j < to && html.charAt(j) == '=') {
+        j += 1
+        while (j < to && html.charAt(j) <= ' ') j += 1
+        if (j < to && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+          val q = html.charAt(j)
+          j += 1
+          val vs = j
+          while (j < to && html.charAt(j) != q) j += 1
+          value = html.substring(vs, math.min(j, to))
+          if (j < to) j += 1
+        } else {
+          val vs = j
+          while (j < to && html.charAt(j) > ' ') j += 1
+          value = html.substring(vs, j)
+        }
+      }
+      if (name.nonEmpty && !m.contains(name)) m += name -> value
+    }
+    m
+  }
+
+  // ---------------------------------------------------------------------
+  // Column surface
+  // ---------------------------------------------------------------------
 
   private val extractUdf = udf { html: String => extract(html) }
   private val contentUdf = udf { html: String => extractContent(html) }
@@ -435,14 +444,14 @@ object HtmlText {
       m.robots.contains("nofollow"))
   }
 
-  /** Struct column `(canonical_href, noindex, nofollow)` from
-    * [[pageMeta]] — one scan per row.
-    */
-  def htmlPageMeta(html: Column): Column = pageMetaUdf(html)
-
   /** Column form of [[extract]]. */
   def htmlText(html: Column): Column = extractUdf(html)
 
   /** Column form of [[extractContent]] at the default density. */
   def htmlContent(html: Column): Column = contentUdf(html)
+
+  /** Struct column `(canonical_href, noindex, nofollow)` from
+    * [[pageMeta]] — one scan per row.
+    */
+  def htmlPageMeta(html: Column): Column = pageMetaUdf(html)
 }

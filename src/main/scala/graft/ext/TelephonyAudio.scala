@@ -357,6 +357,12 @@ object TelephonyAudio {
         "byte blocks — truncated blob")
     val nBlocks = l.dataLen / l.blockAlign
     val totalDecodable = nBlocks.toLong * spb
+    // single-JVM array bound: a multi-GB blob whose frame count exceeds
+    // Int range must refuse loudly, not wrap toInt into a negative
+    // allocation (the sane-PCM-or-IAE contract)
+    require(totalDecodable * ch <= Int.MaxValue,
+      s"IMA ADPCM blob decodes to $totalDecodable frames x $ch channels — " +
+        "beyond the per-blob array bound; split the recording upstream")
     val frames =
       if (l.factFrames >= 0) {
         require(l.factFrames <= totalDecodable &&

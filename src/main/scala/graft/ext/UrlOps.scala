@@ -237,11 +237,15 @@ object UrlOps {
   def dedupByUrl(df: DataFrame, urlCol: String,
                  orderCol: String): DataFrame = {
     val keyed = df.withColumn("__canon", canonicalUrl(col(urlCol)))
-    val winners = keyed
+    // rows with no canonicalizable URL (null, or blank after trim) pass
+    // through UNdeduped: "unknown URL" is not an identity, and grouping
+    // them would silently collapse unrelated documents into one survivor
+    val hasKey = col("__canon").isNotNull && col("__canon") =!= ""
+    val winners = keyed.filter(hasKey)
       .groupBy(col("__canon"))
       .agg(min_by(struct(keyed.columns.map(col).toIndexedSeq: _*),
         col(orderCol)).as("__row"))
       .select(col("__row.*"))
-    winners.drop("__canon")
+    winners.unionByName(keyed.filter(!hasKey)).drop("__canon")
   }
 }

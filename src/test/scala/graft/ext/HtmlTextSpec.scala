@@ -63,6 +63,12 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(extract("</>stray") == "stray")
     assert(extract("") == "")
     assert(extract(null) == "")
+    // a BOM survives the byte->string decode; it is whitespace, never a
+    // phantom one-char first paragraph
+    assert(extract("﻿<html><body><p>Hi</p></body></html>") == "Hi")
+    // NUL / surrogate numeric references become U+FFFD (HTML5), keeping
+    // the output a well-formed string
+    assert(extract("<p>a&#xD800;b&#0;c</p>") == "a�b�c")
   }
 
   test("link density: blocks carry counts; extractContent drops chrome") {
@@ -120,6 +126,11 @@ class HtmlTextSpec extends AnyFunSuite {
       "</script>").canonicalHref.isEmpty)
     // rel=canonical on a non-link tag is ignored; totality edges
     assert(pageMeta("<a rel=canonical href=/no>x</a>").canonicalHref.isEmpty)
+    // an ORPHAN close tag must not open a rawtext skip (template
+    // double-close): signals after it still count
+    val orphan = pageMeta("<head></script><link rel=canonical href=/a>" +
+      "<meta name=robots content=noindex></head>")
+    assert(orphan.canonicalHref.contains("/a") && orphan.robots == Set("noindex"))
     assert(pageMeta("<p>no meta</p>") == PageMeta(None, Set.empty))
     assert(pageMeta(null) == PageMeta(None, Set.empty))
     assert(pageMeta("<link rel=canonical href=\"/unterminated") ==

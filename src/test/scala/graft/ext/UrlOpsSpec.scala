@@ -107,4 +107,20 @@ class UrlOpsSpec extends AnyFunSuite with SharedSpark {
       .select("ts", "tag").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "early", 9L -> "solo"))
   }
+
+  test("rows without a canonicalizable URL pass through undeduped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "null-a"),
+      (2L, null.asInstanceOf[String], "null-b"),
+      (3L, "   ", "blank-a"),
+      (4L, "", "blank-b"),
+      (5L, "https://x.com/a", "real-a"),
+      (6L, "https://X.com/a/", "real-dup")
+    ).toDF("ts", "url", "tag")
+    val out = UrlOps.dedupByUrl(df, "url", "ts")
+      .select("tag").as[String].collect().toSet
+    // the two real variants collapse; all four keyless rows survive
+    assert(out == Set("null-a", "null-b", "blank-a", "blank-b", "real-a"))
+  }
 }
