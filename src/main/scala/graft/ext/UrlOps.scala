@@ -228,24 +228,29 @@ object UrlOps {
   def canonicalUrl(url: Column): Column = urlParts(url).getField("canonical")
 
   /** URL-level dedup: keep the FIRST row per canonical URL by `orderCol`
-    * — deterministic when `orderCol` is unique per canonical key (an id
-    * or ingest sequence; with duplicates the winner among tied rows is
-    * engine-chosen). The exact-dedup idiom: hash groupBy on the
-    * canonical key — min-by aggregation, map-side partial, one shuffle
-    * of (key, winner) pairs, never a window over the corpus.
+    * — deterministic when `orderCol` is globally unique (an id or
+    * ingest sequence; with duplicates the winner among tied rows is
+    * engine-chosen). Rows with no canonicalizable URL (null, or blank
+    * after trim) pass through UNdeduped — "unknown URL" is not an
+    * identity, and grouping them would silently collapse unrelated
+    * documents into one survivor; they ride the same pass keyed on a
+    * NUL-prefixed `orderCol` (NUL cannot appear in a canonical form),
+    * so the whole operator stays ONE scan + ONE shuffle. The
+    * exact-dedup idiom otherwise: hash groupBy on the canonical key —
+    * min-by aggregation, map-side partial, never a window over the
+    * corpus.
     */
   def dedupByUrl(df: DataFrame, urlCol: String,
                  orderCol: String): DataFrame = {
     val keyed = df.withColumn("__canon", canonicalUrl(col(urlCol)))
-    // rows with no canonicalizable URL (null, or blank after trim) pass
-    // through UNdeduped: "unknown URL" is not an identity, and grouping
-    // them would silently collapse unrelated documents into one survivor
     val hasKey = col("__canon").isNotNull && col("__canon") =!= ""
-    val winners = keyed.filter(hasKey)
-      .groupBy(col("__canon"))
+    val groupKey = when(hasKey, col("__canon"))
+      .otherwise(concat(lit("\u0000"), col(orderCol).cast("string")))
+    keyed
+      .groupBy(groupKey.as("__key"))
       .agg(min_by(struct(keyed.columns.map(col).toIndexedSeq: _*),
         col(orderCol)).as("__row"))
       .select(col("__row.*"))
-    winners.unionByName(keyed.filter(!hasKey)).drop("__canon")
+      .drop("__canon")
   }
 }
