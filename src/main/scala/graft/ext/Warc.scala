@@ -1,0 +1,267 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] WARC ingestion — the container web crawls actually ship in
+  * (ISO 28500; Common Crawl's native format). A crawl-scale training
+  * pipeline starts HERE: WARC files in, (url, payload) out, composing
+  * with [[HtmlText]] (markup -> prose), [[UrlOps]] (canonical dedup
+  * key), and the rest of the curation surface.
+  *
+  * Format notes (all public spec):
+  *  - a WARC file is a sequence of records: `WARC/1.0` version line,
+  *    `Name: value` headers (case-insensitive), CRLF CRLF, exactly
+  *    `Content-Length` payload bytes, CRLF CRLF;
+  *  - crawl archives gzip EACH RECORD as its own member and concatenate
+  *    (so HTTP-range readers can seek); `java.util.zip.GZIPInputStream`
+  *    reads concatenated members natively, so one stream decodes the
+  *    whole file;
+  *  - a `response` record's payload is the captured HTTP response —
+  *    status line + headers + body; chunked transfer encoding is
+  *    decoded here (hex sizes, optional `;ext`), anything else rides
+  *    raw.
+  *
+  * Loud contract (the [[FlacCodec]]/[[TelephonyAudio]] idiom): a blob
+  * that declares itself WARC and fails structurally (no version line,
+  * missing/oversized Content-Length, torn record, malformed chunking)
+  * REFUSES with IllegalArgumentException — a half-parsed crawl shard
+  * silently shipping fewer documents is the worst failure mode a corpus
+  * build has.
+  *
+  * Scale story: one task per WARC file (`binaryFile` source — the
+  * natural unit; crawl shards are sized ~1 GB precisely so that a file
+  * is a work unit), flatMap to records, zero shuffle. Memory bound is
+  * the file size (binaryFile materializes the blob): size
+  * `spark.sql.files.maxPartitionBytes` irrelevant here — parallelism
+  * == file count, so shard the crawl into enough files upstream.
+  */
+object Warc {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+                              contentType: String, body: Array[Byte])
+
+  // ---------------------------------------------------------------------
+  // Byte-level parse
+  // ---------------------------------------------------------------------
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 64 * 1024)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  /** Parse a WARC blob (gzipped — single or concatenated members — or
+    * plain) into records. Loud on structural damage.
+    */
+  def parseAll(bytes: Array[Byte]): Vector[WarcRecord] = {
+    val b =
+      try { if (isGzip(bytes)) gunzipAll(bytes) else bytes }
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"WARC: gzip stream is damaged (${e.getMessage})")
+      }
+    val out = Vector.newBuilder[WarcRecord]
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      // skip inter-record CRLFs
+      while (i < n && (b(i) == '\r' || b(i) == '\n')) i += 1
+      if (i >= n) return out.result()
+      require(i + 5 <= n && b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
+        b(i + 3) == 'C' && b(i + 4) == '/',
+        s"WARC: record at offset $i does not start with a WARC/ version line")
+      val headerEnd = indexOfCrlfCrlf(b, i)
+      require(headerEnd >= 0, s"WARC: record at offset $i has no header " +
+        "terminator (CRLFCRLF) — torn shard")
+      val headers = parseHeaders(b, i, headerEnd)
+      val len = headers.getOrElse("content-length",
+        throw new IllegalArgumentException(
+          s"WARC: record at offset $i has no Content-Length"))
+      val bodyLen =
+        try java.lang.Long.parseLong(len.trim)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"WARC: record at offset $i has non-numeric Content-Length '$len'")
+        }
+      val bodyStart = headerEnd + 4
+      require(bodyLen >= 0 && bodyStart + bodyLen <= n,
+        s"WARC: record at offset $i declares $bodyLen payload bytes but " +
+          s"only ${n - bodyStart} remain — torn shard")
+      out += WarcRecord(
+        headers.getOrElse("warc-type", ""),
+        headers.getOrElse("warc-target-uri", ""),
+        headers.getOrElse("content-type", ""),
+        java.util.Arrays.copyOfRange(b, bodyStart, (bodyStart + bodyLen).toInt))
+      i = (bodyStart + bodyLen).toInt
+    }
+    out.result()
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `Name: value` lines between `from` and `to` (exclusive), names
+    * lowercased; the version line is skipped.
+    */
+  private def parseHeaders(b: Array[Byte], from: Int, to: Int): Map[String, String] = {
+    val block = new String(b, from, to - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    var m = Map.empty[String, String]
+    for (line <- block.split("\r\n").iterator.drop(1)) { // drop WARC/1.x
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).trim.toLowerCase
+        if (name.nonEmpty && !m.contains(name))
+          m += name -> line.substring(colon + 1).trim
+      }
+    }
+    m
+  }
+
+  /** The HTTP response payload of a `response` record: status line and
+    * headers stripped, chunked transfer encoding decoded. Loud on a
+    * payload that has no header terminator or malformed chunking.
+    */
+  def httpBody(raw: Array[Byte]): Array[Byte] = {
+    val sep = indexOfCrlfCrlf(raw, 0)
+    require(sep >= 0,
+      "WARC http payload: no header/body separator (CRLFCRLF)")
+    val head = new String(raw, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val body = java.util.Arrays.copyOfRange(raw, sep + 4, raw.length)
+    val chunked = head.split("\r\n").exists { l =>
+      val c = l.indexOf(':')
+      c > 0 && l.substring(0, c).trim == "transfer-encoding" &&
+        l.substring(c + 1).contains("chunked")
+    }
+    if (chunked) decodeChunked(body) else body
+  }
+
+  private def decodeChunked(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      // chunk-size line: hex digits, optional ";ext", CRLF
+      val lineEnd = {
+        var j = i
+        while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+        require(j + 1 < b.length, "chunked body: unterminated size line")
+        j
+      }
+      val line = new String(b, i, lineEnd - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val hex = { val semi = line.indexOf(';')
+        (if (semi >= 0) line.substring(0, semi) else line).trim }
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"chunked body: bad chunk size '$hex'")
+        }
+      require(size >= 0, s"chunked body: negative chunk size $size")
+      val dataStart = lineEnd + 2
+      if (size == 0) return out.toByteArray // trailers ignored
+      require(dataStart + size + 2 <= b.length,
+        s"chunked body: chunk of $size bytes exceeds the payload")
+      out.write(b, dataStart, size.toInt)
+      require(b(dataStart + size.toInt) == '\r' &&
+        b(dataStart + size.toInt + 1) == '\n',
+        "chunked body: chunk data not CRLF-terminated")
+      i = dataStart + size.toInt + 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  // ---------------------------------------------------------------------
+  // Writing (fixture + export primitive)
+  // ---------------------------------------------------------------------
+
+  /** Serialize one record (WARC/1.0, minimal headers, exact
+    * Content-Length framing).
+    */
+  def writeRecord(warcType: String, targetUri: String, contentType: String,
+                  body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h.append("WARC/1.0\r\n")
+    h.append("WARC-Type: ").append(warcType).append("\r\n")
+    if (targetUri.nonEmpty)
+      h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    if (contentType.nonEmpty)
+      h.append("Content-Type: ").append(contentType).append("\r\n")
+    h.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+    val head = h.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Serialize records to a WARC file blob. `gzipPerRecord` follows the
+    * crawl-archive convention: each record its own gzip member,
+    * concatenated (seekable by offset); false writes plain WARC.
+    */
+  def writeWarc(records: Seq[Array[Byte]], gzipPerRecord: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      if (gzipPerRecord) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r)
+        gz.close() // finishes the member AND frees the Deflater; closing
+                   // the underlying ByteArrayOutputStream is a no-op
+      } else out.write(r)
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark surface
+  // ---------------------------------------------------------------------
+
+  /** All records of every WARC file under `pathGlob`:
+    * (file, record_idx, warc_type, url, content_type, body). One task
+    * per file; a structurally damaged shard fails ITS task loudly.
+    */
+  def readWarc(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseAll(bytes).iterator.zipWithIndex.map { case (r, idx) =>
+          (path, idx.toLong, r.warcType, r.targetUri, r.contentType, r.body)
+        }
+      }
+      .toDF("file", "record_idx", "warc_type", "url", "content_type", "body")
+  }
+
+  /** The crawl-ingestion shape: `response` records only, HTTP framing
+    * stripped (chunked decoding included) — (file, url, body) ready for
+    * [[HtmlText]] + [[UrlOps]].
+    */
+  def readResponses(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseAll(bytes).iterator
+          .filter(_.warcType.equalsIgnoreCase("response"))
+          .map(r => (path, r.targetUri, httpBody(r.body)))
+      }
+      .toDF("file", "url", "body")
+  }
+}

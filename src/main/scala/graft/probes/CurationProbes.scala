@@ -184,8 +184,93 @@ object CurationProbes {
       UrlOps.dedupByUrl(urlFixtureDf(t(s, d, "documents")), "url", "doc_id")
         .select(col("doc_id"), col("url"))
         .orderBy("doc_id")
+    },
+
+    // WARC ingestion (r18, ext.Warc): the crawl path END TO END — real
+    // .warc.gz shards on disk (per-record gzip members, the Common
+    // Crawl convention; warcinfo + request records interleaved and
+    // SKIPPED; a third of the responses chunked-transfer-encoded), one
+    // task per shard, HTTP framing stripped, markup extracted through
+    // HtmlText. The oracle re-derives every (url, text) from the source
+    // table: row count pins the record filter, text equality pins the
+    // gzip-member walk + Content-Length framing + chunk decoding +
+    // extraction, all at once.
+    Probe(
+      "warc_ingest",
+      "SELECT 'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY url"
+    ) { (s, d) =>
+      val dir = PhaseTimer.timed("warc_ingest", "fixture_ensure") {
+        warcFixture(s, d)
+      }
+      graft.ext.Warc.readResponses(s, dir + "/*.warc.gz")
+        .select(col("url"),
+          graft.ext.HtmlText.htmlText(col("body").cast("string")).as("text"))
+        .orderBy("url")
     }
   )
+
+  /** Build the WARC shard fixture: 8 `.warc.gz` files, each holding a
+    * warcinfo record plus one request + one response record per doc of
+    * its `doc_id % 8` slice (ascending doc_id — byte-deterministic).
+    * The response payload is a real HTTP message over the HtmlText-able
+    * wrap of `text`; docs with `doc_id % 3 == 1` ship chunked. Shards
+    * assemble DISTRIBUTED (one task per shard) and only the 8 finished
+    * blobs ride the driver — bounded by construction.
+    */
+  private def warcFixture(s: SparkSession, d: String): String =
+    Probe.fileFixtureFor(d, "warc") { dir =>
+      import s.implicits._
+      import graft.ext.Warc
+      val shards = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey(_._1 % 8)
+        .mapGroups { (g, it) =>
+          val docs = it.toArray.sortBy(_._1)
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val recs = Vector.newBuilder[Array[Byte]]
+          recs += Warc.writeRecord("warcinfo", "",
+            "application/warc-fields", "software: graft\r\n".getBytes(iso))
+          docs.foreach { case (id, text) =>
+            val url = s"https://warc$g.example.com/doc/$id"
+            val html = s"<html><body><p>$text</p></body></html>".getBytes(iso)
+            val http: Array[Byte] =
+              if (id % 3 == 1) {
+                val cut = math.min(10, html.length)
+                val out = new java.io.ByteArrayOutputStream()
+                out.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                  "Transfer-Encoding: chunked\r\n\r\n").getBytes(iso))
+                out.write(s"${cut.toHexString}\r\n".getBytes(iso))
+                out.write(html, 0, cut); out.write("\r\n".getBytes(iso))
+                if (html.length > cut) {
+                  out.write(s"${(html.length - cut).toHexString};x=y\r\n".getBytes(iso))
+                  out.write(html, cut, html.length - cut)
+                  out.write("\r\n".getBytes(iso))
+                }
+                out.write("0\r\n\r\n".getBytes(iso))
+                out.toByteArray
+              } else {
+                val out = new java.io.ByteArrayOutputStream()
+                out.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                  s"Content-Length: ${html.length}\r\n\r\n").getBytes(iso))
+                out.write(html)
+                out.toByteArray
+              }
+            recs += Warc.writeRecord("request", url,
+              "application/http;msgtype=request",
+              s"GET /doc/$id HTTP/1.1\r\nHost: warc$g.example.com\r\n\r\n"
+                .getBytes(iso))
+            recs += Warc.writeRecord("response", url,
+              "application/http;msgtype=response", http)
+          }
+          (g, Warc.writeWarc(recs.result(), gzipPerRecord = true))
+        }
+        .collect() // 8 shard blobs, bounded by construction
+      shards.foreach { case (g, bytes) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"part-$g.warc.gz"), bytes): Unit
+      }
+    }
 
   /** The messy-URL fixture both url_* probes share: (doc_id, url) with
     * variant `doc_id % 5` and host family `doc_id % 2` (see the

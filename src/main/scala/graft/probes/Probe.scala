@@ -84,6 +84,22 @@ object Probe {
       path
     })
 
+  /** Per-JVM FILE fixture cache: real files on disk for SOURCE probes
+    * (WARC shards and friends) — the same lifecycle argument as
+    * [[mediaFixtureFor]], but the fixture is a directory the source
+    * under test lists and reads like production input.
+    */
+  private val fileFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def fileFixtureFor(sfDir: String, kind: String)
+                    (build: String => Unit): String =
+    fileFixtures.computeIfAbsent(s"$sfDir#$kind", _ => {
+      val dir = scratchDir(s"graft-files-$kind")
+      build(dir)
+      dir
+    })
+
   /** Shared DuckDB oracle prelude re-deriving the engine's md5-derived
     * random-hyperplane signatures over the 64-dim embeddings table:
     * CTEs e (vectors as doubles), g (plane components), proj

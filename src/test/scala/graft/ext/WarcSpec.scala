@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** WARC ingestion (r18): record framing round-trips, per-record gzip
+  * members, HTTP payload extraction with chunked decoding, loud
+  * refusals on torn shards, and the Spark read surface end to end.
+  */
+class WarcSpec extends AnyFunSuite with SharedSpark {
+  import Warc._
+
+  private val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def record(tpe: String, uri: String, body: String): Array[Byte] =
+    writeRecord(tpe, uri, "application/http", body.getBytes(iso))
+
+  test("record framing round-trips, plain and gzip-per-member") {
+    val recs = Seq(
+      record("warcinfo", "", "software: test\r\n"),
+      record("request", "https://a.example.com/x", "GET /x HTTP/1.1\r\n\r\n"),
+      record("response", "https://a.example.com/x",
+        "HTTP/1.1 200 OK\r\n\r\npayload-bytes"))
+    for (gz <- Seq(false, true)) {
+      val parsed = parseAll(writeWarc(recs, gzipPerRecord = gz))
+      assert(parsed.map(_.warcType) == Vector("warcinfo", "request", "response"))
+      assert(parsed(2).targetUri == "https://a.example.com/x")
+      assert(new String(parsed(2).body, iso).endsWith("payload-bytes"))
+    }
+    // empty input and empty-body records are fine
+    assert(parseAll(Array.empty[Byte]).isEmpty)
+    assert(parseAll(record("metadata", "", "")).head.body.isEmpty)
+  }
+
+  test("concatenated gzip members decode as one stream (the CC layout)") {
+    val r1 = writeWarc(Seq(record("response", "https://a/1",
+      "HTTP/1.1 200 OK\r\n\r\none")), gzipPerRecord = true)
+    val r2 = writeWarc(Seq(record("response", "https://a/2",
+      "HTTP/1.1 200 OK\r\n\r\ntwo")), gzipPerRecord = true)
+    val both = r1 ++ r2
+    val parsed = parseAll(both)
+    assert(parsed.map(_.targetUri) == Vector("https://a/1", "https://a/2"))
+  }
+
+  test("httpBody strips framing; chunked transfer decodes exactly") {
+    assert(new String(httpBody(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello".getBytes(iso)),
+      iso) == "hello")
+    // chunked: sizes in hex, extension after ';', terminal 0-chunk
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nWiki\r\n6;note=1\r\npedia!\r\n0\r\n\r\n"
+    assert(new String(httpBody(chunked.getBytes(iso)), iso) == "Wikipedia!")
+    // case-insensitive header name, value with other tokens
+    val mixed = "HTTP/1.1 200 OK\r\nTRANSFER-ENCODING: gzip, chunked\r\n\r\n" +
+      "2\r\nok\r\n0\r\n\r\n"
+    assert(new String(httpBody(mixed.getBytes(iso)), iso) == "ok")
+  }
+
+  test("torn shards refuse loudly — never a silently smaller corpus") {
+    val good = writeWarc(Seq(record("response", "https://a/1",
+      "HTTP/1.1 200 OK\r\n\r\nbody")), gzipPerRecord = false)
+    // truncated payload
+    intercept[IllegalArgumentException] {
+      parseAll(java.util.Arrays.copyOf(good, good.length - 6))
+    }
+    // header block without terminator
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Type: response\r\n".getBytes(iso))
+    }
+    // not a WARC at all
+    intercept[IllegalArgumentException] {
+      parseAll("HTTP/1.1 200 OK\r\n\r\n".getBytes(iso))
+    }
+    // missing Content-Length
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n".getBytes(iso))
+    }
+    // damaged gzip member
+    val gz = writeWarc(Seq(good), gzipPerRecord = true)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { parseAll(gz) }
+    // malformed chunking
+    intercept[IllegalArgumentException] {
+      httpBody("HTTP/1.1 200\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx\r\n"
+        .getBytes(iso))
+    }
+    intercept[IllegalArgumentException] {
+      httpBody("HTTP/1.1 200\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nx\r\n"
+        .getBytes(iso))
+    }
+  }
+
+  test("readResponses: response records only, one task per shard") {
+    import spark.implicits._
+    val dir = tmpDir("warc-spec")
+    val shard1 = writeWarc(Seq(
+      record("warcinfo", "", "software: test\r\n"),
+      record("request", "https://s1/a", "GET /a HTTP/1.1\r\n\r\n"),
+      record("response", "https://s1/a", "HTTP/1.1 200 OK\r\n\r\nalpha"),
+      record("response", "https://s1/b",
+        "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+          "4\r\nbeta\r\n0\r\n\r\n")), gzipPerRecord = true)
+    val shard2 = writeWarc(Seq(
+      record("response", "https://s2/c", "HTTP/1.1 200 OK\r\n\r\ngamma")),
+      gzipPerRecord = false) // plain .warc reads through the same glob
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "s1.warc.gz"), shard1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "s2.warc.gz"), shard2)
+    val out = Warc.readResponses(spark, dir + "/*.warc.gz")
+      .select($"url", $"body".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(out == Map("https://s1/a" -> "alpha", "https://s1/b" -> "beta",
+      "https://s2/c" -> "gamma"))
+    // full-register read sees every record type
+    val all = Warc.readWarc(spark, dir + "/*.warc.gz")
+    assert(all.count() == 5)
+    assert(all.filter($"warc_type" === "response").count() == 3)
+  }
+}
