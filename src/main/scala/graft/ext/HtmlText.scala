@@ -433,6 +433,59 @@ object HtmlText {
   }
 
   // ---------------------------------------------------------------------
+  // Byte -> string: charset sniffing for crawl payloads
+  // ---------------------------------------------------------------------
+
+  /** Decode an HTML payload's bytes to a string under the HTML5 charset
+    * precedence: a BOM wins outright (UTF-8 / UTF-16 LE / BE), then the
+    * transport-declared charset (`charsetHint` — e.g. the HTTP
+    * Content-Type from a WARC response record), then a `charset=`
+    * declaration in the first 1024 bytes (`<meta charset=...>` or the
+    * http-equiv form), then UTF-8. Unknown charset names and malformed
+    * byte sequences never throw — decoding falls back / replaces, so a
+    * crawl payload always yields SOME string (the extraction layer is
+    * not where a corpus build wants to die on one mojibake page).
+    */
+  def decodeBytes(bytes: Array[Byte], charsetHint: String = null): String = {
+    if (bytes == null) return null
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+        (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+      return new String(bytes, 3, bytes.length - 3, utf8)
+    if (bytes.length >= 2) {
+      val b0 = bytes(0) & 0xFF
+      val b1 = bytes(1) & 0xFF
+      // the JDK's "UTF-16" charset consumes the BOM itself
+      if ((b0 == 0xFF && b1 == 0xFE) || (b0 == 0xFE && b1 == 0xFF))
+        return new String(bytes, java.nio.charset.Charset.forName("UTF-16"))
+    }
+    def forName(name: String): java.nio.charset.Charset =
+      try {
+        val t = name.trim
+        if (t.isEmpty) null else java.nio.charset.Charset.forName(t)
+      } catch { case _: Exception => null }
+    var cs: java.nio.charset.Charset = null
+    if (charsetHint != null) cs = forName(charsetHint)
+    if (cs == null) {
+      // sniff `charset=` in the head prefix (latin-1 view is safe for a
+      // bytewise scan — every byte maps to one char)
+      val prefix = new String(bytes, 0, math.min(bytes.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+      val at = prefix.indexOf("charset=")
+      if (at >= 0) {
+        var j = at + 8
+        if (j < prefix.length && (prefix.charAt(j) == '"' || prefix.charAt(j) == '\''))
+          j += 1
+        val start = j
+        while (j < prefix.length && { val c = prefix.charAt(j)
+          c != '"' && c != '\'' && c != '>' && c != ';' && c > ' ' }) j += 1
+        cs = forName(prefix.substring(start, j))
+      }
+    }
+    new String(bytes, if (cs == null) utf8 else cs)
+  }
+
+  // ---------------------------------------------------------------------
   // Column surface
   // ---------------------------------------------------------------------
 
@@ -444,8 +497,19 @@ object HtmlText {
       m.robots.contains("nofollow"))
   }
 
+  private val extractBytesUdf = udf { (bytes: Array[Byte], hint: String) =>
+    extract(decodeBytes(bytes, hint))
+  }
+
   /** Column form of [[extract]]. */
   def htmlText(html: Column): Column = extractUdf(html)
+
+  /** [[extract]] over RAW payload bytes with charset sniffing
+    * ([[decodeBytes]]); `charsetHint` is the transport-declared charset
+    * column (e.g. [[Warc.readResponses]]' `charset`), nullable.
+    */
+  def htmlTextBytes(bytes: Column, charsetHint: Column): Column =
+    extractBytesUdf(bytes, charsetHint)
 
   /** Column form of [[extractContent]] at the default density. */
   def htmlContent(html: Column): Column = contentUdf(html)

@@ -134,19 +134,44 @@ object Warc {
     * headers stripped, chunked transfer encoding decoded. Loud on a
     * payload that has no header terminator or malformed chunking.
     */
-  def httpBody(raw: Array[Byte]): Array[Byte] = {
+  def httpBody(raw: Array[Byte]): Array[Byte] = httpBodyAndCharset(raw)._1
+
+  /** [[httpBody]] plus the `charset=` parameter of the Content-Type
+    * header (null when undeclared) — the transport hint
+    * [[HtmlText.decodeBytes]] consumes.
+    */
+  def httpBodyAndCharset(raw: Array[Byte]): (Array[Byte], String) = {
     val sep = indexOfCrlfCrlf(raw, 0)
     require(sep >= 0,
       "WARC http payload: no header/body separator (CRLFCRLF)")
     val head = new String(raw, 0, sep,
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
     val body = java.util.Arrays.copyOfRange(raw, sep + 4, raw.length)
-    val chunked = head.split("\r\n").exists { l =>
+    var chunked = false
+    var charset: String = null
+    head.split("\r\n").foreach { l =>
       val c = l.indexOf(':')
-      c > 0 && l.substring(0, c).trim == "transfer-encoding" &&
-        l.substring(c + 1).contains("chunked")
+      if (c > 0) {
+        val name = l.substring(0, c).trim
+        val value = l.substring(c + 1)
+        if (name == "transfer-encoding" && value.contains("chunked"))
+          chunked = true
+        else if (name == "content-type") {
+          val at = value.indexOf("charset=")
+          if (at >= 0) {
+            var j = at + 8
+            if (j < value.length &&
+              (value.charAt(j) == '"' || value.charAt(j) == '\'')) j += 1
+            val start = j
+            while (j < value.length && { val ch = value.charAt(j)
+              ch != '"' && ch != '\'' && ch != ';' && ch > ' ' }) j += 1
+            val cs = value.substring(start, j).trim
+            if (cs.nonEmpty) charset = cs
+          }
+        }
+      }
     }
-    if (chunked) decodeChunked(body) else body
+    (if (chunked) decodeChunked(body) else body, charset)
   }
 
   private def decodeChunked(b: Array[Byte]): Array[Byte] = {
@@ -249,8 +274,10 @@ object Warc {
   }
 
   /** The crawl-ingestion shape: `response` records only, HTTP framing
-    * stripped (chunked decoding included) — (file, url, body) ready for
-    * [[HtmlText]] + [[UrlOps]].
+    * stripped (chunked decoding included) — (file, url, charset, body)
+    * ready for [[HtmlText]] + [[UrlOps]]; `charset` is the Content-Type
+    * header's declared charset (null when absent), the transport hint
+    * for [[HtmlText.decodeBytes]].
     */
   def readResponses(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
@@ -260,8 +287,11 @@ object Warc {
       .flatMap { case (path, bytes) =>
         parseAll(bytes).iterator
           .filter(_.warcType.equalsIgnoreCase("response"))
-          .map(r => (path, r.targetUri, httpBody(r.body)))
+          .map { r =>
+            val (body, charset) = httpBodyAndCharset(r.body)
+            (path, r.targetUri, charset, body)
+          }
       }
-      .toDF("file", "url", "body")
+      .toDF("file", "url", "charset", "body")
   }
 }

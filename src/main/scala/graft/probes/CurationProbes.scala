@@ -206,8 +206,80 @@ object CurationProbes {
         .select(col("url"),
           graft.ext.HtmlText.htmlText(col("body").cast("string")).as("text"))
         .orderBy("url")
+    },
+
+    // Charset-aware crawl decode (r18): real crawls are NOT all UTF-8.
+    // Four payload encodings — plain UTF-8, ISO-8859-1 declared by the
+    // HTTP Content-Type, windows-1252 declared only by a meta tag, and
+    // UTF-16LE with a BOM that must OVERRIDE a deliberately wrong HTTP
+    // charset — each carrying a non-ASCII marker that decodes wrong
+    // under any other charset. The oracle states every (url, text)
+    // closed-form, marker included: green means the HTML5 precedence
+    // (BOM > transport > meta > default) ran byte-correct end to end.
+    Probe(
+      "warc_charset",
+      "SELECT 'https://cs' || CAST(doc_id % 4 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "text || ' ' || CASE doc_id % 4 WHEN 0 THEN '→' WHEN 1 THEN 'é' WHEN 2 THEN '€' ELSE '✓' END AS text " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY url"
+    ) { (s, d) =>
+      val dir = PhaseTimer.timed("warc_charset", "fixture_ensure") {
+        warcCharsetFixture(s, d)
+      }
+      graft.ext.Warc.readResponses(s, dir + "/*.warc.gz")
+        .select(col("url"),
+          graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
+            .as("text"))
+        .orderBy("url")
     }
   )
+
+  /** The charset fixture: 4 `.warc.gz` shards, shard k holding every
+    * doc with `doc_id % 4 == k` in encoding k (see the warc_charset
+    * probe comment). Distributed build, 4 bounded blobs to the driver.
+    */
+  private def warcCharsetFixture(s: SparkSession, d: String): String =
+    Probe.fileFixtureFor(d, "warc-charset") { dir =>
+      import s.implicits._
+      import graft.ext.Warc
+      val shards = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey(_._1 % 4)
+        .mapGroups { (g, it) =>
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val docs = it.toArray.sortBy(_._1)
+          val recs = docs.map { case (id, text) =>
+            val url = s"https://cs$g.example.com/doc/$id"
+            val (marker, headCharset, metaTag, enc) = g match {
+              case 0L => ("→", null, "", "UTF-8")
+              case 1L => ("é", "ISO-8859-1", "", "ISO-8859-1")
+              case 2L => ("€", null,
+                "<head><meta charset=\"windows-1252\"></head>", "windows-1252")
+              case _ => ("✓", "ISO-8859-1" /* BOM must win over this */ ,
+                "", "UTF-16LE")
+            }
+            val html = s"<html>$metaTag<body><p>$text $marker</p></body></html>"
+            val payload =
+              if (g == 3L) Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+                html.getBytes(java.nio.charset.Charset.forName("UTF-16LE"))
+              else html.getBytes(java.nio.charset.Charset.forName(enc))
+            val ct = "text/html" +
+              (if (headCharset != null) s"; charset=$headCharset" else "")
+            val out = new java.io.ByteArrayOutputStream()
+            out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n").getBytes(iso))
+            out.write(payload)
+            Warc.writeRecord("response", url,
+              "application/http;msgtype=response", out.toByteArray)
+          }
+          (g, Warc.writeWarc(recs.toIndexedSeq, gzipPerRecord = true))
+        }
+        .collect() // 4 shard blobs, bounded by construction
+      shards.foreach { case (g, bytes) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"cs-$g.warc.gz"), bytes): Unit
+      }
+    }
 
   /** Build the WARC shard fixture: 8 `.warc.gz` files, each holding a
     * warcinfo record plus one request + one response record per doc of

@@ -56,6 +56,40 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(new String(httpBody(mixed.getBytes(iso)), iso) == "ok")
   }
 
+  test("charset plumbing: header extraction + HTML5 decode precedence") {
+    // Content-Type charset extraction (quoted, parameterized, absent)
+    assert(httpBodyAndCharset(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\nx"
+        .getBytes(iso))._2 == "iso-8859-1")
+    assert(httpBodyAndCharset(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"UTF-8\"; q=1\r\n\r\nx"
+        .getBytes(iso))._2 == "utf-8")
+    assert(httpBodyAndCharset(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx".getBytes(iso))._2 == null)
+    // decode precedence: BOM > transport hint > meta > UTF-8 default
+    import HtmlText.decodeBytes
+    val latin = "café".getBytes(iso)
+    assert(decodeBytes(latin, "iso-8859-1") == "café")
+    assert(decodeBytes("café".getBytes("UTF-8"), null) == "café")
+    // meta sniff when no transport hint
+    // byte 0x80 is the euro sign in 1252 (an unmapped control in
+    // latin-1 - a wrong charset cannot produce it)
+    val metaBytes = "<meta charset='windows-1252'><p>".getBytes(iso) ++
+      Array(0x80.toByte) ++ "</p>".getBytes(iso)
+    assert(decodeBytes(metaBytes, null).contains("€"))
+    // BOM beats a wrong transport hint
+    val utf16 = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "ok✓".getBytes(java.nio.charset.Charset.forName("UTF-16LE"))
+    assert(decodeBytes(utf16, "iso-8859-1") == "ok✓")
+    // UTF-8 BOM strips rather than leaking U+FEFF
+    val bom8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "hi".getBytes("UTF-8")
+    assert(decodeBytes(bom8, null) == "hi")
+    // unknown charset names fall back instead of throwing
+    assert(decodeBytes("ok".getBytes("UTF-8"), "no-such-charset") == "ok")
+    assert(decodeBytes(null, null) == null)
+  }
+
   test("torn shards refuse loudly — never a silently smaller corpus") {
     val good = writeWarc(Seq(record("response", "https://a/1",
       "HTTP/1.1 200 OK\r\n\r\nbody")), gzipPerRecord = false)
