@@ -365,6 +365,21 @@ object TarExport {
   private[ops] def commitShard(fs: org.apache.hadoop.fs.FileSystem,
                                conf: org.apache.hadoop.conf.Configuration,
                                tmp: org.apache.hadoop.fs.Path,
+                               dest: org.apache.hadoop.fs.Path): Unit =
+    try commitShardInner(fs, conf, tmp, dest)
+    finally {
+      // ChecksumFileSystem (local) keeps a `.<name>.crc` sidecar for the
+      // TEMP name; the NIO move below bypasses Hadoop, so the sidecar
+      // would survive as debris — best-effort removal either way
+      try {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          tmp.getParent, "." + tmp.getName + ".crc"), false); ()
+      } catch { case _: java.io.IOException => () }
+    }
+
+  private def commitShardInner(fs: org.apache.hadoop.fs.FileSystem,
+                               conf: org.apache.hadoop.conf.Configuration,
+                               tmp: org.apache.hadoop.fs.Path,
                                dest: org.apache.hadoop.fs.Path): Unit = {
     val replaced =
       try {

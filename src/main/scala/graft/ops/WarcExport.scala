@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Warc
+
+/** WET-style corpus export: curated (id, url, text) rows shipped back
+  * out as WARC `conversion` records — the interchange shape the crawl
+  * ecosystem's extracted-text archives use (Common Crawl WET), so a
+  * downstream consumer needs no engine-specific reader at all.
+  *
+  * Layout: `shard-NNNNN.warc.gz`, each record its own gzip member
+  * (the seekable crawl-archive convention [[graft.ext.Warc]] reads
+  * back), records ordered by id within a shard — BYTE-DETERMINISTIC
+  * (the JDK gzip header carries no timestamp), so a re-export of the
+  * same frame writes identical shards and the delivery is
+  * content-addressable; [[ExportIntegrity]]'s format-agnostic manifest
+  * + verify compose directly.
+  *
+  * Write discipline = the tar exporter's ([[TarExport]]): one task per
+  * shard (hash exchange on the shard id), executor-side streaming
+  * write to a temp name, ATOMIC rename-over commit per finished shard
+  * ([[TarExport.commitShard]] — the same local/HDFS/fallback ladder),
+  * abort deletes the in-flight temp. No partial shard is ever visible.
+  *
+  * Scale story: ONE shuffle (by shard id), O(record) writer memory —
+  * rows stream through a per-member gzip straight to the store; the
+  * driver sees only the per-shard report rows.
+  */
+object WarcExport {
+
+  /** Export `df`'s (`idCol`, `urlCol`, `textCol`) as WET shards under
+    * `path`. `nShards` fixes the layout (shard = id % nShards — stable
+    * across runs and engines); returns the per-shard report
+    * (shard, n_records, payload_bytes, sha256 of the shard file).
+    */
+  def writeWetShards(df: DataFrame, idCol: String, urlCol: String,
+                     textCol: String, path: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val confMap = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val prepared = df
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        col(urlCol).cast("string").as("__url"),
+        col(textCol).cast("string").as("__text"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__id")
+      .as[(Long, Long, String, String)]
+    prepared
+      .mapPartitions(rows => writeShardPartition(rows, path, confMap))
+      .toDF("shard", "n_records", "payload_bytes", "sha256")
+      .orderBy("shard")
+  }
+
+  /** Executor-side shard writer: contiguous (shard, id)-sorted runs
+    * stream to `shard-NNNNN.warc.gz`; a task may own several shards.
+    * Failures close and delete the in-flight temp before propagating.
+    */
+  private def writeShardPartition(rows: Iterator[(Long, Long, String, String)],
+                                  path: String, confMap: Map[String, String])
+      : Iterator[(Long, Long, Long, String)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val attempt = java.util.UUID.randomUUID().toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    var cur = -1L
+    var tmp: org.apache.hadoop.fs.Path = null
+    var stream: java.io.OutputStream = null
+    var digest: java.security.MessageDigest = null
+    var nRecords = 0L
+    var payloadBytes = 0L
+    def finishShard(): Unit = if (stream != null) {
+      stream.close(); stream = null
+      val dest = new org.apache.hadoop.fs.Path(dir, f"shard-$cur%05d.warc.gz")
+      TarExport.commitShard(fs, conf, tmp, dest)
+      tmp = null
+      out += ((cur, nRecords, payloadBytes,
+        digest.digest().map("%02x".format(_)).mkString))
+    }
+    def abort(): Unit = {
+      if (stream != null) {
+        try stream.close() catch { case _: java.io.IOException => () }
+      }
+      if (tmp != null) {
+        try { fs.delete(tmp, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    try {
+      rows.foreach { case (shard, id, url, text) =>
+        if (shard != cur) {
+          finishShard()
+          cur = shard
+          nRecords = 0L; payloadBytes = 0L
+          digest = java.security.MessageDigest.getInstance("SHA-256")
+          tmp = new org.apache.hadoop.fs.Path(dir,
+            f".shard-$cur%05d.warc.gz.$attempt.tmp")
+          stream = fs.create(tmp, true)
+        }
+        val record = Warc.writeRecord("conversion", url, "text/plain",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val member = Warc.writeWarc(Seq(record), gzipPerRecord = true)
+        stream.write(member)
+        digest.update(member)
+        nRecords += 1
+        payloadBytes += record.length.toLong
+      }
+      finishShard()
+    } catch {
+      case t: Throwable => abort(); throw t
+    }
+    out.iterator
+  }
+
+  /** Read WET shards back: `conversion` records as (file, url, text) —
+    * text decoded UTF-8 (the encoding [[writeWetShards]] writes).
+    */
+  def readWet(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        Warc.parseAll(bytes).iterator
+          .filter(_.warcType.equalsIgnoreCase("conversion"))
+          .map(r => (p, r.targetUri,
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("file", "url", "text")
+  }
+}

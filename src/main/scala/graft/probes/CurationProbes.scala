@@ -230,6 +230,32 @@ object CurationProbes {
           graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
             .as("text"))
         .orderBy("url")
+    },
+
+    // WET export round-trip (r18, ops.WarcExport): the curated corpus
+    // shipped back out as WARC conversion records — 8 real
+    // shard-NNNNN.warc.gz files written executor-side with the tar
+    // exporter's atomic-commit discipline, then read back through the
+    // independent Warc parser. The oracle is the source table itself:
+    // identity read-back pins record framing, per-member gzip, UTF-8
+    // payload encode/decode, and shard routing in one hash.
+    Probe(
+      "warc_wet_export",
+      "SELECT 'https://wet.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY url"
+    ) { (s, d) =>
+      val out = Probe.scratchDir("graft-wet") + "/wet"
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("https://wet.example.com/doc/"), col("doc_id")).as("url"),
+          col("text"))
+      PhaseTimer.timed("warc_wet_export", "export") {
+        graft.ops.WarcExport.writeWetShards(docs, "doc_id", "url", "text",
+          out, nShards = 8).collect(): Unit
+      }
+      graft.ops.WarcExport.readWet(s, out + "/*.warc.gz")
+        .select(col("url"), col("text"))
+        .orderBy("url")
     }
   )
 

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** WET export (r18): byte-deterministic shards, atomic commit with no
+  * temp debris, identity read-back, shard routing/ordering, report
+  * integrity, and manifest composition.
+  */
+class WarcExportSpec extends AnyFunSuite with SharedSpark {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, s"https://w.example.com/d/$i", s"text body $i repeated " * 3)
+    }.toDF("id", "url", "text")
+  }
+
+  test("export round-trips identically and shards route by id % n") {
+    import spark.implicits._
+    val dir = tmpDir("wet-rt")
+    val report = WarcExport.writeWetShards(docs(100), "id", "url", "text",
+      dir, nShards = 4).collect()
+    assert(report.length == 4)
+    assert(report.map(_.getLong(1)).sum == 100) // n_records
+    val back = WarcExport.readWet(spark, dir + "/*.warc.gz")
+    assert(back.count() == 100)
+    // identity: every (url, text) survives byte-for-byte
+    val orig = docs(100).select("url", "text").as[(String, String)]
+      .collect().toSet
+    assert(back.select("url", "text").as[(String, String)]
+      .collect().toSet == orig)
+    // shard routing: file name encodes id % 4
+    val routed = back
+      .withColumn("id", regexp_extract(col("url"), "/d/(\\d+)$", 1).cast("long"))
+      .withColumn("shard", regexp_extract(col("file"), "shard-(\\d+)", 1).cast("long"))
+    assert(routed.filter(pmod(col("id"), lit(4)) =!= col("shard")).count() == 0)
+  }
+
+  test("byte-deterministic: a re-export writes identical shard files") {
+    val d1 = tmpDir("wet-a"); val d2 = tmpDir("wet-b")
+    WarcExport.writeWetShards(docs(40), "id", "url", "text", d1, 2).collect()
+    WarcExport.writeWetShards(docs(40), "id", "url", "text", d2, 2).collect()
+    for (shard <- Seq("shard-00000.warc.gz", "shard-00001.warc.gz")) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, shard))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, shard))
+      assert(java.util.Arrays.equals(a, b), s"$shard differs across exports")
+    }
+  }
+
+  test("report sha matches the committed file; no temp debris; manifest composes") {
+    val dir = tmpDir("wet-sha")
+    val report = WarcExport.writeWetShards(docs(30), "id", "url", "text",
+      dir, nShards = 1).collect()
+    assert(report.length == 1)
+    val file = java.nio.file.Paths.get(dir, "shard-00000.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(file)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(report.head.getString(3) == sha)
+    // no temp debris
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // the format-agnostic manifest contract covers WET shards as-is
+    ExportIntegrity.writeManifest(spark, dir)
+    val verdicts = ExportIntegrity.verify(spark, dir)
+      .select("status").collect().map(_.getString(0))
+    assert(verdicts.nonEmpty && verdicts.forall(_ == "ok"))
+  }
+
+  test("records inside a shard are id-ordered (byte-stable layout)") {
+    import spark.implicits._
+    val dir = tmpDir("wet-ord")
+    WarcExport.writeWetShards(docs(50), "id", "url", "text", dir, 1).collect()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.warc.gz"))
+    val urls = graft.ext.Warc.parseAll(bytes).map(_.targetUri)
+    val ids = urls.map(_.split("/d/").last.toLong)
+    assert(ids == ids.sorted, "records not id-ordered within the shard")
+    assert(ids.length == 50)
+  }
+}
