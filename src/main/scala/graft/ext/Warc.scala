@@ -45,62 +45,127 @@ object Warc {
   // Byte-level parse
   // ---------------------------------------------------------------------
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
-
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 64 * 1024)
-    try in.readAllBytes()
-    finally in.close()
-  }
-
-  /** Parse a WARC blob (gzipped — single or concatenated members — or
-    * plain) into records. Loud on structural damage.
+  /** STREAMING record iterator over a WARC stream (gzipped — single or
+    * concatenated members — or plain): memory is one record at a time,
+    * never the decompressed shard (a 1 GB .warc.gz inflates several-fold
+    * — materializing it per task is the difference between "one task
+    * per shard" scaling and an executor OOM). Loud on structural
+    * damage, including EOF inside a record. The caller's iteration
+    * drives the read; exhaust or abandon the iterator freely (byte
+    * array sources hold no OS resources).
     */
-  def parseAll(bytes: Array[Byte]): Vector[WarcRecord] = {
-    val b =
-      try { if (isGzip(bytes)) gunzipAll(bytes) else bytes }
-      catch {
-        case e: java.io.IOException => throw new IllegalArgumentException(
-          s"WARC: gzip stream is damaged (${e.getMessage})")
-      }
-    val out = Vector.newBuilder[WarcRecord]
-    val n = b.length
-    var i = 0
-    while (i < n) {
-      // skip inter-record CRLFs
-      while (i < n && (b(i) == '\r' || b(i) == '\n')) i += 1
-      if (i >= n) return out.result()
-      require(i + 5 <= n && b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
-        b(i + 3) == 'C' && b(i + 4) == '/',
-        s"WARC: record at offset $i does not start with a WARC/ version line")
-      val headerEnd = indexOfCrlfCrlf(b, i)
-      require(headerEnd >= 0, s"WARC: record at offset $i has no header " +
-        "terminator (CRLFCRLF) — torn shard")
-      val headers = parseHeaders(b, i, headerEnd)
-      val len = headers.getOrElse("content-length",
-        throw new IllegalArgumentException(
-          s"WARC: record at offset $i has no Content-Length"))
-      val bodyLen =
-        try java.lang.Long.parseLong(len.trim)
+  def records(input: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(input, 2)
+    val h0 = pb.read()
+    val h1 = if (h0 < 0) -1 else pb.read()
+    if (h1 >= 0) pb.unread(h1)
+    if (h0 >= 0) pb.unread(h0)
+    val base: java.io.InputStream =
+      if (h0 == 0x1F && h1 == 0x8B)
+        try new java.util.zip.GZIPInputStream(pb, 64 * 1024)
         catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"WARC: record at offset $i has non-numeric Content-Length '$len'")
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"WARC: gzip stream is damaged (${e.getMessage})")
         }
-      val bodyStart = headerEnd + 4
-      require(bodyLen >= 0 && bodyStart + bodyLen <= n,
-        s"WARC: record at offset $i declares $bodyLen payload bytes but " +
-          s"only ${n - bodyStart} remain — torn shard")
-      out += WarcRecord(
-        headers.getOrElse("warc-type", ""),
-        headers.getOrElse("warc-target-uri", ""),
-        headers.getOrElse("content-type", ""),
-        java.util.Arrays.copyOfRange(b, bodyStart, (bodyStart + bodyLen).toInt))
-      i = (bodyStart + bodyLen).toInt
+      else pb
+    val in = new java.io.BufferedInputStream(base, 64 * 1024)
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private var offset = 0L // bytes of DECOMPRESSED stream consumed
+
+      private def readByte(): Int = {
+        val b = try in.read()
+        catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"WARC: gzip stream is damaged near offset $offset (${e.getMessage})")
+        }
+        if (b >= 0) offset += 1
+        b
+      }
+
+      private def closeQuietly(): Unit =
+        try in.close() catch { case _: java.io.IOException => () }
+
+      private def advance(): Unit =
+        try advanceInner()
+        catch { case t: Throwable => done = true; closeQuietly(); throw t }
+
+      // the gzip member holds a native Inflater: release it at EOF (and
+      // on failure above) rather than waiting on GC — 100k shards per
+      // executor would otherwise pool native memory
+      private def advanceInner(): Unit = {
+        if (done || nextRec != null) return
+        // skip inter-record CRLFs
+        var b = readByte()
+        while (b == '\r' || b == '\n') b = readByte()
+        if (b < 0) { done = true; closeQuietly(); return }
+        val at = offset - 1
+        // header block: everything up to CRLFCRLF (version line first)
+        val head = new java.io.ByteArrayOutputStream(256)
+        head.write(b)
+        var tail = 0 // how much of \r\n\r\n is matched
+        while (tail < 4) {
+          val c = readByte()
+          require(c >= 0, s"WARC: record at offset $at has no header " +
+            "terminator (CRLFCRLF) — torn shard")
+          require(head.size < (1 << 20),
+            s"WARC: record at offset $at has a >1 MiB header block")
+          head.write(c)
+          tail =
+            if (c == '\r') { if (tail == 0 || tail == 2) tail + 1 else 1 }
+            else if (c == '\n') { if (tail == 1 || tail == 3) tail + 1 else 0 }
+            else 0
+        }
+        val headBytes = head.toByteArray
+        require(headBytes.length >= 5 && headBytes(0) == 'W' &&
+          headBytes(1) == 'A' && headBytes(2) == 'R' && headBytes(3) == 'C' &&
+          headBytes(4) == '/',
+          s"WARC: record at offset $at does not start with a WARC/ version line")
+        val headers = parseHeaders(headBytes, 0, headBytes.length - 4)
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"WARC: record at offset $at has no Content-Length"))
+        val bodyLen =
+          try java.lang.Long.parseLong(len.trim)
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"WARC: record at offset $at has non-numeric Content-Length '$len'")
+          }
+        require(bodyLen >= 0 && bodyLen <= Int.MaxValue - 8,
+          s"WARC: record at offset $at declares $bodyLen payload bytes — " +
+            "outside the per-record bound")
+        val body = try in.readNBytes(bodyLen.toInt)
+        catch {
+          case e: java.io.IOException => throw new IllegalArgumentException(
+            s"WARC: gzip stream is damaged near offset $offset (${e.getMessage})")
+        }
+        offset += body.length
+        require(body.length == bodyLen,
+          s"WARC: record at offset $at declares $bodyLen payload bytes but " +
+            s"only ${body.length} remain — torn shard")
+        nextRec = WarcRecord(
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          headers.getOrElse("content-type", ""),
+          body)
+      }
+
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC iterator")
+        val r = nextRec; nextRec = null; r
+      }
     }
-    out.result()
   }
+
+  /** Parse a whole WARC blob into records — the small-blob convenience
+    * over [[records]]; same loud contract.
+    */
+  def parseAll(bytes: Array[Byte]): Vector[WarcRecord] =
+    records(new java.io.ByteArrayInputStream(bytes)).toVector
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -266,7 +331,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseAll(bytes).iterator.zipWithIndex.map { case (r, idx) =>
+        records(new java.io.ByteArrayInputStream(bytes)).zipWithIndex.map { case (r, idx) =>
           (path, idx.toLong, r.warcType, r.targetUri, r.contentType, r.body)
         }
       }
@@ -285,7 +350,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseAll(bytes).iterator
+        records(new java.io.ByteArrayInputStream(bytes))
           .filter(_.warcType.equalsIgnoreCase("response"))
           .map { r =>
             val (body, charset) = httpBodyAndCharset(r.body)

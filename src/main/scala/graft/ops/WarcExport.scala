@@ -134,7 +134,7 @@ object WarcExport {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        Warc.parseAll(bytes).iterator
+        Warc.records(new java.io.ByteArrayInputStream(bytes))
           .filter(_.warcType.equalsIgnoreCase("conversion"))
           .map(r => (p, r.targetUri,
             new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
