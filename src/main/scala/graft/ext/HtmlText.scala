@@ -126,6 +126,15 @@ object HtmlText {
     (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
   }
 
+  /** A tag OPENS only on an ASCII letter (or '/') after '<' — the HTML5
+    * tokenizer rule. Digits continue a name (`h1`) but never start one:
+    * `x<5` is literal prose, not a tag named "5".
+    */
+  private def isTagStart(c: Char): Boolean = {
+    val d = lowerCh(c)
+    d >= 'a' && d <= 'z'
+  }
+
   private def startsWithIC(html: String, at: Int, s: String): Boolean =
     at + s.length <= html.length &&
       s.indices.forall(k => lowerCh(html.charAt(at + k)) == s.charAt(k))
@@ -296,7 +305,7 @@ object HtmlText {
         if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           i = skipMarkupDecl(html, i)
         } else if (i + 1 < n &&
-            (isNameChar(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
+            (isTagStart(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
           scanTagAt(html, i) match {
             case null => i = n // unterminated tag: consume the rest
             case ev =>
@@ -367,7 +376,7 @@ object HtmlText {
       if (lt < 0 || lt + 1 >= n) return PageMeta(canonical, robots)
       if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
         i = skipMarkupDecl(html, lt)
-      } else if (isNameChar(html.charAt(lt + 1)) || html.charAt(lt + 1) == '/') {
+      } else if (isTagStart(html.charAt(lt + 1)) || html.charAt(lt + 1) == '/') {
         scanTagAt(html, lt) match {
           case null => return PageMeta(canonical, robots) // unterminated
           case ev =>
@@ -471,18 +480,28 @@ object HtmlText {
       // bytewise scan — every byte maps to one char)
       val prefix = new String(bytes, 0, math.min(bytes.length, 1024),
         java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-      val at = prefix.indexOf("charset=")
-      if (at >= 0) {
-        var j = at + 8
-        if (j < prefix.length && (prefix.charAt(j) == '"' || prefix.charAt(j) == '\''))
-          j += 1
-        val start = j
-        while (j < prefix.length && { val c = prefix.charAt(j)
-          c != '"' && c != '\'' && c != '>' && c != ';' && c > ' ' }) j += 1
-        cs = forName(prefix.substring(start, j))
-      }
+      val p = charsetParam(prefix)
+      if (p != null) cs = forName(p)
     }
     new String(bytes, if (cs == null) utf8 else cs)
+  }
+
+  /** The `charset=...` parameter scanner this module's meta sniff and
+    * [[Warc]]'s Content-Type header extraction SHARE (one copy — the
+    * two call sites must never drift): optional single/double quote,
+    * value until quote / ';' / '>' / whitespace; null when absent or
+    * empty. Call on lowercased text.
+    */
+  private[ext] def charsetParam(s: String): String = {
+    val at = s.indexOf("charset=")
+    if (at < 0) return null
+    var j = at + 8
+    if (j < s.length && (s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
+    val start = j
+    while (j < s.length && { val c = s.charAt(j)
+      c != '"' && c != '\'' && c != '>' && c != ';' && c > ' ' }) j += 1
+    val v = s.substring(start, j).trim
+    if (v.isEmpty) null else v
   }
 
   // ---------------------------------------------------------------------

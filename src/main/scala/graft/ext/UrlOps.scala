@@ -242,15 +242,23 @@ object UrlOps {
     */
   def dedupByUrl(df: DataFrame, urlCol: String,
                  orderCol: String): DataFrame = {
+    // a null order value has no place in first-wins dedup: min_by skips
+    // null ordinals (a lone null-ord row would come back as a null
+    // struct) and the keyless fallback key would go null and merge
+    // unrelated rows -- refuse the ROW loudly instead of losing it
+    val ordSafe = coalesce(col(orderCol),
+      raise_error(lit(s"dedupByUrl: null $orderCol -- the order column " +
+        "must be non-null (and unique) for first-wins dedup"))
+        .cast(df.schema(orderCol).dataType))
     val keyed = df.withColumn("__canon", canonicalUrl(col(urlCol)))
+      .withColumn("__ord", ordSafe)
     val hasKey = col("__canon").isNotNull && col("__canon") =!= ""
     val groupKey = when(hasKey, col("__canon"))
-      .otherwise(concat(lit("\u0000"), col(orderCol).cast("string")))
+      .otherwise(concat(lit("\u0000"), col("__ord").cast("string")))
     keyed
       .groupBy(groupKey.as("__key"))
-      .agg(min_by(struct(keyed.columns.map(col).toIndexedSeq: _*),
-        col(orderCol)).as("__row"))
+      .agg(min_by(struct(df.columns.map(col).toIndexedSeq: _*),
+        col("__ord")).as("__row"))
       .select(col("__row.*"))
-      .drop("__canon")
   }
 }

@@ -222,17 +222,9 @@ object Warc {
         if (name == "transfer-encoding" && value.contains("chunked"))
           chunked = true
         else if (name == "content-type") {
-          val at = value.indexOf("charset=")
-          if (at >= 0) {
-            var j = at + 8
-            if (j < value.length &&
-              (value.charAt(j) == '"' || value.charAt(j) == '\'')) j += 1
-            val start = j
-            while (j < value.length && { val ch = value.charAt(j)
-              ch != '"' && ch != '\'' && ch != ';' && ch > ' ' }) j += 1
-            val cs = value.substring(start, j).trim
-            if (cs.nonEmpty) charset = cs
-          }
+          // ONE charset= scanner, shared with the meta sniff
+          val cs = HtmlText.charsetParam(value)
+          if (cs != null) charset = cs
         }
       }
     }

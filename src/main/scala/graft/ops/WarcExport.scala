@@ -110,13 +110,13 @@ object WarcExport {
             f".shard-$cur%05d.warc.gz.$attempt.tmp")
           stream = fs.create(tmp, true)
         }
-        val record = Warc.writeRecord("conversion", url, "text/plain",
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val record = Warc.writeRecord("conversion", url, "text/plain", body)
         val member = Warc.writeWarc(Seq(record), gzipPerRecord = true)
         stream.write(member)
         digest.update(member)
         nRecords += 1
-        payloadBytes += record.length.toLong
+        payloadBytes += body.length.toLong // text bytes, not WARC framing
       }
       finishShard()
     } catch {

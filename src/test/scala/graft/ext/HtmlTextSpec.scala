@@ -53,6 +53,11 @@ class HtmlTextSpec extends AnyFunSuite {
 
   test("tokenizer edges: bare '<', quoted '>', comments, doctype, PI") {
     assert(extract("<p>a < b and c > d</p>") == "a < b and c > d")
+    // a tag opens only on an ASCII LETTER: '<' + digit is literal prose
+    // (HTML5 rule; digits continue names like h1 but never start one)
+    assert(extract("<p>x<5 and y>2</p>") == "x<5 and y>2")
+    assert(extract("<p>I <3 Spark</p>") == "I <3 Spark")
+    assert(extract("<h1>t</h1>") == "t") // digits still CONTINUE a name
     assert(extract("<a href=\"x>y\" title='p>q'>link</a>") == "link")
     assert(extract("<!-- a <p>comment</p> -->after") == "after")
     assert(extract("<!DOCTYPE html><p>x</p>") == "x")

@@ -123,4 +123,18 @@ class UrlOpsSpec extends AnyFunSuite with SharedSpark {
     // the two real variants collapse; all four keyless rows survive
     assert(out == Set("null-a", "null-b", "blank-a", "blank-b", "real-a"))
   }
+
+  test("a null order value refuses loudly — never a silently lost row") {
+    import spark.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "https://x.com/a", "ok"),
+      (null.asInstanceOf[java.lang.Long], "https://x.com/b", "null-ord")
+    ).toDF("ts", "url", "tag")
+    val e = intercept[Exception] {
+      UrlOps.dedupByUrl(df, "url", "ts").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be non-null")), msgs(e).mkString("|"))
+  }
 }

@@ -24,6 +24,10 @@ class WarcExportSpec extends AnyFunSuite with SharedSpark {
       dir, nShards = 4).collect()
     assert(report.length == 4)
     assert(report.map(_.getLong(1)).sum == 100) // n_records
+    // payload_bytes counts TEXT bytes, not WARC framing
+    val textBytes = docs(100).select("text").as[String]
+      .collect().map(_.getBytes("UTF-8").length.toLong).sum
+    assert(report.map(_.getLong(2)).sum == textBytes)
     val back = WarcExport.readWet(spark, dir + "/*.warc.gz")
     assert(back.count() == 100)
     // identity: every (url, text) survives byte-for-byte
