@@ -256,6 +256,45 @@ object CurationProbes {
       graft.ops.WarcExport.readWet(s, out + "/*.warc.gz")
         .select(col("url"), col("text"))
         .orderBy("url")
+    },
+
+    // robots.txt exclusion screening (r18, RobotsTxt — RFC 9309): five
+    // host policies x four path shapes, evaluated for agent
+    // "graftbot/1.0" — path-prefix rules, a disallow-all with an Allow
+    // carve-out (longest-match precedence), a wildcard+anchor pattern,
+    // an agent-specific group that must outrank '*', and a host with no
+    // robots at all. The oracle re-derives the whole decision table in
+    // closed form: a kept row proves the group selection, precedence,
+    // and pattern semantics all agreed.
+    Probe(
+      "url_robots_filter",
+      "WITH u AS (SELECT doc_id, doc_id % 5 AS h, doc_id % 4 AS v, " +
+        "'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' || " +
+        "CASE doc_id % 4 WHEN 0 THEN '/public/a' WHEN 1 THEN '/private/x' WHEN 2 THEN '/docs/f.pdf' ELSE '/' END AS url " +
+        "FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT doc_id, url FROM u WHERE NOT ((h = 0 AND v = 1) OR (h = 1 AND v <> 0) OR (h = 2 AND v = 2) OR h = 3) " +
+        "ORDER BY doc_id"
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("https://h"), pmod(col("doc_id"), lit(5)),
+            lit(".example.com"),
+            when(pmod(col("doc_id"), lit(4)) === 0, "/public/a")
+              .when(pmod(col("doc_id"), lit(4)) === 1, "/private/x")
+              .when(pmod(col("doc_id"), lit(4)) === 2, "/docs/f.pdf")
+              .otherwise("/")).as("url"))
+      val robots = Seq(
+        ("h0.example.com", "User-agent: *\nDisallow: /private/\n"),
+        ("h1.example.com", "User-agent: *\nDisallow: /\nAllow: /public/\n"),
+        ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$\n"),
+        ("h3.example.com",
+          "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow:\n")
+      ).toDF("host", "robots_txt")
+      graft.ext.RobotsTxt
+        .filterAllowed(docs, "url", robots, userAgent = "graftbot/1.0")
+        .orderBy("doc_id")
     }
   )
 

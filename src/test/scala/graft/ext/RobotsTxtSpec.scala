@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** robots.txt screening (r18): the RFC 9309 battery — group selection,
+  * longest-match precedence, wildcard/anchor patterns, error tolerance —
+  * plus the corpus-level filter semantics.
+  */
+class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
+  import RobotsTxt._
+
+  test("pattern matching: prefix, '*', '$', literal '$' elsewhere") {
+    assert(patternMatches("/private/", "/private/page"))
+    assert(!patternMatches("/private/", "/privateer")) // no partial segment
+    assert(patternMatches("/private", "/privateer")) // prefix IS the rule
+    assert(patternMatches("/*.pdf$", "/docs/file.pdf"))
+    assert(!patternMatches("/*.pdf$", "/docs/file.pdf?x=1")) // $ anchors
+    assert(patternMatches("/*.pdf", "/docs/file.pdf?x=1")) // no anchor
+    assert(patternMatches("/a/*/c", "/a/b/c"))
+    assert(patternMatches("/a/*/c", "/a/x/y/c/d")) // '*' spans segments
+    assert(!patternMatches("/a/*/c", "/a/b"))
+    assert(patternMatches("/a$b", "/a$b/c")) // inner '$' is literal
+    assert(patternMatches("/", "/anything"))
+    assert(patternMatches("", "/anything")) // empty pattern: universal
+  }
+
+  test("precedence: longest pattern wins; ties resolve to allow") {
+    val r = parse("User-agent: *\nDisallow: /publ\nAllow: /public\n")
+    assert(r.isAllowed("/public/x")) // Allow (7) beats Disallow (6)
+    assert(!r.isAllowed("/publx")) // only Disallow matches
+    val tie = parse("User-agent: *\nDisallow: /dir/\nAllow: /dir/\n")
+    assert(tie.isAllowed("/dir/x")) // equal length: allow wins
+    val nested = parse("User-agent: *\nAllow: /a/\nDisallow: /a/b/\n")
+    assert(nested.isAllowed("/a/x") && !nested.isAllowed("/a/b/x"))
+  }
+
+  test("group selection: longest matching agent token, '*' fallback, merge") {
+    val body = "User-agent: graftbot\nDisallow: /bot-only/\n\n" +
+      "User-agent: graft\nDisallow: /graft/\n\n" +
+      "User-agent: *\nDisallow: /everyone/\n"
+    // the most specific substring of the full agent string wins
+    assert(!parse(body, "graftbot/1.0").isAllowed("/bot-only/x"))
+    assert(parse(body, "graftbot/1.0").isAllowed("/everyone/x"))
+    assert(!parse(body, "graft-lite").isAllowed("/graft/x"))
+    assert(!parse(body, "otherbot").isAllowed("/everyone/x"))
+    // repeated groups for one agent MERGE
+    val merged = parse("User-agent: *\nDisallow: /a/\n\n" +
+      "User-agent: *\nDisallow: /b/\n")
+    assert(!merged.isAllowed("/a/x") && !merged.isAllowed("/b/x") &&
+      merged.isAllowed("/c"))
+    // adjacent user-agent lines share one group
+    val shared = parse("User-agent: a\nUser-agent: b\nDisallow: /x/\n", "b")
+    assert(!shared.isAllowed("/x/1"))
+  }
+
+  test("error tolerance: comments, case, CRLF, empty disallow, junk lines") {
+    val r = parse("# top comment\r\nUSER-AGENT: *  # inline\r\n" +
+      "DISALLOW: /secret/\r\nDisallow:\r\nCrawl-delay: 10\r\n" +
+      "Sitemap: https://x.example.com/map.xml\r\nnot a directive\r\n")
+    assert(!r.isAllowed("/secret/x"))
+    assert(r.isAllowed("/open")) // bare Disallow: is NOT match-everything
+    // rules before any group are ignored; empty/null bodies allow all
+    assert(parse("Disallow: /\nUser-agent: *\nAllow: /").isAllowed("/x"))
+    assert(parse("").isAllowed("/x") && parse(null).isAllowed("/x"))
+    // an agent with no matching group and no '*' group: allowed
+    assert(parse("User-agent: otherbot\nDisallow: /", "me").isAllowed("/x"))
+  }
+
+  test("pathAndQueryOf: raw path+query, fragment stripped, bare hosts") {
+    assert(pathAndQueryOf("https://h.example.com/a/b?x=1#frag") == "/a/b?x=1")
+    assert(pathAndQueryOf("https://h.example.com") == "/")
+    assert(pathAndQueryOf("https://h.example.com?q=1") == "/?q=1")
+    assert(pathAndQueryOf("/already/path") == "/already/path")
+    assert(pathAndQueryOf(null) == "/")
+  }
+
+  test("filterAllowed: per-host join, missing robots allows, one scalar pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.example.com/open/x"),
+      (2L, "https://a.example.com/private/x"),
+      (3L, "https://b.example.com/anything"),
+      (4L, "https://c.example.com/anything"), // no robots row
+      (5L, null.asInstanceOf[String]) // null url: host "", no row -> kept
+    ).toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.example.com", "User-agent: *\nDisallow: /private/\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val kept = RobotsTxt.filterAllowed(docs, "url", robots)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+    // schema untouched (helper columns dropped)
+    assert(RobotsTxt.filterAllowed(docs, "url", robots).columns.toSeq ==
+      Seq("doc_id", "url"))
+  }
+}
