@@ -161,16 +161,16 @@ object RobotsTxt {
   }
 
   // per-executor parse memo: robots bodies repeat per host across a
-  // task's rows — bounded, keyed by (agent, content digest), cleared
-  // when full (the Bpe memo discipline)
+  // task's rows — bounded, cleared when full (the Bpe memo discipline).
+  // Keyed by the (agent, body) strings directly: a lookup costs one
+  // String hash of the body, not an MD5 + hex format per row
   private val memoCap = 512
+  private final case class MemoKey(userAgent: String, body: String)
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Rules]()
+    new java.util.concurrent.ConcurrentHashMap[MemoKey, Rules]()
 
   private def parseCached(content: String, userAgent: String): Rules = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val key = userAgent + ":" + md.map("%02x".format(_)).mkString
+    val key = MemoKey(userAgent, content)
     val hit = memo.get(key)
     if (hit != null) hit
     else {
@@ -199,7 +199,11 @@ object RobotsTxt {
     val host = UrlOps.urlParts(col(urlCol)).getField("host")
     docs
       .withColumn("__host", host)
-      .join(robots.select(col(hostCol).as("__rhost"),
+      // the robots key rides the SAME host canonicalization the doc
+      // side gets from urlParts (fold + www-strip) — an as-fetched
+      // "WWW.Site.com" robots row must still screen "site.com" docs,
+      // or disallowed pages silently bypass the policy filter
+      .join(robots.select(UrlOps.hostKey(col(hostCol)).as("__rhost"),
         col(robotsCol).as("__robots")),
         col("__host") === col("__rhost"), "left")
       .filter(allowedUdf(col(urlCol), col("__robots")))

@@ -144,9 +144,7 @@ object UrlOps {
         port = authority.substring(colon + 1)
       } else host = authority
     }
-    host = asciiLower(host)
-    if (host.startsWith("www.") && host.indexOf('.', 4) >= 0)
-      host = host.substring(4)
+    host = normalizeHost(host)
     val keepPort =
       port.nonEmpty &&
         !((scheme == "http" && port == "80") ||
@@ -195,6 +193,23 @@ object UrlOps {
     }
     UrlParts(b.toString, host, registeredDomainOf(host))
   }
+
+  /** THE host canonicalization (ASCII fold + one `www.` strip when a
+    * dot remains) — the single definition [[parse]] and every surface
+    * that joins ON host (e.g. [[RobotsTxt.filterAllowed]]'s robots key)
+    * must share, or as-fetched host keys silently fail to join.
+    */
+  def normalizeHost(host: String): String = {
+    if (host == null) return null
+    var h = asciiLower(host.trim)
+    if (h.startsWith("www.") && h.indexOf('.', 4) >= 0) h = h.substring(4)
+    h
+  }
+
+  private val normalizeHostUdf = udf { h: String => normalizeHost(h) }
+
+  /** Column form of [[normalizeHost]]. */
+  def hostKey(host: Column): Column = normalizeHostUdf(host)
 
   /** Registered domain of a (lowercased) host — see module doc. */
   def registeredDomainOf(host: String): String = {

@@ -92,6 +92,16 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
     val kept = RobotsTxt.filterAllowed(docs, "url", robots)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 4L, 5L))
+    // robots keys ride the SAME host canonicalization as the doc side:
+    // an as-fetched "WWW.A.Example.com" row must still screen the
+    // www-stripped lowercase doc host — anything else silently bypasses
+    // the policy filter
+    val rawKeyed = Seq(
+      ("WWW.A.Example.com", "User-agent: *\nDisallow: /private/\n")
+    ).toDF("host", "robots_txt")
+    val kept2 = RobotsTxt.filterAllowed(docs, "url", rawKeyed)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(1L, 3L, 4L, 5L)) // doc 2 screened out
     // schema untouched (helper columns dropped)
     assert(RobotsTxt.filterAllowed(docs, "url", robots).columns.toSeq ==
       Seq("doc_id", "url"))
