@@ -63,9 +63,14 @@ object Parse {
         // web payloads (r18): markup strips through the HtmlText state
         // machine, then the extracted prose rides the SAME layout
         // convention — one page, each HTML block a paragraph (blank-line
-        // separated: layoutElements merges adjacent non-blank lines)
+        // separated: layoutElements merges adjacent non-blank lines).
+        // Bytes decode under the SAME HTML5 charset precedence as the
+        // WARC path (r19): BOM > meta-declared charset > UTF-8 — a
+        // windows-1252 page declaring itself via <meta charset=...>
+        // must not mojibake at the E1 boundary (there is no transport
+        // hint here, so the hint slot stays null)
         val extracted = graft.ext.HtmlText.blocks(
-          new String(content, java.nio.charset.StandardCharsets.UTF_8))
+          graft.ext.HtmlText.decodeBytes(content))
           .map(_.text).mkString("\n\n")
         return ParsedDoc(
           path = path,

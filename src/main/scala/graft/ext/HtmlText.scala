@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions.udf
   *
   * Extraction convention (deterministic, documented):
   *  - `script`/`style`/`noscript`/`template`/`head` subtrees are dropped
-  *    whole (their text is code or metadata, not prose);
+  *    whole (their text is code or metadata, not prose); `head` honors
+  *    the HTML5 omissible close — it auto-closes at the first
+  *    non-metadata tag, so a page with no literal `</head>` keeps its
+  *    body (r19);
   *  - comments, doctypes, and processing instructions vanish;
   *  - block-level elements (p, div, li, tr, h1-h6, nav, table, ...)
   *    bound BLOCKS; inline elements (a, span, b, em, ...) do not;
@@ -54,17 +57,29 @@ object HtmlText {
   final case class HtmlBlock(text: String, chars: Int, linkChars: Int)
 
   /** Page-declared crawl signals: the first `<link rel=canonical>` href
-    * (entity-decoded, trimmed; None when absent/empty) and the union of
-    * `<meta name=robots content=...>` directives (lowercased, trimmed).
-    * A crawl pipeline keys dedup on the DECLARED canonical when present
-    * (compose with [[UrlOps.canonicalUrl]] for the final key) and drops
-    * `noindex` pages before any content pass.
+    * (entity-decoded, trimmed; None when absent/empty), the union of
+    * `<meta name=robots content=...>` directives (lowercased, trimmed),
+    * and the first `<base href>` (the RFC 3986 resolution base a
+    * RELATIVE canonical href resolves against — see
+    * [[UrlOps.dedupByCanonicalUrl]]). A crawl pipeline keys dedup on
+    * the DECLARED canonical when present (compose with
+    * [[UrlOps.canonicalUrl]] for the final key) and drops `noindex`
+    * pages before any content pass.
     */
   final case class PageMeta(canonicalHref: Option[String],
-                            robots: Set[String])
+                            robots: Set[String],
+                            baseHref: Option[String] = None)
 
   private val SkipContainers = Set("script", "style", "noscript",
-    "template", "head")
+    "template")
+
+  /** Metadata content `head` may contain (HTML5 §4.2) — any OTHER start
+    * tag inside an unterminated `<head>` implicitly closes it (`</head>`
+    * is omissible), so the head skip in [[blocks]] must hand that tag
+    * back to the main walk instead of swallowing the document.
+    */
+  private val HeadContentTags = Set("meta", "link", "title", "style",
+    "script", "noscript", "base", "template")
 
   /** The containers whose RAW TEXT swallows markup until a boundary-
     * checked close tag (HTML5 rawtext/script-data states). `pageMeta`
@@ -196,6 +211,41 @@ object HtmlText {
     n
   }
 
+  /** Skip a `<head>` subtree. `</head>` is OMISSIBLE in HTML5 (the head
+    * auto-closes at the first non-metadata tag), so scanning for a
+    * literal close tag would swallow the whole body of a valid page
+    * like `<head><meta charset=utf-8><body><p>Hello`. Instead this
+    * walks TAGS: metadata content (meta/link/base and the rawtext
+    * containers, whose contents skip boundary-checked so a `<body` in a
+    * script string cannot terminate early) is consumed; `</head>`
+    * consumes and returns the index after it; any other start OR close
+    * tag (body, a flow element, `</html>`) auto-closes the head and
+    * returns the index OF its '<' so the main walk processes it.
+    */
+  private def skipHeadAfter(html: String, from: Int): Int = {
+    val n = html.length
+    var j = from
+    while (j < n) {
+      val lt = html.indexOf('<', j)
+      if (lt < 0 || lt + 1 >= n) return n
+      val c1 = html.charAt(lt + 1)
+      if (c1 == '!' || c1 == '?') j = skipMarkupDecl(html, lt)
+      else if (isTagStart(c1) || c1 == '/') {
+        val ev = scanTagAt(html, lt)
+        if (ev == null) return n // unterminated tag: consume the rest
+        if (ev.closing && ev.name == "head") return ev.after
+        if (ev.name.isEmpty) j = ev.after // "</>": drop silently
+        else if (!ev.closing && !ev.selfClosing &&
+            (RawTextContainers(ev.name) || ev.name == "title" ||
+              ev.name == "noscript"))
+          j = skipRawtextAfter(html, ev.after, ev.name)
+        else if (HeadContentTags(ev.name)) j = ev.after
+        else return lt // auto-close: re-process this tag in the main walk
+      } else j = lt + 1 // bare '<' inside head: metadata, drop
+    }
+    n
+  }
+
   /** Skip a comment / doctype / processing instruction starting at the
     * '<'. Returns the index after it (or end of input).
     */
@@ -316,6 +366,12 @@ object HtmlText {
                   SkipContainers(ev.name)) {
                 i = skipRawtextAfter(html, i, ev.name)
                 flushBlock()
+              } else if (!ev.closing && !ev.selfClosing && ev.name == "head") {
+                // head is omissible-close: tag-walk until </head> or the
+                // first non-metadata tag (HTML5 auto-close), never a
+                // blind rawtext scan for a literal '</head'
+                i = skipHeadAfter(html, i)
+                flushBlock()
               } else {
                 if (ev.name == "a") {
                   if (ev.closing) inLink = false
@@ -370,19 +426,24 @@ object HtmlText {
     val n = html.length
     var canonical: Option[String] = None
     var robots = Set.empty[String]
+    var base: Option[String] = None
     var i = 0
     while (i < n) {
       val lt = html.indexOf('<', i)
-      if (lt < 0 || lt + 1 >= n) return PageMeta(canonical, robots)
+      if (lt < 0 || lt + 1 >= n) return PageMeta(canonical, robots, base)
       if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
         i = skipMarkupDecl(html, lt)
       } else if (isTagStart(html.charAt(lt + 1)) || html.charAt(lt + 1) == '/') {
         scanTagAt(html, lt) match {
-          case null => return PageMeta(canonical, robots) // unterminated
+          case null => return PageMeta(canonical, robots, base) // unterminated
           case ev =>
             i = ev.after
             if (!ev.closing && !ev.selfClosing && RawTextContainers(ev.name)) {
               i = skipRawtextAfter(html, i, ev.name)
+            } else if (!ev.closing && ev.name == "base" && base.isEmpty) {
+              val href = decodeEntities(parseAttrs(html, ev.attrStart, ev.gt)
+                .getOrElse("href", "")).trim
+              if (href.nonEmpty) base = Some(href)
             } else if (!ev.closing && ev.name == "link" && canonical.isEmpty) {
               val attrs = parseAttrs(html, ev.attrStart, ev.gt)
               val rels = attrs.getOrElse("rel", "").toLowerCase
@@ -402,7 +463,7 @@ object HtmlText {
         i = lt + 1 // bare '<': not a tag here
       }
     }
-    PageMeta(canonical, robots)
+    PageMeta(canonical, robots, base)
   }
 
   /** Parse the attribute span [from, to) into a lowercase-name map

@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   *    -> allowed; unknown directives (`crawl-delay`, `sitemap`, ...)
   *    are ignored; `#` comments strip; field names are case-insensitive.
   *
-  * Scale story: the corpus joins robots bodies BY HOST (one hash join —
-  * robots rows are per-domain, orders of magnitude smaller than the
-  * corpus), then a zero-shuffle scalar pass evaluates each row; parsed
-  * rule sets memoize per executor (bounded, keyed by content digest) so
-  * a host's body parses once per task stream, not once per document.
+  * Scale story (r19): the robots side aggregates to ONE row per
+  * canonical host and parses ONCE per host into a compact encoded-rule
+  * column (parse count = distinct hosts — never corpus rows, never
+  * dependent on row clustering); the corpus then hash-joins that
+  * pre-parsed table BY HOST (robots rows are per-domain, orders of
+  * magnitude smaller than the corpus) and a zero-shuffle scalar pass
+  * evaluates each row against its host's ready rules.
   */
 object RobotsTxt {
 
@@ -160,53 +162,87 @@ object RobotsTxt {
     if (s.isEmpty) "/" else if (s.charAt(0) == '?') "/" + s else s
   }
 
-  // per-executor parse memo: robots bodies repeat per host across a
-  // task's rows — bounded, cleared when full (the Bpe memo discipline).
-  // Keyed by the (agent, body) strings directly: a lookup costs one
-  // String hash of the body, not an MD5 + hex format per row
-  private val memoCap = 512
-  private final case class MemoKey(userAgent: String, body: String)
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[MemoKey, Rules]()
+  // selected-rule wire encoding for the pre-parsed join column: one
+  // string per rule, '+' prefix = allow, '-' = disallow (a pattern
+  // never starts with either marker's MEANING — the prefix is always
+  // consumed first, so any pattern byte sequence round-trips)
+  private def encodeRules(r: Rules): Array[String] =
+    r.rules.iterator.map(rl => (if (rl.allow) "+" else "-") + rl.pattern)
+      .toArray
 
-  private def parseCached(content: String, userAgent: String): Rules = {
-    val key = MemoKey(userAgent, content)
-    val hit = memo.get(key)
-    if (hit != null) hit
-    else {
-      val parsed = parse(content, userAgent)
-      if (memo.size >= memoCap) memo.clear()
-      memo.put(key, parsed)
-      parsed
+  private def decodedIsAllowed(encoded: scala.collection.Seq[String],
+                               pathAndQuery: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < encoded.length) {
+      val e = encoded(i)
+      val allow = e.charAt(0) == '+'
+      val pattern = e.substring(1)
+      if (patternMatches(pattern, pathAndQuery)) {
+        val len = pattern.length
+        if (len > bestLen || (len == bestLen && allow)) {
+          bestLen = len
+          bestAllow = allow
+        }
+      }
+      i += 1
     }
+    bestLen < 0 || bestAllow
   }
 
+  /** Robots-side parse counter — instrumentation for the "parse once
+    * per distinct host" contract (`RobotsTxtSpec` reads it); counts
+    * only [[filterAllowed]]'s pre-parse UDF calls, not direct
+    * [[parse]] use.
+    */
+  private[ext] val preParseCount = new java.util.concurrent.atomic.LongAdder
+
   /** Drop the rows of `docs` whose URL the host's robots.txt disallows
-    * for `userAgent`. `robots` carries one row per host
-    * (`hostCol`, `robotsCol` = the raw robots.txt body); hosts with no
-    * robots row allow everything. ONE hash join on the host (the
-    * robots side is per-domain — orders of magnitude smaller than the
-    * corpus) + a zero-shuffle scalar evaluation pass.
+    * for `userAgent`. `robots` carries (`hostCol`, `robotsCol` = the
+    * raw robots.txt body) rows; hosts with no robots row allow
+    * everything.
+    *
+    * Shape (r19): the robots side first AGGREGATES to one row per
+    * canonical host key — distinct rows that collide after
+    * canonicalization (`www.site.com` vs `site.com`, which CAN serve
+    * different robots.txt) merge by body concatenation in sorted order,
+    * under which RFC 9309 group-merge semantics apply: the union of
+    * both files' rules for the selected agent, longest-match
+    * precedence, allow-wins ties — deterministic whatever the row
+    * order, and never a silent row duplication through the join. Then
+    * each merged body parses ONCE (group selection included) into a
+    * compact encoded-rule column carried through the join — parse
+    * count = distinct hosts, not corpus rows. ONE hash join on the
+    * host + a zero-shuffle scalar evaluation pass per doc row.
     */
   def filterAllowed(docs: DataFrame, urlCol: String, robots: DataFrame,
                     hostCol: String = "host",
                     robotsCol: String = "robots_txt",
                     userAgent: String = "*"): DataFrame = {
-    val allowedUdf = udf { (url: String, body: String) =>
-      body == null ||
-        parseCached(body, userAgent).isAllowed(pathAndQueryOf(url))
+    val preParseUdf = udf { bodies: scala.collection.Seq[String] =>
+      preParseCount.increment()
+      encodeRules(parse(bodies.mkString("\n\n"), userAgent))
     }
+    val allowedUdf = udf {
+      (url: String, rules: scala.collection.Seq[String]) =>
+        rules == null || decodedIsAllowed(rules, pathAndQueryOf(url))
+    }
+    // the robots key rides the SAME host canonicalization the doc side
+    // gets from urlParts (fold + www-strip) — an as-fetched
+    // "WWW.Site.com" robots row must still screen "site.com" docs, or
+    // disallowed pages silently bypass the policy filter
+    val rulesByHost = robots
+      .select(UrlOps.hostKey(col(hostCol)).as("__rhost"),
+        col(robotsCol).as("__body"))
+      .groupBy("__rhost")
+      .agg(sort_array(collect_list(col("__body"))).as("__bodies"))
+      .select(col("__rhost"), preParseUdf(col("__bodies")).as("__rules"))
     val host = UrlOps.urlParts(col(urlCol)).getField("host")
     docs
       .withColumn("__host", host)
-      // the robots key rides the SAME host canonicalization the doc
-      // side gets from urlParts (fold + www-strip) — an as-fetched
-      // "WWW.Site.com" robots row must still screen "site.com" docs,
-      // or disallowed pages silently bypass the policy filter
-      .join(robots.select(UrlOps.hostKey(col(hostCol)).as("__rhost"),
-        col(robotsCol).as("__robots")),
-        col("__host") === col("__rhost"), "left")
-      .filter(allowedUdf(col(urlCol), col("__robots")))
-      .drop("__host", "__rhost", "__robots")
+      .join(rulesByHost, col("__host") === col("__rhost"), "left")
+      .filter(allowedUdf(col(urlCol), col("__rules")))
+      .drop("__host", "__rhost", "__rules")
   }
 }

@@ -44,19 +44,26 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Query keys that never carry identity: dropped before sorting. */
+  /** Query keys that never carry identity: dropped before sorting.
+    * Deliberately NOT in this set: `ref`/`referrer` — frequently
+    * identity-bearing in the wild (`?ref=<branch>` on git hosting,
+    * `?ref=<page>` pagination), so stripping them would merge genuinely
+    * distinct pages; only the unambiguous click-/campaign-ids strip.
+    */
   private val TrackingKeys: Set[String] = Set(
     "gclid", "fbclid", "msclkid", "dclid", "twclid", "igshid", "mc_eid",
-    "mc_cid", "yclid", "wbraid", "gbraid", "ref", "ref_src", "ref_url",
-    "referrer", "spm", "_hsenc", "_hsmi", "s_kwcid")
+    "mc_cid", "yclid", "wbraid", "gbraid", "ref_src", "ref_url",
+    "spm", "_hsenc", "_hsmi", "s_kwcid")
 
   private def isTrackingKey(key: String): Boolean =
     key.startsWith("utm_") || TrackingKeys.contains(key)
 
   /** Multi-label public suffixes the registered-domain heuristic takes
     * THREE labels for (high-traffic subset of the PSL; see module doc).
+    * [[Psl.builtin]] compiles exactly this set — a deployment loads the
+    * full list with [[Psl.parse]] and passes it to the psl overloads.
     */
-  private val MultiLabelSuffixes: Set[String] = Set(
+  private[ext] val MultiLabelSuffixes: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
     "co.nz", "net.nz", "org.nz",
@@ -106,7 +113,13 @@ object UrlOps {
   }
 
   /** The one-pass parse (see module doc for the canonical-form rules). */
-  def parse(raw: String): UrlParts = {
+  def parse(raw: String): UrlParts = parse(raw, Psl.builtin)
+
+  /** [[parse]] with a loaded Public Suffix List driving the
+    * registered-domain resolution (see [[Psl]]; the default overload
+    * uses [[Psl.builtin]] — identical behavior to pre-PSL rounds).
+    */
+  def parse(raw: String, psl: Psl): UrlParts = {
     if (raw == null) return UrlParts(null, null, null)
     var s = raw.trim
     val hash = s.indexOf('#')
@@ -191,7 +204,7 @@ object UrlOps {
         j += 1
       }
     }
-    UrlParts(b.toString, host, registeredDomainOf(host))
+    UrlParts(b.toString, host, registeredDomainOf(host, psl))
   }
 
   /** THE host canonicalization (ASCII fold + one `www.` strip when a
@@ -212,18 +225,22 @@ object UrlOps {
   def hostKey(host: Column): Column = normalizeHostUdf(host)
 
   /** Registered domain of a (lowercased) host — see module doc. */
-  def registeredDomainOf(host: String): String = {
+  def registeredDomainOf(host: String): String =
+    registeredDomainOf(host, Psl.builtin)
+
+  /** [[registeredDomainOf]] under a loaded PSL: public suffix by the
+    * published algorithm (exceptions prevail, longest match, implicit
+    * `*` fallback), registered domain = suffix + one label. A host that
+    * IS a public suffix (or an IP literal) returns itself.
+    */
+  def registeredDomainOf(host: String, psl: Psl): String = {
     if (host == null || host.isEmpty) return ""
     if (host.startsWith("[")) return host // IPv6 literal
     val labels = host.split('.')
-    if (labels.length <= 2) {
-      // bare host or IPv4 check: all-numeric labels = IP, return as-is
-      return host
-    }
-    if (labels.forall(l => isDigits(l, 0))) return host // IPv4
-    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    val take = if (MultiLabelSuffixes.contains(lastTwo)) 3 else 2
-    labels.takeRight(take).mkString(".")
+    if (labels.forall(l => isDigits(l, 0))) return host // IPv4 / numeric
+    val ps = psl.publicSuffixLabels(labels)
+    if (labels.length <= ps + 1) return host
+    labels.takeRight(ps + 1).mkString(".")
   }
 
   private val parseUdf = udf { raw: String =>
@@ -231,13 +248,26 @@ object UrlOps {
     (p.canonical, p.host, p.registeredDomain)
   }
 
+  private val partsStructType =
+    "struct<canonical:string,host:string,registered_domain:string>"
+
   /** Struct column `(canonical, host, registered_domain)` — ONE parse
     * per row feeding all three outputs (select fields off this rather
     * than calling three scalar functions).
     */
   def urlParts(url: Column): Column =
-    parseUdf(url).cast("struct<canonical:string,host:string," +
-      "registered_domain:string>")
+    parseUdf(url).cast(partsStructType)
+
+  /** [[urlParts]] under a loaded PSL — the instance rides the task
+    * closure (a compiled full list is a few hundred KB; see [[Psl]]).
+    */
+  def urlParts(url: Column, psl: Psl): Column = {
+    val u = udf { raw: String =>
+      val p = parse(raw, psl)
+      (p.canonical, p.host, p.registeredDomain)
+    }
+    u(url).cast(partsStructType)
+  }
 
   /** Canonical dedup key of a URL column (see module doc for the form). */
   def canonicalUrl(url: Column): Column = urlParts(url).getField("canonical")
@@ -256,16 +286,24 @@ object UrlOps {
     * corpus.
     */
   def dedupByUrl(df: DataFrame, urlCol: String,
-                 orderCol: String): DataFrame = {
+                 orderCol: String): DataFrame =
+    dedupByKeyExpr(df, canonicalUrl(col(urlCol)), orderCol, "dedupByUrl")
+
+  /** The shared first-wins keyed-dedup core of [[dedupByUrl]] and
+    * [[dedupByCanonicalUrl]]: hash groupBy on `keyExpr` with min_by —
+    * map-side partial, ONE shuffle, never a window over the corpus.
+    */
+  private def dedupByKeyExpr(df: DataFrame, keyExpr: Column,
+                             orderCol: String, opName: String): DataFrame = {
     // a null order value has no place in first-wins dedup: min_by skips
     // null ordinals (a lone null-ord row would come back as a null
     // struct) and the keyless fallback key would go null and merge
     // unrelated rows -- refuse the ROW loudly instead of losing it
     val ordSafe = coalesce(col(orderCol),
-      raise_error(lit(s"dedupByUrl: null $orderCol -- the order column " +
+      raise_error(lit(s"$opName: null $orderCol -- the order column " +
         "must be non-null (and unique) for first-wins dedup"))
         .cast(df.schema(orderCol).dataType))
-    val keyed = df.withColumn("__canon", canonicalUrl(col(urlCol)))
+    val keyed = df.withColumn("__canon", keyExpr)
       .withColumn("__ord", ordSafe)
     val hasKey = col("__canon").isNotNull && col("__canon") =!= ""
     val groupKey = when(hasKey, col("__canon"))
@@ -275,5 +313,177 @@ object UrlOps {
       .agg(min_by(struct(df.columns.map(col).toIndexedSeq: _*),
         col("__ord")).as("__row"))
       .select(col("__row.*"))
+  }
+
+  // ---------------------------------------------------------------------
+  // RFC 3986 reference resolution + page-declared canonical dedup (r19)
+  // ---------------------------------------------------------------------
+
+  private final case class UriRef(scheme: String, authority: String,
+                                  path: String, query: String)
+
+  /** Split a (fragment-stripped) URI reference into RFC 3986 components;
+    * `scheme`/`authority`/`query` are null when ABSENT (an empty present
+    * query keeps ""), which is what the resolution algorithm branches on.
+    */
+  private def splitRef(s: String): UriRef = {
+    var rest = s
+    var scheme: String = null
+    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":" — and it
+    // must come before any '/' or '?' (a colon inside a relative path
+    // segment or query is not a scheme)
+    val colon = rest.indexOf(':')
+    if (colon > 0) {
+      var ok = rest.charAt(0).isLetter
+      var k = 1
+      while (ok && k < colon) {
+        val c = rest.charAt(k)
+        ok = c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+        k += 1
+      }
+      val slash = rest.indexOf('/')
+      val qm = rest.indexOf('?')
+      if (ok && (slash < 0 || colon < slash) && (qm < 0 || colon < qm)) {
+        scheme = asciiLower(rest.substring(0, colon))
+        rest = rest.substring(colon + 1)
+      }
+    }
+    var authority: String = null
+    if (rest.startsWith("//")) {
+      var end = 2
+      while (end < rest.length && rest.charAt(end) != '/' &&
+        rest.charAt(end) != '?') end += 1
+      authority = rest.substring(2, end)
+      rest = rest.substring(end)
+    }
+    val q = rest.indexOf('?')
+    val path = if (q >= 0) rest.substring(0, q) else rest
+    val query = if (q >= 0) rest.substring(q + 1) else null
+    UriRef(scheme, authority, path, query)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, output-buffer formulation:
+    * `.`/`..` segments apply and vanish; a trailing `.`/`..` leaves a
+    * trailing slash, exactly as the spec's string rewriting does.
+    */
+  private def removeDotSegments(path: String): String = {
+    if (path.isEmpty || path.indexOf('.') < 0) return path
+    val abs = path.startsWith("/")
+    val segs = path.split("/", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    var trailingSlash = false
+    var i = if (abs) 1 else 0
+    val last = segs.length - 1
+    while (i <= last) {
+      segs(i) match {
+        case "." => trailingSlash = true
+        case ".." =>
+          if (out.nonEmpty) out.remove(out.length - 1)
+          trailingSlash = true
+        case seg =>
+          // a trailing empty segment is the path's final slash; empty
+          // segments MID-path are preserved (RFC 3986 does not collapse
+          // "//")
+          if (i == last && seg.isEmpty) trailingSlash = true
+          else { out += seg; trailingSlash = false }
+      }
+      i += 1
+    }
+    val b = new java.lang.StringBuilder
+    if (abs) b.append('/')
+    b.append(out.mkString("/"))
+    if (trailingSlash && (b.length == 0 || b.charAt(b.length - 1) != '/'))
+      b.append('/')
+    b.toString
+  }
+
+  /** RFC 3986 §5.2.3 merge: a base WITH an authority and an empty path
+    * gives "/" + ref; otherwise ref replaces everything after the base
+    * path's last '/'.
+    */
+  private def mergePaths(base: UriRef, refPath: String): String =
+    if (base.authority != null && base.path.isEmpty) "/" + refPath
+    else {
+      val slash = base.path.lastIndexOf('/')
+      if (slash < 0) refPath else base.path.substring(0, slash + 1) + refPath
+    }
+
+  /** Resolve `ref` against `base` per RFC 3986 §5.2.2 (strict: an
+    * absolute ref wins outright, a network-path ref takes the base
+    * scheme, path refs merge + remove_dot_segments, an empty ref is the
+    * base). Fragments strip from both — a dedup key never carries one.
+    * Null/blank base returns the ref unchanged; never guessed at.
+    */
+  def resolve(base: String, ref: String): String = {
+    if (ref == null) return base
+    def stripFragment(s: String): String = {
+      val h = s.indexOf('#')
+      if (h >= 0) s.substring(0, h) else s
+    }
+    val r = stripFragment(ref.trim)
+    if (base == null || base.trim.isEmpty) return r
+    val b = splitRef(stripFragment(base.trim))
+    val rr = splitRef(r)
+    val t: UriRef =
+      if (rr.scheme != null)
+        UriRef(rr.scheme, rr.authority, removeDotSegments(rr.path), rr.query)
+      else if (rr.authority != null)
+        UriRef(b.scheme, rr.authority, removeDotSegments(rr.path), rr.query)
+      else if (rr.path.isEmpty)
+        UriRef(b.scheme, b.authority, b.path,
+          if (rr.query != null) rr.query else b.query)
+      else if (rr.path.startsWith("/"))
+        UriRef(b.scheme, b.authority, removeDotSegments(rr.path), rr.query)
+      else
+        UriRef(b.scheme, b.authority,
+          removeDotSegments(mergePaths(b, rr.path)), rr.query)
+    val out = new java.lang.StringBuilder
+    if (t.scheme != null) out.append(t.scheme).append(':')
+    if (t.authority != null) out.append("//").append(t.authority)
+    out.append(t.path)
+    if (t.query != null) out.append('?').append(t.query)
+    out.toString
+  }
+
+  /** The page-declared canonical dedup KEY of one (fetch URL, HTML) row
+    * — the crawl idiom [[HtmlText.PageMeta]] documents: the first
+    * `<link rel=canonical>` href when present, resolved against the
+    * effective base (`<base href>` itself resolved against the fetch
+    * URL first, per the HTML5 base-URL rules, so RELATIVE canonicals
+    * work), else the fetch URL; then [[parse]]'s canonical form either
+    * way.
+    */
+  def canonicalDedupKey(fetchUrl: String, html: String,
+                        psl: Psl = Psl.builtin): String = {
+    val meta = HtmlText.pageMeta(html)
+    val effectiveBase = meta.baseHref match {
+      case Some(bh) => resolve(fetchUrl, bh)
+      case None     => fetchUrl
+    }
+    val target = meta.canonicalHref match {
+      case Some(href) => resolve(effectiveBase, href)
+      case None       => fetchUrl
+    }
+    if (target == null) null else parse(target, psl).canonical
+  }
+
+  /** URL dedup composing the page-declared canonical ([[HtmlText]]'s
+    * `<link rel=canonical>`): rows whose pages declare one canonical
+    * collapse to one survivor even when their FETCH URLs differ in
+    * identity-bearing ways (session params, mirror paths) that plain
+    * [[dedupByUrl]] must preserve. Key = [[canonicalDedupKey]]; rows
+    * with neither a canonicalizable URL nor a declared canonical pass
+    * through undeduped on the same NUL-prefixed fallback. Same scale
+    * shape as [[dedupByUrl]]: one scalar pass (pageMeta + parse per
+    * row), ONE shuffle, min_by first-wins.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, htmlCol: String,
+                          orderCol: String,
+                          psl: Psl = Psl.builtin): DataFrame = {
+    val keyUdf = udf { (url: String, html: String) =>
+      canonicalDedupKey(url, html, psl)
+    }
+    dedupByKeyExpr(df, keyUdf(col(urlCol), col(htmlCol)), orderCol,
+      "dedupByCanonicalUrl")
   }
 }

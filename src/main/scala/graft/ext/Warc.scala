@@ -29,17 +29,25 @@ import org.apache.spark.sql.functions._
   * silently shipping fewer documents is the worst failure mode a corpus
   * build has.
   *
-  * Scale story: one task per WARC file (`binaryFile` source — the
-  * natural unit; crawl shards are sized ~1 GB precisely so that a file
-  * is a work unit), flatMap to records, zero shuffle. Memory bound is
-  * the file size (binaryFile materializes the blob): size
-  * `spark.sql.files.maxPartitionBytes` irrelevant here — parallelism
-  * == file count, so shard the crawl into enough files upstream.
+  * Scale story (r19): one task per WARC file (the natural unit; crawl
+  * shards are sized ~1 GB precisely so that a file is a work unit) —
+  * but tasks receive PATHS and stream each shard through
+  * `FileSystem.open`, so per-task memory is one 64 KB buffer + one
+  * in-flight record, never the compressed shard and never its
+  * inflation. flatMap to records, zero shuffle; parallelism == file
+  * count, so shard the crawl into enough files upstream.
   */
 object Warc {
 
+  /** One parsed record. `headers` carries EVERY `Name: value` header
+    * (names lowercased, first occurrence wins) — `warcType`/
+    * `targetUri`/`contentType` are the hot three lifted out; consumers
+    * checking ISO 28500 mandatories (`warc-date`, `warc-record-id`)
+    * read the map.
+    */
   final case class WarcRecord(warcType: String, targetUri: String,
-                              contentType: String, body: Array[Byte])
+                              contentType: String, body: Array[Byte],
+                              headers: Map[String, String] = Map.empty)
 
   // ---------------------------------------------------------------------
   // Byte-level parse
@@ -149,7 +157,8 @@ object Warc {
           headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("content-type", ""),
-          body)
+          body,
+          headers)
       }
 
       override def hasNext: Boolean = { advance(); nextRec != null }
@@ -270,14 +279,49 @@ object Warc {
   // Writing (fixture + export primitive)
   // ---------------------------------------------------------------------
 
-  /** Serialize one record (WARC/1.0, minimal headers, exact
-    * Content-Length framing).
+  /** The fixed instant the no-date [[writeRecord]] overload stamps —
+    * byte-determinism demands SOME constant; exporters that ship to
+    * external WET consumers pass the real capture/export instant
+    * explicitly (ISO 28500 §5.4: WARC-Date is the record's
+    * "creation... or capture" time, which only the caller knows).
+    */
+  val DefaultExportInstant: java.time.Instant =
+    java.time.Instant.parse("2000-01-01T00:00:00Z")
+
+  private val warcDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** The deterministic WARC-Record-ID of a record's identity bytes:
+    * content-derived (`urn:sha256:<hex over targetUri NUL body>`), so a
+    * re-export of the same frame writes the same ids — the
+    * content-addressable delivery contract ([[graft.ops.WarcExport]]).
+    */
+  def recordIdFor(targetUri: String, body: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(targetUri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(body)
+    "urn:sha256:" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Serialize one record: WARC/1.0 with the ISO 28500 §5.2-5.4
+    * MANDATORY headers — WARC-Record-ID (content-derived, see
+    * [[recordIdFor]], unless a caller-supplied `recordId` overrides)
+    * and WARC-Date (from the caller-passed `date` instant, second
+    * precision — never a wall clock, so identical inputs write
+    * identical bytes) — plus exact Content-Length framing.
     */
   def writeRecord(warcType: String, targetUri: String, contentType: String,
-                  body: Array[Byte]): Array[Byte] = {
+                  body: Array[Byte], date: java.time.Instant,
+                  recordId: String): Array[Byte] = {
     val h = new StringBuilder
     h.append("WARC/1.0\r\n")
     h.append("WARC-Type: ").append(warcType).append("\r\n")
+    h.append("WARC-Record-ID: <")
+      .append(if (recordId != null) recordId else recordIdFor(targetUri, body))
+      .append(">\r\n")
+    h.append("WARC-Date: ").append(warcDateFmt.format(date)).append("\r\n")
     if (targetUri.nonEmpty)
       h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     if (contentType.nonEmpty)
@@ -291,6 +335,14 @@ object Warc {
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
   }
+
+  /** [[writeRecord]] at [[DefaultExportInstant]] with the derived
+    * record id — the fixture-building convenience.
+    */
+  def writeRecord(warcType: String, targetUri: String, contentType: String,
+                  body: Array[Byte]): Array[Byte] =
+    writeRecord(warcType, targetUri, contentType, body,
+      DefaultExportInstant, null)
 
   /** Serialize records to a WARC file blob. `gzipPerRecord` follows the
     * crawl-archive convention: each record its own gzip member,
@@ -313,17 +365,64 @@ object Warc {
   // Spark surface
   // ---------------------------------------------------------------------
 
+  /** A Hadoop Configuration flattened to a plain serializable map (the
+    * executor-side rebuild idiom [[graft.ops.WarcExport]] uses).
+    */
+  private[graft] def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  /** The LISTING side of the streaming readers: `binaryFile` rows
+    * pruned to the path column only — the source's reader is
+    * projection-aware, so no file CONTENT is ever materialized into the
+    * scan (the plan's ReadSchema carries just `path`; `WarcSpec` pins
+    * it). Listing parallelism is the file count, same as before.
+    */
+  private def listPaths(spark: SparkSession, pathGlob: String) = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path")).as[String]
+  }
+
+  /** Open `path` for streaming read on the executor, registering a
+    * task-completion close so an abandoned iterator (limit, task kill)
+    * never leaks the handle; [[records]] itself closes at EOF/failure,
+    * making the listener a harmless double-close on the common path.
+    */
+  private def openStream(path: String, confMap: Map[String, String])
+      : java.io.InputStream = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try in.close() catch { case _: java.io.IOException => () }
+    }
+    in
+  }
+
   /** All records of every WARC file under `pathGlob`:
     * (file, record_idx, warc_type, url, content_type, body). One task
     * per file; a structurally damaged shard fails ITS task loudly.
+    *
+    * Streaming read (r19): tasks receive PATHS, open each shard
+    * through `FileSystem.open`, and feed the stream straight to
+    * [[records]] — per-task memory is one 64 KB buffer + one record,
+    * never the compressed shard (a `binaryFile` content column would
+    * land the whole blob in executor heap; at 1-10 GB crawl shards ×
+    * many concurrent tasks that is the difference between "one task
+    * per shard" scaling and an OOM).
     */
   def readWarc(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        records(new java.io.ByteArrayInputStream(bytes)).zipWithIndex.map { case (r, idx) =>
+    val confMap = hadoopConfMap(spark)
+    listPaths(spark, pathGlob)
+      .flatMap { path =>
+        records(openStream(path, confMap)).zipWithIndex.map { case (r, idx) =>
           (path, idx.toLong, r.warcType, r.targetUri, r.contentType, r.body)
         }
       }
@@ -334,15 +433,15 @@ object Warc {
     * stripped (chunked decoding included) — (file, url, charset, body)
     * ready for [[HtmlText]] + [[UrlOps]]; `charset` is the Content-Type
     * header's declared charset (null when absent), the transport hint
-    * for [[HtmlText.decodeBytes]].
+    * for [[HtmlText.decodeBytes]]. Same streaming read as [[readWarc]]:
+    * paths in, one record in memory at a time.
     */
   def readResponses(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        records(new java.io.ByteArrayInputStream(bytes))
+    val confMap = hadoopConfMap(spark)
+    listPaths(spark, pathGlob)
+      .flatMap { path =>
+        records(openStream(path, confMap))
           .filter(_.warcType.equalsIgnoreCase("response"))
           .map { r =>
             val (body, charset) = httpBodyAndCharset(r.body)

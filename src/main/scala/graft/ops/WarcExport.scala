@@ -33,19 +33,25 @@ object WarcExport {
     * `path`. `nShards` fixes the layout (shard = id % nShards — stable
     * across runs and engines); returns the per-shard report
     * (shard, n_records, payload_bytes, sha256 of the shard file).
+    *
+    * Every record carries the ISO 28500 §5.2-5.4 mandatory headers
+    * (r19): WARC-Record-ID is content-derived ([[Warc.recordIdFor]])
+    * and WARC-Date comes from `asOf` — the caller-declared export
+    * instant, NOT a wall clock — so a re-export of the same frame at
+    * the same `asOf` writes byte-identical shards (the
+    * content-addressable delivery contract external WET consumers
+    * verify).
     */
   def writeWetShards(df: DataFrame, idCol: String, urlCol: String,
                      textCol: String, path: String,
-                     nShards: Int): DataFrame = {
+                     nShards: Int,
+                     asOf: java.time.Instant = Warc.DefaultExportInstant)
+      : DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
     val spark = df.sparkSession
     import spark.implicits._
-    val confMap = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
+    val confMap = Warc.hadoopConfMap(spark)
+    val asOfMs = asOf.toEpochMilli
     val prepared = df
       .filter(col(idCol).isNotNull && col(urlCol).isNotNull &&
         col(textCol).isNotNull)
@@ -57,7 +63,7 @@ object WarcExport {
       .sortWithinPartitions("__shard", "__id")
       .as[(Long, Long, String, String)]
     prepared
-      .mapPartitions(rows => writeShardPartition(rows, path, confMap))
+      .mapPartitions(rows => writeShardPartition(rows, path, confMap, asOfMs))
       .toDF("shard", "n_records", "payload_bytes", "sha256")
       .orderBy("shard")
   }
@@ -67,8 +73,10 @@ object WarcExport {
     * Failures close and delete the in-flight temp before propagating.
     */
   private def writeShardPartition(rows: Iterator[(Long, Long, String, String)],
-                                  path: String, confMap: Map[String, String])
+                                  path: String, confMap: Map[String, String],
+                                  asOfMs: Long)
       : Iterator[(Long, Long, Long, String)] = {
+    val asOf = java.time.Instant.ofEpochMilli(asOfMs)
     val conf = new org.apache.hadoop.conf.Configuration()
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -111,7 +119,8 @@ object WarcExport {
           stream = fs.create(tmp, true)
         }
         val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val record = Warc.writeRecord("conversion", url, "text/plain", body)
+        val record = Warc.writeRecord("conversion", url, "text/plain", body,
+          asOf, null)
         val member = Warc.writeWarc(Seq(record), gzipPerRecord = true)
         stream.write(member)
         digest.update(member)
@@ -127,18 +136,12 @@ object WarcExport {
 
   /** Read WET shards back: `conversion` records as (file, url, text) —
     * text decoded UTF-8 (the encoding [[writeWetShards]] writes).
+    * Rides [[Warc.readWarc]]'s streaming path (r19): tasks open shard
+    * PATHS and hold one record at a time, never the compressed blob.
     */
-  def readWet(spark: SparkSession, pathGlob: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        Warc.records(new java.io.ByteArrayInputStream(bytes))
-          .filter(_.warcType.equalsIgnoreCase("conversion"))
-          .map(r => (p, r.targetUri,
-            new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
-      }
-      .toDF("file", "url", "text")
-  }
+  def readWet(spark: SparkSession, pathGlob: String): DataFrame =
+    Warc.readWarc(spark, pathGlob)
+      .filter(lower(col("warc_type")) === "conversion")
+      .select(col("file"), col("url"),
+        col("body").cast("string").as("text"))
 }

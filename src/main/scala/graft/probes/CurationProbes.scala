@@ -186,6 +186,48 @@ object CurationProbes {
         .orderBy("doc_id")
     },
 
+    // Page-declared canonical dedup (r19, UrlOps.dedupByCanonicalUrl):
+    // three fetch shapes per logical page — the canonical page itself
+    // (nothing declared), a session-param variant declaring an ABSOLUTE
+    // canonical (the param is identity-bearing, so plain URL dedup must
+    // NOT collapse it — only the declaration does), and a mirror path
+    // declaring a RELATIVE canonical against a path-absolute <base href>
+    // (RFC 3986 merge, both hops) — all three collapse to one survivor
+    // (lowest doc_id). The oracle groups by the logical page in closed
+    // form; a green row proves pageMeta extraction, base resolution,
+    // reference merge, and the canonical keying all agreed.
+    Probe(
+      "url_dedup_canonical",
+      "WITH u AS (SELECT doc_id, doc_id // 3 AS g FROM documents WHERE doc_id IS NOT NULL), " +
+        "w AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY g) " +
+        "SELECT u.doc_id, CASE u.doc_id % 3 " +
+        "WHEN 0 THEN 'https://cn' || CAST(g AS VARCHAR) || '.example.com/p/' || CAST(g AS VARCHAR) " +
+        "WHEN 1 THEN 'https://cn' || CAST(g AS VARCHAR) || '.example.com/p/' || CAST(g AS VARCHAR) || '?session=s' || CAST(u.doc_id AS VARCHAR) " +
+        "ELSE 'https://cn' || CAST(g AS VARCHAR) || '.example.com/alt/' || CAST(g AS VARCHAR) END AS url " +
+        "FROM u JOIN w ON u.doc_id = w.doc_id ORDER BY u.doc_id"
+    ) { (s, d) =>
+      val g = expr("doc_id DIV 3").cast("string")
+      val v = pmod(col("doc_id"), lit(3))
+      val page = concat(lit("https://cn"), g, lit(".example.com/p/"), g)
+      val url = when(v === 0, page)
+        .when(v === 1, concat(page, lit("?session=s"), col("doc_id")))
+        .otherwise(concat(lit("https://cn"), g, lit(".example.com/alt/"), g))
+      val html = when(v === 0,
+        lit("<html><head><title>t</title></head><body><p>x</p></body></html>"))
+        .when(v === 1, concat(
+          lit("<html><head><link rel=\"canonical\" href=\""), page,
+          lit("\"></head><body><p>x</p></body></html>")))
+        .otherwise(concat(
+          lit("<html><head><base href=\"/p/\"><link rel=canonical href="), g,
+          lit("></head><body><p>x</p></body></html>")))
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+      UrlOps.dedupByCanonicalUrl(docs, "url", "html", "doc_id")
+        .select(col("doc_id"), col("url"))
+        .orderBy("doc_id")
+    },
+
     // WARC ingestion (r18, ext.Warc): the crawl path END TO END — real
     // .warc.gz shards on disk (per-record gzip members, the Common
     // Crawl convention; warcinfo + request records interleaved and

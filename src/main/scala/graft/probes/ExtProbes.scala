@@ -303,14 +303,22 @@ object ExtProbes {
         "WHEN 1 THEN text || ' & more' " +
         "WHEN 2 THEN text " +
         "WHEN 3 THEN 'Home About Pages' || chr(10) || text " +
-        "ELSE trim(substr(text, 1, 10)) || chr(10) || trim(substr(text, 11)) " +
+        // empty-block semantics (r19): the engine drops a block whose
+        // trimmed text is empty (a <=10-char doc's second piece, or a
+        // piece that trims to nothing), so the oracle concatenates only
+        // the non-empty trimmed pieces — concat_ws skips NULLs
+        "ELSE concat_ws(chr(10), nullif(trim(substr(text, 1, 10)), ''), nullif(trim(substr(text, 11)), '')) " +
         "END AS text_full, " +
         "CASE doc_id % 5 " +
         "WHEN 0 THEN text " +
         "WHEN 1 THEN text || ' & more' " +
         "WHEN 2 THEN text " +
         "WHEN 3 THEN text " +
-        "ELSE trim(substr(text, 1, 10)) || chr(10) || trim(substr(text, 11)) " +
+        // empty-block semantics (r19): the engine drops a block whose
+        // trimmed text is empty (a <=10-char doc's second piece, or a
+        // piece that trims to nothing), so the oracle concatenates only
+        // the non-empty trimmed pieces — concat_ws skips NULLs
+        "ELSE concat_ws(chr(10), nullif(trim(substr(text, 1, 10)), ''), nullif(trim(substr(text, 11)), '')) " +
         "END AS text_content " +
         "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
         "ORDER BY doc_id"

@@ -316,6 +316,93 @@ object StreamingDedup {
       .filter(col("ts") >= lit(asOfMs - retention.toMillis))
   }
 
+  /** The checkpoint root an active query writes — best-effort reflective
+    * read of `StreamingQueryWrapper.streamingQuery.resolvedCheckpointRoot`
+    * (both public at the bytecode level; None when the shape changes).
+    */
+  private def checkpointOf(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[String] =
+    try {
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      Option(se.getClass.getMethod("resolvedCheckpointRoot").invoke(se))
+        .map(_.toString)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def latestBatchId(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .maxOption
+
+  /** ONE-CALL sweep handoff (r19): validate the old detector is
+    * STOPPED, compute its live-window state, and persist it as the seed
+    * frame a fresh checkpoint's `initialEntries` consumes — the whole
+    * stop→[[liveStateEntries]]→reseed recipe with the sharp edges
+    * fenced:
+    *  - an ACTIVE query on `oldCheckpointDir` (this session) refuses —
+    *    reading a state store under a live writer hands back a torn
+    *    snapshot;
+    *  - an in-flight batch (latest offset with no matching commit)
+    *    refuses — the store may be mid-write from a crashed or foreign
+    *    driver; let the query finish or restart-and-stop it cleanly;
+    *  - a `newCheckpointDir` that already committed batches refuses —
+    *    seeding is a bootstrap, the initial-state hook would silently
+    *    ignore it;
+    *  - the seed MATERIALIZES (parquet under
+    *    `newCheckpointDir/graft-sweep-seed`) so the restarted query
+    *    never reads the old checkpoint's state store lazily while its
+    *    own triggers run.
+    * Returns the seed frame (read back from the materialized copy) to
+    * pass as `initialEntries` when starting the fresh query; the old
+    * checkpoint stays untouched and can be archived or deleted once the
+    * new query commits its first batch.
+    */
+  def sweepCheckpoint(spark: SparkSession, oldCheckpointDir: String,
+                      newCheckpointDir: String,
+                      retention: java.time.Duration,
+                      asOfMs: Long): DataFrame = {
+    require(!retention.isNegative && !retention.isZero,
+      s"retention must be positive, got $retention")
+    val conf = spark.sessionState.newHadoopConf()
+    val oldPath = new org.apache.hadoop.fs.Path(oldCheckpointDir)
+    val fs = oldPath.getFileSystem(conf)
+    val oldQualified = fs.makeQualified(oldPath).toString
+    val active = spark.streams.active.filter(q =>
+      checkpointOf(q).exists { c =>
+        val cq = fs.makeQualified(new org.apache.hadoop.fs.Path(c)).toString
+        cq == oldQualified || cq.startsWith(oldQualified + "/")
+      })
+    require(active.isEmpty,
+      s"sweepCheckpoint: stop the active query " +
+        s"${active.map(_.id).mkString(", ")} on $oldCheckpointDir first — " +
+        "sweeping under a live writer reads a torn state snapshot")
+    val offsets = latestBatchId(fs,
+      new org.apache.hadoop.fs.Path(oldPath, "offsets"))
+    require(offsets.nonEmpty,
+      s"sweepCheckpoint: $oldCheckpointDir has no committed offsets — " +
+        "not a streaming checkpoint (or one that never ran)")
+    val commits = latestBatchId(fs,
+      new org.apache.hadoop.fs.Path(oldPath, "commits"))
+    require(commits == offsets,
+      s"sweepCheckpoint: $oldCheckpointDir has batch ${offsets.get} " +
+        s"in-flight (last commit: ${commits.getOrElse(-1L)}) — a writer " +
+        "may be mid-batch; finish or cleanly stop it first")
+    val newPath = new org.apache.hadoop.fs.Path(newCheckpointDir)
+    val newFs = newPath.getFileSystem(conf)
+    val newCommits = latestBatchId(newFs,
+      new org.apache.hadoop.fs.Path(newPath, "commits"))
+    require(newCommits.isEmpty,
+      s"sweepCheckpoint: $newCheckpointDir already committed batch " +
+        s"${newCommits.get} — seeding only bootstraps a FRESH checkpoint")
+    val seedDir = new org.apache.hadoop.fs.Path(newPath, "graft-sweep-seed")
+    liveStateEntries(spark, oldCheckpointDir, retention, asOfMs)
+      .write.mode("errorifexists").parquet(seedDir.toString)
+    spark.read.parquet(seedDir.toString)
+  }
+
   /** The stateful core as a Dataset transform (streaming or batch — the
     * unified semantics let the spec drive it with MemoryStream and the
     * probe with a file feed): emits `(id_a, id_b, hamming)` with

@@ -36,6 +36,24 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(extract("<style>x</style >y") == "y") // space before '>' closes
   }
 
+  test("head auto-closes at the first non-metadata tag (omissible </head>)") {
+    // HTML5 allows omitting </head>: the body must NOT vanish
+    assert(extract("<html><head><meta charset=utf-8><body><p>Hello") ==
+      "Hello")
+    assert(extract("<head><title>T</title><p>kept") == "kept")
+    // metadata content inside the head still drops whole, including
+    // rawtext containers whose CONTENT mentions body
+    assert(extract("<head><script>var b='<body>no';</script>" +
+      "<style>p{}</style><link rel=x href=y><body><p>yes") == "yes")
+    // an explicit </head> still works exactly as before
+    assert(extract("<head><title>T</title><meta x=y></head><p>body</p>") ==
+      "body")
+    // </html> (a close tag) also auto-closes an unterminated head
+    assert(extract("<head><meta a=b></html>tail") == "tail")
+    // unterminated head with ONLY metadata swallows to EOF (no body)
+    assert(extract("<head><meta charset=utf-8><title>only head") == "")
+  }
+
   test("entities: named, numeric, hex, nbsp/shy, unknown stays literal") {
     assert(extract("<p>a &amp; b &lt;c&gt; &quot;d&quot;</p>") ==
       "a & b <c> \"d\"")
@@ -145,6 +163,21 @@ class HtmlTextSpec extends AnyFunSuite {
       "content=\"noindex\">").canonicalHref.contains("/a>b"))
   }
 
+  test("pageMeta: <base href> is captured (first wins, entity-decoded)") {
+    import HtmlText.pageMeta
+    val m = pageMeta("<head><base href=\"https://ex.com/dir/?a=1&amp;b=2\">" +
+      "<link rel=canonical href=\"sub/page\"></head>")
+    assert(m.baseHref.contains("https://ex.com/dir/?a=1&b=2"))
+    assert(m.canonicalHref.contains("sub/page"))
+    // first base wins; empty href does not claim the slot
+    assert(pageMeta("<base href=''><base href=/one><base href=/two>")
+      .baseHref.contains("/one"))
+    assert(pageMeta("<p>none</p>").baseHref.isEmpty)
+    // base inside a script string is not a signal
+    assert(pageMeta("<script>var s='<base href=/no>';</script>")
+      .baseHref.isEmpty)
+  }
+
   test("isHtml sniff: doctype/html magics, BOM, whitespace, case; not text") {
     def b(s: String): Array[Byte] = s.getBytes("UTF-8")
     assert(isHtml(b("<!DOCTYPE html><html></html>")))
@@ -168,5 +201,25 @@ class HtmlTextSpec extends AnyFunSuite {
     // non-HTML payloads are untouched by the new sniff
     val plain = parser.parse("/x/a.txt", "just words".getBytes("UTF-8"))
     assert(plain.elements.map(_.text) == Seq("just words"))
+  }
+
+  test("E1 routing decodes meta-declared legacy charsets (r19)") {
+    val parser = new graft.etl.Parse.TextDocParser
+    // a BOM-less windows-1252 page declaring its charset only in <meta>:
+    // curly quotes + euro live at 1252-specific code points that UTF-8
+    // would mojibake into U+FFFD
+    val text = "café “quoted” €9"
+    val html = "<html><head><meta charset=\"windows-1252\"></head>" +
+      s"<body><p>$text</p></body></html>"
+    val bytes = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val doc = parser.parse("/x/legacy.html", bytes.clone())
+    assert(doc.elements.map(_.text) == Seq(text))
+    // a UTF-8 BOM wins over a (wrong) meta declaration
+    val utf8Page = "<html><head><meta charset=\"windows-1252\"></head>" +
+      s"<body><p>$text</p></body></html>"
+    val bomBytes = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      utf8Page.getBytes("UTF-8")
+    assert(parser.parse("/x/bom.html", bomBytes).elements.map(_.text) ==
+      Seq(text))
   }
 }

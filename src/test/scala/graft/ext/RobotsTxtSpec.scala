@@ -106,4 +106,59 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
     assert(RobotsTxt.filterAllowed(docs, "url", robots).columns.toSeq ==
       Seq("doc_id", "url"))
   }
+
+  test("policies parse once per distinct host, not per corpus row (r19)") {
+    import spark.implicits._
+    // 5000 doc rows over 40 hosts, shuffled ordering (repartition by a
+    // hash of the id so host runs are broken up — the memo-unfriendly
+    // case the pre-parse design is immune to)
+    val docs = (0L until 5000L).map { i =>
+      (i, s"https://h${i % 40}.example.com/p/$i")
+    }.toDF("doc_id", "url").repartition(16, expr("hash(doc_id)"))
+    val robots = (0 until 40).map { h =>
+      (s"h$h.example.com", s"User-agent: *\nDisallow: /private$h/\n")
+    }.toDF("host", "robots_txt")
+    val before = RobotsTxt.preParseCount.sum()
+    val n = RobotsTxt.filterAllowed(docs, "url", robots).count()
+    assert(n == 5000L)
+    val parses = RobotsTxt.preParseCount.sum() - before
+    assert(parses == 40L,
+      s"expected one parse per distinct host (40), got $parses")
+  }
+
+  test("colliding canonical host keys merge bodies, never duplicate rows") {
+    import spark.implicits._
+    // www.site.com and site.com both canonicalize to site.com — two
+    // legitimate rows colliding on the join key. The merged policy is
+    // the RFC group-merge of BOTH files: /a/ (from apex) and /b/ (from
+    // www) are each disallowed; and every doc row appears exactly once.
+    val docs = Seq(
+      (1L, "https://site.com/a/x"),
+      (2L, "https://www.site.com/b/x"),
+      (3L, "https://site.com/c/x")
+    ).toDF("doc_id", "url")
+    val robots = Seq(
+      ("site.com", "User-agent: *\nDisallow: /a/\n"),
+      ("www.site.com", "User-agent: *\nDisallow: /b/\n")
+    ).toDF("host", "robots_txt")
+    val out = RobotsTxt.filterAllowed(docs, "url", robots)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(3L), s"merged policy screens /a/ and /b/: $out")
+    // row-count invariant under collision: an allowed doc row is not
+    // duplicated by the join however many robots rows collide
+    val dup = RobotsTxt.filterAllowed(
+      Seq((7L, "https://site.com/c/y")).toDF("doc_id", "url"),
+      "url", robots)
+    assert(dup.count() == 1L)
+    // conflicting directives for the SAME path merge under RFC
+    // precedence: equal-length allow/disallow tie resolves to ALLOW
+    val conflict = Seq(
+      ("site.com", "User-agent: *\nDisallow: /p/\n"),
+      ("www.site.com", "User-agent: *\nAllow: /p/\n")
+    ).toDF("host", "robots_txt")
+    val kept = RobotsTxt.filterAllowed(
+      Seq((9L, "https://site.com/p/z")).toDF("doc_id", "url"),
+      "url", conflict)
+    assert(kept.count() == 1L)
+  }
 }

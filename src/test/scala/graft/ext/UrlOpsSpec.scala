@@ -124,6 +124,113 @@ class UrlOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == Set("null-a", "null-b", "blank-a", "blank-b", "real-a"))
   }
 
+  test("loaded PSL: wildcard, exception, IDN-ASCII tails (r19)") {
+    val psl = Psl.fromText(
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |co.uk
+        |ck
+        |*.ck
+        |!www.ck
+        |xn--p1ai
+        |// comment line
+        |
+        |""".stripMargin)
+    import UrlOps.registeredDomainOf
+    // wildcard: every direct child of ck is a public suffix
+    assert(registeredDomainOf("shop.stuff.biz.ck", psl) == "stuff.biz.ck")
+    assert(registeredDomainOf("biz.ck", psl) == "biz.ck") // IS a suffix
+    // exception punches the hole: www.ck is registrable
+    assert(registeredDomainOf("www.ck", psl) == "www.ck")
+    assert(registeredDomainOf("sub.www.ck", psl) == "www.ck")
+    // IDN-ASCII tail rule works like any other
+    assert(registeredDomainOf("site.xn--p1ai", psl) == "site.xn--p1ai")
+    assert(registeredDomainOf("a.site.xn--p1ai", psl) == "site.xn--p1ai")
+    // normal rules + implicit '*' fallback unchanged
+    assert(registeredDomainOf("a.b.example.com", psl) == "example.com")
+    assert(registeredDomainOf("news.bbc.co.uk", psl) == "bbc.co.uk")
+    assert(registeredDomainOf("x.unknown-tld-zz", psl) == "x.unknown-tld-zz")
+    // the psl parse overload threads through to the struct
+    assert(UrlOps.parse("https://www.shop.stuff.biz.ck/a?x=1", psl)
+      .registeredDomain == "stuff.biz.ck")
+    // builtin default is byte-identical to the historical heuristic
+    assert(registeredDomainOf("deep.sub.shop.com.au", Psl.builtin) ==
+      registeredDomainOf("deep.sub.shop.com.au"))
+  }
+
+  test("RFC 3986 resolve: the reference-resolution battery (r19)") {
+    import UrlOps.resolve
+    val base = "https://ex.com/a/b/c?q=1#frag"
+    // absolute ref wins outright
+    assert(resolve(base, "http://other.com/x") == "http://other.com/x")
+    // network-path ref takes the base scheme
+    assert(resolve(base, "//cdn.com/y") == "https://cdn.com/y")
+    // path-absolute
+    assert(resolve(base, "/root") == "https://ex.com/root")
+    // path-relative merges at the last slash
+    assert(resolve(base, "d") == "https://ex.com/a/b/d")
+    assert(resolve(base, "d/e") == "https://ex.com/a/b/d/e")
+    // dot segments
+    assert(resolve(base, "./d") == "https://ex.com/a/b/d")
+    assert(resolve(base, "../d") == "https://ex.com/a/d")
+    assert(resolve(base, "../../d") == "https://ex.com/d")
+    assert(resolve(base, "../../../d") == "https://ex.com/d") // over-pop clamps
+    assert(resolve(base, "..") == "https://ex.com/a/")
+    assert(resolve(base, ".") == "https://ex.com/a/b/")
+    // empty ref = base (sans fragment); query-only ref swaps the query
+    assert(resolve(base, "") == "https://ex.com/a/b/c?q=1")
+    assert(resolve(base, "?n=2") == "https://ex.com/a/b/c?n=2")
+    // fragments strip from ref too
+    assert(resolve(base, "d#sec") == "https://ex.com/a/b/d")
+    // authority with empty path merges as "/" + ref
+    assert(resolve("https://ex.com", "x") == "https://ex.com/x")
+    // RFC 3986 §4.2: a leading segment with a colon parses as a SCHEME
+    // ("v:1" is a URI; a path meaning needs the "./" prefix)
+    assert(resolve(base, "v:1") == "v:1")
+    assert(resolve(base, "./v:1") == "https://ex.com/a/b/v:1")
+    // ...but a colon after a slash is just a path character
+    assert(resolve(base, "d/v:1") == "https://ex.com/a/b/d/v:1")
+    // null/blank base passes the ref through
+    assert(resolve(null, "/x") == "/x")
+    assert(resolve("", "/x") == "/x")
+    assert(resolve(base, null) == base)
+  }
+
+  test("dedupByCanonicalUrl: declared canonicals collapse, others hold") {
+    import spark.implicits._
+    val page = "https://site.com/p/1"
+    val df = Seq(
+      // the canonical page itself — nothing declared
+      (1L, page, "<html><body><p>x</p></body></html>"),
+      // session variant declaring the absolute canonical: collapses
+      (2L, page + "?session=abc",
+        s"""<html><head><link rel="canonical" href="$page"></head></html>"""),
+      // mirror path declaring a RELATIVE canonical against <base href>
+      (3L, "https://site.com/alt/1",
+        "<html><head><base href=\"/p/\"><link rel=canonical href=1>" +
+          "</head></html>"),
+      // a session variant with NO declaration keeps its identity param
+      (4L, page + "?session=keep", "<html><body><p>y</p></body></html>"),
+      // a different declared canonical stays its own group
+      (5L, "https://site.com/other?z=1",
+        "<html><head><link rel=canonical href=\"/other\"></head></html>")
+    ).toDF("doc_id", "url", "html")
+    val out = UrlOps.dedupByCanonicalUrl(df, "url", "html", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L, 5L))
+    // key unit: base resolves against the fetch URL first
+    assert(UrlOps.canonicalDedupKey("https://site.com/alt/1",
+      "<base href=\"/p/\"><link rel=canonical href=1>") == page)
+    // no declaration: the fetch URL canonicalizes
+    assert(UrlOps.canonicalDedupKey("https://WWW.Site.com/p/1/",
+      "<p>n</p>") == page)
+    // null fetch URL with a declared absolute canonical still keys
+    assert(UrlOps.canonicalDedupKey(null,
+      s"<link rel=canonical href=$page>") == page)
+    // null everything -> null key (passes through undeduped upstream)
+    assert(UrlOps.canonicalDedupKey(null, "<p>x</p>") == null)
+  }
+
   test("a null order value refuses loudly — never a silently lost row") {
     import spark.implicits._
     val df = Seq(

@@ -151,4 +151,61 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(all.count() == 5)
     assert(all.filter($"warc_type" === "response").count() == 3)
   }
+
+  test("mandatory headers on write: WARC-Date + content-derived id (r19)") {
+    val asOf = java.time.Instant.parse("2026-02-03T04:05:06Z")
+    val body = "HTTP/1.1 200 OK\r\n\r\nhello".getBytes(iso)
+    val bytes = writeRecord("response", "https://a/x", "application/http",
+      body, asOf, null)
+    val r = parseAll(bytes).head
+    assert(r.headers("warc-date") == "2026-02-03T04:05:06Z")
+    assert(r.headers("warc-record-id") ==
+      "<" + recordIdFor("https://a/x", body) + ">")
+    // identical inputs write identical bytes (no wall clock, no UUID)
+    assert(java.util.Arrays.equals(bytes,
+      writeRecord("response", "https://a/x", "application/http", body,
+        asOf, null)))
+    // a caller-supplied record id overrides the derived one
+    val custom = parseAll(writeRecord("metadata", "", "text/plain",
+      Array.empty[Byte], asOf, "urn:uuid:00000000-0000-0000-0000-000000000001"))
+    assert(custom.head.headers("warc-record-id") ==
+      "<urn:uuid:00000000-0000-0000-0000-000000000001>")
+    // the 4-arg fixture overload stamps the documented constant
+    assert(parseAll(record("metadata", "", "x")).head
+      .headers("warc-date") == "2000-01-01T00:00:00Z")
+  }
+
+  test("Spark reads stream shards — no content blob in the scan (r19)") {
+    import spark.implicits._
+    val dir = tmpDir("warc-stream")
+    // a shard whose DECOMPRESSED size is large while staying quick to
+    // build: 2000 records of ~8 KB bodies (~16 MB inflated); the read
+    // path must hold one record at a time, never the blob
+    val filler = "x" * 8000
+    val recs = (0 until 2000).map(i =>
+      record("response", s"https://big/doc/$i",
+        s"HTTP/1.1 200 OK\r\n\r\n$filler-$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.warc.gz"),
+      writeWarc(recs, gzipPerRecord = true))
+    val df = Warc.readResponses(spark, dir + "/*.warc.gz")
+    // the LISTING scan is pruned to the path column: binaryFile's
+    // content column must not appear in ReadSchema (it would land the
+    // whole compressed shard in executor heap)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty, s"no scan in plan:\n$plan")
+    readSchemas.foreach { rs =>
+      assert(rs.contains("path") && !rs.contains("content"),
+        s"scan must read paths only, got: $rs")
+    }
+    assert(df.count() == 2000)
+    // early termination (limit) leaves no broken state: the task-
+    // completion listener closes the abandoned stream
+    assert(df.limit(3).collect().length == 3)
+    // readWarc rides the same streaming path
+    val allPlan = Warc.readWarc(spark, dir + "/*.warc.gz")
+      .queryExecution.executedPlan.toString
+    assert(!"ReadSchema: [^\n]+".r.findAllIn(allPlan)
+      .exists(_.contains("content")))
+  }
 }

@@ -74,6 +74,33 @@ class WarcExportSpec extends AnyFunSuite with SharedSpark {
     assert(verdicts.nonEmpty && verdicts.forall(_ == "ok"))
   }
 
+  test("mandatory WARC headers ride every exported record (r19)") {
+    val asOf = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    val dir = tmpDir("wet-hdr")
+    WarcExport.writeWetShards(docs(20), "id", "url", "text", dir, 1, asOf)
+      .collect()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.warc.gz"))
+    val recs = graft.ext.Warc.parseAll(bytes)
+    assert(recs.length == 20)
+    recs.foreach { r =>
+      // ISO 28500 §5.2-5.4 mandatories, content-derived + caller instant
+      assert(r.headers("warc-date") == "2026-03-01T12:00:00Z")
+      val rid = r.headers("warc-record-id")
+      assert(rid == "<" + graft.ext.Warc.recordIdFor(r.targetUri, r.body) + ">",
+        s"record id not content-derived: $rid")
+      assert(r.headers.contains("content-length"))
+    }
+    // re-export at the SAME asOf stays byte-identical (ids are content-
+    // derived, the date is the caller's — nothing wall-clock leaks in)
+    val dir2 = tmpDir("wet-hdr2")
+    WarcExport.writeWetShards(docs(20), "id", "url", "text", dir2, 1, asOf)
+      .collect()
+    val again = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "shard-00000.warc.gz"))
+    assert(java.util.Arrays.equals(bytes, again))
+  }
+
   test("records inside a shard are id-ordered (byte-stable layout)") {
     import spark.implicits._
     val dir = tmpDir("wet-ord")

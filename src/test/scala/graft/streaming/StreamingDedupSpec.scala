@@ -353,6 +353,90 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
     assert(StreamingDedup.stateEntries(spark, c2).count() === 15L)
   }
 
+  test("sweepCheckpoint: the one-call sweep handoff, validations included (r19)") {
+    import spark.implicits._
+    val retention = java.time.Duration.ofSeconds(60)
+    def run(feed: String, out: String, ckpt: String,
+            seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val q = StreamingDedup.simhashNearDupStream(src,
+        col("doc_id"), col("text"), maxHamming = 3,
+        path = out, checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        retention = Some(retention), initialEntries = seed)
+      q.awaitTermination()
+    }
+    val (f1, o1, c1) = (tmpDir("sd-swc-feed"), tmpDir("sd-swc-out"),
+      tmpDir("sd-swc-ckpt"))
+    arrive(f1, 0, Seq((1L, tA)))
+    run(f1, o1, c1, None)
+    Thread.sleep(1000)
+    arrive(f1, 1, Seq((2L, tB)))
+    run(f1, o1, c1, None)
+    val ts = StreamingDedup.stateEntries(spark, c1)
+      .groupBy("doc_id").agg(max("ts").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sweepAsOf = ts(1L) + retention.toMillis + 1L
+    val c2 = tmpDir("sd-swc-ckpt2")
+
+    // validation: an ACTIVE query on the old checkpoint refuses the sweep
+    val src1 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .parquet(f1)
+    val live = StreamingDedup.simhashNearDupStream(src1,
+      col("doc_id"), col("text"), maxHamming = 3,
+      path = o1, checkpointDir = c1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      retention = Some(retention))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingDedup.sweepCheckpoint(spark, c1, c2, retention, sweepAsOf)
+      }
+      assert(e.getMessage.contains("stop the active query"), e.getMessage)
+    } finally live.stop()
+
+    // the one-call handoff: stopped query -> materialized seed frame
+    val seed = StreamingDedup.sweepCheckpoint(spark, c1, c2, retention,
+      sweepAsOf)
+    assert(seed.select("doc_id").distinct().as[Long].collect().toSeq ==
+      Seq(2L), "only the live-window doc survives the sweep")
+    assert(seed.count() === 5L)
+    assert(seed.columns.sorted.toSeq ==
+      Seq("bucket", "doc_id", "simhash", "ts"))
+    // the seed is MATERIALIZED under the new checkpoint (not a lazy
+    // read of the old state store)
+    assert(new java.io.File(c2, "graft-sweep-seed").isDirectory)
+
+    // end to end: twins of both docs stream against the seeded fresh
+    // checkpoint — only the live doc's twin pairs, and the swept id is
+    // free for reuse
+    val f2 = tmpDir("sd-swc-feed2")
+    arrive(f2, 0, Seq((11L, tA), (12L, tB)))
+    val o2 = tmpDir("sd-swc-out2")
+    run(f2, o2, c2, Some(seed))
+    val got = readPairs(o2).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 12L)),
+      s"post-sweep resume must detect only live-window pairs, got $got")
+
+    // validation: a target checkpoint that already committed refuses
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingDedup.sweepCheckpoint(spark, c1, c2, retention, sweepAsOf)
+    }
+    assert(e2.getMessage.contains("FRESH"), e2.getMessage)
+    // validation: a directory that never ran refuses as the source
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingDedup.sweepCheckpoint(spark, tmpDir("sd-swc-empty"),
+        tmpDir("sd-swc-ckpt3"), retention, sweepAsOf)
+    }
+    assert(e3.getMessage.contains("no committed offsets"), e3.getMessage)
+  }
+
   test("batch-mode evaluation of the stateful core matches the banded join") {
     import spark.implicits._
     val docs = (0L until 40L)
