@@ -450,4 +450,39 @@ object Warc {
       }
       .toDF("file", "url", "charset", "body")
   }
+
+  /** Structured Streaming form of [[readResponses]] for a crawl
+    * LANDING directory: shards stream in as they arrive (the
+    * `binaryFile` file source tracks seen files in the checkpoint; the
+    * scan prunes to the path column, so no shard blob rides the
+    * source), each opened and record-streamed executor-side exactly
+    * like the batch path. Composes with the curation surface
+    * downstream — e.g. [[StreamingDedup]] for continuous near-dup
+    * screening of a live crawl. `maxFilesPerTrigger` bounds a
+    * micro-batch to that many shards (0 = leave the source default).
+    */
+  def readResponsesStream(spark: SparkSession, pathGlob: String,
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val confMap = hadoopConfMap(spark)
+    var reader = spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema (streaming file sources
+      // require it explicitly); the projection below prunes to path
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, " +
+          "content BINARY"))
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.load(pathGlob)
+      .select(col("path")).as[String]
+      .flatMap { path =>
+        records(openStream(path, confMap))
+          .filter(_.warcType.equalsIgnoreCase("response"))
+          .map { r =>
+            val (body, charset) = httpBodyAndCharset(r.body)
+            (path, r.targetUri, charset, body)
+          }
+      }
+      .toDF("file", "url", "charset", "body")
+  }
 }

@@ -300,6 +300,35 @@ object CurationProbes {
         .orderBy("url")
     },
 
+    // CDX-style index + seek-fetch (r19, WarcIndex): the Common Crawl
+    // random-access pattern — one streaming pass indexes every
+    // per-record gzip member's (file, offset, length) with CRC-verified
+    // boundaries, then a SUBSET (doc_id % 7 == 3) hydrates by range
+    // read: seek, read exactly `length` bytes, decode the one member.
+    // The oracle is the same closed form as warc_ingest restricted to
+    // the subset — green means the byte-exact offset accounting, the
+    // seek-fetch path, and HTTP/HTML extraction all agreed, without a
+    // full-shard scan on the fetch side.
+    Probe(
+      "warc_cdx_fetch",
+      "SELECT 'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 3 ORDER BY url"
+    ) { (s, d) =>
+      val dir = PhaseTimer.timed("warc_cdx_fetch", "fixture_ensure") {
+        warcFixture(s, d)
+      }
+      val picked = graft.ext.WarcIndex.indexWarc(s, dir + "/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+      graft.ext.WarcIndex.fetchResponses(picked)
+        .select(col("url"),
+          graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
+            .as("text"))
+        .orderBy("url")
+    },
+
     // robots.txt exclusion screening (r18, RobotsTxt — RFC 9309): five
     // host policies x four path shapes, evaluated for agent
     // "graftbot/1.0" — path-prefix rules, a disallow-all with an Allow
