@@ -73,7 +73,10 @@ object Psl {
       // the first whitespace-delimited token of a non-comment line
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("//")) {
-        val rule = line.takeWhile(c => c > ' ').toLowerCase
+        // locale-independent fold — the same asciiLower the host side
+        // uses (String.toLowerCase under a Turkish locale would dot
+        // the I and the rule would never match a folded host label)
+        val rule = UrlOps.asciiLower(line.takeWhile(c => c > ' '))
         if (rule.startsWith("!")) exception += rule.substring(1)
         else if (rule.startsWith("*.")) wildcard += rule.substring(2)
         else if (rule.nonEmpty && rule != "*") exact += rule

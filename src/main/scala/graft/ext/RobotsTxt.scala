@@ -206,14 +206,15 @@ object RobotsTxt {
     * Shape (r19): the robots side first AGGREGATES to one row per
     * canonical host key — distinct rows that collide after
     * canonicalization (`www.site.com` vs `site.com`, which CAN serve
-    * different robots.txt) merge by body concatenation in sorted order,
-    * under which RFC 9309 group-merge semantics apply: the union of
-    * both files' rules for the selected agent, longest-match
-    * precedence, allow-wins ties — deterministic whatever the row
-    * order, and never a silent row duplication through the join. Then
-    * each merged body parses ONCE (group selection included) into a
-    * compact encoded-rule column carried through the join — parse
-    * count = distinct hosts, not corpus rows. ONE hash join on the
+    * different robots.txt) merge by parsing EACH body separately
+    * (per-file RFC 9309 agent-group selection — a file whose only
+    * group is `*` still screens an agent another file names
+    * specifically) and taking the UNION of the selected rules, under
+    * which longest-match precedence and allow-wins ties apply —
+    * deterministic whatever the row order, and never a silent row
+    * duplication through the join. The per-host parse happens ONCE
+    * into a compact encoded-rule column carried through the join —
+    * parse count = robots rows, not corpus rows. ONE hash join on the
     * host + a zero-shuffle scalar evaluation pass per doc row.
     */
   def filterAllowed(docs: DataFrame, urlCol: String, robots: DataFrame,
@@ -222,7 +223,13 @@ object RobotsTxt {
                     userAgent: String = "*"): DataFrame = {
     val preParseUdf = udf { bodies: scala.collection.Seq[String] =>
       preParseCount.increment()
-      encodeRules(parse(bodies.mkString("\n\n"), userAgent))
+      // per-FILE group selection, then rule union: concatenating the
+      // bodies instead would let one file's specific-agent group mask
+      // another file's '*' group (and a dangling User-agent: line
+      // would bleed across the file boundary)
+      bodies.iterator
+        .flatMap(b => encodeRules(parse(b, userAgent)))
+        .toArray
     }
     val allowedUdf = udf {
       (url: String, rules: scala.collection.Seq[String]) =>

@@ -79,7 +79,7 @@ object UrlOps {
   final case class UrlParts(canonical: String, host: String,
                             registeredDomain: String)
 
-  private def asciiLower(s: String): String = {
+  private[ext] def asciiLower(s: String): String = {
     // locale-independent fold (String.toLowerCase("tr") would dot the I)
     var i = 0
     var needs = false

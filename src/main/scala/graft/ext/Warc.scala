@@ -62,7 +62,17 @@ object Warc {
     * drives the read; exhaust or abandon the iterator freely (byte
     * array sources hold no OS resources).
     */
-  def records(input: java.io.InputStream): Iterator[WarcRecord] = {
+  def records(input: java.io.InputStream): Iterator[WarcRecord] =
+    recordsOver(wrapStream(input))
+
+  /** The decode chain [[records]] reads through: gzip sniff (single or
+    * concatenated members) + buffering. Exposed separately so the
+    * task-side readers can register the WHOLE chain — the gzip
+    * member's native Inflater included — on task completion; closing
+    * only the raw file stream would leave an abandoned iterator's
+    * Inflater to the GC.
+    */
+  private def wrapStream(input: java.io.InputStream): java.io.InputStream = {
     val pb = new java.io.PushbackInputStream(input, 2)
     val h0 = pb.read()
     val h1 = if (h0 < 0) -1 else pb.read()
@@ -76,8 +86,10 @@ object Warc {
             s"WARC: gzip stream is damaged (${e.getMessage})")
         }
       else pb
-    val in = new java.io.BufferedInputStream(base, 64 * 1024)
+    new java.io.BufferedInputStream(base, 64 * 1024)
+  }
 
+  private def recordsOver(in: java.io.InputStream): Iterator[WarcRecord] = {
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
       private var done = false
@@ -380,29 +392,52 @@ object Warc {
     * projection-aware, so no file CONTENT is ever materialized into the
     * scan (the plan's ReadSchema carries just `path`; `WarcSpec` pins
     * it). Listing parallelism is the file count, same as before.
+    * Shared with [[WarcIndex]].
     */
-  private def listPaths(spark: SparkSession, pathGlob: String) = {
+  private[ext] def listPaths(spark: SparkSession, pathGlob: String)
+      : org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path")).as[String]
   }
 
-  /** Open `path` for streaming read on the executor, registering a
-    * task-completion close so an abandoned iterator (limit, task kill)
-    * never leaks the handle; [[records]] itself closes at EOF/failure,
-    * making the listener a harmless double-close on the common path.
+  /** Register `c` to close when the current task completes (no-op off
+    * a task), so an abandoned iterator (limit, task kill) never waits
+    * on GC to release its resources.
     */
-  private def openStream(path: String, confMap: Map[String, String])
-      : java.io.InputStream = {
+  private def closeOnTaskCompletion(c: java.io.Closeable): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try c.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Open `path` for streaming read on the executor with a
+    * task-completion close of the raw handle. Seek-capable — the
+    * [[WarcIndex]] fetch path shares it. Callers layering a decode
+    * chain on top register THAT separately ([[openRecords]]).
+    */
+  private[ext] def openStream(path: String, confMap: Map[String, String])
+      : org.apache.hadoop.fs.FSDataInputStream = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(conf).open(p)
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-      try in.close() catch { case _: java.io.IOException => () }
-    }
+    closeOnTaskCompletion(in)
     in
+  }
+
+  /** The task-side record iterator: opens `path`, layers the decode
+    * chain, and registers the WHOLE chain for task-completion close —
+    * so an abandoned iterator frees the gzip member's native Inflater
+    * deterministically, not at GC ([[records]] itself still closes at
+    * EOF/failure; the listener is a harmless double-close then).
+    */
+  private def openRecords(path: String, confMap: Map[String, String])
+      : Iterator[WarcRecord] = {
+    val wrapped = wrapStream(openStream(path, confMap))
+    closeOnTaskCompletion(wrapped)
+    recordsOver(wrapped)
   }
 
   /** All records of every WARC file under `pathGlob`:
@@ -422,7 +457,7 @@ object Warc {
     val confMap = hadoopConfMap(spark)
     listPaths(spark, pathGlob)
       .flatMap { path =>
-        records(openStream(path, confMap)).zipWithIndex.map { case (r, idx) =>
+        openRecords(path, confMap).zipWithIndex.map { case (r, idx) =>
           (path, idx.toLong, r.warcType, r.targetUri, r.contentType, r.body)
         }
       }
@@ -441,7 +476,7 @@ object Warc {
     val confMap = hadoopConfMap(spark)
     listPaths(spark, pathGlob)
       .flatMap { path =>
-        records(openStream(path, confMap))
+        openRecords(path, confMap)
           .filter(_.warcType.equalsIgnoreCase("response"))
           .map { r =>
             val (body, charset) = httpBodyAndCharset(r.body)
@@ -476,7 +511,7 @@ object Warc {
     reader.load(pathGlob)
       .select(col("path")).as[String]
       .flatMap { path =>
-        records(openStream(path, confMap))
+        openRecords(path, confMap)
           .filter(_.warcType.equalsIgnoreCase("response"))
           .map { r =>
             val (body, charset) = httpBodyAndCharset(r.body)

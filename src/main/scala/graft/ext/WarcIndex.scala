@@ -176,10 +176,9 @@ object WarcIndex {
   def indexWarc(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     val confMap = Warc.hadoopConfMap(spark)
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path")).as[String]
+    Warc.listPaths(spark, pathGlob)
       .flatMap { path =>
-        indexShard(openPath(path, confMap)).map { ir =>
+        indexShard(Warc.openStream(path, confMap)).map { ir =>
           (path, ir.offset, ir.length, ir.record.warcType,
             ir.record.targetUri, ir.record.contentType,
             ir.record.headers.getOrElse("warc-date", null),
@@ -188,19 +187,6 @@ object WarcIndex {
       }
       .toDF("file", "offset", "length", "warc_type", "url",
         "content_type", "warc_date", "payload_bytes")
-  }
-
-  private def openPath(path: String, confMap: Map[String, String])
-      : org.apache.hadoop.fs.FSDataInputStream = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    val p = new org.apache.hadoop.fs.Path(path)
-    val in = p.getFileSystem(conf).open(p)
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-      try in.close() catch { case _: java.io.IOException => () }
-    }
-    in
   }
 
   /** Hydrate an index subset: `index` needs (`file`, `offset`,
@@ -223,7 +209,7 @@ object WarcIndex {
         val sorted = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
         if (sorted.isEmpty) Iterator.empty
         else {
-          val in = openPath(file, confMap)
+          val in = Warc.openStream(file, confMap)
           sorted.iterator.map { case (off, len) =>
             require(len > 0 && len <= Int.MaxValue - 8,
               s"fetchRecords: bad member length $len at $file:$off")

@@ -160,5 +160,22 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
       Seq((9L, "https://site.com/p/z")).toDF("doc_id", "url"),
       "url", conflict)
     assert(kept.count() == 1L)
+    // group selection is PER FILE: a colliding file whose only group
+    // is '*' still screens an agent the other file names specifically
+    // (body concatenation would let the specific group mask it)
+    val mask = Seq(
+      ("site.com", "User-agent: graftbot\nDisallow: /x/\n"),
+      ("www.site.com", "User-agent: *\nDisallow: /y/\n")
+    ).toDF("host", "robots_txt")
+    val maskedDocs = Seq(
+      (1L, "https://site.com/x/a"),
+      (2L, "https://site.com/y/a"),
+      (3L, "https://site.com/z/a")
+    ).toDF("doc_id", "url")
+    val maskKept = RobotsTxt.filterAllowed(maskedDocs, "url", mask,
+        userAgent = "graftbot/1.0")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(maskKept == Seq(3L),
+      s"both files' selected groups must screen, kept $maskKept")
   }
 }
