@@ -293,8 +293,10 @@ object HtmlText {
 
   /** Decode every entity in an ATTRIBUTE value (HTML5 decodes references
     * in attribute values too — canonical hrefs routinely carry `&amp;`).
+    * Shared with [[Sitemaps]] (XML's five predefined entities + numeric
+    * references are a subset of this decoder).
     */
-  private def decodeEntities(s: String): String = {
+  private[ext] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val b = new java.lang.StringBuilder(s.length)
     var i = 0

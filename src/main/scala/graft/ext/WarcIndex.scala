@@ -196,16 +196,27 @@ object WarcIndex {
     * bytes read per record, each member's CRC verifying on decode. A
     * stale index (offset not at a gzip member, length torn) refuses
     * loudly rather than yielding a wrong record.
+    *
+    * `splitBytes` (0 = off) sub-splits a FILE's rows into
+    * offset-range groups of that many bytes, so a fetch concentrated
+    * in a few huge shards still fans across the cluster (the
+    * one-task-per-file default is right when selected rows spread over
+    * many shards; a 100 GB shard holding most of the hits wants
+    * ~`splitBytes`-sized work units — seek locality within each range
+    * is preserved by the ascending sort).
     */
-  def fetchRecords(index: DataFrame): DataFrame = {
+  def fetchRecords(index: DataFrame, splitBytes: Long = 0L): DataFrame = {
+    require(splitBytes >= 0L, s"splitBytes must be >= 0 (got $splitBytes)")
     val spark = index.sparkSession
     import spark.implicits._
     val confMap = Warc.hadoopConfMap(spark)
     index.select(col("file").cast("string"), col("offset").cast("long"),
         col("length").cast("long"))
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (file: String, rows: Iterator[(String, Long, Long)]) =>
+      .groupByKey(r => (r._1, if (splitBytes > 0L) r._2 / splitBytes else 0L))
+      .flatMapGroups { (key: (String, Long),
+                        rows: Iterator[(String, Long, Long)]) =>
+        val file = key._1
         val sorted = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
         if (sorted.isEmpty) Iterator.empty
         else {
@@ -235,10 +246,10 @@ object WarcIndex {
     * stripped — (file, offset, url, charset, body), the
     * [[Warc.readResponses]] shape hydrated by range read.
     */
-  def fetchResponses(index: DataFrame): DataFrame = {
+  def fetchResponses(index: DataFrame, splitBytes: Long = 0L): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    fetchRecords(index)
+    fetchRecords(index, splitBytes)
       .filter(lower(col("warc_type")) === "response")
       .as[(String, Long, String, String, String, Array[Byte])]
       .map { case (file, off, _, url, _, raw) =>

@@ -300,6 +300,85 @@ object CurationProbes {
         .orderBy("url")
     },
 
+    // Sitemap parsing (r19, ext.Sitemaps): the crawl DISCOVERY side —
+    // four document shapes per doc_id: a full urlset entry whose loc
+    // carries an XML-escaped query (&amp; must decode), a CDATA loc
+    // with no optional fields, a sitemapindex child (kind=sitemap),
+    // and a urlset holding a loc-less block (drops) next to a valid
+    // one. Built identically in Spark and SQL; the oracle states every
+    // decoded (kind, loc, lastmod, changefreq, priority) closed-form.
+    Probe(
+      "url_sitemap_parse",
+      "SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 2 THEN 'sitemap' ELSE 'url' END AS kind, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'https://sm.example.com/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'https://sm.example.com/cd/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'https://sm.example.com/maps/' || CAST(doc_id AS VARCHAR) || '.xml' " +
+        "ELSE 'https://sm.example.com/ok/' || CAST(doc_id AS VARCHAR) END AS loc, " +
+        "CASE doc_id % 4 WHEN 0 THEN '2026-01-02' WHEN 2 THEN '2026-02-03T04:05:06Z' ELSE NULL END AS lastmod, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'daily' ELSE NULL END AS changefreq, " +
+        "CASE doc_id % 4 WHEN 0 THEN '0.8' ELSE NULL END AS priority " +
+        "FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id"
+    ) { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val xml = when(v === 0, concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>" +
+          "https://sm.example.com/p/"), id, lit("?a=1&amp;b="), id,
+        lit("</loc><lastmod>2026-01-02</lastmod>" +
+          "<changefreq>daily</changefreq><priority>0.8</priority>" +
+          "</url></urlset>")))
+        .when(v === 1, concat(
+          lit("<urlset><url><loc><![CDATA[https://sm.example.com/cd/"), id,
+          lit("]]></loc></url></urlset>")))
+        .when(v === 2, concat(
+          lit("<sitemapindex><sitemap><loc>https://sm.example.com/maps/"),
+          id, lit(".xml</loc><lastmod>2026-02-03T04:05:06Z</lastmod>" +
+            "</sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><lastmod>2025-12-31</lastmod></url>" +
+            "<url><loc>https://sm.example.com/ok/"), id,
+          lit("</loc></url></urlset>")))
+      graft.ext.Sitemaps.explodeEntries(
+          t(s, d, "documents").filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), xml.as("xml")), "xml")
+        .select("doc_id", "kind", "loc", "lastmod", "changefreq", "priority")
+        .orderBy("doc_id")
+    },
+
+    // Streaming crawl ingestion (r19, Warc.readResponsesStream): the
+    // shard fixture treated as a LANDING directory — a checkpointed
+    // binaryFile-source stream picks the 8 shards up across micro-
+    // batches (maxFilesPerTrigger=3), each opened and record-streamed
+    // executor-side, HTML extracted, landed in a parquet sink, read
+    // back. The oracle is the same closed form as warc_ingest: green
+    // means the streaming listing, per-record decode, and sink
+    // delivery lose and duplicate nothing across triggers.
+    Probe(
+      "stream_warc_ingest",
+      "SELECT 'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL ORDER BY url"
+    ) { (s, d) =>
+      val dir = PhaseTimer.timed("stream_warc_ingest", "fixture_ensure") {
+        warcFixture(s, d)
+      }
+      val root = Probe.scratchDir("graft-stream-warc")
+      PhaseTimer.timed("stream_warc_ingest", "stream_run") {
+        val q = graft.ext.Warc
+          .readResponsesStream(s, dir + "/*.warc.gz", maxFilesPerTrigger = 3)
+          .select(col("url"),
+            graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
+              .as("text"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").select("url", "text").orderBy("url")
+    },
+
     // CDX-style index + seek-fetch (r19, WarcIndex): the Common Crawl
     // random-access pattern — one streaming pass indexes every
     // per-record gzip member's (file, offset, length) with CRC-verified

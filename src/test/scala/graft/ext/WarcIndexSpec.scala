@@ -120,6 +120,12 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
       "https://s1/d/3" -> "alpha-3", "https://s1/d/7" -> "alpha-7",
       "https://s1/d/13" -> "alpha-13", "https://s1/d/17" -> "alpha-17",
       "https://s2/d/3" -> "beta-3", "https://s2/d/7" -> "beta-7"))
+    // splitBytes sub-splits one file's rows into offset-range groups
+    // (the few-huge-shards fan-out) with identical results
+    val split = WarcIndex.fetchResponses(picked, splitBytes = 256L)
+      .select($"url", $"body".cast("string")).as[(String, String)]
+      .collect().toMap
+    assert(split == fetched)
     // a stale index (offset shifted mid-member) refuses loudly
     val stale = picked.limit(1)
       .withColumn("offset", col("offset") + lit(5L))
