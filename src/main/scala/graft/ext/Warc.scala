@@ -252,6 +252,27 @@ object Warc {
     (if (chunked) decodeChunked(body) else body, charset)
   }
 
+  /** The HTTP status code of a captured response payload (the first
+    * line's second token), or -1 when the payload carries no parsable
+    * status line — total, for index enrichment over arbitrary crawl
+    * records.
+    */
+  def httpStatus(raw: Array[Byte]): Int = {
+    if (raw == null) return -1
+    var end = 0
+    val n = math.min(raw.length, 256)
+    while (end < n && raw(end) != '\r' && raw(end) != '\n') end += 1
+    val line = new String(raw, 0, end,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!line.regionMatches(true, 0, "HTTP/", 0, 5)) return -1
+    val parts = line.split(" ")
+    if (parts.length < 2) return -1
+    try {
+      val s = Integer.parseInt(parts(1).trim)
+      if (s >= 100 && s <= 599) s else -1
+    } catch { case _: NumberFormatException => -1 }
+  }
+
   private def decodeChunked(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
     var i = 0

@@ -179,14 +179,25 @@ object WarcIndex {
     Warc.listPaths(spark, pathGlob)
       .flatMap { path =>
         indexShard(Warc.openStream(path, confMap)).map { ir =>
+          // status + digest are the CDX enrichment fields external
+          // consumers key on: status screens error captures WITHOUT a
+          // fetch; digest (sha256 of the record body) is the
+          // dedup-by-content key Common Crawl's own index carries —
+          // exact dedup straight off the index, no shard reads
+          val status = if (ir.record.warcType.equalsIgnoreCase("response"))
+            Warc.httpStatus(ir.record.body) else -1
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(ir.record.body).map("%02x".format(_)).mkString
           (path, ir.offset, ir.length, ir.record.warcType,
             ir.record.targetUri, ir.record.contentType,
             ir.record.headers.getOrElse("warc-date", null),
-            ir.record.body.length.toLong)
+            ir.record.body.length.toLong,
+            if (status > 0) Some(status) else None,
+            digest)
         }
       }
       .toDF("file", "offset", "length", "warc_type", "url",
-        "content_type", "warc_date", "payload_bytes")
+        "content_type", "warc_date", "payload_bytes", "status", "digest")
   }
 
   /** Hydrate an index subset: `index` needs (`file`, `offset`,
@@ -303,6 +314,7 @@ object WarcIndex {
       ts,
       to_json(struct(
         col("url"), col("content_type").as("mime"),
+        col("status"), col("digest"),
         element_at(split(col("file"), "/"), -1).as("filename"),
         col("offset"), col("length"))))
     index
@@ -321,8 +333,8 @@ object WarcIndex {
     val raw = spark.read.text(pathGlob)
     val sp = split(col("value"), " ", 3)
     val json = element_at(sp, 3)
-    val schema = "url STRING, mime STRING, filename STRING, " +
-      "offset BIGINT, length BIGINT"
+    val schema = "url STRING, mime STRING, status INT, digest STRING, " +
+      "filename STRING, offset BIGINT, length BIGINT"
     raw.select(element_at(sp, 1).as("surt"),
         element_at(sp, 2).as("timestamp"),
         from_json(json, org.apache.spark.sql.types.StructType.fromDDL(schema))

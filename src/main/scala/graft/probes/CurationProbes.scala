@@ -300,6 +300,48 @@ object CurationProbes {
         .orderBy("url")
     },
 
+    // Composed crawl-curation pipeline (r19): WARC shards → streamed
+    // record decode → HTML extraction → RFC 9309 robots screening
+    // (per-host policies incl. a wildcard pattern) → token-count
+    // quality floor → canonical URL dedup, ONE declarative plan
+    // end-to-end — the `curate_pipeline` idiom on the crawl path. The
+    // oracle re-derives the surviving (url, text, n_tokens) rows in
+    // closed form: a green row proves every stage composed without
+    // losing, duplicating, or mis-screening a document.
+    Probe(
+      "crawl_curate_pipeline",
+      "SELECT 'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "AND doc_id % 8 <> 0 " + // warc0 disallows /doc/ outright
+        "AND NOT (doc_id % 8 = 2 AND CAST(doc_id AS VARCHAR) LIKE '1%') " + // /doc/1*
+        "AND len(string_split(text, ' ')) >= 5 " +
+        "ORDER BY url"
+    ) { (s, d) =>
+      import s.implicits._
+      val dir = PhaseTimer.timed("crawl_curate_pipeline", "fixture_ensure") {
+        warcFixture(s, d)
+      }
+      val pages = graft.ext.Warc.readResponses(s, dir + "/*.warc.gz")
+        .select(col("url"),
+          graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
+            .as("text"))
+      val robots = Seq(
+        ("warc0.example.com", "User-agent: *\nDisallow: /doc/\n"),
+        ("warc1.example.com", "User-agent: *\nDisallow:\n"),
+        ("warc2.example.com", "User-agent: *\nDisallow: /doc/1*\n")
+      ).toDF("host", "robots_txt")
+      val allowed = graft.ext.RobotsTxt.filterAllowed(pages, "url", robots)
+      val quality = allowed.filter(TA.tokenCount(col("text")) >= 5)
+      graft.ext.UrlOps.dedupByUrl(
+          quality.withColumn("doc_id",
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")),
+          "url", "doc_id")
+        .select(col("url"), col("text"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("url")
+    },
+
     // Sitemap parsing (r19, ext.Sitemaps): the crawl DISCOVERY side —
     // four document shapes per doc_id: a full urlset entry whose loc
     // carries an XML-escaped query (&amp; must decode), a CDATA loc

@@ -196,6 +196,45 @@ class UrlOpsSpec extends AnyFunSuite with SharedSpark {
     assert(resolve(base, null) == base)
   }
 
+  test("RFC 3986 §5.4 example tables, base http://a/b/c/d;p?q") {
+    import UrlOps.resolve
+    val base = "http://a/b/c/d;p?q"
+    // §5.4.1 normal examples (g:h is a URI with scheme g — kept as-is)
+    val normal = Seq(
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    // §5.4.2 abnormal examples (strict parser: excess .. clamp at root;
+    // dot-segments in non-leading positions; queries/fragments attach
+    // to the last segment; scheme-looking leading segments)
+    val abnormal = Seq(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "http:g" -> "http:g") // strict: scheme ref stands alone
+    (normal ++ abnormal).foreach { case (ref, want) =>
+      assert(resolve(base, ref) == want, s"resolve(base, \"$ref\")")
+    }
+    // fragment refs: the dedup-key contract STRIPS fragments, so the
+    // RFC's "#s"-carrying outputs appear here without the fragment
+    assert(resolve(base, "#s") == "http://a/b/c/d;p?q")
+    assert(resolve(base, "g#s") == "http://a/b/c/g")
+    assert(resolve(base, "g?y#s") == "http://a/b/c/g?y")
+  }
+
   test("dedupByCanonicalUrl: declared canonicals collapse, others hold") {
     import spark.implicits._
     val page = "https://site.com/p/1"

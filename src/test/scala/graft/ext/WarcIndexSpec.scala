@@ -110,6 +110,12 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     assert(index.count() == 30)
     assert(index.select("warc_date").distinct().as[String].collect().toSeq ==
       Seq("2000-01-01T00:00:00Z")) // the fixture-overload constant
+    // CDX enrichment: response rows carry the HTTP status; every row
+    // carries the sha256 digest of its record body (dedup-by-content
+    // straight off the index — the Common Crawl idiom)
+    assert(index.filter(col("status") === 200).count() == 30)
+    val digests = index.select("digest").as[String].collect()
+    assert(digests.forall(_.length == 64) && digests.distinct.length == 30)
     // hydrate a SUBSET by range read and compare against the full scan
     val picked = index.filter(col("url").endsWith("3") ||
       col("url").endsWith("7"))
