@@ -217,6 +217,17 @@ object Sitemaps {
       (e.kind, e.loc, e.lastmod, e.changefreq, e.priority))
   }
 
+  private val fromRobotsUdf = udf { robots: String => fromRobots(robots) }
+
+  /** Explode a robots-table frame (host, robots body) to one row per
+    * advertised sitemap URL — the discovery join point feeding a
+    * sitemap fetch stage. Zero shuffle.
+    */
+  def discoverFromRobots(robots: DataFrame, hostCol: String = "host",
+                         robotsCol: String = "robots_txt"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+      explode(fromRobotsUdf(col(robotsCol))).as("sitemap_url"))
+
   /** Column form: array of (kind, loc, lastmod, changefreq, priority)
     * structs — `explode` it to one row per entry (zero shuffle; the
     * scan parallelism is the parse parallelism).

@@ -270,6 +270,21 @@ object WarcIndex {
       .toDF("file", "offset", "url", "charset", "body")
   }
 
+  /** Exact dedup-by-content over the INDEX — one surviving row per
+    * `digest`, the earliest capture winning ((file, offset)
+    * lexicographic, deterministic). This is the Common Crawl idiom:
+    * identical payloads collapse BEFORE any shard byte is fetched, so
+    * the subsequent [[fetchRecords]] moves each distinct document's
+    * bytes exactly once. One hash groupBy (~150-byte rows), map-side
+    * partial — the exact-dedup shape everywhere in this library.
+    */
+  def dedupByDigest(index: DataFrame): DataFrame =
+    index
+      .groupBy(col("digest"))
+      .agg(min_by(struct(index.columns.map(col).toIndexedSeq: _*),
+        struct(col("file"), col("offset"))).as("__row"))
+      .select(col("__row.*"))
+
   // ---------------------------------------------------------------------
   // CDXJ serialization (pywb / Common Crawl layout)
   // ---------------------------------------------------------------------

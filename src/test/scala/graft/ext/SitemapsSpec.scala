@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * values, optional fields, gzip payloads, robots.txt discovery, and
   * totality on damage.
   */
-class SitemapsSpec extends AnyFunSuite {
+class SitemapsSpec extends AnyFunSuite with graft.SharedSpark {
   import Sitemaps._
 
   test("urlset: loc/lastmod/changefreq/priority, entities, CDATA") {
@@ -79,6 +79,19 @@ class SitemapsSpec extends AnyFunSuite {
     val bad = gz.clone(); bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x7F).toByte
     assert(parseBytes(bad).isEmpty) // damaged fetch: total, never a throw
     assert(parseBytes(null).isEmpty)
+  }
+
+  test("discoverFromRobots explodes the robots table, zero shuffle") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nSitemap: https://a.com/s1.xml\n" +
+        "Sitemap: https://a.com/s2.xml.gz\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val out = Sitemaps.discoverFromRobots(robots)
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a.com", "https://a.com/s1.xml"), ("a.com", "https://a.com/s2.xml.gz")))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("fromRobots: Sitemap directives, case/comment tolerance") {

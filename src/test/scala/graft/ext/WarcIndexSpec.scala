@@ -145,6 +145,35 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     index.unpersist()
   }
 
+  test("dedupByDigest: identical payloads collapse before any fetch") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-digest")
+    // two shards with overlapping CONTENT: docs 0-9 in shard a, docs
+    // 5-14 in shard b — same url+body for the overlap, so digests match
+    def recs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      record("response", s"https://dg/d/$i", s"HTTP/1.1 200 OK\r\n\r\nbody-$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc.gz"),
+      shard(recs(0, 10)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+      shard(recs(5, 15)))
+    val index = WarcIndex.indexWarc(spark, dir + "/*.warc.gz")
+    assert(index.count() == 20)
+    val unique = WarcIndex.dedupByDigest(index)
+    assert(unique.count() == 15)
+    // the earliest capture wins: overlap rows resolve to shard a
+    val overlapFiles = unique
+      .filter(col("url").isin((5 until 10).map(i => s"https://dg/d/$i"): _*))
+      .select("file").as[String].collect()
+    assert(overlapFiles.length == 5 && overlapFiles.forall(_.endsWith("a.warc.gz")))
+    // one shuffle: the exact-dedup hash-aggregate shape
+    val plan = unique.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+    // hydrating the deduped index yields each distinct doc once
+    val bodies = WarcIndex.fetchResponses(unique)
+      .select($"body".cast("string")).as[String].collect()
+    assert(bodies.length == 15 && bodies.distinct.length == 15)
+  }
+
   test("surtKey: host reversal, canonicalization, opaque pass-through") {
     assert(WarcIndex.surtKey("https://www.Example.com/a/b?x=1") ==
       "com,example)/a/b?x=1")
