@@ -91,6 +91,22 @@ object RobotsTxt {
     * (see module doc). Total on arbitrary text — malformed lines are
     * ignored, per the RFC's error tolerance.
     */
+  /** Lex a robots.txt body into (field-lowercased, value) directive
+    * pairs: `#` comments strip, lines trim, fieldless lines drop — the
+    * ONE robots line lexer [[parse]] and [[Sitemaps.fromRobots]] share
+    * (two lexers for one format would drift on tolerance rules).
+    */
+  private[ext] def directives(content: String): Iterator[(String, String)] =
+    content.split("\r?\n").iterator.flatMap { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val colon = line.indexOf(':')
+      if (colon > 0)
+        Iterator.single((line.substring(0, colon).trim.toLowerCase,
+          line.substring(colon + 1).trim))
+      else Iterator.empty
+    }
+
   def parse(content: String, userAgent: String = "*"): Rules = {
     if (content == null) return Rules(Vector.empty)
     val uaLower = userAgent.toLowerCase
@@ -99,34 +115,27 @@ object RobotsTxt {
       .empty[(String, scala.collection.mutable.ArrayBuffer[Rule])]
     var currentUas = List.empty[String]
     var inUaRun = false // consecutive user-agent lines extend one group
-    content.split("\r?\n").foreach { raw =>
-      val hash = raw.indexOf('#')
-      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
-      val colon = line.indexOf(':')
-      if (colon > 0) {
-        val field = line.substring(0, colon).trim.toLowerCase
-        val value = line.substring(colon + 1).trim
-        field match {
-          case "user-agent" =>
-            if (!inUaRun) currentUas = Nil
-            inUaRun = true
-            currentUas = value.toLowerCase :: currentUas
-          case "allow" | "disallow" =>
-            if (inUaRun) {
-              // the UA run just ended: materialize one group per token
-              currentUas.foreach { ua =>
-                groups += ((ua, scala.collection.mutable.ArrayBuffer.empty[Rule]))
-              }
-              inUaRun = false
+    directives(content).foreach { case (field, value) =>
+      field match {
+        case "user-agent" =>
+          if (!inUaRun) currentUas = Nil
+          inUaRun = true
+          currentUas = value.toLowerCase :: currentUas
+        case "allow" | "disallow" =>
+          if (inUaRun) {
+            // the UA run just ended: materialize one group per token
+            currentUas.foreach { ua =>
+              groups += ((ua, scala.collection.mutable.ArrayBuffer.empty[Rule]))
             }
-            // empty value = "no rule" per the RFC (a bare Disallow:
-            // means everything is allowed, not a match-nothing rule)
-            if (value.nonEmpty && currentUas.nonEmpty) {
-              val rule = Rule(field == "allow", value)
-              groups.takeRight(currentUas.length).foreach(_._2 += rule)
-            }
-          case _ => () // crawl-delay, sitemap, unknown: ignored
-        }
+            inUaRun = false
+          }
+          // empty value = "no rule" per the RFC (a bare Disallow:
+          // means everything is allowed, not a match-nothing rule)
+          if (value.nonEmpty && currentUas.nonEmpty) {
+            val rule = Rule(field == "allow", value)
+            groups.takeRight(currentUas.length).foreach(_._2 += rule)
+          }
+        case _ => () // crawl-delay, sitemap, unknown: ignored
       }
     }
     // agent selection: longest UA token that is a substring of ours;

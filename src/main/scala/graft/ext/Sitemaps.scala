@@ -47,31 +47,43 @@ object Sitemaps {
     at + w.length <= s.length &&
       w.indices.forall(k => lowerCh(s.charAt(at + k)) == w.charAt(k))
 
+  /** XML NameChar subset that matters here: letters, digits, and the
+    * `:`/`-`/`.`/`_` punctuation XML names allow — so `<url-info>` is
+    * a DIFFERENT element than `<url>` (never a false block open) and a
+    * namespace prefix rides inside one QName token.
+    */
   private def isNameChar(c: Char): Boolean = {
     val d = lowerCh(c)
-    (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+    (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') ||
+      c == ':' || c == '-' || c == '.' || c == '_'
   }
 
-  /** `<name` at `lt` with a NAME BOUNDARY after it (`<sitemap>` must
-    * not match inside `<sitemapindex>`); returns the index after the
-    * tag's '>' or -1 when it does not match.
+  /** Match the QName starting at `nameStart` against local `name`:
+    * scans the full XML name token, strips any `prefix:` (sitemaps
+    * from lxml-family generators ship namespace-PREFIXED tags —
+    * `<ns0:urlset><ns0:url><ns0:loc>` — which are the same elements),
+    * and compares the local part case-insensitively. Returns the index
+    * after the tag's '>' or -1.
     */
-  private def openTag(xml: String, lt: Int, name: String): Int = {
-    if (!startsWithIC(xml, lt + 1, name)) return -1
-    val after = lt + 1 + name.length
-    if (after < xml.length && isNameChar(xml.charAt(after))) return -1
-    val gt = xml.indexOf('>', lt)
+  private def matchTag(xml: String, nameStart: Int, name: String): Int = {
+    var j = nameStart
+    while (j < xml.length && isNameChar(xml.charAt(j))) j += 1
+    if (j == nameStart) return -1
+    val qname = xml.substring(nameStart, j)
+    val colon = qname.lastIndexOf(':')
+    val local = if (colon >= 0) qname.substring(colon + 1) else qname
+    if (!local.equalsIgnoreCase(name)) return -1
+    val gt = xml.indexOf('>', j)
     if (gt < 0) -1 else gt + 1
   }
 
-  private def closeTag(xml: String, lt: Int, name: String): Int = {
-    if (lt + 1 >= xml.length || xml.charAt(lt + 1) != '/') return -1
-    if (!startsWithIC(xml, lt + 2, name)) return -1
-    val after = lt + 2 + name.length
-    if (after < xml.length && isNameChar(xml.charAt(after))) return -1
-    val gt = xml.indexOf('>', lt)
-    if (gt < 0) -1 else gt + 1
-  }
+  private def openTag(xml: String, lt: Int, name: String): Int =
+    if (lt + 1 >= xml.length || xml.charAt(lt + 1) == '/') -1
+    else matchTag(xml, lt + 1, name)
+
+  private def closeTag(xml: String, lt: Int, name: String): Int =
+    if (lt + 1 >= xml.length || xml.charAt(lt + 1) != '/') -1
+    else matchTag(xml, lt + 2, name)
 
   /** The text content of a simple element starting after its open tag:
     * CDATA unwraps, entities decode, surrounding whitespace trims.
@@ -198,18 +210,12 @@ object Sitemaps {
     */
   def fromRobots(robotsTxt: String): Vector[String] = {
     if (robotsTxt == null) return Vector.empty
-    val out = Vector.newBuilder[String]
-    robotsTxt.split("\r?\n").foreach { raw =>
-      val hash = raw.indexOf('#')
-      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
-      val colon = line.indexOf(':')
-      if (colon > 0 &&
-          line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
-        val v = line.substring(colon + 1).trim
-        if (v.nonEmpty) out += v
-      }
-    }
-    out.result()
+    // ONE robots line lexer, shared with RobotsTxt.parse — comment
+    // strip, trim, and field folding can never drift between the
+    // policy and discovery readers
+    RobotsTxt.directives(robotsTxt)
+      .collect { case ("sitemap", v) if v.nonEmpty => v }
+      .toVector
   }
 
   private val parseUdf = udf { xml: String =>

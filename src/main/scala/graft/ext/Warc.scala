@@ -265,10 +265,13 @@ object Warc {
     val line = new String(raw, 0, end,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!line.regionMatches(true, 0, "HTTP/", 0, 5)) return -1
-    val parts = line.split(" ")
+    // whitespace-run tokenization: real crawls carry sloppy-server
+    // status lines ("HTTP/1.1  200 OK", tab-separated) that a single-
+    // space split would turn into a null status
+    val parts = line.trim.split("\\s+")
     if (parts.length < 2) return -1
     try {
-      val s = Integer.parseInt(parts(1).trim)
+      val s = Integer.parseInt(parts(1))
       if (s >= 100 && s <= 599) s else -1
     } catch { case _: NumberFormatException => -1 }
   }

@@ -181,13 +181,22 @@ object WarcIndex {
         indexShard(Warc.openStream(path, confMap)).map { ir =>
           // status + digest are the CDX enrichment fields external
           // consumers key on: status screens error captures WITHOUT a
-          // fetch; digest (sha256 of the record body) is the
-          // dedup-by-content key Common Crawl's own index carries —
-          // exact dedup straight off the index, no shard reads
-          val status = if (ir.record.warcType.equalsIgnoreCase("response"))
-            Warc.httpStatus(ir.record.body) else -1
+          // fetch; digest is the dedup-by-content key Common Crawl's
+          // own index carries — and like CC's WARC-Payload-Digest it
+          // hashes the PAYLOAD (HTTP framing stripped) for response
+          // records, so two captures of one page differing only in
+          // Date/Set-Cookie response headers still collapse; records
+          // whose framing fails to parse (and non-response records)
+          // hash the whole body
+          val isResponse = ir.record.warcType.equalsIgnoreCase("response")
+          val status = if (isResponse) Warc.httpStatus(ir.record.body) else -1
+          val digestBytes =
+            if (isResponse)
+              try Warc.httpBody(ir.record.body)
+              catch { case _: IllegalArgumentException => ir.record.body }
+            else ir.record.body
           val digest = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(ir.record.body).map("%02x".format(_)).mkString
+            .digest(digestBytes).map("%02x".format(_)).mkString
           (path, ir.offset, ir.length, ir.record.warcType,
             ir.record.targetUri, ir.record.contentType,
             ir.record.headers.getOrElse("warc-date", null),
@@ -316,9 +325,9 @@ object WarcIndex {
 
   /** Serialize an [[indexWarc]] frame as CDXJ-style text lines —
     * `<surt> <timestamp> <json>` with the pywb field names (url, mime,
-    * status left to the payload layer, filename, offset, length) —
-    * globally sorted by (surt, timestamp) so consumers binary-search.
-    * `nShards` bounds output files (one range exchange).
+    * status, digest, filename, offset, length) — globally sorted by
+    * (surt, timestamp) so consumers binary-search. `nShards` bounds
+    * output files (one range exchange).
     */
   def writeCdxj(index: DataFrame, path: String, nShards: Int = 16): Unit = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
@@ -339,10 +348,10 @@ object WarcIndex {
       .write.mode("overwrite").text(path)
   }
 
-  /** Read CDXJ lines back to the (surt, timestamp, url, mime,
-    * filename, offset, length) frame — joins back to shard DIRECTORIES
-    * via `withFileDir` for [[fetchRecords]] (CDXJ carries filenames,
-    * not absolute paths, per the public convention).
+  /** Read CDXJ lines back to the (surt, timestamp, url, mime, status,
+    * digest, filename, offset, length) frame — joins back to shard
+    * DIRECTORIES via `withFileDir` for [[fetchRecords]] (CDXJ carries
+    * filenames, not absolute paths, per the public convention).
     */
   def readCdxj(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = spark.read.text(pathGlob)

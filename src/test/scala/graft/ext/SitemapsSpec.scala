@@ -49,6 +49,26 @@ class SitemapsSpec extends AnyFunSuite with graft.SharedSpark {
     assert(es(0).lastmod == "2026-02-03T04:05:06Z" && es(1).lastmod == null)
   }
 
+  test("namespace prefixes and near-name elements (XML QName rules)") {
+    // lxml-family generators emit PREFIXED tags — same elements
+    val prefixed =
+      """<ns0:urlset xmlns:ns0="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<ns0:url><ns0:loc>https://ns.ex/p/1</ns0:loc>
+        |<ns0:lastmod>2026-03-04</ns0:lastmod></ns0:url>
+        |</ns0:urlset>""".stripMargin
+    val es = parse(prefixed)
+    assert(es == Vector(SitemapEntry("url", "https://ns.ex/p/1",
+      "2026-03-04", null, null)))
+    // an element whose name merely STARTS with url/loc is a different
+    // element — '-' and '_' are XML name chars, never a block open
+    assert(parse("<urlset><url-info><loc>https://no.ex/skip</loc>" +
+      "</url-info><url><loc>https://yes.ex/keep</loc></url></urlset>")
+      .map(_.loc) == Vector("https://yes.ex/keep"))
+    assert(parse("<urlset><url><loc_alt>X</loc_alt>" +
+      "<loc>https://a/real</loc></url></urlset>")
+      .map(_.loc) == Vector("https://a/real"))
+  }
+
   test("totality: junk, case, comments, truncation, empty") {
     // uppercase tags fold; comments and PIs skip
     assert(parse("<URLSET><URL><LOC>https://A/x</LOC></URL></URLSET>")

@@ -168,6 +168,20 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     // one shuffle: the exact-dedup hash-aggregate shape
     val plan = unique.queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 <= 1, plan)
+    // the digest hashes the PAYLOAD (WARC-Payload-Digest semantics):
+    // two captures of one page differing only in a response header —
+    // and one with a sloppy double-space status line — still collapse
+    val dir2 = tmpDir("warcindex-paydg")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir2, "c.warc.gz"),
+      shard(Seq(
+        record("response", "https://pd/x",
+          "HTTP/1.1 200 OK\r\nDate: Mon, 01 Jan 2026 00:00:00 GMT\r\n\r\nsame"),
+        record("response", "https://pd/x",
+          "HTTP/1.1  200 OK\r\nDate: Mon, 01 Jan 2026 00:00:05 GMT\r\n\r\nsame"))))
+    val idx2 = WarcIndex.indexWarc(spark, dir2 + "/*.warc.gz")
+    assert(idx2.select("digest").distinct().count() == 1)
+    assert(idx2.filter(col("status") === 200).count() == 2) // sloppy line parses
+    assert(WarcIndex.dedupByDigest(idx2).count() == 1)
     // hydrating the deduped index yields each distinct doc once
     val bodies = WarcIndex.fetchResponses(unique)
       .select($"body".cast("string")).as[String].collect()
