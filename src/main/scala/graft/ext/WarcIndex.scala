@@ -308,7 +308,8 @@ object WarcIndex {
   def surtKey(url: String): String = {
     if (url == null) return ""
     val parts = UrlOps.parse(url)
-    if (parts.host == null || parts.host.isEmpty) return url.trim
+    if (parts.host == null || parts.host.isEmpty)
+      return escapeKey(url.trim)
     val host = parts.host.split('.').reverse.mkString(",")
     val canon = parts.canonical
     val sep = canon.indexOf("://")
@@ -318,8 +319,19 @@ object WarcIndex {
         canon.charAt(i) != '?') i += 1
       canon.substring(i)
     }
-    host + ")" + (if (afterHost.isEmpty) "/" else afterHost)
+    escapeKey(host + ")" + (if (afterHost.isEmpty) "/" else afterHost))
   }
+
+  /** The CDXJ line format is space-delimited: a literal space (or
+    * newline) inside a key — crawls DO carry invalid URLs with raw
+    * spaces — would break the `<surt> <ts> <json>` split on read-back,
+    * so key whitespace percent-encodes (the pywb convention).
+    */
+  private def escapeKey(s: String): String =
+    if (s.indexOf(' ') < 0 && s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+        s.indexOf('\r') < 0) s
+    else s.replace(" ", "%20").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
 
   private val surtUdf = udf { url: String => surtKey(url) }
 

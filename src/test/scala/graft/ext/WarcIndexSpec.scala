@@ -201,6 +201,10 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
       "com,example)/p")
     assert(WarcIndex.surtKey("not-a-url") == "not-a-url")
     assert(WarcIndex.surtKey(null) == "")
+    // a raw space in an (invalid but real-world) URL percent-encodes:
+    // the CDXJ line format is space-delimited
+    assert(WarcIndex.surtKey("https://ex.com/a b/c") == "com,ex)/a%20b/c")
+    assert(!WarcIndex.surtKey("bad url\twith ws").exists(_.isWhitespace))
   }
 
   test("CDXJ round-trip: sorted lines, filename resolution, fetch") {
