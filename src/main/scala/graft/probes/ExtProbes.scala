@@ -389,6 +389,56 @@ object ExtProbes {
           meta.getField("_2").as("noindex"),
           meta.getField("_3").as("nofollow"))
         .orderBy("doc_id")
+    },
+
+    // Unicode normalization (r19, TextClean): the fixture appends a
+    // DECOMPOSED suffix (e + combining acute, the fi ligature, a
+    // fullwidth H) that is byte-distinct from the oracle's composed
+    // literals — green means NFC composed the combining sequence and
+    // NFKC additionally folded the compatibility forms, per-row, zero
+    // shuffle.
+    Probe(
+      "text_unicode_normalize",
+      "SELECT doc_id, " +
+        "text || ' caf\u00e9 \ufb01le \uff28i' AS nfc, " +
+        "text || ' caf\u00e9 file Hi' AS nfkc " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "ORDER BY doc_id"
+    ) { (s, d) =>
+      val denorm = concat(col("text"),
+        lit(" café ﬁle Ｈi")) // decomposed + ligature + fullwidth
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.TextClean.nfc(denorm).as("nfc"),
+          graft.ext.TextClean.nfkc(denorm).as("nfkc"))
+        .orderBy("doc_id")
+    },
+
+    // Mojibake repair (r19, TextClean): even docs ship DOUBLE-ENCODED
+    // (their UTF-8 bytes re-decoded as latin-1 — built with pure
+    // Column ops, encode/decode, so the corruption itself is part of
+    // the declarative plan); odd docs ship clean. The oracle states
+    // the REPAIRED text closed-form for both: green means the inverse
+    // byte-mapping + strict UTF-8 round-trip recovered every corrupted
+    // row exactly and touched no clean row.
+    Probe(
+      "text_mojibake_repair",
+      "SELECT doc_id, " +
+        "text || CASE WHEN doc_id % 2 = 0 THEN ' caf\u00e9 \u2014 \u201cq\u201d' ELSE '' END AS repaired " +
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL " +
+        "ORDER BY doc_id"
+    ) { (s, d) =>
+      val suffixed = concat(col("text"),
+        lit(" caf\u00e9 \u2014 \u201cq\u201d"))
+      val corrupted = decode(encode(suffixed, "UTF-8"), "ISO-8859-1")
+      val input = when(pmod(col("doc_id"), lit(2)) === 0, corrupted)
+        .otherwise(col("text"))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.TextClean.repairMojibake(input).as("repaired"))
+        .orderBy("doc_id")
     }
   )
 
