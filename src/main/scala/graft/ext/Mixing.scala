@@ -315,4 +315,92 @@ object Mixing {
         Seq(col(idCol)), "cap_pos")
       .filter(col("cap_pos") < cap)
   }
+
+  /** Per-source repetition plan for a FIXED token budget — the
+    * data-constrained training recipe (repeating scarce high-weight
+    * sources for multiple epochs while sampling abundant ones once or
+    * partially; the published data-mix idiom of the scaling-laws
+    * literature): source g's share of the budget is
+    * `target_tokens = budget · w_g / Σw`, which its `n_g` corpus
+    * tokens cover in `target/n_g` passes — `full_epochs` complete
+    * passes plus a `partial_frac` fraction of one more. The plan frame
+    * is the auditable recipe artifact; [[repeatToBudget]] materializes
+    * it.
+    *
+    * Scale shape: ONE map-side-combined aggregate (group → token
+    * total); the plan math runs driver-side over the group frame (tens
+    * of rows) with r6 rounding, engine-reproducible. A weight naming a
+    * group ABSENT from the corpus refuses loudly — a silently dropped
+    * source is a recipe bug, never a default.
+    *
+    * @return (groupCol, n_tokens, weight, target_tokens, full_epochs,
+    *         partial_frac) — one row per weighted group, ascending
+    */
+  def epochPlan(df: DataFrame, groupCol: String, tokenCol: String,
+                weights: Seq[(String, Double)],
+                budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      s"weights must be non-empty and non-negative, got $weights")
+    require(weights.map(_._1).distinct.length == weights.length,
+      s"duplicate group in weights: $weights")
+    val sumW = weights.map(_._2).sum
+    require(sumW > 0.0, s"weights must not all be zero: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df
+      .filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    val missing = weights.map(_._1).filterNot(totals.contains)
+    require(missing.isEmpty,
+      s"epochPlan: weighted groups absent from the corpus: " +
+        s"${missing.mkString(", ")} — a silently dropped source is a " +
+        "recipe bug; fix the weights or the group column")
+    val rows = weights.sortBy(_._1).map { case (g, w) =>
+      val n = totals(g)
+      val target = math.round(budgetTokens * (w / sumW))
+      val full = if (n <= 0) 0L else target / n
+      val partial = if (n <= 0) 0.0 else r6((target - full * n).toDouble / n)
+      (g, n, r6(w / sumW), target, full, partial)
+    }
+    spark.createDataset(rows)
+      .toDF(groupCol, "n_tokens", "weight", "target_tokens",
+        "full_epochs", "partial_frac")
+  }
+
+  /** Materialize an [[epochPlan]]: every group-g document repeats
+    * `full_epochs` times (`epoch` = 0..full-1) and joins epoch
+    * `full_epochs` iff its deterministic [[hashBucket]] falls under
+    * `partial_frac` — a per-DOCUMENT fraction (≈ the token fraction at
+    * corpus scale; same salt → same repetition set on every run and
+    * engine). Output = the input columns + `epoch`; groups without a
+    * weight cannot occur (the plan refused them already); weight-0
+    * groups emit nothing.
+    *
+    * Scale shape: the tiny plan frame broadcast-joins the corpus and a
+    * per-row generator emits the epochs — no shuffle of the corpus, no
+    * physical copy amplification beyond the requested repetition.
+    */
+  def repeatToBudget(df: DataFrame, idCol: String, groupCol: String,
+                     tokenCol: String, weights: Seq[(String, Double)],
+                     budgetTokens: Long, salt: String): DataFrame = {
+    require(!hasColumn(df, "epoch"),
+      "repeatToBudget adds 'epoch'; rename the existing column")
+    val plan = epochPlan(df, groupCol, tokenCol, weights, budgetTokens)
+      .select(col(groupCol).as("__g"), col("full_epochs"),
+        col("partial_frac"))
+    val bucket = hashBucket(col(idCol), salt)
+    val thresh = round(col("partial_frac") * 10000).cast("long")
+    val emptyLongs = array().cast("array<bigint>")
+    val fullArr = when(col("full_epochs") >= 1,
+      sequence(lit(0L), col("full_epochs") - 1)).otherwise(emptyLongs)
+    val extra = when(bucket < thresh, array(col("full_epochs")))
+      .otherwise(emptyLongs)
+    df.filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(plan), col(groupCol).cast("string") === col("__g"))
+      .withColumn("epoch", explode(concat(fullArr, extra)))
+      .drop("__g", "full_epochs", "partial_frac")
+  }
 }

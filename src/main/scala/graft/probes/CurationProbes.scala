@@ -145,6 +145,64 @@ object CurationProbes {
       }.orderBy("doc_id")
     },
 
+    // Epoch/repetition budgeting (r19, Mixing.epochPlan): the
+    // data-constrained recipe — three synthetic sources with
+    // exactly-representable weights (0.5/0.25/0.25, so the target
+    // arithmetic is identical under double and DECIMAL math), a fixed
+    // token budget, and the oracle re-deriving target/full/partial in
+    // closed form from the same per-group token sums.
+    Probe(
+      "mix_epoch_plan",
+      "WITH gt AS (SELECT CAST(doc_id % 3 AS VARCHAR) AS g, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('0', 0.5), ('1', 0.25), ('2', 0.25)) AS t(g, wt)) " +
+        // weight CASTs to DOUBLE: the VALUES literal is DECIMAL and
+        // would hash as '0.50' against the engine's 0.5
+        "SELECT gt.g, gt.n_tokens, CAST(w.wt AS DOUBLE) AS weight, " +
+        "CAST(round(500000 * w.wt) AS BIGINT) AS target_tokens, " +
+        "CAST(round(500000 * w.wt) AS BIGINT) // gt.n_tokens AS full_epochs, " +
+        "round((CAST(round(500000 * w.wt) AS BIGINT) - (CAST(round(500000 * w.wt) AS BIGINT) // gt.n_tokens) * gt.n_tokens) * 1.0 / gt.n_tokens, 6) AS partial_frac " +
+        "FROM gt JOIN w ON gt.g = w.g ORDER BY gt.g"
+    ) { (s, d) =>
+      Mixing.epochPlan(
+          t(s, d, "documents")
+            .filter(col("doc_id").isNotNull && col("text").isNotNull)
+            .select(pmod(col("doc_id"), lit(3)).cast("string").as("g"),
+              TA.tokenCount(col("text")).as("tok")),
+          "g", "tok",
+          Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25), 500000L)
+        .orderBy("g")
+    },
+
+    // Repetition materialization (r19, Mixing.repeatToBudget): each
+    // doc repeats full_epochs times plus a deterministic md5-bucketed
+    // partial epoch — the oracle replays the whole construction
+    // (generate_series for the full passes, the hash threshold for the
+    // partial) from the same plan arithmetic, so a wrong epoch count,
+    // a mis-thresholded partial row, or a dropped group all
+    // hash-mismatch.
+    Probe(
+      "mix_repeat_budget",
+      "WITH gt AS (SELECT CAST(doc_id % 3 AS VARCHAR) AS g, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('0', 0.5), ('1', 0.25), ('2', 0.25)) AS t(g, wt)), " +
+        "q AS (SELECT gt.g, CAST(round(500000 * w.wt) AS BIGINT) // gt.n_tokens AS f, " +
+        "round((CAST(round(500000 * w.wt) AS BIGINT) - (CAST(round(500000 * w.wt) AS BIGINT) // gt.n_tokens) * gt.n_tokens) * 1.0 / gt.n_tokens, 6) AS pf FROM gt JOIN w ON gt.g = w.g), " +
+        "doc AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS g FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), " +
+        "e AS (SELECT doc.doc_id, doc.g, u.e AS epoch FROM doc JOIN q ON doc.g = q.g, UNNEST(generate_series(CAST(0 AS BIGINT), q.f - 1)) AS u(e) " +
+        "UNION ALL SELECT doc.doc_id, doc.g, q.f AS epoch FROM doc JOIN q ON doc.g = q.g " +
+        "WHERE CAST('0x' || substring(md5('ep' || CAST(doc.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < CAST(round(q.pf * 10000) AS BIGINT)) " +
+        "SELECT doc_id, g, epoch FROM e ORDER BY doc_id, epoch"
+    ) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("string").as("g"),
+          TA.tokenCount(col("text")).as("tok"))
+      Mixing.repeatToBudget(docs, "doc_id", "g", "tok",
+          Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25), 500000L, salt = "ep")
+        .select("doc_id", "g", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
     // URL canonicalization (r18, UrlOps): five messy variants per
     // logical page — www + tracking params + fragment + trailing slash,
     // uppercase scheme/host + default port, click-id param, userinfo,

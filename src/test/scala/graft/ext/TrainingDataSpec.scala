@@ -556,4 +556,48 @@ class TrainingDataSpec extends AnyFunSuite with SharedSpark {
       Ranking.rrfFuse(Seq(c, c), "_rrf_s", "x")
     }
   }
+
+  test("epochPlan/repeatToBudget: recipe arithmetic + refusal paths (r19)") {
+    import spark.implicits._
+    // group a: 100 tokens total, b: 400 — budget 600 at weights .5/.5
+    // gives a 3 full epochs + 0 partial, b 0 full + 0.75 partial
+    val docs = ((1L to 10L).map(i => (i, "a", 10L)) ++
+      (11L to 20L).map(i => (i, "b", 40L))).toDF("id", "g", "tok")
+    val plan = Mixing.epochPlan(docs, "g", "tok",
+        Seq("a" -> 0.5, "b" -> 0.5), 600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(plan("a") == ((100L, 300L, 3L, 0.0)))
+    assert(plan("b") == ((400L, 300L, 0L, 0.75)))
+    val out = Mixing.repeatToBudget(docs, "id", "g", "tok",
+      Seq("a" -> 0.5, "b" -> 0.5), 600L, salt = "t")
+    // every a-doc appears exactly 3 times, epochs 0..2; b-docs appear
+    // 0 or 1 times in epoch 0, ~75% of them, deterministically
+    val byId = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(byId(_) == 3L))
+    val bCount = (11L to 20L).map(byId.getOrElse(_, 0L))
+    assert(bCount.forall(n => n == 0L || n == 1L))
+    assert(out.filter($"g" === "a").select("epoch").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // determinism: same salt, same repetition set
+    val again = Mixing.repeatToBudget(docs, "id", "g", "tok",
+      Seq("a" -> 0.5, "b" -> 0.5), 600L, salt = "t")
+    assert(again.collect().toSet == out.collect().toSet)
+    // a weight naming a group absent from the corpus refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Mixing.epochPlan(docs, "g", "tok", Seq("a" -> 1.0, "zz" -> 1.0), 10L)
+    }
+    assert(e.getMessage.contains("zz"))
+    // clobber guard on the epoch column
+    intercept[IllegalArgumentException] {
+      Mixing.repeatToBudget(docs.withColumn("epoch", lit(1)),
+        "id", "g", "tok", Seq("a" -> 1.0, "b" -> 1.0), 10L, "t")
+    }
+    // weight-0 groups emit nothing; the other group still plans
+    val zeroed = Mixing.repeatToBudget(docs, "id", "g", "tok",
+      Seq("a" -> 1.0, "b" -> 0.0), 200L, "t")
+    assert(zeroed.filter($"g" === "b").count() == 0L)
+    assert(zeroed.filter($"g" === "a").count() == 20L) // 2 full epochs
+  }
 }
