@@ -212,19 +212,24 @@ object RobotsTxt {
     * raw robots.txt body) rows; hosts with no robots row allow
     * everything.
     *
-    * Shape (r19): the robots side first AGGREGATES to one row per
-    * canonical host key — distinct rows that collide after
-    * canonicalization (`www.site.com` vs `site.com`, which CAN serve
-    * different robots.txt) merge by parsing EACH body separately
-    * (per-file RFC 9309 agent-group selection — a file whose only
-    * group is `*` still screens an agent another file names
-    * specifically) and taking the UNION of the selected rules, under
-    * which longest-match precedence and allow-wins ties apply —
-    * deterministic whatever the row order, and never a silent row
-    * duplication through the join. The per-host parse happens ONCE
-    * into a compact encoded-rule column carried through the join —
-    * parse count = robots rows, not corpus rows. ONE hash join on the
-    * host + a zero-shuffle scalar evaluation pass per doc row.
+    * Shape (r19, conflict rule tightened r20): the robots side first
+    * AGGREGATES to one row per canonical host key — distinct rows that
+    * collide after canonicalization (`www.site.com` vs `site.com`,
+    * which CAN serve different robots.txt) merge by parsing EACH body
+    * separately (per-file RFC 9309 agent-group selection — a file
+    * whose only group is `*` still screens an agent another file names
+    * specifically) and evaluating each file's selected rules
+    * INDEPENDENTLY: a URL passes only when EVERY colliding file allows
+    * it. Unioning the rule sets instead would let one file's longer
+    * Allow pattern override another file's Disallow under
+    * longest-match — underblocking, the unsafe direction for a
+    * compliance filter. Within one file the RFC precedence is
+    * unchanged (longest match, allow wins ties). Deterministic
+    * whatever the row order, and never a silent row duplication
+    * through the join. The per-host parse happens ONCE into a compact
+    * encoded per-file rule column carried through the join — parse
+    * count = robots rows, not corpus rows. ONE hash join on the host +
+    * a zero-shuffle scalar evaluation pass per doc row.
     */
   def filterAllowed(docs: DataFrame, urlCol: String, robots: DataFrame,
                     hostCol: String = "host",
@@ -232,17 +237,24 @@ object RobotsTxt {
                     userAgent: String = "*"): DataFrame = {
     val preParseUdf = udf { bodies: scala.collection.Seq[String] =>
       preParseCount.increment()
-      // per-FILE group selection, then rule union: concatenating the
-      // bodies instead would let one file's specific-agent group mask
-      // another file's '*' group (and a dangling User-agent: line
-      // would bleed across the file boundary)
+      // per-FILE group selection, kept as per-file rule SETS:
+      // concatenating the bodies would let one file's specific-agent
+      // group mask another file's '*' group (and a dangling
+      // User-agent: line would bleed across the file boundary);
+      // flattening the selected rules would let one file's longer
+      // Allow defeat another's Disallow. A file whose selected group
+      // is empty allows everything and drops out of the conjunction.
       bodies.iterator
-        .flatMap(b => encodeRules(parse(b, userAgent)))
+        .map(b => encodeRules(parse(b, userAgent)))
+        .filter(_.nonEmpty)
         .toArray
     }
     val allowedUdf = udf {
-      (url: String, rules: scala.collection.Seq[String]) =>
-        rules == null || decodedIsAllowed(rules, pathAndQueryOf(url))
+      (url: String, fileRules: scala.collection.Seq[scala.collection.Seq[String]]) =>
+        fileRules == null || {
+          val pq = pathAndQueryOf(url)
+          fileRules.forall(rs => decodedIsAllowed(rs, pq))
+        }
     }
     // the robots key rides the SAME host canonicalization the doc side
     // gets from urlParts (fold + www-strip) — an as-fetched

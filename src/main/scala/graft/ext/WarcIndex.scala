@@ -164,6 +164,26 @@ object WarcIndex {
       IndexedRecord(off, len, recs.head)
     }
 
+  /** Wrap `it` so `closeable` closes as soon as `hasNext` first turns
+    * false (and stays closed) — eager per-group resource release inside
+    * `flatMapGroups`, where the task-completion listener alone would
+    * accumulate one open handle per visited file for the task lifetime.
+    */
+  private def closeOnExhaust[A](it: Iterator[A],
+                                closeable: java.io.Closeable): Iterator[A] =
+    new Iterator[A] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) {
+          closed = true
+          try closeable.close() catch { case _: java.io.IOException => () }
+        }
+        h
+      }
+      override def next(): A = it.next()
+    }
+
   // ---------------------------------------------------------------------
   // Spark surfaces
   // ---------------------------------------------------------------------
@@ -241,7 +261,7 @@ object WarcIndex {
         if (sorted.isEmpty) Iterator.empty
         else {
           val in = Warc.openStream(file, confMap)
-          sorted.iterator.map { case (off, len) =>
+          val base = sorted.iterator.map { case (off, len) =>
             require(len > 0 && len <= Int.MaxValue - 8,
               s"fetchRecords: bad member length $len at $file:$off")
             in.seek(off)
@@ -254,9 +274,20 @@ object WarcIndex {
             require(members.length == 1 && members.head._2 == len,
               s"fetchRecords: $file:$off is not one whole gzip member — " +
                 "stale index?")
-            val r = Warc.parseAll(members.head._3).head
+            val recs = Warc.parseAll(members.head._3)
+            require(recs.length == 1,
+              s"fetchRecords: member at $file:$off decodes to " +
+                s"${recs.length} WARC records — stale index?")
+            val r = recs.head
             (file, off, r.warcType, r.targetUri, r.contentType, r.body)
           }
+          // close the handle when THIS group's iterator drains — a task
+          // hydrating rows from many files would otherwise hold every
+          // file's handle open until task completion (fd / connection-
+          // pool exhaustion on HDFS/S3 at sampled-fetch scale); the
+          // task-completion listener registered by openStream stays as
+          // the abandoned-iterator backstop (double-close is harmless)
+          closeOnExhaust(base, in)
         }
       }
       .toDF("file", "offset", "warc_type", "url", "content_type", "body")

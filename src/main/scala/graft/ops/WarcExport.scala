@@ -135,13 +135,24 @@ object WarcExport {
   }
 
   /** Read WET shards back: `conversion` records as (file, url, text) —
-    * text decoded UTF-8 (the encoding [[writeWetShards]] writes).
-    * Rides [[Warc.readWarc]]'s streaming path (r19): tasks open shard
-    * PATHS and hold one record at a time, never the compressed blob.
+    * text decoded UTF-8 with U+FFFD REPLACEMENT on malformed sequences
+    * (the `new String` contract): [[writeWetShards]] only ever writes
+    * valid UTF-8, but foreign WET shards do ship damage, and a
+    * bytes-as-UTF8String cast would leak the raw malformed bytes into
+    * the text column instead. Rides [[Warc.readWarc]]'s streaming path
+    * (r19): tasks open shard PATHS and hold one record at a time,
+    * never the compressed blob.
     */
-  def readWet(spark: SparkSession, pathGlob: String): DataFrame =
+  def readWet(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
     Warc.readWarc(spark, pathGlob)
       .filter(lower(col("warc_type")) === "conversion")
-      .select(col("file"), col("url"),
-        col("body").cast("string").as("text"))
+      .select(col("file"), col("url"), col("body"))
+      .as[(String, String, Array[Byte])]
+      .map { case (file, url, body) =>
+        (file, url,
+          new String(body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      .toDF("file", "url", "text")
+  }
 }

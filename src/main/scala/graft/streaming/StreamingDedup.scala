@@ -370,6 +370,18 @@ object StreamingDedup {
     val oldPath = new org.apache.hadoop.fs.Path(oldCheckpointDir)
     val fs = oldPath.getFileSystem(conf)
     val oldQualified = fs.makeQualified(oldPath).toString
+    // FAIL CLOSED on unresolvable checkpoints (r20): if the reflective
+    // read comes back None for an active query (a Spark upgrade changed
+    // the wrapper shape), that query COULD be the writer on this
+    // checkpoint — treating it as "not ours" would silently disable the
+    // exact torn-snapshot fence this require exists for
+    val unresolved = spark.streams.active.filter(q => checkpointOf(q).isEmpty)
+    require(unresolved.isEmpty,
+      s"sweepCheckpoint: cannot resolve the checkpoint root of active " +
+        s"quer${if (unresolved.length == 1) "y" else "ies"} " +
+        s"${unresolved.map(_.id).mkString(", ")} (Spark internals changed?) " +
+        s"— refusing to sweep $oldCheckpointDir while any unattributable " +
+        "query runs; stop it first")
     val active = spark.streams.active.filter(q =>
       checkpointOf(q).exists { c =>
         val cq = fs.makeQualified(new org.apache.hadoop.fs.Path(c)).toString

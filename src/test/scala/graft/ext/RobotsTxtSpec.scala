@@ -150,8 +150,11 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
       Seq((7L, "https://site.com/c/y")).toDF("doc_id", "url"),
       "url", robots)
     assert(dup.count() == 1L)
-    // conflicting directives for the SAME path merge under RFC
-    // precedence: equal-length allow/disallow tie resolves to ALLOW
+    // CROSS-FILE conflicts resolve conservatively (r20): each file's
+    // selected rules evaluate independently and every colliding file
+    // must allow — one file disallowing /p/ screens the URL even when
+    // the other allows it (a compliance filter never underblocks on a
+    // host-key collision)
     val conflict = Seq(
       ("site.com", "User-agent: *\nDisallow: /p/\n"),
       ("www.site.com", "User-agent: *\nAllow: /p/\n")
@@ -159,7 +162,22 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
     val kept = RobotsTxt.filterAllowed(
       Seq((9L, "https://site.com/p/z")).toDF("doc_id", "url"),
       "url", conflict)
-    assert(kept.count() == 1L)
+    assert(kept.count() == 0L,
+      "cross-file disallow must win — rule-set union would underblock")
+    // the underblocking shape a flattened union gets wrong: a LONGER
+    // Allow from one file must not override the other file's Disallow
+    val underblock = Seq(
+      ("site.com", "User-agent: *\nDisallow: /private\n"),
+      ("www.site.com", "User-agent: *\nAllow: /private/public\n")
+    ).toDF("host", "robots_txt")
+    val ubDocs = Seq(
+      (1L, "https://site.com/private/public/x"),
+      (2L, "https://site.com/open")
+    ).toDF("doc_id", "url")
+    val ubKept = RobotsTxt.filterAllowed(ubDocs, "url", underblock)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ubKept == Seq(2L),
+      s"site.com's Disallow /private must screen doc 1, kept $ubKept")
     // group selection is PER FILE: a colliding file whose only group
     // is '*' still screens an agent the other file names specifically
     // (body concatenation would let the specific group mask it)

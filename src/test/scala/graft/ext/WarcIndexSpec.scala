@@ -145,6 +145,32 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     index.unpersist()
   }
 
+  test("fetchRecords refuses a member that decodes to several records") {
+    import spark.implicits._
+    // a repacked shard whose ONE gzip member holds two WARC records:
+    // indexWarc would refuse it at index time, so hand-build an index
+    // row over the member — fetch must mirror indexShard's contract
+    // (refuse loudly), never silently hydrate only the first record
+    val packed = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record("response", "https://mr/1", "HTTP/1.1 200 OK\r\n\r\na"))
+      gz.write(record("response", "https://mr/2", "HTTP/1.1 200 OK\r\n\r\nb"))
+      gz.close()
+      out.toByteArray
+    }
+    val dir = tmpDir("warcindex-multirec")
+    val f = java.nio.file.Paths.get(dir, "packed.warc.gz")
+    java.nio.file.Files.write(f, packed)
+    val fakeIndex = Seq((f.toString, 0L, packed.length.toLong))
+      .toDF("file", "offset", "length")
+    val e = intercept[Exception] { WarcIndex.fetchRecords(fakeIndex).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2 WARC records")),
+      msgs(e).mkString(" | "))
+  }
+
   test("dedupByDigest: identical payloads collapse before any fetch") {
     import spark.implicits._
     val dir = tmpDir("warcindex-digest")

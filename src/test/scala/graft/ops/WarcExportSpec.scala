@@ -101,6 +101,27 @@ class WarcExportSpec extends AnyFunSuite with SharedSpark {
     assert(java.util.Arrays.equals(bytes, again))
   }
 
+  test("readWet replaces malformed UTF-8 with U+FFFD (foreign shards)") {
+    import spark.implicits._
+    // a FOREIGN WET shard whose conversion record carries invalid
+    // UTF-8 (a lone 0xC3 truncated sequence + a stray continuation
+    // byte): readWet must decode with replacement, never leak the raw
+    // malformed bytes through as an unvalidated UTF8String
+    val bad = "ok ".getBytes("UTF-8") ++
+      Array[Byte](0xC3.toByte) ++ " mid ".getBytes("UTF-8") ++
+      Array[Byte](0x80.toByte) ++ " end".getBytes("UTF-8")
+    val rec = graft.ext.Warc.writeRecord("conversion",
+      "https://foreign.example.com/x", "text/plain", bad)
+    val dir = tmpDir("wet-malformed")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "foreign.warc.gz"),
+      graft.ext.Warc.writeWarc(Seq(rec), gzipPerRecord = true))
+    val text = WarcExport.readWet(spark, dir + "/*.warc.gz")
+      .select("text").as[String].collect().head
+    assert(text == "ok � mid � end",
+      s"expected U+FFFD replacement, got ${text.map(_.toInt).mkString(",")}")
+  }
+
   test("records inside a shard are id-ordered (byte-stable layout)") {
     import spark.implicits._
     val dir = tmpDir("wet-ord")
