@@ -15,7 +15,8 @@ object SparkEntry {
   def probes: Seq[Probe] =
     CoreProbes.all ++ JoinAggWindowProbes.all ++ ExtProbes.all ++
       EtlProbes.all ++ MultimodalProbes.all ++ TrainingDataProbes.all ++
-      ClusterMixProbes.all ++ CurationProbes.all ++ SelectionProbes.all
+      ClusterMixProbes.all ++ CurationProbes.all ++ SelectionProbes.all ++
+      CrawlProbes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The J1 "document detail" shape: parent joined to ordered nested

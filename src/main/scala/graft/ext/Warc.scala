@@ -276,6 +276,27 @@ object Warc {
     } catch { case _: NumberFormatException => -1 }
   }
 
+  /** The first `name:` header value of a captured HTTP response payload
+    * (case-insensitive), or null when the payload has no parsable header
+    * block or the header is absent — total, for index enrichment (the
+    * `Location` column the redirect resolver keys on). Only the header
+    * BLOCK is touched; the body never materializes.
+    */
+  def httpHeaderOf(raw: Array[Byte], name: String): String = {
+    if (raw == null) return null
+    val sep = indexOfCrlfCrlf(raw, 0)
+    if (sep < 0) return null
+    val head = new String(raw, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val want = name.toLowerCase
+    head.split("\r\n").iterator.drop(1).foreach { l =>
+      val c = l.indexOf(':')
+      if (c > 0 && l.substring(0, c).trim.toLowerCase == want)
+        return l.substring(c + 1).trim
+    }
+    null
+  }
+
   private def decodeChunked(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
     var i = 0
@@ -350,7 +371,18 @@ object Warc {
     */
   def writeRecord(warcType: String, targetUri: String, contentType: String,
                   body: Array[Byte], date: java.time.Instant,
-                  recordId: String): Array[Byte] = {
+                  recordId: String): Array[Byte] =
+    writeRecord(warcType, targetUri, contentType, body, date, recordId, Nil)
+
+  /** [[writeRecord]] with additional WARC named headers (e.g. the
+    * `WARC-Payload-Digest` / `WARC-Refers-To` pair a `revisit` record
+    * carries — ISO 28500 §6.7.2); emitted in the given order after the
+    * mandatory block, before Content-Length.
+    */
+  def writeRecord(warcType: String, targetUri: String, contentType: String,
+                  body: Array[Byte], date: java.time.Instant,
+                  recordId: String,
+                  extraHeaders: Seq[(String, String)]): Array[Byte] = {
     val h = new StringBuilder
     h.append("WARC/1.0\r\n")
     h.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -362,6 +394,9 @@ object Warc {
       h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
     if (contentType.nonEmpty)
       h.append("Content-Type: ").append(contentType).append("\r\n")
+    extraHeaders.foreach { case (n, v) =>
+      h.append(n).append(": ").append(v).append("\r\n")
+    }
     h.append("Content-Length: ").append(body.length).append("\r\n\r\n")
     val head = h.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = new Array[Byte](head.length + body.length + 4)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] WARC record INDEX + seek-fetch — the random-access layer the
@@ -188,16 +188,76 @@ object WarcIndex {
   // Spark surfaces
   // ---------------------------------------------------------------------
 
+  /** Strip the RFC 2396 angle brackets WARC id headers wrap their URIs
+    * in (`<urn:uuid:...>` -> `urn:uuid:...`); null passes through.
+    */
+  private def stripAngles(s: String): String =
+    if (s == null) s
+    else {
+      val t = s.trim
+      if (t.length >= 2 && t.charAt(0) == '<' && t.charAt(t.length - 1) == '>')
+        t.substring(1, t.length - 1)
+      else t
+    }
+
   /** Index every per-record-gzipped WARC shard under `pathGlob`: one
     * row per record — (file, offset, length, warc_type, url,
-    * content_type, warc_date, payload_bytes). Same streaming shape as
-    * [[Warc.readWarc]]: paths in, one member in memory at a time.
+    * content_type, warc_date, payload_bytes, status, digest,
+    * record_id, payload_digest, refers_to, refers_to_uri, location).
+    * Same streaming shape as [[Warc.readWarc]]: paths in, one member
+    * in memory at a time.
+    *
+    * The r20 columns carry the REAL-crawl record semantics:
+    * `record_id`/`payload_digest`/`refers_to`/`refers_to_uri` are the
+    * declared WARC headers (ISO 28500 §5.2/§6.7.2 — a `revisit` record
+    * points at its original capture through them; angle brackets strip
+    * from the id URIs), and `location` is the HTTP `Location` header of
+    * a response (the redirect target [[resolveRedirects]] walks). All
+    * nullable; all ~tens of bytes, so the index row stays CDX-sized.
     */
-  def indexWarc(spark: SparkSession, pathGlob: String): DataFrame = {
+  def indexWarc(spark: SparkSession, pathGlob: String): DataFrame =
+    indexRows(spark, Warc.listPaths(spark, pathGlob))
+
+  /** Incremental form of [[indexWarc]] for a LANDING directory: only
+    * shards NOT already present in `existingIndex`'s `file` column are
+    * opened and indexed — the caller appends the returned delta to its
+    * index table, so maintaining a CDX table over a live crawl is
+    * O(new shards) per run, never a re-scan of the whole directory.
+    * One anti-join on the path strings (a few hundred bytes per shard —
+    * at 100 TB of WARC that is ~100k rows, a broadcast-sized frame);
+    * the indexing pass itself is the same one-task-per-shard streaming
+    * walk. `openedShardCount` instruments the O(new) contract.
+    */
+  def indexWarcDelta(spark: SparkSession, pathGlob: String,
+                     existingIndex: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seen = existingIndex.select(col("file").cast("string")).distinct()
+    val newPaths = Warc.listPaths(spark, pathGlob).toDF("file")
+      .join(seen, Seq("file"), "left_anti")
+      .as[String]
+    indexRows(spark, newPaths)
+  }
+
+  /** Shards actually OPENED by [[indexWarc]]/[[indexWarcDelta]] —
+    * instrumentation for the O(new shards) incremental contract
+    * (`WarcIndexSpec` reads it; local-mode counter).
+    */
+  private[ext] val openedShardCount = new java.util.concurrent.atomic.LongAdder
+
+  /** Members actually range-read by [[fetchRecords]] — instrumentation
+    * for the fetch-once contract of [[hydrateObservations]] (N revisits
+    * of one original move its bytes exactly once).
+    */
+  private[ext] val fetchedMemberCount = new java.util.concurrent.atomic.LongAdder
+
+  private def indexRows(spark: SparkSession,
+                        paths: org.apache.spark.sql.Dataset[String])
+      : DataFrame = {
     import spark.implicits._
     val confMap = Warc.hadoopConfMap(spark)
-    Warc.listPaths(spark, pathGlob)
+    paths
       .flatMap { path =>
+        openedShardCount.increment()
         indexShard(Warc.openStream(path, confMap)).map { ir =>
           // status + digest are the CDX enrichment fields external
           // consumers key on: status screens error captures WITHOUT a
@@ -217,16 +277,25 @@ object WarcIndex {
             else ir.record.body
           val digest = java.security.MessageDigest.getInstance("SHA-256")
             .digest(digestBytes).map("%02x".format(_)).mkString
+          val h = ir.record.headers
           (path, ir.offset, ir.length, ir.record.warcType,
             ir.record.targetUri, ir.record.contentType,
-            ir.record.headers.getOrElse("warc-date", null),
+            h.getOrElse("warc-date", null),
             ir.record.body.length.toLong,
             if (status > 0) Some(status) else None,
-            digest)
+            digest,
+            stripAngles(h.getOrElse("warc-record-id", null)),
+            h.getOrElse("warc-payload-digest", null),
+            stripAngles(h.getOrElse("warc-refers-to", null)),
+            h.getOrElse("warc-refers-to-target-uri", null),
+            if (isResponse) Warc.httpHeaderOf(ir.record.body, "location")
+            else null)
         }
       }
       .toDF("file", "offset", "length", "warc_type", "url",
-        "content_type", "warc_date", "payload_bytes", "status", "digest")
+        "content_type", "warc_date", "payload_bytes", "status", "digest",
+        "record_id", "payload_digest", "refers_to", "refers_to_uri",
+        "location")
   }
 
   /** Hydrate an index subset: `index` needs (`file`, `offset`,
@@ -262,6 +331,7 @@ object WarcIndex {
         else {
           val in = Warc.openStream(file, confMap)
           val base = sorted.iterator.map { case (off, len) =>
+            fetchedMemberCount.increment()
             require(len > 0 && len <= Int.MaxValue - 8,
               s"fetchRecords: bad member length $len at $file:$off")
             in.seek(off)
@@ -308,6 +378,240 @@ object WarcIndex {
         (file, off, url, charset, body)
       }
       .toDF("file", "offset", "url", "charset", "body")
+  }
+
+  // ---------------------------------------------------------------------
+  // Real-crawl record semantics: revisit + redirect resolution (r20)
+  // ---------------------------------------------------------------------
+
+  /** Resolve `revisit` records against their original captures — how a
+    * deduplicated crawl (Common Crawl ships exactly this; ISO 28500
+    * §6.7.2) recovers every URL OBSERVATION: a revisit record says "the
+    * server returned content identical to a prior capture" and carries
+    * `WARC-Payload-Digest` (and/or `WARC-Refers-To`) instead of the
+    * body, so a reader filtering to `response` records silently loses
+    * that URL.
+    *
+    * Returns one row per URL observation over an [[indexWarc]] frame:
+    * every `response` row as itself, plus every `revisit` row joined to
+    * its original — primary key the declared payload digest (both
+    * records carry it in a real crawl), fallback the
+    * `WARC-Refers-To` -> `WARC-Record-ID` link. The observation's
+    * `(file, offset, length, digest)` point at the ORIGINAL's member,
+    * so hydration ([[hydrateObservations]]) fetches the original's
+    * bytes; `warc_date` is the observation's own capture time;
+    * `status`/`orig_url` come from the original. A DANGLING revisit
+    * (neither link resolves — a torn crawl subset) keeps its URL row
+    * with null `file`/`offset`/`length`/`digest`/`orig_url` rather than
+    * refusing: one damaged pointer should cost one document's bytes,
+    * not the whole observation frame; filter `file IS NULL` to audit.
+    *
+    * Scale: two hash group-bys + two hash joins, all over index rows
+    * (~150 bytes each) — document bytes never move. Duplicate originals
+    * per digest collapse earliest-capture-first (the [[dedupByDigest]]
+    * tie-break), so the join never fans a revisit out.
+    */
+  def resolveRevisits(index: DataFrame): DataFrame = {
+    val resp = index.filter(lower(col("warc_type")) === "response")
+    val obsCols = Seq("url", "warc_date", "status", "file", "offset",
+      "length", "digest")
+    // one original per declared payload digest / record id — earliest
+    // capture wins, deterministic
+    def oneOriginalPer(key: String) = resp
+      .filter(col(key).isNotNull)
+      .groupBy(col(key).as(s"__$key"))
+      .agg(min_by(
+        struct(col("url").as("o_url"), col("status").as("o_status"),
+          col("file").as("o_file"), col("offset").as("o_offset"),
+          col("length").as("o_length"), col("digest").as("o_digest")),
+        struct(col("file"), col("offset"))).as("__o"))
+      .select(col(s"__$key"), col("__o.*"))
+    val byDigest = oneOriginalPer("payload_digest")
+    val byRecId = oneOriginalPer("record_id")
+    val direct = resp
+      .select(col("url"), col("warc_date"), col("status"),
+        col("file"), col("offset"), col("length"), col("digest"),
+        col("url").as("orig_url"))
+      .withColumn("via_revisit", lit(false))
+    val revisits = index.filter(lower(col("warc_type")) === "revisit")
+      .select(col("url"), col("warc_date"),
+        col("payload_digest"), col("refers_to"))
+      .join(byDigest, col("payload_digest") === col("__payload_digest"),
+        "left")
+      .join(byRecId.toDF(byRecId.columns.map(c => c + "2").toIndexedSeq: _*),
+        col("refers_to") === col("__record_id2"), "left")
+    def pick(a: String) = coalesce(col(a), col(a + "2"))
+    val resolved = revisits.select(
+      col("url"), col("warc_date"),
+      pick("o_status").as("status"),
+      pick("o_file").as("file"),
+      pick("o_offset").as("offset"),
+      pick("o_length").as("length"),
+      pick("o_digest").as("digest"),
+      pick("o_url").as("orig_url"))
+      .withColumn("via_revisit", lit(true))
+    direct.unionByName(resolved)
+  }
+
+  /** Hydrate a [[resolveRevisits]] observation frame (or any frame
+    * whose rows point at index members through nullable
+    * `file`/`offset`/`length` columns): the DISTINCT members fetch once
+    * each by range read — N revisits of one original move its bytes
+    * exactly once — and the bytes join back to every observation.
+    * Rows with a null member pointer (dangling revisits) keep a null
+    * `body`. One distinct + one join over index-row-sized data plus the
+    * [[fetchRecords]] range reads.
+    */
+  def hydrateObservations(observations: DataFrame,
+                          splitBytes: Long = 0L): DataFrame = {
+    val members = observations
+      .filter(col("file").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
+      .select(col("file"), col("offset"), col("length"))
+      .distinct()
+    val fetched = fetchRecords(members, splitBytes)
+      .select(col("file").as("__m_file"), col("offset").as("__m_offset"),
+        col("body"))
+    observations
+      .join(fetched,
+        col("file") === col("__m_file") && col("offset") === col("__m_offset"),
+        "left")
+      .drop("__m_file", "__m_offset")
+  }
+
+  /** Resolve redirect chains over an [[indexWarc]] frame: for every
+    * captured `response` row, walk its HTTP `Location` header through
+    * the index — each hop RFC 3986-resolved against the hop's own URL
+    * (relative Locations are routine), matched on the canonical URL
+    * form — emitting `(request_url, final_url, hops, final_status)`.
+    * This is the crawl-curation step between fetch and dedup: a 3xx
+    * capture's content lives at the chain's end, and sampling by URL
+    * must credit the final 200 capture to the originally requested URL.
+    *
+    * Terminal cases, all bounded and loud in the output rather than
+    * thrown (a crawl always contains damage):
+    *  - non-redirect rows: `final_url = request_url`, `hops = 0`;
+    *  - a Location whose target was never captured (dangling):
+    *    `final_url` = the resolved target, `final_status` NULL;
+    *  - a cycle (the next canonical URL was already visited): stops at
+    *    the last NEW url with its 3xx status;
+    *  - `maxHops` exhausted: the row keeps its current 3xx status —
+    *    `final_status BETWEEN 300 AND 399` marks the unresolved rows.
+    *
+    * Scale: `maxHops` hash joins of the (shrinking) active frontier
+    * against the per-canonical-URL target table — index rows only,
+    * never document bytes; duplicate captures of one URL collapse
+    * earliest-first before the walk. Cache the input index when
+    * `maxHops` is large: each hop's plan re-reads it otherwise.
+    */
+  def resolveRedirects(index: DataFrame, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in [1, 32] (got $maxHops)")
+    val canonUdf = udf { u: String =>
+      if (u == null) null else UrlOps.parse(u).canonical
+    }
+    val resolveUdf = udf { (base: String, loc: String) =>
+      UrlOps.resolve(base, loc)
+    }
+    // one target row per canonical URL — earliest capture wins
+    val targets = index.filter(lower(col("warc_type")) === "response")
+      .select(canonUdf(col("url")).as("t_key"), col("url").as("t_url"),
+        col("status").cast("int").as("t_status"),
+        col("location").as("t_location"), col("file"), col("offset"))
+      .groupBy("t_key")
+      .agg(min_by(struct(col("t_url"), col("t_status"), col("t_location")),
+        struct(col("file"), col("offset"))).as("__t"))
+      .select(col("t_key"), col("__t.t_url"), col("__t.t_status"),
+        col("__t.t_location"))
+    def redirecting(status: Column, location: Column): Column =
+      status.between(300, 399) && location.isNotNull
+    var state = targets.select(
+      col("t_url").as("request_url"),
+      col("t_url").as("cur_url"),
+      col("t_status").as("cur_status"),
+      col("t_location").as("cur_location"),
+      lit(0).as("hops"),
+      array(col("t_key")).as("visited"),
+      (!redirecting(col("t_status"), col("t_location"))).as("done"))
+    // each hop references `state` exactly ONCE (a filter/union-per-branch
+    // formulation would reference it four times per hop — an
+    // exponentially growing plan); done rows carry a null next_key, so
+    // the left join passes them through untouched. Plan depth stays
+    // linear in maxHops.
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val stepped = state
+        .withColumn("next_url",
+          when(!col("done"),
+            resolveUdf(col("cur_url"), col("cur_location"))))
+        .withColumn("next_key", when(!col("done"), canonUdf(col("next_url"))))
+        // cycle guard: a revisited canonical URL stops the walk at the
+        // last NEW url (its 3xx status marks the row unresolved)
+        .withColumn("cycle",
+          !col("done") && array_contains(col("visited"), col("next_key")))
+      val joined = stepped.join(targets,
+        col("next_key") === col("t_key") && !col("cycle"), "left")
+      val stay = col("done") || col("cycle")
+      val found = col("t_url").isNotNull
+      state = joined.select(
+        col("request_url"),
+        when(stay, col("cur_url"))
+          .when(found, col("t_url"))
+          .otherwise(col("next_url")).as("cur_url"),
+        when(stay, col("cur_status"))
+          .when(found, col("t_status"))
+          .otherwise(lit(null).cast("int")).as("cur_status"),
+        when(stay, col("cur_location"))
+          .when(found, col("t_location"))
+          .otherwise(lit(null).cast("string")).as("cur_location"),
+        when(stay, col("hops")).otherwise(col("hops") + 1).as("hops"),
+        when(!stay && found,
+          array_union(col("visited"), array(col("next_key"))))
+          .otherwise(col("visited")).as("visited"),
+        when(stay, lit(true))
+          .when(found, !redirecting(col("t_status"), col("t_location")))
+          .otherwise(lit(true)) // dangling: terminal
+          .as("done"))
+    }
+    state.select(col("request_url"), col("cur_url").as("final_url"),
+      col("hops"), col("cur_status").as("final_status"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Frontier diff: sitemap-declared vs captured (r20)
+  // ---------------------------------------------------------------------
+
+  /** Diff the crawl FRONTIER: which site-declared URLs (a
+    * [[Sitemaps.explodeEntries]] frame's `loc`/`lastmod` columns) are
+    * not yet captured, and which captures a declared `lastmod`
+    * postdates — the set a recrawl scheduler fetches next. Declared and
+    * captured sides key on the same SURT transform the CDX layer sorts
+    * by; dates compare on their digits-only prefix right-padded to the
+    * CDX 14-digit form (both sides are ISO-8601-shaped strings — a
+    * date-only `lastmod` means midnight, the protocol's reading).
+    * Returns `(loc, surt, lastmod, last_capture, reason)` with reason
+    * `uncaptured` or `stale`; up-to-date URLs drop. One aggregate on
+    * the index + one hash join, index-row-sized data only.
+    */
+  def frontierDiff(entries: DataFrame, index: DataFrame,
+                   locCol: String = "loc",
+                   lastmodCol: String = "lastmod"): DataFrame = {
+    val declared = entries
+      .select(col(locCol).as("loc"), col(lastmodCol).as("lastmod"))
+      .withColumn("surt", surtUdf(col("loc")))
+    val captured = index.filter(lower(col("warc_type")) === "response")
+      .groupBy(surtUdf(col("url")).as("surt"))
+      .agg(max(col("warc_date")).as("last_capture"))
+    def ts(c: Column): Column =
+      rpad(regexp_replace(c, "[^0-9]", ""), 14, "0")
+    declared.join(captured, Seq("surt"), "left")
+      .withColumn("reason",
+        when(col("last_capture").isNull, lit("uncaptured"))
+          .when(col("lastmod").isNotNull &&
+            ts(col("lastmod")) > ts(col("last_capture")), lit("stale")))
+      .filter(col("reason").isNotNull)
+      .select("loc", "surt", "lastmod", "last_capture", "reason")
   }
 
   /** Exact dedup-by-content over the INDEX — one surviving row per

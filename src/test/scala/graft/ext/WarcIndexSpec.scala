@@ -214,6 +214,206 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     assert(bodies.length == 15 && bodies.distinct.length == 15)
   }
 
+  private def sha256hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(b).map("%02x".format(_)).mkString
+
+  test("resolveRevisits: digest match, refers-to fallback, dangling nulls, fetch-once") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-revisit")
+    val asOf = java.time.Instant.parse("2026-01-05T00:00:00Z")
+    val body = "HTTP/1.1 200 OK\r\n\r\noriginal-payload"
+    val payload = "original-payload".getBytes(iso)
+    val payloadDigest = "sha256:" + sha256hex(payload)
+    val origId = "urn:test:orig-1"
+    val orig = Warc.writeRecord("response", "https://rv/orig", "application/http",
+      body.getBytes(iso), asOf, origId,
+      Seq("WARC-Payload-Digest" -> payloadDigest))
+    // revisit 1: declares the payload digest (the Common Crawl shape)
+    val rev1 = Warc.writeRecord("revisit", "https://rv/again1",
+      "application/http", Array.emptyByteArray,
+      java.time.Instant.parse("2026-02-01T00:00:00Z"), "urn:test:rev-1",
+      Seq("WARC-Payload-Digest" -> payloadDigest,
+        "WARC-Refers-To" -> s"<$origId>"))
+    // revisit 2: NO digest — only the refers-to record-id link
+    val rev2 = Warc.writeRecord("revisit", "https://rv/again2",
+      "application/http", Array.emptyByteArray,
+      java.time.Instant.parse("2026-03-01T00:00:00Z"), "urn:test:rev-2",
+      Seq("WARC-Refers-To" -> s"<$origId>"))
+    // revisit 3: dangling — digest and refers-to match nothing
+    val rev3 = Warc.writeRecord("revisit", "https://rv/dangling",
+      "application/http", Array.emptyByteArray,
+      java.time.Instant.parse("2026-04-01T00:00:00Z"), "urn:test:rev-3",
+      Seq("WARC-Payload-Digest" -> ("sha256:" + "0" * 64),
+        "WARC-Refers-To" -> "<urn:test:no-such>"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rv.warc.gz"),
+      shard(Seq(orig, rev1, rev2, rev3)))
+    val index = WarcIndex.indexWarc(spark, dir + "/*.warc.gz")
+    // the new header columns surface (brackets stripped from id URIs)
+    val origRow = index.filter(col("warc_type") === "response").collect().head
+    assert(origRow.getAs[String]("record_id") == origId)
+    assert(origRow.getAs[String]("payload_digest") == payloadDigest)
+    assert(index.filter(col("warc_type") === "revisit")
+      .filter(col("refers_to") === origId).count() == 2)
+    val obs = WarcIndex.resolveRevisits(index).cache()
+    assert(obs.count() == 4) // 1 response + 3 revisits: NO observation lost
+    val byUrl = obs.collect().map(r => r.getAs[String]("url") -> r).toMap
+    // direct response: points at itself
+    assert(!byUrl("https://rv/orig").getAs[Boolean]("via_revisit"))
+    val o = byUrl("https://rv/orig")
+    // digest-matched and refers-to-matched revisits point at the ORIGINAL
+    for (u <- Seq("https://rv/again1", "https://rv/again2")) {
+      val r = byUrl(u)
+      assert(r.getAs[Boolean]("via_revisit"))
+      assert(r.getAs[String]("orig_url") == "https://rv/orig")
+      assert(r.getAs[Long]("offset") == o.getAs[Long]("offset"))
+      assert(r.getAs[Long]("length") == o.getAs[Long]("length"))
+      assert(r.getAs[Int]("status") == 200)
+    }
+    // each observation keeps its OWN capture date
+    assert(byUrl("https://rv/again1").getAs[String]("warc_date") ==
+      "2026-02-01T00:00:00Z")
+    // dangling: URL kept, member pointer null (documented policy)
+    val dang = byUrl("https://rv/dangling")
+    assert(dang.getAs[Boolean]("via_revisit") &&
+      dang.getAs[String]("orig_url") == null && dang.isNullAt(dang.fieldIndex("file")))
+    // hydration fetches the original's member EXACTLY ONCE for the
+    // three observations that share it (fetch-once accounting)
+    val before = WarcIndex.fetchedMemberCount.sum()
+    val hydrated = WarcIndex.hydrateObservations(obs).cache()
+    assert(hydrated.count() == 4)
+    assert(WarcIndex.fetchedMemberCount.sum() - before == 1L,
+      "three observations of one original must range-read one member")
+    val texts = hydrated.filter(col("body").isNotNull)
+      .select($"url", $"body".cast("string")).as[(String, String)]
+      .collect().toMap
+    assert(texts.size == 3 && texts.values.forall(_ == body))
+    assert(hydrated.filter(col("url") === "https://rv/dangling")
+      .select("body").collect().head.isNullAt(0))
+    obs.unpersist(); hydrated.unpersist()
+  }
+
+  test("resolveRedirects: chains, relative Location, cycle, dangling, maxHops") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-redirect")
+    def http(status: Int, location: String, body: String): String = {
+      val loc = if (location == null) "" else s"Location: $location\r\n"
+      s"HTTP/1.1 $status x\r\n${loc}Content-Type: text/html\r\n\r\n$body"
+    }
+    val recs = Seq(
+      // 2-hop chain; first Location RELATIVE (resolves against /start/a)
+      record("response", "https://rd.ex.com/start/a", http(301, "/mid/a", "")),
+      record("response", "https://rd.ex.com/mid/a",
+        http(302, "https://rd.ex.com/final/a", "")),
+      record("response", "https://rd.ex.com/final/a", http(200, null, "landed")),
+      // 2-cycle
+      record("response", "https://rd.ex.com/loop1", http(301, "/loop2", "")),
+      record("response", "https://rd.ex.com/loop2", http(301, "/loop1", "")),
+      // dangling target
+      record("response", "https://rd.ex.com/gone", http(301, "/nowhere", "")),
+      // long chain to pin the maxHops bound: c0 -> c1 -> ... -> c6 -> 200
+      (0 until 6).map(i =>
+        record("response", s"https://rd.ex.com/c$i", http(301, s"/c${i + 1}", ""))),
+      record("response", "https://rd.ex.com/c6", http(200, null, "deep"))
+    ).flatMap {
+      case one: Array[Byte] => Seq(one)
+      case many: Seq[_] => many.asInstanceOf[Seq[Array[Byte]]]
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rd.warc.gz"),
+      shard(recs))
+    val index = WarcIndex.indexWarc(spark, dir + "/*.warc.gz").cache()
+    assert(index.filter(col("location").isNotNull).count() == 11)
+    val out = WarcIndex.resolveRedirects(index, maxHops = 8)
+      .as[(String, String, Int, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 13)
+    assert(out("https://rd.ex.com/start/a") ==
+      (("https://rd.ex.com/final/a", 2, Some(200))))
+    assert(out("https://rd.ex.com/mid/a") ==
+      (("https://rd.ex.com/final/a", 1, Some(200))))
+    assert(out("https://rd.ex.com/final/a") ==
+      (("https://rd.ex.com/final/a", 0, Some(200))))
+    // cycle: stops at the last NEW url, 3xx marks it unresolved
+    assert(out("https://rd.ex.com/loop1") ==
+      (("https://rd.ex.com/loop2", 1, Some(301))))
+    assert(out("https://rd.ex.com/loop2") ==
+      (("https://rd.ex.com/loop1", 1, Some(301))))
+    // dangling: resolved target URL, null status
+    assert(out("https://rd.ex.com/gone") ==
+      (("https://rd.ex.com/nowhere", 1, None)))
+    // deep chain resolves inside maxHops=8...
+    assert(out("https://rd.ex.com/c0") ==
+      (("https://rd.ex.com/c6", 6, Some(200))))
+    // ...but a tighter bound leaves it 3xx (bounded, never infinite)
+    val tight = WarcIndex.resolveRedirects(index, maxHops = 3)
+      .filter(col("request_url") === "https://rd.ex.com/c0")
+      .as[(String, String, Int, Option[Int])].collect().head
+    assert(tight._2 == "https://rd.ex.com/c3" && tight._3 == 3 &&
+      tight._4 == Some(301))
+    index.unpersist()
+  }
+
+  test("indexWarcDelta: three arrival waves, O(new shards) opens") {
+    import spark.implicits._
+    val land = tmpDir("warcindex-delta")
+    def drop(name: String, lo: Int, hi: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name),
+        shard((lo until hi).map(i => record("response",
+          s"https://dl/d/$i", s"HTTP/1.1 200 OK\r\n\r\nd-$i")))): Unit
+    val empty = spark.emptyDataFrame.withColumn("file",
+      lit(null).cast("string")).limit(0)
+    var acc: org.apache.spark.sql.DataFrame = null
+    var opens = List.empty[Long]
+    for ((n, lo, hi) <- Seq(("w1.warc.gz", 0, 5), ("w2.warc.gz", 5, 12),
+      ("w3.warc.gz", 12, 20))) {
+      drop(n, lo, hi)
+      val before = WarcIndex.openedShardCount.sum()
+      val delta = WarcIndex.indexWarcDelta(spark, land + "/*.warc.gz",
+        if (acc == null) empty else acc).cache()
+      delta.count(): Unit // materialize so the open counter settles
+      opens :+= (WarcIndex.openedShardCount.sum() - before)
+      acc = if (acc == null) delta else acc.unionByName(delta)
+    }
+    // each wave opened ONLY its new shard
+    assert(opens == List(1L, 1L, 1L), s"opens per wave: $opens")
+    // the accumulated index equals the one-shot batch index
+    val oneShot = WarcIndex.indexWarc(spark, land + "/*.warc.gz")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"file", $"offset", $"length", $"url", $"digest")
+      .as[(String, Long, Long, String, String)].collect().toSet
+    assert(key(acc) == key(oneShot))
+    assert(acc.count() == 20)
+  }
+
+  test("frontierDiff: uncaptured + stale vs the captured index") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-frontier")
+    val d1 = java.time.Instant.parse("2026-01-10T00:00:00Z")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.warc.gz"),
+      shard(Seq(
+        Warc.writeRecord("response", "https://fr.ex.com/kept",
+          "application/http", "HTTP/1.1 200 OK\r\n\r\nk".getBytes(iso), d1, null),
+        Warc.writeRecord("response", "https://fr.ex.com/old",
+          "application/http", "HTTP/1.1 200 OK\r\n\r\no".getBytes(iso), d1, null))))
+    val index = WarcIndex.indexWarc(spark, dir + "/*.warc.gz")
+    val entries = Seq(
+      ("https://fr.ex.com/kept", "2026-01-02"), // captured after lastmod: current
+      ("https://fr.ex.com/old", "2026-02-01"), // lastmod postdates capture: stale
+      ("https://fr.ex.com/new", "2026-01-01"), // never captured
+      ("https://fr.ex.com/nolastmod", null) // never captured, no lastmod
+    ).toDF("loc", "lastmod")
+    val out = WarcIndex.frontierDiff(entries, index)
+      .select($"loc", $"reason").as[(String, String)].collect().toMap
+    assert(out == Map(
+      "https://fr.ex.com/old" -> "stale",
+      "https://fr.ex.com/new" -> "uncaptured",
+      "https://fr.ex.com/nolastmod" -> "uncaptured"))
+    // SURT keying: a www./case variant of a captured URL is NOT uncaptured
+    val variant = Seq(("https://WWW.fr.ex.com/kept", null.asInstanceOf[String]))
+      .toDF("loc", "lastmod")
+    assert(WarcIndex.frontierDiff(variant, index).count() == 0)
+  }
+
   test("surtKey: host reversal, canonicalization, opaque pass-through") {
     assert(WarcIndex.surtKey("https://www.Example.com/a/b?x=1") ==
       "com,example)/a/b?x=1")
