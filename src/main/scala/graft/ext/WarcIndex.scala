@@ -630,6 +630,31 @@ object WarcIndex {
       .select(col("__row.*"))
 
   // ---------------------------------------------------------------------
+  // SURT-clustered index TABLE (r20): keyset serving for the CDX layer
+  // ---------------------------------------------------------------------
+
+  /** Persist an [[indexWarc]] frame into a [[graft.store.TableStore]]
+    * table CLUSTERED BY SURT KEY — one range exchange + within-file
+    * sort, so each parquet file covers a contiguous SURT band and a
+    * host-prefix lookup (`store.readPrefix(table, "surt",
+    * "com,example)")`) plans O(matching files), not O(all files): the
+    * serving-side twin of [[writeCdxj]]'s binary-searchable text form.
+    * `surt` is declared a stats column, so after the first refresh the
+    * pruning verdicts answer from the one-sidecar manifest instead of a
+    * per-query footer pass — the O(new tail) discipline the storage
+    * layer applies everywhere.
+    */
+  def writeIndexTable(index: DataFrame, store: graft.store.TableStore,
+                      table: String, nShards: Int = 16): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val withSurt = index.withColumn("surt", surtUdf(col("url")))
+    store.append(table,
+      withSurt.repartitionByRange(nShards, col("surt"))
+        .sortWithinPartitions("surt"))
+    store.declareStatsColumns(table, Seq("surt"))
+  }
+
+  // ---------------------------------------------------------------------
   // CDXJ serialization (pywb / Common Crawl layout)
   // ---------------------------------------------------------------------
 

@@ -414,6 +414,44 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     assert(WarcIndex.frontierDiff(variant, index).count() == 0)
   }
 
+  test("writeIndexTable: SURT-clustered files, host-prefix lookup prunes") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-table-shards")
+    // 3 hosts x 40 docs, interleaved across two shards so the CLUSTERING
+    // (not the arrival order) is what makes prefix lookups prunable
+    def recs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      record("response", s"https://h${i % 3}.tix.com/p/$i",
+        s"HTTP/1.1 200 OK\r\n\r\nt-$i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc.gz"),
+      shard(recs(0, 60)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+      shard(recs(60, 120)))
+    val index = WarcIndex.indexWarc(spark, dir + "/*.warc.gz")
+    val root = tmpDir("warcindex-table")
+    val ts = new graft.store.TableStore(spark, root)
+    WarcIndex.writeIndexTable(index, ts, "cdx", nShards = 6)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val total = scannedFiles(ts.read("cdx"))
+    assert(total >= 4, s"clustered write should spread files, got $total")
+    // host-prefix lookup: exact vs the plain filter AND file-pruned —
+    // one host's contiguous SURT band straddles a bounded file count
+    val hit = ts.readPrefix("cdx", "surt", "com,tix,h1)")
+    val want = ts.read("cdx").filter(col("surt").startsWith("com,tix,h1)"))
+      .select("url").as[String].collect().toSet
+    assert(hit.select("url").as[String].collect().toSet == want)
+    assert(want.size == 40)
+    val planned = scannedFiles(hit)
+    assert(planned < total && planned <= total / 2 + 1,
+      s"host-prefix lookup planned $planned of $total files")
+    // a prefix past every key plans nothing; hydration composes
+    assert(ts.readPrefix("cdx", "surt", "zz,zz)").isEmpty)
+    val one = WarcIndex.fetchResponses(
+      ts.readPrefix("cdx", "surt", "com,tix,h2)/p/23"))
+      .select($"url", $"body".cast("string")).as[(String, String)].collect()
+    assert(one.toSeq == Seq(("https://h2.tix.com/p/23", "t-23")))
+  }
+
   test("surtKey: host reversal, canonicalization, opaque pass-through") {
     assert(WarcIndex.surtKey("https://www.Example.com/a/b?x=1") ==
       "com,example)/a/b?x=1")
