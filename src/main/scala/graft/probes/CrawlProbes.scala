@@ -149,6 +149,41 @@ object CrawlProbes {
         .orderBy("loc")
     },
 
+    // Redirect-aware curation (r20): the fetch->dedup step a real crawl
+    // needs — every requested URL credits the content at its chain's
+    // END, the 3xx hops collapse onto their final 200 capture, and the
+    // final document's bytes are fetched ONCE however many request URLs
+    // land on it. Composes resolveRedirects + the index fetch path; the
+    // oracle states (final_url, text, n_requests=3: start+mid+final)
+    // closed-form — the loop/dangling rows must NOT survive (no 200 at
+    // their chain end).
+    Probe(
+      "crawl_redirect_curate",
+      "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS g FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT 'https://rd' || g || '.example.com/final/' || CAST(doc_id AS VARCHAR) AS final_url, " +
+        "'landed ' || CAST(doc_id AS VARCHAR) AS text, CAST(3 AS BIGINT) AS n_requests " +
+        "FROM d ORDER BY final_url"
+    ) { (s, d) =>
+      val dir = PhaseTimer.timed("crawl_redirect_curate", "fixture_ensure") {
+        redirectFixture(s, d)
+      }
+      val index = WarcIndex.indexWarc(s, dir + "/*.warc.gz")
+      val resolved = WarcIndex.resolveRedirects(index, maxHops = 4)
+      val byFinal = resolved.filter(col("final_status") === 200)
+        .groupBy("final_url")
+        .agg(count(lit(1)).cast("long").as("n_requests"))
+      val finalMembers = index
+        .filter(lower(col("warc_type")) === "response" && col("status") === 200)
+        .join(byFinal, col("url") === col("final_url"))
+        .select("final_url", "n_requests", "file", "offset", "length")
+      WarcIndex.fetchResponses(finalMembers)
+        .join(byFinal, col("url") === col("final_url"))
+        .select(col("final_url"),
+          HtmlText.htmlTextBytes(col("body"), col("charset")).as("text"),
+          col("n_requests"))
+        .orderBy("final_url")
+    },
+
     // Unicode cleanup composed ahead of dedup (r20, TextClean +
     // Dedup.exactGroups on the crawl path): each doc arrives as THREE
     // capture variants of one logical page — NFC-composed, NFD-
