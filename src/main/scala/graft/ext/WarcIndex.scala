@@ -250,52 +250,89 @@ object WarcIndex {
     */
   private[ext] val fetchedMemberCount = new java.util.concurrent.atomic.LongAdder
 
+  /** One index row — field names ARE the index column names. */
+  private final case class CdxRow(
+      file: String, offset: Long, length: Long, warc_type: String,
+      url: String, content_type: String, warc_date: String,
+      payload_bytes: Long, status: Option[Int], digest: String,
+      record_id: String, payload_digest: String, refers_to: String,
+      refers_to_uri: String, location: String)
+
+  /** The per-shard indexing walk [[indexRows]] and [[indexWarcStream]]
+    * share: open, stream members, enrich each record into a [[CdxRow]].
+    */
+  private def shardRows(path: String, confMap: Map[String, String])
+      : Iterator[CdxRow] = {
+    openedShardCount.increment()
+    indexShard(Warc.openStream(path, confMap)).map { ir =>
+      // status + digest are the CDX enrichment fields external
+      // consumers key on: status screens error captures WITHOUT a
+      // fetch; digest is the dedup-by-content key Common Crawl's
+      // own index carries — and like CC's WARC-Payload-Digest it
+      // hashes the PAYLOAD (HTTP framing stripped) for response
+      // records, so two captures of one page differing only in
+      // Date/Set-Cookie response headers still collapse; records
+      // whose framing fails to parse (and non-response records)
+      // hash the whole body
+      val isResponse = ir.record.warcType.equalsIgnoreCase("response")
+      val status = if (isResponse) Warc.httpStatus(ir.record.body) else -1
+      val digestBytes =
+        if (isResponse)
+          try Warc.httpBody(ir.record.body)
+          catch { case _: IllegalArgumentException => ir.record.body }
+        else ir.record.body
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(digestBytes).map("%02x".format(_)).mkString
+      val h = ir.record.headers
+      CdxRow(path, ir.offset, ir.length, ir.record.warcType,
+        ir.record.targetUri, ir.record.contentType,
+        h.getOrElse("warc-date", null),
+        ir.record.body.length.toLong,
+        if (status > 0) Some(status) else None,
+        digest,
+        stripAngles(h.getOrElse("warc-record-id", null)),
+        h.getOrElse("warc-payload-digest", null),
+        stripAngles(h.getOrElse("warc-refers-to", null)),
+        h.getOrElse("warc-refers-to-target-uri", null),
+        if (isResponse) Warc.httpHeaderOf(ir.record.body, "location")
+        else null)
+    }
+  }
+
   private def indexRows(spark: SparkSession,
                         paths: org.apache.spark.sql.Dataset[String])
       : DataFrame = {
     import spark.implicits._
     val confMap = Warc.hadoopConfMap(spark)
-    paths
-      .flatMap { path =>
-        openedShardCount.increment()
-        indexShard(Warc.openStream(path, confMap)).map { ir =>
-          // status + digest are the CDX enrichment fields external
-          // consumers key on: status screens error captures WITHOUT a
-          // fetch; digest is the dedup-by-content key Common Crawl's
-          // own index carries — and like CC's WARC-Payload-Digest it
-          // hashes the PAYLOAD (HTTP framing stripped) for response
-          // records, so two captures of one page differing only in
-          // Date/Set-Cookie response headers still collapse; records
-          // whose framing fails to parse (and non-response records)
-          // hash the whole body
-          val isResponse = ir.record.warcType.equalsIgnoreCase("response")
-          val status = if (isResponse) Warc.httpStatus(ir.record.body) else -1
-          val digestBytes =
-            if (isResponse)
-              try Warc.httpBody(ir.record.body)
-              catch { case _: IllegalArgumentException => ir.record.body }
-            else ir.record.body
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(digestBytes).map("%02x".format(_)).mkString
-          val h = ir.record.headers
-          (path, ir.offset, ir.length, ir.record.warcType,
-            ir.record.targetUri, ir.record.contentType,
-            h.getOrElse("warc-date", null),
-            ir.record.body.length.toLong,
-            if (status > 0) Some(status) else None,
-            digest,
-            stripAngles(h.getOrElse("warc-record-id", null)),
-            h.getOrElse("warc-payload-digest", null),
-            stripAngles(h.getOrElse("warc-refers-to", null)),
-            h.getOrElse("warc-refers-to-target-uri", null),
-            if (isResponse) Warc.httpHeaderOf(ir.record.body, "location")
-            else null)
-        }
-      }
-      .toDF("file", "offset", "length", "warc_type", "url",
-        "content_type", "warc_date", "payload_bytes", "status", "digest",
-        "record_id", "payload_digest", "refers_to", "refers_to_uri",
-        "location")
+    paths.flatMap(path => shardRows(path, confMap)).toDF()
+  }
+
+  /** Structured Streaming form of [[indexWarc]] for a crawl LANDING
+    * directory — the third leg of incremental CDX maintenance next to
+    * [[indexWarcDelta]]: shards index as they arrive (the `binaryFile`
+    * source's checkpoint tracks seen files, so each shard is opened
+    * exactly once across restarts), each record-streamed executor-side
+    * exactly like batch. Sink the frame into the index table
+    * per-trigger; [[dedupByDigest]]/[[resolveRevisits]] compose
+    * downstream of the accumulated table. `maxFilesPerTrigger` bounds a
+    * micro-batch to that many shards (0 = source default).
+    */
+  def indexWarcStream(spark: SparkSession, pathGlob: String,
+                      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val confMap = Warc.hadoopConfMap(spark)
+    var reader = spark.readStream.format("binaryFile")
+      // the source's FIXED schema (streaming file sources require it
+      // explicitly); the projection below prunes to path
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, " +
+          "content BINARY"))
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.load(pathGlob)
+      .select(col("path")).as[String]
+      .flatMap(path => shardRows(path, confMap))
+      .toDF()
   }
 
   /** Hydrate an index subset: `index` needs (`file`, `offset`,
@@ -700,6 +737,13 @@ object WarcIndex {
     * status, digest, filename, offset, length) — globally sorted by
     * (surt, timestamp) so consumers binary-search. `nShards` bounds
     * output files (one range exchange).
+    *
+    * The r20 enrichment fields (warc_type, record_id, payload_digest,
+    * refers_to, location) ride as EXTRA JSON keys when present —
+    * `to_json` drops nulls, so plain capture lines stay pywb-shaped
+    * while revisit/redirect rows round-trip losslessly (CDXJ's JSON
+    * block is extensible by design; unknown keys are ignored by
+    * conventional readers).
     */
   def writeCdxj(index: DataFrame, path: String, nShards: Int = 16): Unit = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
@@ -712,7 +756,13 @@ object WarcIndex {
         col("url"), col("content_type").as("mime"),
         col("status"), col("digest"),
         element_at(split(col("file"), "/"), -1).as("filename"),
-        col("offset"), col("length"))))
+        col("offset"), col("length"),
+        // drop the "response" bulk to keep capture lines pywb-shaped;
+        // revisit/request/metadata rows need their type to round-trip
+        when(lower(col("warc_type")) =!= "response", col("warc_type"))
+          .as("warc_type"),
+        col("record_id"), col("payload_digest"), col("refers_to"),
+        col("location"))))
     index
       .select(line.as("value"))
       .repartitionByRange(nShards, col("value"))
@@ -721,21 +771,27 @@ object WarcIndex {
   }
 
   /** Read CDXJ lines back to the (surt, timestamp, url, mime, status,
-    * digest, filename, offset, length) frame — joins back to shard
-    * DIRECTORIES via `withFileDir` for [[fetchRecords]] (CDXJ carries
-    * filenames, not absolute paths, per the public convention).
+    * digest, filename, offset, length, warc_type, record_id,
+    * payload_digest, refers_to, location) frame — a `warc_type` absent
+    * from the line (the pywb-shaped bulk) reads back as "response";
+    * joins back to shard DIRECTORIES via `withFileDir` for
+    * [[fetchRecords]] (CDXJ carries filenames, not absolute paths, per
+    * the public convention).
     */
   def readCdxj(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = spark.read.text(pathGlob)
     val sp = split(col("value"), " ", 3)
     val json = element_at(sp, 3)
     val schema = "url STRING, mime STRING, status INT, digest STRING, " +
-      "filename STRING, offset BIGINT, length BIGINT"
+      "filename STRING, offset BIGINT, length BIGINT, " +
+      "warc_type STRING, record_id STRING, payload_digest STRING, " +
+      "refers_to STRING, location STRING"
     raw.select(element_at(sp, 1).as("surt"),
         element_at(sp, 2).as("timestamp"),
         from_json(json, org.apache.spark.sql.types.StructType.fromDDL(schema))
           .as("j"))
       .select(col("surt"), col("timestamp"), col("j.*"))
+      .withColumn("warc_type", coalesce(col("warc_type"), lit("response")))
   }
 
   /** Resolve a [[readCdxj]] frame's filenames against the shard

@@ -414,6 +414,77 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     assert(WarcIndex.frontierDiff(variant, index).count() == 0)
   }
 
+  test("indexWarcStream: landing shards index incrementally; equals batch") {
+    import spark.implicits._
+    val land = tmpDir("warcindex-stream-land")
+    val out = tmpDir("warcindex-stream-out")
+    val ckpt = tmpDir("warcindex-stream-ckpt")
+    def run(): Unit = {
+      val q = WarcIndex.indexWarcStream(spark, land + "/*.warc.gz")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def drop(name: String, lo: Int, hi: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name),
+        shard((lo until hi).map(i => record("response",
+          s"https://si/d/$i", s"HTTP/1.1 200 OK\r\n\r\ns-$i")))): Unit
+    drop("a.warc.gz", 0, 3)
+    val before = WarcIndex.openedShardCount.sum()
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+    // the second wave indexes ONLY the new shard (checkpointed seen-set)
+    drop("b.warc.gz", 3, 5)
+    run()
+    assert(WarcIndex.openedShardCount.sum() - before == 2L,
+      "two waves over two shards must open each exactly once")
+    val streamed = spark.read.parquet(out)
+    val batch = WarcIndex.indexWarc(spark, land + "/*.warc.gz")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"file", $"offset", $"length", $"url", $"digest", $"record_id")
+      .as[(String, Long, Long, String, String, String)].collect().toSet
+    assert(key(streamed) == key(batch))
+    assert(streamed.count() == 5)
+  }
+
+  test("CDXJ round-trips the revisit/redirect enrichment fields") {
+    import spark.implicits._
+    val dir = tmpDir("cdxj-enrich")
+    val redirect = Warc.writeRecord("response", "https://en.ex.com/hop",
+      "application/http",
+      "HTTP/1.1 301 x\r\nLocation: /end\r\n\r\n".getBytes(iso))
+    val end = record("response", "https://en.ex.com/end",
+      "HTTP/1.1 200 OK\r\n\r\nfin")
+    val revisit = Warc.writeRecord("revisit", "https://en.ex.com/again",
+      "message/http", Array.emptyByteArray, Warc.DefaultExportInstant,
+      "urn:test:rv", Seq("WARC-Payload-Digest" -> "sha256:abc",
+        "WARC-Refers-To" -> "<urn:test:orig>"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "en.warc.gz"),
+      shard(Seq(redirect, end, revisit)))
+    val cdxDir = tmpDir("cdxj-enrich-out")
+    WarcIndex.writeCdxj(WarcIndex.indexWarc(spark, dir + "/*.warc.gz"),
+      cdxDir, nShards = 1)
+    val back = WarcIndex.readCdxj(spark, cdxDir + "/part-*").cache()
+    // plain captures read back as responses; the revisit keeps its type
+    assert(back.filter(col("warc_type") === "response").count() == 2)
+    val rv = back.filter(col("url") === "https://en.ex.com/again")
+      .collect().head
+    assert(rv.getAs[String]("warc_type") == "revisit")
+    assert(rv.getAs[String]("payload_digest") == "sha256:abc")
+    assert(rv.getAs[String]("refers_to") == "urn:test:orig")
+    assert(rv.getAs[String]("record_id") == "urn:test:rv")
+    // the redirect row keeps its Location; the 200 row has none
+    val hop = back.filter(col("url") === "https://en.ex.com/hop")
+      .collect().head
+    assert(hop.getAs[Int]("status") == 301 &&
+      hop.getAs[String]("location") == "/end")
+    assert(back.filter(col("url") === "https://en.ex.com/end")
+      .collect().head.getAs[String]("location") == null)
+    back.unpersist()
+  }
+
   test("writeIndexTable: SURT-clustered files, host-prefix lookup prunes") {
     import spark.implicits._
     val dir = tmpDir("warcindex-table-shards")
