@@ -47,10 +47,9 @@ object CrawlProbes {
         ") ORDER BY url"
     ) { (s, d) =>
       import s.implicits._
-      val dir = PhaseTimer.timed("warc_revisit_resolve", "fixture_ensure") {
-        revisitFixture(s, d)
+      val index = PhaseTimer.timed("warc_revisit_resolve", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-revisit-cdx", revisitFixture(s, d))
       }
-      val index = WarcIndex.indexWarc(s, dir + "/*.warc.gz")
       val obs = WarcIndex.resolveRevisits(index)
       val hydrated = WarcIndex.hydrateObservations(obs)
       val stripped = hydrated
@@ -95,10 +94,9 @@ object CrawlProbes {
         "SELECT 'https://rd' || g || '.example.com/gone/' || CAST(doc_id AS VARCHAR), 'https://rd' || g || '.example.com/nowhere/' || CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), CAST(NULL AS INTEGER) FROM d WHERE doc_id % 5 = 1" +
         ") ORDER BY request_url"
     ) { (s, d) =>
-      val dir = PhaseTimer.timed("warc_redirect_resolve", "fixture_ensure") {
-        redirectFixture(s, d)
+      val index = PhaseTimer.timed("warc_redirect_resolve", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-redirect-cdx", redirectFixture(s, d))
       }
-      val index = WarcIndex.indexWarc(s, dir + "/*.warc.gz")
       WarcIndex.resolveRedirects(index, maxHops = 4)
         .select(col("request_url"), col("final_url"),
           col("hops").cast("long").as("hops"),
@@ -121,10 +119,9 @@ object CrawlProbes {
         "SELECT 'https://rd' || g || '.example.com/new/' || CAST(doc_id AS VARCHAR), NULL, NULL, 'uncaptured' FROM d WHERE doc_id % 3 = 2" +
         ") ORDER BY loc"
     ) { (s, d) =>
-      val dir = PhaseTimer.timed("crawl_frontier_diff", "fixture_ensure") {
-        redirectFixture(s, d)
+      val index = PhaseTimer.timed("crawl_frontier_diff", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-redirect-cdx", redirectFixture(s, d))
       }
-      val index = WarcIndex.indexWarc(s, dir + "/*.warc.gz")
       val g = pmod(col("doc_id"), lit(4)).cast("string")
       val id = col("doc_id").cast("string")
       val v = pmod(col("doc_id"), lit(3))
@@ -164,20 +161,20 @@ object CrawlProbes {
         "'landed ' || CAST(doc_id AS VARCHAR) AS text, CAST(3 AS BIGINT) AS n_requests " +
         "FROM d ORDER BY final_url"
     ) { (s, d) =>
-      val dir = PhaseTimer.timed("crawl_redirect_curate", "fixture_ensure") {
-        redirectFixture(s, d)
+      val index = PhaseTimer.timed("crawl_redirect_curate", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-redirect-cdx", redirectFixture(s, d))
       }
-      val index = WarcIndex.indexWarc(s, dir + "/*.warc.gz")
       val resolved = WarcIndex.resolveRedirects(index, maxHops = 4)
       val byFinal = resolved.filter(col("final_status") === 200)
         .groupBy("final_url")
         .agg(count(lit(1)).cast("long").as("n_requests"))
-      val finalMembers = index
-        .filter(lower(col("warc_type")) === "response" && col("status") === 200)
-        .join(byFinal, col("url") === col("final_url"))
-        .select("final_url", "n_requests", "file", "offset", "length")
-      WarcIndex.fetchResponses(finalMembers)
-        .join(byFinal, col("url") === col("final_url"))
+      // hydrate the 200-captures once and INNER-join the walk result a
+      // single time — referencing byFinal twice (member pre-filter +
+      // final join) would execute the whole redirect walk twice
+      val fetched = WarcIndex.fetchResponses(index
+        .filter(lower(col("warc_type")) === "response" &&
+          col("status") === 200))
+      fetched.join(byFinal, col("url") === col("final_url"))
         .select(col("final_url"),
           HtmlText.htmlTextBytes(col("body"), col("charset")).as("text"),
           col("n_requests"))
@@ -214,6 +211,20 @@ object CrawlProbes {
         .orderBy("keep_id")
     }
   )
+
+  /** The MATERIALIZED CDX index of a shard fixture — the `ivfIndexFor`
+    * lifecycle argument: indexing is a one-time build (index once,
+    * query forever — the whole point of the CDX layer), so the resolve
+    * probes read the parquet index instead of re-walking every shard
+    * per plan reference (resolveRedirects references its target table
+    * once per hop; an unmaterialized index would re-parse the crawl
+    * maxHops times).
+    */
+  private def cdxIndexFor(s: SparkSession, d: String, kind: String,
+                          shardDir: String): DataFrame =
+    s.read.parquet(Probe.mediaFixtureFor(d, kind) {
+      WarcIndex.indexWarc(s, shardDir + "/*.warc.gz")
+    })
 
   private def sha256hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256")
