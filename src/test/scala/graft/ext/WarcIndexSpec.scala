@@ -353,6 +353,33 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
     index.unpersist()
   }
 
+  test("resolveRedirects: junk Location values terminate as dangling") {
+    import spark.implicits._
+    val dir = tmpDir("warcindex-junkloc")
+    // real crawls carry garbage Location headers: a %-soup token, an
+    // empty-ish value, a mailto scheme — the walk must terminate each
+    // as a dangling hop (no match in the target table), never throw
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.warc.gz"),
+      shard(Seq(
+        record("response", "https://jk.ex.com/a",
+          "HTTP/1.1 301 x\r\nLocation: %%%not a url%%%\r\n\r\n"),
+        record("response", "https://jk.ex.com/b",
+          "HTTP/1.1 302 x\r\nLocation: mailto:x@y.z\r\n\r\n"),
+        record("response", "https://jk.ex.com/c", "HTTP/1.1 200 OK\r\n\r\nok"))))
+    val out = WarcIndex.resolveRedirects(
+      WarcIndex.indexWarc(spark, dir + "/*.warc.gz"), maxHops = 3)
+      .as[(String, String, Int, Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 3)
+    // both junk hops take exactly one step and land nowhere (null status)
+    assert(out("https://jk.ex.com/a")._3 == 1 &&
+      out("https://jk.ex.com/a")._4.isEmpty)
+    assert(out("https://jk.ex.com/b")._3 == 1 &&
+      out("https://jk.ex.com/b")._4.isEmpty)
+    assert(out("https://jk.ex.com/c") ==
+      (("https://jk.ex.com/c", "https://jk.ex.com/c", 0, Some(200))))
+  }
+
   test("indexWarcDelta: three arrival waves, O(new shards) opens") {
     import spark.implicits._
     val land = tmpDir("warcindex-delta")
