@@ -538,8 +538,16 @@ object WarcIndex {
     * Scale: `maxHops` hash joins of the (shrinking) active frontier
     * against the per-canonical-URL target table — index rows only,
     * never document bytes; duplicate captures of one URL collapse
-    * earliest-first before the walk. Cache the input index when
-    * `maxHops` is large: each hop's plan re-reads it otherwise.
+    * earliest-first before the walk. Pass a MATERIALIZED index (a
+    * parquet CDX table, not the raw shard walk): the target table is
+    * referenced once per hop, so an unmaterialized index re-parses the
+    * crawl `maxHops` times.
+    *
+    * Composition note: targets are `response` rows; in a deduplicated
+    * crawl where a chain's end was captured as a `revisit`, run
+    * [[resolveRevisits]] first and union the resolved observations'
+    * `(url, status)` (their `location` is null — a revisit is by
+    * definition a 2xx re-capture) into the index before walking.
     */
   def resolveRedirects(index: DataFrame, maxHops: Int = 5): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32,
