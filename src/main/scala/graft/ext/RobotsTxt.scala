@@ -37,8 +37,14 @@ object RobotsTxt {
 
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** The merged rule set selected for one user agent. */
-  final case class Rules(rules: Vector[Rule]) {
+  /** The merged rule set selected for one user agent; `crawlDelay` is
+    * the group's `Crawl-delay:` seconds when declared (the de-facto
+    * politeness extension — RFC 9309 leaves it unstandardized; of the
+    * selected groups the LARGEST declared delay wins, the conservative
+    * direction for a politeness setting).
+    */
+  final case class Rules(rules: Vector[Rule],
+                         crawlDelay: Option[Double] = None) {
     def isAllowed(pathAndQuery: String): Boolean = {
       var bestLen = -1
       var bestAllow = true
@@ -107,14 +113,23 @@ object RobotsTxt {
       else Iterator.empty
     }
 
+  private final class Group(val ua: String) {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None
+  }
+
   def parse(content: String, userAgent: String = "*"): Rules = {
     if (content == null) return Rules(Vector.empty)
     val uaLower = userAgent.toLowerCase
-    // collect (uaToken, rules) groups
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(String, scala.collection.mutable.ArrayBuffer[Rule])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var currentUas = List.empty[String]
     var inUaRun = false // consecutive user-agent lines extend one group
+    def closeUaRun(): Unit =
+      if (inUaRun) {
+        // the UA run just ended: materialize one group per token
+        currentUas.foreach(ua => groups += new Group(ua))
+        inUaRun = false
+      }
     directives(content).foreach { case (field, value) =>
       field match {
         case "user-agent" =>
@@ -122,20 +137,28 @@ object RobotsTxt {
           inUaRun = true
           currentUas = value.toLowerCase :: currentUas
         case "allow" | "disallow" =>
-          if (inUaRun) {
-            // the UA run just ended: materialize one group per token
-            currentUas.foreach { ua =>
-              groups += ((ua, scala.collection.mutable.ArrayBuffer.empty[Rule]))
-            }
-            inUaRun = false
-          }
+          closeUaRun()
           // empty value = "no rule" per the RFC (a bare Disallow:
           // means everything is allowed, not a match-nothing rule)
           if (value.nonEmpty && currentUas.nonEmpty) {
             val rule = Rule(field == "allow", value)
-            groups.takeRight(currentUas.length).foreach(_._2 += rule)
+            groups.takeRight(currentUas.length).foreach(_.rules += rule)
           }
-        case _ => () // crawl-delay, sitemap, unknown: ignored
+        case "crawl-delay" =>
+          // the de-facto politeness extension: seconds (fractions
+          // allowed), attached to the enclosing group; junk values
+          // are ignored, per the robots error-tolerance discipline
+          closeUaRun()
+          if (currentUas.nonEmpty) {
+            val secs =
+              try {
+                val v = value.toDouble
+                if (java.lang.Double.isFinite(v) && v >= 0) Some(v) else None
+              } catch { case _: NumberFormatException => None }
+            if (secs.nonEmpty)
+              groups.takeRight(currentUas.length).foreach(_.delay = secs)
+          }
+        case _ => () // sitemap, unknown: ignored
       }
     }
     // agent selection: longest UA token that is a substring of ours;
@@ -144,12 +167,11 @@ object RobotsTxt {
       if (ua == "*") 0
       else if (uaLower.contains(ua) && ua.nonEmpty) ua.length
       else -1
-    val best = groups.iterator.map(g => specificity(g._1)).foldLeft(-1)(math.max)
+    val best = groups.iterator.map(g => specificity(g.ua)).foldLeft(-1)(math.max)
     if (best < 0) return Rules(Vector.empty)
-    Rules(groups.iterator
-      .filter(g => specificity(g._1) == best)
-      .flatMap(_._2)
-      .toVector)
+    val selected = groups.filter(g => specificity(g.ua) == best)
+    Rules(selected.iterator.flatMap(_.rules).toVector,
+      selected.iterator.flatMap(_.delay).maxOption)
   }
 
   /** The URI path+query robots rules match against (raw, NOT the
@@ -260,7 +282,7 @@ object RobotsTxt {
     // gets from urlParts (fold + www-strip) — an as-fetched
     // "WWW.Site.com" robots row must still screen "site.com" docs, or
     // disallowed pages silently bypass the policy filter
-    val rulesByHost = robots
+    val rulesByHost: DataFrame = robots
       .select(UrlOps.hostKey(col(hostCol)).as("__rhost"),
         col(robotsCol).as("__body"))
       .groupBy("__rhost")
@@ -272,5 +294,30 @@ object RobotsTxt {
       .join(rulesByHost, col("__host") === col("__rhost"), "left")
       .filter(allowedUdf(col(urlCol), col("__rules")))
       .drop("__host", "__rhost", "__rules")
+  }
+
+  /** The per-host `Crawl-delay` a polite fetcher schedules by:
+    * `(host, crawl_delay)` rows for the hosts whose robots.txt declares
+    * one for `userAgent` (seconds, fractions allowed; junk values
+    * ignored). Same host canonicalization + per-file parse discipline
+    * as [[filterAllowed]]; colliding canonical hosts take the LARGEST
+    * declared delay — the conservative direction for politeness. One
+    * hash groupBy over robots rows, never corpus rows.
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String = "host",
+                  robotsCol: String = "robots_txt",
+                  userAgent: String = "*"): DataFrame = {
+    val delayUdf = udf { bodies: scala.collection.Seq[String] =>
+      bodies.iterator
+        .flatMap(b => parse(b, userAgent).crawlDelay)
+        .maxOption
+    }
+    robots
+      .select(UrlOps.hostKey(col(hostCol)).as("host"),
+        col(robotsCol).as("__body"))
+      .groupBy("host")
+      .agg(sort_array(collect_list(col("__body"))).as("__bodies"))
+      .select(col("host"), delayUdf(col("__bodies")).as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
   }
 }

@@ -181,6 +181,63 @@ object CrawlProbes {
         .orderBy("final_url")
     },
 
+    // Per-host crawl operations stats off the CDX index (r20): the
+    // summary a crawl operator reads before scheduling — captures,
+    // 2xx, and 3xx counts per host, derived WITHOUT touching a shard
+    // byte (index rows only; one hash aggregate). The oracle re-derives
+    // every host's counts from the redirect fixture's construction:
+    // 3 chain records per doc plus the %5-family loop/dangling rows.
+    Probe(
+      "crawl_host_stats",
+      "WITH d AS (SELECT doc_id, doc_id % 4 AS g FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT 'rd' || CAST(g AS VARCHAR) || '.example.com' AS host, " +
+        "CAST(3 * count(*) + sum(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_captures, " +
+        "CAST(count(*) AS BIGINT) AS n_ok, " +
+        "CAST(2 * count(*) + sum(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_redirects " +
+        "FROM d GROUP BY g ORDER BY host"
+    ) { (s, d) =>
+      val index = PhaseTimer.timed("crawl_host_stats", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-redirect-cdx", redirectFixture(s, d))
+      }
+      index.filter(lower(col("warc_type")) === "response")
+        .select(graft.ext.UrlOps.urlParts(col("url")).getField("host")
+          .as("host"), col("status"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_captures"),
+          count(when(col("status").between(200, 299), 1)).as("n_ok"),
+          count(when(col("status").between(300, 399), 1)).as("n_redirects"))
+        .orderBy("host")
+    },
+
+    // Per-host crawl-delay extraction (r20, RobotsTxt.crawlDelays): the
+    // politeness half of the robots surface — group-scoped selection
+    // (the agent-specific 10 outranks '*' 2), fractional seconds, a
+    // junk value dropping its host, an undeclared host dropping, and
+    // colliding canonical spellings taking the larger delay. The oracle
+    // states the decision table closed-form.
+    Probe(
+      "url_crawl_delay",
+      "SELECT * FROM (VALUES " +
+        "('h0.example.com', CAST(1.5 AS DOUBLE)), " +
+        "('h1.example.com', CAST(10 AS DOUBLE)), " +
+        "('h4.example.com', CAST(7 AS DOUBLE))" +
+        ") AS t(host, crawl_delay) ORDER BY host"
+    ) { (s, d) =>
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+        ("h1.example.com",
+          "User-agent: graftbot\nCrawl-delay: 10\n\n" +
+            "User-agent: *\nCrawl-delay: 2\n"),
+        ("h2.example.com", "User-agent: *\nCrawl-delay: soon\n"),
+        ("h3.example.com", "User-agent: *\nDisallow: /private/\n"),
+        ("h4.example.com", "User-agent: *\nCrawl-delay: 3\n"),
+        ("WWW.h4.example.com", "User-agent: *\nCrawl-delay: 7\n")
+      ).toDF("host", "robots_txt")
+      graft.ext.RobotsTxt.crawlDelays(robots, userAgent = "graftbot/1.0")
+        .orderBy("host")
+    },
+
     // Unicode cleanup composed ahead of dedup (r20, TextClean +
     // Dedup.exactGroups on the crawl path): each doc arrives as THREE
     // capture variants of one logical page — NFC-composed, NFD-

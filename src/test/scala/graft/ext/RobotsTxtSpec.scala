@@ -68,6 +68,35 @@ class RobotsTxtSpec extends AnyFunSuite with SharedSpark {
     assert(parse("User-agent: otherbot\nDisallow: /", "me").isAllowed("/x"))
   }
 
+  test("crawl-delay: group-scoped, fractional, junk ignored, max on merge") {
+    import spark.implicits._
+    // group scoping: the SELECTED group's delay applies, not another's
+    val body = "User-agent: graftbot\nCrawl-delay: 10\nDisallow: /x/\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    assert(parse(body, "graftbot/1.0").crawlDelay == Some(10.0))
+    assert(parse(body, "otherbot").crawlDelay == Some(2.0))
+    // rules around the delay line still attach to the same group
+    assert(!parse(body, "graftbot/1.0").isAllowed("/x/1"))
+    // fractional seconds; junk and negative values ignore; a delay
+    // before any group ignores; absent -> None
+    assert(parse("User-agent: *\nCrawl-delay: 0.5\n").crawlDelay == Some(0.5))
+    assert(parse("User-agent: *\nCrawl-delay: soon\n").crawlDelay.isEmpty)
+    assert(parse("User-agent: *\nCrawl-delay: -1\n").crawlDelay.isEmpty)
+    assert(parse("Crawl-delay: 9\nUser-agent: *\nDisallow:\n").crawlDelay.isEmpty)
+    assert(parse("User-agent: *\nDisallow: /a/\n").crawlDelay.isEmpty)
+    // the frame operator: per canonical host, colliding files take the
+    // LARGEST declared delay; hosts declaring none drop
+    val robots = Seq(
+      ("a.example.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /\n"),
+      ("c.example.com", "User-agent: *\nCrawl-delay: 3\n"),
+      ("WWW.c.example.com", "User-agent: *\nCrawl-delay: 7\n")
+    ).toDF("host", "robots_txt")
+    val out = RobotsTxt.crawlDelays(robots)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a.example.com" -> 1.5, "c.example.com" -> 7.0))
+  }
+
   test("pathAndQueryOf: raw path+query, fragment stripped, bare hosts") {
     assert(pathAndQueryOf("https://h.example.com/a/b?x=1#frag") == "/a/b?x=1")
     assert(pathAndQueryOf("https://h.example.com") == "/")
