@@ -378,6 +378,13 @@ class WarcIndexSpec extends AnyFunSuite with SharedSpark {
       out("https://jk.ex.com/b")._4.isEmpty)
     assert(out("https://jk.ex.com/c") ==
       (("https://jk.ex.com/c", "https://jk.ex.com/c", 0, Some(200))))
+    // plan-growth guard: the walk must stay LINEAR in maxHops (a
+    // branch-per-hop formulation grows ~4^hops plan nodes and hangs
+    // long before 16) — a deep walk over this 3-row index must both
+    // plan and execute promptly
+    val deep = WarcIndex.resolveRedirects(
+      WarcIndex.indexWarc(spark, dir + "/*.warc.gz"), maxHops = 16)
+    assert(deep.count() == 3)
   }
 
   test("indexWarcDelta: three arrival waves, O(new shards) opens") {
