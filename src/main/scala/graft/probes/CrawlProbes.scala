@@ -181,6 +181,70 @@ object CrawlProbes {
         .orderBy("final_url")
     },
 
+    // Composed discovery pipeline (r20): robots.txt advertises the
+    // sitemap (Sitemaps.discoverFromRobots), the advertised XML parses
+    // through the real sitemap path, and the declared entries diff
+    // against the captured index — robots -> discovery -> parse ->
+    // frontier as ONE declarative plan. Same closed-form expectation as
+    // crawl_frontier_diff: a green row proves the discovery JOINS
+    // (robots line lexing, per-host sitemap URL, XML aggregation)
+    // composed without losing or duplicating a declared URL.
+    Probe(
+      "crawl_discovery_pipeline",
+      "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS g FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT loc, lastmod, last_capture, reason FROM (" +
+        "SELECT 'https://rd' || g || '.example.com/start/' || CAST(doc_id AS VARCHAR) AS loc, '2026-01-02' AS lastmod, '2000-01-01T00:00:00Z' AS last_capture, 'stale' AS reason FROM d WHERE doc_id % 3 = 1 " +
+        "UNION ALL " +
+        "SELECT 'https://rd' || g || '.example.com/new/' || CAST(doc_id AS VARCHAR), NULL, NULL, 'uncaptured' FROM d WHERE doc_id % 3 = 2" +
+        ") ORDER BY loc"
+    ) { (s, d) =>
+      val index = PhaseTimer.timed("crawl_discovery_pipeline", "fixture_ensure") {
+        cdxIndexFor(s, d, "warc-redirect-cdx", redirectFixture(s, d))
+      }
+      val g = pmod(col("doc_id"), lit(4)).cast("string")
+      val id = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(3))
+      val loc = when(v === 0,
+        concat(lit("https://rd"), g, lit(".example.com/final/"), id))
+        .when(v === 1,
+          concat(lit("https://rd"), g, lit(".example.com/start/"), id))
+        .otherwise(
+          concat(lit("https://rd"), g, lit(".example.com/new/"), id))
+      val lastmod = when(v === 0, lit("1999-12-31"))
+        .when(v === 1, lit("2026-01-02"))
+      val block = concat(lit("<url><loc>"), loc, lit("</loc>"),
+        when(lastmod.isNotNull,
+          concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      // one sitemap document per host, entries in ascending doc_id
+      val sitemaps = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(g.as("g"), col("doc_id"), block.as("block"))
+        .groupBy("g")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("block")))),
+            e => e.getField("block")), ""),
+          lit("</urlset>")).as("xml"))
+        .select(concat(lit("https://rd"), col("g"),
+          lit(".example.com/sitemap.xml")).as("sitemap_url"), col("xml"))
+      // robots advertise each host's sitemap; discovery joins them up
+      val robots = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(g.as("g")).distinct()
+        .select(concat(lit("rd"), col("g"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: *\nDisallow:\n\nSitemap: https://rd"),
+            col("g"), lit(".example.com/sitemap.xml\n")).as("robots_txt"))
+      val discovered = graft.ext.Sitemaps.discoverFromRobots(robots)
+        .join(sitemaps, "sitemap_url")
+      val entries = graft.ext.Sitemaps.explodeEntries(
+        discovered.select("host", "xml"), "xml")
+        .filter(col("kind") === "url")
+        .select(col("loc"), col("lastmod"))
+      WarcIndex.frontierDiff(entries, index)
+        .select("loc", "lastmod", "last_capture", "reason")
+        .orderBy("loc")
+    },
+
     // Per-host crawl operations stats off the CDX index (r20): the
     // summary a crawl operator reads before scheduling — captures,
     // 2xx, and 3xx counts per host, derived WITHOUT touching a shard
