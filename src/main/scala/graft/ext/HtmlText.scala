@@ -468,6 +468,43 @@ object HtmlText {
     PageMeta(canonical, robots, base)
   }
 
+  /** The `<a href>` values of a page in document order (entity-decoded,
+    * trimmed, empties dropped; duplicates kept — the caller's graph
+    * semantics decide). Same single-scan tag walk as [[pageMeta]]:
+    * rawtext containers skip, malformed markup yields what parses.
+    * Values are RAW references — [[LinkGraph.extractEdges]] resolves
+    * them against the page's effective base per RFC 3986.
+    */
+  def outlinks(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) return out.result()
+      if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+        i = skipMarkupDecl(html, lt)
+      } else if (isTagStart(html.charAt(lt + 1)) || html.charAt(lt + 1) == '/') {
+        scanTagAt(html, lt) match {
+          case null => return out.result() // unterminated tag
+          case ev =>
+            i = ev.after
+            if (!ev.closing && !ev.selfClosing && RawTextContainers(ev.name)) {
+              i = skipRawtextAfter(html, i, ev.name)
+            } else if (!ev.closing && ev.name == "a") {
+              val href = decodeEntities(parseAttrs(html, ev.attrStart, ev.gt)
+                .getOrElse("href", "")).trim
+              if (href.nonEmpty) out += href
+            }
+        }
+      } else {
+        i = lt + 1 // bare '<': not a tag here
+      }
+    }
+    out.result()
+  }
+
   /** Parse the attribute span [from, to) into a lowercase-name map
     * (first occurrence wins, per the HTML5 duplicate-attribute rule).
     */

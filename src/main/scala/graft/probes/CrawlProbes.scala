@@ -273,6 +273,74 @@ object CrawlProbes {
         .orderBy("host")
     },
 
+    // Outlink harvesting (r20, LinkGraph.extractEdges): each page
+    // carries a <base href>-resolved relative link, an entity-escaped
+    // absolute link whose canonical form sorts its params, a
+    // fragment-only href (intra-page: drops), a mailto (non-http:
+    // drops), and a duplicate (collapses) — the oracle states the
+    // surviving (src, dst) edge set closed-form, so a green row proves
+    // anchor extraction, base resolution, canonicalization, and the
+    // drop rules all agreed.
+    Probe(
+      "crawl_outlinks",
+      "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS g FROM documents WHERE doc_id IS NOT NULL) " +
+        "SELECT src, dst FROM (" +
+        "SELECT 'https://ol' || g || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS src, " +
+        "'https://ol' || g || '.example.com/b/rel' || CAST(doc_id AS VARCHAR) AS dst FROM d " +
+        "UNION ALL " +
+        "SELECT 'https://ol' || g || '.example.com/page/' || CAST(doc_id AS VARCHAR), " +
+        "'https://ext' || g || '.example.com/p?a=1&b=2' FROM d" +
+        ") ORDER BY src, dst"
+    ) { (s, d) =>
+      val g = pmod(col("doc_id"), lit(4)).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = concat(lit("https://ol"), g, lit(".example.com/page/"), id)
+      val html = concat(
+        lit("<html><head><base href=\"/b/\"></head><body>" +
+          "<a href=\"rel"), id, lit("\">x</a>" +
+          "<a href=\"https://Ext"), g,
+        lit(".example.com/p?b=2&amp;a=1\">y</a>" +
+          "<a href=\"#top\">z</a>" +
+          "<a href=\"mailto:a@b.example\">w</a>" +
+          "<a href=\"rel"), id, lit("\">dup</a></body></html>"))
+      val pages = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(url.as("url"), html.as("html"))
+      graft.ext.LinkGraph.extractEdges(pages, "url", "html")
+        .orderBy("src", "dst")
+    },
+
+    // Link-graph degrees (r20, LinkGraph.degrees): out/in counts over
+    // the deterministic doc-id graph, zero-coalesced through the outer
+    // join — dangling targets (in-degree only) and source-only nodes
+    // both surface.
+    Probe(
+      "crawl_link_degrees",
+      s"WITH $idEdgesSql, " +
+        "o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree FROM e2 GROUP BY 1), " +
+        "i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree FROM e2 GROUP BY 1) " +
+        "SELECT coalesce(o.node, i.node) AS node, " +
+        "coalesce(o.out_degree, CAST(0 AS BIGINT)) AS out_degree, " +
+        "coalesce(i.in_degree, CAST(0 AS BIGINT)) AS in_degree " +
+        "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+    ) { (s, d) =>
+      graft.ext.LinkGraph.degrees(idEdges(s, d)).orderBy("node")
+    },
+
+    // Fixed-iteration PageRank (r20, LinkGraph.pagerank): 3 iterations
+    // at damping 0.85 over the doc-id graph — the oracle replays the
+    // identical recurrence with ascending-src ordered folds, so every
+    // rank is bit-identical before the shared 9-dp round; a wrong
+    // teleport term, an unordered sum, or a mishandled dangling node
+    // all hash-mismatch.
+    Probe(
+      "crawl_pagerank",
+      pagerankSql(3)
+    ) { (s, d) =>
+      graft.ext.LinkGraph.pagerank(idEdges(s, d), iterations = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank_r"))
+        .orderBy("node")
+    },
+
     // Per-host crawl-delay extraction (r20, RobotsTxt.crawlDelays): the
     // politeness half of the robots surface — group-scoped selection
     // (the agent-specific 10 outranks '*' 2), fractional seconds, a
@@ -332,6 +400,54 @@ object CrawlProbes {
         .orderBy("keep_id")
     }
   )
+
+  /** The deterministic doc-id link graph the degree/PageRank probes
+    * share: nodes = doc_id % 1000, edges n -> (n+1) % 1000 and
+    * n -> (2n+1) % 1000, self-loops dropped, distinct — closed under
+    * the same construction in DuckDB ([[pagerankSql]]).
+    */
+  private def idEdges(s: SparkSession, d: String): DataFrame = {
+    val b = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      .select(pmod(col("doc_id"), lit(1000)).as("n")).distinct()
+    b.select(col("n").as("src"), pmod(col("n") + 1, lit(1000)).as("dst"))
+      .union(b.select(col("n").as("src"),
+        pmod(col("n") * 2 + 1, lit(1000)).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  // a def, not a val: `all` above initializes first and would capture
+  // a null (the urlFixtureSql trap)
+  private def idEdgesSql: String =
+    "b AS (SELECT DISTINCT doc_id % 1000 AS n FROM documents WHERE doc_id IS NOT NULL), " +
+      "e AS (SELECT n AS src, (n + 1) % 1000 AS dst FROM b UNION SELECT n, (2 * n + 1) % 1000 FROM b), " +
+      "e2 AS (SELECT src, dst FROM e WHERE src <> dst)"
+
+  /** String-built fixed-iteration PageRank oracle: the SAME recurrence
+    * the engine runs — teleport and damping forced to DOUBLE (DuckDB
+    * literals are DECIMAL), the per-node contribution folding in
+    * ascending src order — so every rank is bit-identical before the
+    * final 9-dp round.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val base = s"WITH $idEdgesSql, " +
+      "nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2), " +
+      "od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e2 GROUP BY 1), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"
+    val steps = (1 to iters).map { i =>
+      s", c$i AS (SELECT e2.dst AS node, list_reduce(list_prepend(0.0, " +
+        s"list(r.rank / od.outdeg ORDER BY e2.src)), (a, x) -> a + x) AS contrib " +
+        s"FROM e2 JOIN r${i - 1} r ON e2.src = r.node JOIN od ON e2.src = od.src " +
+        "GROUP BY e2.dst)" +
+        s", r$i AS (SELECT nodes.node, " +
+        "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + " +
+        s"CAST(0.85 AS DOUBLE) * coalesce(c$i.contrib, CAST(0 AS DOUBLE)) AS rank " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"
+    }.mkString
+    base + steps +
+      s" SELECT node, round(rank, 9) AS rank_r FROM r$iters ORDER BY node"
+  }
 
   /** The MATERIALIZED CDX index of a shard fixture — the `ivfIndexFor`
     * lifecycle argument: indexing is a one-time build (index once,
