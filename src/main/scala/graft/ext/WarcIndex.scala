@@ -450,8 +450,6 @@ object WarcIndex {
     */
   def resolveRevisits(index: DataFrame): DataFrame = {
     val resp = index.filter(lower(col("warc_type")) === "response")
-    val obsCols = Seq("url", "warc_date", "status", "file", "offset",
-      "length", "digest")
     // one original per declared payload digest / record id — earliest
     // capture wins, deterministic
     def oneOriginalPer(key: String) = resp

@@ -425,9 +425,11 @@ object CrawlProbes {
 
   /** String-built fixed-iteration PageRank oracle: the SAME recurrence
     * the engine runs — teleport and damping forced to DOUBLE (DuckDB
-    * literals are DECIMAL), the per-node contribution folding in
-    * ascending src order — so every rank is bit-identical before the
-    * final 9-dp round.
+    * literals are DECIMAL), the per-node contribution summed by the
+    * engine's TWO-LEVEL deterministic fold (ascending src within each
+    * 256-way md5(src)-prefix bucket, then bucket sums in ascending
+    * bucket order — the skew-safe scheme `LinkGraph.pagerank` runs) —
+    * so every rank is bit-identical before the final 9-dp round.
     */
   private def pagerankSql(iters: Int): String = {
     val base = s"WITH $idEdgesSql, " +
@@ -436,10 +438,14 @@ object CrawlProbes {
       "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
       "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"
     val steps = (1 to iters).map { i =>
-      s", c$i AS (SELECT e2.dst AS node, list_reduce(list_prepend(0.0, " +
-        s"list(r.rank / od.outdeg ORDER BY e2.src)), (a, x) -> a + x) AS contrib " +
+      s", cb$i AS (SELECT e2.dst AS node, " +
+        "CAST('0x' || substring(md5(CAST(e2.src AS VARCHAR)), 1, 2) AS INT) AS b, " +
+        "list_reduce(list_prepend(0.0, " +
+        "list(r.rank / od.outdeg ORDER BY e2.src)), (a, x) -> a + x) AS bsum " +
         s"FROM e2 JOIN r${i - 1} r ON e2.src = r.node JOIN od ON e2.src = od.src " +
-        "GROUP BY e2.dst)" +
+        "GROUP BY e2.dst, b)" +
+        s", c$i AS (SELECT node, list_reduce(list_prepend(0.0, " +
+        s"list(bsum ORDER BY b)), (a, x) -> a + x) AS contrib FROM cb$i GROUP BY node)" +
         s", r$i AS (SELECT nodes.node, " +
         "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + " +
         s"CAST(0.85 AS DOUBLE) * coalesce(c$i.contrib, CAST(0 AS DOUBLE)) AS rank " +

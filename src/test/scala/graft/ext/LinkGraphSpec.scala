@@ -82,4 +82,52 @@ class LinkGraphSpec extends AnyFunSuite with SharedSpark {
     assert(r1.sameElements(r2), "ordered folds must make ranks bit-stable")
     assert(math.abs(r1.map(_._2).sum - 1.0) < 1e-9) // no dangling here
   }
+
+  test("pagerank: power-law hub node — bucket fold matches the flat fold") {
+    import spark.implicits._
+    // star into node 0 (in-degree 10^5 — the web-graph hub shape that
+    // OOM'd the single-level collect_list fold) plus 0 -> 1 so the hub
+    // has an outlink; every node's out-degree is 1
+    val hubIn = 100000
+    val edges = ((1 to hubIn).map(i => (i.toLong, 0L)) :+ ((0L, 1L)))
+      .toDF("src", "dst")
+    val iters = 2
+    val got = LinkGraph.pagerank(edges, iterations = iters)
+      .as[(Long, Double)].collect().toMap
+    // driver replay of the identical recurrence, once with the engine's
+    // two-level bucket fold (bit-exact expectation) and once with the
+    // pre-r21 flat ascending-src fold (the equivalence claim)
+    val n = hubIn + 1
+    val t = (1.0 - 0.85) / n
+    def md5b(s: Long): Int = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    def bucketFold(contribs: Seq[(Long, Double)]): Double =
+      contribs.groupBy { case (s, _) => md5b(s) }.toSeq.sortBy(_._1)
+        .map { case (_, xs) => xs.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _) }
+        .foldLeft(0.0)(_ + _)
+    def flatFold(contribs: Seq[(Long, Double)]): Double =
+      contribs.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    def replay(fold: Seq[(Long, Double)] => Double): Map[Long, Double] = {
+      var r = (0L until n.toLong).map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val cHub = fold((1 to hubIn).map(i => (i.toLong, r(i.toLong))))
+        val c1 = fold(Seq((0L, r(0L))))
+        r = (0L until n.toLong).map { node =>
+          val c = if (node == 0L) cHub else if (node == 1L) c1 else 0.0
+          node -> (t + 0.85 * c)
+        }.toMap
+      }
+      r
+    }
+    val bucketed = replay(bucketFold)
+    val flat = replay(flatFold)
+    assert(got.size == n)
+    assert((0L until n.toLong).forall(k => got(k) == bucketed(k)),
+      "engine ranks must be bit-identical to the bucketed-fold replay")
+    // reordering a 10^5-term double sum moves the result by up to
+    // ~n·ε·Σ ≈ 1e-11 — the folds are equal up to that bound, far inside
+    // the probe's 9-dp round
+    assert((0L until n.toLong).forall(k => math.abs(got(k) - flat(k)) < 1e-9),
+      "bucketed and flat folds must agree to 1e-9 on the hub graph")
+  }
 }
