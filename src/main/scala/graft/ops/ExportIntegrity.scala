@@ -121,7 +121,11 @@ object ExportIntegrity {
         (rel, n, digest.digest().map("%02x".format(_)).mkString)
       }
       .toDF("file", "bytes", "sha256")
-      .orderBy("file")
+      // not `.orderBy`: a range exchange samples its child for boundaries,
+      // re-running the hashing map — every delivery file would stream
+      // through SHA-256 twice (see TarExport.writeSharded); one row per
+      // file, so a single-partition sort is bounded
+      .repartition(1).sortWithinPartitions("file")
   }
 
   /** Serialize sorted `(file, bytes, sha256, mtime)` rows as

@@ -249,7 +249,15 @@ object TarExport {
         TarExport.writePartition(rows, path, confMap, index)
       }
       .toDF("shard", "n_samples", "n_entries", "payload_bytes", "sha256")
-      .orderBy("shard")
+      // NOT `.orderBy("shard")`: a global sort is a RANGE exchange, and
+      // range partitioning SAMPLES its child RDD for boundaries — which
+      // re-executes the narrow child, i.e. re-runs the tar-writing
+      // mapPartitions and writes every shard TWICE (idempotent but twice
+      // the I/O; at corpus scale, twice the export). One round-robin
+      // exchange materializes the writer exactly once
+      // (`TarExportWriteOnceSpec` pins it), and the bounded accounting
+      // frame (one row per shard) sorts in a single partition.
+      .repartition(1).sortWithinPartitions("shard")
   }
 
   /** Executor-side shard writer: rows arrive sorted by (shard, ordinal);
@@ -293,6 +301,7 @@ object TarExport {
       }
       out += ((cur, nSamples, nEntries, nBytes,
         digest.digest().map("%02x".format(_)).mkString))
+      committedShardCount.incrementAndGet()
     }
     def abort(): Unit = {
       if (tar != null) { try tar.close() catch { case _: java.io.IOException => () } }
@@ -421,6 +430,15 @@ object TarExport {
     * read leaks nothing.
     */
   private[ops] val openTarStreams = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test-visible count of shard files COMMITTED by this JVM's writers —
+    * one increment per finished shard. The write-once contract's probe:
+    * an export of N shards must raise it by exactly N (the pre-r21
+    * terminal `orderBy` re-ran the writing mapPartitions through the
+    * range exchange's boundary sampling and raised it by 2N). JVM-local
+    * (per-executor on a cluster); consumed by `TarExportWriteOnceSpec`.
+    */
+  private[ops] val committedShardCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Read tar shards back as one row per ENTRY: `(shard, name, content)`
     * — the Spark-side loader (and the round-trip verifier). Shards are

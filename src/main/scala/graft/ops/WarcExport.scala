@@ -65,7 +65,11 @@ object WarcExport {
     prepared
       .mapPartitions(rows => writeShardPartition(rows, path, confMap, asOfMs))
       .toDF("shard", "n_records", "payload_bytes", "sha256")
-      .orderBy("shard")
+      // not `.orderBy`: a range exchange samples its child for boundaries,
+      // re-running the shard-writing mapPartitions — every WET shard would
+      // be written twice (see TarExport.writeSharded); the report is one
+      // row per shard, so a single-partition sort is bounded
+      .repartition(1).sortWithinPartitions("shard")
   }
 
   /** Executor-side shard writer: contiguous (shard, id)-sorted runs
