@@ -403,12 +403,22 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ONE (block, s) aggregation feeds both consumers: the pair
+    // generation reads the posting lists, and the per-doc shingle counts
+    // re-derive from the SAME lists (each doc appears once per list —
+    // shingleSet is a set) instead of a second groupBy(doc_id) over a
+    // fresh shingling pass. Identical subtree ⇒ ReuseExchange shares the
+    // shuffle, so the corpus is tokenized/shingled exactly ONCE (the
+    // counts branch previously re-ran the flatMap end-to-end; AQE does
+    // not stage-share two DIFFERENT-key exchanges).
+    val postings = sh.groupBy("block", "s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val counts = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list pair generation: one groupBy + a per-posting flatMap
     // beats the two-sided self-join shuffle; sorting each (small) posting
     // list keeps pair orientation id_a < id_b deterministic
-    val inter = sh.groupBy("block", "s")
-      .agg(collect_list(col("doc_id")).as("ids"))
+    val inter = postings
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val sorted = ids.distinct.sorted
@@ -448,9 +458,13 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = shingleHashPosts(docs, idCol, textCol, blockCol)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.groupBy("block", "s")
+    // shared (block, s) aggregation — counts re-derive from the posting
+    // lists so the corpus shingles once (see ngramJaccardPairs)
+    val postings = sh.groupBy("block", "s")
       .agg(collect_list(col("doc_id")).as("ids"))
+    val counts = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = postings
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val sorted = ids.distinct.sorted
