@@ -18,8 +18,22 @@ import org.apache.spark.sql.functions._
   *     reading of the same column.
   */
 object Tables {
+  /** Per-JVM inferred-schema cache for the immutable testdata tables:
+    * every `spark.read.parquet` without an explicit schema runs a
+    * driver-side footer-inference job (~30-100 ms), and the probe suite
+    * loads these tables thousands of times per bench run. Metadata
+    * caching only — the query still scans the parquet files on every
+    * evaluation; the cached schema is byte-identical to what inference
+    * returns, so plans are unchanged.
+    */
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemas.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name != "events") df
     else df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -46,7 +46,7 @@ object ClusterMixProbes {
         Clustering.seedCentroids(emb, "vec_id", "embedding", 8))
         .select(col("vec_id"), col("cluster"),
           round(col("dist2"), 9).as("dist2_r"))
-        .orderBy("vec_id")
+        .repartition(1).sortWithinPartitions("vec_id")
     },
 
     // SemDeDup: cluster first, compare within clusters only — the O(n²)
@@ -58,7 +58,7 @@ object ClusterMixProbes {
     ) { (s, d) =>
       Dedup.semanticNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 8, threshold = 0.3)
-        .orderBy("id_a", "id_b")
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
 
     // Per-label exact centroids: means accumulate in ascending-id order
@@ -111,7 +111,7 @@ object ClusterMixProbes {
       "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tok), c AS (SELECT doc_id, u.t AS tokn, count(*) AS c FROM tok, UNNEST(ts) AS u(t) GROUP BY 1, 2), e AS (SELECT c.doc_id, min(n.n) AS n, count(*) AS nd, list(-((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n)) ORDER BY c.tokn) AS lps FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id) SELECT doc_id, n AS n_tokens, CAST(nd AS BIGINT) AS n_distinct, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b), 6) AS entropy FROM e ORDER BY doc_id"
     ) { (s, d) =>
       Quality.unigramEntropy(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Full Gopher-rule document filter: every rule signal plus the
@@ -124,7 +124,7 @@ object ClusterMixProbes {
       Quality.gopherFilter(t(s, d, "documents"), "doc_id", "text",
         Quality.GopherRules(minTokens = 30, maxTokens = 80,
           minMeanWordLen = 3.0, maxMeanWordLen = 4.6))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Composed training-shard prep: deterministic epoch shuffle, then
@@ -474,7 +474,7 @@ object ClusterMixProbes {
           t(s, d, "documents").select("doc_id", "n_chars"),
           "doc_id", "n_chars", k = 500, salt = "r17aes", cutover = 16)
         .select("doc_id", "n_chars")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // [EXT] exact distributed quantile (r17, ops.OrderStat): the
@@ -496,7 +496,7 @@ object ClusterMixProbes {
       val qs = Seq(0.25, 0.5, 0.9)
       qs.zip(graft.ops.OrderStat.exactQuantilesDisc(li, "l_extendedprice",
           qs, cutover = 64))
-        .toDF("q", "v").orderBy("q")
+        .toDF("q", "v").repartition(1).sortWithinPartitions("q")
     },
 
     // [EXT] packed-sequence span table (r16): the loader-facing map of
@@ -728,7 +728,7 @@ object ClusterMixProbes {
         s, s"$root/out", "shard-*.tar")
       graft.ops.ExportIntegrity.assignShardsRoundRobin(manifest, 3)
         .select(col("file"), col("worker"))
-        .orderBy("file")
+        .repartition(1).sortWithinPartitions("file")
     },
 
     // [EXT] wids-style sample index (r14): the writer records every
@@ -762,7 +762,7 @@ object ClusterMixProbes {
         .select(col("shard"), col("key"),
           col("offset").as("sample_offset"),
           col("entries").as("n_entries"), col("bytes").as("sample_bytes"))
-        .orderBy("shard", "sample_offset")
+        .repartition(1).sortWithinPartitions("shard", "sample_offset")
     },
 
     // [EXT] random-access point lookup into a delivery (r14): a key

@@ -58,7 +58,7 @@ object CoreProbes {
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey"
     ) { (s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     },
 
     // P4 — derived-column enrichment (reference main.py:72-76).
@@ -71,7 +71,7 @@ object CoreProbes {
     ) { (s, d) =>
       t(s, d, "orders")
         .withColumn("discounted", round(col("o_totalprice") * 2, 2))
-        .select("o_orderkey", "discounted").orderBy("o_orderkey")
+        .select("o_orderkey", "discounted").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // F1 — equality predicate on PK (reference base.py:26).
@@ -89,7 +89,7 @@ object CoreProbes {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber"
     ) { (s, d) =>
       t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-        .filter(col("l_orderkey") === 7).orderBy("l_linenumber")
+        .filter(col("l_orderkey") === 7).repartition(1).sortWithinPartitions("l_linenumber")
     },
 
     // F3 — closed range on ordinal, bounds optional (repository.py:97-100).
@@ -98,7 +98,7 @@ object CoreProbes {
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4 ORDER BY l_orderkey, l_linenumber"
     ) { (s, d) =>
       t(s, d, "lineitem").filter(col("l_linenumber").between(2, 4))
-        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber").repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
     },
 
     // F4 — set-membership predicate (reference main.py:48,55).
@@ -107,7 +107,7 @@ object CoreProbes {
       "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','O') ORDER BY o_orderkey"
     ) { (s, d) =>
       t(s, d, "orders").filter(col("o_orderstatus").isin("F", "O"))
-        .select("o_orderkey").orderBy("o_orderkey")
+        .select("o_orderkey").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // F5 — existence guard / isEmpty check (reference api.py:111-112).
@@ -128,7 +128,7 @@ object CoreProbes {
       t(s, d, "events")
         .select(col("event_id"),
           coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("et"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     },
 
     // O3 — top-k by score ([EXT], SURVEY §2.6 note).
@@ -189,7 +189,7 @@ object CoreProbes {
       t(s, d, "orders")
         .select(col("o_orderkey"), key.as("obj_key"),
           regexp_extract(key, "([^/]+)$", 1).as("basename"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // C2 — lower() (reference main.py:48).
@@ -198,7 +198,7 @@ object CoreProbes {
       "SELECT r_regionkey, lower(r_name) AS r_lower FROM region ORDER BY r_regionkey"
     ) { (s, d) =>
       t(s, d, "region").select(col("r_regionkey"), lower(col("r_name")).as("r_lower"))
-        .orderBy("r_regionkey")
+        .repartition(1).sortWithinPartitions("r_regionkey")
     },
 
     // C4 — strftime-style formatting (reference main.py:75).
@@ -209,7 +209,7 @@ object CoreProbes {
       t(s, d, "orders")
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // C5/C6 — timestamp normalization + ISO render (reference demo.py:11-14).
@@ -220,7 +220,7 @@ object CoreProbes {
       t(s, d, "events")
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     },
 
     // C5 — Jakarta-time rendering at the presentation edge (schema.py:8-9
@@ -234,7 +234,7 @@ object CoreProbes {
         .select(col("event_id"),
           date_format(from_utc_timestamp(col("ts"), "Asia/Jakarta"),
             "yyyy-MM-dd HH:mm:ss").as("jkt"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     },
 
     // S3 — glob listing scan (file_sensor.py:24-26): binaryFile metadata
@@ -249,7 +249,7 @@ object CoreProbes {
       s.read.format("binaryFile").load(s"$d/*.parquet")
         .filter(col("length") > 0)
         .select(element_at(split(col("path"), "/"), -1).as("basename"))
-        .orderBy("basename")
+        .repartition(1).sortWithinPartitions("basename")
     },
 
     // C8 — JSON path extraction (schema.py JSON columns; demo.py:70,86,97).
@@ -259,7 +259,7 @@ object CoreProbes {
     ) { (s, d) =>
       t(s, d, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     },
 
     // C9 — struct construction + field access (pdf_parser.py:152-160).
@@ -271,7 +271,7 @@ object CoreProbes {
         .select(col("o_orderkey"),
           struct(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
             .getField("v").as("unpacked"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // C12 — type-dispatch conditional (pdf_parser.py:142,162 isinstance).
@@ -284,7 +284,7 @@ object CoreProbes {
           when(col("event_type") === "error", "E")
             .when(col("event_type") === "purchase", "P")
             .otherwise("O").as("cls"))
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     },
 
     // M1 — update-by-PK as copy-on-write rewrite expression (base.py:38-52);
@@ -297,7 +297,7 @@ object CoreProbes {
         .select(col("o_orderkey"),
           when(col("o_orderkey") === 42, "URGENT-PATCHED")
             .otherwise(col("o_orderpriority")).as("o_orderpriority"))
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // M4 — keyed upsert (MERGE) through the REAL storage path: orders is
@@ -342,7 +342,7 @@ object CoreProbes {
       PhaseTimer.timed("m3_merge_upsert", "merge") {
         ts.merge("orders_m", src, Seq("o_orderkey"))
       }
-      ts.read("orders_m").orderBy("o_orderkey")
+      ts.read("orders_m").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // [EXT] M6 — CDC apply through the REAL storage path (r12): one
@@ -398,7 +398,7 @@ object CoreProbes {
       PhaseTimer.timed("m5_merge_cdc", "cdc_apply") {
         ts.mergeCdc("orders_c", feed, Seq("o_orderkey"))
       }
-      ts.read("orders_c").orderBy("o_orderkey")
+      ts.read("orders_c").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // [EXT] M6 streaming form (r13): the SAME changefeed as m5, split
@@ -462,7 +462,7 @@ object CoreProbes {
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
         q.awaitTermination()
       }
-      ts.read("orders_s").orderBy("o_orderkey")
+      ts.read("orders_s").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // [EXT] M7 — writer-lease TAKEOVER liveness through the probe tier
@@ -507,7 +507,7 @@ object CoreProbes {
         b.releaseWriterLease("orders_t")
       }
       new graft.store.TableStore(s, root).read("orders_t")
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // [EXT] M5 — additive schema evolution through the REAL storage path

@@ -49,7 +49,7 @@ object CurationProbes {
           t(s, d, "documents")
             .select(col("source"), TA.tokenCount(col("text")).as("tok")),
           "source", "tok", alpha = 0.5)
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     },
 
     // Exact per-stratum holdout split: within each source, the first
@@ -93,7 +93,7 @@ object CurationProbes {
     ) { (s, d) =>
       graft.ext.Stats.covarianceExact(t(s, d, "embeddings"),
           "vec_id", "embedding")
-        .orderBy("i", "j")
+        .repartition(1).sortWithinPartitions("i", "j")
     },
 
     // Per-document TF-IDF keyword signature: top-5 terms by the smoothed
@@ -120,7 +120,7 @@ object CurationProbes {
           "vec_id", "embedding", m = 4, k = 4)
         .select(col("vec_id"), col("subspace"), col("code"),
           round(col("dist2"), 9).as("dist2_r"))
-        .orderBy("vec_id", "subspace")
+        .repartition(1).sortWithinPartitions("vec_id", "subspace")
     },
 
     // Quality-quartile curriculum buckets: exact corpus quantile
@@ -142,7 +142,7 @@ object CurationProbes {
       PhaseTimer.timed("mix_quantile_buckets", "threshold_row") {
         Mixing.quantileBuckets(scored,
           col("score"), nBuckets = 4, bucketName = "q_bucket")
-      }.orderBy("doc_id")
+      }.repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Epoch/repetition budgeting (r19, Mixing.epochPlan): the
@@ -170,7 +170,7 @@ object CurationProbes {
               TA.tokenCount(col("text")).as("tok")),
           "g", "tok",
           Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25), 500000L)
-        .orderBy("g")
+        .repartition(1).sortWithinPartitions("g")
     },
 
     // Repetition materialization (r19, Mixing.repeatToBudget): each
@@ -200,7 +200,7 @@ object CurationProbes {
       Mixing.repeatToBudget(docs, "doc_id", "g", "tok",
           Seq("0" -> 0.5, "1" -> 0.25, "2" -> 0.25), 500000L, salt = "ep")
         .select("doc_id", "g", "epoch")
-        .orderBy("doc_id", "epoch")
+        .repartition(1).sortWithinPartitions("doc_id", "epoch")
     },
 
     // URL canonicalization (r18, UrlOps): five messy variants per
@@ -224,7 +224,7 @@ object CurationProbes {
         .select(col("doc_id"), parts.getField("canonical").as("url_canon"),
           parts.getField("host").as("host"),
           parts.getField("registered_domain").as("registered_domain"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // URL-level dedup (r18): keep the first row per canonical URL. The
@@ -305,7 +305,7 @@ object CurationProbes {
       graft.ext.Warc.readResponses(s, dir + "/*.warc.gz")
         .select(col("url"),
           graft.ext.HtmlText.htmlText(col("body").cast("string")).as("text"))
-        .orderBy("url")
+        .repartition(1).sortWithinPartitions("url")
     },
 
     // Charset-aware crawl decode (r18): real crawls are NOT all UTF-8.
@@ -329,7 +329,7 @@ object CurationProbes {
         .select(col("url"),
           graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
             .as("text"))
-        .orderBy("url")
+        .repartition(1).sortWithinPartitions("url")
     },
 
     // WET export round-trip (r18, ops.WarcExport): the curated corpus
@@ -355,7 +355,7 @@ object CurationProbes {
       }
       graft.ops.WarcExport.readWet(s, out + "/*.warc.gz")
         .select(col("url"), col("text"))
-        .orderBy("url")
+        .repartition(1).sortWithinPartitions("url")
     },
 
     // Composed crawl-curation pipeline (r19): WARC shards → streamed
@@ -444,7 +444,7 @@ object CurationProbes {
           t(s, d, "documents").filter(col("doc_id").isNotNull)
             .select(col("doc_id"), xml.as("xml")), "xml")
         .select("doc_id", "kind", "loc", "lastmod", "changefreq", "priority")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Streaming crawl ingestion (r19, Warc.readResponsesStream): the
@@ -476,7 +476,7 @@ object CurationProbes {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(s"$root/out").select("url", "text").orderBy("url")
+      s.read.parquet(s"$root/out").select("url", "text").repartition(1).sortWithinPartitions("url")
     },
 
     // CDX-style index + seek-fetch (r19, WarcIndex): the Common Crawl

@@ -100,7 +100,7 @@ object EtlProbes {
         .mapPartitions(_.map { case (id, t) => (id, Ner.extract(t)) })
         .toDF("doc_id", "entities")
         .select(col("doc_id"), to_json(col("entities")).as("entities"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }
   )
 }

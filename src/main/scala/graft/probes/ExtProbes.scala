@@ -87,7 +87,7 @@ object ExtProbes {
       t(s, d, "documents")
         .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_measured"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     Probe(
@@ -96,7 +96,7 @@ object ExtProbes {
     ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.bpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // [EXT] large-blocklist phrase screen (r16): every OVERLAPPING
@@ -130,7 +130,7 @@ object ExtProbes {
       graft.ext.Blocklist.matchCounts(
         t(s, d, "documents"), "doc_id", "text",
         Seq("scan", "order", "table scan", "an", "me"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // [EXT] blocklist redaction geometry (r16): the merged covered
@@ -153,7 +153,7 @@ object ExtProbes {
       graft.ext.Blocklist.matchSpans(
         t(s, d, "documents"), "doc_id", "text",
         Seq("table scan", "scan", "an", "me"))
-        .orderBy("doc_id", "span_start")
+        .repartition(1).sortWithinPartitions("doc_id", "span_start")
     },
 
     // [EXT] corpus-scale BPE tokenizer APPLICATION (r16): train merges,
@@ -177,7 +177,7 @@ object ExtProbes {
       }
       val enc = graft.ext.Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
       graft.ext.Bpe.decodeDocs(enc, "doc_id", "token_ids", vocab)
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // [EXT] BPE char-fallback coverage (r17): the tokenizer model is
@@ -201,7 +201,7 @@ object ExtProbes {
       }
       val enc = graft.ext.Bpe.encodeDocs(docs, "doc_id", "text", merges, vocab)
       graft.ext.Bpe.decodeDocs(enc, "doc_id", "token_ids", vocab)
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     Probe(
@@ -210,7 +210,7 @@ object ExtProbes {
     ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), round(TA.qualityScore(col("text")), 9).as("quality"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     Probe(
@@ -224,7 +224,7 @@ object ExtProbes {
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"), col("lang"),
           TA.langIdNative(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     Probe(
@@ -233,7 +233,7 @@ object ExtProbes {
     ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     Probe(
@@ -242,7 +242,7 @@ object ExtProbes {
     ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.removeStopwords(col("text")).as("cleaned"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // [EXT] sequence packing (ops.Packing): documents concatenated in id
@@ -284,7 +284,7 @@ object ExtProbes {
     ) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TA.rollingFingerprint(col("text")).as("fp_kr"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // HTML -> text extraction (r18, HtmlText): five markup shapes per
@@ -344,7 +344,7 @@ object ExtProbes {
         .select(col("doc_id"),
           graft.ext.HtmlText.htmlText(html).as("text_full"),
           graft.ext.HtmlText.htmlContent(html).as("text_content"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Page-declared crawl signals (r18, HtmlText.pageMeta): canonical
@@ -388,7 +388,7 @@ object ExtProbes {
           meta.getField("_1").as("canonical_href"),
           meta.getField("_2").as("noindex"),
           meta.getField("_3").as("nofollow"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Unicode normalization (r19, TextClean): the fixture appends a
@@ -412,7 +412,7 @@ object ExtProbes {
         .select(col("doc_id"),
           graft.ext.TextClean.nfc(denorm).as("nfc"),
           graft.ext.TextClean.nfkc(denorm).as("nfkc"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Mojibake repair (r19, TextClean): even docs ship DOUBLE-ENCODED
@@ -438,7 +438,7 @@ object ExtProbes {
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"),
           graft.ext.TextClean.repairMojibake(input).as("repaired"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     }
   )
 
@@ -715,7 +715,7 @@ object ExtProbes {
     ) { (s, d) =>
       Dedup.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         "label", 0.3)
-        .orderBy("id_a", "id_b")
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
     }
   )
 
@@ -829,7 +829,7 @@ object ExtProbes {
       // global (unblocked) exact near-dup edges, then connected components
       val edges = Dedup.ngramJaccardPairs(
         t(s, d, "documents").withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.5)
-      Dedup.duplicateClusters(edges).orderBy("doc_id")
+      Dedup.duplicateClusters(edges).repartition(1).sortWithinPartitions("doc_id")
     }
   )
 

@@ -55,7 +55,7 @@ object JoinAggWindowProbes {
         .withColumn("jk", format_string("c/%d", col("o_custkey")))
         .join(t(s, d, "customer")
           .withColumn("jk", format_string("c/%d", col("c_custkey"))), Seq("jk"))
-        .select("o_orderkey", "c_name").orderBy("o_orderkey")
+        .select("o_orderkey", "c_name").repartition(1).sortWithinPartitions("o_orderkey")
     },
 
     // J4 — FK-cascade delete as left-anti (schema.py:43-44, base.py:54-66).
@@ -66,7 +66,7 @@ object JoinAggWindowProbes {
       val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey"))
       t(s, d, "lineitem").join(f, Seq("l_orderkey"), "left_anti")
-        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber").repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
     },
 
     // J5 — existence semi-join guard (api.py:110-112).
@@ -125,7 +125,7 @@ object JoinAggWindowProbes {
       t(s, d, "part")
         .select(col("p_partkey"),
           size(split(col("p_name"), " ")).cast("long").as("token_cnt"))
-        .orderBy("p_partkey")
+        .repartition(1).sortWithinPartitions("p_partkey")
     },
 
     // A4 — summary counts by group (main.py:113-115).
@@ -472,7 +472,7 @@ object JoinAggWindowProbes {
         .select(col("s_suppkey").as("k"), col("s_name"))
       graft.ops.Skew.saltedJoin(fact, dim, "k", saltBuckets = 8)
         .select("l_orderkey", "l_linenumber", "s_name")
-        .orderBy("l_orderkey", "l_linenumber")
+        .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
     },
 
     // [EXT] rank / lag / framed running sum (SURVEY §2.5 note).

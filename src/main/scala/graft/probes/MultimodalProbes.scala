@@ -134,7 +134,7 @@ object MultimodalProbes {
         .select(col("mediaId").as("media_id"), col("meta.kind").as("kind"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.payloadBytes").as("payload_bytes"))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // Frame sampling arithmetic (stub: one frame per fps-sized payload
@@ -205,7 +205,7 @@ object MultimodalProbes {
         .select(col("mediaId").as("media_id"), col("meta.kind").as("kind"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.fps").as("fps"), col("meta.payloadBytes").as("payload_bytes"))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // REAL pixel decode, end to end: each doc's md5-derived 60-bit value
@@ -232,7 +232,7 @@ object MultimodalProbes {
       }
       ImageFeatures.imageFeatures(s.read.parquet(path))
         .select("media_id", "width", "height", "dhash", "sum_luma")
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // Image near-dup over REAL decoded rasters: groups of 4 docs share an
@@ -323,7 +323,7 @@ object MultimodalProbes {
       }
       AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // REAL FLAC sample decode (r18, native FlacCodec — no codec library):
@@ -349,7 +349,7 @@ object MultimodalProbes {
       }
       AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // Audio-corpus NORMALIZATION (r18): the whole FLAC fixture corpus
@@ -379,7 +379,7 @@ object MultimodalProbes {
       }
       AudioFeatures.audioFeatures(normalized)
         .withColumn("rms", round(col("rms"), 4))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // REAL G.711 sample decode (r18, native TelephonyAudio — the ITU
@@ -394,7 +394,7 @@ object MultimodalProbes {
       }
       AudioFeatures.audioFeatures(s.read.parquet(path))
         .withColumn("rms", round(col("rms"), 4))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     },
 
     // G.711 corpus NORMALIZATION (r18): the whole mixed WAV/AU telephony
@@ -412,7 +412,7 @@ object MultimodalProbes {
       }
       AudioFeatures.audioFeatures(normalized)
         .withColumn("rms", round(col("rms"), 4))
-        .orderBy("media_id")
+        .repartition(1).sortWithinPartitions("media_id")
     }
   )
 }

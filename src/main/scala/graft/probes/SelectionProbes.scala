@@ -46,7 +46,7 @@ object SelectionProbes {
         t(s, d, "documents")
           .filter(col("doc_id").isNotNull && col("text").isNotNull),
         "doc_id", "text", col("source") === "src0")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // DSIR deterministic selection: top-20 raw documents by rounded
@@ -78,7 +78,7 @@ object SelectionProbes {
         weights = Array.tabulate(256)(b =>
           (b * 2654435761L % 1999) / 999.0 - 1.0),
         bias = 0.05)
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Bloom-prefiltered subtraction: result must be EXACTLY the anti-join
@@ -92,7 +92,7 @@ object SelectionProbes {
       Dedup.bloomSubtract(
         docs.select("doc_id", "source"), "doc_id",
         docs.filter(col("source") === "src1"), "doc_id")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Vocabulary coverage: top-25 corpus vocabulary (count desc, token
@@ -110,7 +110,7 @@ object SelectionProbes {
       val docs = t(s, d, "documents")
       Bpe.oovStats(docs, "doc_id", "text",
         Bpe.learnVocab(docs, "text", vocabSize = 25))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Per-source KL divergence against the corpus unigram mix: the
@@ -389,7 +389,7 @@ object SelectionProbes {
           graft.ops.Layout.zorderKey2(
             pmod(col("l_orderkey"), lit(1024L)),
             pmod(col("l_partkey"), lit(1024L)), bits = 10).as("zkey"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
     },
 
     // Stats-pruned range read over a clustered layout: lineitem is

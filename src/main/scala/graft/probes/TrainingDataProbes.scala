@@ -26,7 +26,7 @@ object TrainingDataProbes {
       "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), base AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM tok), bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)), bgc AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1) SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(1.0 - nd * 1.0 / n, 9) AS dup_token_frac, round(coalesce(maxc * 1.0 / total, 0.0), 9) AS top_bigram_frac FROM base LEFT JOIN bgc USING (doc_id) ORDER BY doc_id"
     ) { (s, d) =>
       Quality.repetitionStats(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Benchmark decontamination: docs sharing >= 1 distinct 3-gram with
@@ -50,7 +50,7 @@ object TrainingDataProbes {
       Mixing.hashSplit(t(s, d, "documents"), "doc_id", "graft",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Per-language weighted downsample (en kept at 0.5, others at 0.25),
@@ -62,7 +62,7 @@ object TrainingDataProbes {
       Mixing.weightedSample(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.5), defaultWeight = 0.25, salt = "mix")
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // PII redaction over a synthesized doc-varying contact preamble (the
@@ -77,7 +77,7 @@ object TrainingDataProbes {
             lit("@example.com or call 555-123-"),
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
             lit(". "), col("text"))).as("redacted"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Context-window splitting (64-token windows, stride 48): the
@@ -89,7 +89,7 @@ object TrainingDataProbes {
     ) { (s, d) =>
       graft.ops.Packing.tokenWindows(t(s, d, "documents"), "doc_id", "text",
         size = 64, stride = 48)
-        .orderBy("doc_id", "win_idx")
+        .repartition(1).sortWithinPartitions("doc_id", "win_idx")
     },
 
     // L2 normalization (pre-normalized corpora turn cosine into a dot
@@ -110,7 +110,7 @@ object TrainingDataProbes {
         .select(col("vec_id"), round(col("nrm"), 9).as("norm"),
           round(get(Similarity.l2Normalize(col("v"), col("nrm")), lit(0)), 9)
             .as("u0"))
-        .orderBy("vec_id")
+        .repartition(1).sortWithinPartitions("vec_id")
     },
 
     // CCNet-style LM self-perplexity: add-one-smoothed bigram logprob
@@ -121,7 +121,7 @@ object TrainingDataProbes {
       "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), uni AS (SELECT u.t AS w, count(*) AS c1 FROM tok, UNNEST(ts) AS u(t) GROUP BY u.t), v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni), bg AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i + 1] AS big FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)), c2 AS (SELECT big, count(*) AS cb FROM bg GROUP BY big), scored AS (SELECT doc_id, pos, ln((c2.cb + 1.0) / (uni.c1 + v.vsz)) AS lp FROM bg JOIN c2 USING (big) JOIN uni ON bg.w1 = uni.w CROSS JOIN v), agg AS (SELECT doc_id, count(*) AS n_bigrams, list(lp ORDER BY pos) AS lps FROM scored GROUP BY doc_id) SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / n_bigrams, 6) AS avg_lp FROM agg ORDER BY doc_id"
     ) { (s, d) =>
       LangModel.bigramSelfLogProb(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     },
 
     // Symmetric int8 embedding quantization: scale, code sum, and mean
@@ -134,7 +134,7 @@ object TrainingDataProbes {
       Quantize.quantizeStats(t(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
           col("q_sum"), round(col("mse"), 9).as("mse"))
-        .orderBy("vec_id")
+        .repartition(1).sortWithinPartitions("vec_id")
     },
 
     // The composed curation pipeline — quality filter → normalized exact
