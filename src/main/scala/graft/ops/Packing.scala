@@ -325,8 +325,16 @@ object Packing {
         col(tokensCol).as("_toks"))
       .filter(col("doc_id").isNotNull && col("_toks").isNotNull)
       .withColumn("_tok_n", size(col("_toks")).cast("long"))
-    packSequences(base.select("doc_id", "_tok_n"), "doc_id", "_tok_n", seqLen,
-        buckets)
+    // slim (doc_id, n) checkpoint — the sequenceTextsReleasable pattern:
+    // packSequences scans its input THREE times (id bounds, bucket
+    // subtotals, placement), and `tokensCol` is typically a full
+    // tokenize/hash lambda (profiled at sf0.1: four ~0.5 s tokenize
+    // stages per call, one per scan + the payload join). 16 B/row
+    // checkpointed once caps the lambda at TWO evaluations: this count
+    // pass and the payload join below. Blocks release on driver GC
+    // (the unmanaged sequenceTexts convention).
+    val slim = base.select("doc_id", "_tok_n").localCheckpoint()
+    packSequences(slim, "doc_id", "_tok_n", seqLen, buckets)
       .join(base, "doc_id")
       .filter(col("token_count") > 0)
       .withColumn("seq", explode(sequence(col("seq_start"), col("seq_end"))))

@@ -68,7 +68,7 @@ object CrawlProbes {
           when(col("payload").isNotNull,
             HtmlText.htmlTextBytes(col("payload"), col("charset")))
             .as("text"))
-        .orderBy("url")
+        .repartition(1).sortWithinPartitions("url")
     },
 
     // Redirect-chain resolution (r20, WarcIndex.resolveRedirects):
@@ -101,7 +101,7 @@ object CrawlProbes {
         .select(col("request_url"), col("final_url"),
           col("hops").cast("long").as("hops"),
           col("final_status").cast("int").as("final_status"))
-        .orderBy("request_url")
+        .repartition(1).sortWithinPartitions("request_url")
     },
 
     // Frontier diff (r20, WarcIndex.frontierDiff): the discovery side
@@ -178,7 +178,7 @@ object CrawlProbes {
         .select(col("final_url"),
           HtmlText.htmlTextBytes(col("body"), col("charset")).as("text"),
           col("n_requests"))
-        .orderBy("final_url")
+        .repartition(1).sortWithinPartitions("final_url")
     },
 
     // Composed discovery pipeline (r20): robots.txt advertises the

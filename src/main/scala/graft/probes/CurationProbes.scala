@@ -505,7 +505,7 @@ object CurationProbes {
         .select(col("url"),
           graft.ext.HtmlText.htmlTextBytes(col("body"), col("charset"))
             .as("text"))
-        .orderBy("url")
+        .repartition(1).sortWithinPartitions("url")
     },
 
     // robots.txt exclusion screening (r18, RobotsTxt — RFC 9309): five
