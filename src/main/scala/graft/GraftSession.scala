@@ -54,6 +54,21 @@ object GraftSession {
       // relies on
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // fork-free local chmod (r22): without libhadoop, Hadoop's local fs
+      // SHELLS OUT one `chmod` per created file/dir — the per-file fork
+      // dominated every file-heavy operator at high core counts (streaming
+      // sinks + state changelogs + .crc sidecars; profiled as most task
+      // threads in forkAndExec/Thread.start0). NioLocalFileSystem performs
+      // the identical chmod via java.nio. On clusters with native Hadoop
+      // this is moot (NativeIO chmods in-process); file:// there is scratch
+      // space only.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.store.NioLocalFileSystem")
+      // FileContext resolves file:// separately (streaming checkpoint
+      // managers write offsets/commits/changelogs through it) — same
+      // fork-free chmod for that tree
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.store.NioLocalFs")
       .config("spark.ui.enabled", "false")
 
   /** The CLI mains' shared session: core count from SPARK_GRAFT_CPUS
